@@ -1,0 +1,736 @@
+"""The Spark-first structure-inference engine.
+
+The reference analyzes a fully-materialized Python object tree by
+recursive descent, re-walking the raw data once per level
+(reference: structa/analyzer.py:400-492, O(depth x N)). This engine
+instead:
+
+1. **Plans** leaf extraction from the DataFrame schema: leaves sharing
+   the same repetition context (chain of array/map explosions) are
+   grouped so each context costs exactly ONE Spark job.
+2. Runs **one wide aggregation per context** computing, for every leaf
+   at once: counts, null/empty counts, min/max, (approximate)
+   quartiles, distinct cardinality, and the failure count of every
+   candidate string conversion (bool word-pairs, int bases o/d/x,
+   float, datetime formats) — a single pass, fully JVM-side,
+   whole-stage-codegen'd, with map-side partial aggregation and no
+   shuffle of row data (only the scalar agg state).
+3. Classifies each leaf **driver-side from the aggregates** (KB-sized)
+   using the reference's threshold semantics: ``bad_threshold`` over
+   occurrences, ``empty_threshold`` for blank strings,
+   ``null_threshold`` for nulls, the numeric tower Bool < Int < Float,
+   the numeric-timestamp heuristic over min/max, and the
+   record-vs-table ``field_threshold`` duality.
+4. Optionally runs one extra *small* job per context for top-k
+   frequency samples (unpivot -> groupBy -> windowed top-k: ONE
+   shuffle for all leaves together) and one for per-position character
+   classes of fixed-width strings (unpivot -> posexplode -> ONE
+   shuffle), feeding the CharClass induction in
+   :mod:`structa_spark.chars`.
+
+At 100 TB none of this materializes data on the driver: every job
+reduces to per-leaf scalars, quartiles use mergeable GK sketches
+(``percentile_approx``), distincts use HLL++
+(``approx_count_distinct``), and pattern induction can be run on a
+``df.sample`` (``pattern_sample``) without changing semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field as dc_field, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import conversions
+from .chars import induce_pattern
+from .model import (
+    BoolT, DateTimeT, Empty, FieldT, FloatT, IntT, ListT, Node, RecordT,
+    StrReprT, StrT, TableT, TupleT, URLT, ValueAny, merge, record_similarity,
+    NumReprT,
+)
+from .stats import LengthStats, Stats
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Inference thresholds (reference: structa/analyzer.py:119-145).
+
+    Thresholds are measured over *occurrences*, not distinct values
+    (reference: structa/conversions.py:38-44).
+    """
+
+    bad_threshold: float = 0.02     # tolerated conversion failures
+    empty_threshold: float = 0.98   # tolerated blank strings
+    null_threshold: float = 0.99    # tolerated nulls
+    field_threshold: int = 20       # record vs table distinct-key gate
+    merge_threshold: float = 0.5    # record-collapse similarity gate
+    max_numeric_len: int = 30       # only try conversions on short strings
+    max_pattern_len: int = 64       # induce patterns up to this width
+    exact: bool = False             # exact quartiles/distincts (oracle mode)
+    top_k: int = 3                  # frequency sample size
+    collect_samples: bool = True    # run the top-k frequency job
+    induce_patterns: bool = True    # run the char-pattern job
+    pattern_sample: Optional[float] = None  # sample fraction at scale
+    # numeric-timestamp heuristic window (reference analyzer.py:742-770)
+    epoch: str = "unix"             # unix | excel
+    scale: float = 1.0              # units -> seconds multiplier
+    min_timestamp: Optional[_dt.datetime] = None   # default: now - 20y
+    max_timestamp: Optional[_dt.datetime] = None   # default: now + 10y
+
+
+# ---------------------------------------------------------------------------
+# extraction planning
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Leaf:
+    path: Tuple[str, ...]       # logical path from the root
+    key: str                    # unique agg-column prefix
+    expr: str                   # column expression within the context df
+    dtype: T.DataType
+    role: str = "value"         # value | map_key
+
+
+@dataclass
+class _Context:
+    """One repetition context == one Spark job."""
+
+    id: int
+    df: DataFrame
+    leaves: List[_Leaf] = dc_field(default_factory=list)
+    # container length leaves: size(col) stats computed in the parent
+    # context (path, key, expr producing an INT size)
+    length_leaves: List[_Leaf] = dc_field(default_factory=list)
+
+
+def _plan(df: DataFrame) -> List[_Context]:
+    contexts: List[_Context] = []
+    counter = [0]
+
+    def new_context(cdf: DataFrame) -> _Context:
+        ctx = _Context(id=len(contexts), df=cdf)
+        contexts.append(ctx)
+        return ctx
+
+    root = new_context(df)
+
+    def walk(ctx: _Context, expr: str, dtype: T.DataType,
+             path: Tuple[str, ...]):
+        counter[0] += 1
+        key = f"c{counter[0]}"
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(ctx, f"{expr}.`{f.name}`" if expr else f"`{f.name}`",
+                     f.dataType, path + (f.name,))
+        elif isinstance(dtype, T.ArrayType):
+            ctx.length_leaves.append(
+                _Leaf(path, key + "_len", f"size({expr})", T.IntegerType()))
+            child_df = ctx.df.select(
+                F.explode(F.expr(expr)).alias("__elem__"))
+            child = new_context(child_df)
+            walk(child, "`__elem__`", dtype.elementType, path + ("[]",))
+        elif isinstance(dtype, T.MapType):
+            ctx.length_leaves.append(
+                _Leaf(path, key + "_len", f"size({expr})", T.IntegerType()))
+            child_df = ctx.df.select(
+                F.explode(F.expr(expr)).alias("__key__", "__val__"))
+            child = new_context(child_df)
+            walk(child, "`__key__`", dtype.keyType, path + ("{k}",))
+            for leaf in child.leaves:
+                if leaf.path == path + ("{k}",):
+                    leaf.role = "map_key"
+            walk(child, "`__val__`", dtype.valueType, path + ("{v}",))
+        else:
+            ctx.leaves.append(_Leaf(path, key, expr, dtype))
+
+    for f in df.schema.fields:
+        walk(root, "", T.StructType([f]), ())
+    return contexts
+
+
+# ---------------------------------------------------------------------------
+# the wide aggregation
+# ---------------------------------------------------------------------------
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
+    c = F.expr(leaf.expr)
+    k = leaf.key
+    exprs = [
+        F.count(c).alias(f"{k}__card"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{k}__nulls"),
+    ]
+    if cfg.exact:
+        exprs.append(F.count_distinct(c).alias(f"{k}__distinct"))
+    else:
+        exprs.append(F.approx_count_distinct(c).alias(f"{k}__distinct"))
+
+    dt = leaf.dtype
+    if isinstance(dt, T.BooleanType):
+        exprs += [F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max")]
+    elif isinstance(dt, _NUMERIC):
+        q = (F.percentile(c, F.lit([0.25, 0.5, 0.75])) if cfg.exact
+             else F.percentile_approx(c, F.lit([0.25, 0.5, 0.75])))
+        exprs += [
+            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
+            q.alias(f"{k}__q"),
+        ]
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        cd = c.cast("timestamp").cast("double")
+        q = (F.percentile(cd, F.lit([0.25, 0.5, 0.75])) if cfg.exact
+             else F.percentile_approx(cd, F.lit([0.25, 0.5, 0.75])))
+        exprs += [
+            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
+            q.alias(f"{k}__q"),
+        ]
+    elif isinstance(dt, T.StringType):
+        ln = F.length(c)
+        exprs += [
+            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
+            F.sum(F.when(c == "", 1).otherwise(0)).alias(f"{k}__empty"),
+            F.min(ln).alias(f"{k}__lmin"), F.max(ln).alias(f"{k}__lmax"),
+            F.sum(F.when(c.rlike(conversions.URL_REGEX), 0).otherwise(1))
+             .alias(f"{k}__url_fail"),
+        ]
+        # candidate conversion failure counts over non-empty values,
+        # plus min/max of the decimal-int cast for the timestamp
+        # heuristic on str-of-int columns
+        nonblank = c.isNotNull() & (c != "")
+        short = nonblank & (ln <= cfg.max_numeric_len)
+        for cand in conversions.candidates():
+            fail = F.sum(
+                F.when(short & ~cand.ok(c), 1).otherwise(0)
+            ) + F.sum(F.when(nonblank & (ln > cfg.max_numeric_len), 1)
+                      .otherwise(0))
+            exprs.append(fail.alias(f"{k}__fail__{cand.name}"))
+        dnum = F.when(short, c.try_cast("double"))
+        exprs += [F.min(dnum).alias(f"{k}__nmin"),
+                  F.max(dnum).alias(f"{k}__nmax")]
+    elif isinstance(dt, T.BinaryType):
+        ln = F.length(c)
+        exprs += [F.min(ln).alias(f"{k}__lmin"),
+                  F.max(ln).alias(f"{k}__lmax")]
+    return exprs
+
+
+def _length_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
+    c = F.expr(leaf.expr)
+    k = leaf.key
+    return [
+        F.count(c).alias(f"{k}__card"),
+        F.min(c).alias(f"{k}__min"),
+        F.max(c).alias(f"{k}__max"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# driver-side classification
+# ---------------------------------------------------------------------------
+
+def _classify_leaf(leaf: _Leaf, row: Dict, cfg: AnalyzerConfig,
+                   total_rows: int) -> Node:
+    k = leaf.key
+    card = row.get(f"{k}__card") or 0
+    nulls = row.get(f"{k}__nulls") or 0
+    n = card + nulls
+    if n == 0:
+        return Empty()
+    # too many nulls -> give up (reference analyzer.py:615-621)
+    if nulls and (nulls / n) > cfg.null_threshold:
+        return ValueAny()
+    if card == 0:
+        return Empty()
+
+    distinct = row.get(f"{k}__distinct")
+    stats = Stats(
+        card=card, distinct=distinct,
+        min=row.get(f"{k}__min"), max=row.get(f"{k}__max"),
+        unique=bool(distinct == card) if cfg.exact else
+        bool(distinct and distinct >= 0.99 * card),
+    )
+    q = row.get(f"{k}__q")
+    if q is not None:
+        stats = replace(stats, q1=q[0], q2=q[1], q3=q[2])
+
+    dt = leaf.dtype
+    if isinstance(dt, T.BooleanType):
+        return BoolT(stats=stats)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        if q is not None:
+            stats = replace(
+                stats,
+                q1=_from_epoch(q[0]), q2=_from_epoch(q[1]),
+                q3=_from_epoch(q[2]))
+        return DateTimeT(stats=stats)
+    if isinstance(dt, _NUMERIC):
+        is_int = isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        node = IntT(stats=stats) if is_int else FloatT(stats=stats)
+        return _maybe_numeric_timestamp(node, cfg)
+    if isinstance(dt, T.StringType):
+        return _classify_string(leaf, row, cfg, stats)
+    if isinstance(dt, T.BinaryType):
+        lengths = LengthStats(card=card, min=row.get(f"{k}__lmin"),
+                              max=row.get(f"{k}__lmax"))
+        return StrT(stats=stats, lengths=lengths)
+    return ValueAny()
+
+
+def _classify_string(leaf: _Leaf, row: Dict, cfg: AnalyzerConfig,
+                     stats: Stats) -> Node:
+    k = leaf.key
+    card = stats.card
+    empties = row.get(f"{k}__empty") or 0
+    if empties:
+        if empties / card > cfg.empty_threshold:
+            return StrT(stats=stats, lengths=LengthStats(
+                card=card, min=row.get(f"{k}__lmin"),
+                max=row.get(f"{k}__lmax")))
+        card_ne = card - empties
+    else:
+        card_ne = card
+    if card_ne == 0:
+        return StrT(stats=stats, lengths=LengthStats(card=card, min=0, max=0))
+
+    budget = cfg.bad_threshold * card_ne
+    # when blanks were dropped, they must not count as failures — every
+    # fail counter includes only non-blank values by construction
+    lengths = LengthStats(card=card, min=row.get(f"{k}__lmin"),
+                          max=row.get(f"{k}__lmax"))
+
+    fixed = (lengths.fixed and empties == 0)
+    for cand in conversions.candidates():
+        if cand.kind == "datetime" and cand.fixed_len and not fixed:
+            continue
+        fails = row.get(f"{k}__fail__{cand.name}")
+        if fails is None or fails > budget:
+            continue
+        if cand.kind == "bool":
+            inner: Node = BoolT(stats=Stats(card=card_ne))
+        elif cand.kind == "int":
+            inner = IntT(stats=_numeric_stats(row, k, card_ne, int))
+            inner = _maybe_numeric_timestamp(inner, cfg)
+        elif cand.kind == "float":
+            inner = FloatT(stats=_numeric_stats(row, k, card_ne, float))
+            inner = _maybe_numeric_timestamp(inner, cfg)
+        else:
+            inner = DateTimeT(stats=Stats(card=card_ne))
+        return StrReprT(inner=inner, pattern=cand.pattern)
+
+    url_fail = row.get(f"{k}__url_fail") or 0
+    if url_fail <= budget:
+        return URLT(stats=stats, lengths=lengths)
+    return StrT(stats=stats, lengths=lengths)
+
+
+def _numeric_stats(row: Dict, k: str, card: int, typ) -> Stats:
+    lo, hi = row.get(f"{k}__nmin"), row.get(f"{k}__nmax")
+    try:
+        lo = typ(lo) if lo is not None else None
+        hi = typ(hi) if hi is not None else None
+    except (TypeError, ValueError):
+        lo = hi = None
+    return Stats(card=card, min=lo, max=hi)
+
+
+_UNIX = _dt.datetime(1970, 1, 1)
+_EXCEL = _dt.datetime(1899, 12, 30)
+
+
+def _epoch_base(cfg: AnalyzerConfig) -> _dt.datetime:
+    return _EXCEL if cfg.epoch == "excel" else _UNIX
+
+
+def _from_epoch(v, cfg: Optional[AnalyzerConfig] = None):
+    if v is None:
+        return None
+    return _UNIX + _dt.timedelta(seconds=float(v))
+
+
+def _maybe_numeric_timestamp(node: Node, cfg: AnalyzerConfig) -> Node:
+    """Ints/floats whose min & max both decode to plausible timestamps
+    become ``NumReprT(DateTimeT)`` (reference analyzer.py:742-770)."""
+    if not isinstance(node, (IntT, FloatT)):
+        return node
+    lo, hi = node.stats.min, node.stats.max
+    if lo is None or hi is None:
+        return node
+    now = _dt.datetime.now()
+    min_ts = cfg.min_timestamp or (now - _dt.timedelta(days=20 * 365))
+    max_ts = cfg.max_timestamp or (now + _dt.timedelta(days=10 * 365))
+    base = _epoch_base(cfg)
+    scale = cfg.scale if cfg.epoch != "excel" else 86400.0
+    try:
+        lo_dt = base + _dt.timedelta(seconds=float(lo) * scale)
+        hi_dt = base + _dt.timedelta(seconds=float(hi) * scale)
+    except (OverflowError, ValueError):
+        return node
+    if min_ts <= lo_dt and hi_dt <= max_ts:
+        pat = "d" if isinstance(node, IntT) else "f"
+        inner = DateTimeT(stats=Stats(
+            card=node.stats.card, distinct=node.stats.distinct,
+            min=lo_dt, max=hi_dt, unique=node.stats.unique))
+        return NumReprT(inner=inner, pattern=pat,
+                        epoch=cfg.epoch, scale=scale)
+    return node
+
+
+# ---------------------------------------------------------------------------
+# auxiliary jobs: top-k samples and pattern induction
+# ---------------------------------------------------------------------------
+
+def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
+                  cfg: AnalyzerConfig) -> Dict[str, List[Tuple[str, int]]]:
+    """ONE job for all leaves of a context: unpivot to (name, value),
+    group, windowed top-k by count. Scale note: the shuffle key is
+    (leaf, value) — the same cardinality structa's per-column Counter
+    would see, but distributed and combiner-compressed map-side."""
+    if not string_keys or not cfg.collect_samples:
+        return {}
+    from pyspark.sql.window import Window
+
+    pairs = []
+    for key, leaf in string_keys.items():
+        pairs.append(F.struct(
+            F.lit(key).alias("k"),
+            F.expr(leaf.expr).cast("string").alias("v")))
+    unp = (ctx.df.select(F.explode(F.array(*pairs)).alias("p"))
+           .select("p.k", "p.v")
+           .where(F.col("v").isNotNull()))
+    counted = unp.groupBy("k", "v").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("k").orderBy(F.desc("n"), F.asc("v"))
+    top = (counted.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= cfg.top_k).drop("rn"))
+    out: Dict[str, List[Tuple[str, int]]] = {}
+    for r in top.collect():
+        out.setdefault(r["k"], []).append((r["v"], r["n"]))
+    for v in out.values():
+        v.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def _collect_patterns(ctx: _Context, fixed_leaves: Dict[str, _Leaf],
+                      cfg: AnalyzerConfig) -> Dict[str, list]:
+    """ONE job: per-position char sets of fixed-width string leaves
+    (posexplode + collect_set; reference analyzer.py:685-719)."""
+    if not fixed_leaves or not cfg.induce_patterns:
+        return {}
+    df = ctx.df
+    if cfg.pattern_sample:
+        df = df.sample(cfg.pattern_sample, seed=42)
+    pairs = [
+        F.struct(F.lit(key).alias("k"),
+                 F.expr(leaf.expr).cast("string").alias("v"))
+        for key, leaf in fixed_leaves.items()
+    ]
+    unp = (df.select(F.explode(F.array(*pairs)).alias("p"))
+           .select("p.k", "p.v").where(F.col("v").isNotNull()))
+    chars = (unp
+             .select("k", F.posexplode(F.split(F.col("v"), "")).alias(
+                 "pos", "ch"))
+             .where(F.col("ch") != "")
+             .groupBy("k", "pos").agg(F.collect_set("ch").alias("chars")))
+    out: Dict[str, list] = {}
+    for r in chars.collect():
+        out.setdefault(r["k"], []).append((r["pos"], set(r["chars"])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# assembly: leaves -> summary tree
+# ---------------------------------------------------------------------------
+
+class Profile:
+    """The result of :func:`analyze`: the inferred summary tree plus
+    access to per-path nodes and renderings."""
+
+    def __init__(self, root: Node, row_count: int, cfg: AnalyzerConfig):
+        self.root = root
+        self.row_count = row_count
+        self.config = cfg
+
+    def render(self) -> str:
+        return self.root.render()
+
+    def __repr__(self) -> str:
+        return f"Profile({self.render()})"
+
+    # compilation helpers live in structa_spark.plans
+    def to_schema(self):
+        from .plans import to_spark_schema
+        return to_spark_schema(self.root)
+
+    def validation_predicate(self):
+        from .plans import validation_predicate
+        return validation_predicate(self.root)
+
+
+def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
+            **kwargs) -> Profile:
+    """Profile a DataFrame into a typed summary tree.
+
+    One wide agg per repetition context + at most two auxiliary jobs
+    (top-k samples, char patterns) per context.
+    """
+    cfg = config or AnalyzerConfig(**kwargs)
+    contexts = _plan(df)
+
+    rows: Dict[int, Dict] = {}
+    topk: Dict[str, List[Tuple[str, int]]] = {}
+    patsets: Dict[str, list] = {}
+    for ctx in contexts:
+        exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
+        for leaf in ctx.leaves:
+            exprs.extend(_agg_exprs(leaf, cfg))
+        for leaf in ctx.length_leaves:
+            exprs.extend(_length_agg_exprs(leaf, cfg))
+        row = ctx.df.agg(*exprs).collect()[0].asDict()
+        rows[ctx.id] = row
+
+        sampleable = {
+            leaf.key: leaf for leaf in ctx.leaves
+            if isinstance(leaf.dtype, (T.StringType, T.BooleanType,
+                                       T.LongType, T.IntegerType))
+        }
+        topk.update(_collect_topk(ctx, sampleable, cfg))
+
+    # classify every leaf
+    leaf_nodes: Dict[Tuple[str, ...], Node] = {}
+    leaf_by_path: Dict[Tuple[str, ...], _Leaf] = {}
+    length_stats: Dict[Tuple[str, ...], LengthStats] = {}
+    for ctx in contexts:
+        row = rows[ctx.id]
+        for leaf in ctx.leaves:
+            node = _classify_leaf(leaf, row, cfg, row["__rows__"])
+            if leaf.key in topk and isinstance(node, (StrT, BoolT, IntT)):
+                node = replace(node, stats=replace(
+                    node.stats, sample=tuple(topk[leaf.key])))
+            leaf_nodes[leaf.path] = node
+            leaf_by_path[leaf.path] = leaf
+        for leaf in ctx.length_leaves:
+            k = leaf.key
+            length_stats[leaf.path] = LengthStats(
+                card=row.get(f"{k}__card") or 0,
+                min=row.get(f"{k}__min"), max=row.get(f"{k}__max"))
+
+    # second pass: induce char patterns for fixed-width plain strings
+    for ctx in contexts:
+        fixed = {}
+        for leaf in ctx.leaves:
+            node = leaf_nodes.get(leaf.path)
+            if (isinstance(node, StrT) and not isinstance(node, URLT)
+                    and node.lengths.fixed and node.lengths.min
+                    and 0 < node.lengths.min <= cfg.max_pattern_len):
+                fixed[leaf.key] = leaf
+        for key, positions in _collect_patterns(ctx, fixed, cfg).items():
+            leaf = fixed[key]
+            node = leaf_nodes[leaf.path]
+            leaf_nodes[leaf.path] = replace(
+                node, pattern=tuple(induce_pattern(positions)))
+
+    # assemble the tree from the schema
+    row0 = rows[0]
+
+    def build(dtype: T.DataType, path: Tuple[str, ...],
+              parent_card: int) -> Node:
+        if isinstance(dtype, T.StructType):
+            fields = []
+            for f in dtype.fields:
+                child_path = path + (f.name,)
+                child_card = _node_card(
+                    leaf_nodes, length_stats, child_path)
+                value = build(f.dataType, child_path, parent_card)
+                fields.append(FieldT(
+                    key=f.name, value=value, count=child_card,
+                    optional=bool(child_card < parent_card)))
+            rec = RecordT(fields=tuple(fields))
+            return _maybe_table(rec, cfg)
+        if isinstance(dtype, T.ArrayType):
+            elem = build(dtype.elementType, path + ("[]",), parent_card)
+            return ListT(element=elem,
+                         lengths=length_stats.get(path, LengthStats()))
+        if isinstance(dtype, T.MapType):
+            key = build(dtype.keyType, path + ("{k}",), parent_card)
+            val = build(dtype.valueType, path + ("{v}",), parent_card)
+            return TableT(key=key, value=val,
+                          lengths=length_stats.get(path, LengthStats()))
+        return leaf_nodes.get(path, Empty())
+
+    total = row0["__rows__"]
+    root_fields = []
+    for f in df.schema.fields:
+        child_path = (f.name,)
+        child_card = _node_card(leaf_nodes, length_stats, child_path)
+        value = build(f.dataType, child_path, total)
+        root_fields.append(FieldT(
+            key=f.name, value=value, count=child_card,
+            optional=bool(child_card < total)))
+    root = _maybe_table(RecordT(fields=tuple(root_fields)), cfg)
+    return Profile(root=root, row_count=total, cfg=cfg)
+
+
+def _node_card(leaf_nodes, length_stats, path) -> int:
+    node = leaf_nodes.get(path)
+    if node is not None and hasattr(node, "stats"):
+        return node.stats.card
+    ls = length_stats.get(path)
+    if ls is not None:
+        return ls.card
+    # containers/structs: max of child cards
+    cards = [
+        _stats_card(n) for p, n in leaf_nodes.items()
+        if p[:len(path)] == path
+    ]
+    return max(cards, default=0)
+
+
+def _stats_card(node: Node) -> int:
+    if hasattr(node, "stats"):
+        return node.stats.card
+    if isinstance(node, (StrReprT, NumReprT)):
+        return _stats_card(node.inner)
+    return 0
+
+
+def _maybe_table(rec: RecordT, cfg: AnalyzerConfig) -> Node:
+    """The record-vs-table duality: a record with more distinct keys
+    than ``field_threshold`` whose field values merge compatibly
+    collapses to a table keyed by the induced key type
+    (reference: structa/analyzer.py:422-443, 599-613)."""
+    if len(rec.fields) <= cfg.field_threshold:
+        return rec
+    merged: Node = Empty()
+    for f in rec.fields:
+        merged = merge(merged, f.value)
+        if isinstance(merged, ValueAny):
+            return rec       # incompatible values: keep the record
+    key_node = classify_values([str(f.key) for f in rec.fields], cfg)
+    return TableT(key=key_node, value=merged,
+                  lengths=LengthStats(card=len(rec.fields),
+                                      min=len(rec.fields),
+                                      max=len(rec.fields)))
+
+
+# ---------------------------------------------------------------------------
+# driver-side mini classifier (for tiny key lists, e.g. struct field
+# names during record->table collapse; mirrors the scalar ladder)
+# ---------------------------------------------------------------------------
+
+def classify_values(values: Sequence[str], cfg: AnalyzerConfig) -> Node:
+    import re
+
+    n = len(values)
+    if n == 0:
+        return Empty()
+    budget = cfg.bad_threshold * n
+    stats = Stats(card=n, distinct=len(set(values)),
+                  min=min(values), max=max(values),
+                  unique=len(set(values)) == n)
+
+    def fails(rx):
+        return sum(1 for v in values if not re.match(rx, v))
+
+    if fails(r"^[-+]?[0-9]+$") <= budget:
+        ints = [int(v) for v in values if re.match(r"^[-+]?[0-9]+$", v)]
+        return StrReprT(
+            inner=IntT(stats=Stats(card=n, min=min(ints), max=max(ints),
+                                   distinct=len(set(ints)),
+                                   unique=len(set(ints)) == len(ints))),
+            pattern="d")
+    if fails(r"^[-+]?(0[xX])?[0-9a-fA-F]+$") <= budget:
+        return StrReprT(inner=IntT(stats=Stats(card=n)), pattern="x")
+    if fails(r"^[-+]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$") <= budget:
+        return StrReprT(inner=FloatT(stats=Stats(card=n)), pattern="f")
+
+    lens = {len(v) for v in values}
+    pattern = None
+    if len(lens) == 1 and 0 < next(iter(lens)) <= cfg.max_pattern_len:
+        width = next(iter(lens))
+        pos_sets = [(i, {v[i] for v in values}) for i in range(width)]
+        pattern = tuple(induce_pattern(pos_sets))
+    return StrT(stats=stats,
+                lengths=LengthStats(card=n, min=min(lens), max=max(lens)),
+                pattern=pattern)
+
+
+# ---------------------------------------------------------------------------
+# merge pass (fixpoint) — reference analyzer.py:290-398, ui/cli.py:256-264
+# ---------------------------------------------------------------------------
+
+def merge_pass(node: Node, cfg: AnalyzerConfig) -> Node:
+    """One merge sweep: collapse records whose field values are
+    structurally similar containers into a single table entry."""
+    if isinstance(node, RecordT):
+        new_fields = tuple(
+            replace(f, value=merge_pass(f.value, cfg)) for f in node.fields)
+        rec = RecordT(fields=new_fields, lengths=node.lengths)
+        return _collapse_similar(rec, cfg)
+    if isinstance(node, TableT):
+        return TableT(key=merge_pass(node.key, cfg),
+                      value=merge_pass(node.value, cfg),
+                      lengths=node.lengths)
+    if isinstance(node, ListT):
+        return ListT(element=merge_pass(node.element, cfg),
+                     lengths=node.lengths)
+    if isinstance(node, TupleT):
+        return TupleT(fields=tuple(
+            replace(f, value=merge_pass(f.value, cfg))
+            for f in node.fields), lengths=node.lengths)
+    if isinstance(node, (StrReprT, NumReprT)):
+        return replace(node, inner=merge_pass(node.inner, cfg))
+    return node
+
+
+def _collapse_similar(rec: RecordT, cfg: AnalyzerConfig) -> Node:
+    """If every field value of a record is a container and all are
+    pairwise similar above ``merge_threshold``, collapse the record to
+    a table (reference analyzer.py:310-374)."""
+    if len(rec.fields) < 2:
+        return rec
+    vals = [f.value for f in rec.fields]
+    if not all(isinstance(v, (RecordT, TableT, ListT, TupleT))
+               for v in vals):
+        return rec
+    if all(isinstance(v, RecordT) for v in vals):
+        for i in range(len(vals) - 1):
+            if record_similarity(vals[i], vals[i + 1]) < cfg.merge_threshold:
+                return rec
+    merged: Node = Empty()
+    for v in vals:
+        merged = merge(merged, v)
+        if isinstance(merged, ValueAny):
+            return rec
+    key_node = classify_values([str(f.key) for f in rec.fields], cfg)
+    return TableT(key=key_node, value=merged,
+                  lengths=LengthStats(card=len(rec.fields)))
+
+
+def merge_to_fixpoint(node: Node, cfg: AnalyzerConfig,
+                      max_iter: int = 20) -> Node:
+    """Drive merge passes until the summary size stops shrinking
+    (reference ui/cli.py:256-264)."""
+    size = node.size
+    for _ in range(max_iter):
+        node = merge_pass(node, cfg)
+        if node.size >= size:
+            break
+        size = node.size
+    return node
+
+
+def merge_profiles(a: Profile, b: Profile) -> Profile:
+    """Merge two independently-computed profiles (multi-file analysis:
+    ``unionByName`` semantics driver-side, reference types.py:674-679).
+
+    At scale prefer analyzing the union DataFrame instead; this is the
+    associative summary combine for pre-computed profiles."""
+    root = merge(a.root, b.root)
+    return Profile(root=root, row_count=a.row_count + b.row_count,
+                   cfg=a.config)

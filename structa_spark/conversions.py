@@ -1,0 +1,139 @@
+"""Candidate string-representation conversions as Spark expressions.
+
+The reference tries conversions one-by-one per type candidate,
+re-walking the data each time (reference: structa/analyzer.py:722-740,
+structa/conversions.py:16-54). Here every candidate's *failure count*
+is computed in a single wide aggregation pass (JVM-side, whole-stage
+codegen) and the driver then picks the first candidate whose failures
+fall within ``bad_threshold`` — occurrences, not distinct values.
+
+Each candidate carries:
+
+* ``name``      - stable agg-column suffix
+* ``pattern``   - the display pattern (structa-style: base char, bool
+                  word pair, or strptime-ish datetime format)
+* ``ok(col)``   - Column<bool>: does this value parse?
+* ``cast(col)`` - Column: the logical-value expression (the compiled
+                  cast chain for plans/validation)
+* ``kind``      - 'bool' | 'int' | 'float' | 'datetime'
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Candidate:
+    name: str
+    pattern: str
+    kind: str
+    ok: Callable[[Column], Column]
+    cast: Callable[[Column], Column]
+    fixed_len: bool = False
+
+
+def _regex_candidate(name, pattern, kind, regex, cast):
+    return Candidate(
+        name=name, pattern=pattern, kind=kind,
+        ok=lambda c, r=regex: c.rlike(r),
+        cast=cast,
+    )
+
+
+# -- bool word pairs (false|true ordered) — reference analyzer.py:54-62
+_BOOL_PAIRS = [
+    ("0", "1"),
+    ("f", "t"),
+    ("n", "y"),
+    ("false", "true"),
+    ("no", "yes"),
+    ("off", "on"),
+    ("", "x"),
+]
+
+
+def _bool_candidates() -> List[Candidate]:
+    out = []
+    for false_w, true_w in _BOOL_PAIRS:
+        pat = f"{false_w}|{true_w}"
+        words = [w for w in (false_w, true_w)]
+        out.append(Candidate(
+            name="bool_" + (false_w or "blank") + "_" + true_w,
+            pattern=pat,
+            kind="bool",
+            ok=lambda c, ws=tuple(words): F.lower(c).isin(list(ws)),
+            cast=lambda c, t=true_w: (F.lower(c) == t),
+        ))
+    return out
+
+
+# -- int bases — reference analyzer.py:63, types.py:784-801
+_INT_CANDIDATES = [
+    _regex_candidate(
+        "int_o", "o", "int", r"^[-+]?0?[oO]?[0-7]+$",
+        lambda c: F.conv(F.regexp_replace(c, r"^[-+]?0?[oO]?", ""), 8, 10)
+        .try_cast("long")),
+    _regex_candidate(
+        "int_d", "d", "int", r"^[-+]?[0-9]+$",
+        lambda c: c.try_cast("long")),
+    _regex_candidate(
+        "int_x", "x", "int", r"^[-+]?(0[xX])?[0-9a-fA-F]+$",
+        lambda c: F.conv(F.regexp_replace(c, r"^[-+]?(0[xX])?", ""), 16, 10)
+        .try_cast("long")),
+]
+
+_FLOAT_CANDIDATE = _regex_candidate(
+    "float_f", "f", "float",
+    r"^[-+]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$",
+    lambda c: c.try_cast("double"))
+
+
+# -- datetime formats: (display strptime-ish pattern, Spark/Java format,
+#    fixed_len) — reference analyzer.py:64-82 tries 7 fixed-length and a
+#    set of variable-length formats; this is the equivalent set.
+_DT_FORMATS = [
+    ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss", True),
+    ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss", True),
+    ("%Y-%m-%d %H:%M:%S.%f", "yyyy-MM-dd HH:mm:ss.SSSSSS", True),
+    ("%Y-%m-%dT%H:%M:%S.%f", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", True),
+    ("%Y-%m-%d", "yyyy-MM-dd", True),
+    ("%Y%m%d", "yyyyMMdd", True),
+    ("%H:%M:%S", "HH:mm:ss", True),
+    ("%Y-%m-%d %H:%M:%S%z", "yyyy-MM-dd HH:mm:ssXXX", False),
+    ("%Y-%m-%dT%H:%M:%S%z", "yyyy-MM-dd'T'HH:mm:ssXXX", False),
+    ("%d/%m/%Y", "dd/MM/yyyy", False),
+    ("%m/%d/%Y", "MM/dd/yyyy", False),
+    ("%Y/%m/%d", "yyyy/MM/dd", False),
+    # NOTE: day-of-week text ('EEE, dd MMM yyyy...') is unparseable in
+    # Spark >= 3.0 datetime patterns; RFC-1123 detection is out of scope.
+]
+
+
+def _dt_candidates() -> List[Candidate]:
+    out = []
+    for i, (disp, java_fmt, fixed) in enumerate(_DT_FORMATS):
+        out.append(Candidate(
+            name=f"dt_{i}",
+            pattern=disp,
+            kind="datetime",
+            ok=lambda c, f=java_fmt: F.try_to_timestamp(
+                c, F.lit(f)).isNotNull(),
+            cast=lambda c, f=java_fmt: F.try_to_timestamp(c, F.lit(f)),
+            fixed_len=fixed,
+        ))
+    return out
+
+
+URL_REGEX = r"^https?://"
+
+
+def candidates() -> List[Candidate]:
+    """All candidates in priority order: bool pairs, int bases, float,
+    datetimes (the reference's ladder order, analyzer.py:622-640)."""
+    return (_bool_candidates() + _INT_CANDIDATES
+            + [_FLOAT_CANDIDATE] + _dt_candidates())

@@ -1,0 +1,146 @@
+"""Column statistics carried by every inferred-type node.
+
+Mirrors the reference's ``Stats`` (reference: structa/types.py:30-231):
+cardinality, min / q1 / median / q3 / max, uniqueness, and a top-k /
+bottom-k frequency sample — but built from Spark aggregation rows
+(one wide ``agg`` per level) instead of a driver-side sorted multiset,
+so the engine never materializes column data on the driver.
+
+Quartiles are ``percentile_approx`` by default (mergeable GK sketch —
+the 100 TB path) and exact ``percentile`` in ``exact=True`` mode (the
+oracle-correctness path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Stats:
+    """Summary statistics of one extracted column."""
+
+    card: int                      # number of (non-null) occurrences
+    distinct: Optional[int] = None  # distinct values (approx unless exact mode)
+    min: Any = None
+    q1: Any = None
+    q2: Any = None
+    q3: Any = None
+    max: Any = None
+    unique: bool = False           # every value occurs exactly once
+    # [(value, count), ...] most-frequent-first; tiny display sample
+    sample: Tuple = ()
+
+    @classmethod
+    def empty(cls) -> "Stats":
+        return cls(card=0)
+
+    @property
+    def median(self):
+        return self.q2
+
+    def __add__(self, other: "Stats") -> "Stats":
+        """Merge two summaries (associative, driver-side, O(k)).
+
+        min/max combine exactly; quartiles take the weighted midpoint
+        approximation (the scale-out path re-aggregates or merges
+        sketches instead — see analyzer.merge_profiles); samples merge
+        by summed counts.
+        """
+        if not isinstance(other, Stats):
+            return NotImplemented
+        if self.card == 0:
+            return other
+        if other.card == 0:
+            return self
+
+        def _min(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            try:
+                return a if a <= b else b
+            except TypeError:
+                return a
+
+        def _max(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            try:
+                return a if a >= b else b
+            except TypeError:
+                return a
+
+        def _mid(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            try:
+                return (
+                    a + (b - a) * (other.card / (self.card + other.card))
+                )
+            except TypeError:
+                return _min(a, b)
+
+        merged = {}
+        for v, c in tuple(self.sample) + tuple(other.sample):
+            merged[v] = merged.get(v, 0) + c
+        sample = tuple(
+            sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        )
+        distinct = None
+        if self.distinct is not None and other.distinct is not None:
+            # upper bound; true merge uses HLL sketches at scale
+            distinct = min(self.distinct + other.distinct,
+                           self.card + other.card)
+        return Stats(
+            card=self.card + other.card,
+            distinct=distinct,
+            min=_min(self.min, other.min),
+            q1=_mid(self.q1, other.q1),
+            q2=_mid(self.q2, other.q2),
+            q3=_mid(self.q3, other.q3),
+            max=_max(self.max, other.max),
+            unique=self.unique and other.unique and not (
+                set(dict(self.sample)) & set(dict(other.sample))
+            ),
+            sample=sample,
+        )
+
+    def range_str(self) -> str:
+        if self.min is None and self.max is None:
+            return ""
+        if self.min == self.max:
+            return f"value={_fmt(self.min)}"
+        return f"range={_fmt(self.min)}..{_fmt(self.max)}"
+
+
+def _fmt(v) -> str:
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    s = str(v)
+    if len(s) > 30:
+        s = s[:27] + "..."
+    return s
+
+
+@dataclass
+class LengthStats:
+    """Stats over ``length(col)`` / ``size(col)`` for strings and
+    containers (reference: structa/types.py:209-224)."""
+
+    card: int = 0
+    min: Optional[int] = None
+    max: Optional[int] = None
+    q2: Optional[float] = None
+
+    @property
+    def fixed(self) -> bool:
+        return self.min is not None and self.min == self.max
