@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The suite covers each engine pillar at its *scale path* (LSH/approx
+variants, not the quadratic oracle paths):
+  profile_lineitem   - the structure-inference engine itself
+  q1/q3/q5           - agg + broadcast joins on the fact table
+  window_topk        - partitioned window
+  minhash_candidates - LSH near-dup candidate pairs (documents)
+  simhash_pairs      - simhash bucketed near-dups
+  token_stats        - text analysis scan
+  cosine_topk        - brute-force ANN baseline (broadcast queries)
+  neardup_lsh        - SRP-bucketed embedding near-dups
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder
+             .master(f"local[{CPUS}]")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled",
+                     "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .appName("structa-spark-bench")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from structa_spark import analyze
+    from structa_spark.operators import dedup, similarity, text
+    from structa_spark.queries import (
+        cosine_topk, q1_pricing_summary, q3_top_orders, q5_nation_revenue,
+        token_stats_by_lang, top_orders_per_customer,
+    )
+    from structa_spark.sources.tables import load_table
+
+    def bench_profile():
+        p = analyze(load_table(spark, SF_DIR, "lineitem"))
+        return p.row_count
+
+    def bench_minhash():
+        d = load_table(spark, SF_DIR, "documents")
+        return dedup.minhash_candidates(d).count()
+
+    def bench_simhash():
+        d = load_table(spark, SF_DIR, "documents")
+        return dedup.simhash_near_duplicates(d).count()
+
+    def bench_neardup_lsh():
+        e = load_table(spark, SF_DIR, "embeddings")
+        return similarity.embedding_near_duplicates(
+            e, threshold=0.9, use_lsh=True).count()
+
+    def run_df(fn):
+        return lambda: fn(spark, SF_DIR).count()
+
+    suite = {
+        "profile_lineitem": bench_profile,
+        "q1": run_df(q1_pricing_summary),
+        "q3": run_df(q3_top_orders),
+        "q5": run_df(q5_nation_revenue),
+        "window_topk": run_df(top_orders_per_customer),
+        "minhash_candidates": bench_minhash,
+        "simhash_pairs": bench_simhash,
+        "token_stats": run_df(token_stats_by_lang),
+        "cosine_topk": run_df(cosine_topk),
+        "neardup_lsh": bench_neardup_lsh,
+    }
+
+    # warm the JVM/codegen once with a trivial job so timings measure
+    # the queries, not session startup
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    times = {}
+    for name, fn in suite.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

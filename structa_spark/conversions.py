@@ -93,22 +93,35 @@ _FLOAT_CANDIDATE = _regex_candidate(
     lambda c: c.try_cast("double"))
 
 
-# -- datetime formats: (display strptime-ish pattern, Spark/Java format,
-#    fixed_len) — reference analyzer.py:64-82 tries 7 fixed-length and a
-#    set of variable-length formats; this is the equivalent set.
+# -- datetime formats: (display strptime-ish pattern, Spark/Java
+#    format, prefilter regex, fixed_len) — reference analyzer.py:64-82
+#    tries 7 fixed-length and a set of variable-length formats; this is
+#    the equivalent set. The prefilter regex matters for throughput:
+#    ``try_to_timestamp`` failures are exception-driven in the JVM
+#    (~us each), so the cheap regex gates the parse and non-datetime
+#    columns never pay for parse attempts at all.
+_D2 = r"\d{2}"
+_D4 = r"\d{4}"
+_TZ = r"(Z|[+-]\d{2}:?\d{2})"
 _DT_FORMATS = [
-    ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss", True),
-    ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss", True),
-    ("%Y-%m-%d %H:%M:%S.%f", "yyyy-MM-dd HH:mm:ss.SSSSSS", True),
-    ("%Y-%m-%dT%H:%M:%S.%f", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", True),
-    ("%Y-%m-%d", "yyyy-MM-dd", True),
-    ("%Y%m%d", "yyyyMMdd", True),
-    ("%H:%M:%S", "HH:mm:ss", True),
-    ("%Y-%m-%d %H:%M:%S%z", "yyyy-MM-dd HH:mm:ssXXX", False),
-    ("%Y-%m-%dT%H:%M:%S%z", "yyyy-MM-dd'T'HH:mm:ssXXX", False),
-    ("%d/%m/%Y", "dd/MM/yyyy", False),
-    ("%m/%d/%Y", "MM/dd/yyyy", False),
-    ("%Y/%m/%d", "yyyy/MM/dd", False),
+    ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}$", True),
+    ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}$", True),
+    ("%Y-%m-%d %H:%M:%S.%f", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}\.\d{{6}}$", True),
+    ("%Y-%m-%dT%H:%M:%S.%f", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}\.\d{{6}}$", True),
+    ("%Y-%m-%d", "yyyy-MM-dd", rf"^{_D4}-{_D2}-{_D2}$", True),
+    ("%Y%m%d", "yyyyMMdd", rf"^{_D4}{_D2}{_D2}$", True),
+    ("%H:%M:%S", "HH:mm:ss", rf"^{_D2}:{_D2}:{_D2}$", True),
+    ("%Y-%m-%d %H:%M:%S%z", "yyyy-MM-dd HH:mm:ssXXX",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}{_TZ}$", False),
+    ("%Y-%m-%dT%H:%M:%S%z", "yyyy-MM-dd'T'HH:mm:ssXXX",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}{_TZ}$", False),
+    ("%d/%m/%Y", "dd/MM/yyyy", rf"^{_D2}/{_D2}/{_D4}$", False),
+    ("%m/%d/%Y", "MM/dd/yyyy", rf"^{_D2}/{_D2}/{_D4}$", False),
+    ("%Y/%m/%d", "yyyy/MM/dd", rf"^{_D4}/{_D2}/{_D2}$", False),
     # NOTE: day-of-week text ('EEE, dd MMM yyyy...') is unparseable in
     # Spark >= 3.0 datetime patterns; RFC-1123 detection is out of scope.
 ]
@@ -116,15 +129,17 @@ _DT_FORMATS = [
 
 def _dt_candidates() -> List[Candidate]:
     out = []
-    for i, (disp, java_fmt, fixed) in enumerate(_DT_FORMATS):
+    for i, (disp, java_fmt, rx, fixed) in enumerate(_DT_FORMATS):
+        def ok(c, f=java_fmt, r=rx):
+            return F.when(c.rlike(r),
+                          F.try_to_timestamp(c, F.lit(f))).isNotNull()
+
+        def cast(c, f=java_fmt, r=rx):
+            return F.when(c.rlike(r), F.try_to_timestamp(c, F.lit(f)))
+
         out.append(Candidate(
-            name=f"dt_{i}",
-            pattern=disp,
-            kind="datetime",
-            ok=lambda c, f=java_fmt: F.try_to_timestamp(
-                c, F.lit(f)).isNotNull(),
-            cast=lambda c, f=java_fmt: F.try_to_timestamp(c, F.lit(f)),
-            fixed_len=fixed,
+            name=f"dt_{i}", pattern=disp, kind="datetime",
+            ok=ok, cast=cast, fixed_len=fixed,
         ))
     return out
 

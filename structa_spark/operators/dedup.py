@@ -1,0 +1,301 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Scale design (the point of doing this on Spark):
+
+* **exact**: hash-groupBy on a 64-bit content hash — one shuffle keyed
+  by the hash, perfectly balanced unless the corpus is one document
+  repeated (AQE skew-join handles that).
+* **minhash_lsh**: signatures are computed *without any shuffle*
+  (``transform`` + ``array_min`` over the shingle array per row);
+  the only shuffle is the band-bucket self-join, whose key cardinality
+  (band_id, band_hash) is ~n_docs x n_bands with tiny groups — the
+  classic sub-quadratic candidate generation. Candidate verification
+  re-checks true Jaccard only on candidate pairs.
+* **simhash**: 32-bit signature per row, again shuffle-free to
+  compute; near-dups join on rotated prefix buckets.
+* **ngram_jaccard**: exact pairwise Jaccard via shingle-explode +
+  co-occurrence join — quadratic in the worst case, provided as the
+  ground-truth/oracle operator; use minhash_lsh at scale.
+* **embedding near-dup**: cosine > tau via either brute-force
+  (broadcast one side) or LSH bucketing from
+  :mod:`structa_spark.operators.similarity`.
+
+Everything is built-in column expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE_P, MINHASH_PARAMS, md5_long, universal_hash,
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical (normalized) documents.
+
+    Returns one row per duplicate *group* with ``dup_count >= 2`` and
+    the keeper (min id). One shuffle on the content hash.
+    """
+    h = md5_long(normalize_text(F.col(text_col)))
+    return (df.select(F.col(id_col), h.alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("dup_count") >= 2))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per normalized content hash."""
+    h = md5_long(normalize_text(F.col(text_col)))
+    w = df.withColumn("__h__", h)
+    keep = (w.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    # broadcast-free: semi join co-partitioned on id after the agg
+    return w.join(keep, on=id_col, how="left_semi").drop("__h__")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text (array<string>).
+    Documents shorter than k words yield their full text as the only
+    shingle."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.array_distinct(sh)
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    t = normalize_text(text)
+    n = F.length(t)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)))
+    return F.array_distinct(sh)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column,
+                      params: Optional[List[Tuple[int, int]]] = None
+                      ) -> List[Column]:
+    """One min-hash per (a,b) parameter pair — an array_min over the
+    shingle array per hash function: computed in the projection, no
+    shuffle, no UDF."""
+    params = params or MINHASH_PARAMS
+
+    def hasher(a, b):
+        # closure factory: a default-arg lambda would change the
+        # lambda arity Spark sees for the higher-order function
+        return lambda s: universal_hash(md5_long(s), a, b)
+
+    return [F.array_min(F.transform(shingles, hasher(a, b)))
+            for a, b in params]
+
+
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` once and pass it to ``fn`` — a let-binding
+    via a singleton-array transform. Without this, referencing an
+    expensive expression (e.g. the md5'd shingle array) from k places
+    in one projection evaluates it k times: Spark's subexpression
+    elimination does not reach into separate higher-order lambdas."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
+def minhash_signature_array(shingles: Column,
+                            params: Optional[List[Tuple[int, int]]] = None
+                            ) -> Column:
+    """The full signature as ONE array<bigint> column with the md5 of
+    each shingle computed exactly once (let-bound), then k cheap
+    universal hashes over the int array. This is the form every
+    at-scale consumer should use."""
+    params = params or MINHASH_PARAMS
+    hashed = F.transform(shingles, md5_long)
+
+    def sig(h):
+        cols = []
+        for a, b in params:
+            cols.append(F.array_min(F.transform(
+                h, (lambda a_, b_: lambda x: universal_hash(x, a_, b_)
+                    )(a, b))))
+        return F.array(*cols)
+
+    return _bind(hashed, sig)
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 3,
+                  n_bands: int = 4) -> DataFrame:
+    """(id, band, band_key) rows: the LSH bucketing relation.
+
+    band_key concatenates rows_per_band signature values; two docs
+    share a bucket iff one band matches exactly. The signature array
+    is let-bound so it is computed ONCE per row regardless of
+    n_bands (see ``_bind``).
+    """
+    sig = minhash_signature_array(word_shingles(F.col(text_col), shingle_k))
+    rows_per_band = len(MINHASH_PARAMS) // n_bands
+
+    def bands_of(s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws("_", F.transform(
+                    F.slice(s, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"))).alias("band_key")))
+
+    return (df.select(F.col(id_col),
+                      F.explode(_bind(sig, bands_of)).alias("bb"))
+            .select(id_col, "bb.band", "bb.band_key"))
+
+
+def minhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", shingle_k: int = 3,
+                       n_bands: int = 4,
+                       max_bucket: int = 10_000) -> DataFrame:
+    """Distinct candidate near-dup pairs (a < b) from LSH banding.
+
+    Shape: ONE shuffle (groupBy bucket) computing the signatures a
+    single time, then in-bucket pair expansion from the collected id
+    list — no self-join, so the expensive signature projection is
+    never duplicated. Buckets larger than ``max_bucket`` are dropped
+    (logged degenerate keys, e.g. empty documents): a B-sized bucket
+    emits B^2/2 pairs, and a degenerate key would otherwise emit the
+    whole corpus squared."""
+    bands = minhash_bands(df, text_col, id_col, shingle_k, n_bands)
+    grouped = (bands.groupBy("band", "band_key")
+               .agg(F.collect_list(id_col).alias("ids"))
+               .where(F.size("ids").between(2, max_bucket)))
+    ids = F.array_sort(F.col("ids"))
+    pairs = F.filter(
+        F.flatten(F.transform(
+            ids, lambda x: F.transform(
+                ids, lambda y: F.struct(x.alias("id_a"),
+                                        y.alias("id_b"))))),
+        lambda p: p.id_a < p.id_b)
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 3,
+                  threshold: float = 0.5,
+                  candidates: Optional[DataFrame] = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs above ``threshold``.
+
+    Without ``candidates``: all-pairs via shingle co-occurrence
+    (explode -> join on shingle -> count distinct shared shingles) —
+    the oracle path. With ``candidates`` (e.g. from
+    :func:`minhash_candidates`): verifies only those pairs — the scale
+    path.
+    """
+    sh = df.select(F.col(id_col),
+                   word_shingles(F.col(text_col), shingle_k)
+                   .alias("shingles"))
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_inter")
+                               / (F.col("n_a") + F.col("n_b")
+                                  - F.col("n_inter")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Charikar simhash over whitespace tokens: bit j of the signature
+    is the sign of sum over tokens of (+1 if bit j of h(token) else
+    -1). 32 bits, all in one projection expression tree (shuffle-free,
+    exactly reproducible in ANSI SQL for the oracle)."""
+    toks = F.split(normalize_text(text), " ")
+    th = F.transform(toks, lambda t: md5_long(t))
+
+    def voter(j):
+        return lambda s, h: s + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    def sig(bound_th):
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            vote = F.aggregate(bound_th, F.lit(0).cast("long"), voter(j))
+            acc = acc + F.when(
+                vote >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        return acc
+
+    # let-bind the hashed token array: otherwise every one of the
+    # `bits` votes re-evaluates the md5 of every token
+    return _bind(th, sig)
+
+
+def hamming_distance(a: Column, b: Column,
+                     bits: int = SIMHASH_BITS) -> Column:
+    """Popcount of XOR via the binary string repr — one JVM-side
+    expression (shiftright's bit count must be a literal in Spark, so
+    a per-bit fold is not expressible; this is)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance.
+
+    Buckets on the high 16 bits (one rotation) to keep the self-join
+    sub-quadratic; at scale use ceil(bits/(max_hamming+1)) rotations
+    (pigeonhole guarantee) — each is the same cheap join."""
+    s = df.select(F.col(id_col),
+                  simhash(F.col(text_col)).alias("sh"))
+    s = s.withColumn("bucket", F.shiftright(F.col("sh"), 16))
+    a, b = s.alias("a"), s.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming_distance(F.col("a.sh"), F.col("b.sh"))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

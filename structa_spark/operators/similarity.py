@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: dot products via
+  ``zip_with`` + ``aggregate`` (JVM-side, no UDF), query side
+  broadcast. This is the correctness baseline and is already the
+  right plan when one side is small (the common "N queries vs corpus"
+  shape): broadcast-hash-join, no shuffle of the corpus, AQE-sized
+  output.
+* :func:`lsh_topk` — random-hyperplane (SRP) LSH bucketing: each
+  vector gets a b-bit signature from fixed hyperplanes; candidates
+  join on signature bucket, exact cosine re-ranks only candidates.
+  Sub-quadratic all-pairs / large-query-set path.
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style coarse
+  quantization: assign vectors to nearest centroid, probe ``nprobe``
+  lists. Centroids come from a driver-provided list (e.g. sampled
+  k-means run offline); partitioning by list id co-locates each probe.
+
+Deterministic hyperplanes are derived from the frozen universal-hash
+parameters, so signatures are reproducible across engines/rounds.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in double — deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors of each query vector (excluding self-id).
+
+    Plan shape: broadcast(queries) x corpus -> windowed top-k. The
+    corpus is never shuffled for the join; the only shuffle is the
+    rank window keyed by query id (cardinality = |queries| * k after
+    partial filtering).
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qv__"))
+    joined = corpus.join(F.broadcast(q),
+                         F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6)
+        .alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+# -- SRP-LSH ---------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int,
+                 seed: int = 88172645463325252) -> List[List[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a tiny
+    LCG (no numpy dependency at plan-build time, reproducible)."""
+    planes = []
+    state = seed
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state % 2000003) / 1000001.5) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, dim: int, n_bits: int = 16,
+                  table: int = 0) -> Column:
+    """Sign-random-projection signature as an int (bit j = dot with
+    hyperplane j > 0). Pure column expressions; hyperplanes are plan
+    literals broadcast with the task binary — nothing to ship.
+    ``table`` selects an independent hyperplane set (multi-table LSH)."""
+    planes = _hyperplanes(dim, n_bits,
+                          seed=88172645463325252 + 7919 * table)
+    acc = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        acc = acc + F.when(d > 0, F.lit(1 << j).cast("long")) \
+                     .otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_bits: int = 8, n_tables: int = 4,
+             query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in ANY of
+    ``n_tables`` hash tables (independent hyperplane sets), exact
+    cosine re-ranks candidates only. More tables / fewer bits =>
+    higher recall, more candidates; with unrelated vectors a bucket
+    collides with probability 2^-n_bits per table, so candidate count
+    ~= |corpus| * n_tables / 2^n_bits per query."""
+
+    def sigs(vec):
+        return F.array(*[
+            srp_signature(vec, dim, n_bits, table=t)
+            for t in range(n_tables)])
+
+    sig_c = corpus.select(
+        "*", F.posexplode(sigs(F.col(vec_col))).alias("__tbl__", "__sig__"))
+    sig_q = (queries.select(F.col(id_col).alias(query_id_col),
+                            F.col(vec_col).alias("__qv__"))
+             .select("*", F.posexplode(sigs(F.col("__qv__")))
+                     .alias("__tbl__", "__sig__")))
+    joined = (sig_c.join(F.broadcast(sig_q), ["__tbl__", "__sig__"])
+              .where(F.col(id_col) != F.col(query_id_col))
+              .dropDuplicates([query_id_col, id_col]))
+    scored = joined.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6)
+        .alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+# -- IVF -------------------------------------------------------------------
+
+def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
+               vec_col: str = "embedding",
+               out_col: str = "list_id") -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product —
+    use normalized centroids for cosine). Centroid count is small
+    (sqrt(n) typical), so the argmin is an unrolled expression —
+    shuffle-free; repartitioning by ``list_id`` afterwards co-locates
+    each inverted list for probing."""
+    best_id = F.lit(0)
+    best_score = F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        score = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        better = score > best_score
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_score = F.when(better, score).otherwise(best_score)
+    return df.withColumn(out_col, best_id)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: Sequence[Sequence[float]], k: int = 5,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest lists per query."""
+    c_assigned = ivf_assign(corpus, centroids, vec_col)
+
+    # per-query list ranking (small: |queries| x |centroids|)
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qv__"))
+    probes = []
+    for i, c in enumerate(centroids):
+        probes.append(F.struct(
+            F.lit(i).alias("list_id"),
+            dot(F.col("__qv__"),
+                F.array(*[F.lit(float(x)) for x in c])).alias("score")))
+    q_lists = (q.withColumn("__p__", F.explode(F.array(*probes)))
+               .select(query_id_col, "__qv__", "__p__.list_id",
+                       "__p__.score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"))
+    q_probe = (q_lists.withColumn("pr", F.row_number().over(w))
+               .where(F.col("pr") <= nprobe)
+               .select(query_id_col, "__qv__", "list_id"))
+
+    joined = c_assigned.join(F.broadcast(q_probe), "list_id")
+    joined = joined.where(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6)
+        .alias("cosine"))
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              dim: int = 64,
+                              use_lsh: bool = True) -> DataFrame:
+    """All pairs with cosine >= threshold. LSH-bucketed self-join by
+    default (near-dups almost always share the SRP bucket at high
+    thresholds); exact quadratic join when ``use_lsh=False``."""
+    if use_lsh:
+        s = df.withColumn("__sig__", srp_signature(
+            F.col(vec_col), dim, n_bits=8))
+        a, b = s.alias("a"), s.alias("b")
+        cond = ((F.col("a.__sig__") == F.col("b.__sig__"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        a, b = df.alias("a"), df.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(cosine(F.col(f"a.{vec_col}"),
+                                   F.col(f"b.{vec_col}")), 6)
+                    .alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -82,7 +82,7 @@ def cast_expr(node: Node, col: Column) -> Column:
             inner = (F.lower(col) == true_w)
         else:
             from ..conversions import _DT_FORMATS
-            java = next((j for d, j, _ in _DT_FORMATS if d == p), None)
+            java = next((j for d, j, *_ in _DT_FORMATS if d == p), None)
             inner = (F.try_to_timestamp(col, F.lit(java)) if java
                      else F.try_to_timestamp(col))
         return cast_expr(node.inner, inner) if isinstance(

@@ -1,0 +1,757 @@
+"""Query registry: every implemented operator exposed as a
+(spark_fn, duckdb_oracle_sql) pair for the correctness gate.
+
+Conventions that make the cross-engine hash compare deterministic:
+
+* every computed column is aliased identically in both engines;
+* float aggregates are ``round``-ed (2 for money sums, 4 for
+  ratios/avgs, 6 for similarities) in BOTH engines;
+* DuckDB ``sum`` over integers yields HUGEINT -> always
+  ``CAST(... AS BIGINT)`` in the oracle;
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark;
+* tie-breaks: every top-k/window orders by a unique column chain;
+* hashing is md5-based (identical bytes in both engines), see
+  structa_spark/functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import (
+    MERSENNE_P, MINHASH_PARAMS, md5_long, md5_long_sql, universal_hash,
+    universal_hash_sql,
+)
+from .operators import dedup, similarity, text
+from .sources.tables import load_table
+
+QuerySpec = Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
+
+REGISTRY: Dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: spec[1] for name, spec in REGISTRY.items()
+            if spec[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# relational surface (joins, windows, set ops, sort/limit — survey §2.7:
+# provided by the DataFrame surface; these are the bench headliners)
+# ===========================================================================
+
+@register("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_extendedprice), 4)                           AS avg_price,
+       round(avg(l_discount), 4)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Scale: single hash-agg on a 6-value grouping
+    key — map-side partial agg reduces the shuffle to ~nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("q3_top_orders", oracle="""
+SELECT l.l_orderkey AS o_key,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_key
+LIMIT 10
+""")
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer is the small side -> broadcast;
+    orders⋈lineitem shuffles on orderkey only. Filter pushed to scan."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(li.l_orderkey.alias("o_key"),
+                     "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("o_key", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("o_key"))
+            .limit(10))
+
+
+@register("q5_nation_revenue", oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+              JOIN supplier s ON s.s_nationkey = n.n_nationkey
+              JOIN lineitem l ON l.l_suppkey   = s.s_suppkey
+              JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape. Scale: region/nation/supplier are dimension
+    tables -> all broadcast; the fact table shuffles once for the
+    final small-key agg."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+@register("top_orders_per_customer", oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+ORDER BY o_custkey, rnk
+""")
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group; one shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.round("o_totalprice", 2).alias("total"),
+                     F.row_number().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 3)
+            .orderBy("o_custkey", "rnk"))
+
+
+@register("customers_without_bigorder", oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY c_custkey
+""")
+def customers_without_bigorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference == broadcast anti-join after Catalyst rewrite."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.exceptAll(o.distinct()).distinct().orderBy("c_custkey")
+
+
+@register("user_event_gaps", oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(gap) AS n_gaps,
+       round(avg(gap), 2) AS avg_gap_sec
+FROM g GROUP BY user_id ORDER BY user_id
+""")
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization building block: lag over (user, time) — the
+    stateful-ordering primitive; one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select("user_id",
+                 (secs - F.lag(secs).over(w)).alias("gap"))
+    return (g.groupBy("user_id")
+            .agg(F.count("gap").alias("n_gaps"),
+                 F.round(F.avg("gap"), 2).alias("avg_gap_sec"))
+            .orderBy("user_id"))
+
+
+# ===========================================================================
+# profiler surface (the structa-semantics operators, survey §2.3-2.4)
+# ===========================================================================
+
+_LI_NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register("profile_stats_numeric", oracle="\nUNION ALL\n".join(f"""
+SELECT '{c}' AS column_name, count({c}) AS cnt,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round(min({c})::DOUBLE, 4) AS min_v,
+       round(max({c})::DOUBLE, 4) AS max_v,
+       round(avg({c}), 4) AS avg_v
+FROM lineitem""" for c in _LI_NUM_COLS) + "\nORDER BY column_name")
+def profile_stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stats layer (reference types.py:182-207) as one wide agg
+    per column batch — count/nulls/distinct/min/max/mean computed in a
+    single pass over the scan, then unpivoted driver-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _LI_NUM_COLS:
+        parts.append(li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(c).alias("cnt"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 4).alias("min_v"),
+            F.round(F.max(c).cast("double"), 4).alias("max_v"),
+            F.round(F.avg(c), 4).alias("avg_v")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+_STR_COLS = [("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+             ("customer", "c_name"), ("customer", "c_mktsegment"),
+             ("part", "p_type"), ("documents", "lang"),
+             ("documents", "source"), ("events", "event_type")]
+
+
+@register("profile_stats_strings", oracle="\nUNION ALL\n".join(f"""
+SELECT '{t}.{c}' AS column_name, count({c}) AS cnt,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}) AS min_v, max({c}) AS max_v,
+       min(length({c})) AS min_len, max(length({c})) AS max_len
+FROM {t}""" for t, c in _STR_COLS) + "\nORDER BY column_name")
+def profile_stats_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-column stats incl. the lengths Stats of the reference's
+    Str type (types.py:209-224)."""
+    parts = []
+    for t, c in _STR_COLS:
+        df = _t(spark, sf_dir, t)
+        parts.append(df.agg(
+            F.lit(f"{t}.{c}").alias("column_name"),
+            F.count(c).alias("cnt"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(c).alias("min_v"), F.max(c).alias("max_v"),
+            F.min(F.length(c)).alias("min_len"),
+            F.max(F.length(c)).alias("max_len")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+@register("profile_quartiles", oracle="""
+SELECT 'l_quantity' AS column_name,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS q2,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q3
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       round(quantile_cont(l_extendedprice, 0.25), 4),
+       round(quantile_cont(l_extendedprice, 0.5), 4),
+       round(quantile_cont(l_extendedprice, 0.75), 4)
+FROM lineitem
+UNION ALL
+SELECT 'o_totalprice',
+       round(quantile_cont(o_totalprice, 0.25), 4),
+       round(quantile_cont(o_totalprice, 0.5), 4),
+       round(quantile_cont(o_totalprice, 0.75), 4)
+FROM orders
+ORDER BY column_name
+""")
+def profile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles (oracle mode of Stats; the scale path swaps in
+    percentile_approx's mergeable GK sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def one(df, c):
+        q = F.percentile(F.col(c), F.lit([0.25, 0.5, 0.75]))
+        return df.agg(F.lit(c).alias("column_name"),
+                      F.round(F.element_at(q, 1), 4).alias("q1"),
+                      F.round(F.element_at(q, 2), 4).alias("q2"),
+                      F.round(F.element_at(q, 3), 4).alias("q3"))
+
+    return (one(li, "l_quantity")
+            .unionByName(one(li, "l_extendedprice"))
+            .unionByName(one(o, "o_totalprice"))
+            .orderBy("column_name"))
+
+
+@register("profile_freq_topk", oracle="""
+WITH u AS (
+  SELECT 'l_returnflag' AS column_name, l_returnflag AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+), c AS (
+  SELECT column_name, value, count(*) AS cnt FROM u
+  GROUP BY column_name, value
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY column_name
+                               ORDER BY cnt DESC, value) AS rnk
+  FROM c)
+SELECT column_name, value, cnt, rnk FROM r WHERE rnk <= 3
+ORDER BY column_name, rnk
+""")
+def profile_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-sample operator (reference FrozenCounter +
+    most_common, collections.py:11-101): unpivot -> ONE grouped count
+    -> windowed top-k. This is exactly the analyzer's sample job."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    def sel(df, label, col):
+        return df.select(F.lit(label).alias("column_name"),
+                         F.col(col).alias("value"))
+
+    u = (sel(li, "l_returnflag", "l_returnflag")
+         .unionByName(sel(li, "l_linestatus", "l_linestatus"))
+         .unionByName(sel(o, "o_orderpriority", "o_orderpriority"))
+         .unionByName(sel(e, "event_type", "event_type")))
+    c = u.groupBy("column_name", "value").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("column_name").orderBy(
+        F.desc("cnt"), F.asc("value"))
+    return (c.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .orderBy("column_name", "rnk"))
+
+
+@register("profile_type_candidates", oracle="""
+WITH u AS (
+  SELECT 'events.props' AS column_name, props AS v FROM events
+  UNION ALL
+  SELECT 'documents.lang', lang FROM documents
+  UNION ALL
+  SELECT 'part.p_brand', p_brand FROM part
+)
+SELECT column_name, count(v) AS cnt,
+  CAST(sum(CASE WHEN regexp_matches(v, '^[-+]?[0-9]+$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+  CAST(sum(CASE WHEN regexp_matches(v,
+      '^[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+  CAST(sum(CASE WHEN lower(v) IN ('true','false') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_bool,
+  CAST(sum(CASE WHEN regexp_matches(v, '^https?://') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_url
+FROM u GROUP BY column_name ORDER BY column_name
+""")
+def profile_type_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-candidate scorer (reference conversions.py:16-54
+    / analyzer.py:722-740): every candidate's match count in ONE pass;
+    the driver then applies bad_threshold — no retry passes over data."""
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+    p = _t(spark, sf_dir, "part")
+    u = (e.select(F.lit("events.props").alias("column_name"),
+                  F.col("props").alias("v"))
+         .unionByName(d.select(F.lit("documents.lang").alias("column_name"),
+                               F.col("lang").alias("v")))
+         .unionByName(p.select(F.lit("part.p_brand").alias("column_name"),
+                               F.col("p_brand").alias("v"))))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    v = F.col("v")
+    return (u.groupBy("column_name")
+            .agg(F.count("v").alias("cnt"),
+                 cnt(v.rlike(r"^[-+]?[0-9]+$")).alias("n_int"),
+                 cnt(v.rlike(
+                     r"^[-+]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$"))
+                 .alias("n_float"),
+                 cnt(F.lower(v).isin("true", "false")).alias("n_bool"),
+                 cnt(v.rlike(r"^https?://")).alias("n_url"))
+            .orderBy("column_name"))
+
+
+@register("profile_char_classes", oracle="""
+WITH pos AS (
+  SELECT i AS pos, substr(lang, i + 1, 1) AS ch
+  FROM documents, range(2) t(i)
+)
+SELECT pos, count(DISTINCT ch) AS n_chars,
+       min(ch) AS min_ch, max(ch) AS max_ch
+FROM pos GROUP BY pos ORDER BY pos
+""")
+def profile_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position character-class induction (reference
+    analyzer.py:685-719): posexplode + per-position set aggregation —
+    the CharClass algebra then runs driver-side on these tiny rows."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.posexplode(F.split(F.col("lang"), "")).alias(
+        "pos", "ch"))
+        .where(F.col("ch") != "")
+        .groupBy("pos")
+        .agg(F.count_distinct(F.col("ch")).alias("n_chars"),
+             F.min("ch").alias("min_ch"), F.max("ch").alias("max_ch"))
+        .orderBy("pos"))
+
+
+# ===========================================================================
+# dedup operators
+# ===========================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_H_NORM = md5_long_sql(_NORM_SQL)
+
+
+@register("dedup_exact_groups", oracle=f"""
+SELECT content_hash, dup_count, keep_id FROM (
+  SELECT {_H_NORM} AS content_hash,
+         count(*) AS dup_count, min(doc_id) AS keep_id
+  FROM documents GROUP BY 1)
+WHERE dup_count >= 2
+ORDER BY content_hash
+""")
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).orderBy("content_hash")
+
+
+@register("dedup_exact_props", oracle=f"""
+SELECT {md5_long_sql('props')} AS content_hash,
+       count(*) AS dup_count, min(event_id) AS keep_id
+FROM events GROUP BY 1 HAVING count(*) >= 2
+ORDER BY content_hash
+""")
+def dedup_exact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column with guaranteed duplicates."""
+    e = _t(spark, sf_dir, "events")
+    return (e.select("event_id", md5_long(F.col("props"))
+                     .alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("event_id").alias("keep_id"))
+            .where(F.col("dup_count") >= 2)
+            .orderBy("content_hash"))
+
+
+def _shingles_sql(k: int = 3) -> str:
+    words = f"string_split({_NORM_SQL}, ' ')"
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len({words}) - {k - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice({words}, i, i + {k - 1}),"
+            f" ' ')))")
+
+
+def _minhash_sql(col_idx: int) -> str:
+    a, b = MINHASH_PARAMS[col_idx]
+    return (f"list_min(list_transform({_shingles_sql()}, "
+            f"s -> {universal_hash_sql(md5_long_sql('s'), a, b)}))")
+
+
+@register("minhash_signatures", oracle=f"""
+SELECT doc_id,
+       {_minhash_sql(0)} AS mh0,
+       {_minhash_sql(1)} AS mh1,
+       {_minhash_sql(2)} AS mh2,
+       {_minhash_sql(3)} AS mh3
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation — shuffle-free (array_min over
+    the shingle array per hash function), verified value-for-value."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sig = dedup.minhash_signature(
+        dedup.word_shingles(F.col("text"), 3), MINHASH_PARAMS[:4])
+    return (d.select("doc_id",
+                     sig[0].alias("mh0"), sig[1].alias("mh1"),
+                     sig[2].alias("mh2"), sig[3].alias("mh3"))
+            .orderBy("doc_id"))
+
+
+_BAND_SQL = " || '_' || ".join(
+    f"CAST({_minhash_sql(i)} AS VARCHAR)" for i in range(4))
+
+
+@register("minhash_band_buckets", oracle=f"""
+SELECT band_key, count(*) AS bucket_size FROM (
+  SELECT {_BAND_SQL} AS band_key FROM documents)
+GROUP BY band_key HAVING count(*) >= 2
+ORDER BY band_key
+""")
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band buckets (band 0 of 4): docs sharing a bucket are
+    near-dup candidates; bucket-size histogram shows the join fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        dedup.word_shingles(F.col("text"), 3), MINHASH_PARAMS[:4])
+    key = F.concat_ws("_", *[s.cast("string") for s in sig])
+    return (d.select(key.alias("band_key"))
+            .groupBy("band_key").agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") >= 2)
+            .orderBy("band_key"))
+
+
+@register("ngram_jaccard_pairs", oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+ORDER BY id_a, id_b
+""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-shingle Jaccard >= 0.2 (the ground-truth dedup
+    measure; minhash_lsh approximates it sub-quadratically)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (dedup.jaccard_pairs(d, threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    toks = f"string_split({_NORM_SQL}, ' ')"
+    th = f"list_transform({toks}, t -> {md5_long_sql('t')})"
+    terms = []
+    for j in range(bits):
+        vote = (f"list_sum(list_transform(__th__, "
+                f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))")
+        terms.append(
+            f"(CASE WHEN {vote} >= 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {th} AS __th__) __s__)"
+
+
+@register("simhash_values", oracle=f"""
+SELECT doc_id, {_simhash_sql()} AS simhash
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""")
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit Charikar simhash per document, bit-for-bit verified."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (d.select("doc_id",
+                     dedup.simhash(F.col("text")).alias("simhash"))
+            .orderBy("doc_id"))
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+_TOKENS_SQL = ("CASE WHEN trim(text) = '' THEN [] "
+               "ELSE string_split_regex(trim(text), '\\s+') END")
+
+
+@register("token_stats_by_lang", oracle=f"""
+WITH d AS (
+  SELECT lang, len({_TOKENS_SQL}) AS n_tokens,
+         length(text) AS n_chars_m
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars_m), 4) AS avg_chars
+FROM d GROUP BY lang ORDER BY lang
+""")
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the corpus — a single scan + small-key agg."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang",
+                     text.token_count(F.col("text")).alias("n_tokens"),
+                     F.length("text").alias("n_chars_m"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+                 F.round(F.avg("n_chars_m"), 4).alias("avg_chars"))
+            .orderBy("lang"))
+
+
+_STOP_EN_SQL = "'" + "','".join(text.STOPWORDS_EN) + "'"
+
+
+@register("text_quality_features", oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+    len({_TOKENS_SQL}) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digit,
+    length(text) - length(regexp_replace(text,
+        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+    len(list_filter({_TOKENS_SQL},
+        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
+    length(text) AS n
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, n_tokens,
+  round(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END, 4) AS digit_ratio,
+  round(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END, 4) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens
+        ELSE 0 END, 4) AS stopword_ratio
+FROM f ORDER BY doc_id
+""")
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features (length/punct/stopword ratios) — all
+    JVM-side regex/length arithmetic, no UDFs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    f = text.with_text_features(d)
+    return (f.select("doc_id", "n_tokens",
+                     F.round("digit_ratio", 4).alias("digit_ratio"),
+                     F.round("punct_ratio", 4).alias("punct_ratio"),
+                     F.round("stopword_ratio", 4).alias("stopword_ratio"))
+            .orderBy("doc_id"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "'" + "','".join(text.LANG_STOPWORDS[lang]) + "'"
+    toks = ("CASE WHEN trim(lower(text)) = '' THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+    return f"len(list_filter({toks}, t -> t IN ({words})))"
+
+
+_LANGS = sorted(text.LANG_STOPWORDS)
+_BEST_SQL = "greatest(" + ", ".join(
+    f"s_{lang}" for lang in _LANGS) + ")"
+_PRED_SQL = ("CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' "
+             + " ".join(f"WHEN s_{lang} = {_BEST_SQL} THEN '{lang}'"
+                        for lang in _LANGS)
+             + " ELSE 'und' END")
+
+
+@register("lang_id_confusion", oracle=f"""
+WITH s AS (
+  SELECT lang, {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}"
+                          for lang in _LANGS)}
+  FROM documents)
+SELECT lang, {_PRED_SQL} AS lang_pred, count(*) AS n
+FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+""")
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion
+    counts). The heuristic is stopword-hit argmax with deterministic
+    tiebreak — same expression tree in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.lang_id(d)
+            .groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+            .orderBy("lang", "lang_pred"))
+
+
+_FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
+             f" + 1), i -> substr({_FP_NORM}, i, 8))")
+_FP_SQL = (f"CASE WHEN length({_FP_NORM}) >= 8 THEN "
+           f"list_min(list_transform({_FP_GRAMS}, g -> "
+           f"{universal_hash_sql(md5_long_sql('g'), 1664525, 1013904223)}))"
+           f" ELSE {universal_hash_sql(md5_long_sql(_FP_NORM), 1664525, 1013904223)} END")
+
+
+@register("doc_fingerprints", oracle=f"""
+SELECT doc_id, {_FP_SQL} AS fingerprint
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint over 8-char grams."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (text.fingerprint(d, k=8)
+            .select("doc_id", "fingerprint")
+            .orderBy("doc_id"))
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+_DOT_SQL = ("list_sum(list_transform(range(1, len(a.embedding) + 1), "
+            "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))")
+_NORM_A = ("sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+           "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))")
+_NORM_B = ("sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+           "i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))")
+
+
+@register("cosine_topk", oracle=f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""")
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for 5 query vectors. Plan:
+    broadcast(queries) x corpus -> window top-k; corpus never
+    shuffles for the join."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return (similarity.cosine_topk(e, q, k=3)
+            .select("query_id", "vec_id", "cosine", "rank")
+            .orderBy("query_id", "rank"))
+
+
+@register("embedding_neardup_pairs", oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 150 AND b.vec_id < 150
+  AND {_DOT_SQL} / ({_NORM_A} * {_NORM_B}) >= 0.9
+ORDER BY id_a, id_b
+""")
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.9) on a bounded
+    id range; the LSH-bucketed variant covers the quadratic blowup at
+    scale (tested separately — approximate by construction)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    return (similarity.embedding_near_duplicates(
+        e, threshold=0.9, use_lsh=False)
+        .orderBy("id_a", "id_b"))
