@@ -90,7 +90,13 @@ class CharClass:
             ch = next(iter(self.chars))
             # literal display; escape the class codes themselves
             return ch
+        has_digit = any(c.isdigit() for c in self.chars)
         for cls, code in _NAMED:
+            # digit-class codes (o/d/x) only apply when a digit is
+            # actually present: {a,b} is a hex subset but reads as an
+            # identifier, not a hex number
+            if code in ("o", "d", "x") and not has_digit:
+                continue
             if self.chars <= cls:
                 return code
         return "*"
@@ -141,12 +147,14 @@ hex_digit = frozenset(string.hexdigits)
 ident_first = frozenset(string.ascii_letters + "_")
 ident_char = frozenset(string.ascii_letters + string.digits + "_")
 
-# Ordered most-specific-first for display resolution.
+# Ordered most-specific-first for display resolution. 'I' displays
+# upper-case identifier positions, 'i' mixed/lower-case ones.
+upper_ident = frozenset(string.ascii_uppercase + "_")
 _NAMED = [
     (oct_digit, "o"),
     (dec_digit, "d"),
     (hex_digit, "x"),
-    (ident_first, "I"),
+    (upper_ident, "I"),
     (ident_char, "i"),
 ]
 
@@ -191,13 +199,19 @@ def induce_pattern(position_sets, generalize_threshold: int = 10):
             continue
         j = i
         run_base = 0
+        run_has_digit = False
         while j < len(out) and base_of(out[j]) is not None:
             run_base = max(run_base, base_of(out[j]))
+            run_has_digit = run_has_digit or any(
+                c.isdigit() for c in out[j].chars)
             j += 1
-        widened = {8: oct_digit, 10: dec_digit, 16: hex_digit}[run_base]
-        for k in range(i, j):
-            if len(out[k]) > 1:
-                out[k] = CharClass(widened)
+        # a run of letters-only "hex" positions (e.g. {a,b}{c,d}) is an
+        # identifier, not a number: promote only digit-bearing runs
+        if run_has_digit:
+            widened = {8: oct_digit, 10: dec_digit, 16: hex_digit}[run_base]
+            for k in range(i, j):
+                if len(out[k]) > 1:
+                    out[k] = CharClass(widened)
         i = j
     return out
 

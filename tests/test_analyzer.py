@@ -1,0 +1,233 @@
+"""Golden-structure tests for the inference engine, mirroring the
+reference's test strategy (SURVEY §5) on the FIXTURES.md shapes."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from structa_spark import analyze, merge_to_fixpoint
+from structa_spark.model import (
+    BoolT, DateTimeT, FieldT, FloatT, IntT, ListT, NumReprT, RecordT,
+    StrReprT, StrT, TableT, URLT, ValueAny,
+)
+
+
+def df_of(spark, values, dtype=T.StringType()):
+    schema = T.StructType([T.StructField("v", dtype)])
+    return spark.createDataFrame([(x,) for x in values], schema)
+
+
+def leaf(profile):
+    [field] = profile.root.fields
+    return field.value
+
+
+# -- F1/F2: str-nums with and without noise --------------------------------
+
+def test_str_of_int(spark):
+    p = analyze(df_of(spark, [str(i) for i in range(1000)]), exact=True)
+    node = leaf(p)
+    assert isinstance(node, StrReprT) and node.pattern == "d"
+    assert isinstance(node.inner, IntT)
+    assert node.inner.stats.min == 0 and node.inner.stats.max == 999
+
+
+def test_bad_nums_within_threshold(spark):
+    vals = [str(i) for i in range(1000)] + ["foo"]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrReprT) and node.pattern == "d"
+
+
+def test_bad_nums_zero_threshold(spark):
+    vals = [str(i) for i in range(1000)] + ["foo"]
+    node = leaf(analyze(df_of(spark, vals), exact=True, bad_threshold=0.0))
+    assert isinstance(node, StrT) and not isinstance(node, StrReprT)
+
+
+# -- F3: mostly-blank ------------------------------------------------------
+
+def test_mostly_blank_default(spark):
+    vals = [str(i % 100) for i in range(300)] + [""] * 700
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrReprT) and node.pattern == "d"
+
+
+def test_mostly_blank_low_threshold(spark):
+    vals = [str(i % 100) for i in range(300)] + [""] * 700
+    node = leaf(analyze(df_of(spark, vals), exact=True,
+                        empty_threshold=0.5))
+    assert isinstance(node, StrT) and not isinstance(node, StrReprT)
+
+
+# -- F4: mixed types -------------------------------------------------------
+
+def test_nulls_over_threshold_give_value(spark):
+    vals = ["z"] * 5 + [None] * 5
+    node = leaf(analyze(df_of(spark, vals), exact=True,
+                        null_threshold=0.0))
+    assert isinstance(node, ValueAny)
+
+
+def test_nulls_within_threshold_dropped(spark):
+    # 'z' deliberately: single chars a-f are valid base-16 ints and
+    # classify as str-of-int, faithful to the reference's int(x, 16)
+    vals = ["z"] * 5 + [None] * 5
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrT)
+
+
+# -- F9: scalar ladder -----------------------------------------------------
+
+def test_native_types(spark):
+    p = analyze(df_of(spark, [True, False] * 10, T.BooleanType()),
+                exact=True)
+    assert isinstance(leaf(p), BoolT)
+    p = analyze(df_of(spark, list(range(100)), T.LongType()), exact=True)
+    assert isinstance(leaf(p), IntT)
+    p = analyze(df_of(spark, [float(i) for i in range(100)],
+                      T.DoubleType()), exact=True)
+    assert isinstance(leaf(p), FloatT)
+
+
+def test_bool_strings(spark):
+    node = leaf(analyze(df_of(spark, ["true", "false"] * 50), exact=True))
+    assert isinstance(node, StrReprT)
+    assert node.pattern == "false|true"
+    assert isinstance(node.inner, BoolT)
+
+
+def test_hex_int_strings(spark):
+    vals = [hex(i * 37) for i in range(500)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrReprT) and node.pattern == "x"
+
+
+def test_float_strings(spark):
+    vals = [f"{i / 7:.4f}" for i in range(500)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrReprT) and node.pattern == "f"
+
+
+def test_datetime_strings(spark):
+    vals = [f"2023-05-{(i % 28) + 1:02d} 12:{i % 60:02d}:00"
+            for i in range(200)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrReprT)
+    assert node.pattern == "%Y-%m-%d %H:%M:%S"
+    assert isinstance(node.inner, DateTimeT)
+
+
+def test_url_detection(spark):
+    vals = [f"https://example.com/p/{i}" for i in range(50)] \
+        + [f"http://other.org/{i}" for i in range(50)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, URLT)
+
+
+def test_epoch_seconds_heuristic(spark):
+    import time
+    now = time.time()
+    vals = [now + i * 3600.0 for i in range(200)]
+    node = leaf(analyze(df_of(spark, vals, T.DoubleType()), exact=True))
+    assert isinstance(node, NumReprT) and node.pattern == "f"
+    assert isinstance(node.inner, DateTimeT)
+
+
+def test_out_of_range_epoch_stays_float(spark):
+    vals = [float(i) for i in range(200)]     # 1970 era: out of window
+    node = leaf(analyze(df_of(spark, vals, T.DoubleType()), exact=True))
+    assert isinstance(node, FloatT)
+
+
+def test_fixed_width_pattern(spark):
+    vals = [f"id {i % 1000:03d}" for i in range(1000)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrT)
+    from structa_spark.chars import pattern_str
+    assert pattern_str(node.pattern) == "id ddd"
+
+
+def test_free_text_is_plain_str(spark):
+    vals = [f"the quick brown fox {i} jumps over it" for i in range(50)]
+    node = leaf(analyze(df_of(spark, vals), exact=True))
+    assert isinstance(node, StrT) and node.pattern is None
+
+
+# -- containers ------------------------------------------------------------
+
+def test_array_column(spark):
+    schema = T.StructType([T.StructField(
+        "v", T.ArrayType(T.LongType()))])
+    df = spark.createDataFrame(
+        [([i, i + 1, i + 2],) for i in range(100)], schema)
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, ListT)
+    assert isinstance(node.element, IntT)
+    assert node.lengths.min == 3 and node.lengths.max == 3
+
+
+def test_map_column_is_table(spark):
+    schema = T.StructType([T.StructField(
+        "v", T.MapType(T.StringType(), T.DoubleType()))])
+    df = spark.createDataFrame(
+        [({f"k{i}": float(i)},) for i in range(100)], schema)
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, TableT)
+    assert isinstance(node.value, FloatT)
+
+
+def test_wide_struct_collapses_to_table(spark):
+    # 30 fields > field_threshold=20, homogeneous values
+    fields = [T.StructField(f"f{i:02d}", T.LongType()) for i in range(30)]
+    schema = T.StructType([T.StructField("v", T.StructType(fields))])
+    df = spark.createDataFrame(
+        [(tuple(range(30)),) for _ in range(50)], schema)
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, TableT)
+    assert isinstance(node.value, IntT)
+
+
+def test_narrow_struct_stays_record(spark):
+    schema = T.StructType([T.StructField("v", T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ]))])
+    df = spark.createDataFrame([((i, str(i)),) for i in range(50)], schema)
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, RecordT)
+    assert [f.key for f in node.fields] == ["a", "b"]
+
+
+def test_optional_field_detection(spark):
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ])
+    rows = [(i, "x") for i in range(99)] + [(99, None)]
+    p = analyze(spark.createDataFrame(rows, schema), exact=True)
+    fields = {f.key: f for f in p.root.fields}
+    assert not fields["a"].optional
+    assert fields["b"].optional
+
+
+def test_merge_fixpoint_collapses_similar_records(spark):
+    import json
+    data = [json.dumps({"recs": {
+        f"id{i}": {"code": f"id{i}", "n": i} for i in range(6)
+    }})]
+    df = spark.read.json(spark.sparkContext.parallelize(data))
+    p = analyze(df, exact=True)
+    merged = merge_to_fixpoint(p.root, p.config)
+    recs = {f.key: f for f in merged.fields}["recs"].value
+    assert isinstance(recs, TableT)
+    assert isinstance(recs.value, RecordT)
+    assert merged.size < p.root.size
+
+
+def test_validation_predicate_roundtrip(spark):
+    df = df_of(spark, [str(i) for i in range(100)])
+    p = analyze(df, exact=True)
+    assert df.where(~p.validation_predicate()).count() == 0
+    bad = df_of(spark, ["zzz"] * 10)
+    assert bad.where(p.validation_predicate()).count() == 0

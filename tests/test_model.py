@@ -1,0 +1,125 @@
+from structa_spark.model import (
+    BoolT, DateTimeT, Empty, FieldT, FloatT, IntT, ListT, NumReprT,
+    RecordT, StrReprT, StrT, TableT, URLT, ValueAny, merge,
+    record_similarity,
+)
+from structa_spark.stats import LengthStats, Stats
+
+
+def s(lo=None, hi=None, card=10):
+    return Stats(card=card, min=lo, max=hi)
+
+
+def test_empty_is_identity():
+    node = IntT(stats=s(1, 5))
+    assert merge(Empty(), node) == node
+    assert merge(node, Empty()) == node
+    assert isinstance(merge(Empty(), Empty()), Empty)
+
+
+def test_value_is_top():
+    assert isinstance(merge(ValueAny(), IntT(stats=s())), ValueAny)
+    assert isinstance(merge(StrT(stats=s()), ValueAny()), ValueAny)
+
+
+def test_numeric_tower_widens():
+    # bool < int < float (reference types.py:780-834)
+    assert isinstance(merge(BoolT(stats=s()), IntT(stats=s())), IntT)
+    assert isinstance(merge(IntT(stats=s()), FloatT(stats=s())), FloatT)
+    assert isinstance(merge(BoolT(stats=s()), FloatT(stats=s())), FloatT)
+    assert isinstance(merge(IntT(stats=s()), IntT(stats=s())), IntT)
+
+
+def test_merge_combines_ranges():
+    m = merge(IntT(stats=s(0, 10)), IntT(stats=s(5, 20)))
+    assert m.stats.min == 0 and m.stats.max == 20
+    assert m.stats.card == 20
+
+
+def test_int_str_mix_is_value():
+    # type mixing is never threshold-excused (fixture F4)
+    assert isinstance(merge(IntT(stats=s()), StrT(stats=s())), ValueAny)
+
+
+def test_url_narrows_to_str():
+    m = merge(URLT(stats=s()), StrT(stats=s()))
+    assert isinstance(m, StrT) and not isinstance(m, URLT)
+    assert isinstance(merge(URLT(stats=s()), URLT(stats=s())), URLT)
+
+
+def test_strrepr_merge_same_pattern():
+    a = StrReprT(inner=IntT(stats=s(0, 5)), pattern="d")
+    b = StrReprT(inner=IntT(stats=s(3, 9)), pattern="d")
+    m = merge(a, b)
+    assert isinstance(m, StrReprT) and m.pattern == "d"
+    assert m.inner.stats.max == 9
+
+
+def test_strrepr_base_widening():
+    a = StrReprT(inner=IntT(stats=s()), pattern="d")
+    b = StrReprT(inner=IntT(stats=s()), pattern="x")
+    assert isinstance(merge(a, b), StrReprT)
+
+
+def test_numrepr_falls_back_to_physical():
+    ts = NumReprT(inner=DateTimeT(stats=s()), pattern="f", epoch="unix",
+                  scale=1.0)
+    m = merge(ts, FloatT(stats=s(0.0, 1.0)))
+    assert isinstance(m, FloatT)
+
+
+def test_list_merge():
+    a = ListT(element=IntT(stats=s(0, 5)))
+    b = ListT(element=FloatT(stats=s(1.0, 9.0)))
+    m = merge(a, b)
+    assert isinstance(m, ListT) and isinstance(m.element, FloatT)
+
+
+def test_record_merge_optional_fields():
+    a = RecordT(fields=(FieldT(key="x", value=IntT(stats=s()), count=5),))
+    b = RecordT(fields=(
+        FieldT(key="x", value=IntT(stats=s()), count=3),
+        FieldT(key="y", value=StrT(stats=s()), count=3),
+    ))
+    m = merge(a, b)
+    fields = {f.key: f for f in m.fields}
+    assert not fields["x"].optional
+    assert fields["y"].optional          # present on one side only
+    assert fields["x"].count == 8
+
+
+def test_record_table_absorption():
+    rec = RecordT(fields=(FieldT(key="a", value=IntT(stats=s())),))
+    tab = TableT(key=StrT(stats=s()), value=IntT(stats=s()))
+    m = merge(rec, tab)
+    assert isinstance(m, TableT)
+    assert isinstance(m.value, IntT)
+
+
+def test_str_pattern_positional_union():
+    pa = tuple(__import__("structa_spark.chars", fromlist=["CharClass"])
+               .CharClass(c) for c in ("a", "b"))
+    pb = tuple(__import__("structa_spark.chars", fromlist=["CharClass"])
+               .CharClass(c) for c in ("x", "b"))
+    a = StrT(stats=s(), pattern=pa, lengths=LengthStats(2, 2, 2))
+    b = StrT(stats=s(), pattern=pb, lengths=LengthStats(2, 2, 2))
+    m = merge(a, b)
+    assert m.pattern[0].chars == frozenset("ax")
+    assert m.pattern[1].chars == frozenset("b")
+
+
+def test_record_similarity():
+    a = RecordT(fields=tuple(
+        FieldT(key=k, value=IntT(stats=s())) for k in "abcd"))
+    b = RecordT(fields=tuple(
+        FieldT(key=k, value=IntT(stats=s())) for k in "abxy"))
+    assert record_similarity(a, b) == 0.5
+
+
+def test_size_metric():
+    rec = RecordT(fields=(
+        FieldT(key="a", value=IntT(stats=s())),
+        FieldT(key="b", value=ListT(element=StrT(stats=s()))),
+    ))
+    # record(1) + field(1)+int(1) + field(1)+list(1)+str(1) = 6
+    assert rec.size == 6
