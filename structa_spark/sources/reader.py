@@ -1,0 +1,101 @@
+"""Format-dispatching distributed readers.
+
+``open_source(spark, path)`` sniffs the file (driver-side, bounded
+sample) and configures the right distributed read — the Spark
+re-expression of the reference's eager whole-file parse
+(reference: structa/source.py:226-254):
+
+* ndjson  -> ``spark.read.json`` (line-splittable, fully parallel)
+* json    -> ``spark.read.option("multiLine", True).json`` — one task
+             per file; document-JSON fundamentally parallelizes by
+             *file count*, not bytes (survey §7 hard part (e))
+* csv     -> ``spark.read.csv`` with sniffed delimiter/quote/header
+* yaml    -> no built-in source: files are read whole
+             (``wholeTextFiles``) and parsed per-file in EXECUTORS via
+             a mapPartitions YAML parse — parallel by file count, like
+             document JSON
+* xml     -> NotImplementedError (the reference declines it too,
+             structa/source.py:249-250)
+
+Multi-file analysis = union of per-file reads
+(``unionByName(allowMissingColumns=True)``), the reference's
+sources_list semantics (structa/types.py:674-679).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .detect import Sniff, sniff_file
+
+
+def open_source(spark: SparkSession, path: str, *,
+                format: str = "auto",
+                encoding: str = "auto",
+                csv_delimiter: str = "auto",
+                csv_quotechar: str = "auto",
+                sample_limit: int = 1 << 20) -> DataFrame:
+    s = sniff_file(path, sample_limit)
+    fmt = s.format if format == "auto" else format
+    enc = s.encoding if encoding == "auto" else encoding
+
+    if fmt == "ndjson":
+        return spark.read.option("encoding", enc).json(path)
+    if fmt == "json":
+        return (spark.read.option("multiLine", True)
+                .option("encoding", enc).json(path))
+    if fmt == "csv":
+        delim = s.csv_delimiter if csv_delimiter == "auto" else csv_delimiter
+        quote = s.csv_quotechar if csv_quotechar == "auto" else csv_quotechar
+        return (spark.read
+                .option("header", bool(s.csv_header))
+                .option("sep", delim or ",")
+                .option("quote", quote or '"')
+                .option("encoding", enc)
+                .option("inferSchema", True)
+                .csv(path))
+    if fmt == "yaml":
+        return read_yaml(spark, path, encoding=enc)
+    raise NotImplementedError(f"format {fmt!r} not supported")
+
+
+def read_yaml(spark: SparkSession, path: str,
+              encoding: str = "utf-8") -> DataFrame:
+    """Distributed YAML: wholeTextFiles ships each file to an
+    executor, the YAML parse happens there, rows come back as JSON
+    strings so Spark's schema inference stays in charge.
+
+    Scale note: parallelism == file count (a single huge YAML document
+    is inherently unsplittable, same as multiLine JSON)."""
+    try:
+        import yaml  # noqa: F401
+    except ImportError as e:     # pragma: no cover
+        raise NotImplementedError("pyyaml not available") from e
+
+    rdd = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        import yaml as _y
+        _, text = kv
+        data = _y.safe_load(text)
+        if isinstance(data, list):
+            for item in data:
+                yield json.dumps(item)
+        else:
+            yield json.dumps(data)
+
+    return spark.read.json(rdd.flatMap(parse))
+
+
+def open_sources(spark: SparkSession, paths: List[str],
+                 **kwargs) -> DataFrame:
+    """Multi-file union with missing-column tolerance — the
+    reference's 'files assumed to share a source' rule."""
+    dfs = [open_source(spark, p, **kwargs) for p in paths]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

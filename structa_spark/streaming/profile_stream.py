@@ -1,0 +1,143 @@
+"""Streaming counterparts of the engine's operators.
+
+The reference is strictly batch (survey §2.7); these are the
+Structured-Streaming re-expressions a pipeline needs once the same
+data arrives continuously:
+
+* :func:`profile_stream` — incremental column profiling: the same
+  wide-agg statistics the batch analyzer computes, as a streaming
+  aggregation (complete mode). All aggregates used are mergeable
+  (count/min/max/HLL), so state stays O(columns).
+* :func:`windowed_event_stats` — tumbling-window aggregation with a
+  watermark for late data.
+* :func:`sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: groups events into sessions closed by a
+  gap timeout — the canonical beyond-built-ins stateful shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def profile_stream(sdf: DataFrame,
+                   columns: Optional[List[str]] = None) -> DataFrame:
+    """Incremental per-column stats over a stream.
+
+    Returns an unbounded aggregation (use outputMode('complete') or
+    feed a downstream sink per trigger). Only mergeable aggregates:
+    count, nulls, min, max, approx_count_distinct (HLL++ state).
+    """
+    columns = columns or [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (
+            T.NumericType, T.StringType, T.TimestampType,
+            T.TimestampNTZType, T.DateType, T.BooleanType))
+    ]
+    parts = []
+    for c in columns:
+        col = F.col(c)
+        parts.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.count(col).alias("cnt"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("nulls"),
+            F.approx_count_distinct(col).alias("approx_distinct"),
+            F.min(col.cast("string")).alias("min_v"),
+            F.max(col.cast("string")).alias("max_v"),
+        ).alias(f"s_{c}"))
+    agg = sdf.agg(*parts)
+    cols = F.array(*[F.col(f"s_{c}") for c in columns])
+    return agg.select(F.explode(cols).alias("s")).select("s.*")
+
+
+def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
+                         window: str = "1 hour",
+                         watermark: str = "1 day",
+                         keys: Tuple[str, ...] = ("event_type",)
+                         ) -> DataFrame:
+    """Tumbling-window stats with late-data tolerance. State is
+    bounded by the watermark: windows older than it are finalized and
+    evicted (append mode works downstream)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), *keys)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.approx_count_distinct("user_id").alias("approx_users"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *keys, "n_events", "sum_value", "approx_users"))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = "start DOUBLE, last DOUBLE, n BIGINT, total DOUBLE"
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               ts_col: str = "ts", user_col: str = "user_id",
+               value_col: str = "value",
+               watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization via ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session (closed when the inter-event gap
+    exceeds ``gap_seconds``, or on state timeout). Arrow-batched,
+    state is 4 scalars per active user — the minimal custom-stateful
+    pattern to clone for any bespoke streaming operator."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                out.append((user_id, pd.Timestamp(start, unit="s"),
+                            pd.Timestamp(last, unit="s"), int(n),
+                            float(total)))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(ts_col)
+            ts = rows[ts_col].astype("int64") / 1e9
+            vals = rows[value_col].fillna(0.0)
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = None, None, 0, 0.0
+            for t, v in zip(ts, vals):
+                if last is not None and t - last > gap_seconds:
+                    out.append((user_id, pd.Timestamp(start, unit="s"),
+                                pd.Timestamp(last, unit="s"), int(n),
+                                float(total)))
+                    start, n, total = t, 0, 0.0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+                total += float(v)
+            state.update((float(start), float(last), int(n), float(total)))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "session_start", "session_end", "n_events",
+                "total_value"])
+
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col))
+            .applyInPandasWithState(
+                update, SESSION_SCHEMA, _STATE_SCHEMA,
+                "append", GroupStateTimeout.ProcessingTimeTimeout))

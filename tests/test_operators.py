@@ -1,0 +1,218 @@
+"""Operator-level tests: dedup, similarity, text, multimodal."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from structa_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again until done")
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("done", "finished")),       # near dup of 0
+        (3, "completely different content about spark and scale"),
+        (4, "  THE   quick brown fox jumps over the lazy dog again "
+            "and again until done"),                 # normalized dup
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["dup_count"] == 3          # 0, 1, 4 normalize identically
+    assert g["keep_id"] == 0
+
+
+def test_dedup_exact_keeps_one_per_group(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 5]
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_candidates(docs).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs      # exact dups always
+    assert (0, 2) in pairs                          # near dup caught
+    assert (0, 3) not in pairs                      # unrelated not
+
+
+def test_jaccard_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_jaccard_candidates_filter(docs):
+    cands = dedup.minhash_candidates(docs)
+    verified = dedup.jaccard_pairs(docs, threshold=0.1, candidates=cands)
+    all_pairs = dedup.jaccard_pairs(docs, threshold=0.1)
+    assert verified.count() <= all_pairs.count()
+
+
+def test_simhash_close_for_near_dups(docs, spark):
+    rows = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    assert rows[0] == rows[1]
+    ham_near = bin(rows[0] ^ rows[2]).count("1")
+    ham_far = bin(rows[0] ^ rows[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.simhash_near_duplicates(
+                 docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+# -- similarity ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(80):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    # 80 near-dups 81 of vector 0
+    v0 = rows[0][1]
+    rows.append((80, [x + 0.01 for x in v0]))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    import numpy as np
+    data = {r["vec_id"]: np.array(r["embedding"], dtype="float32")
+            for r in vectors.collect()}
+    got = similarity.cosine_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    q = data[0]
+
+    def cos(a, b):
+        return float(a.astype("float64") @ b.astype("float64")
+                     / (np.linalg.norm(a.astype("float64"))
+                        * np.linalg.norm(b.astype("float64"))))
+
+    expect = sorted(((cos(q, v), i) for i, v in data.items() if i != 0),
+                    key=lambda t: (-t[0], t[1]))[:3]
+    assert ids == [i for _, i in expect]
+    assert ids[0] == 80                       # the planted near-dup
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    got = similarity.lsh_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3, dim=16)
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    assert rows and rows[0]["vec_id"] == 80
+
+
+def test_ivf_topk(vectors):
+    cents = [r["embedding"] for r in
+             vectors.where(F.col("vec_id") < 6).collect()]
+    got = similarity.ivf_topk(
+        vectors, vectors.where(F.col("vec_id") == 0),
+        centroids=cents, k=2, nprobe=3)
+    assert got.count() == 2
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = similarity.embedding_near_duplicates(
+        vectors, threshold=0.99, dim=16, use_lsh=False).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 80)}
+    lsh_pairs = similarity.embedding_near_duplicates(
+        vectors, threshold=0.99, dim=16, use_lsh=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh_pairs} == {(0, 80)}
+
+
+# -- text ------------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, "one")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_char_ratios(spark):
+    df = spark.createDataFrame([(0, "ab12!?")], ["doc_id", "text"])
+    row = text.with_text_features(df).collect()[0]
+    assert row["digit_ratio"] == pytest.approx(2 / 6)
+    assert row["punct_ratio"] == pytest.approx(2 / 6)
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog sat in the house"),
+         (1, "der Hund ist nicht ein Problem mit der Katze"),
+         (2, "xyz qqq zzz")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in text.lang_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(0, "abc123 x!y")], ["doc_id", "text"])
+    toks = df.select(text.bpe_ish_tokens(F.col("text")).alias("t")) \
+        .collect()[0]["t"]
+    assert toks == ["abc", "123", "x", "!", "y"]
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "THE  quick brown fox jumps over the lazy dog"),
+         (2, "a totally different text body here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in text.fingerprint(df).collect()}
+    assert got[0] == got[1]          # case/whitespace invariant
+    assert got[0] != got[2]
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_extract_features_deterministic(spark):
+    m = multimodal.synthetic_media(spark, 8)
+    a = {r["media_id"]: r["feature"]
+         for r in multimodal.extract_features(m, dim=4).collect()}
+    b = {r["media_id"]: r["feature"]
+         for r in multimodal.extract_features(m, dim=4).collect()}
+    assert a == b
+    assert all(len(v) == 4 for v in a.values())
+
+
+def test_real_decode_raises(spark):
+    m = multimodal.synthetic_media(spark, 4)
+    with pytest.raises(Exception):
+        multimodal.extract_features(m, real_decode=True).collect()
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame([(1, 25), (2, 0)],
+                               ["media_id", "n_frames"])
+    got = sorted((r["media_id"], r["frame_idx"])
+                 for r in multimodal.sample_frames(df, 10).collect())
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
