@@ -71,6 +71,7 @@ class AnalyzerConfig:
     max_numeric_len: int = 30       # only try conversions on short strings
     max_pattern_len: int = 64       # induce patterns up to this width
     exact: bool = False             # exact quartiles/distincts (oracle mode)
+    quantile_accuracy: int = 1000   # percentile_approx accuracy (~1/err)
     top_k: int = 3                  # frequency sample size
     collect_samples: bool = True    # run the top-k frequency job
     induce_patterns: bool = True    # run the char-pattern job
@@ -177,7 +178,8 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
         exprs += [F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max")]
     elif isinstance(dt, _NUMERIC):
         q = (F.percentile(c, F.lit([0.25, 0.5, 0.75])) if cfg.exact
-             else F.percentile_approx(c, F.lit([0.25, 0.5, 0.75])))
+             else F.percentile_approx(c, F.lit([0.25, 0.5, 0.75]),
+                                      F.lit(cfg.quantile_accuracy)))
         exprs += [
             F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
             q.alias(f"{k}__q"),
@@ -185,7 +187,8 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         cd = c.cast("timestamp").cast("double")
         q = (F.percentile(cd, F.lit([0.25, 0.5, 0.75])) if cfg.exact
-             else F.percentile_approx(cd, F.lit([0.25, 0.5, 0.75])))
+             else F.percentile_approx(cd, F.lit([0.25, 0.5, 0.75]),
+                                      F.lit(cfg.quantile_accuracy)))
         exprs += [
             F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
             q.alias(f"{k}__q"),
@@ -199,24 +202,39 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
             F.sum(F.when(c.rlike(conversions.URL_REGEX), 0).otherwise(1))
              .alias(f"{k}__url_fail"),
         ]
-        # candidate conversion failure counts over non-empty values,
-        # plus min/max of the decimal-int cast for the timestamp
-        # heuristic on str-of-int columns
-        nonblank = c.isNotNull() & (c != "")
-        short = nonblank & (ln <= cfg.max_numeric_len)
-        for cand in conversions.candidates():
-            fail = F.sum(
-                F.when(short & ~cand.ok(c), 1).otherwise(0)
-            ) + F.sum(F.when(nonblank & (ln > cfg.max_numeric_len), 1)
-                      .otherwise(0))
-            exprs.append(fail.alias(f"{k}__fail__{cand.name}"))
-        dnum = F.when(short, c.try_cast("double"))
-        exprs += [F.min(dnum).alias(f"{k}__nmin"),
-                  F.max(dnum).alias(f"{k}__nmax")]
     elif isinstance(dt, T.BinaryType):
         ln = F.length(c)
         exprs += [F.min(ln).alias(f"{k}__lmin"),
                   F.max(ln).alias(f"{k}__lmax")]
+    return exprs
+
+
+def _candidate_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig,
+                         lmin: int, lmax: int) -> List[Column]:
+    """Phase-B aggregation: conversion-candidate failure counts for one
+    length-eligible string leaf (reference only attempts conversions
+    when max length <= 30, structa/analyzer.py:642-669). Candidates
+    whose length range cannot overlap the column's are skipped entirely
+    — a long-text column costs zero regex evaluations, and e.g. a
+    1-char flag column never attempts any datetime parse."""
+    c = F.expr(leaf.expr)
+    k = leaf.key
+    nonblank = c.isNotNull() & (c != "")
+    exprs: List[Column] = []
+    numeric_alive = False
+    for cand in conversions.candidates():
+        if not cand.possible(lmin, lmax):
+            continue
+        exprs.append(
+            F.sum(F.when(nonblank & ~cand.ok(c), 1).otherwise(0))
+            .alias(f"{k}__fail__{cand.name}"))
+        if cand.kind in ("int", "float"):
+            numeric_alive = True
+    if numeric_alive:
+        # numeric min/max for str-of-number stats + timestamp heuristic
+        dnum = F.when(nonblank, c.try_cast("double"))
+        exprs += [F.min(dnum).alias(f"{k}__nmin"),
+                  F.max(dnum).alias(f"{k}__nmax")]
     return exprs
 
 
@@ -492,12 +510,39 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
         for leaf in ctx.length_leaves:
             exprs.extend(_length_agg_exprs(leaf, cfg))
         row = ctx.df.agg(*exprs).collect()[0].asDict()
+
+        # phase B: candidate conversion scoring, only for string leaves
+        # whose length stats say a conversion could ever succeed
+        cand_exprs: List[Column] = []
+        for leaf in ctx.leaves:
+            if not isinstance(leaf.dtype, T.StringType):
+                continue
+            card = row.get(f"{leaf.key}__card") or 0
+            lmin = row.get(f"{leaf.key}__lmin")
+            lmax = row.get(f"{leaf.key}__lmax")
+            if card and lmax is not None and lmax <= cfg.max_numeric_len:
+                cand_exprs.extend(
+                    _candidate_agg_exprs(leaf, cfg, lmin or 0, lmax))
+        if cand_exprs:
+            row.update(ctx.df.agg(*cand_exprs).collect()[0].asDict())
         rows[ctx.id] = row
+
+        def worth_sampling(leaf: _Leaf) -> bool:
+            # a frequency sample only means something when values
+            # repeat; skipping near-unique columns (key columns) keeps
+            # the top-k shuffle proportional to the REPEATED values
+            # only — at 100 TB this is the difference between
+            # shuffling every key once and shuffling a few hundred
+            # distinct values
+            card = row.get(f"{leaf.key}__card") or 0
+            distinct = row.get(f"{leaf.key}__distinct") or 0
+            return card <= 10_000 or distinct < 0.9 * card
 
         sampleable = {
             leaf.key: leaf for leaf in ctx.leaves
             if isinstance(leaf.dtype, (T.StringType, T.BooleanType,
                                        T.LongType, T.IntegerType))
+            and worth_sampling(leaf)
         }
         topk.update(_collect_topk(ctx, sampleable, cfg))
 
