@@ -77,7 +77,8 @@ class AnalyzerConfig:
     induce_patterns: bool = True    # run the char-pattern job
     pattern_sample: Optional[float] = None  # sample fraction at scale
     # numeric-timestamp heuristic window (reference analyzer.py:742-770)
-    epoch: str = "unix"             # unix | excel
+    epoch: str = "unix"             # unix | excel | custom
+    epoch_base: Optional[_dt.datetime] = None   # base for epoch='custom'
     scale: float = 1.0              # units -> seconds multiplier
     min_timestamp: Optional[_dt.datetime] = None   # default: now - 20y
     max_timestamp: Optional[_dt.datetime] = None   # default: now + 10y
@@ -363,6 +364,8 @@ _EXCEL = _dt.datetime(1899, 12, 30)
 
 
 def _epoch_base(cfg: AnalyzerConfig) -> _dt.datetime:
+    if cfg.epoch == "custom" and cfg.epoch_base is not None:
+        return cfg.epoch_base
     return _EXCEL if cfg.epoch == "excel" else _UNIX
 
 

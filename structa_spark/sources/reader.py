@@ -43,10 +43,12 @@ def open_source(spark: SparkSession, path: str, *,
     enc = s.encoding if encoding == "auto" else encoding
 
     if fmt == "ndjson":
-        return spark.read.option("encoding", enc).json(path)
+        df = spark.read.option("encoding", enc).json(path)
+        return _fallback_if_corrupt(spark, df, path)
     if fmt == "json":
-        return (spark.read.option("multiLine", True)
-                .option("encoding", enc).json(path))
+        df = (spark.read.option("multiLine", True)
+              .option("encoding", enc).json(path))
+        return _fallback_if_corrupt(spark, df, path)
     if fmt == "csv":
         delim = s.csv_delimiter if csv_delimiter == "auto" else csv_delimiter
         quote = s.csv_quotechar if csv_quotechar == "auto" else csv_quotechar
@@ -60,6 +62,43 @@ def open_source(spark: SparkSession, path: str, *,
     if fmt == "yaml":
         return read_yaml(spark, path, encoding=enc)
     raise NotImplementedError(f"format {fmt!r} not supported")
+
+
+#: synthetic column wrapping a file whose payload is scalars (the
+#: reference analyzes such a file as a plain list of values; a
+#: DataFrame needs a named column — the CLI unwraps it at render time)
+VALUE_COL = "__value__"
+
+
+def _fallback_if_corrupt(spark: SparkSession, df: DataFrame,
+                         path: str) -> DataFrame:
+    """JSON whose top level is scalars (or an array of scalars) gives
+    spark.read.json only a _corrupt_record column; re-read it as
+    whole documents parsed in executors."""
+    cols = set(df.columns)
+    if cols and cols != {"_corrupt_record"}:
+        return df
+    return _read_json_documents(spark, path)
+
+
+def _read_json_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-document JSON parse in executors (parallel by file
+    count); top-level arrays flatten to rows, scalar items are wrapped
+    in VALUE_COL so the result is a DataFrame."""
+    rdd = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        import json as _j
+        _, text = kv
+        data = _j.loads(text)
+        items = data if isinstance(data, list) else [data]
+        for it in items:
+            if isinstance(it, dict):
+                yield _j.dumps(it)
+            else:
+                yield _j.dumps({VALUE_COL: it})
+
+    return spark.read.json(rdd.flatMap(parse))
 
 
 def read_yaml(spark: SparkSession, path: str,
@@ -81,11 +120,12 @@ def read_yaml(spark: SparkSession, path: str,
         import yaml as _y
         _, text = kv
         data = _y.safe_load(text)
-        if isinstance(data, list):
-            for item in data:
+        items = data if isinstance(data, list) else [data]
+        for item in items:
+            if isinstance(item, dict):
                 yield json.dumps(item)
-        else:
-            yield json.dumps(data)
+            else:
+                yield json.dumps({VALUE_COL: item})
 
     return spark.read.json(rdd.flatMap(parse))
 

@@ -1,0 +1,149 @@
+"""Command-line interface: ``python -m structa_spark <files>``.
+
+Same user surface as the reference CLI (reference: structa/ui/cli.py:
+68-234): analyze one or more JSON/NDJSON/CSV/YAML files (format
+auto-detected per file) and print the inferred structure. Multiple
+files are assumed to share a source and are analyzed as a union
+(reference ui/cli.py:73-76). The render is the engine's structa-style
+text (the reference's XSLT/ANSI pipeline is display plumbing, not
+compute — reference ui/cli.py:269-307).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+from typing import List, Optional
+
+from . import params
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="structa-spark",
+        description="Analyze files/datasets for common structure "
+                    "(Spark-distributed).")
+    p.add_argument("files", nargs="+",
+                   help="files to analyze; '-' reads stdin")
+    p.add_argument("--bad-threshold", type=params.num, default="1%",
+                   help="tolerated conversion failures (default 1%%)")
+    p.add_argument("--empty-threshold", type=params.num, default="98%",
+                   help="tolerated blank strings (default 98%%)")
+    p.add_argument("--null-threshold", type=params.num, default="99%",
+                   help="tolerated nulls (default 99%%)")
+    p.add_argument("--field-threshold", type=int, default=20,
+                   help="record-vs-table distinct key gate (default 20)")
+    p.add_argument("--merge-threshold", type=params.num, default="50%",
+                   help="record-collapse similarity gate (default 50%%)")
+    p.add_argument("--max-numeric-len", type=int, default=30,
+                   help="longest string to try conversions on")
+    p.add_argument("--sample-bytes", type=params.size, default="1m",
+                   help="bytes sniffed for encoding/format detection")
+    p.add_argument("--encoding", default="auto")
+    p.add_argument("--format", default="auto",
+                   choices=["auto", "json", "ndjson", "csv", "yaml",
+                            "parquet"])
+    p.add_argument("--csv-delimiter", default="auto")
+    p.add_argument("--csv-quotechar", default="auto")
+    p.add_argument("--timestamps", type=params.parse_epoch,
+                   default="unix", metavar="EPOCH",
+                   help="'unix', 'excel', or e.g. 'days since "
+                        "1970-01-01' — how numbers decode to datetimes")
+    p.add_argument("--min-timestamp",
+                   type=params.parse_duration_or_timestamp, default=None,
+                   help="oldest plausible auto-detected timestamp "
+                        "(absolute, or a duration before now)")
+    p.add_argument("--max-timestamp",
+                   type=params.parse_duration_or_timestamp, default=None)
+    p.add_argument("--no-merge", action="store_true",
+                   help="skip the record-collapse merge fixpoint")
+    p.add_argument("--exact", action="store_true",
+                   help="exact quartiles/distincts instead of sketches")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: local[*])")
+    return p
+
+
+def get_config(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    return get_parser().parse_args(argv)
+
+
+def get_structure(cfg: argparse.Namespace, spark=None) -> str:
+    from pyspark.sql import SparkSession
+
+    from .. import analyze, AnalyzerConfig, merge_to_fixpoint
+    from ..sources.reader import open_sources
+
+    own_session = spark is None
+    if own_session:
+        spark = (SparkSession.builder
+                 .master(cfg.master or "local[*]")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.ui.enabled", "false")
+                 .appName("structa-spark").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        epoch_name, scale, base = cfg.timestamps
+        acfg = AnalyzerConfig(
+            bad_threshold=cfg.bad_threshold,
+            empty_threshold=cfg.empty_threshold,
+            null_threshold=cfg.null_threshold,
+            field_threshold=cfg.field_threshold,
+            merge_threshold=cfg.merge_threshold,
+            max_numeric_len=cfg.max_numeric_len,
+            exact=cfg.exact,
+            epoch=epoch_name, epoch_base=base, scale=scale,
+            min_timestamp=cfg.min_timestamp,
+            max_timestamp=cfg.max_timestamp,
+        )
+        paths, cleanup = [], []
+        for f in cfg.files:
+            if f == "-":
+                tmp = tempfile.NamedTemporaryFile(
+                    "wb", suffix=".stdin", delete=False)
+                tmp.write(sys.stdin.buffer.read())
+                tmp.close()
+                paths.append(tmp.name)
+                cleanup.append(tmp.name)
+            else:
+                paths.append(f)
+        try:
+            if cfg.format == "parquet":
+                df = spark.read.parquet(*paths)
+            else:
+                df = open_sources(
+                    spark, paths, format=cfg.format,
+                    encoding=cfg.encoding,
+                    csv_delimiter=cfg.csv_delimiter,
+                    csv_quotechar=cfg.csv_quotechar,
+                    sample_limit=cfg.sample_bytes)
+            profile = analyze(df, acfg)
+            root = profile.root
+            if not cfg.no_merge:
+                root = merge_to_fixpoint(root, acfg)
+            # a scalar-payload file was wrapped in a synthetic column;
+            # render it the way the reference shows a list of values
+            from ..model import RecordT
+            from ..sources.reader import VALUE_COL
+            if (isinstance(root, RecordT) and len(root.fields) == 1
+                    and root.fields[0].key == VALUE_COL):
+                return f"[ {root.fields[0].value.render()} ]"
+            return root.render()
+        finally:
+            for t in cleanup:
+                os.unlink(t)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main(argv: Optional[List[str]] = None, spark=None) -> int:
+    cfg = get_config(argv)
+    print(get_structure(cfg, spark=spark))
+    return 0
+
+
+if __name__ == "__main__":     # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""CLI surface tests: typed parsers + smoke runs over temp files
+(mirrors the reference's test strategy, tests/test_cli.py there)."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from structa_spark.ui import params
+from structa_spark.ui.cli import get_config, get_structure
+
+
+# -- typed parsers ----------------------------------------------------------
+
+def test_num():
+    assert params.num("50%") == 0.5
+    assert params.num("2%") == pytest.approx(0.02)
+    assert params.num("0.25") == 0.25
+    assert params.num("1/4") == 0.25
+
+
+def test_size():
+    assert params.size("1m") == 1 << 20
+    assert params.size("8k") == 8 << 10
+    assert params.size("2g") == 2 << 30
+    assert params.size("4096") == 4096
+
+
+def test_parse_duration():
+    assert params.parse_duration("5 minutes, 30 seconds") == \
+        dt.timedelta(minutes=5, seconds=30)
+    assert params.parse_duration("2 days") == dt.timedelta(days=2)
+    assert params.parse_duration("1h") == dt.timedelta(hours=1)
+    with pytest.raises(ValueError):
+        params.parse_duration("not a duration")
+
+
+def test_parse_duration_or_timestamp():
+    now = dt.datetime(2026, 1, 1)
+    assert params.parse_duration_or_timestamp("1 day", now=now) == \
+        dt.datetime(2025, 12, 31)
+    assert params.parse_duration_or_timestamp(
+        "2020-06-01 12:00:00", now=now) == dt.datetime(2020, 6, 1, 12)
+
+
+def test_parse_epoch():
+    assert params.parse_epoch("unix") == ("unix", 1.0, None)
+    assert params.parse_epoch("excel") == ("excel", 86400.0, None)
+    name, scale, base = params.parse_epoch("days since 2000-01-01")
+    assert name == "custom"
+    assert scale == 86400
+    assert base == dt.datetime(2000, 1, 1)
+    with pytest.raises(ValueError):
+        params.parse_epoch("fortnights hence")
+
+
+def test_get_config_defaults():
+    cfg = get_config(["data.json"])
+    assert cfg.bad_threshold == pytest.approx(0.01)
+    assert cfg.field_threshold == 20
+    assert cfg.merge_threshold == 0.5
+    assert cfg.sample_bytes == 1 << 20
+    assert cfg.timestamps == ("unix", 1.0, None)
+
+
+# -- end-to-end smoke over temp files --------------------------------------
+
+def test_cli_ndjson(spark, tmp_path):
+    f = tmp_path / "rows.json"
+    with f.open("w") as fh:
+        for i in range(50):
+            fh.write(json.dumps({"id": i, "name": f"user{i:03d}"}) + "\n")
+    out = get_structure(get_config([str(f)]), spark=spark)
+    assert "'id': int range=0..49" in out
+    assert "'name'" in out
+
+
+def test_cli_str_ints(spark, tmp_path):
+    # the reference tutorial's str-nums case: JSON array of int strings
+    f = tmp_path / "nums.json"
+    f.write_text(json.dumps([str(i) for i in range(100)]))
+    out = get_structure(get_config([str(f)]), spark=spark)
+    assert "str of int range=0..99" in out
+
+
+def test_cli_csv(spark, tmp_path):
+    f = tmp_path / "data.csv"
+    lines = ["name;qty"] + [f"item{i:02d};{i * 10}" for i in range(30)]
+    f.write_text("\n".join(lines))
+    out = get_structure(get_config([str(f)]), spark=spark)
+    assert "'qty': int range=0..290" in out
+
+
+def test_cli_multi_file_union(spark, tmp_path):
+    f1, f2 = tmp_path / "a.json", tmp_path / "b.json"
+    with f1.open("w") as fh:
+        for i in range(20):
+            fh.write(json.dumps({"id": i}) + "\n")
+    with f2.open("w") as fh:
+        for i in range(20, 40):
+            fh.write(json.dumps({"id": i, "extra": True}) + "\n")
+    out = get_structure(get_config([str(f1), str(f2)]), spark=spark)
+    assert "'id': int range=0..39" in out
+    assert "extra" in out
