@@ -755,3 +755,189 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (similarity.embedding_near_duplicates(
         e, threshold=0.9, use_lsh=False)
         .orderBy("id_a", "id_b"))
+
+
+# ===========================================================================
+# temporal operators: as-of join, interval join, tumbling windows,
+# sessionization — absent from the reference (survey §2.7) but required
+# of a complete engine; each is the Spark-first composition, checked
+# against DuckDB's native temporal SQL (ASOF JOIN / window functions)
+# ===========================================================================
+
+@register("asof_purchase_click", oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+""")
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at or
+    before it (same user). Spark-first plan: NOT an inequality join
+    (quadratic) — a union-merge: one shuffle on user_id, one sort per
+    partition, a running ``last(click, ignorenulls)`` window. Scales
+    linearly and handles arbitrary skew via AQE."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "ts", "user_id", "event_type"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", F.asc("event_type"))   # 'click' < 'purchase'
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (ev
+            .withColumn("asof_click", F.last(click_id, True).over(w))
+            .where((F.col("event_type") == "purchase")
+                   & F.col("asof_click").isNotNull())
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("asof_click").alias("click_id"))
+            .orderBy("purchase_id"))
+
+
+@register("range_join_purchase_views", oracle="""
+SELECT p.event_id AS purchase_id, count(v.event_id) AS n_views_10m
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+GROUP BY p.event_id
+ORDER BY purchase_id
+""")
+def range_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: views within the 10 minutes before each purchase.
+    The equality key (user_id) makes this a plain hash join with the
+    range as a residual filter — no quadratic blowup; the join
+    shuffles on user_id only."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    v = (ev.where(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts")))
+    return (p.join(v, (F.col("v_user") == F.col("p_user"))
+                   & (F.col("v_ts") >= F.col("p_ts")
+                      - F.expr("INTERVAL 10 MINUTES"))
+                   & (F.col("v_ts") <= F.col("p_ts")))
+            .groupBy("purchase_id")
+            .agg(F.count("view_id").alias("n_views_10m"))
+            .orderBy("purchase_id"))
+
+
+@register("windowed_event_stats", oracle="""
+SELECT date_trunc('day', ts)          AS window_start,
+       event_type,
+       count(*)                       AS n_events,
+       round(sum(value), 2)           AS sum_value,
+       count(DISTINCT user_id)        AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows over the event stream (batch twin of
+    streaming.windowed_event_stats). ``F.window`` aligns to the epoch,
+    i.e. identical buckets to date_trunc('day') — one hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value", "n_users")
+            .orderBy("window_start", "event_type"))
+
+
+@register("sessionize_events", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) in batch — the SQL-
+    checkable twin of streaming.sessionize. One shuffle on user_id;
+    both windows and the final agg reuse that partitioning."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (ev.withColumn("session_id", F.sum(new_s).over(cum))
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .drop("session_id")
+            .orderBy("user_id", "session_start"))
+
+
+@register("rollup_nation_year", oracle="""
+SELECT COALESCE(n.n_name, 'ALL')                          AS nation,
+       COALESCE(CAST(year(o.o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       round(sum(o.o_totalprice), 2)                      AS total_price,
+       count(*)                                           AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+ORDER BY nation, o_year
+""")
+def rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation, year) -> nation -> grand total.
+    Dimension joins broadcast; the rollup is one shuffle with
+    map-side partial aggregation of all grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .withColumn("o_year", F.year("o_orderdate")))
+    return (joined.rollup("n_name", "o_year")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.count("*").alias("n_orders"))
+            .select(F.coalesce(F.col("n_name"), F.lit("ALL"))
+                    .alias("nation"),
+                    F.coalesce(F.col("o_year").cast("string"),
+                               F.lit("ALL")).alias("o_year"),
+                    "total_price", "n_orders")
+            .orderBy("nation", "o_year"))
+
+
+# ===========================================================================
+# multimodal plumbing (rows-only check: the fake decode is a Python
+# seam, not SQL-expressible — see operators/multimodal.py)
+# ===========================================================================
+
+@register("multimodal_doc_features")
+def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction: documents' text encoded to a
+    binary payload column, features via Arrow-batched mapInPandas
+    (deterministic fake decode — the codec seam). Demonstrates the
+    full multimodal pipeline shape: binary column in, fixed-dim
+    feature vector out, no driver materialization."""
+    from .operators.multimodal import extract_features
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.encode("text", "utf-8").alias("payload")))
+    feats = extract_features(docs, dim=8)
+    return (feats.select("media_id", "feat_dim",
+                         F.round(F.element_at("feature", 1), 4)
+                         .alias("f0"))
+            .orderBy("media_id"))

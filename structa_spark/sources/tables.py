@@ -45,9 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.schema
         for col in _NANOS_TS[name]:
             if dict(df.dtypes).get(col) == "bigint":
+                # integer `div`, NOT `/`: float division of ~1.7e18 ns
+                # loses precision past double's 53-bit mantissa and
+                # lands a microsecond off DuckDB's truncation
                 df = df.withColumn(
-                    col, F.timestamp_micros(
-                        (F.col(col) / F.lit(1000)).cast("long")))
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         return df
     return spark.read.parquet(path)
 
