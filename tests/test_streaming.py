@@ -1,0 +1,114 @@
+"""Structured-Streaming operator tests: each streaming op is run over
+a file stream with an availableNow trigger into a memory sink, and
+checked against its batch twin."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from structa_spark.streaming.profile_stream import (
+    profile_stream, sessionize, windowed_event_stats,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    with (path / "part-0.json").open("w") as fh:
+        for ts, uid, etype, val in rows:
+            fh.write(json.dumps({
+                "ts": ts, "user_id": uid, "event_type": etype,
+                "value": val}) + "\n")
+
+
+def _run_stream(df, name, mode):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+
+
+@pytest.fixture()
+def event_rows():
+    rows = []
+    for h in range(6):
+        for u in (1, 2):
+            rows.append((f"2024-01-01 {h:02d}:15:00", u, "click",
+                         float(10 * h + u)))
+    return rows
+
+
+def test_windowed_event_stats_stream(spark, tmp_path, event_rows):
+    _write_events(tmp_path / "ev", event_rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "ev"))
+    out = windowed_event_stats(sdf, window="1 hour", watermark="1 hour")
+    _run_stream(out, "wes_test", "complete")
+    got = {(r.window_start.hour, r.n_events)
+           for r in spark.sql("SELECT * FROM wes_test").collect()}
+    # 6 hourly windows x 2 events each
+    assert got == {(h, 2) for h in range(6)}
+
+
+def test_profile_stream(spark, tmp_path, event_rows):
+    _write_events(tmp_path / "ev2", event_rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "ev2"))
+    _run_stream(profile_stream(sdf), "ps_test", "complete")
+    stats = {r.column_name: r
+             for r in spark.sql("SELECT * FROM ps_test").collect()}
+    assert stats["user_id"].cnt == 12
+    assert stats["user_id"].nulls == 0
+    assert stats["value"].min_v == "1.0"
+    assert set(stats) == {"ts", "user_id", "event_type", "value"}
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    # user 7: two events 5 min apart, then a 2-hour gap -> the first
+    # session closes when the third event arrives in the same batch
+    rows = [
+        ("2024-01-01 10:00:00", 7, "click", 1.0),
+        ("2024-01-01 10:05:00", 7, "click", 2.0),
+        ("2024-01-01 12:30:00", 7, "click", 4.0),
+    ]
+    _write_events(tmp_path / "ev3", rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "ev3"))
+    out = sessionize(sdf, gap_seconds=1800)
+    _run_stream(out, "sess_test", "append")
+    got = spark.sql(
+        "SELECT * FROM sess_test ORDER BY session_start").collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s.user_id == 7
+    assert s.n_events == 2
+    assert s.total_value == pytest.approx(3.0)
+    assert s.session_start.minute == 0 and s.session_end.minute == 5
+
+
+def test_sessionize_batch_twin_matches_sql(spark, tmp_path):
+    """The batch sessionize query and the streaming operator implement
+    the same session boundaries (closed sessions only)."""
+    rows = [
+        ("2024-01-01 09:00:00", 1, "view", 1.0),
+        ("2024-01-01 09:10:00", 1, "view", 1.0),
+        ("2024-01-01 11:00:00", 1, "view", 1.0),   # closes session 1
+        ("2024-01-01 09:30:00", 2, "view", 5.0),
+        ("2024-01-01 13:00:00", 2, "view", 6.0),   # closes session 1
+    ]
+    _write_events(tmp_path / "ev4", rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "ev4"))
+    _run_stream(sessionize(sdf, gap_seconds=1800), "sess_twin", "append")
+    streamed = {(r.user_id, r.n_events)
+                for r in spark.sql("SELECT * FROM sess_twin").collect()}
+    assert streamed == {(1, 2), (2, 1)}
