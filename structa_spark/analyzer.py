@@ -109,8 +109,11 @@ class _Context:
     length_leaves: List[_Leaf] = dc_field(default_factory=list)
 
 
-def _plan(df: DataFrame) -> List[_Context]:
+def _plan(df: DataFrame):
     contexts: List[_Context] = []
+    # array column sources for the tuple-induction pass:
+    # path -> (ctx id, array expr, element dtype)
+    array_srcs: Dict[Tuple[str, ...], Tuple[int, str, T.DataType]] = {}
     counter = [0]
 
     def new_context(cdf: DataFrame) -> _Context:
@@ -131,6 +134,7 @@ def _plan(df: DataFrame) -> List[_Context]:
         elif isinstance(dtype, T.ArrayType):
             ctx.length_leaves.append(
                 _Leaf(path, key + "_len", f"size({expr})", T.IntegerType()))
+            array_srcs[path] = (ctx.id, expr, dtype.elementType)
             child_df = ctx.df.select(
                 F.explode(F.expr(expr)).alias("__elem__"))
             child = new_context(child_df)
@@ -151,7 +155,7 @@ def _plan(df: DataFrame) -> List[_Context]:
 
     for f in df.schema.fields:
         walk(root, "", T.StructType([f]), ())
-    return contexts
+    return contexts, array_srcs
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +497,70 @@ class Profile:
         return validation_predicate(self.root)
 
 
+def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
+                    length_leaves: List[_Leaf],
+                    cfg: AnalyzerConfig) -> Dict:
+    """Phase A (cheap wide agg) + phase B (length-gated conversion
+    candidates) over one DataFrame; returns the merged scalar row."""
+    exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
+    for leaf in leaves:
+        exprs.extend(_agg_exprs(leaf, cfg))
+    for leaf in length_leaves:
+        exprs.extend(_length_agg_exprs(leaf, cfg))
+    row = df.agg(*exprs).collect()[0].asDict()
+
+    cand_exprs: List[Column] = []
+    for leaf in leaves:
+        if not isinstance(leaf.dtype, T.StringType):
+            continue
+        card = row.get(f"{leaf.key}__card") or 0
+        lmin = row.get(f"{leaf.key}__lmin")
+        lmax = row.get(f"{leaf.key}__lmax")
+        if card and lmax is not None and lmax <= cfg.max_numeric_len:
+            cand_exprs.extend(
+                _candidate_agg_exprs(leaf, cfg, lmin or 0, lmax))
+    if cand_exprs:
+        row.update(df.agg(*cand_exprs).collect()[0].asDict())
+    return row
+
+
+_ATOMIC = (T.BooleanType, T.StringType, T.TimestampType,
+           T.TimestampNTZType, T.DateType, T.BinaryType) + _NUMERIC
+
+
+def _induce_tuples(contexts, array_srcs, length_stats, cfg):
+    """Fixed-width short arrays become positional tuples (reference
+    analyzer.py:576-588: all sub-lists the same length, shorter than
+    field_threshold, fewer than the outer count — 'table-like input
+    from a language without tuples'). One extra job per qualifying
+    array column, per-index stats via ``element_at``."""
+    tuple_nodes: Dict[Tuple[str, ...], Node] = {}
+    for path, (ctx_id, expr, elem_dt) in array_srcs.items():
+        ls = length_stats.get(path)
+        if ls is None or not ls.card or ls.min is None:
+            continue
+        width = ls.min
+        if not (ls.fixed and 0 < width < cfg.field_threshold
+                and ls.card > width):
+            continue
+        if not isinstance(elem_dt, _ATOMIC):
+            continue
+        leaves = [
+            _Leaf(path + (str(i),), f"e{i}",
+                  f"element_at({expr}, {i + 1})", elem_dt)
+            for i in range(width)
+        ]
+        row = _run_leaf_stats(contexts[ctx_id].df, leaves, [], cfg)
+        fields = []
+        for i, leaf in enumerate(leaves):
+            node = _classify_leaf(leaf, row, cfg, row["__rows__"])
+            card = row.get(f"{leaf.key}__card") or 0
+            fields.append(FieldT(key=i, value=node, count=card,
+                                 optional=bool(card < ls.card)))
+        tuple_nodes[path] = TupleT(fields=tuple(fields), lengths=ls)
+    return tuple_nodes
+
+
 def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             **kwargs) -> Profile:
     """Profile a DataFrame into a typed summary tree.
@@ -501,33 +569,13 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     (top-k samples, char patterns) per context.
     """
     cfg = config or AnalyzerConfig(**kwargs)
-    contexts = _plan(df)
+    contexts, array_srcs = _plan(df)
 
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}
     patsets: Dict[str, list] = {}
     for ctx in contexts:
-        exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
-        for leaf in ctx.leaves:
-            exprs.extend(_agg_exprs(leaf, cfg))
-        for leaf in ctx.length_leaves:
-            exprs.extend(_length_agg_exprs(leaf, cfg))
-        row = ctx.df.agg(*exprs).collect()[0].asDict()
-
-        # phase B: candidate conversion scoring, only for string leaves
-        # whose length stats say a conversion could ever succeed
-        cand_exprs: List[Column] = []
-        for leaf in ctx.leaves:
-            if not isinstance(leaf.dtype, T.StringType):
-                continue
-            card = row.get(f"{leaf.key}__card") or 0
-            lmin = row.get(f"{leaf.key}__lmin")
-            lmax = row.get(f"{leaf.key}__lmax")
-            if card and lmax is not None and lmax <= cfg.max_numeric_len:
-                cand_exprs.extend(
-                    _candidate_agg_exprs(leaf, cfg, lmin or 0, lmax))
-        if cand_exprs:
-            row.update(ctx.df.agg(*cand_exprs).collect()[0].asDict())
+        row = _run_leaf_stats(ctx.df, ctx.leaves, ctx.length_leaves, cfg)
         rows[ctx.id] = row
 
         def worth_sampling(leaf: _Leaf) -> bool:
@@ -583,6 +631,9 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             leaf_nodes[leaf.path] = replace(
                 node, pattern=tuple(induce_pattern(positions)))
 
+    # tuple induction: fixed-width short arrays -> positional tuples
+    tuple_nodes = _induce_tuples(contexts, array_srcs, length_stats, cfg)
+
     # assemble the tree from the schema
     row0 = rows[0]
 
@@ -601,6 +652,8 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             rec = RecordT(fields=tuple(fields))
             return _maybe_table(rec, cfg)
         if isinstance(dtype, T.ArrayType):
+            if path in tuple_nodes:
+                return tuple_nodes[path]
             elem = build(dtype.elementType, path + ("[]",), parent_card)
             return ListT(element=elem,
                          lengths=length_stats.get(path, LengthStats()))

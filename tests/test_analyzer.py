@@ -156,15 +156,33 @@ def test_free_text_is_plain_str(spark):
 
 # -- containers ------------------------------------------------------------
 
-def test_array_column(spark):
+def test_fixed_width_array_becomes_tuple(spark):
+    # fixed short width + more rows than width -> positional tuple
+    # (reference analyzer.py:576-588)
     schema = T.StructType([T.StructField(
         "v", T.ArrayType(T.LongType()))])
     df = spark.createDataFrame(
         [([i, i + 1, i + 2],) for i in range(100)], schema)
     node = leaf(analyze(df, exact=True))
+    from structa_spark.model import TupleT
+    assert isinstance(node, TupleT)
+    assert len(node.fields) == 3
+    assert all(isinstance(f.value, IntT) for f in node.fields)
+    assert node.fields[0].value.stats.min == 0
+    assert node.fields[0].value.stats.max == 99
+    assert node.fields[2].value.stats.max == 101
+    assert node.lengths.min == 3 and node.lengths.max == 3
+
+
+def test_variable_width_array_stays_list(spark):
+    schema = T.StructType([T.StructField(
+        "v", T.ArrayType(T.LongType()))])
+    df = spark.createDataFrame(
+        [([j for j in range(i % 4 + 1)],) for i in range(100)], schema)
+    node = leaf(analyze(df, exact=True))
     assert isinstance(node, ListT)
     assert isinstance(node.element, IntT)
-    assert node.lengths.min == 3 and node.lengths.max == 3
+    assert node.lengths.min == 1 and node.lengths.max == 4
 
 
 def test_map_column_is_table(spark):
