@@ -47,8 +47,10 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        cosine_topk, q1_pricing_summary, q3_top_orders, q5_nation_revenue,
-        token_stats_by_lang, top_orders_per_customer,
+        asof_purchase_click, cosine_topk, q1_pricing_summary,
+        q3_top_orders, q5_nation_revenue, rollup_nation_year,
+        sessionize_events, token_stats_by_lang, top_orders_per_customer,
+        windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
@@ -78,6 +80,10 @@ def main():
         "q3": run_df(q3_top_orders),
         "q5": run_df(q5_nation_revenue),
         "window_topk": run_df(top_orders_per_customer),
+        "asof_join": run_df(asof_purchase_click),
+        "sessionize": run_df(sessionize_events),
+        "windowed_stats": run_df(windowed_event_stats),
+        "rollup": run_df(rollup_nation_year),
         "minhash_candidates": bench_minhash,
         "simhash_pairs": bench_simhash,
         "token_stats": run_df(token_stats_by_lang),

@@ -69,6 +69,7 @@ class AnalyzerConfig:
     field_threshold: int = 20       # record vs table distinct-key gate
     merge_threshold: float = 0.5    # record-collapse similarity gate
     max_numeric_len: int = 30       # only try conversions on short strings
+    strip_whitespace: bool = False  # trim strings before analysis
     max_pattern_len: int = 64       # induce patterns up to this width
     exact: bool = False             # exact quartiles/distincts (oracle mode)
     quantile_accuracy: int = 1000   # percentile_approx accuracy (~1/err)
@@ -545,9 +546,12 @@ def _induce_tuples(contexts, array_srcs, length_stats, cfg):
             continue
         if not isinstance(elem_dt, _ATOMIC):
             continue
+        elem = "element_at({}, {})"
+        if cfg.strip_whitespace and isinstance(elem_dt, T.StringType):
+            elem = "trim(element_at({}, {}))"
         leaves = [
-            _Leaf(path + (str(i),), f"e{i}",
-                  f"element_at({expr}, {i + 1})", elem_dt)
+            _Leaf(path + (str(i),), f"e{i}", elem.format(expr, i + 1),
+                  elem_dt)
             for i in range(width)
         ]
         row = _run_leaf_stats(contexts[ctx_id].df, leaves, [], cfg)
@@ -570,6 +574,15 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     """
     cfg = config or AnalyzerConfig(**kwargs)
     contexts, array_srcs = _plan(df)
+
+    # whitespace stripping (reference analyzer.py:633-638) applies to
+    # every string leaf uniformly: stats, conversion candidates, top-k
+    # samples and pattern induction all see the trimmed value
+    if cfg.strip_whitespace:
+        for ctx in contexts:
+            for leaf in ctx.leaves:
+                if isinstance(leaf.dtype, T.StringType):
+                    leaf.expr = f"trim({leaf.expr})"
 
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}

@@ -57,6 +57,9 @@ def get_parser() -> argparse.ArgumentParser:
                         "(absolute, or a duration before now)")
     p.add_argument("--max-timestamp",
                    type=params.parse_duration_or_timestamp, default=None)
+    p.add_argument("--no-strip-whitespace", action="store_false",
+                   dest="strip_whitespace",
+                   help="don't trim strings before analysis")
     p.add_argument("--no-merge", action="store_true",
                    help="skip the record-collapse merge fixpoint")
     p.add_argument("--exact", action="store_true",
@@ -93,6 +96,7 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
             field_threshold=cfg.field_threshold,
             merge_threshold=cfg.merge_threshold,
             max_numeric_len=cfg.max_numeric_len,
+            strip_whitespace=cfg.strip_whitespace,
             exact=cfg.exact,
             epoch=epoch_name, epoch_base=base, scale=scale,
             min_timestamp=cfg.min_timestamp,

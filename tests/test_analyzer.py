@@ -249,3 +249,15 @@ def test_validation_predicate_roundtrip(spark):
     assert df.where(~p.validation_predicate()).count() == 0
     bad = df_of(spark, ["zzz"] * 10)
     assert bad.where(p.validation_predicate()).count() == 0
+
+
+def test_strip_whitespace(spark):
+    df = spark.createDataFrame(
+        [(f"  {i} ",) for i in range(60)], "v: string")
+    node = leaf(analyze(df, exact=True, strip_whitespace=True))
+    assert isinstance(node, StrReprT)
+    assert node.pattern == "d"
+    assert node.inner.stats.min == 0 and node.inner.stats.max == 59
+    # without stripping the padded strings stay plain strings
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, StrT)
