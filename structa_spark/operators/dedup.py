@@ -36,6 +36,19 @@ from ..functions.hashing import (
 )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input (one small file) across the
+    cluster's cores before CPU-heavy per-row work. A no-op whenever the
+    scan already yields >= defaultParallelism partitions — i.e. at any
+    real scale — so this only rescues the small-file case where one
+    task would otherwise do all the hashing."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    if n < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
@@ -143,17 +156,43 @@ def minhash_signature_array(shingles: Column,
     return _bind(hashed, sig)
 
 
+def minhash_signature_df(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         shingle_k: int = 3) -> DataFrame:
+    """(id, signature array<bigint>) via shingle-explode + codegen'd
+    min-aggregates.
+
+    Same math as :func:`minhash_signature_array`, different physical
+    shape: higher-order lambdas run INTERPRETED per array element in
+    Spark, while exploded rows feed whole-stage-codegen'd ``min``
+    aggregates with map-side partial aggregation — the shuffle carries
+    one partial signature per (doc, partition), not the shingles. This
+    is the at-scale path; the expression form remains for single-row/
+    oracle use."""
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col),
+                  F.explode(word_shingles(F.col(text_col), shingle_k))
+                  .alias("__s__"))
+          .withColumn("__h__", md5_long(F.col("__s__"))))
+    aggs = [F.min(universal_hash(F.col("__h__"), a, b)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)]
+    return (sh.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[f"__m{i}"
+                              for i in range(len(MINHASH_PARAMS))])
+                    .alias("signature")))
+
+
 def minhash_bands(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_k: int = 3,
                   n_bands: int = 4) -> DataFrame:
     """(id, band, band_key) rows: the LSH bucketing relation.
 
     band_key concatenates rows_per_band signature values; two docs
-    share a bucket iff one band matches exactly. The signature array
-    is let-bound so it is computed ONCE per row regardless of
-    n_bands (see ``_bind``).
-    """
-    sig = minhash_signature_array(word_shingles(F.col(text_col), shingle_k))
+    share a bucket iff one band matches exactly. Signatures come from
+    the codegen path (:func:`minhash_signature_df`); banding is a
+    cheap unnest of the 16-element signature."""
+    sig = minhash_signature_df(df, text_col, id_col, shingle_k)
     rows_per_band = len(MINHASH_PARAMS) // n_bands
 
     def bands_of(s):
@@ -165,8 +204,8 @@ def minhash_bands(df: DataFrame, text_col: str = "text",
                     F.slice(s, b * rows_per_band + 1, rows_per_band),
                     lambda v: v.cast("string"))).alias("band_key")))
 
-    return (df.select(F.col(id_col),
-                      F.explode(_bind(sig, bands_of)).alias("bb"))
+    return (sig.select(F.col(id_col),
+                       F.explode(bands_of(F.col("signature"))).alias("bb"))
             .select(id_col, "bb.band", "bb.band_key"))
 
 
@@ -280,6 +319,33 @@ def hamming_distance(a: Column, b: Column,
     return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
 
 
+def simhash_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) via token-explode + codegen'd vote sums — same
+    math as the :func:`simhash` expression (bit-for-bit), but the
+    ``bits`` per-token votes run inside whole-stage codegen with
+    map-side partial aggregation instead of interpreted array
+    lambdas (~3x faster, and the shuffle carries one 32-vote partial
+    per (doc, partition))."""
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col),
+                    F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("__t__"))
+            .withColumn("__h__", md5_long(F.col("__t__"))))
+    aggs = [
+        F.sum(F.when(F.shiftright("__h__", j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    sig = toks.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"__v{j}") >= 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return sig.select(F.col(id_col), acc.alias("sh"))
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
@@ -288,8 +354,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     Buckets on the high 16 bits (one rotation) to keep the self-join
     sub-quadratic; at scale use ceil(bits/(max_hamming+1)) rotations
     (pigeonhole guarantee) — each is the same cheap join."""
-    s = df.select(F.col(id_col),
-                  simhash(F.col(text_col)).alias("sh"))
+    s = simhash_df(df, text_col, id_col)
     s = s.withColumn("bucket", F.shiftright(F.col("sh"), 16))
     a, b = s.alias("a"), s.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
