@@ -497,6 +497,19 @@ class Profile:
         from .plans import validation_predicate
         return validation_predicate(self.root)
 
+    def decode(self, df: DataFrame) -> DataFrame:
+        """Apply the compiled cast chains: every Repr-typed column is
+        replaced by its logical value (str-of-int -> bigint, ...)."""
+        from .plans import apply_casts
+        return apply_casts(df, self.root)
+
+    def to_dict(self) -> dict:
+        """JSON-able tree of the inferred summary (programmatic twin
+        of :meth:`render`)."""
+        from .model import node_to_dict
+        return {"row_count": self.row_count,
+                "root": node_to_dict(self.root)}
+
 
 def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
                     length_leaves: List[_Leaf],

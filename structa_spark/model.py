@@ -440,3 +440,45 @@ def record_similarity(a: RecordT, b: RecordT) -> float:
     if not ka or not kb:
         return 0.0
     return len(ka & kb) / min(len(ka), len(kb))
+
+
+def node_to_dict(n: Node) -> dict:
+    """JSON-able representation of a summary tree (used by
+    ``Profile.to_dict`` and the CLI's ``--json`` output)."""
+    def stats_d(s):
+        if s is None:
+            return None
+        return {k: (str(v) if not isinstance(
+                    v, (int, float, bool, type(None))) else v)
+                for k, v in (("card", s.card), ("distinct", s.distinct),
+                             ("min", s.min), ("q1", s.q1), ("q2", s.q2),
+                             ("q3", s.q3), ("max", s.max),
+                             ("unique", s.unique))}
+
+    out = {"type": type(n).__name__.removesuffix("T").lower()}
+    if isinstance(n, Scalar):
+        out["stats"] = stats_d(n.stats)
+    if isinstance(n, StrT):
+        out["lengths"] = {"min": n.lengths.min, "max": n.lengths.max}
+        if n.pattern:
+            from .chars import pattern_str
+            out["pattern"] = pattern_str(n.pattern)
+    if isinstance(n, (StrReprT, NumReprT)):
+        out["pattern"] = n.pattern
+        out["of"] = node_to_dict(n.inner)
+    if isinstance(n, NumReprT):
+        out["epoch"] = n.epoch
+        out["scale"] = n.scale
+    if isinstance(n, ListT):
+        out["lengths"] = {"min": n.lengths.min, "max": n.lengths.max}
+        out["element"] = node_to_dict(n.element)
+    if isinstance(n, TableT):
+        out["key"] = node_to_dict(n.key)
+        out["value"] = node_to_dict(n.value)
+    if isinstance(n, (RecordT, TupleT)):
+        out["fields"] = [
+            {"key": f.key, "count": f.count, "optional": f.optional,
+             "value": node_to_dict(f.value)}
+            for f in n.fields
+        ]
+    return out

@@ -24,7 +24,26 @@ from ..model import (
 )
 
 __all__ = ["to_spark_schema", "to_spark_type", "cast_expr",
-           "validation_predicate"]
+           "validation_predicate", "apply_casts"]
+
+
+def apply_casts(df, root: Node):
+    """Decode a DataFrame with a profile's compiled cast chains: every
+    top-level column whose inferred type is a representation (str of
+    int, str of datetime, float of timestamp, ...) is replaced by its
+    logical value; all other columns pass through untouched. The
+    whole decode is one projection — no extra jobs."""
+    if not isinstance(root, (RecordT, TupleT)):
+        raise ValueError("apply_casts needs a record/tuple summary root")
+    nodes = {str(f.key): f.value for f in root.fields}
+    cols = []
+    for name in df.columns:
+        node = nodes.get(name)
+        if isinstance(node, (StrReprT, NumReprT)):
+            cols.append(cast_expr(node, F.col(name)).alias(name))
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols)
 
 
 def to_spark_type(node: Node) -> T.DataType:

@@ -60,6 +60,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-strip-whitespace", action="store_false",
                    dest="strip_whitespace",
                    help="don't trim strings before analysis")
+    p.add_argument("--json", action="store_true", dest="json_out",
+                   help="emit the summary tree as JSON instead of text")
     p.add_argument("--no-merge", action="store_true",
                    help="skip the record-collapse merge fixpoint")
     p.add_argument("--exact", action="store_true",
@@ -129,10 +131,15 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 root = merge_to_fixpoint(root, acfg)
             # a scalar-payload file was wrapped in a synthetic column;
             # render it the way the reference shows a list of values
-            from ..model import RecordT
+            from ..model import RecordT, node_to_dict
             from ..sources.reader import VALUE_COL
-            if (isinstance(root, RecordT) and len(root.fields) == 1
-                    and root.fields[0].key == VALUE_COL):
+            wrapped = (isinstance(root, RecordT) and len(root.fields) == 1
+                       and root.fields[0].key == VALUE_COL)
+            if getattr(cfg, "json_out", False):
+                import json as _json
+                node = root.fields[0].value if wrapped else root
+                return _json.dumps(node_to_dict(node), indent=2)
+            if wrapped:
                 return f"[ {root.fields[0].value.render()} ]"
             return root.render()
         finally:

@@ -261,3 +261,25 @@ def test_strip_whitespace(spark):
     # without stripping the padded strings stay plain strings
     node = leaf(analyze(df, exact=True))
     assert isinstance(node, StrT)
+
+
+def test_decode_applies_cast_chains(spark):
+    df = spark.createDataFrame(
+        [(str(i), f"2023-01-{(i % 28) + 1:02d}") for i in range(100)],
+        "n: string, d: string")
+    p = analyze(df, exact=True)
+    dec = p.decode(df)
+    assert dict(dec.dtypes) == {"n": "bigint", "d": "timestamp"}
+    assert dec.agg(F.sum("n")).collect()[0][0] == sum(range(100))
+
+
+def test_profile_to_dict(spark):
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(50)], "a: long, b: string")
+    d = analyze(df, exact=True).to_dict()
+    assert d["row_count"] == 50
+    fields = {f["key"]: f for f in d["root"]["fields"]}
+    assert fields["a"]["value"]["type"] == "int"
+    assert fields["a"]["value"]["stats"]["max"] == 49
+    assert fields["b"]["value"]["type"] == "strrepr"
+    assert fields["b"]["value"]["of"]["type"] == "int"

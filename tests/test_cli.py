@@ -102,3 +102,15 @@ def test_cli_multi_file_union(spark, tmp_path):
     out = get_structure(get_config([str(f1), str(f2)]), spark=spark)
     assert "'id': int range=0..39" in out
     assert "extra" in out
+
+
+def test_cli_json_output(spark, tmp_path):
+    import json as _json
+    f = tmp_path / "j.json"
+    with f.open("w") as fh:
+        for i in range(30):
+            fh.write(_json.dumps({"id": i}) + "\n")
+    out = get_structure(get_config(["--json", str(f)]), spark=spark)
+    tree = _json.loads(out)
+    assert tree["fields"][0]["key"] == "id"
+    assert tree["fields"][0]["value"]["type"] == "int"
