@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the driver-side algebras:
+character classes, stats merge, and the summary merge. These layers
+must be lawful for distributed merging to be order-insensitive —
+per-partition summaries combine in whatever order tasks finish."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from structa_spark.chars import ANY_CHAR, CharClass, induce_pattern
+from structa_spark.model import (
+    BoolT, Empty, FloatT, IntT, StrT, ValueAny, merge,
+)
+from structa_spark.stats import LengthStats, Stats
+from structa_spark.ui import params
+
+chars = st.sets(st.sampled_from(string.printable[:70]), min_size=1,
+                max_size=20).map(CharClass)
+charsets = st.one_of(chars, st.just(ANY_CHAR))
+
+
+@given(charsets, charsets)
+def test_charclass_union_commutative(a, b):
+    assert (a | b) == (b | a)
+
+
+@given(charsets, charsets, charsets)
+def test_charclass_union_associative(a, b, c):
+    assert ((a | b) | c) == (a | (b | c))
+
+
+@given(charsets)
+def test_charclass_union_idempotent(a):
+    assert (a | a) == a
+    assert (a | ANY_CHAR) == ANY_CHAR
+
+
+@given(charsets, charsets)
+def test_charclass_intersection_subset(a, b):
+    assert (a & b).issubset(a)
+    assert (a & b).issubset(b)
+
+
+@given(st.lists(st.sets(st.sampled_from("0123456789abcdef"),
+                        min_size=1, max_size=16),
+                min_size=1, max_size=12))
+def test_induce_pattern_covers_all_chars(position_sets):
+    pattern = induce_pattern(list(enumerate(position_sets)))
+    assert len(pattern) == len(position_sets)
+    for cc, seen in zip(pattern, position_sets):
+        for ch in seen:
+            assert ch in cc
+
+
+ints = st.integers(min_value=-10**9, max_value=10**9)
+
+
+def stat_of(lo, hi, card):
+    lo, hi = min(lo, hi), max(lo, hi)
+    return Stats(card=card, min=lo, max=hi, distinct=min(card, 10))
+
+
+stats_s = st.builds(stat_of, ints, ints,
+                    st.integers(min_value=1, max_value=10**6))
+
+
+@given(stats_s, stats_s)
+def test_stats_merge_commutative_bounds(a, b):
+    m1, m2 = a + b, b + a
+    assert m1.card == m2.card == a.card + b.card
+    assert m1.min == m2.min == min(a.min, b.min)
+    assert m1.max == m2.max == max(a.max, b.max)
+
+
+@given(stats_s, stats_s, stats_s)
+def test_stats_merge_associative_bounds(a, b, c):
+    m1, m2 = (a + b) + c, a + (b + c)
+    assert (m1.card, m1.min, m1.max) == (m2.card, m2.min, m2.max)
+
+
+scalars = st.one_of(
+    st.builds(lambda s: IntT(stats=s), stats_s),
+    st.builds(lambda s: FloatT(stats=s), stats_s),
+    st.builds(lambda s: BoolT(stats=s), stats_s),
+    st.builds(lambda s: StrT(stats=s), stats_s),
+    st.just(Empty()),
+)
+
+
+@given(scalars)
+def test_merge_empty_identity(n):
+    assert merge(Empty(), n) == n
+    assert merge(n, Empty()) == n
+
+
+@given(scalars, scalars)
+@settings(max_examples=200)
+def test_merge_commutative_type(a, b):
+    m1, m2 = merge(a, b), merge(b, a)
+    assert type(m1) is type(m2)
+
+
+@given(stats_s, stats_s)
+def test_numeric_tower_widening(sa, sb):
+    # bool < int < float (reference types.py:780-834)
+    assert isinstance(merge(IntT(stats=sa), FloatT(stats=sb)), FloatT)
+    assert isinstance(merge(BoolT(stats=sa), IntT(stats=sb)), IntT)
+    assert isinstance(merge(IntT(stats=sa), IntT(stats=sb)), IntT)
+
+
+@given(stats_s, stats_s)
+def test_incompatible_merge_is_value(sa, sb):
+    assert isinstance(merge(StrT(stats=sa), IntT(stats=sb)), ValueAny)
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+def test_size_parser_roundtrip_bytes(n):
+    assert params.size(str(n)) == n
+
+
+@given(st.floats(min_value=0, max_value=100, allow_nan=False,
+                 allow_infinity=False))
+def test_num_percent(p):
+    assert abs(params.num(f"{p}%") - p / 100) < 1e-12
