@@ -776,6 +776,26 @@ def classify_values(values: Sequence[str], cfg: AnalyzerConfig) -> Node:
     if fails(r"^[-+]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?$") <= budget:
         return StrReprT(inner=FloatT(stats=Stats(card=n)), pattern="f")
 
+    # datetime formats (the reference re-matches collapsed-table keys
+    # with the full scalar ladder, analyzer.py:354-360) — driver-side
+    # strptime over the tiny key list
+    for disp, _java, rx, *_ in conversions._DT_FORMATS:
+        n_bad, parsed = 0, []
+        for v in values:
+            try:
+                parsed.append(_dt.datetime.strptime(v, disp))
+            except ValueError:
+                n_bad += 1
+                if n_bad > budget:
+                    break
+        if parsed and n_bad <= budget:
+            return StrReprT(
+                inner=DateTimeT(stats=Stats(
+                    card=n, distinct=len(set(parsed)),
+                    min=min(parsed), max=max(parsed),
+                    unique=len(set(parsed)) == len(parsed))),
+                pattern=disp)
+
     lens = {len(v) for v in values}
     pattern = None
     if len(lens) == 1 and 0 < next(iter(lens)) <= cfg.max_pattern_len:

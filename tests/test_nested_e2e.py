@@ -1,0 +1,73 @@
+"""End-to-end tests on the reference's flagship nested shapes
+(FIXTURES.md F5-F7/F11): document-JSON objects keyed by IDs whose
+values are similar records — the record-vs-table duality plus the
+merge fixpoint, through the same path the CLI takes."""
+
+import json
+
+from structa_spark.ui.cli import get_config, get_structure
+
+
+def test_usn_shape_collapses_to_table(spark, tmp_path):
+    # one JSON document: object keyed by "dddd-d" ids -> similar records
+    # (the Ubuntu USN shape, reference README.rst:108-152)
+    doc = {
+        f"{2000 + i:04d}-1": {
+            "title": f"USN advisory {i}",
+            "cves": [f"CVE-2020-{1000 + i}", f"CVE-2020-{2000 + i}"],
+            "timestamp": 1577836800.0 + i * 86400,
+        }
+        for i in range(40)     # > field_threshold=20
+    }
+    f = tmp_path / "usn.json"
+    f.write_text(json.dumps(doc))
+    out = get_structure(get_config([str(f)]), spark=spark)
+    # outer object becomes a table keyed by the id pattern, values are
+    # the merged record; the float timestamps decode via the epoch rule
+    assert out.startswith("{ str")
+    assert 'pattern="20dd-1"' in out     # constant '20' chars stay literal
+    assert "'title': str" in out
+    assert "'cves': [ str" in out
+    assert "'timestamp': float of datetime" in out
+
+
+def test_air_quality_shape(spark, tmp_path):
+    # {location: {euid, lat, long, readings: {iso-ts: float}}}
+    doc = {
+        f"site-{i:02d}": {
+            "euid": f"GB{1000 + i}A",
+            "lat": 50.0 + i / 10,
+            "long": -3.0 + i / 10,
+            "readings": {
+                f"2021-06-{d + 1:02d} 00:00:00": float(d * i % 17)
+                for d in range(30)     # > field_threshold
+            },
+        }
+        for i in range(30)             # > field_threshold
+    }
+    f = tmp_path / "air.json"
+    f.write_text(json.dumps(doc))
+    out = get_structure(get_config([str(f)]), spark=spark)
+    assert out.startswith("{ str")
+    assert "'euid': str" in out
+    assert "'lat': float" in out
+    # the readings map keys are ISO timestamps -> str of datetime
+    assert "'readings': { str of datetime" in out
+    assert "%Y-%m-%d %H:%M:%S" in out
+
+
+def test_astros_shape(spark, tmp_path):
+    # README.rst:24-40: {message, number, people: [{craft, name}]}
+    doc = {
+        "message": "success",
+        "number": 6,
+        "people": [
+            {"craft": "ISS", "name": f"astronaut {i}"} for i in range(6)
+        ],
+    }
+    f = tmp_path / "astros.json"
+    f.write_text(json.dumps(doc))
+    out = get_structure(get_config([str(f)]), spark=spark)
+    assert "'message': str" in out
+    assert "'number': int" in out
+    assert "'people': [ { 'craft': str" in out
