@@ -198,6 +198,63 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Arrow-batched brute-force top-k: the vectorized twin of
+    :func:`cosine_topk`.
+
+    The query matrix (small side) ships to every task once; each
+    Arrow batch computes ALL query scores as one numpy matmul and
+    emits only its per-batch top-k per query, so the shuffle carries
+    O(batches * |queries| * k) candidate rows, not |corpus| * |queries|.
+    A final window picks the global top-k. Prefer this over the
+    expression form when |queries| is large (the matmul amortizes);
+    the expression form wins for a handful of queries."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = vn @ qn.T                       # |batch| x |queries|
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(qids)):
+                col = s[:, qi]
+                order = np.argsort(-col)
+                taken = 0
+                for row in order:
+                    if ids[row] == qids[qi]:
+                        continue
+                    out_q.append(qids[qi])
+                    out_i.append(ids[row])
+                    out_c.append(col[row])
+                    taken += 1
+                    if taken >= k:
+                        break
+            yield pd.DataFrame({
+                query_id_col: np.array(out_q, dtype=np.int64),
+                id_col: np.array(out_i, dtype=np.int64),
+                "cosine": np.round(np.array(out_c), 6),
+            })
+
+    cand = corpus.mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, cosine double")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",

@@ -941,3 +941,16 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(F.element_at("feature", 1), 4)
                          .alias("f0"))
             .orderBy("media_id"))
+
+
+@register("cosine_topk_vectorized")
+def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force ANN (mapInPandas) — same logical op as
+    cosine_topk, vectorized physical path. Rows-only check: numpy's
+    pairwise float summation differs from SQL's sequential fold at the
+    last ulp, which can flip a round(6) at a boundary; equivalence to
+    the expression form is asserted (1e-5) in tests/test_operators.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return (similarity.cosine_topk_pandas(e, q, k=3)
+            .orderBy("query_id", "rank"))

@@ -216,3 +216,18 @@ def test_frame_sampling(spark):
     got = sorted((r["media_id"], r["frame_idx"])
                  for r in multimodal.sample_frames(df, 10).collect())
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+
+
+def test_cosine_topk_pandas_matches_expression(vectors):
+    from structa_spark.operators import similarity
+    q = vectors.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(vectors, q, k=4)
+    vec = similarity.cosine_topk_pandas(vectors, q, k=4)
+    e = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+         for r in exact.collect()}
+    v = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+         for r in vec.collect()}
+    assert set(e) == set(v)
+    for key in e:
+        assert e[key][0] == v[key][0]
+        assert abs(e[key][1] - v[key][1]) < 1e-5
