@@ -511,18 +511,22 @@ class Profile:
                 "root": node_to_dict(self.root)}
 
 
-def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
-                    length_leaves: List[_Leaf],
-                    cfg: AnalyzerConfig) -> Dict:
-    """Phase A (cheap wide agg) + phase B (length-gated conversion
-    candidates) over one DataFrame; returns the merged scalar row."""
+def _phase_a_row(df: DataFrame, leaves: List[_Leaf],
+                 length_leaves: List[_Leaf],
+                 cfg: AnalyzerConfig) -> Dict:
+    """Phase A: the cheap wide aggregation over one DataFrame."""
     exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
     for leaf in leaves:
         exprs.extend(_agg_exprs(leaf, cfg))
     for leaf in length_leaves:
         exprs.extend(_length_agg_exprs(leaf, cfg))
-    row = df.agg(*exprs).collect()[0].asDict()
+    return df.agg(*exprs).collect()[0].asDict()
 
+
+def _phase_b_row(df: DataFrame, leaves: List[_Leaf], row: Dict,
+                 cfg: AnalyzerConfig) -> Dict:
+    """Phase B: length-gated conversion-candidate scoring; returns the
+    extra scalar columns ({} when no string leaf is eligible)."""
     cand_exprs: List[Column] = []
     for leaf in leaves:
         if not isinstance(leaf.dtype, T.StringType):
@@ -533,8 +537,17 @@ def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
         if card and lmax is not None and lmax <= cfg.max_numeric_len:
             cand_exprs.extend(
                 _candidate_agg_exprs(leaf, cfg, lmin or 0, lmax))
-    if cand_exprs:
-        row.update(df.agg(*cand_exprs).collect()[0].asDict())
+    if not cand_exprs:
+        return {}
+    return df.agg(*cand_exprs).collect()[0].asDict()
+
+
+def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
+                    length_leaves: List[_Leaf],
+                    cfg: AnalyzerConfig) -> Dict:
+    """Phase A + phase B over one DataFrame (merged scalar row)."""
+    row = _phase_a_row(df, leaves, length_leaves, cfg)
+    row.update(_phase_b_row(df, leaves, row, cfg))
     return row
 
 
@@ -600,28 +613,35 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}
     patsets: Dict[str, list] = {}
-    for ctx in contexts:
-        row = _run_leaf_stats(ctx.df, ctx.leaves, ctx.length_leaves, cfg)
-        rows[ctx.id] = row
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for ctx in contexts:
+            row = _phase_a_row(ctx.df, ctx.leaves, ctx.length_leaves, cfg)
 
-        def worth_sampling(leaf: _Leaf) -> bool:
-            # a frequency sample only means something when values
-            # repeat; skipping near-unique columns (key columns) keeps
-            # the top-k shuffle proportional to the REPEATED values
-            # only — at 100 TB this is the difference between
-            # shuffling every key once and shuffling a few hundred
-            # distinct values
-            card = row.get(f"{leaf.key}__card") or 0
-            distinct = row.get(f"{leaf.key}__distinct") or 0
-            return card <= 10_000 or distinct < 0.9 * card
+            def worth_sampling(leaf: _Leaf) -> bool:
+                # a frequency sample only means something when values
+                # repeat; skipping near-unique columns (key columns)
+                # keeps the top-k shuffle proportional to the REPEATED
+                # values only — at 100 TB this is the difference
+                # between shuffling every key once and shuffling a few
+                # hundred distinct values
+                card = row.get(f"{leaf.key}__card") or 0
+                distinct = row.get(f"{leaf.key}__distinct") or 0
+                return card <= 10_000 or distinct < 0.9 * card
 
-        sampleable = {
-            leaf.key: leaf for leaf in ctx.leaves
-            if isinstance(leaf.dtype, (T.StringType, T.BooleanType,
-                                       T.LongType, T.IntegerType))
-            and worth_sampling(leaf)
-        }
-        topk.update(_collect_topk(ctx, sampleable, cfg))
+            sampleable = {
+                leaf.key: leaf for leaf in ctx.leaves
+                if isinstance(leaf.dtype, (T.StringType, T.BooleanType,
+                                           T.LongType, T.IntegerType))
+                and worth_sampling(leaf)
+            }
+            # the top-k job and the phase-B candidate job only depend
+            # on phase A, not on each other: submit them as concurrent
+            # Spark jobs so their (small) stages overlap
+            fut = pool.submit(_collect_topk, ctx, sampleable, cfg)
+            row.update(_phase_b_row(ctx.df, ctx.leaves, row, cfg))
+            topk.update(fut.result())
+            rows[ctx.id] = row
 
     # classify every leaf
     leaf_nodes: Dict[Tuple[str, ...], Node] = {}
