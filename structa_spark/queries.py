@@ -954,3 +954,28 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5)
     return (similarity.cosine_topk_pandas(e, q, k=3)
             .orderBy("query_id", "rank"))
+
+
+@register("json_props_stats", oracle="""
+SELECT event_type,
+       count(props)                                   AS n_props,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: the JSON-string props field is parsed
+    with a sample-inferred schema (operators/semistructured.py) and
+    aggregated — the decode lives in the scan projection, one
+    hash-agg after it."""
+    from .operators.semistructured import parse_json_column
+    ev = parse_json_column(_t(spark, sf_dir, "events"), "props")
+    return (ev.groupBy("event_type")
+            .agg(F.count("props").alias("n_props"),
+                 F.sum(F.col("props.k")).alias("sum_k"),
+                 F.min(F.col("props.k")).alias("min_k"),
+                 F.max(F.col("props.k")).alias("max_k"))
+            .orderBy("event_type"))

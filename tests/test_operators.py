@@ -231,3 +231,16 @@ def test_cosine_topk_pandas_matches_expression(vectors):
     for key in e:
         assert e[key][0] == v[key][0]
         assert abs(e[key][1] - v[key][1]) < 1e-5
+
+
+def test_parse_json_column_profiles(spark):
+    from structa_spark import analyze
+    from structa_spark.operators.semistructured import parse_json_column
+    import json as _json
+    df = spark.createDataFrame(
+        [(i, _json.dumps({"a": i, "b": f"x{i}"})) for i in range(50)],
+        "id: long, payload: string")
+    parsed = parse_json_column(df, "payload")
+    assert parsed.schema["payload"].dataType.names == ["a", "b"]
+    p = analyze(parsed.select("payload"), exact=True)
+    assert "'a': int range=0..49" in p.render()
