@@ -283,3 +283,45 @@ def test_profile_to_dict(spark):
     assert fields["a"]["value"]["stats"]["max"] == 49
     assert fields["b"]["value"]["type"] == "strrepr"
     assert fields["b"]["value"]["of"]["type"] == "int"
+
+
+# -- robustness edges ------------------------------------------------------
+
+def test_zero_row_dataframe(spark):
+    df = spark.createDataFrame([], "a: long, b: string")
+    p = analyze(df, exact=True)
+    assert p.row_count == 0
+    from structa_spark.model import Empty
+    assert all(isinstance(f.value, Empty) for f in p.root.fields)
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([(i, None) for i in range(50)],
+                               "a: long, b: string")
+    p = analyze(df, exact=True)
+    fields = {f.key: f for f in p.root.fields}
+    assert isinstance(fields["a"].value, IntT)
+    assert isinstance(fields["b"].value, ValueAny)
+
+
+def test_all_empty_strings(spark):
+    df = spark.createDataFrame([("",) for _ in range(50)], "v: string")
+    node = leaf(analyze(df, exact=True))
+    assert isinstance(node, StrT)
+    assert node.lengths.max == 0
+
+
+def test_empty_arrays(spark):
+    df = spark.createDataFrame([([],) for _ in range(20)],
+                               "v: array<long>")
+    node = leaf(analyze(df, exact=True))
+    from structa_spark.model import Empty
+    assert isinstance(node, ListT)
+    assert isinstance(node.element, Empty)
+    assert node.lengths.max == 0
+
+
+def test_single_row(spark):
+    df = spark.createDataFrame([(1, "x")], "a: long, b: string")
+    p = analyze(df, exact=True)
+    assert p.row_count == 1
