@@ -510,6 +510,17 @@ class Profile:
         return {"row_count": self.row_count,
                 "root": node_to_dict(self.root)}
 
+    def save(self, path: str) -> None:
+        """Persist the full summary (lossless JSON) for reuse without
+        re-scanning — see structa_spark.serialize."""
+        from .serialize import save_profile
+        save_profile(self, path)
+
+    @staticmethod
+    def load(path: str) -> "Profile":
+        from .serialize import load_profile
+        return load_profile(path)
+
 
 def _phase_a_row(df: DataFrame, leaves: List[_Leaf],
                  length_leaves: List[_Leaf],

@@ -123,3 +123,28 @@ def test_size_metric():
     ))
     # record(1) + field(1)+int(1) + field(1)+list(1)+str(1) = 6
     assert rec.size == 6
+
+
+def test_profile_json_roundtrip(spark):
+    from structa_spark import analyze, Profile
+    from structa_spark.serialize import profile_from_json, profile_to_json
+    df = spark.createDataFrame(
+        [(i, str(i), f"2021-03-{(i % 28) + 1:02d}", f"id {i % 100:02d}",
+          [i, i + 1]) for i in range(200)],
+        "a: long, b: string, c: string, d: string, e: array<long>")
+    p = analyze(df, exact=True)
+    q = profile_from_json(profile_to_json(p))
+    assert q.row_count == p.row_count
+    assert q.root == p.root            # dataclass equality, full tree
+    assert q.render() == p.render()
+
+
+def test_profile_save_load(spark, tmp_path):
+    from structa_spark import analyze
+    from structa_spark.analyzer import Profile
+    df = spark.createDataFrame([(i,) for i in range(50)], "x: long")
+    p = analyze(df, exact=True)
+    f = tmp_path / "profile.json"
+    p.save(str(f))
+    q = Profile.load(str(f))
+    assert q.root == p.root
