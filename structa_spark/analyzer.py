@@ -482,8 +482,8 @@ class Profile:
         self.row_count = row_count
         self.config = cfg
 
-    def render(self) -> str:
-        return self.root.render()
+    def render(self, opts=None) -> str:
+        return self.root.render(opts)
 
     def __repr__(self) -> str:
         return f"Profile({self.render()})"

@@ -32,15 +32,30 @@ from .stats import LengthStats, Stats
 __all__ = [
     "Node", "Empty", "ValueAny", "BoolT", "IntT", "FloatT", "StrT",
     "URLT", "DateTimeT", "StrReprT", "NumReprT", "ListT", "TupleT",
-    "FieldT", "RecordT", "TableT", "merge",
+    "FieldT", "RecordT", "TableT", "RenderOptions", "merge",
 ]
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Display toggles (the reference CLI's --show-count/--show-lengths/
+    --show-samples/--str-limit, reference ui/cli.py:120-158). Defaults
+    reproduce the bare render."""
+
+    show_count: bool = False
+    show_lengths: bool = False
+    show_samples: bool = False
+    str_limit: Optional[int] = None
+
+
+_BARE = None  # set below once RenderOptions exists
 
 
 @dataclass(frozen=True)
 class Node:
     """Base of every summary node."""
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
         raise NotImplementedError
 
     @property
@@ -57,7 +72,7 @@ class Node:
 class Empty(Node):
     """No type information (empty containers); merge identity."""
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
         return "empty"
 
 
@@ -65,7 +80,7 @@ class Empty(Node):
 class ValueAny(Node):
     """Any type — irreducibly mixed values; merge top."""
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
         return "value"
 
 
@@ -75,9 +90,14 @@ class Scalar(Node):
 
     name = "scalar"
 
-    def render(self) -> str:
-        rng = self.stats.range_str()
-        return f"{self.name} {rng}".strip()
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        rng = self.stats.range_str(opts.str_limit)
+        out = f"{self.name} {rng}".strip()
+        if opts.show_samples and self.stats.sample:
+            vals = ", ".join(str(v) for v, _ in self.stats.sample[:3])
+            out += f" sample={vals}"
+        return out
 
 
 @dataclass(frozen=True)
@@ -106,17 +126,25 @@ class StrT(Scalar):
     lengths: LengthStats = field(default_factory=LengthStats)
     pattern: Optional[Tuple[CharClass, ...]] = None
 
-    def render(self) -> str:
-        rng = self.stats.range_str()
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        rng = self.stats.range_str(opts.str_limit)
         pat = f' pattern="{pattern_str(self.pattern)}"' if self.pattern else ""
-        return f"str {rng}{pat}".strip()
+        out = f"str {rng}{pat}".strip()
+        if opts.show_lengths and self.lengths.min is not None:
+            out += (f" len={self.lengths.min}" if self.lengths.fixed
+                    else f" len={self.lengths.min}..{self.lengths.max}")
+        if opts.show_samples and self.stats.sample:
+            vals = ", ".join(str(v) for v, _ in self.stats.sample[:3])
+            out += f" sample={vals}"
+        return out
 
 
 @dataclass(frozen=True)
 class URLT(StrT):
     name = "URL"
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
         return "URL"
 
 
@@ -132,8 +160,8 @@ class StrReprT(Node):
     inner: Node = field(default_factory=ValueAny)
     pattern: str = ""
 
-    def render(self) -> str:
-        return f'str of {self.inner.render()} pattern="{self.pattern}"'
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        return f'str of {self.inner.render(opts)} pattern="{self.pattern}"'
 
     @property
     def size(self) -> int:
@@ -151,9 +179,9 @@ class NumReprT(Node):
     epoch: str = "unix"          # unix | excel
     scale: float = 86400.0       # seconds per unit
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
         phys = "float" if self.pattern == "f" else "int"
-        return f"{phys} of {self.inner.render()}"
+        return f"{phys} of {self.inner.render(opts)}"
 
     @property
     def size(self) -> int:
@@ -171,8 +199,13 @@ class ListT(Node):
     element: Node = field(default_factory=Empty)
     lengths: LengthStats = field(default_factory=LengthStats)
 
-    def render(self) -> str:
-        return f"[ {self.element.render()} ]"
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        body = f"[ {self.element.render(opts)} ]"
+        if opts.show_lengths and self.lengths.min is not None:
+            body += (f" len={self.lengths.min}" if self.lengths.fixed
+                     else f" len={self.lengths.min}..{self.lengths.max}")
+        return body
 
     @property
     def size(self) -> int:
@@ -188,9 +221,11 @@ class FieldT(Node):
     count: int = 0
     optional: bool = False
 
-    def render(self) -> str:
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
         opt = "?" if self.optional else ""
-        return f"'{self.key}'{opt}: {self.value.render()}"
+        cnt = f" x{self.count}" if opts.show_count else ""
+        return f"'{self.key}'{opt}{cnt}: {self.value.render(opts)}"
 
     @property
     def size(self) -> int:
@@ -204,8 +239,8 @@ class RecordT(Node):
     fields: Tuple[FieldT, ...] = ()
     lengths: LengthStats = field(default_factory=LengthStats)
 
-    def render(self) -> str:
-        inner = ", ".join(f.render() for f in self.fields)
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        inner = ", ".join(f.render(opts) for f in self.fields)
         return "{ " + inner + " }"
 
     @property
@@ -221,8 +256,9 @@ class TableT(Node):
     value: Node = field(default_factory=ValueAny)
     lengths: LengthStats = field(default_factory=LengthStats)
 
-    def render(self) -> str:
-        return "{ " + self.key.render() + ": " + self.value.render() + " }"
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        return ("{ " + self.key.render(opts) + ": "
+                + self.value.render(opts) + " }")
 
     @property
     def size(self) -> int:
@@ -237,8 +273,8 @@ class TupleT(Node):
     fields: Tuple[FieldT, ...] = ()
     lengths: LengthStats = field(default_factory=LengthStats)
 
-    def render(self) -> str:
-        inner = ", ".join(f.value.render() for f in self.fields)
+    def render(self, opts: Optional[RenderOptions] = None) -> str:
+        inner = ", ".join(f.value.render(opts) for f in self.fields)
         return "( " + inner + " )"
 
     @property

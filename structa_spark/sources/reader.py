@@ -37,16 +37,25 @@ def open_source(spark: SparkSession, path: str, *,
                 encoding: str = "auto",
                 csv_delimiter: str = "auto",
                 csv_quotechar: str = "auto",
+                yaml_safe: bool = True,
+                json_strict: bool = True,
                 sample_limit: int = 1 << 20) -> DataFrame:
+    """Sniff + distributed read (same parameter surface as the
+    reference's Source, structa/source.py:22-83). ``json_strict=False``
+    tolerates unquoted control characters; ``yaml_safe=False`` is
+    refused — arbitrary-object YAML has no distributed-safe parse."""
     s = sniff_file(path, sample_limit)
     fmt = s.format if format == "auto" else format
     enc = s.encoding if encoding == "auto" else encoding
 
     if fmt == "ndjson":
-        df = spark.read.option("encoding", enc).json(path)
+        df = (spark.read.option("encoding", enc)
+              .option("allowUnquotedControlChars", not json_strict)
+              .json(path))
         return _fallback_if_corrupt(spark, df, path)
     if fmt == "json":
         df = (spark.read.option("multiLine", True)
+              .option("allowUnquotedControlChars", not json_strict)
               .option("encoding", enc).json(path))
         return _fallback_if_corrupt(spark, df, path)
     if fmt == "csv":
@@ -60,6 +69,9 @@ def open_source(spark: SparkSession, path: str, *,
                 .option("inferSchema", True)
                 .csv(path))
     if fmt == "yaml":
+        if not yaml_safe:
+            raise NotImplementedError(
+                "unsafe YAML (arbitrary objects) is not supported")
         return read_yaml(spark, path, encoding=enc)
     raise NotImplementedError(f"format {fmt!r} not supported")
 

@@ -112,22 +112,24 @@ class Stats:
             sample=sample,
         )
 
-    def range_str(self) -> str:
+    def range_str(self, str_limit=None) -> str:
         if self.min is None and self.max is None:
             return ""
         if self.min == self.max:
-            return f"value={_fmt(self.min)}"
-        return f"range={_fmt(self.min)}..{_fmt(self.max)}"
+            return f"value={_fmt(self.min, str_limit)}"
+        return (f"range={_fmt(self.min, str_limit)}"
+                f"..{_fmt(self.max, str_limit)}")
 
 
-def _fmt(v) -> str:
+def _fmt(v, str_limit=None) -> str:
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
     s = str(v)
-    if len(s) > 30:
-        s = s[:27] + "..."
+    limit = str_limit if str_limit is not None else 30
+    if len(s) > limit:
+        s = s[:max(limit - 3, 1)] + "..."
     return s
 
 

@@ -27,26 +27,49 @@ def get_parser() -> argparse.ArgumentParser:
                     "(Spark-distributed).")
     p.add_argument("files", nargs="+",
                    help="files to analyze; '-' reads stdin")
-    p.add_argument("--bad-threshold", type=params.num, default="1%",
+    p.add_argument("--version", action="version",
+                   version="structa-spark 0.1.0")
+    p.add_argument("-B", "--bad-threshold", type=params.num, default="1%",
                    help="tolerated conversion failures (default 1%%)")
-    p.add_argument("--empty-threshold", type=params.num, default="98%",
-                   help="tolerated blank strings (default 98%%)")
-    p.add_argument("--null-threshold", type=params.num, default="99%",
+    p.add_argument("-E", "--empty-threshold", type=params.num,
+                   default="99%",
+                   help="tolerated blank strings (default 99%%)")
+    p.add_argument("-N", "--null-threshold", type=params.num,
+                   default="99%",
                    help="tolerated nulls (default 99%%)")
-    p.add_argument("--field-threshold", type=int, default=20,
+    p.add_argument("-F", "--field-threshold", type=int, default=20,
                    help="record-vs-table distinct key gate (default 20)")
-    p.add_argument("--merge-threshold", type=params.num, default="50%",
+    p.add_argument("-M", "--merge-threshold", type=params.num,
+                   default="50%",
                    help="record-collapse similarity gate (default 50%%)")
     p.add_argument("--max-numeric-len", type=int, default=30,
                    help="longest string to try conversions on")
     p.add_argument("--sample-bytes", type=params.size, default="1m",
                    help="bytes sniffed for encoding/format detection")
-    p.add_argument("--encoding", default="auto")
-    p.add_argument("--format", default="auto",
+    p.add_argument("-e", "--encoding", default="auto")
+    p.add_argument("-f", "--format", default="auto",
                    choices=["auto", "json", "ndjson", "csv", "yaml",
                             "parquet"])
+    p.add_argument("--csv-format", default=None, metavar="FIELD[QUOTE]",
+                   help="CSV delimiter + optional quote char, e.g. ';' "
+                        "or ',\"' (overrides the sniffer)")
     p.add_argument("--csv-delimiter", default="auto")
     p.add_argument("--csv-quotechar", default="auto")
+    p.add_argument("--no-yaml-safe", action="store_false",
+                   dest="yaml_safe", help="(refused: unsafe YAML has "
+                   "no distributed-safe parse)")
+    p.add_argument("--no-json-strict", action="store_false",
+                   dest="json_strict",
+                   help="tolerate unquoted control chars in JSON")
+    # display toggles (reference ui/cli.py:120-158)
+    p.add_argument("--show-count", action="store_true",
+                   help="show per-field occurrence counts")
+    p.add_argument("--show-lengths", action="store_true",
+                   help="show string/container length ranges")
+    p.add_argument("--show-samples", action="store_true",
+                   help="show top-k frequency samples")
+    p.add_argument("--str-limit", type=int, default=20,
+                   help="truncate displayed strings to this length")
     p.add_argument("--timestamps", type=params.parse_epoch,
                    default="unix", metavar="EPOCH",
                    help="'unix', 'excel', or e.g. 'days since "
@@ -104,6 +127,11 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
             min_timestamp=cfg.min_timestamp,
             max_timestamp=cfg.max_timestamp,
         )
+        csv_delim, csv_quote = cfg.csv_delimiter, cfg.csv_quotechar
+        if cfg.csv_format:
+            csv_delim = cfg.csv_format[0]
+            if len(cfg.csv_format) > 1:
+                csv_quote = cfg.csv_format[1]
         paths, cleanup = [], []
         for f in cfg.files:
             if f == "-":
@@ -122,8 +150,10 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 df = open_sources(
                     spark, paths, format=cfg.format,
                     encoding=cfg.encoding,
-                    csv_delimiter=cfg.csv_delimiter,
-                    csv_quotechar=cfg.csv_quotechar,
+                    csv_delimiter=csv_delim,
+                    csv_quotechar=csv_quote,
+                    yaml_safe=cfg.yaml_safe,
+                    json_strict=cfg.json_strict,
                     sample_limit=cfg.sample_bytes)
             profile = analyze(df, acfg)
             root = profile.root
@@ -131,7 +161,7 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 root = merge_to_fixpoint(root, acfg)
             # a scalar-payload file was wrapped in a synthetic column;
             # render it the way the reference shows a list of values
-            from ..model import RecordT, node_to_dict
+            from ..model import RecordT, RenderOptions, node_to_dict
             from ..sources.reader import VALUE_COL
             wrapped = (isinstance(root, RecordT) and len(root.fields) == 1
                        and root.fields[0].key == VALUE_COL)
@@ -139,9 +169,14 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 import json as _json
                 node = root.fields[0].value if wrapped else root
                 return _json.dumps(node_to_dict(node), indent=2)
+            ropts = RenderOptions(
+                show_count=cfg.show_count,
+                show_lengths=cfg.show_lengths,
+                show_samples=cfg.show_samples,
+                str_limit=cfg.str_limit)
             if wrapped:
-                return f"[ {root.fields[0].value.render()} ]"
-            return root.render()
+                return f"[ {root.fields[0].value.render(ropts)} ]"
+            return root.render(ropts)
         finally:
             for t in cleanup:
                 os.unlink(t)

@@ -114,3 +114,24 @@ def test_cli_json_output(spark, tmp_path):
     tree = _json.loads(out)
     assert tree["fields"][0]["key"] == "id"
     assert tree["fields"][0]["value"]["type"] == "int"
+
+
+def test_cli_display_toggles(spark, tmp_path):
+    f = tmp_path / "t.json"
+    with f.open("w") as fh:
+        for i in range(30):
+            fh.write(json.dumps({"w": f"word{i % 3}"}) + "\n")
+    out = get_structure(get_config(
+        ["--show-count", "--show-lengths", "--show-samples", str(f)]),
+        spark=spark)
+    assert "'w' x30:" in out
+    assert "len=5" in out
+    assert "sample=word0, word1, word2" in out
+
+
+def test_cli_csv_format_override(spark, tmp_path):
+    f = tmp_path / "p.csv"
+    f.write_text("a|b\n1|x\n2|y\n3|z\n")
+    out = get_structure(get_config(["--csv-format", "|", str(f)]),
+                        spark=spark)
+    assert "'a': int range=1..3" in out
