@@ -623,7 +623,6 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
 
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}
-    patsets: Dict[str, list] = {}
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=1) as pool:
         for ctx in contexts:

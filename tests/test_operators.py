@@ -244,3 +244,22 @@ def test_parse_json_column_profiles(spark):
     assert parsed.schema["payload"].dataType.names == ["a", "b"]
     p = analyze(parsed.select("payload"), exact=True)
     assert "'a': int range=0..49" in p.render()
+
+
+def test_salted_agg_matches_plain(spark):
+    from structa_spark.functions.skew import salted_agg
+    # heavily skewed: one hot key with 10k rows, 9 cold keys
+    df = spark.range(11_000).select(
+        F.when(F.col("id") < 10_000, F.lit(0))
+        .otherwise((F.col("id") % 9) + 1).alias("k"),
+        (F.col("id") * 2).alias("v"))
+    got = {r.k: (r.n, r.total, r.lo, r.hi)
+           for r in salted_agg(
+               df, ["k"],
+               [("count", "v", "n"), ("sum", "v", "total"),
+                ("min", "v", "lo"), ("max", "v", "hi")]).collect()}
+    want = {r.k: (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.count("v").alias("n"), F.sum("v").alias("total"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert got == want
