@@ -120,7 +120,19 @@ def detect_csv_dialect(sample: bytes, encoding: str):
         def numeric_fields(ln):
             return sum(bool(re.fullmatch(r"[-+.\d eE]+", f))
                        for f in ln.split(best))
+
+        # signal 1: a non-numeric first row over a numeric body
         header = numeric_fields(lines[0]) < numeric_fields(lines[1])
+        # signal 2: stdlib column-wise type/length voting (normalized
+        # to comma-delimited — has_header re-sniffs the dialect itself
+        # and misses uncommon delimiters)
+        import csv as _csv
+        try:
+            norm = "\n".join(
+                ",".join(ln.split(best)) for ln in lines[:50])
+            header = header or _csv.Sniffer().has_header(norm)
+        except _csv.Error:
+            pass
     return best, quote, header
 
 
