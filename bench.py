@@ -47,15 +47,19 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, cosine_topk, q1_pricing_summary,
-        q3_top_orders, q5_nation_revenue, rollup_nation_year,
-        sessionize_events, token_stats_by_lang, top_orders_per_customer,
-        windowed_event_stats,
+        asof_purchase_click, cosine_topk, json_props_stats,
+        q1_pricing_summary, q3_top_orders, q5_nation_revenue,
+        rollup_nation_year, sessionize_events, token_stats_by_lang,
+        top_orders_per_customer, windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
     def bench_profile():
         p = analyze(load_table(spark, SF_DIR, "lineitem"))
+        return p.row_count
+
+    def bench_profile_docs():
+        p = analyze(load_table(spark, SF_DIR, "documents"))
         return p.row_count
 
     def bench_minhash():
@@ -76,6 +80,8 @@ def main():
 
     suite = {
         "profile_lineitem": bench_profile,
+        "profile_documents": bench_profile_docs,
+        "json_props": run_df(json_props_stats),
         "q1": run_df(q1_pricing_summary),
         "q3": run_df(q3_top_orders),
         "q5": run_df(q5_nation_revenue),
