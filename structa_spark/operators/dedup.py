@@ -319,6 +319,57 @@ def hamming_distance(a: Column, b: Column,
     return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
 
 
+def near_duplicate_groups(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", shingle_k: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_iter: int = 5,
+                          use_lsh: bool = True) -> DataFrame:
+    """End-to-end near-dup dedup decision: LSH candidates -> exact
+    Jaccard verification -> connected components -> (id, group_id)
+    with group_id = min doc id of the component.
+
+    Components are found by iterative min-label propagation over the
+    verified edge list: each round joins labels to edges and takes the
+    min neighbor label (two shuffles per round, both on the id key).
+    Near-dup clusters have tiny diameter, so ``max_iter`` rounds of
+    doubling reach the fixpoint in practice; singletons never enter
+    the join at all — only docs with at least one verified edge are
+    relabeled, so the work is proportional to the duplicate subset,
+    not the corpus."""
+    cand = (minhash_candidates(df, text_col, id_col, shingle_k)
+            if use_lsh else None)
+    edges = (jaccard_pairs(df, text_col, id_col, shingle_k,
+                           threshold=jaccard_threshold, candidates=cand)
+             .select("id_a", "id_b"))
+    # symmetric edge list; labels start as own id
+    sym = (edges.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+           .union(edges.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst"))))
+    labels = (sym.select("src").distinct()
+              .select(F.col("src").alias("id"),
+                      F.col("src").alias("label")))
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.dst == labels.id)
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.id == neighbor_min.src, "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        labels = new_labels
+    dup_groups = labels.select(F.col("id").alias(id_col),
+                               F.col("label").alias("group_id"))
+    # singletons keep their own id as group
+    return (df.select(id_col).join(dup_groups, id_col, "left")
+            .select(id_col,
+                    F.coalesce("group_id", F.col(id_col))
+                    .alias("group_id")))
+
+
 def simhash_df(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                bits: int = SIMHASH_BITS) -> DataFrame:

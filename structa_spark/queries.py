@@ -979,3 +979,46 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.col("props.k")).alias("min_k"),
                  F.max(F.col("props.k")).alias("max_k"))
             .orderBy("event_type"))
+
+
+@register("near_dup_groups", oracle=f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), walk(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
+), cc AS (
+  SELECT id, min(label) AS label FROM walk GROUP BY id
+)
+SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS group_id
+FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+LEFT JOIN cc ON cc.id = d.doc_id
+ORDER BY d.doc_id
+""")
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup decision: verified-Jaccard edges -> connected
+    components (min-label propagation) -> (doc, group). Exact edge
+    mode here so the recursive-CTE oracle sees the same graph; the
+    scale path (use_lsh=True) generates edges from LSH candidates."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (dedup.near_duplicate_groups(
+        d, jaccard_threshold=0.35, use_lsh=False)
+        .orderBy("doc_id"))

@@ -263,3 +263,30 @@ def test_salted_agg_matches_plain(spark):
                 F.count("v").alias("n"), F.sum("v").alias("total"),
                 F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
     assert got == want
+
+
+def test_near_duplicate_groups(spark):
+    from structa_spark.operators import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = []
+    # component {0,1,2}: chained near-dups; {5,6}: another pair;
+    # 3, 4: unrelated singletons
+    rows.append((0, base))
+    rows.append((1, base + " x"))
+    rows.append((2, base + " x y"))
+    rows.append((3, "completely different text about spark engines "
+                    "and distributed aggregation trees pipelines"))
+    rows.append((4, "unrelated words entirely: alpha beta gamma delta "
+                    "epsilon zeta eta theta iota kappa"))
+    rows.append((5, "some other shared document body with plenty of "
+                    "matching shingles in common order here"))
+    rows.append((6, "some other shared document body with plenty of "
+                    "matching shingles in common order there"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.group_id
+           for r in dedup.near_duplicate_groups(
+               df, jaccard_threshold=0.4).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == 5
+    assert got[3] == 3 and got[4] == 4
