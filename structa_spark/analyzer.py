@@ -168,37 +168,18 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 
 
 def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
+    """Codegen-able phase-A aggregates (count/sum/min/max family)."""
     c = F.expr(leaf.expr)
     k = leaf.key
     exprs = [
         F.count(c).alias(f"{k}__card"),
         F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{k}__nulls"),
     ]
-    if cfg.exact:
-        exprs.append(F.count_distinct(c).alias(f"{k}__distinct"))
-    else:
-        exprs.append(F.approx_count_distinct(c).alias(f"{k}__distinct"))
 
     dt = leaf.dtype
-    if isinstance(dt, T.BooleanType):
+    if isinstance(dt, (T.BooleanType, *_NUMERIC, T.TimestampType,
+                       T.TimestampNTZType, T.DateType)):
         exprs += [F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max")]
-    elif isinstance(dt, _NUMERIC):
-        q = (F.percentile(c, F.lit([0.25, 0.5, 0.75])) if cfg.exact
-             else F.percentile_approx(c, F.lit([0.25, 0.5, 0.75]),
-                                      F.lit(cfg.quantile_accuracy)))
-        exprs += [
-            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
-            q.alias(f"{k}__q"),
-        ]
-    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        cd = c.cast("timestamp").cast("double")
-        q = (F.percentile(cd, F.lit([0.25, 0.5, 0.75])) if cfg.exact
-             else F.percentile_approx(cd, F.lit([0.25, 0.5, 0.75]),
-                                      F.lit(cfg.quantile_accuracy)))
-        exprs += [
-            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
-            q.alias(f"{k}__q"),
-        ]
     elif isinstance(dt, T.StringType):
         ln = F.length(c)
         exprs += [
@@ -212,6 +193,33 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
         ln = F.length(c)
         exprs += [F.min(ln).alias(f"{k}__lmin"),
                   F.max(ln).alias(f"{k}__lmax")]
+    return exprs
+
+
+def _sketch_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
+    """Imperative (ObjectHashAggregate) phase-A aggregates: distinct
+    sketches and quartiles. Kept in their own job so the codegen-able
+    aggregates above stay inside whole-stage codegen — one
+    ImperativeAggregate in an agg forces the WHOLE aggregation into
+    interpreted ObjectHashAggregate."""
+    c = F.expr(leaf.expr)
+    k = leaf.key
+    if cfg.exact:
+        exprs = [F.count_distinct(c).alias(f"{k}__distinct")]
+    else:
+        exprs = [F.approx_count_distinct(c).alias(f"{k}__distinct")]
+
+    dt = leaf.dtype
+    qc = None
+    if isinstance(dt, _NUMERIC):
+        qc = c
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        qc = c.cast("timestamp").cast("double")
+    if qc is not None:
+        q = (F.percentile(qc, F.lit([0.25, 0.5, 0.75])) if cfg.exact
+             else F.percentile_approx(qc, F.lit([0.25, 0.5, 0.75]),
+                                      F.lit(cfg.quantile_accuracy)))
+        exprs.append(q.alias(f"{k}__q"))
     return exprs
 
 
@@ -525,13 +533,29 @@ class Profile:
 def _phase_a_row(df: DataFrame, leaves: List[_Leaf],
                  length_leaves: List[_Leaf],
                  cfg: AnalyzerConfig) -> Dict:
-    """Phase A: the cheap wide aggregation over one DataFrame."""
+    """Phase A: the wide aggregation over one DataFrame, split into a
+    whole-stage-codegen job (counts/min/max/lengths) and an
+    ObjectHashAggregate job (HLL distincts, GK quartiles), submitted
+    concurrently — together they cost the slower of the two, not the
+    sum, and the codegen half stays codegen'd."""
     exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
     for leaf in leaves:
         exprs.extend(_agg_exprs(leaf, cfg))
     for leaf in length_leaves:
         exprs.extend(_length_agg_exprs(leaf, cfg))
-    return df.agg(*exprs).collect()[0].asDict()
+    sketch_exprs: List[Column] = []
+    for leaf in leaves:
+        sketch_exprs.extend(_sketch_agg_exprs(leaf, cfg))
+
+    if not sketch_exprs:
+        return df.agg(*exprs).collect()[0].asDict()
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            lambda: df.agg(*sketch_exprs).collect()[0].asDict())
+        row = df.agg(*exprs).collect()[0].asDict()
+        row.update(fut.result())
+    return row
 
 
 def _phase_b_row(df: DataFrame, leaves: List[_Leaf], row: Dict,
