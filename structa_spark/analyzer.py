@@ -899,6 +899,11 @@ def _collapse_similar(rec: RecordT, cfg: AnalyzerConfig) -> Node:
     if not all(isinstance(v, (RecordT, TableT, ListT, TupleT))
                for v in vals):
         return rec
+    # only structurally equal containers collapse (reference
+    # analyzer.py:345-353): mixed kinds — e.g. a PyPI doc's 'info'
+    # record next to its version-keyed 'releases' table — stay a record
+    if len({type(v) for v in vals}) > 1:
+        return rec
     if all(isinstance(v, RecordT) for v in vals):
         for i in range(len(vals) - 1):
             if record_similarity(vals[i], vals[i + 1]) < cfg.merge_threshold:

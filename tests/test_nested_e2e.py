@@ -71,3 +71,33 @@ def test_astros_shape(spark, tmp_path):
     assert "'message': str" in out
     assert "'number': int" in out
     assert "'people': [ { 'craft': str" in out
+
+
+def test_pypi_multi_file_merge(spark, tmp_path):
+    # FIXTURES.md F11: N package JSONs analyzed as one source —
+    # hex-hash patterns, version-keyed tables, URLs, ISO timestamps
+    for p in range(5):
+        doc = {
+            "info": {
+                "name": f"package-{p}",
+                "home_page": f"https://example.org/p{p}",
+            },
+            "releases": {
+                f"1.{minor}.0": [{
+                    "md5_digest": f"{(p * 37 + minor) % 16:032x}",
+                    "upload_time": f"2022-0{(minor % 8) + 1}-01T10:00:00",
+                    "size": 1000 * (p + minor + 1),
+                } for _ in range(1)]
+                for minor in range(25)     # > field_threshold
+            },
+        }
+        (tmp_path / f"pkg{p}.json").write_text(json.dumps(doc))
+    files = [str(tmp_path / f"pkg{p}.json") for p in range(5)]
+    out = get_structure(get_config(files), spark=spark)
+    assert "'name': str" in out
+    assert "'home_page': URL" in out
+    # releases collapse to a table keyed by the version pattern
+    assert "'releases': { str" in out
+    assert "'md5_digest': str" in out
+    assert "'upload_time': str of datetime" in out
+    assert "'size': int" in out
