@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product in double — deterministic."""
@@ -58,8 +60,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qv__"))
-    joined = corpus.join(F.broadcast(q),
-                         F.col(id_col) != F.col(query_id_col))
+    joined = ensure_parallelism(corpus).join(
+        F.broadcast(q), F.col(id_col) != F.col(query_id_col))
     scored = joined.select(
         query_id_col, id_col,
         F.round(cosine(F.col(vec_col), F.col("__qv__")), 6)
@@ -122,7 +124,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             srp_signature(vec, dim, n_bits, table=t)
             for t in range(n_tables)])
 
-    sig_c = corpus.select(
+    sig_c = ensure_parallelism(corpus).select(
         "*", F.posexplode(sigs(F.col(vec_col))).alias("__tbl__", "__sig__"))
     sig_q = (queries.select(F.col(id_col).alias(query_id_col),
                             F.col(vec_col).alias("__qv__"))
@@ -247,7 +249,7 @@ def cosine_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "cosine": np.round(np.array(out_c), 6),
             })
 
-    cand = corpus.mapInPandas(
+    cand = ensure_parallelism(corpus).mapInPandas(
         score, schema=f"{query_id_col} long, {id_col} long, cosine double")
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col))
@@ -264,7 +266,7 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     default (near-dups almost always share the SRP bucket at high
     thresholds); exact quadratic join when ``use_lsh=False``."""
     if use_lsh:
-        s = df.withColumn("__sig__", srp_signature(
+        s = ensure_parallelism(df).withColumn("__sig__", srp_signature(
             F.col(vec_col), dim, n_bits=8))
         a, b = s.alias("a"), s.alias("b")
         cond = ((F.col("a.__sig__") == F.col("b.__sig__"))
