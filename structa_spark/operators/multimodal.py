@@ -17,7 +17,7 @@ image batches so a batch fits executor memory.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import pandas as pd
 

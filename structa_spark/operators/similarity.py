@@ -21,7 +21,7 @@ parameters, so signatures are reproducible across engines/rounds.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

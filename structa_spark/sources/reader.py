@@ -25,7 +25,7 @@ sources_list semantics (structa/types.py:674-679).
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import List
 
 from pyspark.sql import DataFrame, SparkSession
 
