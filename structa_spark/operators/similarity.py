@@ -108,6 +108,43 @@ def srp_signature(vec: Column, dim: int, n_bits: int = 16,
     return acc
 
 
+def srp_signatures_pandas(df: DataFrame, vec_col: str = "embedding",
+                          dim: int = 64, n_bits: int = 8,
+                          n_tables: int = 1,
+                          out_col: str = "__sigs__") -> DataFrame:
+    """All SRP table signatures at once as one Arrow-batched numpy
+    matmul (``V @ P.T``) — the vectorized twin of :func:`srp_signature`
+    for wide vectors / many tables, where the expression form costs
+    n_tables * n_bits * dim interpreted ops per row. Appends
+    ``out_col: array<bigint>`` (one signature per table), no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = [
+        np.array(_hyperplanes(dim, n_bits,
+                              seed=88172645463325252 + 7919 * t))
+        for t in range(n_tables)
+    ]
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.LongType()))])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sigs = [((v @ p.T) > 0) @ weights for p in planes]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                np.stack(sigs, axis=1).tolist(), index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_bits: int = 8, n_tables: int = 4,
@@ -266,8 +303,10 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     default (near-dups almost always share the SRP bucket at high
     thresholds); exact quadratic join when ``use_lsh=False``."""
     if use_lsh:
-        s = ensure_parallelism(df).withColumn("__sig__", srp_signature(
-            F.col(vec_col), dim, n_bits=8))
+        s = (srp_signatures_pandas(
+                ensure_parallelism(df), vec_col, dim, n_bits=8)
+             .withColumn("__sig__", F.element_at("__sigs__", 1))
+             .drop("__sigs__"))
         a, b = s.alias("a"), s.alias("b")
         cond = ((F.col("a.__sig__") == F.col("b.__sig__"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

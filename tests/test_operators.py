@@ -290,3 +290,19 @@ def test_near_duplicate_groups(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[5] == got[6] == 5
     assert got[3] == 3 and got[4] == 4
+
+
+def test_srp_signatures_pandas_matches_expression(vectors):
+    from structa_spark.operators import similarity
+    vec = similarity.srp_signatures_pandas(vectors, dim=16, n_tables=2)
+    got = {r["vec_id"]: tuple(r["__sigs__"]) for r in vec.collect()}
+    expr = vectors.select(
+        "vec_id",
+        similarity.srp_signature(F.col("embedding"), 16, 8, table=0)
+        .alias("s0"),
+        similarity.srp_signature(F.col("embedding"), 16, 8, table=1)
+        .alias("s1"))
+    want = {r.vec_id: (r.s0, r.s1) for r in expr.collect()}
+    # same hyperplanes, same signs — summation order can only differ
+    # at dots ~0, which the random fixture doesn't produce
+    assert got == want
