@@ -246,13 +246,35 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     Without ``candidates``: all-pairs via shingle co-occurrence
     (explode -> join on shingle -> count distinct shared shingles) —
-    the oracle path. With ``candidates`` (e.g. from
-    :func:`minhash_candidates`): verifies only those pairs — the scale
-    path.
+    the oracle path, quadratic in the worst case.
+
+    With ``candidates`` (e.g. from :func:`minhash_candidates`): the
+    candidate pair list is joined to the per-doc shingle *arrays*
+    (two id-keyed joins) and intersections are computed with
+    ``array_intersect`` per pair — the all-pairs co-occurrence join is
+    never built, so the verification cost is O(|candidates| x
+    shingles/doc), not O(co-occurring pairs). This is the scale path.
     """
     sh = df.select(F.col(id_col),
                    word_shingles(F.col(text_col), shingle_k)
                    .alias("shingles"))
+    if candidates is not None:
+        # verify only the candidate pairs: no co-occurrence self-join
+        sha = sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+        shb = sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (candidates.select("id_a", "id_b")
+                .join(sha, "id_a").join(shb, "id_b")
+                .withColumn("n_inter", inter_sz)
+                .withColumn(
+                    "jaccard",
+                    F.round(F.col("n_inter")
+                            / (F.size("sh_a") + F.size("sh_b")
+                               - F.col("n_inter")), 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -261,8 +283,6 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
              .agg(F.count("*").alias("n_inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"),
@@ -319,48 +339,88 @@ def hamming_distance(a: Column, b: Column,
     return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
 
 
-def near_duplicate_groups(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", shingle_k: int = 3,
-                          jaccard_threshold: float = 0.5,
-                          max_iter: int = 5,
-                          use_lsh: bool = True) -> DataFrame:
-    """End-to-end near-dup dedup decision: LSH candidates -> exact
-    Jaccard verification -> connected components -> (id, group_id)
-    with group_id = min doc id of the component.
+def connected_components(edges: DataFrame, id_col: str = "doc_id",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of an undirected (id_a, id_b) edge list as
+    (id, label) with label = min node id of the component.
 
-    Components are found by iterative min-label propagation over the
-    verified edge list: each round joins labels to edges and takes the
-    min neighbor label (two shuffles per round, both on the id key).
-    Near-dup clusters have tiny diameter, so ``max_iter`` rounds of
-    doubling reach the fixpoint in practice; singletons never enter
-    the join at all — only docs with at least one verified edge are
-    relabeled, so the work is proportional to the duplicate subset,
-    not the corpus."""
-    cand = (minhash_candidates(df, text_col, id_col, shingle_k)
-            if use_lsh else None)
-    edges = (jaccard_pairs(df, text_col, id_col, shingle_k,
-                           threshold=jaccard_threshold, candidates=cand)
-             .select("id_a", "id_b"))
-    # symmetric edge list; labels start as own id
+    Min-label propagation with **pointer doubling** run to an actual
+    fixpoint: each round takes (a) the min label over graph neighbors
+    and (b) the label *of* the current label (label(label(v))), which
+    doubles the distance a component-minimum travels per round — so a
+    diameter-D component converges in O(log2 D) rounds, not D. A
+    per-round changed-label count detects the fixpoint; ``max_iter``
+    (default 50 => diameter ~2^50) is only a runaway guard, and
+    non-convergence raises rather than returning silently split
+    groups. Lineage is truncated each round (localCheckpoint) so the
+    plan doesn't grow exponentially across iterations. Only nodes
+    that appear in an edge are processed.
+    """
     sym = (edges.select(F.col("id_a").alias("src"),
                         F.col("id_b").alias("dst"))
            .union(edges.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst"))))
     labels = (sym.select("src").distinct()
               .select(F.col("src").alias("id"),
-                      F.col("src").alias("label")))
+                      F.col("src").alias("label"))
+              .localCheckpoint())
+    sym = sym.localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.dst == labels.id)
                         .groupBy("src")
                         .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.id == neighbor_min.src, "left")
-                      .select(F.col("id"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nbr_label"),
-                                                 F.col("label")))
-                              .alias("label")))
-        labels = new_labels
+        stepped = (labels.join(neighbor_min,
+                               labels.id == neighbor_min.src, "left")
+                   .select(F.col("id"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nbr_label"),
+                                              F.col("label")))
+                           .alias("label")))
+        # pointer doubling: label <- min(label, label(label))
+        lbl2 = stepped.select(F.col("id").alias("lid"),
+                              F.col("label").alias("llabel"))
+        jumped = (stepped.join(lbl2, stepped.label == lbl2.lid, "left")
+                  .select(F.col("id"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("llabel"),
+                                             F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        changed = (jumped.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds — component diameter exceeds 2^{max_iter}?")
+    return labels
+
+
+def near_duplicate_groups(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", shingle_k: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_iter: int = 50,
+                          use_lsh: bool = True) -> DataFrame:
+    """End-to-end near-dup dedup decision: LSH candidates -> exact
+    Jaccard verification -> connected components -> (id, group_id)
+    with group_id = min doc id of the component.
+
+    Components come from :func:`connected_components` (pointer-doubled
+    min-label propagation, iterated to a checked fixpoint — chain-
+    shaped families of any diameter resolve to ONE group). Singletons
+    never enter the label loop: only docs with at least one verified
+    edge are relabeled, so the iterative work is proportional to the
+    duplicate subset, not the corpus."""
+    cand = (minhash_candidates(df, text_col, id_col, shingle_k)
+            if use_lsh else None)
+    edges = (jaccard_pairs(df, text_col, id_col, shingle_k,
+                           threshold=jaccard_threshold, candidates=cand)
+             .select("id_a", "id_b"))
+    labels = connected_components(edges, id_col, max_iter)
     dup_groups = labels.select(F.col("id").alias(id_col),
                                F.col("label").alias("group_id"))
     # singletons keep their own id as group
@@ -399,19 +459,38 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance.
+                            max_hamming: int = 3,
+                            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, with FULL recall.
 
-    Buckets on the high 16 bits (one rotation) to keep the self-join
-    sub-quadratic; at scale use ceil(bits/(max_hamming+1)) rotations
-    (pigeonhole guarantee) — each is the same cheap join."""
-    s = simhash_df(df, text_col, id_col)
-    s = s.withColumn("bucket", F.shiftright(F.col("sh"), 16))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    Pigeonhole bucketing: the ``bits``-wide signature is split into
+    ``max_hamming + 1`` contiguous blocks; two signatures within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    blocks, so they agree exactly on at least one block. Each doc is
+    exploded into one (block_idx, block_val) bucket row per block and
+    the self-join runs on that key — ONE shuffle covering all blocks
+    (same shape as MinHash banding), sub-quadratic as long as no
+    single block value is degenerate. Candidates are verified with
+    the exact popcount and deduped across blocks."""
+    n_blocks = max_hamming + 1
+    block_size = -(-bits // n_blocks)  # ceil
+    s = simhash_df(df, text_col, id_col, bits)
+    mask = (1 << block_size) - 1
+    blocks = F.array(*[
+        F.struct(F.lit(j).alias("blk"),
+                 F.shiftrightunsigned(F.col("sh"), j * block_size)
+                 .bitwiseAND(F.lit(mask)).alias("blk_val"))
+        for j in range(n_blocks)])
+    bucketed = (s.select(F.col(id_col), F.col("sh"),
+                         F.explode(blocks).alias("b"))
+                .select(id_col, "sh", "b.blk", "b.blk_val"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.blk_val") == F.col("b.blk_val"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     hamming_distance(F.col("a.sh"), F.col("b.sh"))
                     .alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -292,6 +292,79 @@ def test_near_duplicate_groups(spark):
     assert got[3] == 3 and got[4] == 4
 
 
+def test_connected_components_long_chain(spark):
+    # chain 0-1-2-...-29: diameter 29 — a fixed small iteration count
+    # would split it; pointer-doubled fixpoint must yield ONE group
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a: long, id_b: long")
+    got = {r.id for r in dedup.connected_components(edges)
+           .where(F.col("label") == 0).collect()}
+    assert got == set(range(30))
+
+
+def test_connected_components_forest(spark):
+    # two chains + one triangle; labels must be per-component minima
+    edges = ([(i, i + 1) for i in range(0, 9)]           # 0..9
+             + [(i, i + 1) for i in range(20, 27)]       # 20..27
+             + [(40, 41), (41, 42), (40, 42)])           # triangle
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.id: r.label for r in dedup.connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 20 for i in range(20, 28))
+    assert all(got[i] == 40 for i in (40, 41, 42))
+
+
+def test_near_dup_groups_chain_diameter_over_five(spark):
+    # 25 docs, each a 40-word sliding window over unique words: with
+    # jaccard_threshold=0.88 only offsets <=2 connect, so the chain's
+    # component diameter is ~12 — the regression case for the old
+    # fixed max_iter=5 propagation
+    words = [f"w{i:03d}" for i in range(70)]
+    rows = [(i, " ".join(words[i:i + 40])) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.group_id
+           for r in dedup.near_duplicate_groups(
+               df, jaccard_threshold=0.88, use_lsh=False).collect()}
+    assert set(got.values()) == {0}, got
+
+
+def test_jaccard_candidate_path_matches_allpairs(docs):
+    cands = dedup.minhash_candidates(docs)
+    verified = {(r.id_a, r.id_b): r.jaccard
+                for r in dedup.jaccard_pairs(
+                    docs, threshold=0.1, candidates=cands).collect()}
+    allp = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, threshold=0.1).collect()}
+    cand_set = {(r.id_a, r.id_b) for r in cands.collect()}
+    # candidate path must agree exactly with the oracle path on every
+    # candidate pair (same rounding, same values)
+    assert verified == {p: j for p, j in allp.items() if p in cand_set}
+
+
+def test_simhash_near_duplicates_full_recall(spark):
+    # every pair within max_hamming MUST be found (pigeonhole blocks)
+    import random
+    rnd = random.Random(11)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(30))))
+    # planted near-identical variants of doc 0 (tiny hamming distances)
+    base = rows[0][1]
+    for j in range(5):
+        rows.append((100 + j, base + f" extra{j}"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sigs = {r.doc_id: r.sh for r in dedup.simhash_df(df).collect()}
+    want = {(a, b)
+            for a in sigs for b in sigs if a < b
+            and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r.id_a, r.id_b)
+           for r in dedup.simhash_near_duplicates(
+               df, max_hamming=3).collect()}
+    assert want, "fixture must contain at least one close pair"
+    assert got == want
+
+
 def test_srp_signatures_pandas_matches_expression(vectors):
     from structa_spark.operators import similarity
     vec = similarity.srp_signatures_pandas(vectors, dim=16, n_tables=2)
