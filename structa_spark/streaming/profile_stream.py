@@ -49,8 +49,10 @@ def profile_stream(sdf: DataFrame,
             F.count(col).alias("cnt"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("nulls"),
             F.approx_count_distinct(col).alias("approx_distinct"),
-            F.min(col.cast("string")).alias("min_v"),
-            F.max(col.cast("string")).alias("max_v"),
+            # aggregate on the NATIVE type (numeric min of 9 vs 100 is
+            # 9, not the lexicographic "100"); stringify only after
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
         ).alias(f"s_{c}"))
     agg = sdf.agg(*parts)
     cols = F.array(*[F.col(f"s_{c}") for c in columns])

@@ -72,6 +72,24 @@ def test_profile_stream(spark, tmp_path, event_rows):
     assert set(stats) == {"ts", "user_id", "event_type", "value"}
 
 
+def test_profile_stream_numeric_minmax_not_lexicographic(
+        spark, tmp_path):
+    # 9 vs 100: lexicographic string min/max would report min="100",
+    # max="9"; native-typed aggregation must report 9.0 / 100.0
+    rows = [("2024-01-01 00:00:00", 9, "click", 9.0),
+            ("2024-01-01 01:00:00", 100, "click", 100.0)]
+    _write_events(tmp_path / "ev3", rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "ev3"))
+    _run_stream(profile_stream(sdf), "ps_minmax", "complete")
+    stats = {r.column_name: r
+             for r in spark.sql("SELECT * FROM ps_minmax").collect()}
+    assert stats["value"].min_v == "9.0"
+    assert stats["value"].max_v == "100.0"
+    assert stats["user_id"].min_v == "9"
+    assert stats["user_id"].max_v == "100"
+
+
 def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     # user 7: two events 5 min apart, then a 2-hour gap -> the first
     # session closes when the third event arrives in the same batch
