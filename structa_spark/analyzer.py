@@ -408,11 +408,19 @@ def _maybe_numeric_timestamp(node: Node, cfg: AnalyzerConfig) -> Node:
         return node
     if min_ts <= lo_dt and hi_dt <= max_ts:
         pat = "d" if isinstance(node, IntT) else "f"
+
+        def conv(v):
+            return (base + _dt.timedelta(seconds=float(v) * scale)
+                    if v is not None else None)
+
         inner = DateTimeT(stats=Stats(
             card=node.stats.card, distinct=node.stats.distinct,
-            min=lo_dt, max=hi_dt, unique=node.stats.unique))
+            min=lo_dt, max=hi_dt, unique=node.stats.unique,
+            q1=conv(node.stats.q1), q2=conv(node.stats.q2),
+            q3=conv(node.stats.q3)))
         return NumReprT(inner=inner, pattern=pat,
-                        epoch=cfg.epoch, scale=scale)
+                        epoch=cfg.epoch, scale=scale,
+                        epoch_offset=(base - _UNIX).total_seconds())
     return node
 
 

@@ -176,8 +176,12 @@ class NumReprT(Node):
 
     inner: Node = field(default_factory=ValueAny)
     pattern: str = "f"           # 'd' int-encoded, 'f' float-encoded
-    epoch: str = "unix"          # unix | excel
+    epoch: str = "unix"          # unix | excel | custom
     scale: float = 86400.0       # seconds per unit
+    # seconds from the Unix epoch to this repr's base (0 for unix,
+    # -2209161600 for excel, arbitrary for --timestamps custom bases);
+    # carried so the compiled cast chain decodes against the RIGHT base
+    epoch_offset: float = 0.0
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         phys = "float" if self.pattern == "f" else "int"
@@ -347,12 +351,14 @@ def merge(a: Node, b: Node) -> Node:
         return merge(b, a)
 
     if isinstance(a, NumReprT) and isinstance(b, NumReprT):
-        if (a.epoch, a.scale) == (b.epoch, b.scale):
+        if ((a.epoch, a.scale, a.epoch_offset)
+                == (b.epoch, b.scale, b.epoch_offset)):
             inner = merge(a.inner, b.inner)
             if not isinstance(inner, ValueAny):
                 pat = "f" if "f" in (a.pattern, b.pattern) else a.pattern
                 return NumReprT(inner=inner, pattern=pat,
-                                epoch=a.epoch, scale=a.scale)
+                                epoch=a.epoch, scale=a.scale,
+                                epoch_offset=a.epoch_offset)
     if isinstance(a, NumReprT) and type(b) in _NUMERIC_RANK:
         return merge(_denote(a), b)
     if type(a) in _NUMERIC_RANK and isinstance(b, NumReprT):

@@ -107,10 +107,11 @@ def cast_expr(node: Node, col: Column) -> Column:
         return cast_expr(node.inner, inner) if isinstance(
             node.inner, (StrReprT, NumReprT)) else inner
     if isinstance(node, NumReprT):
-        secs = col.try_cast("double") * F.lit(node.scale)
-        if node.epoch == "excel":
-            # excel serial day 0 = 1899-12-30
-            secs = secs - F.lit(2209161600.0)
+        # value * scale is seconds since the repr's base; epoch_offset
+        # shifts to Unix (0 for unix, -2209161600 for excel serial day
+        # 0 = 1899-12-30, arbitrary for --timestamps custom bases)
+        secs = (col.try_cast("double") * F.lit(node.scale)
+                + F.lit(node.epoch_offset))
         return F.timestamp_seconds(secs)
     return col
 

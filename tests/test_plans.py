@@ -64,6 +64,43 @@ def test_cast_expr_datetime(spark):
     assert (got.year, got.month, got.hour) == (2021, 6, 12)
 
 
+@pytest.mark.parametrize("epoch,scale,offset,value,expect_date", [
+    # unix seconds
+    ("unix", 1.0, 0.0, 1623760200.0, (2021, 6, 15)),
+    # excel serial days (base 1899-12-30)
+    ("excel", 86400.0, -2209161600.0, 44362.0, (2021, 6, 15)),
+    # custom: days since 2000-01-01 (base offset 946684800s)
+    ("custom", 86400.0, 946684800.0, 7836.0, (2021, 6, 15)),
+])
+def test_cast_expr_numeric_epochs(spark, epoch, scale, offset, value,
+                                  expect_date):
+    from structa_spark.model import NumReprT
+    node = NumReprT(inner=DateTimeT(), pattern="f", epoch=epoch,
+                    scale=scale, epoch_offset=offset)
+    got = (spark.range(1)
+           .select(cast_expr(node, F.lit(value)).alias("v"))
+           .collect()[0].v)
+    assert (got.year, got.month, got.day) == expect_date
+
+
+def test_analyze_custom_epoch_roundtrip(spark):
+    # end-to-end: --timestamps 'days since 2000-01-01' style config
+    # must decode through apply_casts against the CUSTOM base
+    import datetime as dt
+    from structa_spark import analyze
+    from structa_spark.model import NumReprT
+    base = dt.datetime(2000, 1, 1)
+    days = [7836.0 + i for i in range(40)]     # mid-2021
+    df = spark.createDataFrame([(d,) for d in days], "d: double")
+    prof = analyze(df, exact=True, epoch="custom", epoch_base=base,
+                   scale=86400.0)
+    node = {str(f.key): f.value for f in prof.root.fields}["d"]
+    assert isinstance(node, NumReprT)
+    assert node.epoch_offset == 946684800.0
+    out = apply_casts(df, prof.root).collect()
+    assert out[0].d == dt.datetime(2021, 6, 15)
+
+
 def test_apply_casts_passthrough(spark):
     root = RecordT(fields=(
         FieldT(key="n", value=StrReprT(inner=IntT(), pattern="d")),
