@@ -29,25 +29,43 @@ class Sniff:
     csv_header: Optional[bool] = None
 
 
+# BOM-consuming codec names: 'utf-16'/'utf-32' detect byte order from
+# the BOM *and strip it* on decode; the -le/-be names would leave a
+# U+FEFF at the start of the text, corrupting header detection and
+# the first column name. UTF-32 BOMs are checked first (the UTF-32-LE
+# BOM starts with the UTF-16-LE one).
 _BOMS = [
-    (codecs.BOM_UTF32_LE, "utf-32-le"), (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF32_LE, "utf-32"), (codecs.BOM_UTF32_BE, "utf-32"),
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"), (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF16_LE, "utf-16"), (codecs.BOM_UTF16_BE, "utf-16"),
 ]
 
 
 def detect_encoding(sample: bytes):
-    """BOM check, then UTF-8 strict decode, else latin-1 fallback
-    (reference warns below 0.9 confidence; we mirror with a 0.5
-    confidence on the latin-1 guess)."""
+    """BOM check, then UTF-8 strict decode, then a NUL-distribution
+    check for BOM-less UTF-16, else latin-1 fallback (reference warns
+    below 0.9 chardet confidence; the low-confidence guesses here
+    carry the same contract)."""
     for bom, name in _BOMS:
         if sample.startswith(bom):
             return name, 1.0
+    # BOM-less UTF-16 of mostly-ASCII text: NULs concentrated on one
+    # side of each 16-bit unit. Checked BEFORE the UTF-8 attempt —
+    # NUL bytes are valid UTF-8, but real text never contains them.
+    if len(sample) >= 4:
+        even = sum(1 for b in sample[0::2] if b == 0)
+        odd = sum(1 for b in sample[1::2] if b == 0)
+        half = max(len(sample) // 2, 1)
+        if odd / half > 0.6 and even / half < 0.05:
+            return "utf-16-le", 0.8
+        if even / half > 0.6 and odd / half < 0.05:
+            return "utf-16-be", 0.8
     try:
         sample.decode("utf-8")
         return "utf-8", 0.99 if any(b > 0x7F for b in sample) else 1.0
     except UnicodeDecodeError:
-        return "latin-1", 0.5
+        pass
+    return "latin-1", 0.5
 
 
 def _score_yaml_csv(text: str):

@@ -27,12 +27,34 @@ def test_encoding_latin1_fallback():
     assert enc == "latin-1" and conf < 0.9
 
 
-def test_encoding_boms():
-    assert detect_encoding(codecs.BOM_UTF8 + b"x")[0] == "utf-8-sig"
-    assert detect_encoding(
-        codecs.BOM_UTF16_LE + "x".encode("utf-16-le"))[0] == "utf-16-le"
-    assert detect_encoding(
-        codecs.BOM_UTF32_BE + "x".encode("utf-32-be"))[0] == "utf-32-be"
+def test_encoding_boms_decode_without_feff():
+    # the detected codec must CONSUME the BOM: decoding the sample
+    # with it may not leave a U+FEFF on the first character (that
+    # would corrupt header detection / the first CSV column name)
+    cases = [
+        (codecs.BOM_UTF8 + "col_a,col_b\n1,2\n".encode("utf-8"),
+         "utf-8-sig"),
+        ("col_a,col_b\n1,2\n".encode("utf-16"), "utf-16"),
+        (codecs.BOM_UTF16_BE + "col_a,col_b\n".encode("utf-16-be"),
+         "utf-16"),
+        (codecs.BOM_UTF32_LE + "col_a,col_b\n".encode("utf-32-le"),
+         "utf-32"),
+        (codecs.BOM_UTF32_BE + "col_a,col_b\n".encode("utf-32-be"),
+         "utf-32"),
+    ]
+    for raw, want in cases:
+        enc, conf = detect_encoding(raw)
+        assert enc == want and conf == 1.0
+        assert raw.decode(enc).startswith("col_a"), (want, raw[:8])
+
+
+def test_encoding_bomless_utf16():
+    raw = "name,value\nalpha,1\nbeta,2\n".encode("utf-16-le")
+    enc, conf = detect_encoding(raw)
+    assert enc == "utf-16-le" and conf == 0.8
+    raw_be = "name,value\nalpha,1\nbeta,2\n".encode("utf-16-be")
+    enc, conf = detect_encoding(raw_be)
+    assert enc == "utf-16-be" and conf == 0.8
 
 
 # -- format ----------------------------------------------------------------
