@@ -458,6 +458,56 @@ def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
     return out
 
 
+def _collect_string_quartiles(
+        ctx: _Context, string_keys: Dict[str, _Leaf],
+        cfg: AnalyzerConfig) -> Dict[str, Tuple[str, str, str]]:
+    """Lexicographic q1/q2/q3 for string leaves — the reference
+    computes quartiles for ANY sortable type by a sorted-distinct
+    cumulative walk (reference: structa/types.py:182-207); this is
+    that walk as ONE distributed job for all string leaves of a
+    context: unpivot -> groupBy(leaf, value).count() -> per-leaf
+    cumulative count over the value ordering -> first value whose
+    preceding-cumulative reaches each quartile index (remainder
+    falls back to max, exactly the reference's tail rule).
+
+    Scale shape: the shuffle carries one row per DISTINCT (leaf,
+    value) — the same cardinality the reference's per-column Counter
+    holds in driver RAM, but distributed and combiner-compressed. The
+    cumulative window partitions by leaf, so one extremely-high-
+    cardinality column serializes into one task; exact mode is the
+    oracle path — sketch mode skips string quartiles (numeric ones
+    use the mergeable GK sketch instead)."""
+    if not string_keys or not cfg.exact:
+        return {}
+    from pyspark.sql.window import Window
+
+    pairs = [
+        F.struct(F.lit(key).alias("k"),
+                 F.expr(leaf.expr).cast("string").alias("v"))
+        for key, leaf in string_keys.items()
+    ]
+    unp = (ctx.df.select(F.explode(F.array(*pairs)).alias("p"))
+           .select("p.k", "p.v").where(F.col("v").isNotNull()))
+    counted = unp.groupBy("k", "v").agg(F.count("*").alias("n"))
+    w_ord = (Window.partitionBy("k").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy("k")
+    cum = counted.select(
+        "k", "v",
+        F.coalesce(F.sum("n").over(w_ord), F.lit(0)).alias("before"),
+        F.sum("n").over(w_all).alias("total"))
+    # reference index rule: idx_k = (k*card)//4; quartile = first
+    # value with before >= idx_k, else max
+    agg = cum.groupBy("k").agg(*[
+        F.coalesce(
+            F.min(F.when(F.col("before")
+                         >= F.floor(F.col("total") * i / 4), F.col("v"))),
+            F.max("v")).alias(f"q{i}")
+        for i in (1, 2, 3)
+    ])
+    return {r["k"]: (r["q1"], r["q2"], r["q3"]) for r in agg.collect()}
+
+
 def _collect_patterns(ctx: _Context, fixed_leaves: Dict[str, _Leaf],
                       cfg: AnalyzerConfig) -> Dict[str, list]:
     """ONE job: per-position char sets of fixed-width string leaves
@@ -655,6 +705,7 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
 
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}
+    str_q: Dict[str, Tuple[str, str, str]] = {}
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=1) as pool:
         for ctx in contexts:
@@ -681,6 +732,12 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             # on phase A, not on each other: submit them as concurrent
             # Spark jobs so their (small) stages overlap
             fut = pool.submit(_collect_topk, ctx, sampleable, cfg)
+            string_leaves = {
+                leaf.key: leaf for leaf in ctx.leaves
+                if isinstance(leaf.dtype, T.StringType)
+            }
+            str_q.update(_collect_string_quartiles(ctx, string_leaves,
+                                                   cfg))
             row.update(_phase_b_row(ctx.df, ctx.leaves, row, cfg))
             topk.update(fut.result())
             rows[ctx.id] = row
@@ -696,6 +753,13 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             if leaf.key in topk and isinstance(node, (StrT, BoolT, IntT)):
                 node = replace(node, stats=replace(
                     node.stats, sample=tuple(topk[leaf.key])))
+            # lexicographic quartiles apply only when the leaf stayed a
+            # plain string (reprs carry converted-domain stats instead)
+            if (leaf.key in str_q and isinstance(node, StrT)
+                    and node.stats.q1 is None):
+                q1, q2, q3 = str_q[leaf.key]
+                node = replace(node, stats=replace(
+                    node.stats, q1=q1, q2=q2, q3=q3))
             leaf_nodes[leaf.path] = node
             leaf_by_path[leaf.path] = leaf
         for leaf in ctx.length_leaves:

@@ -318,6 +318,108 @@ def profile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("column_name"))
 
 
+@register("datetime_parse_formats", oracle="""
+WITH f AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:%M') AS s_min,
+         strftime(ts, '%Y-%m-%dT%H:%M') AS s_tmin,
+         strftime(ts, '%a, %d %b %Y %H:%M:%S') AS s_rfc,
+         strftime(ts, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS s_rfcz
+  FROM events
+), p AS (
+  SELECT strptime(s_min, '%Y-%m-%d %H:%M') AS t1,
+         strptime(s_tmin, '%Y-%m-%dT%H:%M') AS t2,
+         strptime(s_rfc, '%a, %d %b %Y %H:%M:%S') AS t3,
+         strptime(s_rfcz, '%a, %d %b %Y %H:%M:%S GMT') AS t4
+  FROM f
+)
+SELECT count(t1) AS n_minute,
+       strftime(min(t1), '%Y-%m-%d %H:%M:%S') AS min_minute,
+       strftime(max(t1), '%Y-%m-%d %H:%M:%S') AS max_minute,
+       count(t3) AS n_rfc1123,
+       strftime(min(t3), '%Y-%m-%d %H:%M:%S') AS min_rfc1123,
+       strftime(max(t3), '%Y-%m-%d %H:%M:%S') AS max_rfc1123,
+       CAST(sum(CASE WHEN t1 = t2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS eq_minute_t,
+       CAST(sum(CASE WHEN t3 = t4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS eq_rfc_tz
+FROM p
+""")
+def datetime_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the formats the reference's datetime ladder added in
+    analyzer.py:64-82 (minute precision, RFC-1123 with/without tz
+    name) through the engine's parse expressions: format events.ts
+    into each shape, re-parse with conversions.datetime_cast, check
+    counts, min/max and cross-format equality."""
+    from . import conversions as C
+    ev = _t(spark, sf_dir, "events")
+    s_min = F.date_format("ts", "yyyy-MM-dd HH:mm")
+    s_tmin = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
+    s_rfc = F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss")
+    s_rfcz = F.concat(s_rfc, F.lit(" GMT"))
+    p = ev.select(
+        C.datetime_cast("%Y-%m-%d %H:%M", s_min).alias("t1"),
+        C.datetime_cast("%Y-%m-%dT%H:%M", s_tmin).alias("t2"),
+        C.datetime_cast("%a, %d %b %Y %H:%M:%S", s_rfc).alias("t3"),
+        C.datetime_cast("%a, %d %b %Y %H:%M:%S %Z", s_rfcz).alias("t4"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return p.agg(
+        F.count("t1").alias("n_minute"),
+        F.date_format(F.min("t1"), fmt).alias("min_minute"),
+        F.date_format(F.max("t1"), fmt).alias("max_minute"),
+        F.count("t3").alias("n_rfc1123"),
+        F.date_format(F.min("t3"), fmt).alias("min_rfc1123"),
+        F.date_format(F.max("t3"), fmt).alias("max_rfc1123"),
+        F.sum(F.when(F.col("t1") == F.col("t2"), 1).otherwise(0))
+        .alias("eq_minute_t"),
+        F.sum(F.when(F.col("t3") == F.col("t4"), 1).otherwise(0))
+        .alias("eq_rfc_tz"))
+
+
+_STRQ_COLS = [("lineitem", "l_returnflag"), ("customer", "c_mktsegment"),
+              ("part", "p_type"), ("events", "event_type"),
+              ("documents", "lang"), ("documents", "source")]
+
+
+@register("profile_quartiles_strings", oracle="\nUNION ALL\n".join(f"""
+SELECT '{t}.{c}' AS column_name, q1, q2, q3 FROM (
+  WITH counts AS (
+    SELECT {c} AS v, count(*) AS n FROM {t}
+    WHERE {c} IS NOT NULL GROUP BY {c}
+  ), cum AS (
+    SELECT v,
+      coalesce(sum(n) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+      sum(n) OVER () AS total
+    FROM counts
+  )
+  SELECT coalesce(min(v) FILTER (WHERE before >= total // 4),
+                  max(v)) AS q1,
+         coalesce(min(v) FILTER (WHERE before >= total // 2),
+                  max(v)) AS q2,
+         coalesce(min(v) FILTER (WHERE before >= (3 * total) // 4),
+                  max(v)) AS q3
+  FROM cum)""" for t, c in _STRQ_COLS) + "\nORDER BY column_name")
+def profile_quartiles_strings(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Lexicographic string quartiles through the REAL analyzer path
+    (analyze -> StrT.stats.q1-q3): the reference computes quartiles
+    for any sortable type by a sorted-distinct cumulative walk
+    (reference types.py:182-207); the oracle SQL expresses the same
+    walk (first value whose preceding cumulative count reaches
+    (k*card)//4, tail falls back to max)."""
+    from .analyzer import analyze
+    rows = []
+    for t, c in _STRQ_COLS:
+        df = _t(spark, sf_dir, t).select(c)
+        prof = analyze(df, exact=True)
+        node = {str(f.key): f.value for f in prof.root.fields}[c]
+        rows.append((f"{t}.{c}", node.stats.q1, node.stats.q2,
+                     node.stats.q3))
+    return (spark.createDataFrame(
+        rows, "column_name: string, q1: string, q2: string, q3: string")
+        .orderBy("column_name"))
+
+
 @register("profile_freq_topk", oracle="""
 WITH u AS (
   SELECT 'l_returnflag' AS column_name, l_returnflag AS value FROM lineitem

@@ -118,6 +118,62 @@ def test_datetime_strings(spark):
     assert isinstance(node.inner, DateTimeT)
 
 
+@pytest.mark.parametrize("fmt", [
+    "%Y-%m-%d %H:%M", "%Y-%m-%dT%H:%M",            # minute precision
+    "%Y-%m-%d %H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%d %H:%M%z", "%Y-%m-%dT%H:%M%z",
+    "%a, %d %b %Y %H:%M:%S", "%a, %d %b %Y %H:%M:%S %Z",  # RFC-1123
+])
+def test_datetime_format_parity(spark, fmt):
+    # reference analyzer.py:64-82 format set: every pattern must be
+    # DETECTED (StrReprT with that pattern) and DECODE to the right
+    # instants through the compiled cast chain
+    import datetime as dt
+    base = dt.datetime(2023, 5, 1, 8, 30, 0, 250000,
+                       tzinfo=dt.timezone.utc)
+    vals = [(base + dt.timedelta(hours=i)).strftime(fmt)
+            for i in range(120)]
+    # .%f%z values are 31+ chars — over the reference's own 30-char
+    # conversion gate (reference analyzer.py:658), so raise it the
+    # same way a reference user would
+    node = leaf(analyze(df_of(spark, vals), exact=True,
+                        max_numeric_len=40))
+    assert isinstance(node, StrReprT), (fmt, node)
+    assert node.pattern == fmt
+    assert isinstance(node.inner, DateTimeT)
+    # decode through plans.cast_expr (one spot check)
+    from structa_spark.plans import cast_expr
+    got = (df_of(spark, vals[:1])
+           .select(cast_expr(node, F.col("v")).alias("ts"))
+           .collect()[0].ts)
+    assert got is not None
+    assert (got.hour, got.minute) == (8, 30)
+
+
+def test_string_quartiles_reference_walk(spark):
+    # reference types.py:182-207: sorted-distinct cumulative walk;
+    # quartile k = first value whose preceding-cumulative >= (k*card)//4,
+    # remainder falls back to max
+    def quartiles(vals):
+        node = leaf(analyze(df_of(spark, vals), exact=True))
+        return (node.stats.q1, node.stats.q2, node.stats.q3)
+
+    # skewed head: [red x4, blue] -> walk gives q1=q2=q3=red
+    assert quartiles(["red"] * 4 + ["blue"]) == ("red", "red", "red")
+    # skewed tail: [red, blue x4] -> all red as well
+    assert quartiles(["red"] + ["blue"] * 4) == ("red", "red", "red")
+    # uniform 8 -> idx (2,4,6)
+    assert quartiles(list(
+        ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"])) \
+        == ("cat", "elk", "gnu")
+
+
+def test_string_quartiles_skipped_in_sketch_mode(spark):
+    node = leaf(analyze(df_of(spark, ["red", "blue", "green"] * 10),
+                        exact=False))
+    assert node.stats.q1 is None
+
+
 def test_url_detection(spark):
     vals = [f"https://example.com/p/{i}" for i in range(50)] \
         + [f"http://other.org/{i}" for i in range(50)]
