@@ -119,11 +119,17 @@ _FLOAT_CANDIDATE = _regex_candidate(
 _D2 = r"\d{2}"
 _D4 = r"\d{4}"
 _TZ = r"(Z|[+-]\d{2}:?\d{2})"
+_DOW = r"(Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+_MON = r"(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
 _DT_FORMATS = [
     ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss",
      rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}$", True, 19, 19),
     ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss",
      rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}$", True, 19, 19),
+    ("%Y-%m-%d %H:%M", "yyyy-MM-dd HH:mm",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}$", True, 16, 16),
+    ("%Y-%m-%dT%H:%M", "yyyy-MM-dd'T'HH:mm",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}$", True, 16, 16),
     ("%Y-%m-%d %H:%M:%S.%f", "yyyy-MM-dd HH:mm:ss.SSSSSS",
      rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}\.\d{{6}}$", True, 26, 26),
     ("%Y-%m-%dT%H:%M:%S.%f", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
@@ -131,27 +137,69 @@ _DT_FORMATS = [
     ("%Y-%m-%d", "yyyy-MM-dd", rf"^{_D4}-{_D2}-{_D2}$", True, 10, 10),
     ("%Y%m%d", "yyyyMMdd", rf"^{_D4}{_D2}{_D2}$", True, 8, 8),
     ("%H:%M:%S", "HH:mm:ss", rf"^{_D2}:{_D2}:{_D2}$", True, 8, 8),
+    ("%Y-%m-%d %H:%M:%S.%f%z", "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}\.\d{{6}}{_TZ}$",
+     False, 27, 32),
+    ("%Y-%m-%dT%H:%M:%S.%f%z", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}\.\d{{6}}{_TZ}$",
+     False, 27, 32),
     ("%Y-%m-%d %H:%M:%S%z", "yyyy-MM-dd HH:mm:ssXXX",
      rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}:{_D2}{_TZ}$", False, 20, 25),
     ("%Y-%m-%dT%H:%M:%S%z", "yyyy-MM-dd'T'HH:mm:ssXXX",
      rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}:{_D2}{_TZ}$", False, 20, 25),
+    ("%Y-%m-%d %H:%M%z", "yyyy-MM-dd HH:mmXXX",
+     rf"^{_D4}-{_D2}-{_D2} {_D2}:{_D2}{_TZ}$", False, 17, 22),
+    ("%Y-%m-%dT%H:%M%z", "yyyy-MM-dd'T'HH:mmXXX",
+     rf"^{_D4}-{_D2}-{_D2}T{_D2}:{_D2}{_TZ}$", False, 17, 22),
+    # RFC-1123: day-of-week text ('EEE') is unparseable in Spark >= 3.0
+    # datetime patterns, so java_fmt is None and parsing strips the
+    # weekday (and a GMT/UTC name) by regex first — see datetime_cast.
+    # (reference analyzer.py:64-82 includes both variants)
+    ("%a, %d %b %Y %H:%M:%S", None,
+     rf"^{_DOW}, {_D2} {_MON} {_D4} {_D2}:{_D2}:{_D2}$", True, 25, 25),
+    ("%a, %d %b %Y %H:%M:%S %Z", None,
+     rf"^{_DOW}, {_D2} {_MON} {_D4} {_D2}:{_D2}:{_D2} (GMT|UTC)$",
+     True, 29, 29),
     ("%d/%m/%Y", "dd/MM/yyyy", rf"^{_D2}/{_D2}/{_D4}$", False, 10, 10),
     ("%m/%d/%Y", "MM/dd/yyyy", rf"^{_D2}/{_D2}/{_D4}$", False, 10, 10),
     ("%Y/%m/%d", "yyyy/MM/dd", rf"^{_D4}/{_D2}/{_D2}$", False, 10, 10),
-    # NOTE: day-of-week text ('EEE, dd MMM yyyy...') is unparseable in
-    # Spark >= 3.0 datetime patterns; RFC-1123 detection is out of scope.
 ]
+
+_RFC1123_JAVA = "dd MMM yyyy HH:mm:ss"
+
+
+def datetime_cast(disp: str, col: Column) -> Column:
+    """The Spark parse expression for one display pattern — the single
+    place (shared by the candidate ladder and plans.cast_expr) that
+    knows how each structa-style pattern maps onto Spark parsing,
+    including the RFC-1123 rewrite."""
+    row = next((t for t in _DT_FORMATS if t[0] == disp), None)
+    if row is None:
+        return F.try_to_timestamp(col)
+    _, java_fmt, rx, *_ = row
+    if java_fmt is None:                      # RFC-1123 family
+        clean = F.regexp_replace(
+            F.regexp_replace(col, rf"^{_DOW}, ", ""),
+            r" (GMT|UTC)$", "")
+        parsed = F.try_to_timestamp(clean, F.lit(_RFC1123_JAVA))
+    elif disp.endswith("%z"):
+        # strptime %z accepts +HHMM *and* +HH:MM; Java XXX only the
+        # colon form — normalize the offset before parsing
+        clean = F.regexp_replace(col, r"([+-]\d{2})(\d{2})$", "$1:$2")
+        parsed = F.try_to_timestamp(clean, F.lit(java_fmt))
+    else:
+        parsed = F.try_to_timestamp(col, F.lit(java_fmt))
+    return F.when(col.rlike(rx), parsed)
 
 
 def _dt_candidates() -> List[Candidate]:
     out = []
-    for i, (disp, java_fmt, rx, fixed, lmin, lmax) in enumerate(_DT_FORMATS):
-        def ok(c, f=java_fmt, r=rx):
-            return F.when(c.rlike(r),
-                          F.try_to_timestamp(c, F.lit(f))).isNotNull()
+    for i, (disp, _java, _rx, fixed, lmin, lmax) in enumerate(_DT_FORMATS):
+        def ok(c, d=disp):
+            return datetime_cast(d, c).isNotNull()
 
-        def cast(c, f=java_fmt, r=rx):
-            return F.when(c.rlike(r), F.try_to_timestamp(c, F.lit(f)))
+        def cast(c, d=disp):
+            return datetime_cast(d, c)
 
         out.append(Candidate(
             name=f"dt_{i}", pattern=disp, kind="datetime",

@@ -100,10 +100,8 @@ def cast_expr(node: Node, col: Column) -> Column:
             true_w = p.split("|", 1)[1]
             inner = (F.lower(col) == true_w)
         else:
-            from ..conversions import _DT_FORMATS
-            java = next((j for d, j, *_ in _DT_FORMATS if d == p), None)
-            inner = (F.try_to_timestamp(col, F.lit(java)) if java
-                     else F.try_to_timestamp(col))
+            from ..conversions import datetime_cast
+            inner = datetime_cast(p, col)
         return cast_expr(node.inner, inner) if isinstance(
             node.inner, (StrReprT, NumReprT)) else inner
     if isinstance(node, NumReprT):
