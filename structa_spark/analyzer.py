@@ -429,13 +429,18 @@ def _maybe_numeric_timestamp(node: Node, cfg: AnalyzerConfig) -> Node:
 # ---------------------------------------------------------------------------
 
 def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
-                  cfg: AnalyzerConfig) -> Dict[str, List[Tuple[str, int]]]:
+                  cfg: AnalyzerConfig
+                  ) -> Tuple[Dict[str, List[Tuple[str, int]]],
+                             Dict[str, List[Tuple[str, int]]]]:
     """ONE job for all leaves of a context: unpivot to (name, value),
-    group, windowed top-k by count. Scale note: the shuffle key is
-    (leaf, value) — the same cardinality structa's per-column Counter
-    would see, but distributed and combiner-compressed map-side."""
+    group, windowed top-k AND bottom-k by count (the reference's
+    sample display shows the 3 most and 3 least frequent values,
+    types.py:142-163 — both ranks come out of the same shuffle).
+    Scale note: the shuffle key is (leaf, value) — the same
+    cardinality structa's per-column Counter would see, but
+    distributed and combiner-compressed map-side."""
     if not string_keys or not cfg.collect_samples:
-        return {}
+        return {}, {}
     from pyspark.sql.window import Window
 
     pairs = []
@@ -447,15 +452,26 @@ def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
            .select("p.k", "p.v")
            .where(F.col("v").isNotNull()))
     counted = unp.groupBy("k", "v").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("k").orderBy(F.desc("n"), F.asc("v"))
-    top = (counted.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") <= cfg.top_k).drop("rn"))
+    w_top = Window.partitionBy("k").orderBy(F.desc("n"), F.asc("v"))
+    w_bot = Window.partitionBy("k").orderBy(F.asc("n"), F.desc("v"))
+    ranked = (counted
+              .withColumn("rt", F.row_number().over(w_top))
+              .withColumn("rb", F.row_number().over(w_bot))
+              .where((F.col("rt") <= cfg.top_k)
+                     | (F.col("rb") <= cfg.top_k)))
     out: Dict[str, List[Tuple[str, int]]] = {}
-    for r in top.collect():
-        out.setdefault(r["k"], []).append((r["v"], r["n"]))
+    bot: Dict[str, List[Tuple[str, int]]] = {}
+    for r in ranked.collect():
+        if r["rt"] <= cfg.top_k:
+            out.setdefault(r["k"], []).append((r["v"], r["n"]))
+        if r["rb"] <= cfg.top_k:
+            bot.setdefault(r["k"], []).append((r["v"], r["n"]))
     for v in out.values():
         v.sort(key=lambda t: (-t[1], t[0]))
-    return out
+    for v in bot.values():
+        # most-common order, like the tail of Counter.most_common()
+        v.sort(key=lambda t: (-t[1], t[0]))
+    return out, bot
 
 
 def _collect_string_quartiles(
@@ -705,6 +721,7 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
 
     rows: Dict[int, Dict] = {}
     topk: Dict[str, List[Tuple[str, int]]] = {}
+    botk: Dict[str, List[Tuple[str, int]]] = {}
     str_q: Dict[str, Tuple[str, str, str]] = {}
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -739,7 +756,9 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             str_q.update(_collect_string_quartiles(ctx, string_leaves,
                                                    cfg))
             row.update(_phase_b_row(ctx.df, ctx.leaves, row, cfg))
-            topk.update(fut.result())
+            t, b = fut.result()
+            topk.update(t)
+            botk.update(b)
             rows[ctx.id] = row
 
     # classify every leaf
@@ -752,7 +771,8 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             node = _classify_leaf(leaf, row, cfg, row["__rows__"])
             if leaf.key in topk and isinstance(node, (StrT, BoolT, IntT)):
                 node = replace(node, stats=replace(
-                    node.stats, sample=tuple(topk[leaf.key])))
+                    node.stats, sample=tuple(topk[leaf.key]),
+                    bottom=tuple(botk.get(leaf.key, ()))))
             # lexicographic quartiles apply only when the leaf stayed a
             # plain string (reprs carry converted-domain stats instead)
             if (leaf.key in str_q and isinstance(node, StrT)

@@ -45,6 +45,7 @@ class RenderOptions:
     show_count: bool = False
     show_lengths: bool = False
     show_samples: bool = False
+    show_graph: bool = False
     str_limit: Optional[int] = None
 
 
@@ -84,6 +85,36 @@ class ValueAny(Node):
         return "value"
 
 
+def _sample_str(stats: Stats) -> str:
+    """Reference sample display (types.py:142-163): with more than 6
+    distinct sampled values, the 3 most frequent, an ellipsis, and the
+    3 least frequent; otherwise everything."""
+    top = list(stats.sample)
+    bot = list(stats.bottom)
+    n_vals = (stats.distinct if stats.distinct is not None
+              else len(top) + len(bot))
+    if n_vals > 6 and bot:
+        head = ", ".join(str(v) for v, _ in top[:3])
+        tail = ", ".join(str(v) for v, _ in bot[-3:])
+        return f"{head} .. {tail}"
+    seen, vals = set(), []
+    for v, _ in top + bot:
+        if v not in seen:
+            seen.add(v)
+            vals.append(str(v))
+    return ", ".join(vals[:6])
+
+
+def _decorate(out: str, stats: Stats, opts: "RenderOptions") -> str:
+    if opts.show_graph:
+        g = stats.quartile_graph()
+        if g:
+            out += f" graph={g}"
+    if opts.show_samples and stats.sample:
+        out += f" sample={_sample_str(stats)}"
+    return out
+
+
 @dataclass(frozen=True)
 class Scalar(Node):
     stats: Stats = field(default_factory=Stats.empty)
@@ -94,10 +125,7 @@ class Scalar(Node):
         opts = opts or RenderOptions()
         rng = self.stats.range_str(opts.str_limit)
         out = f"{self.name} {rng}".strip()
-        if opts.show_samples and self.stats.sample:
-            vals = ", ".join(str(v) for v, _ in self.stats.sample[:3])
-            out += f" sample={vals}"
-        return out
+        return _decorate(out, self.stats, opts)
 
 
 @dataclass(frozen=True)
@@ -134,10 +162,7 @@ class StrT(Scalar):
         if opts.show_lengths and self.lengths.min is not None:
             out += (f" len={self.lengths.min}" if self.lengths.fixed
                     else f" len={self.lengths.min}..{self.lengths.max}")
-        if opts.show_samples and self.stats.sample:
-            vals = ", ".join(str(v) for v, _ in self.stats.sample[:3])
-            out += f" sample={vals}"
-        return out
+        return _decorate(out, self.stats, opts)
 
 
 @dataclass(frozen=True)

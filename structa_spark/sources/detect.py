@@ -19,6 +19,11 @@ from typing import Optional
 SAMPLE_LIMIT = 1 << 20
 
 
+class ValidationWarning(UserWarning):
+    """Low confidence in a detection verdict (the reference warns the
+    same way below 0.9 chardet confidence, structa/source.py:137-145)."""
+
+
 @dataclass
 class Sniff:
     encoding: str
@@ -65,7 +70,25 @@ def detect_encoding(sample: bytes):
         return "utf-8", 0.99 if any(b > 0x7F for b in sample) else 1.0
     except UnicodeDecodeError:
         pass
-    return "latin-1", 0.5
+    # iso-8859-1 (not the 'latin-1' alias): the name is valid for BOTH
+    # Python codecs and Spark reader charsets
+    return "iso-8859-1", 0.5
+
+
+#: Python codec name -> charset name Spark's readers accept (Spark
+#: rejects e.g. 'utf-8-sig'; its UTF-8 readers already strip a BOM)
+_SPARK_CHARSETS = {
+    "utf-8-sig": "UTF-8",
+    "utf-16": "UTF-16",
+    "utf-16-le": "UTF-16LE",
+    "utf-16-be": "UTF-16BE",
+    "utf-32": "UTF-32",
+    "iso-8859-1": "ISO-8859-1",
+}
+
+
+def spark_charset(enc: str) -> str:
+    return _SPARK_CHARSETS.get(enc.lower(), enc)
 
 
 def _score_yaml_csv(text: str):

@@ -25,11 +25,12 @@ sources_list semantics (structa/types.py:674-679).
 from __future__ import annotations
 
 import json
+import warnings
 from typing import List
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .detect import Sniff, sniff_file
+from .detect import Sniff, ValidationWarning, sniff_file, spark_charset
 
 
 def open_source(spark: SparkSession, path: str, *,
@@ -47,6 +48,11 @@ def open_source(spark: SparkSession, path: str, *,
     s = sniff_file(path, sample_limit)
     fmt = s.format if format == "auto" else format
     enc = s.encoding if encoding == "auto" else encoding
+    if encoding == "auto" and s.confidence < 0.9:
+        warnings.warn(ValidationWarning(
+            f"Low confidence ({s.confidence}) in detected character "
+            f"set {s.encoding!r} for {path}"))
+    enc = spark_charset(enc)
 
     if fmt == "ndjson":
         df = (spark.read.option("encoding", enc)

@@ -31,6 +31,10 @@ class Stats:
     unique: bool = False           # every value occurs exactly once
     # [(value, count), ...] most-frequent-first; tiny display sample
     sample: Tuple = ()
+    # [(value, count), ...] the LEAST-frequent tail in most-common
+    # order (the reference displays top-3 ... bottom-3 of the sample,
+    # types.py:142-163)
+    bottom: Tuple = ()
 
     @classmethod
     def empty(cls) -> "Stats":
@@ -93,6 +97,12 @@ class Stats:
         sample = tuple(
             sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
         )
+        merged_b = {}
+        for v, c in tuple(self.bottom) + tuple(other.bottom):
+            merged_b[v] = merged_b.get(v, 0) + c
+        bottom = tuple(
+            sorted(merged_b.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        )
         distinct = None
         if self.distinct is not None and other.distinct is not None:
             # upper bound; true merge uses HLL sketches at scale
@@ -110,6 +120,7 @@ class Stats:
                 set(dict(self.sample)) & set(dict(other.sample))
             ),
             sample=sample,
+            bottom=bottom,
         )
 
     def range_str(self, str_limit=None) -> str:
@@ -119,6 +130,25 @@ class Stats:
             return f"value={_fmt(self.min, str_limit)}"
         return (f"range={_fmt(self.min, str_limit)}"
                 f"..{_fmt(self.max, str_limit)}")
+
+    def quartile_graph(self) -> str:
+        """The reference's 10-character positional chart (reference:
+        structa/types.py:106-140): '.' fill, digits 1/2/3 mark where
+        q1/q2/q3 sit between min and max (later digits overwrite
+        earlier on collision). Empty for non-subtractable types
+        (strings) or zero range."""
+        if self.q1 is None or self.min is None or self.max is None:
+            return ""
+        try:
+            delta = self.max - self.min
+        except TypeError:
+            return ""
+        if not delta:
+            return ""
+        chars = ["."] * 10
+        for n, q in enumerate((self.q1, self.q2, self.q3), start=1):
+            chars[int(9 * ((q - self.min) / delta))] = str(n)
+        return "".join(chars)
 
 
 def _fmt(v, str_limit=None) -> str:

@@ -67,7 +67,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--show-lengths", action="store_true",
                    help="show string/container length ranges")
     p.add_argument("--show-samples", action="store_true",
-                   help="show top-k frequency samples")
+                   help="show most/least-frequent value samples")
+    p.add_argument("--show-graph", action="store_true",
+                   help="show the 10-char quartile position graph")
     p.add_argument("--str-limit", type=int, default=20,
                    help="truncate displayed strings to this length")
     p.add_argument("--timestamps", type=params.parse_epoch,
@@ -173,6 +175,7 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 show_count=cfg.show_count,
                 show_lengths=cfg.show_lengths,
                 show_samples=cfg.show_samples,
+                show_graph=cfg.show_graph,
                 str_limit=cfg.str_limit)
             if wrapped:
                 return f"[ {root.fields[0].value.render(ropts)} ]"

@@ -129,6 +129,37 @@ def test_cli_display_toggles(spark, tmp_path):
     assert "sample=word0, word1, word2" in out
 
 
+def test_cli_graph_and_topbottom_samples(spark, tmp_path):
+    # >6 distinct values -> sample shows top-3 .. bottom-3 (reference
+    # types.py:142-163); --show-graph adds the 10-char quartile chart
+    f = tmp_path / "g.json"
+    with f.open("w") as fh:
+        for i in range(100):
+            fh.write(json.dumps({
+                "n": i,
+                # zipf-ish: w0 dominates, w7/w8/w9 are rare
+                "w": f"w{min(i % 25, 9)}",
+            }) + "\n")
+    out = get_structure(get_config(
+        ["--show-samples", "--show-graph", "--exact", str(f)]),
+        spark=spark)
+    # uniform ints 0..99: exact q1/q2/q3 = 24.75/49.5/74.25 ->
+    # graph positions int(9*q/99) = 2/4/6
+    assert "graph=..1.2.3..." in out
+    assert " .. " in out                  # top .. bottom separator
+    assert "w9" in out                    # a least-frequent value shown
+
+
+def test_cli_low_confidence_encoding_warns(spark, tmp_path):
+    from structa_spark.sources.detect import ValidationWarning
+    f = tmp_path / "l1.csv"
+    f.write_bytes("name,city\nrené,genève\nzoë,zürich\n"
+                  .encode("latin-1"))
+    with pytest.warns(ValidationWarning, match="Low confidence"):
+        out = get_structure(get_config([str(f)]), spark=spark)
+    assert "'name'" in out
+
+
 def test_cli_csv_format_override(spark, tmp_path):
     f = tmp_path / "p.csv"
     f.write_text("a|b\n1|x\n2|y\n3|z\n")

@@ -24,7 +24,7 @@ def test_encoding_utf8():
 
 def test_encoding_latin1_fallback():
     enc, conf = detect_encoding("héllo\n".encode("latin-1"))
-    assert enc == "latin-1" and conf < 0.9
+    assert enc == "iso-8859-1" and conf < 0.9
 
 
 def test_encoding_boms_decode_without_feff():

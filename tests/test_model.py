@@ -148,3 +148,33 @@ def test_profile_save_load(spark, tmp_path):
     p.save(str(f))
     q = Profile.load(str(f))
     assert q.root == p.root
+
+
+def test_quartile_graph():
+    # numeric: digits at int(9*(q-min)/delta) over a '.' fill
+    s = Stats(card=100, min=0, max=99, q1=24.75, q2=49.5, q3=74.25)
+    assert s.quartile_graph() == "..1.2.3..."
+    # collisions: later quartile digits overwrite earlier
+    s2 = Stats(card=10, min=0, max=9, q1=5, q2=5, q3=5)
+    assert s2.quartile_graph() == ".....3...."
+    # strings aren't subtractable -> no graph (reference types.py:108)
+    s3 = Stats(card=5, min="a", max="z", q1="c", q2="m", q3="t")
+    assert s3.quartile_graph() == ""
+    # zero range -> no graph
+    s4 = Stats(card=5, min=7, max=7, q1=7, q2=7, q3=7)
+    assert s4.quartile_graph() == ""
+    # timestamps subtract to timedeltas and divide to floats
+    import datetime as dt
+    t0 = dt.datetime(2021, 1, 1)
+    s5 = Stats(card=10, min=t0, max=t0 + dt.timedelta(days=9),
+               q1=t0 + dt.timedelta(days=2),
+               q2=t0 + dt.timedelta(days=5),
+               q3=t0 + dt.timedelta(days=7))
+    assert s5.quartile_graph() == "..1..2.3.."
+
+
+def test_stats_merge_keeps_bottom():
+    a = Stats(card=10, sample=(("x", 5),), bottom=(("r", 1),))
+    b = Stats(card=10, sample=(("x", 4),), bottom=(("r", 2), ("q", 1)))
+    m = a + b
+    assert dict(m.bottom) == {"r": 3, "q": 1}
