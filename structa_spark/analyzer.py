@@ -73,6 +73,12 @@ class AnalyzerConfig:
     max_pattern_len: int = 64       # induce patterns up to this width
     exact: bool = False             # exact quartiles/distincts (oracle mode)
     quantile_accuracy: int = 1000   # percentile_approx accuracy (~1/err)
+    # HLL++ relative standard deviation for approx_count_distinct in
+    # sketch mode. Tight (0.5%) because the uniqueness flag is derived
+    # from it: a loose default-rsd (5%) sketch can't distinguish
+    # "unique" from "2% duplicated" at all. ~32 KB of registers per
+    # column sketch — still negligible against executor memory.
+    distinct_rsd: float = 0.005
     top_k: int = 3                  # frequency sample size
     collect_samples: bool = True    # run the top-k frequency job
     induce_patterns: bool = True    # run the char-pattern job
@@ -207,7 +213,8 @@ def _sketch_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     if cfg.exact:
         exprs = [F.count_distinct(c).alias(f"{k}__distinct")]
     else:
-        exprs = [F.approx_count_distinct(c).alias(f"{k}__distinct")]
+        exprs = [F.approx_count_distinct(c, cfg.distinct_rsd)
+                 .alias(f"{k}__distinct")]
 
     dt = leaf.dtype
     qc = None
@@ -281,11 +288,16 @@ def _classify_leaf(leaf: _Leaf, row: Dict, cfg: AnalyzerConfig,
         return Empty()
 
     distinct = row.get(f"{k}__distinct")
+    # sketch mode: the HLL estimate of a truly-unique column lies
+    # within 3*rsd of card with ~99.9% probability, so flag unique at
+    # estimate >= (1 - 3*rsd)*card; a column more than ~6*rsd
+    # duplicated cannot cross that bar. (exact mode compares equality)
     stats = Stats(
         card=card, distinct=distinct,
         min=row.get(f"{k}__min"), max=row.get(f"{k}__max"),
         unique=bool(distinct == card) if cfg.exact else
-        bool(distinct and distinct >= 0.99 * card),
+        bool(distinct
+             and distinct >= (1.0 - 3 * cfg.distinct_rsd) * card),
     )
     q = row.get(f"{k}__q")
     if q is not None:

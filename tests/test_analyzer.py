@@ -381,3 +381,15 @@ def test_single_row(spark):
     df = spark.createDataFrame([(1, "x")], "a: long, b: string")
     p = analyze(df, exact=True)
     assert p.row_count == 1
+
+
+def test_uniqueness_flag_exact_sketch_agree(spark):
+    # clearly-unique and clearly-repeated columns must agree across
+    # exact and sketch modes (the sketch bound is 3*rsd of HLL error)
+    uniq = [f"user-{i:06d}" for i in range(5000)]
+    rep = [f"tag-{i % 40}" for i in range(5000)]
+    near = [f"id-{i if i % 10 else 0:06d}" for i in range(5000)]  # 10% dup
+    for vals, want in ((uniq, True), (rep, False), (near, False)):
+        for exact in (True, False):
+            node = leaf(analyze(df_of(spark, vals), exact=exact))
+            assert node.stats.unique is want, (vals[0], exact, want)
