@@ -52,6 +52,103 @@ class DecodeUnavailable(NotImplementedError):
     """Raised by the real-decode path: codec libraries not present."""
 
 
+# ---------------------------------------------------------------------------
+# real header parsing — no codec libraries needed
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload):
+    """(format, width, height) from raw image bytes — a REAL decoder
+    for the metadata layer: PNG IHDR (bytes 16-24 of the signature
+    chunk), JPEG SOFn segment walk (height/width live 5 bytes into
+    the first start-of-frame marker), GIF logical screen descriptor.
+    Pure byte-slicing, so it runs fine inside Arrow batches with no
+    codec libraries; full pixel decode stays behind DecodeUnavailable.
+    Returns (None, None, None) for unknown/truncated payloads."""
+    if payload is None or len(payload) < 10:
+        return (None, None, None)
+    p = bytes(payload)
+    if p[:8] == _PNG_SIG and p[12:16] == b"IHDR" and len(p) >= 24:
+        return ("png", int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"))
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2          # standalone markers have no length
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+            if marker in _SOF_MARKERS and i + 9 <= len(p):
+                return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
+                        int.from_bytes(p[i + 5:i + 7], "big"))
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"))
+    return (None, None, None)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """A minimal structurally-valid PNG prefix (signature + IHDR with
+    correct CRC) — enough for any header reader; no pixel data."""
+    import struct
+    import zlib
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    return (_PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", crc))
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """A minimal JPEG prefix: SOI, APP0/JFIF, SOF0 carrying the
+    dimensions, EOI — exercises the marker walk incl. segment skip."""
+    import struct
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def image_metadata(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """(media_id, format, width, height) parsed FROM THE BYTES with
+    :func:`parse_image_header` over Arrow batches — metadata is
+    produced, not assumed. Payloads stay executor-side; only the
+    4-column metadata comes out of the stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [parse_image_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "format": [m[0] for m in meta],
+                "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                "height": pd.array([m[2] for m in meta], dtype="Int32"),
+            })
+
+    return df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
 def _fake_decode_feature(payload: bytes, dim: int) -> list:
     """Deterministic stand-in for decode+embed: a dim-length feature
     derived from payload bytes (stable across runs/engines). Marks the
@@ -110,11 +207,18 @@ def sample_frames(df: DataFrame, every_n: int = 10,
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived
-    from the id (no codec needed)."""
+    """Deterministic fake media table for tests: payloads are REAL
+    minimal PNG/JPEG byte streams (alternating), so header parsing
+    yields the declared dimensions; trailing filler bytes vary the
+    payload sizes the way real files would."""
     rows = []
     for i in range(n):
-        payload = bytes([(i * 31 + j * 7 + seed) % 256
-                         for j in range(128 + (i % 64))])
-        rows.append((i, payload, "jpeg", 64 + i % 32, 48 + i % 24))
+        w, h = 64 + i % 32, 48 + i % 24
+        if i % 2 == 0:
+            payload, fmt = png_bytes(w, h), "png"
+        else:
+            payload, fmt = jpeg_bytes(w, h), "jpeg"
+        filler = bytes([(i * 31 + j * 7 + seed) % 256
+                        for j in range(i % 64)])
+        rows.append((i, payload + filler, fmt, w, h))
     return spark.createDataFrame(rows, IMAGE_SCHEMA)

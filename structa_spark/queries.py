@@ -1045,16 +1045,65 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
-@register("cosine_topk_vectorized")
+@register("image_header_metadata", oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 256 + 16 AS INTEGER) AS height
+FROM documents
+ORDER BY media_id
+""")
+def image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata decode, values-checked: build minimal
+    PNG/JPEG byte streams with dimensions derived from doc_id
+    (executor-side, Arrow batches), then parse width/height back OUT
+    OF THE BYTES with operators.multimodal.parse_image_header. The
+    oracle predicts the parsed values in pure SQL, so any header-walk
+    bug (endianness, segment skip, IHDR offset) hash-mismatches."""
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                mm.png_bytes(int(i) % 512 + 16, int(i) % 256 + 16)
+                if int(i) % 2 == 0
+                else mm.jpeg_bytes(int(i) % 512 + 16, int(i) % 256 + 16)
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.image_metadata(media).orderBy("media_id")
+
+
+@register("cosine_topk_vectorized", oracle=f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""")
 def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force ANN (mapInPandas) — same logical op as
-    cosine_topk, vectorized physical path. Rows-only check: numpy's
-    pairwise float summation differs from SQL's sequential fold at the
-    last ulp, which can flip a round(6) at a boundary; equivalence to
-    the expression form is asserted (1e-5) in tests/test_operators.py."""
+    cosine_topk, vectorized physical path. Both engines rank on the
+    round(6) cosine with vec_id tie-break, so the RANKING is fully
+    oracle-checked; the raw float is left out of the hashed output
+    because numpy's pairwise summation can differ from SQL's
+    sequential fold at the last ulp (value equivalence to the
+    expression form is asserted at 1e-5 in tests/test_operators.py)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     return (similarity.cosine_topk_pandas(e, q, k=3)
+            .select("query_id", "vec_id", "rank")
             .orderBy("query_id", "rank"))
 
 

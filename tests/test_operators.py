@@ -210,6 +210,36 @@ def test_real_decode_raises(spark):
         multimodal.extract_features(m, real_decode=True).collect()
 
 
+def test_parse_image_header_pure():
+    # PNG: big-endian IHDR fields
+    assert multimodal.parse_image_header(
+        multimodal.png_bytes(640, 480)) == ("png", 640, 480)
+    # JPEG: SOFn walk must skip the APP0 segment first
+    assert multimodal.parse_image_header(
+        multimodal.jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    # GIF: little-endian screen descriptor
+    gif = b"GIF89a" + (320).to_bytes(2, "little") \
+        + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
+    # junk / truncated
+    assert multimodal.parse_image_header(b"notanimage!!") \
+        == (None, None, None)
+    assert multimodal.parse_image_header(None) == (None, None, None)
+    assert multimodal.parse_image_header(b"\xff\xd8\xff") \
+        == (None, None, None)
+
+
+def test_image_metadata_parses_synthetic_media(spark):
+    # metadata must come OUT OF THE BYTES and match the declared
+    # columns of the fixture for every row
+    m = multimodal.synthetic_media(spark, 32)
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in multimodal.image_metadata(m).collect()}
+    want = {r["media_id"]: (r["format"], r["width"], r["height"])
+            for r in m.collect()}
+    assert got == want
+
+
 def test_frame_sampling(spark):
     df = spark.createDataFrame([(1, 25), (2, 0)],
                                ["media_id", "n_frames"])
