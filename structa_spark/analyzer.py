@@ -735,43 +735,74 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     topk: Dict[str, List[Tuple[str, int]]] = {}
     botk: Dict[str, List[Tuple[str, int]]] = {}
     str_q: Dict[str, Tuple[str, str, str]] = {}
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        for ctx in contexts:
-            row = _phase_a_row(ctx.df, ctx.leaves, ctx.length_leaves, cfg)
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+    from concurrent.futures import wait as _fwait
 
-            def worth_sampling(leaf: _Leaf) -> bool:
-                # a frequency sample only means something when values
-                # repeat; skipping near-unique columns (key columns)
-                # keeps the top-k shuffle proportional to the REPEATED
-                # values only — at 100 TB this is the difference
-                # between shuffling every key once and shuffling a few
-                # hundred distinct values
-                card = row.get(f"{leaf.key}__card") or 0
-                distinct = row.get(f"{leaf.key}__distinct") or 0
-                return card <= 10_000 or distinct < 0.9 * card
+    # two-wave concurrent job submission ACROSS contexts: every
+    # context's phase-A jobs launch immediately (each splits into a
+    # codegen and a sketch job internally); as each phase A lands, its
+    # dependent jobs (top-k, phase-B candidates, string quartiles) are
+    # fanned out without waiting for the other contexts. Total
+    # wall-clock is the critical path of the slowest context, not the
+    # sum over contexts — at toy scale this hides per-job scheduling
+    # latency, at scale it keeps the cluster busy across the small
+    # tail stages.
+    ctx_by_id = {ctx.id: ctx for ctx in contexts}
+    # cap concurrency: each wide agg compiles a large generated class,
+    # and compiling dozens simultaneously can exhaust driver/executor
+    # heap on deeply nested inputs (many contexts). 4 in-flight jobs
+    # is enough to hide scheduling latency without the memory spike.
+    n_workers = 4
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        a_futs = {
+            pool.submit(_phase_a_row, ctx.df, ctx.leaves,
+                        ctx.length_leaves, cfg): ctx.id
+            for ctx in contexts
+        }
+        dep_futs = []
+        pending = set(a_futs)
+        while pending:
+            done, pending = _fwait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                ctx = ctx_by_id[a_futs[fut]]
+                row = fut.result()
+                rows[ctx.id] = row
 
-            sampleable = {
-                leaf.key: leaf for leaf in ctx.leaves
-                if isinstance(leaf.dtype, (T.StringType, T.BooleanType,
-                                           T.LongType, T.IntegerType))
-                and worth_sampling(leaf)
-            }
-            # the top-k job and the phase-B candidate job only depend
-            # on phase A, not on each other: submit them as concurrent
-            # Spark jobs so their (small) stages overlap
-            fut = pool.submit(_collect_topk, ctx, sampleable, cfg)
-            string_leaves = {
-                leaf.key: leaf for leaf in ctx.leaves
-                if isinstance(leaf.dtype, T.StringType)
-            }
-            str_q.update(_collect_string_quartiles(ctx, string_leaves,
-                                                   cfg))
-            row.update(_phase_b_row(ctx.df, ctx.leaves, row, cfg))
-            t, b = fut.result()
+                def worth_sampling(leaf: _Leaf, row=row) -> bool:
+                    # a frequency sample only means something when
+                    # values repeat; skipping near-unique columns (key
+                    # columns) keeps the top-k shuffle proportional to
+                    # the REPEATED values only — at 100 TB this is the
+                    # difference between shuffling every key once and
+                    # shuffling a few hundred distinct values
+                    card = row.get(f"{leaf.key}__card") or 0
+                    distinct = row.get(f"{leaf.key}__distinct") or 0
+                    return card <= 10_000 or distinct < 0.9 * card
+
+                sampleable = {
+                    leaf.key: leaf for leaf in ctx.leaves
+                    if isinstance(leaf.dtype,
+                                  (T.StringType, T.BooleanType,
+                                   T.LongType, T.IntegerType))
+                    and worth_sampling(leaf)
+                }
+                string_leaves = {
+                    leaf.key: leaf for leaf in ctx.leaves
+                    if isinstance(leaf.dtype, T.StringType)
+                }
+                dep_futs.append((
+                    ctx.id,
+                    pool.submit(_collect_topk, ctx, sampleable, cfg),
+                    pool.submit(_phase_b_row, ctx.df, ctx.leaves,
+                                row, cfg),
+                    pool.submit(_collect_string_quartiles, ctx,
+                                string_leaves, cfg)))
+        for cid, t_fut, b_fut, q_fut in dep_futs:
+            t, b = t_fut.result()
             topk.update(t)
             botk.update(b)
-            rows[ctx.id] = row
+            rows[cid].update(b_fut.result())
+            str_q.update(q_fut.result())
 
     # classify every leaf
     leaf_nodes: Dict[Tuple[str, ...], Node] = {}
