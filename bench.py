@@ -102,20 +102,28 @@ def main():
     spark.range(1000).agg(F.sum("id")).collect()
 
     times = {}
+    errors = {}
     for name, fn in suite.items():
         t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            fn()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one bad query must not zero the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            times[name] = None
 
-    total = round(sum(times.values()), 3)
-    print(json.dumps({
+    total = round(sum(t for t in times.values() if t is not None), 3)
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR,
         "cpus": int(CPUS),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

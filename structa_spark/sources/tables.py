@@ -36,6 +36,21 @@ def _nanos_as_long(spark: SparkSession):
         spark.conf.set(_NANOS_FLAG, old)
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP.
+
+    Parquet ``timestamp[us]`` with isAdjustedToUTC=false reads as
+    TIMESTAMP_NTZ, which rejects ``cast("double")`` and diverges from
+    DuckDB's plain-TIMESTAMP view of the same file. Normalizing here,
+    once, keeps every downstream consumer (window queries, the
+    analyzer, user code) on the session-tz TIMESTAMP type.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name in _NANOS_TS:
@@ -50,8 +65,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # lands a microsecond off DuckDB's truncation
                 df = df.withColumn(
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_ts(df)
+    return _normalize_ts(spark.read.parquet(path))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:
