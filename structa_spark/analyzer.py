@@ -84,6 +84,20 @@ class AnalyzerConfig:
     induce_patterns: bool = True    # run the char-pattern job
     pattern_sample: Optional[float] = None  # sample fraction at scale
     # numeric-timestamp heuristic window (reference analyzer.py:742-770)
+    # plan wide homogeneous structs (> field_threshold fields, one
+    # common type) as ONE unpivoted (key, value) context instead of
+    # per-field contexts; False forces the per-field plan (the
+    # record-vs-table decision then happens at assembly time via
+    # _maybe_table — same result, unboundedly many jobs on wide docs)
+    unpivot_tables: bool = True
+    # the analyzer makes several passes over the input; when the
+    # input is a SMALL local file set (single-row-group parquet
+    # caps scan parallelism at one task per file), repartition to the
+    # cluster's parallelism and cache before analyzing. The byte gate
+    # makes this self-disabling at scale: a 100 TB table streams,
+    # a 10 MB file decodes once instead of once per job.
+    cache_small_input: bool = True
+    cache_input_max_bytes: int = 1 << 30
     epoch: str = "unix"             # unix | excel | custom
     epoch_base: Optional[_dt.datetime] = None   # base for epoch='custom'
     scale: float = 1.0              # units -> seconds multiplier
@@ -116,11 +130,45 @@ class _Context:
     length_leaves: List[_Leaf] = dc_field(default_factory=list)
 
 
-def _plan(df: DataFrame):
+def _wide_table_struct(dtype: T.DataType,
+                       cfg: AnalyzerConfig) -> Optional[T.DataType]:
+    """A struct wider than ``field_threshold`` whose fields all share
+    one Spark type is going to collapse to a table anyway
+    (reference: structa/analyzer.py:422-443 — the record-vs-table
+    duality). Detect it at PLAN time so it can be profiled via
+    unpivot: one (key, value) repetition context instead of one
+    context per field. A real USN database (~6000 advisory keys)
+    plans 2 jobs instead of thousands; the combined value column also
+    matches the reference's re-analysis of merged samples
+    (analyzer.py:354-360) more closely than merging per-field
+    summaries would.
+
+    Returns the common field type, or None when the struct should be
+    profiled field-by-field (narrow, heterogeneous, or all-null).
+    """
+    if not cfg.unpivot_tables:
+        return None
+    if not isinstance(dtype, T.StructType):
+        return None
+    if len(dtype.fields) <= cfg.field_threshold:
+        return None
+    common = {f.dataType.simpleString() for f in dtype.fields}
+    if len(common) != 1:
+        return None
+    val_dt = dtype.fields[0].dataType
+    if isinstance(val_dt, T.NullType):
+        return None
+    return val_dt
+
+
+def _plan(df: DataFrame, cfg: AnalyzerConfig):
     contexts: List[_Context] = []
     # array column sources for the tuple-induction pass:
     # path -> (ctx id, array expr, element dtype)
     array_srcs: Dict[Tuple[str, ...], Tuple[int, str, T.DataType]] = {}
+    # wide homogeneous structs profiled as tables via unpivot:
+    # path -> common value dtype
+    table_structs: Dict[Tuple[str, ...], T.DataType] = {}
     counter = [0]
 
     def new_context(cdf: DataFrame) -> _Context:
@@ -135,6 +183,43 @@ def _plan(df: DataFrame):
         counter[0] += 1
         key = f"c{counter[0]}"
         if isinstance(dtype, T.StructType):
+            val_dt = _wide_table_struct(dtype, cfg)
+            if val_dt is not None:
+                # unpivot: entries = [(field name, field value), ...],
+                # null values dropped — a missing key in one document
+                # reads as a null field after schema union, exactly
+                # the rows the reference's per-document key walk
+                # would never see. (A literal JSON ``null`` value is
+                # indistinguishable from an absent key here; the
+                # reference can tell them apart.)
+                fexprs = [
+                    f"{expr}.`{f.name}`" if expr else f"`{f.name}`"
+                    for f in dtype.fields
+                ]
+                table_structs[path] = val_dt
+                ctx.length_leaves.append(_Leaf(
+                    path, key + "_len",
+                    "size(filter(array({}), x -> x is not null))".format(
+                        ", ".join(fexprs)),
+                    T.IntegerType()))
+                entries = [
+                    F.struct(F.lit(f.name).alias("k"),
+                             F.expr(fe).alias("v"))
+                    for f, fe in zip(dtype.fields, fexprs)
+                ]
+                child_df = (
+                    ctx.df
+                    .select(F.explode(F.array(*entries)).alias("__p__"))
+                    .select(F.col("__p__.k").alias("__key__"),
+                            F.col("__p__.v").alias("__val__"))
+                    .where(F.col("__val__").isNotNull()))
+                child = new_context(child_df)
+                walk(child, "`__key__`", T.StringType(), path + ("{k}",))
+                for leaf in child.leaves:
+                    if leaf.path == path + ("{k}",):
+                        leaf.role = "map_key"
+                walk(child, "`__val__`", val_dt, path + ("{v}",))
+                return
             for f in dtype.fields:
                 walk(ctx, f"{expr}.`{f.name}`" if expr else f"`{f.name}`",
                      f.dataType, path + (f.name,))
@@ -160,9 +245,10 @@ def _plan(df: DataFrame):
         else:
             ctx.leaves.append(_Leaf(path, key, expr, dtype))
 
-    for f in df.schema.fields:
-        walk(root, "", T.StructType([f]), ())
-    return contexts, array_srcs
+    # walk the whole schema as one struct so a wide homogeneous ROOT
+    # (a document object keyed by ids) takes the unpivot path too
+    walk(root, "", df.schema, ())
+    return contexts, array_srcs, table_structs
 
 
 # ---------------------------------------------------------------------------
@@ -202,19 +288,52 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     return exprs
 
 
+_HLL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+              T.StringType, T.BinaryType)
+
+
+def _hll_lg_k(rsd: float) -> int:
+    """DataSketches HLL log2(registers) for a target relative standard
+    error: rse ~= 1.04 / sqrt(2^lgK)."""
+    import math
+    return min(21, max(8, math.ceil(2 * math.log2(1.04 / rsd))))
+
+
 def _sketch_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     """Imperative (ObjectHashAggregate) phase-A aggregates: distinct
     sketches and quartiles. Kept in their own job so the codegen-able
     aggregates above stay inside whole-stage codegen — one
     ImperativeAggregate in an agg forces the WHOLE aggregation into
-    interpreted ObjectHashAggregate."""
+    interpreted ObjectHashAggregate.
+
+    Distincts use the DataSketches HLL (``hll_sketch_agg``), NOT
+    ``approx_count_distinct``: the latter is a fixed-width
+    ImperativeAggregate whose buffer schema is one LONG column per
+    HLL register word (~6k columns per sketch at rsd=0.005), so a
+    24-leaf job generates a multi-MB aggregate class and several such
+    compiles exhaust the JVM heap — the round-2 wide-record OOM.
+    hll_sketch_agg is a TypedImperativeAggregate with ONE binary
+    buffer per leaf; its generated code is O(leaves), not
+    O(leaves x registers)."""
     c = F.expr(leaf.expr)
     k = leaf.key
     if cfg.exact:
         exprs = [F.count_distinct(c).alias(f"{k}__distinct")]
     else:
-        exprs = [F.approx_count_distinct(c, cfg.distinct_rsd)
-                 .alias(f"{k}__distinct")]
+        hc = c
+        if not isinstance(leaf.dtype, _HLL_TYPES):
+            # hll_sketch_agg accepts integral/string/binary only. For
+            # any other type feed it xxhash64(value): HLL hashes its
+            # input anyway, so pre-hashing leaves the estimate's
+            # statistics unchanged (64-bit collisions are negligible
+            # next to the sketch's own error) and the codegen'd hash
+            # is far cheaper than rendering doubles/timestamps to
+            # strings. Guard nulls: xxhash64(NULL) is the seed, not
+            # NULL, and distinct counts must ignore nulls.
+            hc = F.when(c.isNotNull(), F.xxhash64(c))
+        exprs = [F.hll_sketch_estimate(
+            F.hll_sketch_agg(hc, F.lit(_hll_lg_k(cfg.distinct_rsd))))
+            .alias(f"{k}__distinct")]
 
     dt = leaf.dtype
     qc = None
@@ -394,7 +513,12 @@ def _epoch_base(cfg: AnalyzerConfig) -> _dt.datetime:
     return _EXCEL if cfg.epoch == "excel" else _UNIX
 
 
-def _from_epoch(v, cfg: Optional[AnalyzerConfig] = None):
+def _from_epoch(v):
+    """Decode a quartile of a NATIVE timestamp column: percentiles of
+    timestamps are epoch seconds by Spark's definition, so the Unix
+    epoch is always the right base here. (Custom/excel epoch bases
+    only apply to NUMERIC columns holding encoded timestamps — those
+    decode via _maybe_numeric_timestamp's cfg-aware `conv`.)"""
     if v is None:
         return None
     return _UNIX + _dt.timedelta(seconds=float(v))
@@ -577,7 +701,21 @@ class Profile:
         self.config = cfg
 
     def render(self, opts=None) -> str:
-        return self.root.render(opts)
+        out = self.root.render(opts)
+        if not self.config.exact and self._has_quartile_less_string():
+            # sketch mode computes numeric quartiles with mergeable GK
+            # sketches, but lexicographic string quartiles have no
+            # mergeable sketch — they are exact-mode only, so say so
+            # instead of leaving the range silently bare
+            out += ("\n# note: string q1-q3 omitted (sketch mode; "
+                    "rerun with exact=True for lexicographic quartiles)")
+        return out
+
+    def _has_quartile_less_string(self) -> bool:
+        from .model import StrT, walk_nodes
+        return any(
+            isinstance(n, StrT) and n.stats.card and n.stats.q1 is None
+            for n in walk_nodes(self.root))
 
     def __repr__(self) -> str:
         return f"Profile({self.render()})"
@@ -616,31 +754,64 @@ class Profile:
         return load_profile(path)
 
 
+# max leaves per agg() job: Janino compiles one generated class per
+# aggregation, and its size grows with the expression count — a
+# 120-leaf context compiled as ONE agg is a multi-MB class, and
+# several of those compiling concurrently exhausts the JVM heap
+# (observed on the 40-field USN shape). Bounded chunks keep every
+# generated class small; the chunks of one context run sequentially
+# inside its worker thread so the in-flight compile count equals the
+# worker-pool size exactly.
+_CHUNK_LEAVES = 24
+
+
+def _chunked(seq: List, n: int):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+def _phase_a_jobs(leaves: List[_Leaf], length_leaves: List[_Leaf],
+                  cfg: AnalyzerConfig) -> List[List[Column]]:
+    """Phase A as a list of bounded-width agg jobs: whole-stage-
+    codegen jobs (counts/min/max/lengths) and ObjectHashAggregate
+    jobs (HLL distincts, GK quartiles) are kept separate so one
+    ImperativeAggregate never forces the scalar aggregates out of
+    codegen; each job covers <= _CHUNK_LEAVES leaves so no generated
+    class is ever huge. The caller decides scheduling (sequential or
+    a bounded worker pool)."""
+    jobs: List[List[Column]] = []
+    first = [F.count(F.lit(1)).alias("__rows__")]
+    for chunk in _chunked(leaves, _CHUNK_LEAVES):
+        exprs: List[Column] = []
+        for leaf in chunk:
+            exprs.extend(_agg_exprs(leaf, cfg))
+        jobs.append(exprs)
+    for chunk in _chunked(length_leaves, _CHUNK_LEAVES):
+        exprs = []
+        for leaf in chunk:
+            exprs.extend(_length_agg_exprs(leaf, cfg))
+        jobs.append(exprs)
+    for chunk in _chunked(leaves, _CHUNK_LEAVES):
+        exprs = []
+        for leaf in chunk:
+            exprs.extend(_sketch_agg_exprs(leaf, cfg))
+        if exprs:
+            jobs.append(exprs)
+    if jobs:
+        jobs[0] = first + jobs[0]
+    else:
+        jobs = [first]
+    return jobs
+
+
 def _phase_a_row(df: DataFrame, leaves: List[_Leaf],
                  length_leaves: List[_Leaf],
                  cfg: AnalyzerConfig) -> Dict:
-    """Phase A: the wide aggregation over one DataFrame, split into a
-    whole-stage-codegen job (counts/min/max/lengths) and an
-    ObjectHashAggregate job (HLL distincts, GK quartiles), submitted
-    concurrently — together they cost the slower of the two, not the
-    sum, and the codegen half stays codegen'd."""
-    exprs: List[Column] = [F.count(F.lit(1)).alias("__rows__")]
-    for leaf in leaves:
-        exprs.extend(_agg_exprs(leaf, cfg))
-    for leaf in length_leaves:
-        exprs.extend(_length_agg_exprs(leaf, cfg))
-    sketch_exprs: List[Column] = []
-    for leaf in leaves:
-        sketch_exprs.extend(_sketch_agg_exprs(leaf, cfg))
-
-    if not sketch_exprs:
-        return df.agg(*exprs).collect()[0].asDict()
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(
-            lambda: df.agg(*sketch_exprs).collect()[0].asDict())
-        row = df.agg(*exprs).collect()[0].asDict()
-        row.update(fut.result())
+    """Phase A over one DataFrame, run sequentially (used by the
+    auxiliary single-context paths, e.g. tuple induction)."""
+    row: Dict = {"__rows__": None}
+    for exprs in _phase_a_jobs(leaves, length_leaves, cfg):
+        row.update(df.agg(*exprs).collect()[0].asDict())
     return row
 
 
@@ -648,19 +819,26 @@ def _phase_b_row(df: DataFrame, leaves: List[_Leaf], row: Dict,
                  cfg: AnalyzerConfig) -> Dict:
     """Phase B: length-gated conversion-candidate scoring; returns the
     extra scalar columns ({} when no string leaf is eligible)."""
-    cand_exprs: List[Column] = []
+    eligible = []
     for leaf in leaves:
         if not isinstance(leaf.dtype, T.StringType):
             continue
         card = row.get(f"{leaf.key}__card") or 0
-        lmin = row.get(f"{leaf.key}__lmin")
         lmax = row.get(f"{leaf.key}__lmax")
         if card and lmax is not None and lmax <= cfg.max_numeric_len:
-            cand_exprs.extend(
-                _candidate_agg_exprs(leaf, cfg, lmin or 0, lmax))
-    if not cand_exprs:
-        return {}
-    return df.agg(*cand_exprs).collect()[0].asDict()
+            eligible.append(leaf)
+    out: Dict = {}
+    # candidate counts are regex-heavy: ~15 exprs per leaf, so chunk
+    # tighter than phase A to keep the generated classes bounded
+    for chunk in _chunked(eligible, max(1, _CHUNK_LEAVES // 2)):
+        cand_exprs: List[Column] = []
+        for leaf in chunk:
+            cand_exprs.extend(_candidate_agg_exprs(
+                leaf, cfg, row.get(f"{leaf.key}__lmin") or 0,
+                row.get(f"{leaf.key}__lmax")))
+        if cand_exprs:
+            out.update(df.agg(*cand_exprs).collect()[0].asDict())
+    return out
 
 
 def _run_leaf_stats(df: DataFrame, leaves: List[_Leaf],
@@ -712,6 +890,47 @@ def _induce_tuples(contexts, array_srcs, length_stats, cfg):
     return tuple_nodes
 
 
+def _input_bytes(df: DataFrame) -> Optional[int]:
+    """Total size of the df's local input files, or None when the
+    input is not a local file scan (remote FS, in-memory, streaming)."""
+    import os
+    from urllib.parse import unquote, urlparse
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
+
+
+def _prepare_input(df: DataFrame, cfg: AnalyzerConfig):
+    """Size-gated cache of the analyzer's input: the profile makes
+    several passes, so a small file set is repartitioned to the
+    session's parallelism (single-row-group parquet otherwise pins
+    every pass to one scan task) and persisted; anything big, remote
+    or non-file streams unchanged. Returns (df, cached?)."""
+    if not cfg.cache_small_input:
+        return df, False
+    nbytes = _input_bytes(df)
+    if nbytes is None or nbytes > cfg.cache_input_max_bytes:
+        return df, False
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df.persist(), True
+
+
 def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
             **kwargs) -> Profile:
     """Profile a DataFrame into a typed summary tree.
@@ -720,7 +939,16 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     (top-k samples, char patterns) per context.
     """
     cfg = config or AnalyzerConfig(**kwargs)
-    contexts, array_srcs = _plan(df)
+    prep, cached = _prepare_input(df, cfg)
+    try:
+        return _analyze(prep, cfg)
+    finally:
+        if cached:
+            prep.unpersist()
+
+
+def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
+    contexts, array_srcs, table_structs = _plan(df, cfg)
 
     # whitespace stripping (reference analyzer.py:633-638) applies to
     # every string leaf uniformly: stats, conversion candidates, top-k
@@ -748,25 +976,44 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     # latency, at scale it keeps the cluster busy across the small
     # tail stages.
     ctx_by_id = {ctx.id: ctx for ctx in contexts}
-    # cap concurrency: each wide agg compiles a large generated class,
-    # and compiling dozens simultaneously can exhaust driver/executor
-    # heap on deeply nested inputs (many contexts). 4 in-flight jobs
-    # is enough to hide scheduling latency without the memory spike.
-    n_workers = 4
+    # cap concurrency: each agg job compiles a generated class, and
+    # compiling many simultaneously can exhaust the JVM heap. Phase A
+    # chunks every context to <= _CHUNK_LEAVES leaves per job and
+    # every chunk is its own pool task, so the in-flight compile
+    # count never exceeds the worker count while chunks of one
+    # context still overlap with each other and with other contexts;
+    # scale the pool down when the plan is unusually wide (belt and
+    # braces for single-JVM local mode, where driver and executors
+    # share one heap).
+    widest = max((len(c.leaves) + len(c.length_leaves)
+                  for c in contexts), default=0)
+    n_workers = 2 if (widest > 128 or len(contexts) > 64) else 4
+
+    def _agg_job(d: DataFrame, exprs: List[Column]) -> Dict:
+        return d.agg(*exprs).collect()[0].asDict()
+
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        a_futs = {
-            pool.submit(_phase_a_row, ctx.df, ctx.leaves,
-                        ctx.length_leaves, cfg): ctx.id
-            for ctx in contexts
-        }
+        a_futs = {}
+        remaining: Dict[int, int] = {}
+        for ctx in contexts:
+            groups = _phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+            remaining[ctx.id] = len(groups)
+            rows[ctx.id] = {"__rows__": None}
+            for exprs in groups:
+                a_futs[pool.submit(_agg_job, ctx.df, exprs)] = ctx.id
         dep_futs = []
         pending = set(a_futs)
         while pending:
             done, pending = _fwait(pending, return_when=FIRST_COMPLETED)
             for fut in done:
                 ctx = ctx_by_id[a_futs[fut]]
-                row = fut.result()
-                rows[ctx.id] = row
+                rows[ctx.id].update(fut.result())
+                remaining[ctx.id] -= 1
+                if remaining[ctx.id]:
+                    continue
+                # this context's phase A is complete: fan out its
+                # dependent jobs without waiting for other contexts
+                row = rows[ctx.id]
 
                 def worth_sampling(leaf: _Leaf, row=row) -> bool:
                     # a frequency sample only means something when
@@ -855,6 +1102,16 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     def build(dtype: T.DataType, path: Tuple[str, ...],
               parent_card: int) -> Node:
         if isinstance(dtype, T.StructType):
+            if path in table_structs:
+                # wide homogeneous struct profiled via unpivot: its
+                # key/value leaves live in the child context under
+                # {k}/{v}, exactly like a MapType
+                key = build(T.StringType(), path + ("{k}",), parent_card)
+                val = build(table_structs[path], path + ("{v}",),
+                            parent_card)
+                return TableT(key=key, value=val,
+                              lengths=length_stats.get(
+                                  path, LengthStats()))
             fields = []
             for f in dtype.fields:
                 child_path = path + (f.name,)
@@ -880,15 +1137,10 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
         return leaf_nodes.get(path, Empty())
 
     total = row0["__rows__"]
-    root_fields = []
-    for f in df.schema.fields:
-        child_path = (f.name,)
-        child_card = _node_card(leaf_nodes, length_stats, child_path)
-        value = build(f.dataType, child_path, total)
-        root_fields.append(FieldT(
-            key=f.name, value=value, count=child_card,
-            optional=bool(child_card < total)))
-    root = _maybe_table(RecordT(fields=tuple(root_fields)), cfg)
+    # the root is just the schema struct at path () — build() handles
+    # the record case (with _maybe_table), and the wide-homogeneous
+    # case when the root itself took the unpivot path
+    root = build(df.schema, (), total)
     return Profile(root=root, row_count=total, cfg=cfg)
 
 

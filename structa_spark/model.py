@@ -509,6 +509,21 @@ def record_similarity(a: RecordT, b: RecordT) -> float:
     return len(ka & kb) / min(len(ka), len(kb))
 
 
+def walk_nodes(n: Node):
+    """Depth-first iterator over every node of a summary tree."""
+    yield n
+    if isinstance(n, (StrReprT, NumReprT)):
+        yield from walk_nodes(n.inner)
+    elif isinstance(n, ListT):
+        yield from walk_nodes(n.element)
+    elif isinstance(n, TableT):
+        yield from walk_nodes(n.key)
+        yield from walk_nodes(n.value)
+    elif isinstance(n, (RecordT, TupleT)):
+        for f in n.fields:
+            yield from walk_nodes(f.value)
+
+
 def node_to_dict(n: Node) -> dict:
     """JSON-able representation of a summary tree (used by
     ``Profile.to_dict`` and the CLI's ``--json`` output)."""

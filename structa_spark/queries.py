@@ -1023,25 +1023,52 @@ def rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# multimodal plumbing (rows-only check: the fake decode is a Python
-# seam, not SQL-expressible — see operators/multimodal.py)
+# multimodal plumbing
 # ===========================================================================
 
-@register("multimodal_doc_features")
+@register("multimodal_doc_features", oracle="""
+WITH RECURSIVE steps AS (
+  SELECT doc_id, text, 0 AS i,
+         (xor(2166136261::BIGINT,
+              CASE WHEN length(text)=0 THEN 0
+                   ELSE ord(substr(text, 1, 1)) END)
+          * 16777619) % 4294967296 AS acc
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, i + 1,
+         (xor(acc,
+              CASE WHEN length(text)=0 THEN 0
+                   ELSE ord(substr(text, ((i + 1) % length(text)) + 1, 1))
+              END + i + 1)
+          * 16777619) % 4294967296
+  FROM steps WHERE i < 7
+)
+SELECT doc_id AS media_id, 8 AS feat_dim,
+       round(max(CASE WHEN i=0 THEN acc END) % 2000003
+             / 1000001.5 - 1.0, 4) AS f0,
+       round(max(CASE WHEN i=3 THEN acc END) % 2000003
+             / 1000001.5 - 1.0, 4) AS f3,
+       round(max(CASE WHEN i=7 THEN acc END) % 2000003
+             / 1000001.5 - 1.0, 4) AS f7
+FROM steps GROUP BY doc_id ORDER BY media_id
+""")
 def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction: documents' text encoded to a
     binary payload column, features via Arrow-batched mapInPandas
-    (deterministic fake decode — the codec seam). Demonstrates the
-    full multimodal pipeline shape: binary column in, fixed-dim
-    feature vector out, no driver materialization."""
+    (deterministic fake decode — the codec seam). The decode is an
+    FNV-1a-style fold over the payload bytes, so the oracle replays
+    it in pure SQL with a recursive CTE (text is ASCII, so byte i of
+    the utf-8 payload == ord of char i+1): any drift in the Arrow
+    plumbing, byte indexing, or accumulator arithmetic value-
+    mismatches on dims 0, 3 and 7."""
     from .operators.multimodal import extract_features
     docs = (_t(spark, sf_dir, "documents")
             .select(F.col("doc_id").alias("media_id"),
                     F.encode("text", "utf-8").alias("payload")))
     feats = extract_features(docs, dim=8)
     return (feats.select("media_id", "feat_dim",
-                         F.round(F.element_at("feature", 1), 4)
-                         .alias("f0"))
+                         *[F.round(F.element_at("feature", i + 1), 4)
+                           .alias(f"f{i}") for i in (0, 3, 7)])
             .orderBy("media_id"))
 
 

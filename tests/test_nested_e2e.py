@@ -11,10 +11,14 @@ from structa_spark.ui.cli import get_config, get_structure
 def test_usn_shape_collapses_to_table(spark, tmp_path):
     # one JSON document: object keyed by "dddd-d" ids -> similar records
     # (the Ubuntu USN shape, reference README.rst:108-152)
+    # variable-length cves lists, like the real USN data — a constant
+    # length would (correctly, reference analyzer.py:582-587) induce a
+    # positional tuple instead of a list
     doc = {
         f"{2000 + i:04d}-1": {
             "title": f"USN advisory {i}",
-            "cves": [f"CVE-2020-{1000 + i}", f"CVE-2020-{2000 + i}"],
+            "cves": [f"CVE-2020-{1000 + i + j}"
+                     for j in range(1 + (i % 3))],
             "timestamp": 1577836800.0 + i * 86400,
         }
         for i in range(40)     # > field_threshold=20
