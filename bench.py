@@ -97,9 +97,22 @@ def main():
         "neardup_lsh": bench_neardup_lsh,
     }
 
-    # warm the JVM/codegen once with a trivial job so timings measure
-    # the queries, not session startup
-    spark.range(1000).agg(F.sum("id")).collect()
+    # warm the JVM once so timings measure the queries, not session
+    # startup: load the parquet vectorized reader, codegen/Janino,
+    # ObjectHashAggregate (sketches), window exec and higher-order
+    # function classes. Each query still compiles its own generated
+    # code — this only amortizes class loading, as a long-lived
+    # production session would.
+    from pyspark.sql.window import Window
+    warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    (warm.select("*", F.explode(F.split(F.lit("a b"), " ")).alias("t"))
+     .groupBy("t")
+     .agg(F.percentile_approx(F.length("t"), F.lit(0.5), F.lit(100)),
+          F.hll_sketch_estimate(F.hll_sketch_agg(F.col("t"), F.lit(12))),
+          F.min("t"), F.count(F.lit(1)))
+     .withColumn("r", F.row_number().over(
+         Window.partitionBy("t").orderBy("t")))
+     .collect())
 
     times = {}
     errors = {}

@@ -301,14 +301,21 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 48 bits (md5_long provides 60): with pigeonhole blocking at
+# max_hamming=3 the signature splits into 4 blocks, so block width is
+# bits/4 — at 32 bits that is 8-bit blocks (256 possible values), and
+# a corpus of templated documents degenerates into a handful of huge
+# buckets whose pair expansion is quadratic and single-task; 12-bit
+# blocks (4096 values) keep the bucket join spread and drop the
+# random-collision rate 16x while staying well inside bigint
+SIMHASH_BITS = 48
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Charikar simhash over whitespace tokens: bit j of the signature
     is the sign of sum over tokens of (+1 if bit j of h(token) else
-    -1). 32 bits, all in one projection expression tree (shuffle-free,
-    exactly reproducible in ANSI SQL for the oracle)."""
+    -1). All in one projection expression tree (shuffle-free, exactly
+    reproducible in ANSI SQL for the oracle)."""
     toks = F.split(normalize_text(text), " ")
     th = F.transform(toks, lambda t: md5_long(t))
 
@@ -460,18 +467,24 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3,
-                            bits: int = SIMHASH_BITS) -> DataFrame:
+                            bits: int = SIMHASH_BITS,
+                            max_bucket: int = 10_000) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, with FULL recall.
 
     Pigeonhole bucketing: the ``bits``-wide signature is split into
     ``max_hamming + 1`` contiguous blocks; two signatures within
     Hamming distance ``max_hamming`` differ in at most ``max_hamming``
     blocks, so they agree exactly on at least one block. Each doc is
-    exploded into one (block_idx, block_val) bucket row per block and
-    the self-join runs on that key — ONE shuffle covering all blocks
-    (same shape as MinHash banding), sub-quadratic as long as no
-    single block value is degenerate. Candidates are verified with
-    the exact popcount and deduped across blocks."""
+    exploded into one (block_idx, block_val) bucket row per block,
+    then ONE shuffle groups the buckets and pairs are expanded from
+    the collected (id, sh) lists — the same shape as
+    :func:`minhash_candidates`, so the expensive signature
+    aggregation runs once (a self-join would recompute it per side).
+    Candidates are verified with the exact popcount and deduped
+    across blocks. Buckets larger than ``max_bucket`` are dropped
+    (degenerate block values — e.g. every near-empty document maps
+    to signature 0): a B-sized bucket emits B^2/2 pairs, and one
+    degenerate key would otherwise emit the corpus squared."""
     n_blocks = max_hamming + 1
     block_size = -(-bits // n_blocks)  # ceil
     s = simhash_df(df, text_col, id_col, bits)
@@ -484,13 +497,21 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     bucketed = (s.select(F.col(id_col), F.col("sh"),
                          F.explode(blocks).alias("b"))
                 .select(id_col, "sh", "b.blk", "b.blk_val"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.blk_val") == F.col("b.blk_val"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    hamming_distance(F.col("a.sh"), F.col("b.sh"))
+    grouped = (bucketed.groupBy("blk", "blk_val")
+               .agg(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("sh"))).alias("members"))
+               .where(F.size("members").between(2, max_bucket)))
+    mem = F.array_sort(F.col("members"))     # orders by id first
+    pairs = F.filter(
+        F.flatten(F.transform(
+            mem, lambda x: F.transform(
+                mem, lambda y: F.struct(x.alias("a"), y.alias("b"))))),
+        lambda p: p.a.id < p.b.id)
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a.id").alias("id_a"),
+                    F.col("p.b.id").alias("id_b"),
+                    hamming_distance(F.col("p.a.sh"), F.col("p.b.sh"))
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())

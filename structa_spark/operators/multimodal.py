@@ -167,13 +167,27 @@ def _fake_decode_feature(payload: bytes, dim: int) -> list:
 def extract_features(df: DataFrame, dim: int = 16,
                      payload_col: str = "payload",
                      id_col: str = "media_id",
-                     real_decode: bool = False) -> DataFrame:
+                     real_decode: bool = False,
+                     precision: str = "float32") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the binary data executor-side in Arrow
     batches; only the (id, feature) pairs come out — the pattern for
     any decode/resize/frame-sample stage.
+
+    ``precision`` picks the feature element type: float32 (the ML
+    storage default) or float64 (lossless — used when downstream
+    value-compares against an exact replay of the decode, where the
+    float32 round-trip could flip a rounding boundary).
     """
+    if precision not in ("float32", "float64"):
+        raise ValueError(f"precision must be float32|float64: {precision}")
+    elem = T.FloatType() if precision == "float32" else T.DoubleType()
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(elem)),
+        T.StructField("feat_dim", T.IntegerType()),
+    ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -189,7 +203,7 @@ def extract_features(df: DataFrame, dim: int = 16,
                 "feat_dim": dim,
             })
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(batches, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10,

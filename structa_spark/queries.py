@@ -659,7 +659,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     toks = f"string_split({_NORM_SQL}, ' ')"
     th = f"list_transform({toks}, t -> {md5_long_sql('t')})"
     terms = []
@@ -676,7 +676,8 @@ SELECT doc_id, {_simhash_sql()} AS simhash
 FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """)
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit Charikar simhash per document, bit-for-bit verified."""
+    """Charikar simhash per document (SIMHASH_BITS wide), bit-for-bit
+    verified against the same fold replayed in DuckDB SQL."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return (d.select("doc_id",
                      dedup.simhash(F.col("text")).alias("simhash"))
@@ -1065,7 +1066,7 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (_t(spark, sf_dir, "documents")
             .select(F.col("doc_id").alias("media_id"),
                     F.encode("text", "utf-8").alias("payload")))
-    feats = extract_features(docs, dim=8)
+    feats = extract_features(docs, dim=8, precision="float64")
     return (feats.select("media_id", "feat_dim",
                          *[F.round(F.element_at("feature", i + 1), 4)
                            .alias(f"f{i}") for i in (0, 3, 7)])
