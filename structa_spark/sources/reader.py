@@ -32,6 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .detect import Sniff, ValidationWarning, sniff_file, spark_charset
 
+#: charsets Spark's json/csv readers accept natively; anything else
+#: (Shift_JIS, EUC-*, GB18030, KOI8-R, windows-125x from the prober)
+#: needs spark.sql.legacy.javaCharsets plus an explicit lineSep —
+#: '\n' is safe for every probed codec (none uses 0x0A as a trail
+#: byte)
+_BUILTIN_CHARSETS = {
+    "us-ascii", "iso-8859-1", "utf-8", "utf-16", "utf-16be",
+    "utf-16le", "utf-32", "utf-32be", "utf-32le",
+}
+
+
+def _needs_java_charset(spark: SparkSession, enc: str) -> bool:
+    """True when `enc` needs the non-builtin charset path. Spark
+    re-validates reader charsets at every ACTION (JSONOptionsInRead
+    is rebuilt per execution from the live SQLConf), so the flag
+    cannot be scoped to the read call of a lazy DataFrame — it is
+    enabled for the remainder of the session, which only relaxes
+    charset validation for this session's readers."""
+    if enc.lower() in _BUILTIN_CHARSETS:
+        return False
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    return True
+
 
 def open_source(spark: SparkSession, path: str, *,
                 format: str = "auto",
@@ -55,11 +78,13 @@ def open_source(spark: SparkSession, path: str, *,
     enc = spark_charset(enc)
 
     if fmt == "ndjson":
-        df = (spark.read.option("encoding", enc)
-              .option("allowUnquotedControlChars", not json_strict)
-              .json(path))
-        return _fallback_if_corrupt(spark, df, path)
+        rd = (spark.read.option("encoding", enc)
+              .option("allowUnquotedControlChars", not json_strict))
+        if _needs_java_charset(spark, enc):
+            rd = rd.option("lineSep", "\n")
+        return _fallback_if_corrupt(spark, rd.json(path), path)
     if fmt == "json":
+        _needs_java_charset(spark, enc)
         df = (spark.read.option("multiLine", True)
               .option("allowUnquotedControlChars", not json_strict)
               .option("encoding", enc).json(path))
@@ -67,13 +92,15 @@ def open_source(spark: SparkSession, path: str, *,
     if fmt == "csv":
         delim = s.csv_delimiter if csv_delimiter == "auto" else csv_delimiter
         quote = s.csv_quotechar if csv_quotechar == "auto" else csv_quotechar
-        return (spark.read
-                .option("header", bool(s.csv_header))
-                .option("sep", delim or ",")
-                .option("quote", quote or '"')
-                .option("encoding", enc)
-                .option("inferSchema", True)
-                .csv(path))
+        rd = (spark.read
+              .option("header", bool(s.csv_header))
+              .option("sep", delim or ",")
+              .option("quote", quote or '"')
+              .option("encoding", enc)
+              .option("inferSchema", True))
+        if _needs_java_charset(spark, enc):
+            rd = rd.option("lineSep", "\n")
+        return rd.csv(path)
     if fmt == "yaml":
         if not yaml_safe:
             raise NotImplementedError(

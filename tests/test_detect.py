@@ -136,3 +136,85 @@ def test_sniff_ndjson_end_to_end():
     s = sniff(sample)
     assert s.format == "ndjson"
     assert s.encoding == "utf-8"
+
+
+# -- multi-codec prober ----------------------------------------------------
+
+JA = ("国際化対応のテストです。日本語の文書を解析します。"
+      "エンコーディングの自動判定が必要です。") * 4
+RU = ("Это проверка автоматического определения кодировки. "
+      "Русский текст в однобайтовой кодировке.") * 4
+ZH = "这是一个编码检测的测试。中文文本需要正确识别字符集。" * 5
+KO = "인코딩 감지 테스트입니다. 한국어 문서를 분석합니다." * 5
+
+
+def test_detect_shift_jis():
+    enc, conf = detect_encoding(JA.encode("shift_jis"))
+    assert enc == "shift_jis"
+    assert conf >= 0.5
+
+
+def test_detect_euc_jp():
+    enc, conf = detect_encoding(JA.encode("euc_jp"))
+    assert enc == "euc_jp"
+
+
+def test_detect_gb18030():
+    enc, conf = detect_encoding(ZH.encode("gb18030"))
+    # gb18030 and big5 overlap heavily; either is a usable verdict
+    # for the DISTRIBUTED read only if it round-trips — gb-encoded
+    # bytes are not valid big5 here, so the prober must say gb18030
+    assert enc == "gb18030"
+
+
+def test_detect_euc_kr():
+    enc, conf = detect_encoding(KO.encode("euc_kr"))
+    assert enc == "euc_kr"
+
+
+def test_detect_koi8_and_cp1251_disambiguate():
+    assert detect_encoding(RU.encode("koi8-r"))[0] == "koi8-r"
+    assert detect_encoding(RU.encode("windows-1251"))[0] == "windows-1251"
+
+
+def test_probe_does_not_misfire_on_western_text():
+    # accented Western-European text must not be claimed by a CJK codec
+    txt = ("Voix ambiguë d'un cœur qui au zéphyr préfère les jattes "
+           "de kiwis. Ça dépend des caractères accentués.") * 3
+    enc, conf = detect_encoding(txt.encode("windows-1252"))
+    assert enc in ("windows-1252", "iso-8859-1")
+
+
+def test_probed_charset_maps_to_spark_name():
+    from structa_spark.sources.detect import spark_charset
+    assert spark_charset("shift_jis") == "Shift_JIS"
+    assert spark_charset("koi8-r") == "KOI8-R"
+
+
+def test_probed_encoding_reads_distributed(spark, tmp_path):
+    # end-to-end: sniff a shift_jis NDJSON file, read it through
+    # open_source (which enables the java-charsets path for
+    # non-builtin encodings), values come back intact
+    rows = [{"msg": "テスト" + str(i)} for i in range(20)]
+    data = "\n".join(json.dumps(r, ensure_ascii=False) for r in rows)
+    f = tmp_path / "ja.ndjson"
+    f.write_bytes(data.encode("shift_jis"))
+    s = sniff(f.read_bytes())
+    assert s.encoding == "shift_jis"
+    from structa_spark.sources.reader import open_source
+    df = open_source(spark, str(f))
+    got = sorted(r.msg for r in df.collect())
+    assert got == sorted(r["msg"] for r in rows)
+
+
+def test_probed_encoding_reads_csv_distributed(spark, tmp_path):
+    # koi8-r CSV through the full sniff + distributed read path
+    body = "имя,город\nиван,москва\nольга,казань\n" * 7
+    f = tmp_path / "ru.csv"
+    f.write_bytes(body.encode("koi8-r"))
+    s = sniff(f.read_bytes())
+    assert s.encoding == "koi8-r"
+    from structa_spark.sources.reader import open_source
+    df = open_source(spark, str(f))
+    vals = {r[0] for r in df.collect()}
+    assert "иван" in vals
