@@ -32,21 +32,68 @@ from .stats import LengthStats, Stats
 __all__ = [
     "Node", "Empty", "ValueAny", "BoolT", "IntT", "FloatT", "StrT",
     "URLT", "DateTimeT", "StrReprT", "NumReprT", "ListT", "TupleT",
-    "FieldT", "RecordT", "TableT", "RenderOptions", "merge",
+    "FieldT", "RecordT", "TableT", "RenderOptions", "Styles",
+    "ANSI_STYLES", "merge",
 ]
+
+
+@dataclass(frozen=True)
+class Styles:
+    """ANSI fragments for styled rendering — the reference's XSLT
+    style params (reference ui/cli.py:271-278: type=cyan,
+    pattern=yellow, suffix/fill=green, unique=underline). Empty
+    strings (the default) render plain text."""
+
+    normal: str = ""
+    type: str = ""
+    pattern: str = ""
+    suffix: str = ""
+    unique: str = ""
+
+
+ANSI_STYLES = Styles(normal="\x1b[0m", type="\x1b[36m",
+                     pattern="\x1b[33m", suffix="\x1b[32m",
+                     unique="\x1b[4m")
 
 
 @dataclass(frozen=True)
 class RenderOptions:
     """Display toggles (the reference CLI's --show-count/--show-lengths/
     --show-samples/--str-limit, reference ui/cli.py:120-158). Defaults
-    reproduce the bare render."""
+    reproduce the bare render.
+
+    ``indent`` reproduces the reference display's multi-line layout
+    (XSLT indent template, reference ui/cli.xsl:37-41): containers
+    holding nested containers or more than one entry break onto
+    indented lines, four spaces per level. ``styles`` colorizes the
+    pieces the reference colors."""
 
     show_count: bool = False
     show_lengths: bool = False
     show_samples: bool = False
     show_graph: bool = False
     str_limit: Optional[int] = None
+    indent: bool = False
+    styles: Styles = field(default_factory=Styles)
+    level: int = 0                  # internal: current nesting depth
+
+    def s(self, kind: str, text: str) -> str:
+        code = getattr(self.styles, kind)
+        return f"{code}{text}{self.styles.normal}" if code else text
+
+    def deeper(self) -> "RenderOptions":
+        return replace(self, level=self.level + 1)
+
+    def pad(self, extra: int = 0) -> str:
+        return " " * (4 * (self.level + extra))
+
+
+def _contains_container(n: "Node") -> bool:
+    if isinstance(n, (RecordT, TableT, TupleT, ListT)):
+        return True
+    if isinstance(n, (StrReprT, NumReprT)):
+        return _contains_container(n.inner)
+    return False
 
 
 _BARE = None  # set below once RenderOptions exists
@@ -121,10 +168,18 @@ class Scalar(Node):
 
     name = "scalar"
 
+    def _styled_name(self, opts: RenderOptions) -> str:
+        # reference styling: type names cyan, unique columns
+        # underlined (ui/cli.py:271-278)
+        out = opts.s("type", self.name)
+        if self.stats.unique:
+            out = opts.s("unique", out)
+        return out
+
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
         rng = self.stats.range_str(opts.str_limit)
-        out = f"{self.name} {rng}".strip()
+        out = f"{self._styled_name(opts)} {rng}".strip()
         return _decorate(out, self.stats, opts)
 
 
@@ -157,8 +212,10 @@ class StrT(Scalar):
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
         rng = self.stats.range_str(opts.str_limit)
-        pat = f' pattern="{pattern_str(self.pattern)}"' if self.pattern else ""
-        out = f"str {rng}{pat}".strip()
+        pat = (' pattern=' + opts.s("pattern",
+                                    f'"{pattern_str(self.pattern)}"')
+               if self.pattern else "")
+        out = f"{self._styled_name(opts)} {rng}".strip() + pat
         if opts.show_lengths and self.lengths.min is not None:
             out += (f" len={self.lengths.min}" if self.lengths.fixed
                     else f" len={self.lengths.min}..{self.lengths.max}")
@@ -170,7 +227,8 @@ class URLT(StrT):
     name = "URL"
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
-        return "URL"
+        opts = opts or RenderOptions()
+        return opts.s("type", "URL")
 
 
 @dataclass(frozen=True)
@@ -186,7 +244,10 @@ class StrReprT(Node):
     pattern: str = ""
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
-        return f'str of {self.inner.render(opts)} pattern="{self.pattern}"'
+        opts = opts or RenderOptions()
+        quoted = f'"{self.pattern}"'
+        return (f'{opts.s("type", "str")} of {self.inner.render(opts)}'
+                f' pattern={opts.s("pattern", quoted)}')
 
     @property
     def size(self) -> int:
@@ -209,8 +270,9 @@ class NumReprT(Node):
     epoch_offset: float = 0.0
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
         phys = "float" if self.pattern == "f" else "int"
-        return f"{phys} of {self.inner.render(opts)}"
+        return f'{opts.s("type", phys)} of {self.inner.render(opts)}'
 
     @property
     def size(self) -> int:
@@ -230,7 +292,12 @@ class ListT(Node):
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
-        body = f"[ {self.element.render(opts)} ]"
+        if opts.indent and _contains_container(self.element):
+            deep = opts.deeper()
+            body = ("[\n" + opts.pad(1) + self.element.render(deep)
+                    + "\n" + opts.pad() + "]")
+        else:
+            body = f"[ {self.element.render(opts)} ]"
         if opts.show_lengths and self.lengths.min is not None:
             body += (f" len={self.lengths.min}" if self.lengths.fixed
                      else f" len={self.lengths.min}..{self.lengths.max}")
@@ -252,7 +319,7 @@ class FieldT(Node):
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
-        opt = "?" if self.optional else ""
+        opt = opts.s("suffix", "?") if self.optional else ""
         cnt = f" x{self.count}" if opts.show_count else ""
         return f"'{self.key}'{opt}{cnt}: {self.value.render(opts)}"
 
@@ -269,6 +336,13 @@ class RecordT(Node):
     lengths: LengthStats = field(default_factory=LengthStats)
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        if opts.indent and (len(self.fields) > 1 or any(
+                _contains_container(f.value) for f in self.fields)):
+            deep = opts.deeper()
+            inner = ",\n".join(
+                opts.pad(1) + f.render(deep) for f in self.fields)
+            return "{\n" + inner + "\n" + opts.pad() + "}"
         inner = ", ".join(f.render(opts) for f in self.fields)
         return "{ " + inner + " }"
 
@@ -286,6 +360,12 @@ class TableT(Node):
     lengths: LengthStats = field(default_factory=LengthStats)
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        if opts.indent and (_contains_container(self.key)
+                            or _contains_container(self.value)):
+            deep = opts.deeper()
+            entry = self.key.render(deep) + ": " + self.value.render(deep)
+            return "{\n" + opts.pad(1) + entry + "\n" + opts.pad() + "}"
         return ("{ " + self.key.render(opts) + ": "
                 + self.value.render(opts) + " }")
 
@@ -303,6 +383,13 @@ class TupleT(Node):
     lengths: LengthStats = field(default_factory=LengthStats)
 
     def render(self, opts: Optional[RenderOptions] = None) -> str:
+        opts = opts or RenderOptions()
+        if opts.indent and (len(self.fields) > 1 or any(
+                _contains_container(f.value) for f in self.fields)):
+            deep = opts.deeper()
+            inner = ",\n".join(
+                opts.pad(1) + f.value.render(deep) for f in self.fields)
+            return "(\n" + inner + "\n" + opts.pad() + ")"
         inner = ", ".join(f.value.render(opts) for f in self.fields)
         return "( " + inner + " )"
 

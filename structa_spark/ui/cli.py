@@ -4,9 +4,11 @@ Same user surface as the reference CLI (reference: structa/ui/cli.py:
 68-234): analyze one or more JSON/NDJSON/CSV/YAML files (format
 auto-detected per file) and print the inferred structure. Multiple
 files are assumed to share a source and are analyzed as a union
-(reference ui/cli.py:73-76). The render is the engine's structa-style
-text (the reference's XSLT/ANSI pipeline is display plumbing, not
-compute — reference ui/cli.py:269-307).
+(reference ui/cli.py:73-76). ``--indent`` reproduces the reference
+display's multi-line nested layout and ``--color`` its ANSI styling
+(cyan types / yellow patterns / green suffixes / underlined unique —
+reference ui/cli.py:271-278, ui/cli.xsl) without the XSLT detour:
+the renderer styles nodes directly.
 """
 
 from __future__ import annotations
@@ -72,6 +74,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="show the 10-char quartile position graph")
     p.add_argument("--str-limit", type=int, default=20,
                    help="truncate displayed strings to this length")
+    p.add_argument("--indent", action="store_true",
+                   help="multi-line indented layout for nested "
+                        "structures (the reference display's default)")
+    p.add_argument("--color", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="ANSI styling: cyan types, yellow patterns, "
+                        "green suffixes, underlined unique columns "
+                        "(auto = only when stdout is a tty)")
     p.add_argument("--timestamps", type=params.parse_epoch,
                    default="unix", metavar="EPOCH",
                    help="'unix', 'excel', or e.g. 'days since "
@@ -171,12 +181,18 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 import json as _json
                 node = root.fields[0].value if wrapped else root
                 return _json.dumps(node_to_dict(node), indent=2)
+            from ..model import ANSI_STYLES, Styles
+            color = getattr(cfg, "color", "never")
+            use_color = (color == "always"
+                         or (color == "auto" and sys.stdout.isatty()))
             ropts = RenderOptions(
                 show_count=cfg.show_count,
                 show_lengths=cfg.show_lengths,
                 show_samples=cfg.show_samples,
                 show_graph=cfg.show_graph,
-                str_limit=cfg.str_limit)
+                str_limit=cfg.str_limit,
+                indent=getattr(cfg, "indent", False),
+                styles=ANSI_STYLES if use_color else Styles())
             if wrapped:
                 return f"[ {root.fields[0].value.render(ropts)} ]"
             return root.render(ropts)

@@ -178,3 +178,60 @@ def test_stats_merge_keeps_bottom():
     b = Stats(card=10, sample=(("x", 4),), bottom=(("r", 2), ("q", 1)))
     m = a + b
     assert dict(m.bottom) == {"r": 3, "q": 1}
+
+
+# -- styled / indented rendering -------------------------------------------
+
+def test_indent_render_breaks_nested_containers():
+    from structa_spark.model import RenderOptions
+    root = RecordT(fields=(
+        FieldT(key="a", value=IntT(stats=Stats(card=3, min=1, max=9))),
+        FieldT(key="b", value=ListT(element=RecordT(fields=(
+            FieldT(key="c", value=StrT(stats=Stats(card=3))),
+        )))),
+    ))
+    out = root.render(RenderOptions(indent=True))
+    lines = out.splitlines()
+    # root breaks (2 fields), list breaks (container element), inner
+    # single-scalar record stays inline — the XSLT's exact rule
+    assert lines[0] == "{"
+    assert lines[1] == "    'a': int range=1..9,"
+    assert lines[2] == "    'b': ["
+    assert lines[3] == "        { 'c': str }"
+    assert lines[4] == "    ]"
+    assert lines[5] == "}"
+    # single-line render is unchanged by default
+    assert "\n" not in root.render()
+
+
+def test_ansi_render_styles_types_patterns_unique():
+    from structa_spark.model import ANSI_STYLES, RenderOptions
+    opts = RenderOptions(styles=ANSI_STYLES)
+    n = IntT(stats=Stats(card=3, min=1, max=9))
+    assert "\x1b[36mint\x1b[0m" in n.render(opts)
+    u = IntT(stats=Stats(card=3, min=1, max=9, unique=True))
+    assert "\x1b[4m" in u.render(opts)          # unique -> underline
+    from structa_spark.chars import CharClass
+    s = StrT(stats=Stats(card=3), pattern=(CharClass("ab"),))
+    assert "\x1b[33m" in s.render(opts)         # pattern -> yellow
+    f = FieldT(key="k", value=n, optional=True)
+    assert "\x1b[32m?\x1b[0m" in f.render(opts)  # optional -> green
+    # plain render contains no escapes
+    assert "\x1b" not in f.render()
+
+
+def test_cli_indent_and_color_flags(spark, tmp_path):
+    import json as _json
+    from structa_spark.ui.cli import get_config, get_structure
+    doc = [{"name": f"n{i}", "vals": [{"x": i}]} for i in range(5)]
+    f = tmp_path / "d.json"
+    f.write_text(_json.dumps(doc))
+    plain = get_structure(get_config([str(f)]), spark=spark)
+    assert "\n" not in plain
+    indented = get_structure(
+        get_config(["--indent", str(f)]), spark=spark)
+    assert indented.splitlines()[0] == "{"
+    assert "    'name':" in indented
+    colored = get_structure(
+        get_config(["--color", "always", str(f)]), spark=spark)
+    assert "\x1b[36m" in colored
