@@ -1,0 +1,87 @@
+"""Deterministic sampling / quota operators for training-data
+pipelines.
+
+A 100 TB corpus is never trained on whole: it is sampled, balanced
+across languages/sources, and re-sampled on every pipeline iteration.
+``df.sample`` is seed-dependent on partitioning (a repartition or a
+file-split change reshuffles which rows are picked), which makes
+pipeline runs unreproducible. Everything here keys the decision on a
+HASH OF THE ROW KEY instead: the same document is selected by every
+run, on every engine, at every partitioning — and the selection is
+expressible in ANSI SQL, so each operator carries an exact oracle.
+
+All hot-path expressions are built-in functions (JVM-side, codegen);
+the only shuffle is the window in :func:`cap_per_group`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+#: hash-space modulus for sampling decisions; 1e6 gives ~0.0001%
+#: fraction granularity while staying far from int64 overflow
+SAMPLE_MOD = 1_000_000
+
+
+def sample_key(key: Column, salt: str = "") -> Column:
+    """Deterministic per-row draw in [0, SAMPLE_MOD): the md5-derived
+    int64 of (key || salt) reduced mod SAMPLE_MOD. Changing the salt
+    produces an independent re-draw — distinct pipeline stages (e.g.
+    train/holdout splits) use distinct salts."""
+    return md5_long(F.concat(key.cast("string"), F.lit(salt))) \
+        % F.lit(SAMPLE_MOD)
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    across runs, engines and partitionings (unlike ``df.sample``).
+    Scale shape: a scan-local filter, no shuffle, pushed after the
+    columnar read."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of range: {fraction}")
+    thr = int(round(fraction * SAMPLE_MOD))
+    return df.where(sample_key(F.col(key_col), salt) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, fractions: Dict[str, float],
+                      group_col: str, key_col: str,
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-group deterministic sampling (language/source balancing):
+    group g keeps ~``fractions[g]`` of its rows; unlisted groups keep
+    ``default_fraction``. Same scan-local no-shuffle shape — the
+    per-group threshold is a CASE expression, not a join."""
+    thr: Column = F.lit(int(round(default_fraction * SAMPLE_MOD)))
+    for g, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction out of range for {g!r}: {frac}")
+        thr = F.when(F.col(group_col) == g,
+                     F.lit(int(round(frac * SAMPLE_MOD)))).otherwise(thr)
+    return df.where(sample_key(F.col(key_col), salt) < thr)
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  key_col: str, order_col: Optional[str] = None,
+                  salt: str = "") -> DataFrame:
+    """At most ``n`` rows per group, deterministically chosen: rows
+    rank within their group by (order_col or key hash, key) and ranks
+    above ``n`` drop. The hash order makes the quota a uniform
+    subsample of the group rather than a prefix of some storage
+    order. ONE shuffle (the window partition); at 100 TB a skewed
+    group serializes into one task's sort, which is exactly the
+    degenerate case the hash order keeps bounded: the sort is
+    O(group), not O(corpus)."""
+    from pyspark.sql.window import Window
+
+    order = (F.col(order_col) if order_col
+             else sample_key(F.col(key_col), salt))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (df.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= n)
+            .drop("__rn__"))

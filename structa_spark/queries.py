@@ -1201,3 +1201,85 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.near_duplicate_groups(
         d, jaccard_threshold=0.35, use_lsh=False)
         .orderBy("doc_id"))
+
+
+# ===========================================================================
+# deterministic sampling / quota (operators/sampling.py)
+# ===========================================================================
+
+_DRAW_SQL = (md5_long_sql("CAST(doc_id AS VARCHAR)")
+             + " % 1000000")
+
+
+@register("sample_docs_deterministic", oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DRAW_SQL} < 100000
+ORDER BY doc_id
+""")
+def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 10% sample: the same documents are selected on
+    every run, engine and partitioning (df.sample is not), which is
+    what makes a training-data pipeline iterable. Scan-local filter,
+    no shuffle."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.deterministic_sample(d, 0.10, "doc_id")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("stratified_sample_by_lang", oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DRAW_SQL} < CASE lang
+    WHEN 'de' THEN 200000 WHEN 'en' THEN 500000 ELSE 50000 END
+ORDER BY doc_id
+""")
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sampling: en keeps 50%, de
+    20%, everything else 5% — the balancing step of a multilingual
+    corpus build, as one CASE-threshold scan with no join/shuffle."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.stratified_sample(
+        d, {"en": 0.5, "de": 0.2}, group_col="lang",
+        key_col="doc_id", default_fraction=0.05)
+        .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("cap_docs_per_lang", oracle=f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_DRAW_SQL}, doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id FROM ranked WHERE rn <= 10
+ORDER BY lang, doc_id
+""")
+def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota: at most 10 docs per language, picked by
+    key hash so the quota is a uniform subsample of each language
+    rather than a storage-order prefix. ONE window shuffle."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.cap_per_group(d, "lang", 10, key_col="doc_id")
+            .select("lang", "doc_id").orderBy("lang", "doc_id"))
+
+
+@register("token_length_histogram", oracle=f"""
+SELECT CAST(floor(len({_TOKENS_SQL}) / 32) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY bucket ORDER BY bucket
+""")
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram (32-token buckets): the standard
+    pre-training check that batch/packing assumptions hold. One scan,
+    small-key aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    n = text.token_count(F.col("text"))
+    return (d.select(F.floor(n / 32).cast("long").alias("bucket"),
+                     n.alias("__n__"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n__").cast("long").alias("total_tokens"))
+            .orderBy("bucket"))

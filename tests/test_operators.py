@@ -409,3 +409,57 @@ def test_srp_signatures_pandas_matches_expression(vectors):
     # same hyperplanes, same signs — summation order can only differ
     # at dots ~0, which the random fixture doesn't produce
     assert got == want
+
+
+# -- deterministic sampling (operators/sampling.py) -------------------------
+
+def test_deterministic_sample_invariant_under_partitioning(spark):
+    from structa_spark.operators import sampling
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.deterministic_sample(df, 0.2, "k").collect()}
+    b = {r.k for r in sampling.deterministic_sample(
+        df.repartition(13), 0.2, "k").collect()}
+    assert a == b                       # df.sample cannot promise this
+    assert 0.15 < len(a) / 2000 < 0.25  # fraction lands near target
+
+
+def test_deterministic_sample_salt_independence(spark):
+    from structa_spark.operators import sampling
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.deterministic_sample(
+        df, 0.5, "k", salt="train").collect()}
+    b = {r.k for r in sampling.deterministic_sample(
+        df, 0.5, "k", salt="held").collect()}
+    inter = len(a & b) / min(len(a), len(b))
+    assert 0.3 < inter < 0.7            # independent draws, ~50% overlap
+
+
+def test_stratified_sample_respects_groups(spark):
+    from pyspark.sql import functions as F
+    from structa_spark.operators import sampling
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("g"))
+    out = sampling.stratified_sample(
+        df, {"en": 1.0, "de": 0.0}, group_col="g", key_col="k",
+        default_fraction=0.3)
+    counts = {r.g: r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == 1000
+    assert "de" not in counts
+    assert 200 < counts.get("fr", 0) < 400
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from structa_spark.operators import sampling
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    out = sampling.cap_per_group(df, "g", 7, key_col="k")
+    counts = [r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()]
+    assert counts == [7] * 5
+    again = sampling.cap_per_group(df.repartition(11), "g", 7, key_col="k")
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in again.collect()})
