@@ -143,3 +143,25 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             .applyInPandasWithState(
                 update, SESSION_SCHEMA, _STATE_SCHEMA,
                 "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def dedup_stream(sdf: DataFrame, key_cols: List[str],
+                 ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only
+    until the watermark passes it, so state is O(keys per watermark
+    window) — the property that makes streaming dedup viable at all;
+    plain ``dropDuplicates`` on a stream retains every key forever
+    and OOMs a long-running job. Duplicates arriving within the
+    watermark delay of the first occurrence are dropped; a duplicate
+    arriving later than the watermark is a late row the pipeline has
+    already declared out-of-contract (same trade-off as any
+    watermarked aggregation).
+
+    Batch twin (for correctness checks): groupBy(keys).first() —
+    the engine's exact dedup (operators/dedup.py).
+    """
+    return (sdf.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -130,3 +130,23 @@ def test_sessionize_batch_twin_matches_sql(spark, tmp_path):
     streamed = {(r.user_id, r.n_events)
                 for r in spark.sql("SELECT * FROM sess_twin").collect()}
     assert streamed == {(1, 2), (2, 1)}
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    from structa_spark.streaming.profile_stream import dedup_stream
+    rows = []
+    for h in range(4):
+        for u in (1, 2):
+            # each (user, event_type) pair written twice within the hour
+            rows.append((f"2024-01-01 {h:02d}:05:00", u, f"e{h}", 1.0))
+            rows.append((f"2024-01-01 {h:02d}:20:00", u, f"e{h}", 2.0))
+    _write_events(tmp_path / "dup", rows)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).json(
+        str(tmp_path / "dup"))
+    out = dedup_stream(sdf, ["user_id", "event_type"],
+                       ts_col="ts", watermark="2 hours")
+    _run_stream(out, "dedup_test", "append")
+    got = spark.sql("SELECT user_id, event_type FROM dedup_test").collect()
+    # 4 hours x 2 users, duplicates collapsed
+    assert len(got) == 8
+    assert len({(r.user_id, r.event_type) for r in got}) == 8
