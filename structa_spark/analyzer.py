@@ -260,7 +260,13 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 
 
 def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
-    """Codegen-able phase-A aggregates (count/sum/min/max family)."""
+    """Hash-aggregable phase-A aggregates (count/sum + min/max over
+    MUTABLE buffer types). A min/max over a STRING column carries a
+    UTF8String aggregation buffer, which HashAggregate cannot hold —
+    one such expression demotes the WHOLE agg to an un-codegen'd
+    SortAggregate — so string min/max live in their own job
+    (:func:`_string_minmax_exprs`) and everything here stays inside
+    WholeStageCodegen."""
     c = F.expr(leaf.expr)
     k = leaf.key
     exprs = [
@@ -275,7 +281,6 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     elif isinstance(dt, T.StringType):
         ln = F.length(c)
         exprs += [
-            F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max"),
             F.sum(F.when(c == "", 1).otherwise(0)).alias(f"{k}__empty"),
             F.min(ln).alias(f"{k}__lmin"), F.max(ln).alias(f"{k}__lmax"),
             F.sum(F.when(c.rlike(conversions.URL_REGEX), 0).otherwise(1))
@@ -286,6 +291,17 @@ def _agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
         exprs += [F.min(ln).alias(f"{k}__lmin"),
                   F.max(ln).alias(f"{k}__lmax")]
     return exprs
+
+
+def _string_minmax_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
+    """String (and binary-free) min/max — immutable aggregation
+    buffers, executed as a keyless SortAggregate in a separate job so
+    they never demote the hash-aggregable job out of codegen."""
+    if not isinstance(leaf.dtype, T.StringType):
+        return []
+    c = F.expr(leaf.expr)
+    k = leaf.key
+    return [F.min(c).alias(f"{k}__min"), F.max(c).alias(f"{k}__max")]
 
 
 _HLL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -791,6 +807,14 @@ def _phase_a_jobs(leaves: List[_Leaf], length_leaves: List[_Leaf],
         for leaf in chunk:
             exprs.extend(_length_agg_exprs(leaf, cfg))
         jobs.append(exprs)
+    str_leaves = [lf for lf in leaves
+                  if isinstance(lf.dtype, T.StringType)]
+    for chunk in _chunked(str_leaves, _CHUNK_LEAVES):
+        exprs = []
+        for leaf in chunk:
+            exprs.extend(_string_minmax_exprs(leaf, cfg))
+        if exprs:
+            jobs.append(exprs)
     for chunk in _chunked(leaves, _CHUNK_LEAVES):
         exprs = []
         for leaf in chunk:

@@ -1,0 +1,98 @@
+"""Physical-plan audits: the scale discipline, enforced by CI.
+
+Every registered query's executed plan is rendered and checked for
+the properties that keep it viable at 100 TB:
+
+* no CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+  explicitly-labeled quadratic oracle paths;
+* dimension joins on the fact table broadcast their small side;
+* parquet scans under a selective query push their filters.
+
+A regression that silently turns a bucketed join into a cross
+product, or un-pushes a filter, fails here long before it melts a
+cluster.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from structa_spark.queries import REGISTRY
+from structa_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose SEMANTICS are a labeled all-pairs comparison (oracle
+# or verification modes over bounded subsets) — the quadratic shape
+# is the point, the bound is the doc-id filter
+_QUADRATIC_OK = {
+    "ngram_jaccard_pairs",       # exact-Jaccard ground truth, doc_id<150
+    "near_dup_groups",           # exact edge mode vs recursive-CTE oracle
+    "cosine_topk",               # brute-force baseline: queries x corpus
+    "cosine_topk_vectorized",    # same, Arrow path
+    "embedding_neardup_pairs",   # exact mode over 2k vectors
+    "range_join_purchase_views",  # inequality residual on equality key
+    "asof_purchase_click",       # union-merge window
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unlabeled_cartesian(spark, name):
+    fn, _ = REGISTRY[name]
+    plan = _plan(fn(spark, SF))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan and name not in _QUADRATIC_OK:
+            raise AssertionError(
+                f"{name}: {bad} in executed plan — an unlabeled "
+                f"all-pairs shape would be quadratic at scale:\n"
+                f"{plan[:2000]}")
+
+
+def test_q5_broadcasts_dimensions(spark):
+    fn, _ = REGISTRY["q5_nation_revenue"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # the fact table must not be the broadcast side: no exchange
+    # should materialize lineitem for broadcast (heuristic: the plan
+    # keeps at least one shuffle-free broadcast join)
+    assert "BroadcastExchange" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (load_table(spark, SF, "lineitem")
+          .where(F.col("l_shipdate") < "1996-01-01")
+          .select("l_orderkey", "l_extendedprice"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThan" in plan, \
+        plan[:1500]
+    # column pruning: the scan must read only the referenced columns
+    lower = plan[plan.index("ReadSchema"):][:300]
+    assert "l_comment" not in lower and "l_quantity" not in lower
+
+
+def test_profile_jobs_stay_whole_stage_codegen(spark):
+    # the analyzer's scalar phase-A job must stay inside
+    # WholeStageCodegen: one imperative aggregate in the same agg
+    # would force the whole thing interpreted
+    import structa_spark.analyzer as A
+    df = load_table(spark, SF, "lineitem")
+    cfg = A.AnalyzerConfig()
+    contexts, _arrs, _tabs = A._plan(df, cfg)
+    ctx = contexts[0]
+    jobs = A._phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+    scalar_job = df.agg(*jobs[0])
+    scalar_job.collect()          # resolve AQE to the final plan
+    plan = scalar_job._jdf.queryExecution().executedPlan().toString()
+    # invariants: no imperative sketch leaked into the scalar job
+    # (ObjectHashAggregate), no string buffer demoted it to
+    # SortAggregate, and the HashAggregate runs inside whole-stage
+    # codegen (the `*(n)` prefix in the executed-plan string)
+    assert "ObjectHashAggregate" not in plan, plan[:1500]
+    assert "SortAggregate" not in plan, plan[:1500]
+    assert "HashAggregate" in plan, plan[:1500]
+    assert "*(" in plan, "no WholeStageCodegen span:\n" + plan[:1500]
