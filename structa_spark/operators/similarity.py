@@ -320,3 +320,20 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                                    F.col(f"b.{vec_col}")), 6)
                     .alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def group_centroids(df: DataFrame, dim: int,
+                    group_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-group mean vector (the IVF-training / class-prototype
+    primitive): ONE hash-aggregated shuffle of ``dim`` scalar
+    partial sums per group — no explode (which would shuffle
+    ``dim``x the rows) and no vector UDAF. ``element_at`` keeps the
+    per-dimension averages inside whole-stage codegen; the centroid
+    is reassembled as an array afterwards."""
+    dims = [F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+            .alias(f"__c{i}") for i in range(dim)]
+    agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vecs"),
+                                    *dims)
+    centroid = F.array(*[F.col(f"__c{i}") for i in range(dim)])
+    return agg.select(group_col, "n_vecs", centroid.alias("centroid"))

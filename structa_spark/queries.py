@@ -1283,3 +1283,72 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__n__").cast("long").alias("total_tokens"))
             .orderBy("bucket"))
+
+
+@register("label_centroids", oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(embedding[1]::DOUBLE), 4)  AS c0,
+       round(avg(embedding[22]::DOUBLE), 4) AS c21,
+       round(avg(embedding[43]::DOUBLE), 4) AS c42,
+       round(avg(embedding[64]::DOUBLE), 4) AS c63
+FROM embeddings GROUP BY label ORDER BY label
+""")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes / IVF training
+    step): one codegen'd hash aggregation of 64 scalar sums — the
+    oracle spot-checks four dimensions of each centroid."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = similarity.group_centroids(e, dim=64, group_col="label")
+    return (cent.select(
+        "label", "n_vecs",
+        *[F.round(F.element_at("centroid", i + 1), 4).alias(f"c{i}")
+          for i in (0, 21, 42, 63)])
+        .orderBy("label"))
+
+
+@register("filter_training_corpus", oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang,
+    len({_TOKENS_SQL}) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digit,
+    length(text) - length(regexp_replace(text,
+        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+    len(list_filter({_TOKENS_SQL},
+        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
+    length(text) AS n
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN n_tokens > 0 THEN
+      least(n_tokens / 50.0, 1.0) * 0.4
+      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + least(CASE WHEN n_tokens > 0
+              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5, 1.0) * 0.2
+    ELSE 0.0 END AS q
+  FROM f)
+SELECT doc_id, lang, n_tokens, round(q, 4) AS quality
+FROM scored
+WHERE round(q, 4) >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+  AND lang IN ('en', 'de', 'fr')
+ORDER BY doc_id
+""")
+def filter_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning step every pretraining pipeline
+    runs: quality score (C4/Gopher-style ratios) + token-length
+    bounds + language allowlist, in ONE scan with every expression
+    JVM-side — filters compose into the same stage, nothing
+    shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(d)
+    return (scored
+            .where((F.col("quality_score") >= 0.5)
+                   & F.col("n_tokens").between(10, 5000)
+                   & F.col("lang").isin("en", "de", "fr"))
+            .select("doc_id", "lang", "n_tokens",
+                    F.col("quality_score").alias("quality"))
+            .orderBy("doc_id"))

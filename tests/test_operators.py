@@ -463,3 +463,23 @@ def test_cap_per_group_quota_and_determinism(spark):
     again = sampling.cap_per_group(df.repartition(11), "g", 7, key_col="k")
     assert ({tuple(r) for r in out.collect()}
             == {tuple(r) for r in again.collect()})
+
+
+def test_group_centroids_match_numpy(vectors, spark):
+    import numpy as np
+    from structa_spark.operators import similarity
+    labeled = vectors.withColumn("label", (F.col("vec_id") % 4))
+    rows = labeled.collect()
+    dim = len(rows[0].embedding)
+    out = {r.label: (r.n_vecs, r.centroid) for r in
+           similarity.group_centroids(labeled, dim=dim).collect()}
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(out) == set(by_label)
+    for lbl, vecs in by_label.items():
+        n, cent = out[lbl]
+        assert n == len(vecs)
+        np.testing.assert_allclose(
+            np.array(cent), np.mean(np.array(vecs, dtype=np.float64),
+                                    axis=0), rtol=1e-9)
