@@ -226,6 +226,13 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     grouped = (bands.groupBy("band", "band_key")
                .agg(F.collect_list(id_col).alias("ids"))
                .where(F.size("ids").between(2, max_bucket)))
+    # the grouped bucket rows are BYTE-small but their pair expansion
+    # is CPU-quadratic per bucket; AQE coalesces the post-shuffle
+    # stage by bytes and would run the whole expansion in one task —
+    # a round-robin respread keeps it parallel (each bucket row is
+    # self-contained, so no key is needed)
+    grouped = grouped.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     ids = F.array_sort(F.col("ids"))
     pairs = F.filter(
         F.flatten(F.transform(
@@ -502,6 +509,11 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                    F.struct(F.col(id_col).alias("id"),
                             F.col("sh"))).alias("members"))
                .where(F.size("members").between(2, max_bucket)))
+    # respread the byte-small bucket rows so the CPU-quadratic
+    # per-bucket expansion is not coalesced into one task by AQE
+    # (see minhash_candidates)
+    grouped = grouped.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     mem = F.array_sort(F.col("members"))     # orders by id first
     pairs = F.filter(
         F.flatten(F.transform(
