@@ -580,8 +580,24 @@ def _maybe_numeric_timestamp(node: Node, cfg: AnalyzerConfig) -> Node:
 # auxiliary jobs: top-k samples and pattern induction
 # ---------------------------------------------------------------------------
 
+def _counted_values(ctx: _Context, keys: Dict[str, _Leaf]) -> DataFrame:
+    """The shared frequency relation: one row per DISTINCT (leaf,
+    value) across the given leaves — built once per context so top-k
+    sampling and exact-mode string quartiles don't each rescan the
+    input (they consume disjoint projections of the same counts)."""
+    pairs = [
+        F.struct(F.lit(key).alias("k"),
+                 F.expr(leaf.expr).cast("string").alias("v"))
+        for key, leaf in keys.items()
+    ]
+    unp = (ctx.df.select(F.explode(F.array(*pairs)).alias("p"))
+           .select("p.k", "p.v").where(F.col("v").isNotNull()))
+    return unp.groupBy("k", "v").agg(F.count("*").alias("n"))
+
+
 def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
-                  cfg: AnalyzerConfig
+                  cfg: AnalyzerConfig,
+                  counted: Optional[DataFrame] = None
                   ) -> Tuple[Dict[str, List[Tuple[str, int]]],
                              Dict[str, List[Tuple[str, int]]]]:
     """ONE job for all leaves of a context: unpivot to (name, value),
@@ -595,15 +611,11 @@ def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
         return {}, {}
     from pyspark.sql.window import Window
 
-    pairs = []
-    for key, leaf in string_keys.items():
-        pairs.append(F.struct(
-            F.lit(key).alias("k"),
-            F.expr(leaf.expr).cast("string").alias("v")))
-    unp = (ctx.df.select(F.explode(F.array(*pairs)).alias("p"))
-           .select("p.k", "p.v")
-           .where(F.col("v").isNotNull()))
-    counted = unp.groupBy("k", "v").agg(F.count("*").alias("n"))
+    if counted is None:
+        counted = _counted_values(ctx, string_keys)
+    else:
+        counted = counted.where(
+            F.col("k").isin(list(string_keys)))
     w_top = Window.partitionBy("k").orderBy(F.desc("n"), F.asc("v"))
     w_bot = Window.partitionBy("k").orderBy(F.asc("n"), F.desc("v"))
     ranked = (counted
@@ -628,7 +640,9 @@ def _collect_topk(ctx: _Context, string_keys: Dict[str, _Leaf],
 
 def _collect_string_quartiles(
         ctx: _Context, string_keys: Dict[str, _Leaf],
-        cfg: AnalyzerConfig) -> Dict[str, Tuple[str, str, str]]:
+        cfg: AnalyzerConfig,
+        counted: Optional[DataFrame] = None
+) -> Dict[str, Tuple[str, str, str]]:
     """Lexicographic q1/q2/q3 for string leaves — the reference
     computes quartiles for ANY sortable type by a sorted-distinct
     cumulative walk (reference: structa/types.py:182-207); this is
@@ -649,14 +663,11 @@ def _collect_string_quartiles(
         return {}
     from pyspark.sql.window import Window
 
-    pairs = [
-        F.struct(F.lit(key).alias("k"),
-                 F.expr(leaf.expr).cast("string").alias("v"))
-        for key, leaf in string_keys.items()
-    ]
-    unp = (ctx.df.select(F.explode(F.array(*pairs)).alias("p"))
-           .select("p.k", "p.v").where(F.col("v").isNotNull()))
-    counted = unp.groupBy("k", "v").agg(F.count("*").alias("n"))
+    if counted is None:
+        counted = _counted_values(ctx, string_keys)
+    else:
+        counted = counted.where(
+            F.col("k").isin(list(string_keys)))
     w_ord = (Window.partitionBy("k").orderBy("v")
              .rowsBetween(Window.unboundedPreceding, -1))
     w_all = Window.partitionBy("k")
@@ -1061,19 +1072,32 @@ def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
                     leaf.key: leaf for leaf in ctx.leaves
                     if isinstance(leaf.dtype, T.StringType)
                 }
+                # in exact mode both the top-k job and the string-
+                # quartile job consume groupBy(leaf, value) counts;
+                # build that relation ONCE over the union of their
+                # leaves and cache it so the input is scanned once
+                shared = None
+                if (cfg.exact and cfg.collect_samples
+                        and sampleable and string_leaves):
+                    shared = _counted_values(
+                        ctx, {**string_leaves, **sampleable}).persist()
                 dep_futs.append((
                     ctx.id,
-                    pool.submit(_collect_topk, ctx, sampleable, cfg),
+                    pool.submit(_collect_topk, ctx, sampleable, cfg,
+                                shared),
                     pool.submit(_phase_b_row, ctx.df, ctx.leaves,
                                 row, cfg),
                     pool.submit(_collect_string_quartiles, ctx,
-                                string_leaves, cfg)))
-        for cid, t_fut, b_fut, q_fut in dep_futs:
+                                string_leaves, cfg, shared),
+                    shared))
+        for cid, t_fut, b_fut, q_fut, shared in dep_futs:
             t, b = t_fut.result()
             topk.update(t)
             botk.update(b)
             rows[cid].update(b_fut.result())
             str_q.update(q_fut.result())
+            if shared is not None:
+                shared.unpersist()
 
     # classify every leaf
     leaf_nodes: Dict[Tuple[str, ...], Node] = {}
