@@ -1352,3 +1352,34 @@ def filter_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_tokens",
                     F.col("quality_score").alias("quality"))
             .orderBy("doc_id"))
+
+
+@register("skewed_event_agg", oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def skewed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-stage aggregation (functions/skew.py) on the
+    low-cardinality event_type key — the shape where one hot key
+    would otherwise funnel through a single reducer. The oracle is
+    the PLAIN group-by: salting must be result-invariant, and the
+    hash compare enforces exactly that."""
+    from .functions.skew import salted_agg
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e, ["event_type"],
+        [("count", "event_id", "n_events"),
+         ("sum", "value", "total_value"),
+         ("min", "value", "min_value"),
+         ("max", "value", "max_value")])
+    return (out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"))
+        .orderBy("event_type"))
