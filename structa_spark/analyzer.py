@@ -963,7 +963,13 @@ def _prepare_input(df: DataFrame, cfg: AnalyzerConfig):
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    return df.persist(), True
+    df = df.persist()
+    # materialize eagerly: the phase-A jobs launch concurrently, and
+    # several jobs racing an unmaterialized cache each recompute the
+    # missing partitions — one blocking count pays the scan exactly
+    # once and every subsequent job reads memory
+    df.count()
+    return df, True
 
 
 def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
