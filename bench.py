@@ -39,6 +39,10 @@ def main():
              .config("spark.sql.adaptive.coalescePartitions.enabled",
                      "true")
              .config("spark.driver.memory", "48g")
+             # TIMESTAMP_NTZ columns are normalized via a session-tz
+             # cast (sources/tables.py); pin UTC so epochs match the
+             # oracle's naive-as-UTC reading on any machine
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
              .appName("structa-spark-bench")
              .getOrCreate())

@@ -197,11 +197,18 @@ def _plan(df: DataFrame, cfg: AnalyzerConfig):
                     for f in dtype.fields
                 ]
                 table_structs[path] = val_dt
+                size_expr = (
+                    "size(filter(array({}), x -> x is not null))"
+                    .format(", ".join(fexprs)))
+                if expr:
+                    # a NULL struct must yield a NULL length (like
+                    # size() of a NULL map), not 0 — otherwise its
+                    # card counts every row and the field is never
+                    # marked optional
+                    size_expr = (f"case when {expr} is null then null "
+                                 f"else {size_expr} end")
                 ctx.length_leaves.append(_Leaf(
-                    path, key + "_len",
-                    "size(filter(array({}), x -> x is not null))".format(
-                        ", ".join(fexprs)),
-                    T.IntegerType()))
+                    path, key + "_len", size_expr, T.IntegerType()))
                 entries = [
                     F.struct(F.lit(f.name).alias("k"),
                              F.expr(fe).alias("v"))
@@ -786,9 +793,9 @@ class Profile:
 # 120-leaf context compiled as ONE agg is a multi-MB class, and
 # several of those compiling concurrently exhausts the JVM heap
 # (observed on the 40-field USN shape). Bounded chunks keep every
-# generated class small; the chunks of one context run sequentially
-# inside its worker thread so the in-flight compile count equals the
-# worker-pool size exactly.
+# generated class small; every chunk is an independent pool task, so
+# the WORKER-POOL BOUND (not per-context sequencing) is what caps
+# concurrent compiles at n_workers bounded-size classes.
 _CHUNK_LEAVES = 24
 
 
@@ -1081,29 +1088,50 @@ def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
                 # in exact mode both the top-k job and the string-
                 # quartile job consume groupBy(leaf, value) counts;
                 # build that relation ONCE over the union of their
-                # leaves and cache it so the input is scanned once
-                shared = None
+                # leaves and run both consumers in one pool task —
+                # materializing the cache before the first consumer,
+                # because two tasks racing an unmaterialized cache
+                # would each recompute it (the very scan this saves)
                 if (cfg.exact and cfg.collect_samples
                         and sampleable and string_leaves):
-                    shared = _counted_values(
-                        ctx, {**string_leaves, **sampleable}).persist()
+                    def _shared_value_stats(ctx=ctx,
+                                            sampleable=sampleable,
+                                            string_leaves=string_leaves):
+                        shared = _counted_values(
+                            ctx, {**string_leaves, **sampleable}
+                        ).persist()
+                        try:
+                            shared.count()
+                            t, b = _collect_topk(
+                                ctx, sampleable, cfg, shared)
+                            q = _collect_string_quartiles(
+                                ctx, string_leaves, cfg, shared)
+                            return t, b, q
+                        finally:
+                            shared.unpersist()
+
+                    tq_fut = pool.submit(_shared_value_stats)
+                    q_fut = None
+                else:
+                    tq_fut = pool.submit(
+                        _collect_topk, ctx, sampleable, cfg)
+                    q_fut = pool.submit(_collect_string_quartiles,
+                                        ctx, string_leaves, cfg)
                 dep_futs.append((
-                    ctx.id,
-                    pool.submit(_collect_topk, ctx, sampleable, cfg,
-                                shared),
+                    ctx.id, tq_fut,
                     pool.submit(_phase_b_row, ctx.df, ctx.leaves,
                                 row, cfg),
-                    pool.submit(_collect_string_quartiles, ctx,
-                                string_leaves, cfg, shared),
-                    shared))
-        for cid, t_fut, b_fut, q_fut, shared in dep_futs:
-            t, b = t_fut.result()
+                    q_fut))
+        for cid, tq_fut, b_fut, q_fut in dep_futs:
+            if q_fut is None:
+                t, b, q = tq_fut.result()
+            else:
+                t, b = tq_fut.result()
+                q = q_fut.result()
             topk.update(t)
             botk.update(b)
             rows[cid].update(b_fut.result())
-            str_q.update(q_fut.result())
-            if shared is not None:
-                shared.unpersist()
+            str_q.update(q)
 
     # classify every leaf
     leaf_nodes: Dict[Tuple[str, ...], Node] = {}

@@ -233,16 +233,20 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # self-contained, so no key is needed)
     grouped = grouped.repartition(
         df.sparkSession.sparkContext.defaultParallelism)
+    # two-step expansion: posexplode to one row per member, then each
+    # row pairs only with its LATER bucket-mates (slice past its own
+    # 1-based position). Peak memory per row is O(bucket), never the
+    # O(bucket^2) a nested-transform pair array would materialize —
+    # at max_bucket=10k that is the difference between ~10^4 and
+    # ~10^8 structs in one row buffer.
     ids = F.array_sort(F.col("ids"))
-    pairs = F.filter(
-        F.flatten(F.transform(
-            ids, lambda x: F.transform(
-                ids, lambda y: F.struct(x.alias("id_a"),
-                                        y.alias("id_b"))))),
-        lambda p: p.id_a < p.id_b)
-    return (grouped.select(F.explode(pairs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct())
+    members = grouped.select(ids.alias("ids"),
+                             F.posexplode(ids).alias("i", "id_a"))
+    return (members.select(
+        "id_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2,
+                          F.size("ids"))).alias("id_b"))
+        .distinct())
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -476,22 +480,27 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             max_hamming: int = 3,
                             bits: int = SIMHASH_BITS,
                             max_bucket: int = 10_000) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, with FULL recall.
+    """Near-dup pairs by simhash Hamming distance.
 
     Pigeonhole bucketing: the ``bits``-wide signature is split into
     ``max_hamming + 1`` contiguous blocks; two signatures within
     Hamming distance ``max_hamming`` differ in at most ``max_hamming``
-    blocks, so they agree exactly on at least one block. Each doc is
-    exploded into one (block_idx, block_val) bucket row per block,
-    then ONE shuffle groups the buckets and pairs are expanded from
-    the collected (id, sh) lists — the same shape as
+    blocks, so they agree exactly on at least one block — FULL recall
+    over every bucket that is actually expanded. Each doc is exploded
+    into one (block_idx, block_val) bucket row per block, then ONE
+    shuffle groups the buckets and pairs are expanded from the
+    collected (id, sh) lists — the same shape as
     :func:`minhash_candidates`, so the expensive signature
     aggregation runs once (a self-join would recompute it per side).
     Candidates are verified with the exact popcount and deduped
-    across blocks. Buckets larger than ``max_bucket`` are dropped
-    (degenerate block values — e.g. every near-empty document maps
-    to signature 0): a B-sized bucket emits B^2/2 pairs, and one
-    degenerate key would otherwise emit the corpus squared."""
+    across blocks.
+
+    Recall caveat: buckets larger than ``max_bucket`` are dropped —
+    a B-sized bucket emits B^2/2 pairs, and one degenerate block
+    value (e.g. every near-empty document hashing to signature 0)
+    would otherwise emit the corpus squared. Pairs whose ONLY shared
+    block lives in a dropped bucket are lost; raise ``max_bucket``
+    (or pre-filter degenerate documents) when that tail matters."""
     n_blocks = max_hamming + 1
     block_size = -(-bits // n_blocks)  # ceil
     s = simhash_df(df, text_col, id_col, bits)
@@ -510,20 +519,21 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             F.col("sh"))).alias("members"))
                .where(F.size("members").between(2, max_bucket)))
     # respread the byte-small bucket rows so the CPU-quadratic
-    # per-bucket expansion is not coalesced into one task by AQE
-    # (see minhash_candidates)
+    # per-bucket expansion is not coalesced into one task by AQE,
+    # then expand via posexplode + slice-past-self so peak memory
+    # per row is O(bucket), not O(bucket^2) (see minhash_candidates)
     grouped = grouped.repartition(
         df.sparkSession.sparkContext.defaultParallelism)
     mem = F.array_sort(F.col("members"))     # orders by id first
-    pairs = F.filter(
-        F.flatten(F.transform(
-            mem, lambda x: F.transform(
-                mem, lambda y: F.struct(x.alias("a"), y.alias("b"))))),
-        lambda p: p.a.id < p.b.id)
-    return (grouped.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.a.id").alias("id_a"),
-                    F.col("p.b.id").alias("id_b"),
-                    hamming_distance(F.col("p.a.sh"), F.col("p.b.sh"))
-                    .alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+    members = grouped.select(mem.alias("mem"),
+                             F.posexplode(mem).alias("i", "a"))
+    return (members.select(
+        F.col("a"),
+        F.explode(F.slice(F.col("mem"), F.col("i") + 2,
+                          F.size("mem"))).alias("b"))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                hamming_distance(F.col("a.sh"), F.col("b.sh"))
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct())

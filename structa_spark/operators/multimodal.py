@@ -182,12 +182,14 @@ def extract_features(df: DataFrame, dim: int = 16,
     """
     if precision not in ("float32", "float64"):
         raise ValueError(f"precision must be float32|float64: {precision}")
-    elem = T.FloatType() if precision == "float32" else T.DoubleType()
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("feature", T.ArrayType(elem)),
-        T.StructField("feat_dim", T.IntegerType()),
-    ])
+    if precision == "float32":
+        schema = FEATURE_SCHEMA
+    else:
+        schema = T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("feat_dim", T.IntegerType()),
+        ])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

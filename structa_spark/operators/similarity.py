@@ -331,7 +331,11 @@ def group_centroids(df: DataFrame, dim: int,
     ``dim``x the rows) and no vector UDAF. ``element_at`` keeps the
     per-dimension averages inside whole-stage codegen; the centroid
     is reassembled as an array afterwards."""
-    dims = [F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+    # try_element_at, not element_at: under ANSI mode a single ragged
+    # vector (fewer than `dim` elements) would otherwise fail the
+    # whole aggregation instead of averaging the present dimensions
+    dims = [F.avg(F.try_element_at(F.col(vec_col), F.lit(i + 1))
+                  .cast("double"))
             .alias(f"__c{i}") for i in range(dim)]
     agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vecs"),
                                     *dims)

@@ -99,6 +99,22 @@ _PROBE_CODECS = [
 _LOWER_CYR = set(range(0x0430, 0x0450)) | {0x0451}
 
 
+def _tail_decode(sample: bytes, codec: str):
+    """Strict decode tolerating a sample cut mid-character: the
+    sniffer reads exactly SAMPLE_LIMIT bytes, so a large multi-byte
+    file's sample usually ends inside a sequence — trimming up to 3
+    trailing bytes makes probing independent of where the cut falls
+    (a complete valid stream decodes on the first attempt, so the
+    trim can never misclassify one). Returns None if even the
+    trimmed sample does not decode."""
+    for cut in range(4):
+        try:
+            return sample[:len(sample) - cut or None].decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+    return None
+
+
 def _probe_score(text: str, ranges, min_nonascii: float,
                  must_frac: float) -> float:
     if not text:
@@ -157,15 +173,11 @@ def detect_encoding(sample: bytes):
             return "utf-16-le", 0.8
         if even / half > 0.6 and odd / half < 0.05:
             return "utf-16-be", 0.8
-    try:
-        sample.decode("utf-8")
+    if _tail_decode(sample, "utf-8") is not None:
         return "utf-8", 0.99 if any(b > 0x7F for b in sample) else 1.0
-    except UnicodeDecodeError:
-        pass
     for codec, ranges, min_na, must_frac in _PROBE_CODECS:
-        try:
-            text = sample.decode(codec)
-        except (UnicodeDecodeError, ValueError):
+        text = _tail_decode(sample, codec)
+        if text is None:
             continue
         threshold = 0.6 if ranges is _LATIN_EXT else 0.75
         score = _probe_score(text, ranges, min_na, must_frac)

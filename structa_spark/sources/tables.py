@@ -44,6 +44,11 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     DuckDB's plain-TIMESTAMP view of the same file. Normalizing here,
     once, keeps every downstream consumer (window queries, the
     analyzer, user code) on the session-tz TIMESTAMP type.
+
+    The cast reinterprets the wall-clock value in the SESSION
+    timezone, so epoch equivalence with a naive-as-UTC reader holds
+    only under ``spark.sql.session.timeZone=UTC`` — which every
+    session builder in this repo (bench, tests, CLI) pins.
     """
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:

@@ -121,6 +121,7 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
         spark = (SparkSession.builder
                  .master(cfg.master or "local[*]")
                  .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.sql.session.timeZone", "UTC")
                  .config("spark.ui.enabled", "false")
                  .appName("structa-spark").getOrCreate())
         spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,9 @@ def spark():
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
+         # keep NTZ-normalized timestamps (sources/tables.py) on the
+         # same epoch as DuckDB's naive-as-UTC view on any machine
+         .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", "8g")
          .appName("structa-spark-tests")
          .getOrCreate())

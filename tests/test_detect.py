@@ -218,3 +218,16 @@ def test_probed_encoding_reads_csv_distributed(spark, tmp_path):
     df = open_source(spark, str(f))
     vals = {r[0] for r in df.collect()}
     assert "иван" in vals
+
+
+def test_truncated_multibyte_sample_still_detects():
+    # the sniffer reads a bounded sample; a cut landing mid-character
+    # must not reject the codec (round-3 review finding)
+    b = JA.encode("shift_jis")
+    # force a cut inside a double-byte sequence
+    cut = b[:len(b) - 1]
+    enc, conf = detect_encoding(cut)
+    assert enc == "shift_jis"
+    # utf-8 too
+    u = JA.encode("utf-8")
+    assert detect_encoding(u[:len(u) - 1])[0] == "utf-8"

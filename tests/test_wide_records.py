@@ -142,3 +142,32 @@ def test_unpivot_table_matches_per_field_collapse(spark):
     # combined value stats: same min/max domain either way
     assert fast.root.value.stats.min == slow.root.value.stats.min
     assert fast.root.value.stats.max == slow.root.value.stats.max
+
+
+def test_absent_wide_struct_is_optional(spark):
+    # a wide homogeneous struct present in only some rows must come
+    # out optional with card = present-count — identical to the
+    # per-field plan (round-3 review finding: the unpivot length
+    # leaf counted NULL structs as length-0 rows)
+    from pyspark.sql import functions as F
+    from structa_spark import analyze
+    from structa_spark.model import RecordT
+
+    inner = T.StructType([
+        T.StructField(f"k{i:02d}", T.LongType()) for i in range(25)])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("adv", inner),
+    ])
+    rows = []
+    for i in range(10):
+        payload = tuple(range(25)) if i < 3 else None
+        rows.append((i, payload))
+    df = spark.createDataFrame(rows, schema)
+    fast = analyze(df, exact=True)
+    slow = analyze(df, exact=True, unpivot_tables=False)
+    assert isinstance(fast.root, RecordT)
+    f_adv = {f.key: f for f in fast.root.fields}["adv"]
+    s_adv = {f.key: f for f in slow.root.fields}["adv"]
+    assert f_adv.optional and s_adv.optional
+    assert f_adv.count == s_adv.count == 3
