@@ -20,6 +20,7 @@ from .analyzer import (
     merge_profiles,
     merge_to_fixpoint,
 )
+from .diff import diff_profiles, render_diff
 from .model import (
     BoolT, DateTimeT, Empty, FieldT, FloatT, IntT, ListT, Node, NumReprT,
     RecordT, StrReprT, StrT, TableT, TupleT, URLT, ValueAny, merge,
@@ -30,7 +31,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AnalyzerConfig", "Profile", "analyze", "merge_profiles",
-    "merge_to_fixpoint", "merge", "Stats", "LengthStats",
+    "merge_to_fixpoint", "merge", "diff_profiles", "render_diff",
+    "Stats", "LengthStats",
     "BoolT", "DateTimeT", "Empty", "FieldT", "FloatT", "IntT", "ListT",
     "Node", "NumReprT", "RecordT", "StrReprT", "StrT", "TableT", "TupleT",
     "URLT", "ValueAny", "__version__",
