@@ -1383,3 +1383,37 @@ def skewed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"))
         .orderBy("event_type"))
+
+
+@register("ivf_assignment_counts", oracle="""
+WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+               FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cvec) AS s
+  FROM embeddings e CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cid) AS rn
+  FROM scored)
+SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY cid ORDER BY list_id
+""")
+def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization, value-checked: assign every vector to
+    its nearest of 4 fixed centroids (the first 4 embeddings — a
+    deterministic stand-in for offline k-means) and count the
+    inverted-list sizes. Ties break to the lowest centroid index in
+    BOTH engines (strict > in the unrolled Spark argmax; DESC, cid in
+    the oracle window). The dot products fold in double on both
+    sides, so assignments — and therefore every list count — must
+    agree exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [r.embedding
+             for r in e.where(F.col("vec_id") < 4)
+                       .orderBy("vec_id").collect()]
+    assigned = similarity.ivf_assign(e, cents)
+    return (assigned.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .orderBy("list_id"))
