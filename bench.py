@@ -118,23 +118,43 @@ def main():
          Window.partitionBy("t").orderBy("t")))
      .collect())
 
-    times = {}
+    # median of 3 passes per query: this box shares hardware and a
+    # single noisy-neighbor spike can triple an individual query's
+    # wall-clock (observed 0.4s -> 2.9s on an unchanged scan query);
+    # the median is the standard noise-robust point estimate. All
+    # three raw passes ship in the payload for transparency — pass 1
+    # includes each query's one-time codegen, so median-of-3 reads as
+    # the steady-state number a long-lived session sees.
+    N_RUNS = 3
+    all_runs = []
     errors = {}
-    for name, fn in suite.items():
-        t0 = time.time()
-        try:
-            fn()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # one bad query must not zero the suite
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            times[name] = None
+    for r in range(N_RUNS):
+        run = {}
+        for name, fn in suite.items():
+            t0 = time.time()
+            try:
+                fn()
+                run[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # one bad query must not zero it
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                run[name] = None
+        all_runs.append(run)
 
+    def median(vals):
+        vals = sorted(v for v in vals if v is not None)
+        return vals[len(vals) // 2] if vals else None
+
+    times = {name: median([run[name] for run in all_runs])
+             for name in suite}
     total = round(sum(t for t in times.values() if t is not None), 3)
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "aggregation": f"per-query median of {N_RUNS} passes",
+        "runs": [round(sum(t for t in run.values() if t is not None), 3)
+                 for run in all_runs],
         "sf": SF_DIR,
         "cpus": int(CPUS),
     }
