@@ -537,3 +537,26 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                 .alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct())
+
+
+def dedup_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_k: int = 3,
+                 jaccard_threshold: float = 0.5,
+                 use_lsh: bool = True) -> DataFrame:
+    """The end-user dedup endpoint: keep exactly one document per
+    near-duplicate family — the group's minimum id, a deterministic
+    canonical choice — and every singleton. Composition of
+    :func:`near_duplicate_groups` with a semi-join back onto the
+    corpus, so the returned DataFrame carries ALL original columns.
+
+    Scale shape: the group relation is (id, group_id) — two longs per
+    document — and the keeper set is one id per group; both are tiny
+    next to the corpus, and the final semi-join broadcasts or
+    shuffles only ids, never text."""
+    groups = near_duplicate_groups(
+        df, text_col, id_col, shingle_k, jaccard_threshold,
+        use_lsh=use_lsh)
+    keep = (groups.groupBy("group_id")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")

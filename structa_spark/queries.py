@@ -1417,3 +1417,50 @@ def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assigned.groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n_vecs"))
             .orderBy("list_id"))
+
+
+@register("dedup_corpus_keep", oracle=f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), walk(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
+), cc AS (
+  SELECT id, min(label) AS label FROM walk GROUP BY id
+), keepers AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+  LEFT JOIN cc ON cc.id = d.doc_id
+  GROUP BY COALESCE(cc.label, d.doc_id)
+)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN keepers k ON k.doc_id = d.doc_id
+ORDER BY d.doc_id
+""")
+def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end to end: one kept document per near-dup family
+    (minimum id) plus all singletons, original columns preserved.
+    Exact edge mode over a bounded subset so the recursive-CTE oracle
+    replays the identical graph (the scale path swaps in LSH
+    candidates with use_lsh=True)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (dedup.dedup_corpus(d, jaccard_threshold=0.35, use_lsh=False)
+            .select("doc_id", "lang").orderBy("doc_id"))

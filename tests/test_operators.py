@@ -483,3 +483,19 @@ def test_group_centroids_match_numpy(vectors, spark):
         np.testing.assert_allclose(
             np.array(cent), np.mean(np.array(vecs, dtype=np.float64),
                                     axis=0), rtol=1e-9)
+
+
+def test_dedup_corpus_keeps_one_per_family(docs, spark):
+    out = dedup.dedup_corpus(docs, jaccard_threshold=0.35,
+                             use_lsh=False)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    groups = {r.doc_id: r.group_id for r in
+              dedup.near_duplicate_groups(
+                  docs, jaccard_threshold=0.35,
+                  use_lsh=False).collect()}
+    # exactly the min id of every group survives
+    want = sorted({min(i for i, g in groups.items() if g == gid)
+                   for gid in set(groups.values())})
+    assert kept == want
+    # all original columns come through
+    assert set(out.columns) == set(docs.columns)
