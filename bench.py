@@ -142,22 +142,39 @@ def main():
 
     def median(vals):
         vals = sorted(v for v in vals if v is not None)
-        return vals[len(vals) // 2] if vals else None
+        if not vals:
+            return None
+        mid = len(vals) // 2
+        if len(vals) % 2:
+            return vals[mid]
+        return round((vals[mid - 1] + vals[mid]) / 2, 3)
 
     times = {name: median([run[name] for run in all_runs])
              for name in suite}
     total = round(sum(t for t in times.values() if t is not None), 3)
+    # errors only for queries with NO successful pass; a transient
+    # single-pass failure is reported separately so a valid median is
+    # never contradicted by a stale error entry
+    flaky = {name: sum(1 for run in all_runs if run[name] is None)
+             for name in suite
+             if times[name] is not None
+             and any(run[name] is None for run in all_runs)}
+    errors = {name: msg for name, msg in errors.items()
+              if times[name] is None}
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "aggregation": f"per-query median of {N_RUNS} passes",
+        "passes": all_runs,
         "runs": [round(sum(t for t in run.values() if t is not None), 3)
                  for run in all_runs],
         "sf": SF_DIR,
         "cpus": int(CPUS),
     }
+    if flaky:
+        out["failed_passes"] = flaky
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -22,7 +22,8 @@ from .model import (
 class Change:
     path: Tuple[str, ...]
     kind: str            # added | removed | type_changed |
-    #                      optionality_changed | range_changed
+    #                      optionality_changed | range_changed |
+    #                      pattern_changed | uniqueness_changed
     before: Optional[str] = None
     after: Optional[str] = None
 
@@ -86,8 +87,32 @@ def diff_nodes(old: Node, new: Node,
             out.append(Change(path, "type_changed",
                               f"pattern={old.pattern!r}",
                               f"pattern={new.pattern!r}"))
+        if isinstance(old, NumReprT) and (
+                old.epoch != new.epoch or old.scale != new.scale
+                or old.epoch_offset != new.epoch_offset):
+            # same numeric pattern, different decode rule — values
+            # land ~70 years apart between unix and excel epochs
+            out.append(Change(
+                path, "type_changed",
+                f"epoch={old.epoch} scale={old.scale}",
+                f"epoch={new.epoch} scale={new.scale}"))
         out.extend(diff_nodes(old.inner, new.inner, path))
         return out
+    # scalar leaves: char-class pattern, uniqueness and domain drift
+    op = getattr(old, "pattern", None)
+    np_ = getattr(new, "pattern", None)
+    if op != np_:
+        from .chars import pattern_str
+        out.append(Change(
+            path, "pattern_changed",
+            pattern_str(op) if op else None,
+            pattern_str(np_) if np_ else None))
+    so = getattr(old, "stats", None)
+    sn = getattr(new, "stats", None)
+    if so is not None and sn is not None and so.unique != sn.unique:
+        out.append(Change(path, "uniqueness_changed",
+                          "unique" if so.unique else "non-unique",
+                          "unique" if sn.unique else "non-unique"))
     ro, rn = _range_str(old), _range_str(new)
     if ro != rn and ro is not None and rn is not None:
         out.append(Change(path, "range_changed", ro, rn))

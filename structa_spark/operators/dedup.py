@@ -556,7 +556,8 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     groups = near_duplicate_groups(
         df, text_col, id_col, shingle_k, jaccard_threshold,
         use_lsh=use_lsh)
-    keep = (groups.groupBy("group_id")
-            .agg(F.min(id_col).alias(id_col))
-            .select(id_col))
+    # group_id IS the component's minimum id (connected_components'
+    # min-label invariant; singletons carry their own id), so the
+    # keeper set is simply the distinct labels
+    keep = groups.select(F.col("group_id").alias(id_col)).distinct()
     return df.join(keep, id_col, "left_semi")

@@ -1160,9 +1160,15 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@register("near_dup_groups", oracle=f"""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, {_shingles_sql()} AS sh FROM documents WHERE doc_id < 150
+def _neardup_cc_sql(threshold: float = 0.35,
+                    id_limit: int = 150) -> str:
+    """Shared recursive-CTE chain: bounded-subset shingle edges at a
+    Jaccard threshold -> connected components as cc(id, label) —
+    consumed by near_dup_groups (group listing) and dedup_corpus_keep
+    (canonical keepers), so edge/walk semantics live in one place."""
+    return f"""docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents
+  WHERE doc_id < {id_limit}
 ), sizes AS (
   SELECT doc_id, len(sh) AS n_sh FROM docs
 ), ex AS (
@@ -1175,7 +1181,7 @@ WITH RECURSIVE docs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
 ), sym AS (
   SELECT id_a AS src, id_b AS dst FROM edges
   UNION ALL
@@ -1186,7 +1192,11 @@ WITH RECURSIVE docs AS (
   SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
 ), cc AS (
   SELECT id, min(label) AS label FROM walk GROUP BY id
-)
+)"""
+
+
+@register("near_dup_groups", oracle=f"""
+WITH RECURSIVE {_neardup_cc_sql()}
 SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS group_id
 FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
 LEFT JOIN cc ON cc.id = d.doc_id
@@ -1420,32 +1430,7 @@ def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_corpus_keep", oracle=f"""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, {_shingles_sql()} AS sh FROM documents WHERE doc_id < 150
-), sizes AS (
-  SELECT doc_id, len(sh) AS n_sh FROM docs
-), ex AS (
-  SELECT doc_id, unnest(sh) AS s FROM docs
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), edges AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
-), sym AS (
-  SELECT id_a AS src, id_b AS dst FROM edges
-  UNION ALL
-  SELECT id_b, id_a FROM edges
-), walk(id, label) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
-  UNION
-  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
-), cc AS (
-  SELECT id, min(label) AS label FROM walk GROUP BY id
-), keepers AS (
+WITH RECURSIVE {_neardup_cc_sql()}, keepers AS (
   SELECT min(d.doc_id) AS doc_id
   FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
   LEFT JOIN cc ON cc.id = d.doc_id

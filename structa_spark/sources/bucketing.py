@@ -1,11 +1,19 @@
 """Bucketed-table helpers: co-located joins without a shuffle.
 
 At 100 TB the dominant cost of a fact-fact join is shuffling both
-sides on the join key. Writing both tables bucketed (and sorted) by
-that key moves the partitioning to WRITE time: every subsequent join
-on the key reads co-located buckets and the sort-merge join runs
-with NO exchange and NO sort — the classic pay-once layout for a
-join-heavy star schema or a repeatedly-self-joined event table.
+sides on the join key. Writing both tables bucketed by that key
+moves the partitioning to WRITE time: every subsequent join on the
+key reads co-located buckets and the sort-merge join runs with NO
+exchange — the classic pay-once layout for a join-heavy star schema
+or a repeatedly-self-joined event table.
+
+``sortBy`` note: Spark exploits per-bucket SORTEDNESS (eliding the
+join's per-bucket sort) only when each bucket consists of a single
+file; an ordinary multi-partition write produces several files per
+bucket, and the plan then still sorts each side. The shuffle
+elimination — the expensive half — holds regardless; compact each
+bucket to one file (one write task per bucket) when the sort matters
+too.
 
 Bucket-count discipline: both sides must use the same bucket count
 (or one a multiple of the other with

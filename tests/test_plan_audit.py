@@ -100,8 +100,9 @@ def test_profile_jobs_stay_whole_stage_codegen(spark):
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # write both sides bucketed by the join key: the sort-merge join
-    # must read co-located buckets — no Exchange, no Sort, for
-    # either side (the pay-once layout for fact-fact joins at scale)
+    # must read co-located buckets — no Exchange for either side (the
+    # per-bucket Sort remains: multi-file buckets don't carry usable
+    # sortedness; see sources/bucketing.py)
     from structa_spark.sources.bucketing import (
         bucketed_join, write_bucketed)
     orders = load_table(spark, SF, "orders")
