@@ -84,12 +84,17 @@ _LATIN_EXT = ((0x00C0, 0x024F), (0x2013, 0x201E), (0x20AC, 0x20AC))
 # which decode to control chars under iso and disqualify it there).
 # Non-Latin tiers additionally need >= 8 non-ASCII chars of absolute
 # evidence, so one accented word cannot be claimed as CJK/Cyrillic.
+# CJK density bar 0.03: markup-heavy documents (JSON/CSV structure
+# around CJK strings) sit well under 10% non-ASCII; the real guards
+# against Western-text misclassification are strict-decode validity
+# (cp1252/latin accent pairs are invalid in every CJK codec) plus
+# the must-hit script fraction and the >= 8 absolute native chars.
 _PROBE_CODECS = [
-    ("shift_jis", _KANA, 0.10, 0.2),
-    ("euc_jp", _KANA, 0.10, 0.2),
-    ("euc_kr", _HANGUL, 0.10, 0.5),
-    ("big5", _HAN, 0.10, 0.5),
-    ("gb18030", _HAN, 0.10, 0.5),
+    ("shift_jis", _KANA, 0.03, 0.2),
+    ("euc_jp", _KANA, 0.03, 0.2),
+    ("euc_kr", _HANGUL, 0.03, 0.5),
+    ("big5", _HAN, 0.03, 0.5),
+    ("gb18030", _HAN, 0.03, 0.5),
     ("koi8-r", _CYRILLIC, 0.15, 0.5),
     ("windows-1251", _CYRILLIC, 0.15, 0.5),
     ("iso-8859-1", _LATIN_EXT, 0.0, 0.0),

@@ -231,3 +231,21 @@ def test_truncated_multibyte_sample_still_detects():
     # utf-8 too
     u = JA.encode("utf-8")
     assert detect_encoding(u[:len(u) - 1])[0] == "utf-8"
+
+
+def test_probed_encoding_reads_document_json(spark, tmp_path):
+    # document (multiLine) JSON in a non-builtin charset: the json
+    # branch enables the java-charsets path without a lineSep (the
+    # whole file is one document)
+    doc = {"title": "テスト文書", "items": [{"name": "項目" + str(i)}
+                                            for i in range(5)]}
+    f = tmp_path / "doc.json"
+    f.write_bytes(json.dumps(doc, ensure_ascii=False,
+                             indent=2).encode("shift_jis"))
+    s = sniff(f.read_bytes())
+    assert s.encoding == "shift_jis" and s.format == "json"
+    from structa_spark.sources.reader import open_source
+    df = open_source(spark, str(f))
+    row = df.collect()[0]
+    assert row.title == "テスト文書"
+    assert len(row["items"]) == 5
