@@ -14,8 +14,10 @@ re-expression of the reference's eager whole-file parse
              (``wholeTextFiles``) and parsed per-file in EXECUTORS via
              a mapPartitions YAML parse — parallel by file count, like
              document JSON
-* xml     -> NotImplementedError (the reference declines it too,
-             structa/source.py:249-250)
+* xml     -> wholeTextFiles + executor-side ElementTree parse to
+             nested dicts (attributes as ``@attr``, text as ``#text``,
+             repeated child tags as arrays). The reference declines
+             XML (structa/source.py:249-250); this engine reads it.
 
 Multi-file analysis = union of per-file reads
 (``unionByName(allowMissingColumns=True)``), the reference's
@@ -106,6 +108,8 @@ def open_source(spark: SparkSession, path: str, *,
             raise NotImplementedError(
                 "unsafe YAML (arbitrary objects) is not supported")
         return read_yaml(spark, path, encoding=enc)
+    if fmt == "xml":
+        return read_xml(spark, path)
     raise NotImplementedError(f"format {fmt!r} not supported")
 
 
@@ -171,6 +175,79 @@ def read_yaml(spark: SparkSession, path: str,
                 yield json.dumps(item)
             else:
                 yield json.dumps({VALUE_COL: item})
+
+    return spark.read.json(rdd.flatMap(parse))
+
+
+def _xml_element_to_obj(el):
+    """One XML element -> plain Python object, xmltodict-style:
+    attributes become ``@name`` keys, mixed/leaf text becomes
+    ``#text`` (or the value itself for a pure-text leaf), repeated
+    child tags group into arrays, namespace prefixes are stripped.
+    All leaf values stay strings — XML is untyped text, and the
+    analyzer's string-representation ladder (StrRepr of int/float/
+    datetime) is exactly the right consumer for that."""
+    def tag(t):
+        return t.rsplit("}", 1)[-1] if "}" in t else t
+
+    obj = {"@" + tag(k): v for k, v in el.attrib.items()}
+    children = list(el)
+    text = (el.text or "").strip()
+    if not children:
+        if not obj:
+            return text or None
+        if text:
+            obj["#text"] = text
+        return obj
+    grouped = {}
+    for c in children:
+        grouped.setdefault(tag(c.tag), []).append(_xml_element_to_obj(c))
+    for t, items in grouped.items():
+        obj[t] = items if len(items) > 1 else items[0]
+    if text:
+        obj["#text"] = text
+    return obj
+
+
+def read_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed XML: wholeTextFiles ships each file to an executor,
+    ElementTree parses it there, rows come back as JSON strings so
+    Spark's schema inference stays in charge (same shape as
+    ``read_yaml``). The reference declines XML entirely
+    (structa/source.py:249-250); this engine reads it.
+
+    Row semantics: a root whose children all share one tag with >= 2
+    occurrences (``<rows><row>..</row><row>..</row></rows>``) yields
+    one row per child — the standard export convention — else the
+    whole document is a single row. Scalar rows are wrapped in
+    VALUE_COL, mirroring the JSON/YAML scalar-payload path.
+
+    Scale note: parallelism == file count (one XML document is
+    unsplittable, same as multiLine JSON). Entity-expansion attacks
+    are bounded by expat's built-in billion-laughs amplification
+    limits; external entities are never fetched by ElementTree."""
+    rdd = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        import json as _j
+        import xml.etree.ElementTree as _ET
+        _, content = kv
+        root = _ET.fromstring(content)
+
+        def tag(t):
+            return t.rsplit("}", 1)[-1] if "}" in t else t
+
+        children = list(root)
+        tags = {tag(c.tag) for c in children}
+        if len(children) >= 2 and len(tags) == 1 and not root.attrib:
+            items = [_xml_element_to_obj(c) for c in children]
+        else:
+            items = [_xml_element_to_obj(root)]
+        for it in items:
+            if isinstance(it, dict):
+                yield _j.dumps(it)
+            else:
+                yield _j.dumps({VALUE_COL: it})
 
     return spark.read.json(rdd.flatMap(parse))
 

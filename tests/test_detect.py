@@ -249,3 +249,67 @@ def test_probed_encoding_reads_document_json(spark, tmp_path):
     row = df.collect()[0]
     assert row.title == "テスト文書"
     assert len(row["items"]) == 5
+
+
+def test_xml_rows_convention(spark, tmp_path):
+    # a root of homogeneous repeated children reads as one row per
+    # child; attributes become @keys, text leaves stay strings (the
+    # analyzer's string ladder re-types them)
+    f = tmp_path / "rows.xml"
+    f.write_text(
+        '<?xml version="1.0"?>\n'
+        "<advisories>\n"
+        '  <advisory id="USN-1"><title>first</title>'
+        "<score>7.5</score></advisory>\n"
+        '  <advisory id="USN-2"><title>second</title>'
+        "<score>9.1</score></advisory>\n"
+        '  <advisory id="USN-3"><title>third</title>'
+        "<score>3.2</score></advisory>\n"
+        "</advisories>\n")
+    from structa_spark.sources.detect import sniff
+    assert sniff(f.read_bytes()).format == "xml"
+    from structa_spark.sources.reader import open_source
+    df = open_source(spark, str(f))
+    rows = sorted(df.collect(), key=lambda r: r["@id"])
+    assert len(rows) == 3
+    assert rows[0]["@id"] == "USN-1"
+    assert rows[0]["title"] == "first"
+    assert rows[0]["score"] == "7.5"  # untyped text; analyzer re-types
+
+
+def test_xml_single_document_nested(spark, tmp_path):
+    # heterogeneous children -> one row; repeated inner tags group
+    # into an array; mixed attribute+text nodes carry #text
+    f = tmp_path / "doc.xml"
+    f.write_text(
+        "<report>\n"
+        "  <name>q3</name>\n"
+        '  <item rank="1">alpha</item>\n'
+        '  <item rank="2">beta</item>\n'
+        "</report>\n")
+    from structa_spark.sources.reader import open_source
+    df = open_source(spark, str(f))
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.name == "q3"
+    items = sorted(r["item"], key=lambda d: d["@rank"])
+    assert [(d["@rank"], d["#text"]) for d in items] == [
+        ("1", "alpha"), ("2", "beta")]
+
+
+def test_xml_profiles_end_to_end(spark, tmp_path):
+    # the reference refuses XML (structa/source.py:249-250); here a
+    # sniffed XML export flows through open_source -> analyze and the
+    # score column comes out a str-of-float
+    f = tmp_path / "e2e.xml"
+    f.write_text(
+        "<rows>" + "".join(
+            f"<row><id>{i}</id><score>{i}.5</score></row>"
+            for i in range(20)) + "</rows>")
+    from structa_spark import analyze
+    from structa_spark.sources.reader import open_source
+    p = analyze(open_source(spark, str(f)))
+    assert p.row_count == 20
+    text = p.render()
+    assert "int" in text and "float" in text
