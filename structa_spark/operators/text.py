@@ -128,6 +128,105 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, pred)
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings
+    (empty array when fewer than n tokens). Pure expression."""
+    m = F.size(toks)
+    return F.when(m >= n, F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition features, per doc:
+
+    * ``n_tokens`` — whitespace token count;
+    * ``distinct_token_frac`` — type/token ratio (1.0 = no repeated
+      word; low values flag degenerate keyword-stuffing documents);
+    * ``top_bigram_count`` / ``top_bigram_frac`` — occurrences of the
+      most frequent word bigram and the fraction of tokens it covers
+      (the "fraction of text in the most common n-gram" filter).
+
+    Scale: the type/token ratio is a pure expression
+    (``array_distinct``, no shuffle). The bigram mode needs two
+    aggregations keyed by document — explode to (doc, gram), count,
+    then max per doc — so the shuffle key includes the doc id: no
+    global hot key, map-side partial aggregation applies, and AQE
+    coalesces the small tail. No Python UDFs anywhere.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    base = (df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.when(n_tok > 0,
+                       F.size(F.array_distinct(toks)) / n_tok)
+                .otherwise(F.lit(0.0)), 4).alias("distinct_token_frac")))
+    grams = base.select(
+        id_col, "n_tokens", "distinct_token_frac",
+        F.explode_outer(word_ngrams(F.col("__toks"), 2)).alias("gram"))
+    cnt = (grams.groupBy(id_col, "n_tokens", "distinct_token_frac",
+                         "gram")
+           .agg(F.count(F.lit(1)).alias("c")))
+    top = (cnt.groupBy(id_col, "n_tokens", "distinct_token_frac")
+           .agg(F.coalesce(
+               F.max(F.when(F.col("gram").isNotNull(), F.col("c"))),
+               F.lit(0)).alias("top_bigram_count")))
+    return top.select(
+        id_col, "n_tokens", "distinct_token_frac", "top_bigram_count",
+        F.round(F.when(F.col("n_tokens") > 0,
+                       2.0 * F.col("top_bigram_count")
+                       / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)), 4).alias("top_bigram_frac"))
+
+
+def chunk_passages(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 32) -> DataFrame:
+    """Chunk each document into consecutive ``k``-token passages —
+    the chunking step of a passage-level training pipeline. Returns
+    ``(id, chunk_idx, passage)``; a document shorter than ``k``
+    tokens yields one short passage; an empty document yields none.
+
+    Pure expression + ``posexplode``: no shuffle, pipelines into the
+    scan. Output row count ≈ total tokens / k.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(k))).cast("int")
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idxs, lambda i: F.concat_ws(
+            " ", F.slice(toks, i * k + 1, k)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "passage"))
+
+
+def dedup_passages(chunks: DataFrame, id_col: str = "doc_id",
+                   passage_col: str = "passage") -> DataFrame:
+    """Corpus-wide passage dedup: keep only the FIRST occurrence of
+    each distinct passage (ordered by ``(id, chunk_idx)``) — the
+    repeated-boilerplate removal step between chunking and training.
+
+    One shuffle, keyed by the 64-bit passage hash (fixed-width keys,
+    not arbitrary-length text); ties inside a hash bucket resolve by
+    the deterministic (id, chunk_idx) order. At 100 TB the hash key
+    is uniform by construction — no skew.
+    """
+    from pyspark.sql.window import Window
+    h = md5_long(F.col(passage_col))
+    w = Window.partitionBy("__h").orderBy(id_col, "chunk_idx")
+    return (chunks.withColumn("__h", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 k: int = 8, out_col: str = "fingerprint") -> DataFrame:
     """Winnowing-style document fingerprint: the minimum universal

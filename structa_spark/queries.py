@@ -1449,3 +1449,102 @@ def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return (dedup.dedup_corpus(d, jaccard_threshold=0.35, use_lsh=False)
             .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("repetition_signals", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ts) > 0 THEN
+           round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4)
+         ELSE 0.0 END AS distinct_token_frac,
+         ts
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS gram
+  FROM base WHERE len(ts) >= 2
+), gcnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_bigram_count FROM gcnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.distinct_token_frac,
+       CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
+           AS top_bigram_count,
+       CASE WHEN b.n_tokens > 0 THEN
+         round(2.0 * COALESCE(t.top_bigram_count, 0) / b.n_tokens, 4)
+       ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY b.doc_id
+""")
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: type/token ratio
+    (pure expression, no shuffle) and most-frequent-bigram coverage
+    (two doc-keyed aggregations — no global hot key). The quality
+    pillar's complement: `quality_score` looks at composition,
+    this looks at degenerate repetition."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.repetition_signals(d)
+    return (out.withColumn("top_bigram_count",
+                           F.col("top_bigram_count").cast("long"))
+            .orderBy("doc_id"))
+
+
+@register("passage_dedup_summary", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ts) / 32.0) AS BIGINT)))
+             AS chunk_idx,
+         ts
+  FROM toks WHERE len(ts) > 0
+), passages AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(ts, chunk_idx * 32 + 1,
+                                    chunk_idx * 32 + 32), ' ')
+             AS passage
+  FROM chunks
+), ranked AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (
+           PARTITION BY {md5_long_sql('passage')}
+           ORDER BY doc_id, chunk_idx) AS rn
+  FROM passages
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""")
+def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level corpus dedup, summarized per document: chunk
+    every document into 32-token passages (shuffle-free posexplode),
+    keep the corpus-wide first occurrence of each distinct passage
+    (one shuffle on the 64-bit passage hash), report kept/dropped
+    counts. The chunk -> dedup -> train pipeline shape; both engines
+    replay the identical md5-derived hash and (doc, chunk) order."""
+    d = _t(spark, sf_dir, "documents")
+    ch = text.chunk_passages(d, k=32)
+    w = Window.partitionBy(md5_long(F.col("passage"))) \
+              .orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_passages"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                 .alias("n_dropped"))
+            .orderBy("doc_id"))

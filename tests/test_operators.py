@@ -499,3 +499,58 @@ def test_dedup_corpus_keeps_one_per_family(docs, spark):
     assert kept == want
     # all original columns come through
     assert set(out.columns) == set(docs.columns)
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a b"),            # 2 distinct / 6; "a b" x3
+        (1, "one two three four"),     # all distinct; each bigram x1
+        (2, ""),                       # empty -> zeros
+        (3, "solo"),                   # one token, no bigram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["distinct_token_frac"] == round(2 / 6, 4)
+    assert out[0]["top_bigram_count"] == 3
+    assert out[0]["top_bigram_frac"] == 1.0
+    assert out[1]["distinct_token_frac"] == 1.0
+    assert out[1]["top_bigram_count"] == 1
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["top_bigram_count"] == 0
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_count"] == 0
+
+
+def test_chunk_passages_shapes(spark):
+    words = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame(
+        [(0, words), (1, "short text"), (2, "")], ["doc_id", "text"])
+    ch = text.chunk_passages(df, k=32).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 tokens -> chunks of 32, 32, 6
+    assert [len(c["passage"].split()) for c in
+            sorted(by_doc[0], key=lambda r: r["chunk_idx"])] == [32, 32, 6]
+    # chunks partition the token stream in order
+    rejoined = " ".join(c["passage"] for c in
+                        sorted(by_doc[0], key=lambda r: r["chunk_idx"]))
+    assert rejoined == words
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["passage"] == "short text"
+    assert 2 not in by_doc            # empty doc -> no passages
+
+
+def test_dedup_passages_keeps_first(spark):
+    shared = " ".join(f"s{i}" for i in range(32))
+    uniq = " ".join(f"u{i}" for i in range(32))
+    df = spark.createDataFrame(
+        [(0, shared + " " + uniq),     # chunks: shared, uniq
+         (1, shared),                  # duplicate of doc 0 chunk 0
+         (2, uniq)],                   # duplicate of doc 0 chunk 1
+        ["doc_id", "text"])
+    kept = text.dedup_passages(text.chunk_passages(df, k=32)).collect()
+    kept_keys = sorted((r["doc_id"], r["chunk_idx"]) for r in kept)
+    # first occurrence (doc 0) wins both; docs 1 and 2 drop entirely
+    assert kept_keys == [(0, 0), (0, 1)]
