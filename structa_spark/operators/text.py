@@ -227,6 +227,85 @@ def dedup_passages(chunks: DataFrame, id_col: str = "doc_id",
             .drop("__h", "__rn"))
 
 
+def corpus_vocabulary(df: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-wide vocabulary: ``(token, token_count)``. One shuffle
+    on the token; map-side partial aggregation collapses each
+    partition's repeats first, so the shuffle volume is bounded by
+    (distinct tokens per partition), not corpus length."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("token_count")))
+
+
+def rare_token_stats(df: DataFrame, min_count: int = 100,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document rare-token (out-of-vocabulary) fraction — the
+    cheap stand-in for a perplexity quality filter: documents made of
+    tokens the corpus rarely uses are flagged high.
+
+    The vocabulary is "tokens with corpus count >= min_count", which
+    is BOUNDED by total_tokens/min_count entries regardless of corpus
+    size — so it broadcasts, the fact side never shuffles for the
+    membership test, and the frequent-token skew that would sink a
+    shuffle join on the token never materializes. The only shuffles
+    are the vocabulary build and the final doc-keyed aggregation."""
+    vocab = (corpus_vocabulary(df, text_col)
+             .where(F.col("token_count") >= min_count)
+             .select("token", F.lit(1).alias("__in_vocab")))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    n_rare = F.sum(F.when(F.col("__in_vocab").isNull(), 1)
+                   .otherwise(0))
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 n_rare.cast("long").alias("n_rare"))
+            .withColumn("rare_frac",
+                        F.round(F.col("n_rare") / F.col("n_tokens"), 4)))
+
+
+#: Conservative PII patterns, written to behave identically under
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookarounds.
+#: Order matters for redaction: emails first (an email contains no
+#: phone/ip match but redacting digits first could split one).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+              r"|\([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+              r"|[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (``n_email``/``n_phone``/
+    ``n_ipv4``) — the detection half of a scrubbing pipeline. Pure
+    ``regexp_count`` expressions: no shuffle, pipelines into the
+    scan."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(t, F.lit(pat)).cast("long"))
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder
+    (``<EMAIL>``/``<PHONE>``/``<IPV4>``) — the scrub half. A chain of
+    ``regexp_replace`` expressions, applied in PII_PATTERNS order so
+    overlapping classes resolve deterministically."""
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 k: int = 8, out_col: str = "fingerprint") -> DataFrame:
     """Winnowing-style document fingerprint: the minimum universal

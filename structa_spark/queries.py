@@ -1548,3 +1548,80 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
                  .alias("n_dropped"))
             .orderBy("doc_id"))
+
+
+@register("vocab_top20", oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS token_count
+FROM toks GROUP BY token
+ORDER BY token_count DESC, token LIMIT 20
+""")
+def vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the most frequent tokens corpus-wide.
+    One shuffle with map-side partial agg; top-k is a TakeOrdered on
+    the already-aggregated (distinct-token-sized) relation."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.corpus_vocabulary(d)
+            .withColumn("token_count", F.col("token_count").cast("long"))
+            .orderBy(F.desc("token_count"), F.asc("token"))
+            .limit(20))
+
+
+@register("rare_token_stats", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM toks GROUP BY token HAVING count(*) >= 100
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS rare_frac
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id ORDER BY t.doc_id
+""")
+def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token (out-of-vocabulary) quality signal: fraction of a
+    document's tokens whose corpus-wide count is below 100 — the
+    cheap stand-in for a perplexity filter. The >=min_count
+    vocabulary is bounded (total_tokens/min_count entries) so it
+    broadcasts; the fact side never shuffles for the membership
+    test."""
+    d = _t(spark, sf_dir, "documents")
+    return text.rare_token_stats(d, min_count=100).orderBy("doc_id")
+
+
+_PII_COUNT_SQL = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    f" AS n_{name}"
+    for name, pat in text.PII_PATTERNS)
+
+
+@register("pii_scan", oracle=f"""
+SELECT doc_id,
+       {_PII_COUNT_SQL}
+FROM documents ORDER BY doc_id
+""")
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts per document (emails / phones / IPv4),
+    pure regexp_count expressions over the scan. The corpus is
+    synthetic word soup, so every count is zero BY CONSTRUCTION —
+    what the oracle verifies here is the absence of false positives
+    under two different regex engines (Java vs RE2) running the
+    identical frozen patterns; the positive-match behavior is pinned
+    by unit tests with synthetic PII (test_operators)."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.pii_signals(d)
+            .select("doc_id", "n_email", "n_phone", "n_ipv4")
+            .orderBy("doc_id"))

@@ -554,3 +554,39 @@ def test_dedup_passages_keeps_first(spark):
     kept_keys = sorted((r["doc_id"], r["chunk_idx"]) for r in kept)
     # first occurrence (doc 0) wins both; docs 1 and 2 drop entirely
     assert kept_keys == [(0, 0), (0, 1)]
+
+
+def test_corpus_vocabulary_and_rare_tokens(spark):
+    rows = [(0, "alpha beta alpha"), (1, "alpha gamma"), (2, "beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = {r["token"]: r["token_count"]
+             for r in text.corpus_vocabulary(df).collect()}
+    assert vocab == {"alpha": 3, "beta": 2, "gamma": 1}
+    out = {r["doc_id"]: r
+           for r in text.rare_token_stats(df, min_count=2).collect()}
+    # gamma (count 1) is the only OOV token
+    assert out[0]["n_rare"] == 0
+    assert out[1]["n_rare"] == 1 and out[1]["rare_frac"] == 0.5
+    assert out[2]["n_rare"] == 0
+
+
+def test_pii_detection_and_redaction(spark):
+    rows = [
+        (0, "contact bob.smith+spam@example.co.uk or 555-123-4567"),
+        (1, "server at 10.0.255.7 responded"),
+        (2, "call (212) 555-0123 twice: (212) 555-0123"),
+        (3, "no pii here, just 1234 and a.b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: r for r in text.pii_signals(df).collect()}
+    assert sig[0]["n_email"] == 1 and sig[0]["n_phone"] == 1
+    assert sig[1]["n_ipv4"] == 1
+    assert sig[2]["n_phone"] == 2
+    assert (sig[3]["n_email"], sig[3]["n_phone"], sig[3]["n_ipv4"]) \
+        == (0, 0, 0)
+    red = {r["doc_id"]: r["text_redacted"]
+           for r in text.redact_pii(df).collect()}
+    assert red[0] == "contact <EMAIL> or <PHONE>"
+    assert red[1] == "server at <IPV4> responded"
+    assert red[2] == "call <PHONE> twice: <PHONE>"
+    assert red[3] == rows[3][1]          # untouched
