@@ -1625,3 +1625,151 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (text.pii_signals(d)
             .select("doc_id", "n_email", "n_phone", "n_ipv4")
             .orderBy("doc_id"))
+
+
+@register("pq_codes", oracle="""
+WITH cw AS (
+  SELECT vec_id AS k, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 4
+), sub AS (
+  SELECT e2.vec_id, m.range AS m, cw.k,
+         list_distance(
+           list_slice(e2.embedding::DOUBLE[],
+                      m.range * 8 + 1, m.range * 8 + 8),
+           list_slice(cw.e, m.range * 8 + 1, m.range * 8 + 8)) AS d
+  FROM embeddings e2, range(0, 8) m, cw
+), best AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d, k) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS c0,
+       CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS c1,
+       CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS c2,
+       CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS c3,
+       CAST(max(CASE WHEN m = 4 THEN k END) AS INT) AS c4,
+       CAST(max(CASE WHEN m = 5 THEN k END) AS INT) AS c5,
+       CAST(max(CASE WHEN m = 6 THEN k END) AS INT) AS c6,
+       CAST(max(CASE WHEN m = 7 THEN k END) AS INT) AS c7
+FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id
+""")
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode, value-checked: every vector's 8
+    subspace codes against the 4-codeword codebooks derived from the
+    first 4 embeddings (the deterministic k-means stand-in, same
+    convention as ivf_assignment_counts). Spark compares squared L2
+    with strict < (lowest index on ties); the oracle's
+    row_number(ORDER BY d, k) over list_distance — a monotone sqrt of
+    the same sum — picks the identical codeword."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(
+        [r.embedding for r in e.where(F.col("vec_id") < 4)
+                               .orderBy("vec_id").collect()], m=8)
+    coded = similarity.pq_encode(e, cb)
+    cols = [F.element_at("pq_codes", i + 1).alias(f"c{i}")
+            for i in range(8)]
+    return coded.select("vec_id", *cols).orderBy("vec_id")
+
+
+@register("pq_adc_topk", oracle="""
+WITH cw AS (
+  SELECT vec_id AS k, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 4
+), sub AS (
+  SELECT e2.vec_id, m.range AS m, cw.k,
+         list_slice(cw.e, m.range * 8 + 1, m.range * 8 + 8) AS cwsub,
+         list_distance(
+           list_slice(e2.embedding::DOUBLE[],
+                      m.range * 8 + 1, m.range * 8 + 8),
+           list_slice(cw.e, m.range * 8 + 1, m.range * 8 + 8)) AS d
+  FROM embeddings e2, range(0, 8) m, cw
+), best AS (
+  SELECT vec_id, m, cwsub,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d, k) AS rn
+  FROM sub
+), recon AS (
+  SELECT vec_id, flatten(list(cwsub ORDER BY m)) AS rvec
+  FROM best WHERE rn = 1 GROUP BY vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id,
+         round(list_inner_product(q.embedding::DOUBLE[], r.rvec), 6)
+             AS adc_score
+  FROM embeddings q JOIN recon r
+    ON q.vec_id < 3 AND r.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, vec_id)
+                AS rank
+  FROM scored)
+SELECT query_id, vec_id, adc_score, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search, value-checked: top-5 by ADC
+    dot-product score for 3 query vectors. With dot as the metric the
+    ADC lookup-table sum equals the dot product against the
+    codeword-reconstructed vector, which is what the oracle replays
+    (flatten of the per-subspace winners). Both engines fold in
+    double; scores round to 6 and ranks tiebreak on vec_id, the
+    cosine_topk_vectorized FP justification."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(
+        [r.embedding for r in e.where(F.col("vec_id") < 4)
+                               .orderBy("vec_id").collect()], m=8)
+    q = e.where(F.col("vec_id") < 3)
+    return (similarity.pq_adc_topk(e, q, cb, k=5)
+            .orderBy("query_id", "rank"))
+
+
+@register("ivf_topk_search", oracle="""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 4
+), assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cid FROM cents
+          ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                      cents.cvec) DESC, cid
+          LIMIT 1) AS list_id
+  FROM embeddings e
+), qprobe AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS list_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                       c.cvec) DESC, cid) AS pr
+  FROM embeddings q, cents c WHERE q.vec_id < 3
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_inner_product(p.qv::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(p.qv::DOUBLE[],
+                                          p.qv::DOUBLE[]))
+                  * sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM qprobe p JOIN assigned a ON a.list_id = p.list_id
+                               AND a.vec_id <> p.query_id
+  WHERE p.pr <= 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search end to end, value-checked: 3 queries probe
+    their nprobe=2 nearest of 4 centroid lists and rank candidates by
+    exact cosine. Deterministic at every stage: assignment argmax
+    ties to the lowest centroid, probe ranking ties to the lowest
+    centroid, final ranks tiebreak on vec_id; the oracle replays the
+    identical list membership, so every row matches exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [r.embedding for r in e.where(F.col("vec_id") < 4)
+                                   .orderBy("vec_id").collect()]
+    q = e.where(F.col("vec_id") < 3)
+    return (similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+            .orderBy("query_id", "rank"))

@@ -590,3 +590,40 @@ def test_pii_detection_and_redaction(spark):
     assert red[1] == "server at <IPV4> responded"
     assert red[2] == "call <PHONE> twice: <PHONE>"
     assert red[3] == rows[3][1]          # untouched
+
+
+def test_pq_encode_codewords_encode_to_themselves(spark):
+    import random
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    cb = similarity.pq_codebooks(vecs[:4], m=4)
+    coded = {r["vec_id"]: r["pq_codes"]
+             for r in similarity.pq_encode(df, cb).collect()}
+    # the 4 codebook-source vectors reconstruct exactly: distance 0
+    # to their own codeword in every subspace
+    for i in range(4):
+        assert coded[i] == [i, i, i, i]
+    assert all(0 <= c < 4 for c in coded[4] + coded[5])
+
+
+def test_pq_adc_matches_exact_when_reconstruction_is_exact(spark):
+    # corpus = the codebook vectors themselves -> reconstruction is
+    # lossless, so ADC ordering must equal exact dot-product ordering
+    import random
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    cb = similarity.pq_codebooks(vecs, m=4)
+    q = df.where(F.col("vec_id") == 0)
+    got = [(r["vec_id"], r["rank"]) for r in
+           similarity.pq_adc_topk(df, q, cb, k=3)
+           .orderBy("rank").collect()]
+    dots = sorted(
+        ((sum(a * b for a, b in zip(vecs[0], vecs[i])), i)
+         for i in range(1, 4)), key=lambda t: (-t[0], t[1]))
+    assert [i for _, i in dots] == [i for i, _ in got]

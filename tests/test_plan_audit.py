@@ -33,6 +33,10 @@ _QUADRATIC_OK = {
     "embedding_neardup_pairs",   # exact mode over 2k vectors
     "range_join_purchase_views",  # inequality residual on equality key
     "asof_purchase_click",       # union-merge window
+    "pq_adc_topk",               # corpus x broadcast(queries): every
+                                 # corpus row IS scored per query (the
+                                 # point of ADC is each score is m
+                                 # lookups, not a dim-length dot)
 }
 
 
