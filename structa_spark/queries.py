@@ -1773,3 +1773,96 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 3)
     return (similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
             .orderBy("query_id", "rank"))
+
+
+@register("training_manifest", oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang,
+    len({_TOKENS_SQL}) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digit,
+    length(text) - length(regexp_replace(text,
+        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+    len(list_filter({_TOKENS_SQL},
+        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
+    length(text) AS n
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN n_tokens > 0 THEN
+      least(n_tokens / 50.0, 1.0) * 0.4
+      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + least(CASE WHEN n_tokens > 0
+              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5, 1.0) * 0.2
+    ELSE 0.0 END AS q
+  FROM f),
+rep AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) > 0 THEN
+      round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4)
+    ELSE 0.0 END AS distinct_token_frac
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)),
+                                              '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents)),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY {_H_NORM}),
+cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 4),
+assigned AS (
+  SELECT e.vec_id,
+         (SELECT cid FROM cents
+          ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                      cents.cvec) DESC, cid
+          LIMIT 1) AS list_id
+  FROM embeddings e)
+SELECT s.doc_id, s.lang, s.n_tokens, round(s.q, 4) AS quality,
+       r.distinct_token_frac, a.list_id
+FROM scored s
+JOIN rep r USING (doc_id)
+JOIN keep k USING (doc_id)
+JOIN assigned a ON a.vec_id = s.doc_id
+WHERE round(s.q, 4) >= 0.5 AND r.distinct_token_frac >= 0.3
+  AND s.n_tokens BETWEEN 10 AND 5000
+ORDER BY s.doc_id
+""")
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline, composed end to end: quality-score the corpus,
+    drop degenerate-repetition documents, keep one doc per exact-dup
+    family, join each survivor's embedding and record its IVF list —
+    the manifest a training job would shard by list for locality.
+
+    Scale shape: quality + repetition are document-keyed (no hot
+    key); the dedup keeper set arrives by semi join on the id; the
+    embedding join is id-to-id (co-partitioned after AQE); the
+    centroid assignment is a shuffle-free unrolled expression. One
+    scan of each table end to end."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    scored = (text.quality_score(d)
+              .select("doc_id", "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("quality_score").alias("quality")))
+    rep = text.repetition_signals(d).select(
+        "doc_id", "distinct_token_frac")
+    keep = dedup.dedup_exact(d).select("doc_id")
+    cents = [r.embedding for r in e.where(F.col("vec_id") < 4)
+                                   .orderBy("vec_id").collect()]
+    assigned = similarity.ivf_assign(e, cents).select(
+        F.col("vec_id").alias("doc_id"), "list_id")
+    return (scored
+            .join(rep, "doc_id")
+            .join(keep, "doc_id", "left_semi")
+            .join(assigned, "doc_id")
+            .where((F.col("quality") >= 0.5)
+                   & (F.col("distinct_token_frac") >= 0.3)
+                   & F.col("n_tokens").between(10, 5000))
+            .select("doc_id", "lang", "n_tokens", "quality",
+                    "distinct_token_frac", "list_id")
+            .orderBy("doc_id"))
