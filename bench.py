@@ -52,9 +52,11 @@ def main():
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
         asof_purchase_click, cosine_topk, json_props_stats,
-        q1_pricing_summary, q3_top_orders, q5_nation_revenue,
+        passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
+        q3_top_orders, q5_nation_revenue, repetition_signals,
         rollup_nation_year, sessionize_events, token_stats_by_lang,
-        top_orders_per_customer, windowed_event_stats,
+        top_orders_per_customer, training_manifest,
+        windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
@@ -99,6 +101,10 @@ def main():
         "token_stats": run_df(token_stats_by_lang),
         "cosine_topk": run_df(cosine_topk),
         "neardup_lsh": bench_neardup_lsh,
+        "repetition": run_df(repetition_signals),
+        "passage_dedup": run_df(passage_dedup_summary),
+        "pq_adc_topk": run_df(pq_adc_topk),
+        "training_manifest": run_df(training_manifest),
     }
 
     # warm the JVM once so timings measure the queries, not session
