@@ -149,6 +149,96 @@ def image_metadata(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
 
+def parse_audio_header(payload):
+    """(codec, sample_rate, n_channels, n_samples) from raw audio
+    bytes — the audio twin of :func:`parse_image_header`, a REAL
+    RIFF/WAVE chunk walk: validate the RIFF..WAVE container, then
+    iterate chunks (any order, LIST/JUNK chunks skipped by their
+    declared size, odd sizes padded per the RIFF spec) collecting the
+    ``fmt `` block (PCM tag, channels, sample rate, bits/sample) and
+    the ``data`` size, from which the sample count derives. Returns
+    (None, None, None, None) for unknown/truncated payloads."""
+    if payload is None or len(payload) < 12:
+        return (None, None, None, None)
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return (None, None, None, None)
+    i = 12
+    rate = channels = bits = data_size = None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(p):
+            channels = int.from_bytes(p[i + 10:i + 12], "little")
+            rate = int.from_bytes(p[i + 12:i + 16], "little")
+            bits = int.from_bytes(p[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)   # chunks are word-aligned
+    if rate is None or channels is None or not bits:
+        return (None, None, None, None)
+    n_samples = (data_size // (channels * (bits // 8))
+                 if data_size is not None and channels and bits
+                 else None)
+    return ("pcm_wav", rate, channels, n_samples)
+
+
+def wav_bytes(sample_rate: int, n_channels: int, n_samples: int,
+              bits: int = 16, junk_chunk: bool = False) -> bytes:
+    """A minimal structurally-valid PCM WAV: RIFF/WAVE container,
+    ``fmt `` block, zero-filled ``data`` chunk; ``junk_chunk``
+    prepends a LIST chunk so tests exercise the skip-by-size walk."""
+    import struct
+    frame = n_channels * (bits // 8)
+    data = bytes(n_samples * frame)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * frame, frame, bits)
+    chunks = b""
+    if junk_chunk:
+        meta = b"INFOnote"
+        chunks += b"LIST" + struct.pack("<I", len(meta)) + meta
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def audio_metadata(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """(media_id, codec, sample_rate, n_channels, n_samples,
+    duration_s) parsed FROM THE BYTES over Arrow batches; payloads
+    stay executor-side, duration derives as a column expression."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [parse_audio_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "codec": [m[0] for m in meta],
+                "sample_rate": pd.array([m[1] for m in meta],
+                                        dtype="Int32"),
+                "n_channels": pd.array([m[2] for m in meta],
+                                       dtype="Int32"),
+                "n_samples": pd.array([m[3] for m in meta],
+                                      dtype="Int64"),
+            })
+
+    out = df.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+    return out.withColumn(
+        "duration_s",
+        F.round(F.col("n_samples")
+                / F.col("sample_rate").cast("double"), 6))
+
+
 def _fake_decode_feature(payload: bytes, dim: int) -> list:
     """Deterministic stand-in for decode+embed: a dim-length feature
     derived from payload bytes (stable across runs/engines). Marks the

@@ -1866,3 +1866,46 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_tokens", "quality",
                     "distinct_token_frac", "list_id")
             .orderBy("doc_id"))
+
+
+@register("audio_header_metadata", oracle="""
+SELECT doc_id AS media_id,
+       'pcm_wav' AS codec,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+           AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+       CAST(doc_id % 400 + 1 AS BIGINT) AS n_samples,
+       round(CAST(doc_id % 400 + 1 AS DOUBLE)
+             / (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END), 6) AS duration_s
+FROM documents
+ORDER BY media_id
+""")
+def audio_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata decode, values-checked: build minimal PCM
+    WAV byte streams with rate/channels/sample-count derived from
+    doc_id (executor-side; every other payload carries a LIST chunk
+    so the RIFF walk must skip by declared size), then parse the
+    values back OUT OF THE BYTES with
+    operators.multimodal.parse_audio_header. The oracle predicts the
+    parsed values in pure SQL, so any chunk-walk bug (endianness,
+    word alignment, fmt offsets, data-size division) hash-mismatches."""
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rates = [8000, 16000, 22050, 44100]
+
+    def build(it):
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                mm.wav_bytes(rates[int(i) % 4], int(i) % 2 + 1,
+                             int(i) % 400 + 1,
+                             junk_chunk=(int(i) % 2 == 1))
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_metadata(media).orderBy("media_id")

@@ -627,3 +627,32 @@ def test_pq_adc_matches_exact_when_reconstruction_is_exact(spark):
         ((sum(a * b for a, b in zip(vecs[0], vecs[i])), i)
          for i in range(1, 4)), key=lambda t: (-t[0], t[1]))
     assert [i for _, i in dots] == [i for i, _ in got]
+
+
+def test_wav_header_roundtrip():
+    p = multimodal.wav_bytes(16000, 2, 123)
+    assert multimodal.parse_audio_header(p) == ("pcm_wav", 16000, 2, 123)
+    # LIST chunk before fmt: the walk must skip by declared size
+    p2 = multimodal.wav_bytes(44100, 1, 7, junk_chunk=True)
+    assert multimodal.parse_audio_header(p2) == ("pcm_wav", 44100, 1, 7)
+    # non-audio and truncated payloads degrade to Nones, not errors
+    assert multimodal.parse_audio_header(b"notawav") == \
+        (None, None, None, None)
+    assert multimodal.parse_audio_header(p[:10]) == \
+        (None, None, None, None)
+    assert multimodal.parse_audio_header(None) == \
+        (None, None, None, None)
+
+
+def test_audio_metadata_distributed(spark):
+    rows = [(0, multimodal.wav_bytes(8000, 1, 800)),
+            (1, multimodal.wav_bytes(44100, 2, 441)),
+            (2, b"\x00\x01garbage")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r
+           for r in multimodal.audio_metadata(df).collect()}
+    assert out[0]["sample_rate"] == 8000
+    assert out[0]["duration_s"] == 0.1
+    assert out[1]["n_channels"] == 2
+    assert out[1]["duration_s"] == 0.01
+    assert out[2]["codec"] is None and out[2]["duration_s"] is None
