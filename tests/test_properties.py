@@ -123,3 +123,36 @@ def test_size_parser_roundtrip_bytes(n):
                  allow_infinity=False))
 def test_num_percent(p):
     assert abs(params.num(f"{p}%") - p / 100) < 1e-12
+
+
+# -- multimodal header parsers: synth -> parse roundtrips -------------------
+
+from structa_spark.operators.multimodal import (  # noqa: E402
+    jpeg_bytes, parse_audio_header, parse_image_header, png_bytes,
+    wav_bytes,
+)
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535))
+def test_png_header_roundtrip(w, h):
+    assert parse_image_header(png_bytes(w, h)) == ("png", w, h)
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535))
+def test_jpeg_header_roundtrip(w, h):
+    assert parse_image_header(jpeg_bytes(w, h)) == ("jpeg", w, h)
+
+
+@given(st.integers(1, 384000), st.integers(1, 8),
+       st.integers(0, 2000), st.sampled_from([8, 16, 32]),
+       st.booleans())
+def test_wav_header_roundtrip_property(rate, ch, n, bits, junk):
+    parsed = parse_audio_header(
+        wav_bytes(rate, ch, n, bits=bits, junk_chunk=junk))
+    assert parsed == ("pcm_wav", rate, ch, n)
+
+
+@given(st.binary(max_size=64))
+def test_header_parsers_never_raise_on_garbage(payload):
+    parse_image_header(payload)      # any result, no exception
+    parse_audio_header(payload)
