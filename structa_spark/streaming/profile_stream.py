@@ -165,3 +165,26 @@ def dedup_stream(sdf: DataFrame, key_cols: List[str],
     """
     return (sdf.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def clean_corpus_stream(sdf: DataFrame, min_quality: float = 0.5,
+                        passage_tokens: int = 32) -> DataFrame:
+    """Streaming corpus cleaning: quality-score, filter, PII-redact
+    and chunk incoming documents into training passages.
+
+    Every stage is a STATELESS projection/filter (built-in
+    expressions only), so the composition is trivially
+    append-mode-safe on an unbounded stream — no watermark, no state
+    store, and per-microbatch results are identical to the batch twin
+    on the same rows (the test pins this). Corpus-wide stages that
+    need cross-document state (passage dedup, near-dup families) run
+    downstream over :func:`dedup_stream` or as periodic batch
+    compactions."""
+    from ..operators import text as _text
+
+    scored = _text.quality_score(sdf)
+    kept = scored.where(F.col("quality_score") >= min_quality)
+    red = _text.redact_pii(kept)
+    return _text.chunk_passages(
+        red.withColumn("text", F.col("text_redacted")),
+        k=passage_tokens)

@@ -150,3 +150,40 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     # 4 hours x 2 users, duplicates collapsed
     assert len(got) == 8
     assert len({(r.user_id, r.event_type) for r in got}) == 8
+
+
+def test_clean_corpus_stream_matches_batch(spark, tmp_path):
+    from structa_spark.streaming.profile_stream import clean_corpus_stream
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the "
+                              "lazy dog and then the fox naps in the "
+                              "sun for a while it is a good day"},
+        {"doc_id": 1, "text": "mail me at bob@example.com for the "
+                              "offer and then call again it is the "
+                              "best of the best of the best deals"},
+        {"doc_id": 2, "text": "x"},   # below quality bar -> dropped
+    ]
+    with (docs / "part-0.json").open("w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).json(str(docs))
+    _run_stream(clean_corpus_stream(stream, min_quality=0.45,
+                                    passage_tokens=8),
+                "clean_corpus", "append")
+    got = {(r["doc_id"], r["chunk_idx"]): r["passage"]
+           for r in spark.sql("SELECT * FROM clean_corpus").collect()}
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], schema)
+    want = {(r["doc_id"], r["chunk_idx"]): r["passage"]
+            for r in clean_corpus_stream(batch, min_quality=0.45,
+                                         passage_tokens=8).collect()}
+    assert got == want and len(got) > 0
+    assert 2 not in {d for d, _ in got}
+    assert any("<email>" in p for p in got.values())
