@@ -87,12 +87,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of the normalized text (array<string>).
     Documents shorter than k words yield their full text as the only
-    shingle."""
-    words = F.split(normalize_text(text), " ")
-    n = F.size(words)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    shingle. Built on text.word_ngrams — one n-gram expression to
+    maintain, so tokenization fixes cannot diverge between the dedup
+    and repetition pipelines."""
+    from .text import word_ngrams
+    norm = normalize_text(text)
+    grams = word_ngrams(F.split(norm, " "), k)
+    sh = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     return F.array_distinct(sh)
 
 

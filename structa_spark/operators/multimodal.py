@@ -164,34 +164,45 @@ def parse_audio_header(payload):
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return (None, None, None, None)
     i = 12
-    rate = channels = bits = data_size = None
+    tag = rate = channels = bits = data_size = None
     while i + 8 <= len(p):
         cid = p[i:i + 4]
         size = int.from_bytes(p[i + 4:i + 8], "little")
         if cid == b"fmt " and i + 24 <= len(p):
+            tag = int.from_bytes(p[i + 8:i + 10], "little")
             channels = int.from_bytes(p[i + 10:i + 12], "little")
             rate = int.from_bytes(p[i + 12:i + 16], "little")
             bits = int.from_bytes(p[i + 22:i + 24], "little")
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)   # chunks are word-aligned
-    if rate is None or channels is None or not bits:
+    if rate is None or not channels or not bits:
         return (None, None, None, None)
-    n_samples = (data_size // (channels * (bits // 8))
-                 if data_size is not None and channels and bits
-                 else None)
-    return ("pcm_wav", rate, channels, n_samples)
+    # the format tag decides both the codec label and whether the
+    # bytes-per-sample arithmetic is meaningful: only linear PCM (1)
+    # and IEEE float (3) store whole bytes per sample; compressed
+    # codecs (ADPCM tag 2 declares 4 bits/sample, mu/a-law 6/7 pack
+    # 14 bits into one byte) get a labeled codec and no sample count
+    codec = {1: "pcm_wav", 3: "float_wav"}.get(tag, f"wav_fmt_{tag}")
+    n_samples = None
+    if tag in (1, 3) and bits % 8 == 0 and bits >= 8 \
+            and data_size is not None:
+        n_samples = data_size // (channels * (bits // 8))
+    return (codec, rate, channels, n_samples)
 
 
 def wav_bytes(sample_rate: int, n_channels: int, n_samples: int,
-              bits: int = 16, junk_chunk: bool = False) -> bytes:
+              bits: int = 16, junk_chunk: bool = False,
+              fmt_tag: int = 1) -> bytes:
     """A minimal structurally-valid PCM WAV: RIFF/WAVE container,
     ``fmt `` block, zero-filled ``data`` chunk; ``junk_chunk``
-    prepends a LIST chunk so tests exercise the skip-by-size walk."""
+    prepends a LIST chunk so tests exercise the skip-by-size walk;
+    ``fmt_tag`` overrides the audio-format tag so tests can exercise
+    the non-PCM codec labeling."""
     import struct
-    frame = n_channels * (bits // 8)
+    frame = max(1, n_channels * (bits // 8))
     data = bytes(n_samples * frame)
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_channels, sample_rate,
                       sample_rate * frame, frame, bits)
     chunks = b""
     if junk_chunk:

@@ -130,12 +130,13 @@ def lang_id(df: DataFrame, text_col: str = "text",
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as space-joined strings
-    (empty array when fewer than n tokens). Pure expression."""
+    (empty array when fewer than n tokens). Pure expression — the
+    shared primitive under both the repetition signals here and
+    dedup's word shingles."""
     m = F.size(toks)
     return F.when(m >= n, F.transform(
         F.sequence(F.lit(1), m - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]))) \
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))) \
         .otherwise(F.array().cast("array<string>"))
 
 
@@ -149,6 +150,9 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     * ``top_bigram_count`` / ``top_bigram_frac`` — occurrences of the
       most frequent word bigram and the fraction of tokens it covers
       (the "fraction of text in the most common n-gram" filter).
+      Bigrams overlap, so 2*count can exceed the token count on
+      degenerate runs ("a a a a"); the fraction is capped at 1.0 to
+      stay a fraction.
 
     Scale: the type/token ratio is a pure expression
     (``array_distinct``, no shuffle). The bigram mode needs two
@@ -179,8 +183,8 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     return top.select(
         id_col, "n_tokens", "distinct_token_frac", "top_bigram_count",
         F.round(F.when(F.col("n_tokens") > 0,
-                       2.0 * F.col("top_bigram_count")
-                       / F.col("n_tokens"))
+                       F.least(2.0 * F.col("top_bigram_count")
+                               / F.col("n_tokens"), F.lit(1.0)))
                 .otherwise(F.lit(0.0)), 4).alias("top_bigram_frac"))
 
 
@@ -213,14 +217,18 @@ def dedup_passages(chunks: DataFrame, id_col: str = "doc_id",
     each distinct passage (ordered by ``(id, chunk_idx)``) — the
     repeated-boilerplate removal step between chunking and training.
 
-    One shuffle, keyed by the 64-bit passage hash (fixed-width keys,
-    not arbitrary-length text); ties inside a hash bucket resolve by
-    the deterministic (id, chunk_idx) order. At 100 TB the hash key
-    is uniform by construction — no skew.
+    One shuffle, partitioned by (passage hash, passage): the 8-byte
+    hash leads the key so almost every comparison stops at a
+    fixed-width compare, while the passage column — already in every
+    shuffled row — disambiguates the rare 60-bit collision, so two
+    DIFFERENT passages can never dedup each other. Ties inside a
+    group resolve by the deterministic (id, chunk_idx) order. At
+    100 TB the hash key is uniform by construction — no skew.
     """
     from pyspark.sql.window import Window
     h = md5_long(F.col(passage_col))
-    w = Window.partitionBy("__h").orderBy(id_col, "chunk_idx")
+    w = Window.partitionBy("__h", passage_col) \
+              .orderBy(id_col, "chunk_idx")
     return (chunks.withColumn("__h", h)
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

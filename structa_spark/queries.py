@@ -1478,7 +1478,8 @@ SELECT b.doc_id, b.n_tokens, b.distinct_token_frac,
        CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
            AS top_bigram_count,
        CASE WHEN b.n_tokens > 0 THEN
-         round(2.0 * COALESCE(t.top_bigram_count, 0) / b.n_tokens, 4)
+         round(least(2.0 * COALESCE(t.top_bigram_count, 0)
+                     / b.n_tokens, 1.0), 4)
        ELSE 0.0 END AS top_bigram_frac
 FROM base b LEFT JOIN top t USING (doc_id)
 ORDER BY b.doc_id
@@ -1517,7 +1518,7 @@ WITH toks AS (
 ), ranked AS (
   SELECT doc_id, chunk_idx,
          row_number() OVER (
-           PARTITION BY {md5_long_sql('passage')}
+           PARTITION BY {md5_long_sql('passage')}, passage
            ORDER BY doc_id, chunk_idx) AS rn
   FROM passages
 )
@@ -1538,7 +1539,7 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay the identical md5-derived hash and (doc, chunk) order."""
     d = _t(spark, sf_dir, "documents")
     ch = text.chunk_passages(d, k=32)
-    w = Window.partitionBy(md5_long(F.col("passage"))) \
+    w = Window.partitionBy(md5_long(F.col("passage")), "passage") \
               .orderBy("doc_id", "chunk_idx")
     ranked = ch.withColumn("rn", F.row_number().over(w))
     return (ranked.groupBy("doc_id")
@@ -1838,27 +1839,35 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, join each survivor's embedding and record its IVF list —
     the manifest a training job would shard by list for locality.
 
-    Scale shape: quality + repetition are document-keyed (no hot
-    key); the dedup keeper set arrives by semi join on the id; the
+    Scale shape: quality features, the type/token ratio AND the
+    exact-dedup hash all come out of ONE projection over ONE scan of
+    documents (the repetition filter here needs only the shuffle-free
+    distinct-token fraction, not the bigram mode, and keep-first is a
+    window over the same rows — no second scan, no semi join); the
     embedding join is id-to-id (co-partitioned after AQE); the
-    centroid assignment is a shuffle-free unrolled expression. One
-    scan of each table end to end."""
+    centroid assignment is a shuffle-free unrolled expression."""
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
+    toks = text.tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    distinct_frac = F.round(
+        F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok)
+        .otherwise(F.lit(0.0)), 4)
     scored = (text.quality_score(d)
               .select("doc_id", "lang",
                       F.col("n_tokens").cast("long").alias("n_tokens"),
-                      F.col("quality_score").alias("quality")))
-    rep = text.repetition_signals(d).select(
-        "doc_id", "distinct_token_frac")
-    keep = dedup.dedup_exact(d).select("doc_id")
+                      F.col("quality_score").alias("quality"),
+                      distinct_frac.alias("distinct_token_frac"),
+                      md5_long(dedup.normalize_text(F.col("text")))
+                      .alias("__h")))
+    kw = Window.partitionBy("__h").orderBy("doc_id")
+    kept = (scored.withColumn("__rn", F.row_number().over(kw))
+            .where(F.col("__rn") == 1).drop("__h", "__rn"))
     cents = [r.embedding for r in e.where(F.col("vec_id") < 4)
                                    .orderBy("vec_id").collect()]
     assigned = similarity.ivf_assign(e, cents).select(
         F.col("vec_id").alias("doc_id"), "list_id")
-    return (scored
-            .join(rep, "doc_id")
-            .join(keep, "doc_id", "left_semi")
+    return (kept
             .join(assigned, "doc_id")
             .where((F.col("quality") >= 0.5)
                    & (F.col("distinct_token_frac") >= 0.3)

@@ -77,7 +77,8 @@ def open_source(spark: SparkSession, path: str, *,
         warnings.warn(ValidationWarning(
             f"Low confidence ({s.confidence}) in detected character "
             f"set {s.encoding!r} for {path}"))
-    enc = spark_charset(enc)
+    py_enc = enc               # Python codec name (XML decodes in
+    enc = spark_charset(enc)   # executors); Spark charset otherwise
 
     if fmt == "ndjson":
         rd = (spark.read.option("encoding", enc)
@@ -109,7 +110,7 @@ def open_source(spark: SparkSession, path: str, *,
                 "unsafe YAML (arbitrary objects) is not supported")
         return read_yaml(spark, path, encoding=enc)
     if fmt == "xml":
-        return read_xml(spark, path)
+        return read_xml(spark, path, encoding=py_enc)
     raise NotImplementedError(f"format {fmt!r} not supported")
 
 
@@ -179,18 +180,40 @@ def read_yaml(spark: SparkSession, path: str,
     return spark.read.json(rdd.flatMap(parse))
 
 
-def _xml_element_to_obj(el):
+def _strip_ns(t: str) -> str:
+    """Tag name without its ``{namespace}`` prefix."""
+    return t.rsplit("}", 1)[-1] if "}" in t else t
+
+
+def _xml_list_tags(root) -> frozenset:
+    """Tags that repeat under ANY parent in this document. These are
+    forced to arrays EVERYWHERE in the document, so a field that is
+    sometimes singular and sometimes repeated keeps ONE JSON type —
+    otherwise Spark's schema inference would resolve the
+    string-vs-array conflict by stringifying the arrays."""
+    out, stack = set(), [root]
+    while stack:
+        el = stack.pop()
+        seen = set()
+        for c in el:
+            t = _strip_ns(c.tag)
+            if t in seen:
+                out.add(t)
+            seen.add(t)
+            stack.append(c)
+    return frozenset(out)
+
+
+def _xml_element_to_obj(el, list_tags: frozenset = frozenset()):
     """One XML element -> plain Python object, xmltodict-style:
     attributes become ``@name`` keys, mixed/leaf text becomes
     ``#text`` (or the value itself for a pure-text leaf), repeated
-    child tags group into arrays, namespace prefixes are stripped.
-    All leaf values stay strings — XML is untyped text, and the
-    analyzer's string-representation ladder (StrRepr of int/float/
-    datetime) is exactly the right consumer for that."""
-    def tag(t):
-        return t.rsplit("}", 1)[-1] if "}" in t else t
-
-    obj = {"@" + tag(k): v for k, v in el.attrib.items()}
+    child tags group into arrays (forced for every tag in
+    ``list_tags``, see :func:`_xml_list_tags`), namespace prefixes
+    are stripped. All leaf values stay strings — XML is untyped
+    text, and the analyzer's string-representation ladder (StrRepr
+    of int/float/datetime) is exactly the right consumer for that."""
+    obj = {"@" + _strip_ns(k): v for k, v in el.attrib.items()}
     children = list(el)
     text = (el.text or "").strip()
     if not children:
@@ -201,19 +224,23 @@ def _xml_element_to_obj(el):
         return obj
     grouped = {}
     for c in children:
-        grouped.setdefault(tag(c.tag), []).append(_xml_element_to_obj(c))
+        grouped.setdefault(_strip_ns(c.tag), []).append(
+            _xml_element_to_obj(c, list_tags))
     for t, items in grouped.items():
-        obj[t] = items if len(items) > 1 else items[0]
+        obj[t] = (items if len(items) > 1 or t in list_tags
+                  else items[0])
     if text:
         obj["#text"] = text
     return obj
 
 
-def read_xml(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed XML: wholeTextFiles ships each file to an executor,
-    ElementTree parses it there, rows come back as JSON strings so
-    Spark's schema inference stays in charge (same shape as
-    ``read_yaml``). The reference declines XML entirely
+def read_xml(spark: SparkSession, path: str,
+             encoding: str = "utf-8") -> DataFrame:
+    """Distributed XML: binaryFiles ships each file's raw bytes to an
+    executor, ElementTree parses them there (a bytes parse honors the
+    BOM and the XML declaration's encoding), rows come back as JSON
+    strings so Spark's schema inference stays in charge (same shape
+    as ``read_yaml``). The reference declines XML entirely
     (structa/source.py:249-250); this engine reads it.
 
     Row semantics: a root whose children all share one tag with >= 2
@@ -222,27 +249,53 @@ def read_xml(spark: SparkSession, path: str) -> DataFrame:
     whole document is a single row. Scalar rows are wrapped in
     VALUE_COL, mirroring the JSON/YAML scalar-payload path.
 
+    Failure handling mirrors the JSON reader's PERMISSIVE mode: a
+    payload expat cannot parse (after retrying with the sniffed
+    ``encoding`` for charsets expat lacks) yields one
+    ``_corrupt_xml`` row instead of failing the job (not named
+    ``_corrupt_record`` — Spark's JSON reader reserves that column
+    name and nulls it in parsed rows) — the sniffer
+    routes anything '<'-leading here, including HTML.
+
     Scale note: parallelism == file count (one XML document is
     unsplittable, same as multiLine JSON). Entity-expansion attacks
     are bounded by expat's built-in billion-laughs amplification
     limits; external entities are never fetched by ElementTree."""
-    rdd = spark.sparkContext.wholeTextFiles(path)
+    rdd = spark.sparkContext.binaryFiles(path)
 
     def parse(kv):
         import json as _j
+        import re as _re
         import xml.etree.ElementTree as _ET
         _, content = kv
-        root = _ET.fromstring(content)
+        root = None
+        try:
+            root = _ET.fromstring(content)
+        except _ET.ParseError:
+            # expat natively decodes only UTF-8/16, ASCII and
+            # latin-1; re-decode with the sniffed charset and strip
+            # the declaration (ET refuses str input that declares an
+            # encoding)
+            try:
+                txt = content.decode(encoding, errors="replace")
+                txt = _re.sub(r"^\s*<\?xml[^>]*\?>", "", txt, count=1)
+                root = _ET.fromstring(txt)
+            except (_ET.ParseError, LookupError):
+                root = None
+        if root is None:
+            yield _j.dumps({"_corrupt_xml":
+                            content[:1024].decode("utf-8",
+                                                  errors="replace")})
+            return
 
-        def tag(t):
-            return t.rsplit("}", 1)[-1] if "}" in t else t
-
+        list_tags = _xml_list_tags(root)
         children = list(root)
-        tags = {tag(c.tag) for c in children}
+        tags = {_strip_ns(c.tag) for c in children}
         if len(children) >= 2 and len(tags) == 1 and not root.attrib:
-            items = [_xml_element_to_obj(c) for c in children]
+            items = [_xml_element_to_obj(c, list_tags)
+                     for c in children]
         else:
-            items = [_xml_element_to_obj(root)]
+            items = [_xml_element_to_obj(root, list_tags)]
         for it in items:
             if isinstance(it, dict):
                 yield _j.dumps(it)

@@ -313,3 +313,49 @@ def test_xml_profiles_end_to_end(spark, tmp_path):
     assert p.row_count == 20
     text = p.render()
     assert "int" in text and "float" in text
+
+
+def test_xml_repeated_tag_type_is_stable_across_rows(spark, tmp_path):
+    # a field repeated in SOME rows but singular in others must be an
+    # array in every row, or Spark's inference stringifies the arrays
+    f = tmp_path / "mixed.xml"
+    f.write_text(
+        "<advisories>"
+        "<advisory><ref>a</ref></advisory>"
+        "<advisory><ref>a</ref><ref>b</ref></advisory>"
+        "</advisories>")
+    from structa_spark.sources.reader import open_source
+    rows = sorted(open_source(spark, str(f)).collect(),
+                  key=lambda r: len(r["ref"]))
+    assert list(rows[0]["ref"]) == ["a"]
+    assert list(rows[1]["ref"]) == ["a", "b"]
+
+
+def test_xml_malformed_yields_corrupt_record_not_job_failure(
+        spark, tmp_path):
+    # the sniffer routes any '<'-leading file here, including HTML;
+    # mirror the JSON reader's PERMISSIVE contract
+    f = tmp_path / "page.xml"
+    f.write_text("<html><body>unclosed <br> tag &nbsp;</body></html>")
+    from structa_spark.sources.reader import open_source
+    rows = open_source(spark, str(f)).collect()
+    assert len(rows) == 1
+    assert "unclosed" in rows[0]["_corrupt_xml"]
+
+
+def test_xml_non_utf8_encoding_reads(spark, tmp_path):
+    # shift_jis XML without a matching declaration: expat cannot
+    # decode it natively, so the sniffed-charset retry must kick in
+    f = tmp_path / "ja.xml"
+    body = ("<rows><row><title>日本語のテスト文書です漢字かな" \
+            "</title></row>"
+            "<row><title>二つ目の文書もあります完全に</title></row>"
+            "</rows>")
+    f.write_bytes(body.encode("shift_jis"))
+    from structa_spark.sources.detect import sniff
+    s = sniff(f.read_bytes())
+    assert s.format == "xml"
+    from structa_spark.sources.reader import open_source
+    titles = {r["title"] for r in open_source(spark, str(f)).collect()}
+    assert "日本語のテスト文書です漢字かな" in titles
+    assert "二つ目の文書もあります完全に" in titles

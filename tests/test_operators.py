@@ -656,3 +656,26 @@ def test_audio_metadata_distributed(spark):
     assert out[1]["n_channels"] == 2
     assert out[1]["duration_s"] == 0.01
     assert out[2]["codec"] is None and out[2]["duration_s"] is None
+
+
+def test_wav_non_pcm_codecs_label_without_sample_math():
+    # ADPCM-style 4 bits/sample must not divide by zero (review
+    # finding); compressed codecs get a labeled codec, no n_samples
+    p = multimodal.wav_bytes(8000, 1, 100, bits=4, fmt_tag=2)
+    assert multimodal.parse_audio_header(p) == ("wav_fmt_2", 8000, 1,
+                                                None)
+    f = multimodal.wav_bytes(48000, 2, 10, bits=32, fmt_tag=3)
+    assert multimodal.parse_audio_header(f) == ("float_wav", 48000, 2,
+                                                10)
+    mu = multimodal.wav_bytes(8000, 1, 100, bits=8, fmt_tag=7)
+    assert multimodal.parse_audio_header(mu) == ("wav_fmt_7", 8000, 1,
+                                                 None)
+
+
+def test_repetition_top_bigram_frac_capped(spark):
+    # overlapping bigrams: "a a" occurs 3 times in 4 tokens; the
+    # coverage fraction must cap at 1.0, not report 1.5
+    df = spark.createDataFrame([(0, "a a a a")], ["doc_id", "text"])
+    r = text.repetition_signals(df).collect()[0]
+    assert r["top_bigram_count"] == 3
+    assert r["top_bigram_frac"] == 1.0
