@@ -1,7 +1,7 @@
 """Command-line interface: ``python -m structa_spark <files>``.
 
 Same user surface as the reference CLI (reference: structa/ui/cli.py:
-68-234): analyze one or more JSON/NDJSON/CSV/YAML files (format
+68-234): analyze one or more JSON/NDJSON/CSV/YAML/XML files (format
 auto-detected per file) and print the inferred structure. Multiple
 files are assumed to share a source and are analyzed as a union
 (reference ui/cli.py:73-76). ``--indent`` reproduces the reference
@@ -51,7 +51,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--encoding", default="auto")
     p.add_argument("-f", "--format", default="auto",
                    choices=["auto", "json", "ndjson", "csv", "yaml",
-                            "parquet"])
+                            "xml", "parquet"])
     p.add_argument("--csv-format", default=None, metavar="FIELD[QUOTE]",
                    help="CSV delimiter + optional quote char, e.g. ';' "
                         "or ',\"' (overrides the sniffer)")
