@@ -276,6 +276,43 @@ def rare_token_stats(df: DataFrame, min_count: int = 100,
                         F.round(F.col("n_rare") / F.col("n_tokens"), 4)))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (idf = ln(N/df), the classic unsmoothed form) — keyword
+    extraction for corpus exploration and topic labeling.
+
+    Scale shape: term frequencies aggregate on (doc, token) — the doc
+    id in the key kills token skew; document frequencies aggregate on
+    the token but are BOUNDED by vocabulary size after the per-doc
+    distinct, and the resulting idf table broadcasts (same bound
+    argument as :func:`rare_token_stats`), so the fact side joins
+    without a shuffle. The final top-k is one window keyed by doc.
+    Ties break on (tfidf desc, token asc), deterministic in any
+    engine."""
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = (toks.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (toks.select(id_col, "token").distinct()
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df")))
+    idf = dfreq.select(
+        "token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    scored = (tf.join(F.broadcast(idf), "token")
+              .select(id_col, "token",
+                      F.round(F.col("tf") * F.col("idf"), 6)
+                      .alias("tfidf")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 #: Conservative PII patterns, written to behave identically under
 #: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookarounds.
 #: Order matters for redaction: emails first (an email contains no

@@ -1918,3 +1918,38 @@ def audio_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return mm.audio_metadata(media).orderBy("media_id")
+
+
+@register("tfidf_top_terms", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), idf AS (
+  SELECT token,
+         ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+            / count(DISTINCT doc_id)) AS idf
+  FROM toks GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+SELECT doc_id, token, tfidf, rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf — keyword
+    extraction, value-checked. The doc id keys the tf aggregation (no
+    token hot key); the idf table is vocabulary-bounded and
+    broadcasts; scores round to 6 BEFORE ranking so ties resolve on
+    the token identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")

@@ -679,3 +679,21 @@ def test_repetition_top_bigram_frac_capped(spark):
     r = text.repetition_signals(df).collect()[0]
     assert r["top_bigram_count"] == 3
     assert r["top_bigram_frac"] == 1.0
+
+
+def test_tfidf_top_terms_ranks_discriminative_words(spark):
+    rows = [
+        (0, "common unique0 common common"),
+        (1, "common unique1 common"),
+        (2, "common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for r in text.tfidf_top_terms(df, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rank"], r["token"]))
+    # the doc-unique word always outscores the corpus-wide word
+    assert sorted(out[0])[0] == (1, "unique0")
+    assert sorted(out[1])[0] == (1, "unique1")
+    # doc 2 has only the common word; idf = ln(1) = 0 -> score 0 but
+    # it still ranks (top-k of whatever the doc has)
+    assert sorted(out[2]) == [(1, "common")]
