@@ -313,6 +313,34 @@ def tfidf_top_terms(df: DataFrame, k: int = 3,
             .where(F.col("rank") <= k))
 
 
+def hashed_doc_vectors(df: DataFrame, n_buckets: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors: each token
+    maps to ``md5_long(token) % n_buckets`` and the document becomes
+    sparse (id, bucket, weight) rows with l1-normalized term weights —
+    a model-free embedding that feeds the similarity pillar (cosine /
+    LSH / PQ) when no learned encoder is available.
+
+    The md5-derived bucket is deterministic across engines, runs and
+    partitionings (no feature drift between pipeline executions —
+    the property that makes hashed features cacheable at 100 TB).
+    One aggregation keyed by (doc, bucket): no token hot key, rows
+    out are bounded by |docs| * n_buckets."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    bucket = (md5_long(F.col("token")) % n_buckets).cast("int")
+    counts = (toks.select(id_col, bucket.alias("bucket"))
+              .groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    total = F.sum("c").over(Window.partitionBy(id_col))
+    return counts.select(
+        id_col, "bucket",
+        F.round(F.col("c") / total, 6).alias("weight"))
+
+
 #: Conservative PII patterns, written to behave identically under
 #: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookarounds.
 #: Order matters for redaction: emails first (an email contains no

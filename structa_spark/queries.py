@@ -1953,3 +1953,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token identically in both engines."""
     d = _t(spark, sf_dir, "documents")
     return text.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@register("hashed_doc_vectors", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents WHERE doc_id < 100
+), counts AS (
+  SELECT doc_id,
+         CAST({md5_long_sql('token')} % 16 AS INTEGER) AS bucket,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, bucket,
+       round(CAST(c AS DOUBLE)
+             / sum(c) OVER (PARTITION BY doc_id), 6) AS weight
+FROM counts ORDER BY doc_id, bucket
+""")
+def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors, value-checked: md5-derived
+    bucket assignment and l1-normalized weights replay identically in
+    both engines (the same frozen hash that underpins minhash/LSH),
+    pinning the no-feature-drift property the hashing trick is used
+    for."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (text.hashed_doc_vectors(d, n_buckets=16)
+            .orderBy("doc_id", "bucket"))

@@ -697,3 +697,21 @@ def test_tfidf_top_terms_ranks_discriminative_words(spark):
     # doc 2 has only the common word; idf = ln(1) = 0 -> score 0 but
     # it still ranks (top-k of whatever the doc has)
     assert sorted(out[2]) == [(1, "common")]
+
+
+def test_hashed_doc_vectors_partitioning_invariant(spark):
+    rows = [(i, f"w{i % 5} w{(i + 1) % 5} common") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {(r["doc_id"], r["bucket"]): r["weight"]
+         for r in text.hashed_doc_vectors(df).collect()}
+    b = {(r["doc_id"], r["bucket"]): r["weight"]
+         for r in text.hashed_doc_vectors(df.repartition(7)).collect()}
+    assert a == b                      # no feature drift
+    # weights l1-normalize per doc
+    import collections
+    sums = collections.defaultdict(float)
+    for (d, _), w in a.items():
+        sums[d] += w
+    # weights round to 6 decimals, so the sum can be off by up to
+    # 0.5e-6 per bucket
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
