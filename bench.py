@@ -54,9 +54,9 @@ def main():
         asof_purchase_click, cosine_topk, json_props_stats,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         q3_top_orders, q5_nation_revenue, repetition_signals,
-        rollup_nation_year, sessionize_events, token_stats_by_lang,
-        top_orders_per_customer, training_manifest,
-        windowed_event_stats,
+        rollup_nation_year, sessionize_events, tfidf_top_terms,
+        token_stats_by_lang, top_orders_per_customer,
+        training_manifest, windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
@@ -105,6 +105,7 @@ def main():
         "passage_dedup": run_df(passage_dedup_summary),
         "pq_adc_topk": run_df(pq_adc_topk),
         "training_manifest": run_df(training_manifest),
+        "tfidf": run_df(tfidf_top_terms),
     }
 
     # warm the JVM once so timings measure the queries, not session
