@@ -438,3 +438,72 @@ def group_centroids(df: DataFrame, dim: int,
                                     *dims)
     centroid = F.array(*[F.col(f"__c{i}") for i in range(dim)])
     return agg.select(group_col, "n_vecs", centroid.alias("centroid"))
+
+
+def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
+                  dim: int, iters: int = 1, round_to: int = 6,
+                  vec_col: str = "embedding"):
+    """Lloyd's k-means refinement from explicit seed centroids:
+    assign every vector to its nearest centroid (max dot product,
+    ties to the lowest centroid id — the ``ivf_assign`` convention),
+    then recompute each centroid as the member mean. Clusters that
+    lose all members keep their previous centroid.
+
+    Centroid coordinates are rounded to ``round_to`` decimals after
+    each averaging so the refined centroids are bit-identical across
+    engines and summation orders — the property that lets an external
+    oracle replay the iteration exactly.
+
+    Scale shape: per round, ONE shuffle-free assignment projection
+    plus one ``dim``-scalar-partial-sums aggregation
+    (:func:`group_centroids` — no explode, no vector UDAF), and a
+    k-row collect: the same driver-sided centroid exchange every
+    distributed k-means (including Spark MLlib's) performs.
+    """
+    cur = [[float(x) for x in c] for c in centroids]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cur, vec_col, out_col="__k__")
+        rows = group_centroids(assigned, dim, "__k__", vec_col) \
+            .collect()
+        nxt = [list(c) for c in cur]
+        for r in rows:
+            nxt[r["__k__"]] = [round(float(x), round_to)
+                               for x in r["centroid"]]
+        cur = nxt
+    return cur
+
+
+def semantic_dedup(df: DataFrame,
+                   centroids: Sequence[Sequence[float]],
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any
+    vector whose cosine similarity to a LOWER-id vector in the same
+    cluster meets ``threshold`` — keep-first within each semantic
+    neighborhood. Returns the per-vector verdict
+    ``(id, cluster, dropped)``.
+
+    Scale shape: the point of clustering first is that the quadratic
+    candidate comparison runs only WITHIN a cluster — with
+    k ≈ n/1000 clusters the per-cluster pair expansion is bounded,
+    and the self-join's equi-key (the cluster id) is one shuffle of
+    the assigned vectors. Assignment itself is a shuffle-free
+    unrolled-argmax projection (:func:`ivf_assign`).
+    """
+    assigned = ivf_assign(df, centroids, vec_col, out_col="cluster")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .where(F.round(cosine(F.col(f"a.{vec_col}"),
+                                   F.col(f"b.{vec_col}")), 6)
+                    >= threshold)
+             .select(F.col(f"b.{id_col}").alias(id_col))
+             .distinct()
+             .withColumn("__drop__", F.lit(True)))
+    return (assigned.join(pairs, id_col, "left")
+            .select(id_col, "cluster",
+                    F.coalesce(F.col("__drop__"), F.lit(False))
+                    .alias("dropped")))

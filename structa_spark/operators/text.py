@@ -395,3 +395,100 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     fp = F.when(n >= k, F.array_min(hashes)).otherwise(
         universal_hash(md5_long(t), 1664525, 1013904223))
     return df.withColumn(out_col, fp)
+
+
+def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
+                       k: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Test-set decontamination: per corpus document, how many of its
+    distinct word ``k``-shingles also occur anywhere in the held-out
+    evaluation set. Only contaminated documents (>= 1 hit) are
+    returned, so the result is bounded by the overlap, not the
+    corpus.
+
+    Scale shape: the eval side is an *evaluation benchmark* — tiny by
+    nature next to a 100 TB corpus — so its distinct shingle set
+    broadcasts and the corpus side NEVER shuffles: explode shingles,
+    broadcast-hash-join, aggregate on (doc id), which carries no hot
+    key. The corpus-side explode is the same expression the dedup
+    pipeline uses (``dedup.word_shingles``), so tokenization cannot
+    drift between dedup and decontamination.
+    """
+    from .dedup import word_shingles
+    ev = (eval_df.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+          .distinct())
+    co = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+    return (co.join(F.broadcast(ev), "s")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   part_cols=("lang",), order_col: str = "doc_id",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Streaming sequence packing: concatenate documents in
+    ``order_col`` order within each partition-key group and chop the
+    stream into packs of ``budget`` tokens. Each document is assigned
+    the pack where its FIRST token lands (documents are not split
+    across the returned mapping — the trainer pads/overflows the
+    tail), i.e. ``pack_id = floor(tokens_before_me / budget)``.
+
+    Returns ``(id, *part_cols, n_tokens, pack_id)``.
+
+    Scale shape: one window (`sum` over an ordered frame) per group —
+    a single shuffle on the partition columns. Parallelism equals the
+    number of groups, so at 100 TB the caller includes a deterministic
+    shard column (e.g. ``doc_id % n_shards``) in ``part_cols``:
+    packing is order-dependent only WITHIN a shard, and shards are
+    independent training streams anyway.
+    """
+    from pyspark.sql.window import Window
+    part_cols = list(part_cols)
+    n_tok = token_count(F.col(text_col)).cast("long")
+    w = (Window.partitionBy(*part_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = df.select(F.col(id_col), *part_cols,
+                     n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+        .cast("long"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document average negative log-likelihood under the
+    corpus's own unigram language model — the classic cheap
+    perplexity proxy for quality filtering (documents of improbable
+    tokens score high; degenerate repeats score low).
+
+    ``avg_nll = sum(tf(t) * -ln(count(t)/total)) / n_tokens`` over
+    the document's tokens, scored against the full corpus counts.
+
+    Scale shape: term frequencies aggregate on (doc, token) FIRST —
+    the doc id in the key kills the natural token hot-key ("the")
+    before any join — then join the per-(doc,token) rows to the
+    corpus count table on the token. The count side is one row per
+    distinct token; the probe side is now at most one row per (doc,
+    token), so the residual skew is bounded by document count per
+    token and AQE's skew-join split handles the head tokens. Total
+    token mass is a scalar agg broadcast into the expression.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c")).collect()[0][0] or 1
+    nll = F.col("tf") * -F.log(F.col("c") / F.lit(float(total)))
+    return (tf.join(cnt, "token")
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round(F.sum(nll) / F.sum("tf"), 4)
+                 .alias("avg_nll")))

@@ -1982,3 +1982,169 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return (text.hashed_doc_vectors(d, n_buckets=16)
             .orderBy("doc_id", "bucket"))
+
+
+@register("contamination_check", oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id < 20
+), co AS (
+  SELECT doc_id, unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id >= 20
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM co JOIN ev USING (s)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus documents sharing a word
+    3-shingle with the held-out eval slice (doc_id < 20 stands in
+    for a benchmark suite). The eval shingle set broadcasts — tiny
+    by nature next to the corpus — so the corpus side never
+    shuffles for the membership join; shingles come from the SAME
+    expression the dedup pipeline uses, so tokenization cannot
+    drift between dedup and decontamination."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 20)
+    co = d.where(F.col("doc_id") >= 20)
+    return text.contamination_hits(co, ev).orderBy("doc_id")
+
+
+@register("sequence_packing", oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+         len({_TOKENS_SQL}) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (
+                  PARTITION BY lang, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / 256.0) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT lang, shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id
+""")
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing into 256-token training packs,
+    summarized per (lang, shard, pack): the concat-and-chop document
+    -> pack assignment every trainer's data loader needs. Sharding by
+    doc_id % 8 inside the window key is the scale lever — packing
+    order matters only within a shard, so parallelism is
+    #langs x #shards, not #langs."""
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("shard", (F.col("doc_id") % 8).cast("int")))
+    packed = text.pack_sequences(d, budget=256,
+                                 part_cols=("lang", "shard"))
+    return (packed.groupBy("lang", "shard", "pack_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("pack_tokens"))
+            .orderBy("lang", "shard", "pack_id"))
+
+
+@register("unigram_nll", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * -ln(c / n)) / sum(tf), 4) AS avg_nll
+FROM tf JOIN cnt USING (token) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+""")
+def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the
+    corpus's own unigram LM — the cheap perplexity proxy for quality
+    filtering, value-checked to 4 decimals. tf aggregates on (doc,
+    token) first so the token hot key never reaches a join."""
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d).orderBy("doc_id")
+
+
+@register("semantic_dedup_summary", oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 4
+), s0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cvec) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN seeds c
+), a0 AS (
+  SELECT vec_id, cid FROM s0 WHERE rn = 1
+), dims AS (
+  SELECT a0.cid, p.range AS pos,
+         round(avg(e.embedding[p.range + 1]::DOUBLE), 6) AS v
+  FROM embeddings e JOIN a0 USING (vec_id)
+       CROSS JOIN range(0, 64) p
+  GROUP BY 1, 2
+), means AS (
+  SELECT cid, list(v ORDER BY pos) AS cvec FROM dims GROUP BY cid
+), cents AS (
+  SELECT s.cid, coalesce(m.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN means m USING (cid)
+), s1 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                         c.cvec) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), a1 AS (
+  SELECT vec_id, cid AS cluster FROM s1 WHERE rn = 1
+), dropped AS (
+  SELECT b.vec_id
+  FROM a1 a JOIN a1 b
+       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+     JOIN embeddings ea ON ea.vec_id = a.vec_id
+     JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_sum(list_transform(
+                  range(1, len(ea.embedding) + 1),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(
+                     range(1, len(ea.embedding) + 1),
+                     i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(
+                     range(1, len(eb.embedding) + 1),
+                     i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))),
+              6) >= 0.8
+  GROUP BY 1
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM a1 LEFT JOIN dropped d USING (vec_id)
+GROUP BY cluster ORDER BY cluster
+""")
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): one Lloyd's refinement from the
+    first-4-vectors seed (the deterministic k-means convention shared
+    with ivf/pq), then drop within-cluster cosine >= 0.8 keep-first —
+    summarized per cluster. Centroid means round to 6 decimals after
+    averaging in BOTH engines, which is what makes the refined
+    iteration replayable by the SQL oracle. The quadratic comparison
+    runs only within a cluster — the bound that makes SemDeDup viable
+    at corpus scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = [r.embedding for r in
+             e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    refined = similarity.kmeans_refine(e, seeds, dim=64, iters=1)
+    verdicts = similarity.semantic_dedup(e, refined, threshold=0.8)
+    return (verdicts.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                 F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+                 .cast("long").alias("n_dropped"))
+            .orderBy("cluster"))

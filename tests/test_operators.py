@@ -715,3 +715,142 @@ def test_hashed_doc_vectors_partitioning_invariant(spark):
     # weights round to 6 decimals, so the sum can be off by up to
     # 0.5e-6 per bucket
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_contamination_hits(spark):
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma epsilon"),   # shares "alpha beta gamma"
+         (11, "zeta eta theta iota"),        # no overlap
+         (12, "beta gamma delta and alpha beta gamma too")],  # 2 hits
+        ["doc_id", "text"])
+    out = {r.doc_id: r.n_hits
+           for r in text.contamination_hits(corpus, ev).collect()}
+    assert out == {10: 1, 12: 2}   # clean doc 11 absent by design
+
+
+def test_contamination_short_doc_full_text_shingle(spark):
+    # documents shorter than k words fall back to the full-text
+    # shingle (the word_shingles contract), so a verbatim short quote
+    # is still caught
+    ev = spark.createDataFrame([(0, "two words")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "two words"), (2, "other stuff")], ["doc_id", "text"])
+    out = {r.doc_id for r in
+           text.contamination_hits(corpus, ev).collect()}
+    assert out == {1}
+
+
+# -- sequence packing -------------------------------------------------------
+
+def test_pack_sequences_boundaries(spark):
+    # 4-token docs against a 10-token budget: packs chop at the
+    # cumulative stream, each doc lands where its FIRST token falls
+    rows = [(i, "en", "a b c d") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r.pack_id
+           for r in text.pack_sequences(df, budget=10).collect()}
+    # cumulative starts: 0,4,8,12,16 -> packs 0,0,0,1,1
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pack_sequences_partition_isolation(spark):
+    # each partition key packs independently from token zero
+    rows = [(0, "en", "a b c"), (1, "de", "x y z"), (2, "en", "d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {(r.lang, r.doc_id): r.pack_id
+           for r in text.pack_sequences(df, budget=3).collect()}
+    # en stream: doc 0 starts at token 0 (pack 0), doc 2 at token 3
+    # (pack 1); de restarts from zero
+    assert out == {("en", 0): 0, ("de", 1): 0, ("en", 2): 1}
+
+
+def test_pack_sequences_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "en", ""), (1, "en", "a b")], ["doc_id", "lang", "text"])
+    out = {r.doc_id: (r.n_tokens, r.pack_id)
+           for r in text.pack_sequences(df, budget=2).collect()}
+    assert out == {0: (0, 0), 1: (2, 0)}
+
+
+# -- unigram LM scoring -----------------------------------------------------
+
+def test_unigram_logprob_values(spark):
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_tokens, r.avg_nll)
+           for r in text.unigram_logprob(df).collect()}
+    ln = math.log
+    want0 = round((2 * -ln(3 / 5) + 1 * -ln(1 / 5)) / 3, 4)
+    want1 = round((1 * -ln(3 / 5) + 1 * -ln(1 / 5)) / 2, 4)
+    assert out[0] == (3, want0)
+    assert out[1] == (2, want1)
+
+
+def test_unigram_logprob_repetitive_scores_low(spark):
+    # degenerate repetition = most probable tokens = lowest NLL
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam spam"),
+         (1, "one rare sentence differs entirely here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.avg_nll
+           for r in text.unigram_logprob(df).collect()}
+    assert out[0] < out[1]
+
+
+# -- k-means refinement + semantic dedup ------------------------------------
+
+def test_kmeans_refine_separates_obvious_clusters(spark):
+    rows = [(i, [10.0, 0.0]) for i in range(3)] + \
+           [(i, [0.0, 10.0]) for i in range(3, 6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = [[10.0, 0.0], [0.0, 10.0]]
+    refined = similarity.kmeans_refine(df, seeds, dim=2, iters=2)
+    assert refined == [[10.0, 0.0], [0.0, 10.0]]
+
+
+def test_kmeans_refine_moves_centroid_to_mean(spark):
+    rows = [(0, [4.0, 0.0]), (1, [8.0, 0.0]), (2, [0.0, 6.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    refined = similarity.kmeans_refine(
+        df, [[1.0, 0.0], [0.0, 1.0]], dim=2, iters=1)
+    assert refined == [[6.0, 0.0], [0.0, 6.0]]
+
+
+def test_kmeans_refine_empty_cluster_keeps_seed(spark):
+    rows = [(0, [5.0, 0.0]), (1, [6.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    refined = similarity.kmeans_refine(
+        df, [[1.0, 0.0], [-1.0, 0.0]], dim=2, iters=1)
+    assert refined[0] == [5.5, 0.0]
+    assert refined[1] == [-1.0, 0.0]     # lost all members: unchanged
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    rows = [(0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),    # near-dup of 0 -> dropped
+            (2, [0.0, 1.0])]      # other cluster, kept
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: (r.cluster, r.dropped)
+           for r in similarity.semantic_dedup(
+               df, [[1.0, 0.0], [0.0, 1.0]],
+               threshold=0.99).collect()}
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (1, False)
+
+
+def test_semantic_dedup_cross_cluster_twin_survives(spark):
+    # SemDeDup compares only WITHIN a cluster: a twin split across
+    # clusters is the documented recall trade-off, not a drop
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.dropped
+           for r in similarity.semantic_dedup(
+               df, [[1.0, 0.0], [0.0, 1.0]],
+               threshold=-1.0).collect()}
+    assert out == {0: False, 1: False}
