@@ -492,3 +492,75 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .agg(F.sum("tf").cast("long").alias("n_tokens"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)
                  .alias("avg_nll")))
+
+
+def mixing_weights(df: DataFrame, alpha: float = 0.5,
+                   group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Temperature-scaled data-mixture weights per corpus source:
+    ``w_s = tokens_s**alpha / sum(tokens**alpha)`` — the standard
+    multinomial-sampling temperature (alpha < 1 upsamples small
+    sources) used to balance heterogeneous training mixes. Returns
+    ``(group, n_docs, n_tokens, weight, sample_rate)`` where
+    ``sample_rate`` is the per-document inclusion rate that realizes
+    the weight against a uniform token draw (weight / token_share).
+
+    Scale shape: one small-key aggregation (sources number in the
+    hundreds) + a scalar normalizer folded into the projection —
+    nothing here grows with corpus size except the single scan.
+    """
+    per = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col(text_col))).cast("long")
+                .alias("n_tokens")))
+    powed = per.withColumn(
+        "__p__", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    tot_p = F.sum("__p__").over(w)
+    tot_t = F.sum("n_tokens").over(w)
+    return (powed.select(
+        group_col, "n_docs", "n_tokens",
+        F.round(F.col("__p__") / tot_p, 6).alias("weight"),
+        F.round((F.col("__p__") / tot_p)
+                / (F.col("n_tokens") / tot_t), 6)
+        .alias("sample_rate")))
+
+
+def incremental_dedup(incoming: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup of an incoming batch against an
+    EXISTING corpus index — the production shape where yesterday's
+    corpus is already fingerprinted and only the delta is scanned.
+
+    The index side needs only ``(content_hash, id)`` — in production
+    that's the persisted fingerprint table, here derived on the fly.
+    Verdicts per incoming doc: ``dup_of`` = the lowest-id index match
+    (null when novel), plus ``is_new``. Also dedups WITHIN the batch:
+    an incoming doc whose hash matches a lower-id incoming doc is not
+    new either.
+
+    Scale shape: one shuffle on the 64-bit content hash (uniform by
+    construction); the index side carries two narrow columns, not
+    document text. No broadcast assumption — the index is as big as
+    the corpus.
+    """
+    from ..functions.hashing import md5_long
+    from .dedup import normalize_text
+    h = md5_long(normalize_text(F.col(text_col)))
+    idx = (index.select(h.alias("__h__"),
+                        F.col(id_col).alias("__idx_id__"))
+           .groupBy("__h__")
+           .agg(F.min("__idx_id__").alias("dup_of")))
+    inc = incoming.select(F.col(id_col), h.alias("__h__"))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("__h__").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    inc = inc.withColumn("__prev__", F.min(id_col).over(w))
+    joined = inc.join(idx, "__h__", "left")
+    return joined.select(
+        id_col,
+        F.coalesce("dup_of", "__prev__").alias("dup_of"),
+        (F.col("dup_of").isNull() & F.col("__prev__").isNull())
+        .alias("is_new"))

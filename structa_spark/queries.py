@@ -2148,3 +2148,63 @@ def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("dropped"), 1).otherwise(0))
                  .cast("long").alias("n_dropped"))
             .orderBy("cluster"))
+
+
+@register("mixing_weights_by_source", oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT *, pow(n_tokens::DOUBLE, 0.5) AS pw FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(pw / sum(pw) OVER (), 6) AS weight,
+       round((pw / sum(pw) OVER ())
+             / (n_tokens::DOUBLE
+                / CAST(sum(n_tokens) OVER () AS DOUBLE)), 6)
+           AS sample_rate
+FROM p ORDER BY source
+""")
+def mixing_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) data-mixture weights per
+    corpus source and the per-document sample rate that realizes
+    them — the mix-balancing step before training. One small-key
+    aggregation; everything after it is arithmetic on
+    #sources rows."""
+    d = _t(spark, sf_dir, "documents")
+    return text.mixing_weights(d, alpha=0.5).orderBy("source")
+
+
+@register("incremental_dedup_verdicts", oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_H_NORM} AS hh FROM documents
+), idx AS (
+  SELECT hh, min(doc_id) AS dup_of FROM h
+  WHERE doc_id < 250 GROUP BY 1
+), inc AS (
+  SELECT doc_id, hh FROM h WHERE doc_id >= 250
+), prevs AS (
+  SELECT doc_id, hh,
+         min(doc_id) OVER (PARTITION BY hh ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev
+  FROM inc
+)
+SELECT p.doc_id, coalesce(i.dup_of, p.prev) AS dup_of,
+       (i.dup_of IS NULL AND p.prev IS NULL) AS is_new
+FROM prevs p LEFT JOIN idx i USING (hh)
+ORDER BY p.doc_id
+""")
+def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming half-batch (doc_id >= 250)
+    against the already-indexed corpus half (doc_id < 250): per
+    incoming doc, the oldest duplicate (index first, then
+    within-batch) or a novelty verdict. The index side joins as
+    (hash, id) only — the production shape where yesterday's
+    fingerprint table is persisted and today's delta never rescans
+    the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    idx = d.where(F.col("doc_id") < 250)
+    inc = d.where(F.col("doc_id") >= 250)
+    return text.incremental_dedup(inc, idx).orderBy("doc_id")

@@ -854,3 +854,58 @@ def test_semantic_dedup_cross_cluster_twin_survives(spark):
                df, [[1.0, 0.0], [0.0, 1.0]],
                threshold=-1.0).collect()}
     assert out == {0: False, 1: False}
+
+
+# -- data-mixture weights ---------------------------------------------------
+
+def test_mixing_weights_alpha_flattens(spark):
+    # alpha=0.5 upsamples the small source: its weight share exceeds
+    # its token share, while weights still sum to 1
+    rows = [(i, "big", "a b c d e f g h") for i in range(8)] + \
+           [(100, "small", "x y")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in
+           text.mixing_weights(df, alpha=0.5).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-5
+    tok_share_small = 2 / 66
+    assert out["small"].weight > tok_share_small
+    assert out["small"].sample_rate > 1.0 > out["big"].sample_rate
+
+
+def test_mixing_weights_alpha_one_is_proportional(spark):
+    rows = [(0, "a", "w x y z"), (1, "b", "u v")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in
+           text.mixing_weights(df, alpha=1.0).collect()}
+    # alpha=1: weight == token share, sample_rate == 1 for everyone
+    assert abs(out["a"].weight - 4 / 6) < 1e-5
+    assert abs(out["a"].sample_rate - 1.0) < 1e-5
+    assert abs(out["b"].sample_rate - 1.0) < 1e-5
+
+
+# -- incremental dedup ------------------------------------------------------
+
+def test_incremental_dedup_verdicts(spark):
+    idx = spark.createDataFrame(
+        [(0, "known text"), (1, "other known")], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [(10, "known text"),        # dup of index 0
+         (11, "fresh content"),     # new
+         (12, "fresh content"),     # in-batch dup of 11
+         (13, "KNOWN   text")],     # normalized dup of index 0
+        ["doc_id", "text"])
+    out = {r.doc_id: (r.dup_of, r.is_new)
+           for r in text.incremental_dedup(inc, idx).collect()}
+    assert out == {10: (0, False), 11: (None, True),
+                   12: (11, False), 13: (0, False)}
+
+
+def test_incremental_dedup_prefers_index_over_batch(spark):
+    # a doc duplicated in BOTH the index and earlier in the batch
+    # points at the index copy (the older one)
+    idx = spark.createDataFrame([(5, "same")], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [(20, "same"), (21, "same")], ["doc_id", "text"])
+    out = {r.doc_id: r.dup_of
+           for r in text.incremental_dedup(inc, idx).collect()}
+    assert out == {20: 5, 21: 5}
