@@ -51,12 +51,13 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, cosine_topk, json_props_stats,
-        passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
-        q3_top_orders, q5_nation_revenue, repetition_signals,
-        rollup_nation_year, sessionize_events, tfidf_top_terms,
-        token_stats_by_lang, top_orders_per_customer,
-        training_manifest, windowed_event_stats,
+        asof_purchase_click, contamination_check, cosine_topk,
+        json_props_stats, passage_dedup_summary, pq_adc_topk,
+        q1_pricing_summary, q3_top_orders, q5_nation_revenue,
+        repetition_signals, rollup_nation_year, semantic_dedup_summary,
+        sessionize_events, tfidf_top_terms, token_stats_by_lang,
+        top_orders_per_customer, training_manifest, unigram_nll,
+        windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
@@ -106,6 +107,9 @@ def main():
         "pq_adc_topk": run_df(pq_adc_topk),
         "training_manifest": run_df(training_manifest),
         "tfidf": run_df(tfidf_top_terms),
+        "decontaminate": run_df(contamination_check),
+        "unigram_nll": run_df(unigram_nll),
+        "semantic_dedup": run_df(semantic_dedup_summary),
     }
 
     # warm the JVM once so timings measure the queries, not session
