@@ -564,3 +564,31 @@ def incremental_dedup(incoming: DataFrame, index: DataFrame,
         F.coalesce("dup_of", "__prev__").alias("dup_of"),
         (F.col("dup_of").isNull() & F.col("__prev__").isNull())
         .alias("is_new"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — the inner step
+    of BPE tokenizer training (the merge rule is argmax over exactly
+    this table; iterating merge->recount yields the full BPE
+    vocabulary). Returns ``(pair, pair_count)`` where pair_count sums
+    each token's corpus frequency over its adjacent character pairs.
+
+    Scale shape: the pair scan runs over the VOCABULARY (one row per
+    distinct token, weighted by its corpus count), not the corpus —
+    the standard trick that makes BPE training corpus-size-
+    independent after one counting pass. Two shuffles total: the
+    vocabulary build and the pair aggregation, both with map-side
+    partials and no hot key (pairs distribute across the alphabet).
+    """
+    vocab = corpus_vocabulary(df, text_col)
+    t = F.col("token")
+    n = F.length(t)
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: t.substr(i, F.lit(2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    ex = vocab.select(F.explode(pairs).alias("pair"),
+                      F.col("token_count"))
+    return (ex.groupBy("pair")
+            .agg(F.sum("token_count").cast("long")
+                 .alias("pair_count")))

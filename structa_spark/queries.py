@@ -2208,3 +2208,32 @@ def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.where(F.col("doc_id") < 250)
     inc = d.where(F.col("doc_id") >= 250)
     return text.incremental_dedup(inc, idx).orderBy("doc_id")
+
+
+@register("bpe_merge_candidates", oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY 1
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(token)),
+                               i -> substr(token, i, 2))) AS pair,
+         c
+  FROM vocab WHERE length(token) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair LIMIT 20
+""")
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: corpus-weighted adjacent
+    character pairs — the argmax table of one BPE training step,
+    computed over the VOCABULARY (weighted by token frequency) so
+    cost is corpus-size-independent after the one counting pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.bpe_pair_counts(d)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(20))

@@ -188,3 +188,36 @@ def clean_corpus_stream(sdf: DataFrame, min_quality: float = 0.5,
     return _text.chunk_passages(
         red.withColumn("text", F.col("text_redacted")),
         k=passage_tokens)
+
+
+def decontaminate_stream(sdf: DataFrame, eval_shingles,
+                         k: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Streaming test-set decontamination: per incoming document, how
+    many of its distinct word ``k``-shingles appear in a STATIC
+    held-out eval set — stateless, so append-mode-safe with no
+    watermark and no state store, and per-microbatch output equals
+    the batch twin (``operators.text.contamination_hits``) on the
+    same rows.
+
+    ``eval_shingles`` is the driver-side list of the eval set's
+    distinct shingles (e.g. ``[r.s for r in eval_df.select(
+    explode(word_shingles(col("text"))).alias("s")).distinct()
+    .collect()]``). Eval benchmarks are bounded by nature, so the
+    set ships as ONE array literal inside the expression — the
+    streaming analogue of the batch operator's broadcast, with no
+    per-row state growth: a stateful streaming aggregation keyed by
+    doc would retain every doc id forever (the trap ``dedup_stream``
+    documents). Documents with zero hits are filtered out, matching
+    the batch operator's bounded-output contract."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import word_shingles
+
+    ev = F.lit(sorted(set(eval_shingles)))
+    hits = F.size(F.array_intersect(
+        word_shingles(F.col(text_col), k), ev))
+    return (sdf.select(F.col(id_col),
+                       hits.cast("long").alias("n_hits"))
+            .where(F.col("n_hits") >= 1))

@@ -909,3 +909,20 @@ def test_incremental_dedup_prefers_index_over_batch(spark):
     out = {r.doc_id: r.dup_of
            for r in text.incremental_dedup(inc, idx).collect()}
     assert out == {20: 5, 21: 5}
+
+
+# -- BPE pair counting ------------------------------------------------------
+
+def test_bpe_pair_counts(spark):
+    # "aab" x2 + "ab" -> vocab {aab:2, ab:1};
+    # pairs: aab -> [aa, ab] weight 2; ab -> [ab] weight 1
+    df = spark.createDataFrame(
+        [(0, "aab aab"), (1, "ab")], ["doc_id", "text"])
+    out = {r.pair: r.pair_count
+           for r in text.bpe_pair_counts(df).collect()}
+    assert out == {"aa": 2, "ab": 3}
+
+
+def test_bpe_single_char_tokens_yield_no_pairs(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    assert text.bpe_pair_counts(df).count() == 0

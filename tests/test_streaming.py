@@ -187,3 +187,47 @@ def test_clean_corpus_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     assert 2 not in {d for d, _ in got}
     assert any("<email>" in p for p in got.values())
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as SF
+    from structa_spark.operators import text as _text
+    from structa_spark.operators.dedup import word_shingles
+    from structa_spark.streaming.profile_stream import (
+        decontaminate_stream,
+    )
+
+    docs = [(10, "alpha beta gamma epsilon"),
+            (11, "zeta eta theta iota"),
+            (12, "beta gamma delta and alpha beta gamma too")]
+    p = tmp_path / "docs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    ev_shingles = [r.s for r in ev.select(
+        SF.explode(word_shingles(SF.col("text"))).alias("s"))
+        .distinct().collect()]
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = decontaminate_stream(sdf, ev_shingles)
+    q = (out.writeStream.format("memory").queryName("decontam")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r.doc_id, r.n_hits)
+           for r in spark.sql("SELECT * FROM decontam").collect()}
+
+    batch = _text.contamination_hits(
+        spark.createDataFrame(docs, ["doc_id", "text"]), ev)
+    want = {(r.doc_id, r.n_hits) for r in batch.collect()}
+    assert got == want and got == {(10, 1), (12, 2)}
