@@ -402,7 +402,9 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
                        text_col: str = "text") -> DataFrame:
     """Test-set decontamination: per corpus document, how many of its
     distinct word ``k``-shingles also occur anywhere in the held-out
-    evaluation set. Only contaminated documents (>= 1 hit) are
+    evaluation set — the n-gram-overlap contamination check of
+    GPT-3/PaLM-style training-data hygiene (Brown et al. 2020,
+    arXiv:2005.14165 appendix C). Only contaminated documents (>= 1 hit) are
     returned, so the result is bounded by the overlap, not the
     corpus.
 
@@ -568,7 +570,8 @@ def incremental_dedup(incoming: DataFrame, index: DataFrame,
 
 def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-weighted adjacent-symbol pair counts — the inner step
-    of BPE tokenizer training (the merge rule is argmax over exactly
+    of BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 — the merge rule is argmax over exactly
     this table; iterating merge->recount yields the full BPE
     vocabulary). Returns ``(pair, pair_count)`` where pair_count sums
     each token's corpus frequency over its adjacent character pairs.

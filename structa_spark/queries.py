@@ -2237,3 +2237,30 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (text.bpe_pair_counts(d)
             .orderBy(F.desc("pair_count"), F.asc("pair"))
             .limit(20))
+
+
+@register("cube_status_priority", oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2)      AS total_price,
+       count(*)                         AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    shuffle with map-side partials — the companion to
+    rollup_nation_year completing the grouping-sets surface. Neither
+    real column contains the literal 'ALL', so the COALESCE totals
+    are unambiguous."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.count("*").alias("n_orders"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "total_price", "n_orders")
+            .orderBy("status", "priority"))
