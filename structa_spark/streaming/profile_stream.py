@@ -221,3 +221,40 @@ def decontaminate_stream(sdf: DataFrame, eval_shingles,
     return (sdf.select(F.col(id_col),
                        hits.cast("long").alias("n_hits"))
             .where(F.col("n_hits") >= 1))
+
+
+def incremental_dedup_stream(sdf: DataFrame, index: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``operators.text.incremental_dedup``: flag
+    each incoming document against a STATIC fingerprint index (the
+    already-ingested corpus) via a stream-static join on the content
+    hash — stateless on the stream side, so append-mode-safe with no
+    watermark.
+
+    Deliberately narrower than the batch twin: within-BATCH
+    duplicates are not linked (that needs cross-row state keyed by an
+    unbounded hash domain — the state-retention trap
+    ``dedup_stream`` documents; chain ``dedup_stream`` upstream to
+    collapse them within the watermark instead). Per-microbatch
+    output equals the batch operator with the in-batch rule disabled.
+
+    Scale shape: the index relation is (hash, min id) — two narrow
+    columns; Spark re-plans the static side per microbatch, so an
+    index too big to broadcast becomes a shuffled join of the
+    microbatch (small) against it.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    from ..operators.dedup import normalize_text
+
+    h = md5_long(normalize_text(F.col(text_col)))
+    idx = (index.select(h.alias("__h__"),
+                        F.col(id_col).alias("__idx_id__"))
+           .groupBy("__h__")
+           .agg(F.min("__idx_id__").alias("dup_of")))
+    inc = sdf.select(F.col(id_col), h.alias("__h__"))
+    return (inc.join(idx, "__h__", "left")
+            .select(id_col, "dup_of",
+                    F.col("dup_of").isNull().alias("is_new")))

@@ -231,3 +231,36 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
         spark.createDataFrame(docs, ["doc_id", "text"]), ev)
     want = {(r.doc_id, r.n_hits) for r in batch.collect()}
     assert got == want and got == {(10, 1), (12, 2)}
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    import json as _json
+
+    from structa_spark.streaming.profile_stream import (
+        incremental_dedup_stream,
+    )
+
+    idx_rows = [(0, "known text"), (1, "other known")]
+    inc_rows = [(10, "known text"), (11, "fresh content"),
+                (13, "KNOWN   text")]
+    p = tmp_path / "inc"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in inc_rows:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    idx = spark.createDataFrame(idx_rows, ["doc_id", "text"])
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = incremental_dedup_stream(sdf, idx)
+    q = (out.writeStream.format("memory").queryName("incdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r.doc_id, r.dup_of, r.is_new)
+           for r in spark.sql("SELECT * FROM incdedup").collect()}
+    # matches the batch operator minus the in-batch linking rule
+    assert got == {(10, 0, False), (11, None, True), (13, 0, False)}
