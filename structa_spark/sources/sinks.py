@@ -1,0 +1,113 @@
+"""Sized parquet sink: bounded file sizes at any scale.
+
+The small-files problem is the classic 100 TB sink failure: a write
+with P partition-column values receiving rows from T shuffle tasks
+produces up to P x T files — millions of tiny files that throttle
+the namenode and every subsequent scan's task scheduling. The dual
+failure is one file per huge partition value: a single 2 TB file one
+task must write (and one task must later read).
+
+``write_sized`` bounds both ends: rows route to (partition value,
+salt) groups where the salt fans each value over exactly the number
+of files its row count warrants, and ``maxRecordsPerFile`` backstops
+the estimate. Planned file count = ceil(value_rows /
+records_per_file) PER VALUE — independent of task count and of how
+the upstream job happened to partition.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def estimate_row_bytes(df: DataFrame) -> float:
+    """In-memory bytes/row from Catalyst's plan statistics (scan
+    size estimates propagated through the optimized plan) over a
+    row count. One count job; no data collected."""
+    size = int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+    rows = df.count()
+    if rows == 0:
+        return 1.0
+    return max(1.0, size / rows)
+
+
+def write_sized(df: DataFrame, path: str,
+                partition_by: Sequence[str] = (),
+                salt_col: Optional[str] = None,
+                target_file_mb: int = 256,
+                compression_ratio: float = 3.0,
+                mode: str = "overwrite") -> int:
+    """Write ``df`` as parquet under ``path`` with per-file sizes
+    near ``target_file_mb``, regardless of upstream partitioning or
+    partition-value skew. Returns the records-per-file bound used.
+
+    How: estimate rows-per-file from plan statistics (in-memory
+    bytes/row over ``compression_ratio`` — parquet's typical 3-5x),
+    count rows per partition value (an aggregation bounded by the
+    number of values), broadcast that tiny map back and salt each
+    row by ``pmod(hash(salt_col), files_for_its_value)``. The final
+    repartition on (partition columns, salt) puts each planned file
+    in one task; ``maxRecordsPerFile`` backstops under-estimates.
+
+    ``salt_col`` should be a stable row key (e.g. the doc id) so the
+    file layout is deterministic across reruns; when omitted, an
+    input-partition-derived salt is used (layout then depends on the
+    upstream partitioning, though file SIZES stay bounded).
+
+    Scale notes: the per-value count is one map-side-combined
+    aggregation; the broadcast is #values rows; the repartition is
+    the one unavoidable shuffle a size-governed layout needs. For
+    bucketed-join layouts use ``write_bucketed`` instead — bucketing
+    is catalog metadata and governs co-location, not file size.
+    """
+    partition_by = list(partition_by)
+    bytes_per_row = estimate_row_bytes(df)
+    records_per_file = max(
+        1, int(target_file_mb * (1 << 20) * compression_ratio
+               / bytes_per_row))
+
+    out = df
+    if partition_by:
+        per = (df.groupBy(*partition_by)
+               .agg(F.count(F.lit(1)).alias("__n__"))
+               .withColumn(
+                   "__files__",
+                   F.greatest(F.lit(1),
+                              F.ceil(F.col("__n__")
+                                     / F.lit(records_per_file)))
+                   .cast("int"))
+               .drop("__n__"))
+        out = out.join(F.broadcast(per), partition_by)
+        if salt_col is not None:
+            salt = F.pmod(F.abs(F.hash(F.col(salt_col))),
+                          F.col("__files__"))
+        else:
+            salt = F.pmod(F.spark_partition_id(), F.col("__files__"))
+        out = (out.withColumn("__salt__", salt)
+               .repartition(*[F.col(c) for c in partition_by],
+                            F.col("__salt__"))
+               .drop("__files__", "__salt__"))
+    else:
+        total = df.count()
+        n_files = max(1, math.ceil(total / records_per_file))
+        if salt_col is not None:
+            out = (out.withColumn(
+                "__salt__",
+                F.pmod(F.abs(F.hash(F.col(salt_col))),
+                       F.lit(n_files)))
+                .repartition(n_files, F.col("__salt__"))
+                .drop("__salt__"))
+        else:
+            out = out.repartition(n_files)
+
+    w = (out.write.mode(mode)
+         .option("maxRecordsPerFile", records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return records_per_file

@@ -1,0 +1,75 @@
+"""Sized-sink tests: file counts and sizes bounded per partition
+value; roundtrip equality."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from structa_spark.sources.sinks import estimate_row_bytes, write_sized
+
+
+def _parquet_files(root, sub="**"):
+    return [p for p in glob.glob(f"{root}/{sub}/*.parquet",
+                                 recursive=True)]
+
+
+def test_write_sized_roundtrip_and_partition_dirs(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.repeat(F.lit("x"), 50).alias("text"))
+    out = str(tmp_path / "corpus")
+    write_sized(df, out, partition_by=["lang"], salt_col="doc_id")
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # partition-dir values come back type-inferred (ints here)
+    assert sorted(str(r.lang) for r in
+                  back.select("lang").distinct().collect()) \
+        == ["0", "1", "2"]
+    got = {(r.doc_id, str(r.lang)) for r in back.collect()}
+    want = {(i, str(i % 3)) for i in range(1000)}
+    assert got == want
+
+
+def test_write_sized_fans_out_large_values(spark, tmp_path):
+    # force tiny files: ~100 rows x ~1KB rows against a ~0.0001 MB
+    # target -> each value must split into multiple files, and the
+    # planned count tracks ceil(value_rows / records_per_file)
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.repeat(F.lit("y"), 200).alias("text"))
+    out = str(tmp_path / "fan")
+    rpf = write_sized(df, out, partition_by=["lang"],
+                      salt_col="doc_id", target_file_mb=1,
+                      compression_ratio=0.001)
+    files = _parquet_files(out)
+    import math
+    planned = math.ceil(300 / rpf)
+    assert planned > 1, "fixture must force a fan-out"
+    # one file per planned salt bucket (+/- empty-bucket slack)
+    assert 1 < len(files) <= planned
+    assert spark.read.parquet(out).count() == 300
+
+
+def test_write_sized_no_partition_columns(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("z"), 20).alias("text"))
+    out = str(tmp_path / "flat")
+    write_sized(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # a 2KB dataset must come back as ONE file, not 8 task shards
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+
+
+def test_estimate_row_bytes_positive(spark):
+    df = spark.range(10).select(
+        F.col("id"), F.repeat(F.lit("a"), 100).alias("s"))
+    # plan statistics track the SOURCE size through projections, so
+    # computed columns can be underestimated — the sink's
+    # maxRecordsPerFile backstop covers that; here we only pin that
+    # the estimate is positive and finite
+    b = estimate_row_bytes(df)
+    assert 1.0 <= b < 1e9
