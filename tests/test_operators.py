@@ -926,3 +926,62 @@ def test_bpe_pair_counts(spark):
 def test_bpe_single_char_tokens_yield_no_pairs(spark):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     assert text.bpe_pair_counts(df).count() == 0
+
+
+# -- randomized model checks (seeded; one Spark job each) -------------------
+
+def test_pack_sequences_matches_python_model(spark):
+    import random
+    rnd = random.Random(11)
+    rows = [(i, rnd.choice(["en", "de"]),
+             " ".join("w" for _ in range(rnd.randint(0, 9))))
+            for i in range(60)]
+    got = {r.doc_id: (r.pack_id, r.n_tokens)
+           for r in text.pack_sequences(
+               spark.createDataFrame(rows, ["doc_id", "lang", "text"]),
+               budget=7).collect()}
+    # reference model: contiguous fill per lang in doc_id order
+    want = {}
+    for lang in ("en", "de"):
+        cum = 0
+        for did, _, txt in sorted(r for r in rows if r[1] == lang):
+            n = len(txt.split()) if txt.strip() else 0
+            want[did] = (cum // 7, n)
+            cum += n
+    assert got == want
+
+
+def test_mixing_weights_conservation(spark):
+    import random
+    rnd = random.Random(13)
+    rows = [(i, f"s{rnd.randint(0, 6)}",
+             " ".join("t" for _ in range(rnd.randint(1, 30))))
+            for i in range(200)]
+    out = text.mixing_weights(
+        spark.createDataFrame(rows, ["doc_id", "source", "text"]),
+        alpha=0.5).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    # expected token draw is conserved: sum over sources of
+    # token_share * sample_rate == sum of weights == 1
+    tot = sum(r.n_tokens for r in out)
+    drawn = sum((r.n_tokens / tot) * r.sample_rate for r in out)
+    assert abs(drawn - 1.0) < 1e-4
+    assert sum(r.n_docs for r in out) == 200
+
+
+def test_incremental_dedup_idempotent(spark):
+    # feeding the kept (novel) docs back against index + kept finds
+    # nothing new to keep: the fixpoint property of incremental
+    # ingestion
+    idx = spark.createDataFrame(
+        [(0, "aa"), (1, "bb")], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [(10, "aa"), (11, "cc"), (12, "cc"), (13, "dd")],
+        ["doc_id", "text"])
+    first = text.incremental_dedup(inc, idx)
+    kept_ids = [r.doc_id for r in first.where("is_new").collect()]
+    assert sorted(kept_ids) == [11, 13]
+    kept = inc.where(F.col("doc_id").isin(kept_ids))
+    again = text.incremental_dedup(kept, idx.unionByName(kept))
+    # every re-presented doc now matches the index (itself)
+    assert again.where("is_new").count() == 0
