@@ -1,0 +1,110 @@
+"""Temporal join operators: the general as-of join.
+
+The reference engine has no join surface at all; this is part of the
+engine's §2.7 query layer. The shape matters at 100 TB: a naive
+as-of is an inequality join (quadratic per key) — every
+implementation here is the union-merge linearization instead: union
+both sides, ONE shuffle on the match keys, one per-partition sort,
+and a running ``last(..., ignorenulls)`` window. Cost is
+O((|L|+|R|) log) per key group with arbitrary-skew handling left to
+AQE, and NO row ever pairs with more than its one match.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ts_double(c: Column) -> Column:
+    # timestamps compare as epoch seconds; numerics pass through
+    return c.cast("double")
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str = "ts", by: Sequence[str] = (),
+              direction: str = "backward",
+              tolerance: Optional[float] = None,
+              right_cols: Optional[Sequence[str]] = None,
+              prefix: str = "asof_") -> DataFrame:
+    """General as-of join (pandas ``merge_asof`` parity): for every
+    left row, attach the single nearest right row at-or-before
+    (``backward``), at-or-after (``forward``), or closest in either
+    direction (``nearest``, ties to backward — the pandas rule),
+    matching on the ``by`` keys, optionally within ``tolerance``
+    (same units as ``on``: seconds for timestamps).
+
+    Returns all left columns plus ``{prefix}{col}`` for each of
+    ``right_cols`` (default: every right column except the keys) and
+    ``{prefix}{on}`` — all null when no match (left-join semantics).
+
+    Equal-``on`` ties between several RIGHT rows resolve to the last
+    under the right side's natural column order; pass a pre-sorted
+    unique ``on`` (or dedup first) when that matters.
+
+    Scale shape (vs the quadratic inequality join Spark would plan
+    from ``l.ts >= r.ts``): union-merge as in the module docstring —
+    ``nearest`` runs the SAME single shuffle with two window passes
+    over the sorted partitions, not two joins.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in set(by) | {on}]
+    right_cols = list(right_cols)
+
+    payload = F.struct(
+        F.col(on).alias("__t__"),
+        *[F.col(c) for c in right_cols])
+    r = right.select(*by, F.col(on).alias("__on__"),
+                     payload.alias("__r__"),
+                     F.lit(0).alias("__tag__"))
+    l = left.select(*left.columns,
+                    F.col(on).alias("__on__"),
+                    F.lit(None).cast(r.schema["__r__"].dataType)
+                    .alias("__r__"),
+                    F.lit(1).alias("__tag__"))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    frame = (Window.partitionBy(*by) if by else Window.partitionBy()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_back = frame.orderBy(F.asc("__on__"), F.asc("__tag__"))
+    w_fwd = frame.orderBy(F.desc("__on__"), F.asc("__tag__"))
+
+    carried = []
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("__b__", F.last("__r__", True).over(w_back))
+        carried.append("__b__")
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("__f__", F.last("__r__", True).over(w_fwd))
+        carried.append("__f__")
+
+    u = u.where(F.col("__tag__") == 1)
+
+    def delta(col: str) -> Column:
+        return F.abs(_ts_double(F.col(f"{col}.__t__"))
+                     - _ts_double(F.col("__on__")))
+
+    if direction == "nearest":
+        b, f = delta("__b__"), delta("__f__")
+        pick_b = F.col("__f__").isNull() \
+            | (F.col("__b__").isNotNull() & (b <= f))
+        match = F.when(pick_b, F.col("__b__")).otherwise(F.col("__f__"))
+    else:
+        match = F.col(carried[0])
+    u = u.withColumn("__m__", match)
+    if tolerance is not None:
+        u = u.withColumn(
+            "__m__", F.when(delta("__m__") <= F.lit(float(tolerance)),
+                            F.col("__m__")))
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__m__.__t__").alias(f"{prefix}{on}"))
+    out_cols += [F.col(f"__m__.{c}").alias(f"{prefix}{c}")
+                 for c in right_cols]
+    return u.select(*out_cols)

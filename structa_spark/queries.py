@@ -2264,3 +2264,39 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("priority"),
                     "total_price", "n_orders")
             .orderBy("status", "priority"))
+
+
+@register("asof_next_purchase_gap", oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       round(CASE WHEN p.ts IS NOT NULL
+                   AND epoch(p.ts) - epoch(c.ts) <= 3600
+              THEN epoch(p.ts) - epoch(c.ts) END, 3) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+ORDER BY click_id
+""")
+def asof_next_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance, via the general operator
+    (operators/joins.py): per click, seconds until the same user's
+    next purchase, null beyond an hour — click-to-conversion lag.
+    The oracle replays it with DuckDB's native ASOF JOIN; the Spark
+    plan is the union-merge (one shuffle + reversed-order window),
+    never an inequality join. The gap (not the purchase id) is the
+    output so simultaneous-purchase ties cannot make the compare
+    nondeterministic."""
+    from .operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts"))
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"],
+                    direction="forward", tolerance=3600.0,
+                    right_cols=[])
+    gap = (F.col("asof_ts").cast("double")
+           - F.col("ts").cast("double"))
+    return (out.select("click_id", "user_id",
+                       F.round(gap, 3).alias("gap_s"))
+            .orderBy("click_id"))

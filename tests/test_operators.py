@@ -985,3 +985,61 @@ def test_incremental_dedup_idempotent(spark):
     again = text.incremental_dedup(kept, idx.unionByName(kept))
     # every re-presented doc now matches the index (itself)
     assert again.where("is_new").count() == 0
+
+
+# -- general as-of join -----------------------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 25.0), (3, 2, 5.0), (4, 2, 100.0)],
+        ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [(101, 1, 8.0), (102, 1, 20.0), (103, 2, 50.0)],
+        ["rid", "k", "ts"])
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    from structa_spark.operators.joins import asof_join
+    left, right = _asof_fixture(spark)
+    out = {r.lid: r.asof_rid
+           for r in asof_join(left, right, by=["k"]).collect()}
+    # lid3 (k=2, ts=5) has no right at-or-before -> null
+    assert out == {1: 101, 2: 102, 3: None, 4: 103}
+
+
+def test_asof_join_forward(spark):
+    from structa_spark.operators.joins import asof_join
+    left, right = _asof_fixture(spark)
+    out = {r.lid: r.asof_rid
+           for r in asof_join(left, right, by=["k"],
+                              direction="forward").collect()}
+    assert out == {1: 102, 2: None, 3: 103, 4: None}
+
+
+def test_asof_join_nearest_prefers_backward_on_tie(spark):
+    from structa_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 15.0)], ["lid", "ts"])
+    right = spark.createDataFrame(
+        [(201, 10.0), (202, 20.0)], ["rid", "ts"])
+    out = asof_join(left, right, direction="nearest").collect()[0]
+    assert out.asof_rid == 201        # equidistant -> backward wins
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    from structa_spark.operators.joins import asof_join
+    left, right = _asof_fixture(spark)
+    out = {r.lid: r.asof_rid
+           for r in asof_join(left, right, by=["k"],
+                              tolerance=10.0).collect()}
+    # lid4's backward match (ts 50) is 50 away -> nulled
+    assert out == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_asof_join_inclusive_same_instant(spark):
+    from structa_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10.0)], ["lid", "ts"])
+    right = spark.createDataFrame([(301, 10.0)], ["rid", "ts"])
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(left, right, direction=d).collect()[0]
+        assert got.asof_rid == 301, d
