@@ -85,3 +85,38 @@ def cap_per_group(df: DataFrame, group_col: str, n: int,
     return (df.withColumn("__rn__", F.row_number().over(w))
             .where(F.col("__rn__") <= n)
             .drop("__rn__"))
+
+
+def resample_to_mix(df: DataFrame, rates: DataFrame,
+                    group_col: str = "source",
+                    key_col: str = "doc_id",
+                    salt: str = "mix") -> DataFrame:
+    """Realize per-group sampling rates (e.g. from
+    ``text.mixing_weights`` — temperature-scaled mixture balancing)
+    by deterministic replication: every row emits ``floor(rate)``
+    copies plus one more when its md5 draw falls under the
+    fractional remainder; ``rate < 1`` therefore downsamples (0 or 1
+    copies). Output rows carry ``copy_idx`` so downstream packing /
+    shuffling can distinguish replicas.
+
+    The draw is the same md5 key-hash as ``deterministic_sample``,
+    so the realized mix is invariant under repartitioning, reruns
+    and engines — resampling twice with the same salt yields the
+    byte-identical corpus (change the salt for an independent
+    epoch).
+
+    Scale shape: ``rates`` is #groups rows — broadcast; the explode
+    multiplies rows by ~E[rate] with no shuffle; everything
+    pipelines into the scan.
+    """
+    joined = df.join(
+        F.broadcast(rates.select(group_col, "sample_rate")), group_col)
+    n_full = F.floor("sample_rate").cast("int")
+    frac = F.col("sample_rate") - F.floor("sample_rate")
+    u = sample_key(F.col(key_col), salt) / F.lit(float(SAMPLE_MOD))
+    copies = (n_full + F.when(u < frac, 1).otherwise(0)).cast("int")
+    seq = F.when(copies >= 1,
+                 F.sequence(F.lit(0), copies - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return (joined.withColumn("copy_idx", F.explode(seq))
+            .drop("sample_rate"))

@@ -2300,3 +2300,58 @@ def asof_next_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("click_id", "user_id",
                        F.round(gap, 3).alias("gap_s"))
             .orderBy("click_id"))
+
+
+_MIX_RATES_SQL = f"""
+  per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+  ), pw AS (
+    SELECT *, pow(n_tokens::DOUBLE, 0.5) AS p FROM per
+  ), rates AS (
+    SELECT source,
+           round((p / sum(p) OVER ())
+                 / (n_tokens::DOUBLE
+                    / CAST(sum(n_tokens) OVER () AS DOUBLE)), 6)
+               AS sample_rate
+    FROM pw
+  )"""
+
+
+@register("mixed_resample_counts", oracle=f"""
+WITH {_MIX_RATES_SQL},
+c AS (
+  SELECT d.source,
+         CAST(floor(r.sample_rate) AS BIGINT)
+         + CASE WHEN ({md5_long_sql("d.doc_id::VARCHAR || 'mix'")}
+                      % 1000000) / 1000000.0
+                     < r.sample_rate - floor(r.sample_rate)
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(copies) AS BIGINT) AS n_out
+FROM c GROUP BY 1 ORDER BY source
+""")
+def mixed_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture pipeline realized end-to-end: alpha=0.5 weights ->
+    per-source rates -> deterministic replication/downsampling
+    (operators/sampling.resample_to_mix) -> per-source in/out counts.
+    The oracle replays the ENTIRE chain — temperature math, md5 draw
+    and replication arithmetic — so the resampled corpus is pinned
+    byte-for-byte, not just in expectation."""
+    from .operators.sampling import resample_to_mix
+    d = _t(spark, sf_dir, "documents")
+    rates = text.mixing_weights(d, alpha=0.5) \
+        .select("source", "sample_rate")
+    out = resample_to_mix(d, rates)
+    n_in = (d.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_in")))
+    n_out = (out.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_out")))
+    return (n_in.join(n_out, "source", "left")
+            .select("source", "n_in",
+                    F.coalesce("n_out", F.lit(0)).alias("n_out"))
+            .orderBy("source"))

@@ -1043,3 +1043,40 @@ def test_asof_join_inclusive_same_instant(spark):
     for d in ("backward", "forward", "nearest"):
         got = asof_join(left, right, direction=d).collect()[0]
         assert got.asof_rid == 301, d
+
+
+def test_resample_to_mix_replication(spark):
+    from structa_spark.operators.sampling import resample_to_mix
+    df = spark.createDataFrame(
+        [(i, "up", "t") for i in range(10)]
+        + [(100 + i, "down", "t") for i in range(10)],
+        ["doc_id", "source", "text"])
+    rates = spark.createDataFrame(
+        [("up", 2.0), ("down", 0.0)], ["source", "sample_rate"])
+    out = resample_to_mix(df, rates)
+    rows = out.collect()
+    # exact rates: every 'up' doc exactly twice, 'down' gone
+    assert len(rows) == 20
+    assert all(r.source == "up" for r in rows)
+    assert sorted((r.doc_id, r.copy_idx) for r in rows) == \
+        sorted((i, c) for i in range(10) for c in (0, 1))
+
+
+def test_resample_to_mix_deterministic(spark):
+    from structa_spark.operators.sampling import resample_to_mix
+    df = spark.createDataFrame(
+        [(i, "s", "t") for i in range(50)],
+        ["doc_id", "source", "text"])
+    rates = spark.createDataFrame(
+        [("s", 1.5)], ["source", "sample_rate"])
+    a = sorted((r.doc_id, r.copy_idx)
+               for r in resample_to_mix(df, rates).collect())
+    b = sorted((r.doc_id, r.copy_idx)
+               for r in resample_to_mix(
+                   df.repartition(7), rates).collect())
+    assert a == b                      # partitioning-invariant
+    per_doc = {}
+    for did, _ in a:
+        per_doc[did] = per_doc.get(did, 0) + 1
+    assert set(per_doc.values()) <= {1, 2}   # floor(1.5)=1 or 2 copies
+    assert 50 < len(a) < 100                 # the fraction actually draws
