@@ -61,9 +61,15 @@ def asof_join(left: DataFrame, right: DataFrame,
     payload = F.struct(
         F.col(on).alias("__t__"),
         *[F.col(c) for c in right_cols])
-    r = right.select(*by, F.col(on).alias("__on__"),
-                     payload.alias("__r__"),
-                     F.lit(0).alias("__tag__"))
+    # a NULL `on` can never be "before" or "after" anything, but it
+    # WOULD sort first under the asc window and get carried as a
+    # phantom match — drop null-keyed right rows (pandas merge_asof
+    # rejects them outright); null-keyed LEFT rows stay, guarded to a
+    # null match below
+    r = (right.where(F.col(on).isNotNull())
+         .select(*by, F.col(on).alias("__on__"),
+                 payload.alias("__r__"),
+                 F.lit(0).alias("__tag__")))
     l = left.select(*left.columns,
                     F.col(on).alias("__on__"),
                     F.lit(None).cast(r.schema["__r__"].dataType)
@@ -97,6 +103,8 @@ def asof_join(left: DataFrame, right: DataFrame,
         match = F.when(pick_b, F.col("__b__")).otherwise(F.col("__f__"))
     else:
         match = F.col(carried[0])
+    # null-keyed left rows keep left-join semantics: present, no match
+    match = F.when(F.col("__on__").isNotNull(), match)
     u = u.withColumn("__m__", match)
     if tolerance is not None:
         u = u.withColumn(

@@ -109,8 +109,19 @@ def resample_to_mix(df: DataFrame, rates: DataFrame,
     multiplies rows by ~E[rate] with no shuffle; everything
     pipelines into the scan.
     """
-    joined = df.join(
-        F.broadcast(rates.select(group_col, "sample_rate")), group_col)
+    # left join + explicit error: an inner join would silently DROP
+    # every row whose group is absent from `rates` (or null) — a
+    # stale rates table must fail the job, not shrink the corpus
+    joined = (df.join(
+        F.broadcast(rates.select(group_col, "sample_rate")),
+        group_col, "left")
+        .withColumn(
+            "sample_rate",
+            F.when(F.col("sample_rate").isNotNull(),
+                   F.col("sample_rate"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("resample_to_mix: no sample_rate for group "),
+                F.col(group_col).cast("string"))))))
     n_full = F.floor("sample_rate").cast("int")
     frac = F.col("sample_rate") - F.floor("sample_rate")
     u = sample_key(F.col(key_col), salt) / F.lit(float(SAMPLE_MOD))

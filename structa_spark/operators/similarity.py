@@ -460,6 +460,17 @@ def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
     k-row collect: the same driver-sided centroid exchange every
     distributed k-means (including Spark MLlib's) performs.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round_half_up(x: float, n: int) -> float:
+        # SQL round (Spark F.round, DuckDB round) ties away from
+        # zero; Python's round() is banker's half-to-even — on a
+        # boundary coordinate the two would diverge and break the
+        # cross-engine replay
+        q = Decimal(1).scaleb(-n)
+        return float(Decimal(repr(x)).quantize(
+            q, rounding=ROUND_HALF_UP))
+
     cur = [[float(x) for x in c] for c in centroids]
     for _ in range(iters):
         assigned = ivf_assign(df, cur, vec_col, out_col="__k__")
@@ -467,7 +478,7 @@ def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
             .collect()
         nxt = [list(c) for c in cur]
         for r in rows:
-            nxt[r["__k__"]] = [round(float(x), round_to)
+            nxt[r["__k__"]] = [_round_half_up(float(x), round_to)
                                for x in r["centroid"]]
         cur = nxt
     return cur

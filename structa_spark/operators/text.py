@@ -453,13 +453,20 @@ def pack_sequences(df: DataFrame, budget: int,
     n_tok = token_count(F.col(text_col)).cast("long")
     w = (Window.partitionBy(*part_cols).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    base = df.select(F.col(id_col), *part_cols,
-                     n_tok.alias("n_tokens"))
+    # order_col must survive the projection for the window to order
+    # by it; keep it under an alias and drop it unless the caller's
+    # id/partition columns already expose it
+    keep = [F.col(id_col), *part_cols, n_tok.alias("n_tokens")]
+    extra_order = order_col not in {id_col, *part_cols}
+    if extra_order:
+        keep.append(F.col(order_col))
+    base = df.select(*keep)
     cum = F.sum("n_tokens").over(w)
-    return base.withColumn(
+    out = base.withColumn(
         "pack_id",
         F.floor((cum - F.col("n_tokens")) / F.lit(budget))
         .cast("long"))
+    return out.drop(order_col) if extra_order else out
 
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
@@ -486,10 +493,16 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = cnt.agg(F.sum("c")).collect()[0][0] or 1
-    nll = F.col("tf") * -F.log(F.col("c") / F.lit(float(total)))
+    # cnt and total both derive from tf, so the expensive
+    # scan+explode+first-aggregation subtree is IDENTICAL across all
+    # three branches and Catalyst's exchange reuse materializes it
+    # once; the scalar total folds in as a 1-row broadcast cross
+    # join — no driver collect, nothing runs until the caller acts
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = cnt.agg(F.sum("c").cast("double").alias("__total__"))
+    nll = F.col("tf") * -F.log(F.col("c") / F.col("__total__"))
     return (tf.join(cnt, "token")
+            .join(F.broadcast(total))
             .groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("n_tokens"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)

@@ -24,16 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    return int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+
+
 def estimate_row_bytes(df: DataFrame) -> float:
     """In-memory bytes/row from Catalyst's plan statistics (scan
     size estimates propagated through the optimized plan) over a
     row count. One count job; no data collected."""
-    size = int(df._jdf.queryExecution().optimizedPlan()
-               .stats().sizeInBytes())
     rows = df.count()
     if rows == 0:
         return 1.0
-    return max(1.0, size / rows)
+    return max(1.0, _plan_size_bytes(df) / rows)
 
 
 def write_sized(df: DataFrame, path: str,
@@ -66,7 +69,9 @@ def write_sized(df: DataFrame, path: str,
     is catalog metadata and governs co-location, not file size.
     """
     partition_by = list(partition_by)
-    bytes_per_row = estimate_row_bytes(df)
+    total = df.count()          # the ONE count job this write runs
+    bytes_per_row = (max(1.0, _plan_size_bytes(df) / total)
+                     if total else 1.0)
     records_per_file = max(
         1, int(target_file_mb * (1 << 20) * compression_ratio
                / bytes_per_row))
@@ -82,7 +87,13 @@ def write_sized(df: DataFrame, path: str,
                                      / F.lit(records_per_file)))
                    .cast("int"))
                .drop("__n__"))
-        out = out.join(F.broadcast(per), partition_by)
+        # LEFT join: an inner join would silently DROP every row
+        # whose partition value is NULL (null keys never equi-match);
+        # null-valued rows still belong in the write (parquet puts
+        # them under __HIVE_DEFAULT_PARTITION__) and get 1 file
+        out = (out.join(F.broadcast(per), partition_by, "left")
+               .withColumn("__files__",
+                           F.coalesce("__files__", F.lit(1))))
         if salt_col is not None:
             salt = F.pmod(F.abs(F.hash(F.col(salt_col))),
                           F.col("__files__"))
@@ -93,7 +104,6 @@ def write_sized(df: DataFrame, path: str,
                             F.col("__salt__"))
                .drop("__files__", "__salt__"))
     else:
-        total = df.count()
         n_files = max(1, math.ceil(total / records_per_file))
         if salt_col is not None:
             out = (out.withColumn(

@@ -1080,3 +1080,48 @@ def test_resample_to_mix_deterministic(spark):
         per_doc[did] = per_doc.get(did, 0) + 1
     assert set(per_doc.values()) <= {1, 2}   # floor(1.5)=1 or 2 copies
     assert 50 < len(a) < 100                 # the fraction actually draws
+
+
+# -- review-pass regressions ------------------------------------------------
+
+def test_asof_join_null_timestamps(spark):
+    # a right row with NULL `on` must never become a phantom match;
+    # a left row with NULL `on` stays, unmatched (left-join rule)
+    from structa_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, None)], ["lid", "ts"])
+    right = spark.createDataFrame(
+        [(9, None), (101, 8.0)], ["rid", "ts"])
+    out = {r.lid: r.asof_rid
+           for r in asof_join(left, right).collect()}
+    assert out == {1: None, 2: None}
+    fwd = {r.lid: r.asof_rid
+           for r in asof_join(left, right,
+                              direction="forward").collect()}
+    assert fwd == {1: 101, 2: None}
+
+
+def test_pack_sequences_custom_order_col(spark):
+    # packing ordered by a column that is neither the id nor a
+    # partition key
+    rows = [(0, "en", 30.0, "a b"), (1, "en", 10.0, "c d e"),
+            (2, "en", 20.0, "f")]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "ts", "text"])
+    out = {r.doc_id: r.pack_id
+           for r in text.pack_sequences(
+               df, budget=4, order_col="ts").collect()}
+    # ts order: doc1(3 tok, start 0), doc2(1 tok, start 3),
+    # doc0(2 tok, start 4)
+    assert out == {1: 0, 2: 0, 0: 1}
+
+
+def test_resample_to_mix_missing_group_raises(spark):
+    from structa_spark.operators.sampling import resample_to_mix
+    df = spark.createDataFrame(
+        [(0, "known", "t"), (1, "orphan", "t")],
+        ["doc_id", "source", "text"])
+    rates = spark.createDataFrame(
+        [("known", 1.0)], ["source", "sample_rate"])
+    with pytest.raises(Exception, match="no sample_rate"):
+        resample_to_mix(df, rates).collect()

@@ -73,3 +73,16 @@ def test_estimate_row_bytes_positive(spark):
     # the estimate is positive and finite
     b = estimate_row_bytes(df)
     assert 1.0 <= b < 1e9
+
+
+def test_write_sized_keeps_null_partition_values(spark, tmp_path):
+    # inner-join regression: rows with a NULL partition value must
+    # survive the write (they land in __HIVE_DEFAULT_PARTITION__)
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, None, "b"), (3, "de", "c")],
+        ["doc_id", "lang", "text"])
+    out = str(tmp_path / "nulls")
+    write_sized(df, out, partition_by=["lang"], salt_col="doc_id")
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert back.where(F.col("lang").isNull()).count() == 1
