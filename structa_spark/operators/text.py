@@ -416,11 +416,14 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
     pipeline uses (``dedup.word_shingles``), so tokenization cannot
     drift between dedup and decontamination.
     """
-    from .dedup import word_shingles
+    from .dedup import ensure_parallelism, word_shingles
     ev = (eval_df.select(
             F.explode(word_shingles(F.col(text_col), k)).alias("s"))
           .distinct())
-    co = corpus.select(
+    # shingling is CPU-heavy per row: spread a one-file toy input
+    # across cores first (no-op at real scale, where the scan already
+    # yields >= defaultParallelism splits)
+    co = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"))
     return (co.join(F.broadcast(ev), "s")
