@@ -15,6 +15,11 @@ variants, not the quadratic oracle paths):
   token_stats        - text analysis scan
   cosine_topk        - brute-force ANN baseline (broadcast queries)
   neardup_lsh        - SRP-bucketed embedding near-dups
+  decontaminate      - eval-set n-gram overlap (broadcast eval side)
+  unigram_nll        - unigram-LM perplexity proxy (one-plan join)
+  semantic_dedup     - SemDeDup cluster + within-cluster drop
+  (+ repetition, passage_dedup, pq_adc_topk, training_manifest,
+   tfidf — the corpus-pipeline scale paths)
 """
 
 import json
