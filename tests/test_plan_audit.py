@@ -39,6 +39,13 @@ _QUADRATIC_OK = {
                                  # lookups, not a dim-length dot)
 }
 
+# queries whose nested-loop join is a 1-ROW scalar broadcast (a
+# corpus-wide total folded into the expression) — constant work per
+# row, not an all-pairs shape
+_SCALAR_BROADCAST_OK = {
+    "unigram_nll",               # broadcast(total token count)
+}
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -49,7 +56,8 @@ def test_no_unlabeled_cartesian(spark, name):
     fn, _ = REGISTRY[name]
     plan = _plan(fn(spark, SF))
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if bad in plan and name not in _QUADRATIC_OK:
+        if (bad in plan and name not in _QUADRATIC_OK
+                and name not in _SCALAR_BROADCAST_OK):
             raise AssertionError(
                 f"{name}: {bad} in executed plan — an unlabeled "
                 f"all-pairs shape would be quadratic at scale:\n"
