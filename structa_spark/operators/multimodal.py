@@ -339,3 +339,163 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                         for j in range(i % 64)])
         rows.append((i, payload + filler, fmt, w, h))
     return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: ISO-BMFF (MP4/MOV) container headers
+# ---------------------------------------------------------------------------
+
+def parse_video_header(payload):
+    """(container, duration_s_raw, width, height, n_tracks) from raw
+    ISO-BMFF bytes — a REAL box walk, no codec libraries: iterate
+    top-level boxes (32-bit sizes, 64-bit ``largesize`` when size==1,
+    size==0 meaning to-EOF, unknown boxes skipped by declared size),
+    read the brand from ``ftyp``, then inside ``moov`` take
+    timescale/duration from ``mvhd`` (both version 0 with 32-bit
+    fields and version 1 with 64-bit times) and the 16.16
+    fixed-point display width/height from each ``trak``/``tkhd``
+    (the maximum across tracks — audio tracks carry 0x0).
+    ``duration_s_raw`` is the unrounded duration/timescale ratio.
+    Returns (None, None, None, None, None) for unknown/truncated
+    payloads."""
+    if payload is None or len(payload) < 8:
+        return (None, None, None, None, None)
+    p = bytes(payload)
+
+    def boxes(lo, hi):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(p[i:i + 4], "big")
+            btype = p[i + 4:i + 8]
+            body = i + 8
+            if size == 1:
+                if body + 8 > hi:
+                    return
+                size = int.from_bytes(p[body:body + 8], "big")
+                body += 8
+            elif size == 0:
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return
+            yield btype, body, i + size
+            i += size
+
+    container = None
+    timescale = duration = None
+    width = height = n_tracks = None
+    for btype, lo, hi in boxes(0, len(p)):
+        if btype == b"ftyp" and hi - lo >= 4:
+            brand = p[lo:lo + 4].decode("ascii", "replace").strip()
+            container = f"mp4_{brand}"
+        elif btype == b"moov":
+            n_tracks = 0
+            width = height = 0
+            for ctype, clo, chi in boxes(lo, hi):
+                if ctype == b"mvhd" and chi - clo >= 4:
+                    ver = p[clo]
+                    if ver == 1 and chi - clo >= 4 + 28:
+                        timescale = int.from_bytes(
+                            p[clo + 20:clo + 24], "big")
+                        duration = int.from_bytes(
+                            p[clo + 24:clo + 32], "big")
+                    elif ver == 0 and chi - clo >= 4 + 16:
+                        timescale = int.from_bytes(
+                            p[clo + 12:clo + 16], "big")
+                        duration = int.from_bytes(
+                            p[clo + 16:clo + 20], "big")
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for t, tlo, thi in boxes(clo, chi):
+                        if t != b"tkhd" or thi - tlo < 4:
+                            continue
+                        off = 88 if p[tlo] == 1 else 76
+                        if thi - tlo >= off + 8:
+                            w = int.from_bytes(
+                                p[tlo + off:tlo + off + 4],
+                                "big") >> 16
+                            h = int.from_bytes(
+                                p[tlo + off + 4:tlo + off + 8],
+                                "big") >> 16
+                            width = max(width, w)
+                            height = max(height, h)
+    if container is None and timescale is None:
+        return (None, None, None, None, None)
+    dur_s = (duration / timescale
+             if duration is not None and timescale else None)
+    return (container, dur_s, width or None, height or None, n_tracks)
+
+
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def mp4_bytes(width: int, height: int, duration: int,
+              timescale: int = 1000, n_tracks: int = 1,
+              mvhd_v1: bool = False, free_box: bool = False) -> bytes:
+    """A minimal structurally-valid ISO-BMFF stream: ``ftyp`` (brand
+    isom) + ``moov`` holding one ``mvhd`` (v0 32-bit or v1 64-bit
+    fields) and ``n_tracks`` ``trak``/``tkhd`` boxes — the first at
+    the given display size, the rest dimensionless like audio tracks.
+    ``free_box`` prepends a ``free`` box so tests exercise
+    skip-by-declared-size."""
+    import struct
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                     + b"isomiso2mp41")
+    if mvhd_v1:
+        mvhd_body = (bytes([1, 0, 0, 0])
+                     + struct.pack(">QQIQ", 0, 0, timescale, duration)
+                     + bytes(80))
+    else:
+        mvhd_body = (bytes(4)
+                     + struct.pack(">IIII", 0, 0, timescale, duration)
+                     + bytes(80))
+    traks = b""
+    for t in range(n_tracks):
+        w, h = (width, height) if t == 0 else (0, 0)
+        tkhd_body = (bytes(4) + struct.pack(">IIII", 0, 0, t + 1, 0)
+                     + struct.pack(">I", duration) + bytes(8)
+                     + bytes(8) + bytes(36)
+                     + struct.pack(">II", w << 16, h << 16))
+        traks += _bmff_box(b"trak", _bmff_box(b"tkhd", tkhd_body))
+    moov = _bmff_box(b"moov", _bmff_box(b"mvhd", mvhd_body) + traks)
+    out = ftyp
+    if free_box:
+        out += _bmff_box(b"free", b"\x00" * 12)
+    return out + moov
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+])
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """(media_id, container, duration_s, width, height, n_tracks)
+    parsed FROM THE BYTES over Arrow batches; payloads never leave
+    the executors, duration rounds to 6 decimals."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [parse_video_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "container": [m[0] for m in meta],
+                "duration_s": pd.array(
+                    [round(m[1], 6) if m[1] is not None else None
+                     for m in meta], dtype="Float64"),
+                "width": pd.array([m[2] for m in meta],
+                                  dtype="Int32"),
+                "height": pd.array([m[3] for m in meta],
+                                   dtype="Int32"),
+                "n_tracks": pd.array([m[4] for m in meta],
+                                     dtype="Int32"),
+            })
+
+    return df.mapInPandas(batches, schema=VIDEO_META_SCHEMA)

@@ -2355,3 +2355,48 @@ def mixed_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_in",
                     F.coalesce("n_out", F.lit(0)).alias("n_out"))
             .orderBy("source"))
+
+
+@register("video_header_metadata", oracle="""
+SELECT doc_id AS media_id,
+       'mp4_isom' AS container,
+       round((doc_id % 500 + 1) * 100.0
+             / (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END), 6) AS duration_s,
+       CAST(320 + (doc_id % 8) * 16 AS INTEGER) AS width,
+       CAST(240 + (doc_id % 6) * 16 AS INTEGER) AS height,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS n_tracks
+FROM documents ORDER BY media_id
+""")
+def video_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata decode, values-checked: build
+    minimal ISO-BMFF streams with doc_id-derived brand/duration/
+    timescale/display-size/track-count (mvhd v1 64-bit fields every
+    third id, a skip-me ``free`` box every other, a dimensionless
+    second track on even ids), then parse everything back OUT OF THE
+    BYTES with operators.multimodal.parse_video_header. The oracle
+    predicts the parsed values in pure SQL, so any box-walk bug
+    (big-endian sizes, largesize, version offsets, 16.16 fixed
+    point, track max) hash-mismatches."""
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    scales = [600, 1000, 90000]
+
+    def build(it):
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                mm.mp4_bytes(320 + int(i) % 8 * 16,
+                             240 + int(i) % 6 * 16,
+                             (int(i) % 500 + 1) * 100,
+                             scales[int(i) % 3],
+                             n_tracks=int(i) % 2 + 1,
+                             mvhd_v1=(int(i) % 3 == 0),
+                             free_box=(int(i) % 2 == 1))
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.video_metadata(media).orderBy("media_id")

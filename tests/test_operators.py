@@ -1125,3 +1125,38 @@ def test_resample_to_mix_missing_group_raises(spark):
         [("known", 1.0)], ["source", "sample_rate"])
     with pytest.raises(Exception, match="no sample_rate"):
         resample_to_mix(df, rates).collect()
+
+
+# -- video container headers ------------------------------------------------
+
+def test_parse_video_header_pure():
+    from structa_spark.operators.multimodal import (
+        mp4_bytes, parse_video_header,
+    )
+    assert parse_video_header(
+        mp4_bytes(640, 360, 2500, 1000)) \
+        == ("mp4_isom", 2.5, 640, 360, 1)
+    # v1 mvhd (64-bit times), skip-me free box, audio second track
+    assert parse_video_header(
+        mp4_bytes(1280, 720, 90000, 90000, n_tracks=2,
+                  mvhd_v1=True, free_box=True)) \
+        == ("mp4_isom", 1.0, 1280, 720, 2)
+    assert parse_video_header(b"not a video") \
+        == (None, None, None, None, None)
+    assert parse_video_header(None) \
+        == (None, None, None, None, None)
+    # truncated box declares more bytes than exist: no crash, no junk
+    tr = mp4_bytes(64, 64, 100, 100)[:20]
+    assert parse_video_header(tr)[1:] == (None, None, None, None)
+
+
+def test_video_metadata_distributed(spark):
+    from structa_spark.operators import multimodal as mm
+    rows = [(i, mm.mp4_bytes(320 + i, 240 + i, 1000 * (i + 1), 1000))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r.media_id: (r.container, r.duration_s, r.width,
+                        r.height, r.n_tracks)
+           for r in mm.video_metadata(df).collect()}
+    assert got == {i: ("mp4_isom", float(i + 1), 320 + i, 240 + i, 1)
+                   for i in range(6)}

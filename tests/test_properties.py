@@ -128,8 +128,8 @@ def test_num_percent(p):
 # -- multimodal header parsers: synth -> parse roundtrips -------------------
 
 from structa_spark.operators.multimodal import (  # noqa: E402
-    jpeg_bytes, parse_audio_header, parse_image_header, png_bytes,
-    wav_bytes,
+    jpeg_bytes, mp4_bytes, parse_audio_header, parse_image_header,
+    parse_video_header, png_bytes, wav_bytes,
 )
 
 
@@ -152,7 +152,19 @@ def test_wav_header_roundtrip_property(rate, ch, n, bits, junk):
     assert parsed == ("pcm_wav", rate, ch, n)
 
 
+@given(st.integers(1, 8191), st.integers(1, 8191),
+       st.integers(1, 10**9), st.integers(1, 10**6),
+       st.integers(1, 3), st.booleans(), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_mp4_header_roundtrip_property(w, h, dur, ts, nt, v1, free):
+    got = parse_video_header(
+        mp4_bytes(w, h, dur, ts, n_tracks=nt,
+                  mvhd_v1=v1, free_box=free))
+    assert got == ("mp4_isom", dur / ts, w, h, nt)
+
+
 @given(st.binary(max_size=64))
 def test_header_parsers_never_raise_on_garbage(payload):
     parse_image_header(payload)      # any result, no exception
     parse_audio_header(payload)
+    parse_video_header(payload)
