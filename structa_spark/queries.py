@@ -2400,3 +2400,33 @@ def video_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return mm.video_metadata(media).orderBy("media_id")
+
+
+@register("sliding_event_stats", oracle="""
+WITH x AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - r.range * INTERVAL '30 minutes' AS window_start,
+         value
+  FROM events CROSS JOIN range(0, 2) r
+)
+SELECT window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1 ORDER BY window_start
+""")
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation (1 hour every 30 minutes) — the
+    overlapping-window companion to windowed_event_stats' tumbling
+    case; each event lands in exactly duration/slide = 2 windows.
+    The oracle replays the window assignment as an explicit 2-way
+    fan-out off DuckDB's time_bucket (both engines align half-hour
+    buckets on the epoch's :00/:30 grid). Same shape streams with a
+    watermark via the identical F.window expression."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes")
+                      .alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "total_value")
+            .orderBy("window_start"))
