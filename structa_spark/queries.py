@@ -2430,3 +2430,56 @@ def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     "n_events", "total_value")
             .orderBy("window_start"))
+
+
+@register("pivot_lang_source_counts", oracle="""
+SELECT lang,
+       CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+            AS BIGINT) AS src0,
+       CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+            AS BIGINT) AS src1,
+       CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+            AS BIGINT) AS src2,
+       CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)
+            AS BIGINT) AS src3
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def pivot_lang_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: document counts cross-tabulated lang x source. The
+    pivot values are declared explicitly, so Spark skips the
+    distinct-values discovery job and the whole thing is ONE
+    hash-aggregation with map-side partials — the pivot column list
+    must always be bounded/known at 100 TB anyway."""
+    d = _t(spark, sf_dir, "documents")
+    out = (d.groupBy("lang")
+           .pivot("source", ["src0", "src1", "src2", "src3"])
+           .count())
+    cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ["src0", "src1", "src2", "src3"]]
+    return out.select("lang", *cols).orderBy("lang")
+
+
+@register("group_quantiles_exact", oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.50), 4) AS q2,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles via Spark's ``percentile`` (linear
+    interpolation, the same definition as DuckDB's quantile_cont) —
+    the oracle-grade path; the profiler's default is the mergeable
+    GK sketch (``percentile_approx``) with this exact form behind
+    ``exact=True``. One shuffle on the small group key; the exact
+    percentile buffers each group's values, which is why the
+    sketch is the 100 TB default."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.element_at(pct, 1), 4).alias("q1"),
+                 F.round(F.element_at(pct, 2), 4).alias("q2"),
+                 F.round(F.element_at(pct, 3), 4).alias("q3"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("event_type"))
