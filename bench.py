@@ -141,7 +141,7 @@ def main():
     # three raw passes ship in the payload for transparency — pass 1
     # includes each query's one-time codegen, so median-of-3 reads as
     # the steady-state number a long-lived session sees.
-    N_RUNS = 3
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     all_runs = []
     errors = {}
     for r in range(N_RUNS):

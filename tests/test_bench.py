@@ -1,0 +1,33 @@
+"""Bench harness guardrail: the per-round BENCH gate once zeroed out
+because one query crashed the whole run. This executes bench.py
+end-to-end (toy scale, one pass) and pins the contract the round
+driver depends on: rc 0, one parseable JSON line, every suite entry
+timed, no errors."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_end_to_end_toy_scale():
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8",
+               SPARK_GRAFT_BENCH_RUNS="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "headline_suite_seconds"
+    assert out["unit"] == "sec"
+    assert isinstance(out["value"], (int, float))
+    assert "errors" not in out, out.get("errors")
+    missing = [q for q, t in out["queries"].items() if t is None]
+    assert not missing, f"untimed queries: {missing}"
+    assert len(out["queries"]) >= 20
