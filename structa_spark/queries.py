@@ -2483,3 +2483,30 @@ def group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.element_at(pct, 3), 4).alias("q3"),
                  F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy("event_type"))
+
+
+@register("trailing_window_avg", oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch(ts) AS BIGINT)
+           RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4)
+           AS avg_30m
+FROM events
+ORDER BY event_id
+""")
+def trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event's trailing 30-minute average
+    value per user — the time-based moving aggregate (vs the ROWS
+    frames everywhere else). Both engines order by whole epoch
+    seconds so the frame edge is identical; one shuffle on user_id.
+    Events sharing a second are RANGE peers and see each other's
+    values in both engines by definition of RANGE frames."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-1800, Window.currentRow))
+    return (e.select("event_id", "user_id",
+                     F.round(F.avg("value").over(w), 4)
+                     .alias("avg_30m"))
+            .orderBy("event_id"))
