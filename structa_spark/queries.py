@@ -2510,3 +2510,72 @@ def trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.avg("value").over(w), 4)
                      .alias("avg_30m"))
             .orderBy("event_id"))
+
+
+@register("domain_stats", oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://host' || CAST(doc_id % 7 AS VARCHAR)
+           || CASE doc_id % 3 WHEN 0 THEN '.com'
+              WHEN 1 THEN '.org' ELSE '.net' END
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls GROUP BY 1 ORDER BY domain
+""")
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain extraction + per-domain stats — the URL-filtering
+    primitive of web-corpus curation, exercised on synthesized URLs
+    (doc_id-derived, so the oracle predicts every value; the corpus
+    text itself is URL-free word soup). The regex is RE2-and-Java
+    safe; aggregation keys on the bounded domain set."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
+        F.element_at(F.array(F.lit(".com"), F.lit(".org"),
+                             F.lit(".net")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("/p/"), F.col("doc_id").cast("string"))
+    u = d.select("doc_id", url.alias("url"))
+    dom = F.regexp_extract("url", r"https?://([^/]+)", 1)
+    return (u.select("doc_id", dom.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.countDistinct("doc_id").cast("long")
+                 .alias("n_docs"))
+            .orderBy("domain"))
+
+
+@register("value_outliers_by_type", oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sd
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN stats s USING (event_type)
+GROUP BY 1 ORDER BY event_type
+""")
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier counts per event type (|x - mu| > 3 sd) — the
+    cheap numeric anomaly filter. Two-pass shape: a tiny per-type
+    stats table broadcasts back onto the fact scan; no per-row state,
+    no quadratics. (A boundary value could in principle flip between
+    engines' float summation orders; at 3 sigma on continuous data
+    the tie set is measure-zero.)"""
+    e = _t(spark, sf_dir, "events")
+    stats = (e.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sd")))
+    j = e.join(F.broadcast(stats), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.when(F.abs(F.col("value") - F.col("mu"))
+                              > 3 * F.col("sd"), 1).otherwise(0))
+                 .cast("long").alias("n_outliers"))
+            .orderBy("event_type"))
