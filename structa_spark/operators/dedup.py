@@ -562,3 +562,39 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     # keeper set is simply the distinct labels
     keep = groups.select(F.col("group_id").alias(id_col)).distinct()
     return df.join(keep, id_col, "left_semi")
+
+
+def tune_lsh_params(threshold: float, n_perm: int = 16,
+                    fp_weight: float = 0.5):
+    """Pick the (n_bands, rows_per_band) factorization of ``n_perm``
+    whose LSH S-curve best separates pairs around the Jaccard
+    ``threshold`` — the standard banding-parameter optimization
+    (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3;
+    the same search datasketch ships): candidate probability at
+    similarity s is ``1 - (1 - s^r)^b``; minimize
+    ``fp_weight * FP_area + (1 - fp_weight) * FN_area`` over the
+    integral below/above the threshold.
+
+    Driver-side arithmetic only — call once, then pass ``n_bands``
+    to :func:`minhash_bands`/:func:`minhash_candidates`.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold out of range: {threshold}")
+    best = None
+    steps = 200
+    for b in range(1, n_perm + 1):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -2579,3 +2579,71 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                               > 3 * F.col("sd"), 1).otherwise(0))
                  .cast("long").alias("n_outliers"))
             .orderBy("event_type"))
+
+
+def _band_key_sql(band: int, rows: int = 4) -> str:
+    return " || '_' || ".join(
+        f"CAST({_minhash_sql(band * rows + j)} AS VARCHAR)"
+        for j in range(rows))
+
+
+@register("lsh_recall", oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents
+  WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+), keys AS (
+  SELECT doc_id,
+         {_band_key_sql(0)} AS b0, {_band_key_sql(1)} AS b1,
+         {_band_key_sql(2)} AS b2, {_band_key_sql(3)} AS b3
+  FROM documents WHERE doc_id < 150
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth t
+             JOIN cand c USING (id_a, id_b)) AS BIGINT) AS n_caught,
+       round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+             ELSE (SELECT count(*) FROM truth t
+                   JOIN cand c USING (id_a, id_b))
+                  / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+             END, 6) AS recall
+""")
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality, MEASURED and value-checked: exact Jaccard>=0.2
+    ground-truth pairs vs the 4x4-band MinHash candidate set on the
+    same bounded slice — one summary row (n_true, n_candidates,
+    n_caught, recall). The oracle independently replays BOTH sides
+    (exact shingle intersection AND the banded signature join), so a
+    silent drift in either pipeline — or in the hash itself — breaks
+    the compare. The quadratic truth join is the labeled oracle-mode
+    bound (doc_id < 150), same as ngram_jaccard_pairs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    truth = (dedup.jaccard_pairs(d, threshold=0.2)
+             .select("id_a", "id_b"))
+    cand = (dedup.minhash_candidates(d)
+            .select("id_a", "id_b").distinct())
+    caught = truth.join(cand, ["id_a", "id_b"])
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_caught = caught.count()
+    recall = round(n_caught / n_true, 6) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_cand, n_caught, float(recall))],
+        "n_true long, n_candidates long, n_caught long, recall double")

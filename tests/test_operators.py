@@ -1160,3 +1160,21 @@ def test_video_metadata_distributed(spark):
            for r in mm.video_metadata(df).collect()}
     assert got == {i: ("mp4_isom", float(i + 1), 320 + i, 240 + i, 1)
                    for i in range(6)}
+
+
+# -- LSH parameter tuning ---------------------------------------------------
+
+def test_tune_lsh_params_properties():
+    from structa_spark.operators.dedup import tune_lsh_params
+    picks = {}
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        b, r = tune_lsh_params(t, n_perm=16)
+        assert b * r == 16
+        picks[t] = (b, r)
+    # higher thresholds want LONGER bands (more rows per band = a
+    # stricter AND) and fewer of them
+    assert picks[0.9][1] >= picks[0.5][1] >= picks[0.1][1]
+    assert picks[0.1][0] >= picks[0.9][0]
+    # the repo default (4 bands x 4 rows) should be the pick for a
+    # mid-range threshold on 16 permutations
+    assert picks[0.5] in {(4, 4), (8, 2)}
