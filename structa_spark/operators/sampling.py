@@ -131,3 +131,39 @@ def resample_to_mix(df: DataFrame, rates: DataFrame,
         .otherwise(F.array().cast("array<int>"))
     return (joined.withColumn("copy_idx", F.explode(seq))
             .drop("sample_rate"))
+
+
+def split_corpus(df: DataFrame, weights=(0.9, 0.05, 0.05),
+                 labels=("train", "val", "test"),
+                 key_col: str = "doc_id",
+                 salt: str = "split",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic disjoint train/val/test split: each row's md5
+    draw lands in exactly one cumulative-weight band, so the split
+    is exhaustive, non-overlapping, and invariant under
+    repartitioning, reruns and engines — the property that keeps a
+    training set stable across pipeline re-executions and prevents
+    leakage when the corpus is re-split after incremental updates
+    (a given document NEVER migrates between splits unless the salt
+    changes).
+
+    Scale shape: a scan-local CASE expression on the hash — no
+    shuffle, no state; stratification comes free because the draw is
+    independent of any grouping column."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = sample_key(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        cum += w / total
+        thr = int(round(cum * SAMPLE_MOD))
+        cond = u < F.lit(thr)
+        expr = (F.when(cond, F.lit(lab)) if expr is None
+                else expr.when(cond, F.lit(lab)))
+    expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
+            else F.lit(labels[-1]))
+    return df.withColumn(out_col, expr)

@@ -2647,3 +2647,31 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_true, n_cand, n_caught, float(recall))],
         "n_true long, n_candidates long, n_caught long, recall double")
+
+
+@register("split_counts_by_lang", oracle=f"""
+WITH s AS (
+  SELECT lang,
+         CASE
+           WHEN {md5_long_sql("doc_id::VARCHAR || 'split'")}
+                % 1000000 < 900000 THEN 'train'
+           WHEN {md5_long_sql("doc_id::VARCHAR || 'split'")}
+                % 1000000 < 950000 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2 ORDER BY split, lang
+""")
+def split_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split realized and counted
+    per (split, lang) — the oracle replays the md5 band arithmetic,
+    pinning the exact membership (not just expected fractions), which
+    is what makes the split leak-proof across re-executions."""
+    from .operators.sampling import split_corpus
+    d = _t(spark, sf_dir, "documents")
+    return (split_corpus(d)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("split", "lang"))

@@ -1178,3 +1178,38 @@ def test_tune_lsh_params_properties():
     # the repo default (4 bands x 4 rows) should be the pick for a
     # mid-range threshold on 16 permutations
     assert picks[0.5] in {(4, 4), (8, 2)}
+
+
+# -- corpus splitting -------------------------------------------------------
+
+def test_split_corpus_exhaustive_and_stable(spark):
+    from structa_spark.operators.sampling import split_corpus
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(500)], ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in split_corpus(df).collect()}
+    b = {r.doc_id: r.split
+         for r in split_corpus(df.repartition(7)).collect()}
+    assert a == b                                 # partition-invariant
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n < n_train < 0.97 * n           # ~90%
+
+
+def test_split_corpus_membership_frozen_under_growth(spark):
+    # adding documents must not move existing ones between splits
+    from structa_spark.operators.sampling import split_corpus
+    small = spark.createDataFrame(
+        [(i, "t") for i in range(100)], ["doc_id", "text"])
+    big = spark.createDataFrame(
+        [(i, "t") for i in range(200)], ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in split_corpus(small).collect()}
+    b = {r.doc_id: r.split for r in split_corpus(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_corpus_validates_weights(spark):
+    from structa_spark.operators.sampling import split_corpus
+    df = spark.createDataFrame([(0, "t")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        split_corpus(df, weights=(1, 2), labels=("a", "b", "c"))
