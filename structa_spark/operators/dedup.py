@@ -598,3 +598,58 @@ def tune_lsh_params(threshold: float, n_perm: int = 16,
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_k: int = 3,
+                      threshold: float = 0.8,
+                      candidates: Optional[DataFrame] = None
+                      ) -> DataFrame:
+    """ASYMMETRIC containment (Broder 1997's second resemblance
+    measure): ``max(|A∩B|/|A|, |A∩B|/|B|)`` — catches a short
+    document embedded verbatim in a much longer one, which symmetric
+    Jaccard structurally misses (the union is dominated by the long
+    side). The classic boilerplate-inclusion / quote detector.
+
+    Returns (id_a, id_b, containment) for pairs at or above
+    ``threshold`` (id_a < id_b; the score is the max direction).
+    Same two execution shapes as :func:`jaccard_pairs`: candidate-
+    verified ``array_intersect`` on the scale path, shingle
+    co-occurrence as the labeled quadratic oracle path.
+    """
+    sh = df.select(F.col(id_col),
+                   word_shingles(F.col(text_col), shingle_k)
+                   .alias("shingles"))
+    score = F.round(
+        F.greatest(F.col("n_inter") / F.col("n_a"),
+                   F.col("n_inter") / F.col("n_b")), 6)
+    if candidates is not None:
+        sha = sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+        shb = sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+        return (candidates.select("id_a", "id_b")
+                .join(sha, "id_a").join(shb, "id_b")
+                .withColumn("n_inter",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("n_a", F.size("sh_a"))
+                .withColumn("n_b", F.size("sh_b"))
+                .withColumn("containment", score)
+                .where(F.col("containment") >= threshold)
+                .select("id_a", "id_b", "containment"))
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment", score)
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))

@@ -2675,3 +2675,36 @@ def split_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .orderBy("split", "lang"))
+
+
+@register("containment_pairs", oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents
+  WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(greatest(n_inter / CAST(sa.n_sh AS DOUBLE),
+                      n_inter / CAST(sb.n_sh AS DOUBLE)), 6)
+           AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(n_inter / CAST(sa.n_sh AS DOUBLE),
+               n_inter / CAST(sb.n_sh AS DOUBLE)) >= 0.5
+ORDER BY id_a, id_b
+""")
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment >= 0.5 on the bounded oracle slice —
+    the snippet-inside-document detector symmetric Jaccard misses.
+    Same labeled quadratic bound as ngram_jaccard_pairs; the scale
+    path verifies only LSH candidates."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (dedup.containment_pairs(d, threshold=0.5)
+            .orderBy("id_a", "id_b"))

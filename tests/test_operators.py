@@ -1213,3 +1213,34 @@ def test_split_corpus_validates_weights(spark):
     df = spark.createDataFrame([(0, "t")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         split_corpus(df, weights=(1, 2), labels=("a", "b", "c"))
+
+
+# -- containment ------------------------------------------------------------
+
+def test_containment_catches_embedded_snippet(spark):
+    snippet = "alpha beta gamma delta epsilon"
+    long_doc = ("unrelated words begin here " + snippet
+                + " and then much more trailing content follows after")
+    df = spark.createDataFrame(
+        [(0, snippet), (1, long_doc), (2, "totally different text")],
+        ["doc_id", "text"])
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(
+                df, threshold=0.8).collect()}
+    assert (0, 1) in cont and cont[(0, 1)] == 1.0
+    # symmetric jaccard misses the same pair at the same bar
+    jac = {(r.id_a, r.id_b)
+           for r in dedup.jaccard_pairs(df, threshold=0.8).collect()}
+    assert (0, 1) not in jac
+
+
+def test_containment_candidate_path_matches_exact(spark, docs):
+    cand = dedup.minhash_candidates(docs)
+    via_cand = {(r.id_a, r.id_b): r.containment
+                for r in dedup.containment_pairs(
+                    docs, threshold=0.5, candidates=cand).collect()}
+    exact = {(r.id_a, r.id_b): r.containment
+             for r in dedup.containment_pairs(
+                 docs, threshold=0.5).collect()}
+    for pair, score in via_cand.items():
+        assert exact[pair] == score
