@@ -518,3 +518,38 @@ def semantic_dedup(df: DataFrame,
             .select(id_col, "cluster",
                     F.coalesce(F.col("__drop__"), F.lit(False))
                     .alias("dropped")))
+
+
+def quantize_embeddings(df: DataFrame, scale: float,
+                        vec_col: str = "embedding",
+                        out_col: str = "qvec") -> DataFrame:
+    """Symmetric int8 scalar quantization with a FIXED scale:
+    ``code = round(clamp(x/scale, -1, 1) * 127)`` — the standard 4x
+    storage compression (float32 -> int8) for large embedding
+    stores; ANN pre-filters run on the codes and only the re-rank
+    touches floats. A caller-chosen scale (e.g. the training-time
+    3-sigma bound) keeps the transform STATELESS — no data-dependent
+    calibration pass, so codes are reproducible across shards, days
+    and engines.
+
+    Pure ``transform`` expression: no shuffle, pipelines into the
+    scan."""
+    code = lambda x: F.round(
+        F.greatest(F.least(x.cast("double") / F.lit(float(scale)),
+                           F.lit(1.0)),
+                   F.lit(-1.0)) * 127, 0).cast("int")
+    return df.withColumn(out_col,
+                         F.transform(F.col(vec_col), code))
+
+
+def dequantize_embeddings(df: DataFrame, scale: float,
+                          code_col: str = "qvec",
+                          out_col: str = "dqvec") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`:
+    ``x ≈ code / 127 * scale``. Max per-dimension error is bounded
+    by ``scale/254`` inside the clamp range."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(code_col),
+                    lambda c: c.cast("double") / 127.0
+                    * F.lit(float(scale))))

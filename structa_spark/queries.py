@@ -2708,3 +2708,43 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return (dedup.containment_pairs(d, threshold=0.5)
             .orderBy("id_a", "id_b"))
+
+
+@register("embedding_quantization", oracle="""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(greatest(least(x::DOUBLE / 4.0, 1.0),
+                                    -1.0) * 127, 0) AS INTEGER))
+             AS qvec
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id,
+       qvec[1] AS c0, qvec[2] AS c1, qvec[3] AS c2, qvec[4] AS c3,
+       round(list_max(list_transform(
+           range(1, len(embedding) + 1),
+           i -> abs(embedding[i]::DOUBLE
+                    - qvec[i] / 127.0 * 4.0))), 6) AS max_abs_err
+FROM q ORDER BY vec_id
+""")
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization round-trip, value-checked: the first
+    four codes AND the per-vector max reconstruction error replay
+    bit-for-bit in SQL (both engines round ties away from zero), so
+    the storage-compression transform is pinned exactly — codes
+    written by one engine can be read by another. In-clamp error is
+    bounded by scale/254 ~ 0.0157 at scale 4."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    q = similarity.quantize_embeddings(e, scale=4.0)
+    dq = similarity.dequantize_embeddings(q, scale=4.0)
+    err = F.array_max(F.zip_with(
+        "embedding", "dqvec",
+        lambda x, d: F.abs(x.cast("double") - d)))
+    return (dq.select(
+        "vec_id",
+        F.element_at("qvec", 1).alias("c0"),
+        F.element_at("qvec", 2).alias("c1"),
+        F.element_at("qvec", 3).alias("c2"),
+        F.element_at("qvec", 4).alias("c3"),
+        F.round(err, 6).alias("max_abs_err"))
+        .orderBy("vec_id"))

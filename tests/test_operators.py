@@ -1244,3 +1244,18 @@ def test_containment_candidate_path_matches_exact(spark, docs):
                  docs, threshold=0.5).collect()}
     for pair, score in via_cand.items():
         assert exact[pair] == score
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    rows = [(0, [0.5, -0.25, 3.9, -4.1]), (1, [0.0, 1.0, -1.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = similarity.quantize_embeddings(df, scale=4.0)
+    dq = similarity.dequantize_embeddings(q, scale=4.0)
+    for r in dq.collect():
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        for x, d in zip(r.embedding, r.dqvec):
+            clamped = max(-4.0, min(4.0, x))
+            assert abs(clamped - d) <= 4.0 / 254 + 1e-9
+    # out-of-range values saturate at +/-127
+    codes = {r.vec_id: r.qvec for r in q.collect()}
+    assert codes[0][2] == 124 and codes[0][3] == -127
