@@ -553,3 +553,43 @@ def dequantize_embeddings(df: DataFrame, scale: float,
         F.transform(F.col(code_col),
                     lambda c: c.cast("double") / 127.0
                     * F.lit(float(scale))))
+
+
+def int8_topk(corpus: DataFrame, queries: DataFrame, scale: float,
+              k: int = 3, shortlist: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Two-stage retrieval over int8-quantized codes: stage 1 scores
+    EVERY corpus vector against each query with the integer dot
+    product of their codes (exact int64 arithmetic — no float
+    nondeterminism — and 4x less memory traffic than floats), keeps a
+    ``shortlist`` per query, and stage 2 re-ranks only the shortlist
+    with exact float cosine. The serving pattern for a quantized
+    embedding store: the full scan never touches floats.
+
+    Scale shape: broadcast(queries') codes x corpus projection, one
+    window per stage; the float re-rank touches ``shortlist`` rows
+    per query."""
+    qc = quantize_embeddings(corpus, scale, vec_col, "__qc__")
+    qq = quantize_embeddings(queries, scale, vec_col, "__qq__")
+    q = qq.select(F.col(id_col).alias(query_id_col),
+                  F.col(vec_col).alias("__qv__"), "__qq__")
+    joined = (ensure_parallelism(qc)
+              .join(F.broadcast(q),
+                    F.col(id_col) != F.col(query_id_col)))
+    int_dot = F.aggregate(
+        F.zip_with("__qc__", "__qq__",
+                   lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w1 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("int_score"), F.asc(id_col))
+    short = (joined.withColumn("int_score", int_dot)
+             .withColumn("__r1__", F.row_number().over(w1))
+             .where(F.col("__r1__") <= shortlist))
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (short.withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("__qv__")), 6))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "int_score", "cosine", "rank"))

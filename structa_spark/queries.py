@@ -2748,3 +2748,54 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qvec", 4).alias("c3"),
         F.round(err, 6).alias("max_abs_err"))
         .orderBy("vec_id"))
+
+
+@register("int8_topk_search", oracle=f"""
+WITH codes AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(greatest(least(x::DOUBLE / 4.0, 1.0),
+                                    -1.0) * 127, 0) AS BIGINT))
+             AS qv
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.qv) + 1),
+                                 i -> c.qv[i] * q.qv[i]))
+             AS int_score,
+         c.embedding AS ce, q.embedding AS qe
+  FROM codes c JOIN codes q
+    ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+), short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY int_score DESC, vec_id) AS r1
+  FROM pairs
+), rescored AS (
+  SELECT query_id, vec_id, CAST(int_score AS BIGINT) AS int_score,
+         round(list_sum(list_transform(range(1, len(ce) + 1),
+                   i -> ce[i]::DOUBLE * qe[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+                      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6)
+             AS cosine
+  FROM short WHERE r1 <= 10
+)
+SELECT query_id, vec_id, int_score, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rank
+      FROM rescored)
+WHERE rank <= 3 ORDER BY query_id, rank
+""")
+def int8_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized retrieval, value-checked end to end:
+    integer-dot shortlist (exact int64 — byte-replayable in any
+    engine) then float cosine re-rank of 10 per query. Pins both the
+    quantizer and the two-stage ranking, so a drift in either stage
+    hash-mismatches."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    out = similarity.int8_topk(e, q, scale=4.0, k=3, shortlist=10)
+    return (out.withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank"))

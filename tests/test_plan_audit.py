@@ -37,6 +37,9 @@ _QUADRATIC_OK = {
                                  # corpus row IS scored per query (the
                                  # point of ADC is each score is m
                                  # lookups, not a dim-length dot)
+    "int8_topk_search",          # same shape: stage-1 integer-dot
+                                 # scan IS corpus x broadcast(queries)
+                                 # on 4x-smaller codes
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a
