@@ -593,3 +593,32 @@ def int8_topk(corpus: DataFrame, queries: DataFrame, scale: float,
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "int_score", "cosine", "rank"))
+
+
+def rrf_fuse(rankings, k: int = 60, out_k: int = 5,
+             query_col: str = "query_id",
+             id_col: str = "vec_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of any
+    number of per-query rankings: ``score = sum over lists of
+    1/(k + rank)`` — the standard zero-tuning way to combine
+    lexical, dense and quantized retrieval signals. Each input
+    DataFrame needs (query_col, id_col, rank).
+
+    Deterministic by construction: each (query, candidate) sums a
+    handful of exact reciprocals and ties break on the id. One
+    union + one aggregation keyed by (query, candidate), then a
+    per-query top-``out_k`` window."""
+    parts = [r.select(query_col, id_col,
+                      (1.0 / (F.lit(float(k)) + F.col("rank")))
+                      .alias("__s__"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(query_col, id_col)
+             .agg(F.round(F.sum("__s__"), 6).alias("rrf_score"),
+                  F.count(F.lit(1)).cast("int").alias("n_lists")))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= out_k))

@@ -2799,3 +2799,64 @@ def int8_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.int8_topk(e, q, scale=4.0, k=3, shortlist=10)
     return (out.withColumn("rank", F.col("rank").cast("long"))
             .orderBy("query_id", "rank"))
+
+
+@register("hybrid_rrf_topk", oracle=f"""
+WITH dense AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) DESC,
+           a.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < 3 AND a.vec_id <> b.vec_id
+), codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(greatest(least(x::DOUBLE / 4.0, 1.0),
+                                    -1.0) * 127, 0) AS BIGINT))
+             AS qv
+  FROM embeddings
+), coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(range(1, len(c.qv) + 1),
+                                   i -> c.qv[i] * q.qv[i])) DESC,
+           c.vec_id) AS rank
+  FROM codes c JOIN codes q
+    ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+), u AS (
+  SELECT query_id, vec_id, 1.0 / (60 + rank) AS s
+  FROM dense WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, vec_id, 1.0 / (60 + rank) AS s
+  FROM coarse WHERE rank <= 10
+), fused AS (
+  SELECT query_id, vec_id, round(sum(s), 6) AS rrf_score,
+         CAST(count(*) AS INTEGER) AS n_lists
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rrf_score, n_lists,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, vec_id) AS rank FROM fused)
+WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the exact float
+    cosine top-10 and the int8 coarse top-10 fuse with 1/(60+rank)
+    scoring into a final top-5 per query. The oracle replays both
+    input rankings AND the fusion arithmetic — the whole hybrid
+    stack is pinned, not just the fusion step."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    dense = (similarity.cosine_topk(e, q, k=10)
+             .select("query_id", "vec_id", "rank"))
+    coarse_w = Window.partitionBy("query_id").orderBy(
+        F.desc("int_score"), F.asc("vec_id"))
+    coarse = (similarity.int8_topk(e, q, scale=4.0, k=10,
+                                   shortlist=10)
+              .withColumn("rank", F.row_number().over(coarse_w))
+              .select("query_id", "vec_id", "rank"))
+    out = similarity.rrf_fuse([dense, coarse], k=60, out_k=5)
+    return (out.withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank"))

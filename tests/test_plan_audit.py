@@ -40,6 +40,8 @@ _QUADRATIC_OK = {
     "int8_topk_search",          # same shape: stage-1 integer-dot
                                  # scan IS corpus x broadcast(queries)
                                  # on 4x-smaller codes
+    "hybrid_rrf_topk",           # fuses two of the above scans;
+                                 # inherits their labeled shape
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a
