@@ -2860,3 +2860,39 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.rrf_fuse([dense, coarse], k=60, out_k=5)
     return (out.withColumn("rank", F.col("rank").cast("long"))
             .orderBy("query_id", "rank"))
+
+
+@register("daily_event_drift", oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, avg_value,
+       CAST(n_events - lag(n_events) OVER (ORDER BY day)
+            AS BIGINT) AS delta_events,
+       round(avg_value - lag(avg_value) OVER (ORDER BY day), 4)
+           AS delta_avg
+FROM d ORDER BY day
+""")
+def daily_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day drift monitoring: daily event volume and mean
+    value with lag deltas — the pipeline-health companion to
+    diff_profiles' schema drift. The heavy step is one day-keyed
+    aggregation (map-side partials); the lag window then runs on
+    #days rows. avg_value rounds BEFORE the delta so the lag
+    difference is computed on identical inputs in both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.round(F.avg("value"), 4).alias("avg_value")))
+    w = Window.partitionBy().orderBy("day")
+    return (daily
+            .withColumn("delta_events",
+                        (F.col("n_events")
+                         - F.lag("n_events").over(w)).cast("long"))
+            .withColumn("delta_avg",
+                        F.round(F.col("avg_value")
+                                - F.lag("avg_value").over(w), 4))
+            .orderBy("day"))
