@@ -121,3 +121,40 @@ def write_sized(df: DataFrame, path: str,
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return records_per_file
+
+
+def stream_compacted(sdf: DataFrame, path: str,
+                     checkpoint: str,
+                     partition_by: Sequence[str] = (),
+                     salt_col: Optional[str] = None,
+                     target_file_mb: int = 256,
+                     trigger_available_now: bool = False):
+    """Streaming ingest with size-governed files: route each
+    microbatch through :func:`write_sized` via ``foreachBatch`` —
+    the standard answer to streaming's small-files problem (a plain
+    ``writeStream.parquet`` emits one file per task per microbatch,
+    which at one 30-second trigger per day is ~3k tiny files per
+    partition per day).
+
+    Batches append; per-batch file counts follow the batch's own
+    size, so a quiet microbatch writes one file, a burst fans out.
+    Exactly-once caveat: ``foreachBatch`` re-runs a batch after a
+    failure, and a plain parquet append is not idempotent — pair
+    with downstream dedup (``incremental_dedup``) or a transactional
+    table format in production; the checkpoint bounds the replay to
+    the last batch.
+
+    Returns the started ``StreamingQuery``.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_sized(batch_df, path, partition_by=partition_by,
+                    salt_col=salt_col, target_file_mb=target_file_mb,
+                    mode="append")
+
+    w = (sdf.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

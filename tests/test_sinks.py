@@ -86,3 +86,37 @@ def test_write_sized_keeps_null_partition_values(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert back.where(F.col("lang").isNull()).count() == 1
+
+
+def test_stream_compacted_end_to_end(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+    from structa_spark.sources.sinks import stream_compacted
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with (src / "part-0.json").open("w") as fh:
+        for i in range(300):
+            fh.write(_json.dumps(
+                {"doc_id": i, "lang": ["en", "de"][i % 2],
+                 "text": "x" * 50}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(src))
+    out = str(tmp_path / "out")
+    q = stream_compacted(
+        sdf, out, checkpoint=str(tmp_path / "ckpt"),
+        partition_by=["lang"], salt_col="doc_id",
+        trigger_available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    import glob
+    files = glob.glob(f"{out}/lang=*/*.parquet")
+    # one compacted file per partition value, not one per task
+    assert len(files) == 2
