@@ -250,6 +250,46 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         .distinct())
 
 
+def _pair_intersections(df: DataFrame, text_col: str, id_col: str,
+                        shingle_k: int,
+                        candidates: Optional[DataFrame]) -> DataFrame:
+    """(id_a, id_b, n_inter, n_a, n_b) — the shared pair-intersection
+    machinery under :func:`jaccard_pairs` and
+    :func:`containment_pairs`; only the score formula differs
+    between them. With ``candidates``: verify exactly those pairs
+    via two id-keyed joins + ``array_intersect`` (the scale path).
+    Without: all co-occurring pairs via the exploded shingle
+    equi-join (the labeled quadratic oracle path)."""
+    sh = df.select(F.col(id_col),
+                   word_shingles(F.col(text_col), shingle_k)
+                   .alias("shingles"))
+    if candidates is not None:
+        sha = sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+        shb = sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+        return (candidates.select("id_a", "id_b")
+                .join(sha, "id_a").join(shb, "id_b")
+                .select("id_a", "id_b",
+                        F.size(F.array_intersect("sh_a", "sh_b"))
+                        .alias("n_inter"),
+                        F.size("sh_a").alias("n_a"),
+                        F.size("sh_b").alias("n_b")))
+    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_k: int = 3,
                   threshold: float = 0.5,
@@ -267,46 +307,15 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     never built, so the verification cost is O(|candidates| x
     shingles/doc), not O(co-occurring pairs). This is the scale path.
     """
-    sh = df.select(F.col(id_col),
-                   word_shingles(F.col(text_col), shingle_k)
-                   .alias("shingles"))
-    if candidates is not None:
-        # verify only the candidate pairs: no co-occurrence self-join
-        sha = sh.select(F.col(id_col).alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-        shb = sh.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
-        return (candidates.select("id_a", "id_b")
-                .join(sha, "id_a").join(shb, "id_b")
-                .withColumn("n_inter", inter_sz)
-                .withColumn(
-                    "jaccard",
-                    F.round(F.col("n_inter")
-                            / (F.size("sh_a") + F.size("sh_b")
-                               - F.col("n_inter")), 6))
-                .where(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
-    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
-    ex = sh.select(id_col, F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
-             .agg(F.count("*").alias("n_inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("n_sh").alias("n_b"))
-    out = (inter.join(sa, "id_a").join(sb, "id_b")
-           .withColumn("jaccard",
-                       F.round(F.col("n_inter")
-                               / (F.col("n_a") + F.col("n_b")
-                                  - F.col("n_inter")), 6))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+    pairs = _pair_intersections(df, text_col, id_col, shingle_k,
+                                candidates)
+    return (pairs.withColumn(
+        "jaccard",
+        F.round(F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -580,6 +589,8 @@ def tune_lsh_params(threshold: float, n_perm: int = 16,
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold out of range: {threshold}")
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1: {n_perm}")
     best = None
     steps = 200
     for b in range(1, n_perm + 1):
@@ -613,30 +624,17 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, containment) for pairs at or above
     ``threshold`` (id_a < id_b; the score is the max direction).
-    Same two execution shapes as :func:`jaccard_pairs`: candidate-
-    verified ``array_intersect`` on the scale path, shingle
-    co-occurrence as the labeled quadratic oracle path.
+    Same two execution shapes as :func:`jaccard_pairs` — both ride
+    :func:`_pair_intersections`.
     """
-    sh = df.select(F.col(id_col),
-                   word_shingles(F.col(text_col), shingle_k)
-                   .alias("shingles"))
+    pairs = _pair_intersections(df, text_col, id_col, shingle_k,
+                                candidates)
     score = F.round(
         F.greatest(F.col("n_inter") / F.col("n_a"),
                    F.col("n_inter") / F.col("n_b")), 6)
-    if candidates is not None:
-        sha = sh.select(F.col(id_col).alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-        shb = sh.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-        return (candidates.select("id_a", "id_b")
-                .join(sha, "id_a").join(shb, "id_b")
-                .withColumn("n_inter",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("n_a", F.size("sh_a"))
-                .withColumn("n_b", F.size("sh_b"))
-                .withColumn("containment", score)
-                .where(F.col("containment") >= threshold)
-                .select("id_a", "id_b", "containment"))
+    return (pairs.withColumn("containment", score)
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -608,6 +608,8 @@ def rrf_fuse(rankings, k: int = 60, out_k: int = 5,
     handful of exact reciprocals and ties break on the id. One
     union + one aggregation keyed by (query, candidate), then a
     per-query top-``out_k`` window."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     parts = [r.select(query_col, id_col,
                       (1.0 / (F.lit(float(k)) + F.col("rank")))
                       .alias("__s__"))

@@ -2489,7 +2489,7 @@ def group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        round(avg(value) OVER (
            PARTITION BY user_id
-           ORDER BY CAST(epoch(ts) AS BIGINT)
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
            RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4)
            AS avg_30m
 FROM events
@@ -2635,14 +2635,19 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compare. The quadratic truth join is the labeled oracle-mode
     bound (doc_id < 150), same as ngram_jaccard_pairs."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    # three actions consume each side: persist both so the
+    # quadratic truth join and the signature pipeline run ONCE
     truth = (dedup.jaccard_pairs(d, threshold=0.2)
-             .select("id_a", "id_b"))
+             .select("id_a", "id_b").persist())
     cand = (dedup.minhash_candidates(d)
-            .select("id_a", "id_b").distinct())
-    caught = truth.join(cand, ["id_a", "id_b"])
-    n_true = truth.count()
-    n_cand = cand.count()
-    n_caught = caught.count()
+            .select("id_a", "id_b").distinct().persist())
+    try:
+        n_true = truth.count()
+        n_cand = cand.count()
+        n_caught = truth.join(cand, ["id_a", "id_b"]).count()
+    finally:
+        truth.unpersist()
+        cand.unpersist()
     recall = round(n_caught / n_true, 6) if n_true else 1.0
     return spark.createDataFrame(
         [(n_true, n_cand, n_caught, float(recall))],

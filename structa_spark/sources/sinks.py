@@ -147,11 +147,19 @@ def stream_compacted(sdf: DataFrame, path: str,
     Returns the started ``StreamingQuery``.
     """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        write_sized(batch_df, path, partition_by=partition_by,
-                    salt_col=salt_col, target_file_mb=target_file_mb,
-                    mode="append")
+        # write_sized makes several passes (row count, per-value
+        # counts, the write itself); an uncached batch would re-read
+        # its source files for each — persist once per microbatch
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            write_sized(batch_df, path, partition_by=partition_by,
+                        salt_col=salt_col,
+                        target_file_mb=target_file_mb,
+                        mode="append")
+        finally:
+            batch_df.unpersist()
 
     w = (sdf.writeStream.foreachBatch(write_batch)
          .option("checkpointLocation", checkpoint))
