@@ -1259,3 +1259,16 @@ def test_quantize_roundtrip_error_bound(spark):
     # out-of-range values saturate at +/-127
     codes = {r.vec_id: r.qvec for r in q.collect()}
     assert codes[0][2] == 124 and codes[0][3] == -127
+
+
+def test_rrf_fuse_rejects_empty_rankings():
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.rrf_fuse([])
+
+
+def test_tune_lsh_rejects_bad_inputs():
+    from structa_spark.operators.dedup import tune_lsh_params
+    with pytest.raises(ValueError):
+        tune_lsh_params(1.5)
+    with pytest.raises(ValueError):
+        tune_lsh_params(0.5, n_perm=0)
