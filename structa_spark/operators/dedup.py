@@ -635,19 +635,3 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("containment", score)
             .where(F.col("containment") >= threshold)
             .select("id_a", "id_b", "containment"))
-    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
-    ex = sh.select(id_col, F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
-             .agg(F.count("*").alias("n_inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("n_sh").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("containment", score)
-            .where(F.col("containment") >= threshold)
-            .select("id_a", "id_b", "containment"))

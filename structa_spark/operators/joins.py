@@ -29,21 +29,29 @@ def asof_join(left: DataFrame, right: DataFrame,
               direction: str = "backward",
               tolerance: Optional[float] = None,
               right_cols: Optional[Sequence[str]] = None,
+              tie_break: Optional[str] = None,
               prefix: str = "asof_") -> DataFrame:
     """General as-of join (pandas ``merge_asof`` parity): for every
     left row, attach the single nearest right row at-or-before
     (``backward``), at-or-after (``forward``), or closest in either
     direction (``nearest``, ties to backward — the pandas rule),
     matching on the ``by`` keys, optionally within ``tolerance``
-    (same units as ``on``: seconds for timestamps).
+    (same units as ``on``: seconds for timestamps). For ``nearest``
+    the tolerance gates each DIRECTION before the nearer-side pick
+    (pandas semantics): when the nearer side is out of tolerance but
+    the other side is within it, the in-tolerance side wins rather
+    than the row matching nothing.
 
     Returns all left columns plus ``{prefix}{col}`` for each of
     ``right_cols`` (default: every right column except the keys) and
     ``{prefix}{on}`` — all null when no match (left-join semantics).
 
-    Equal-``on`` ties between several RIGHT rows resolve to the last
-    under the right side's natural column order; pass a pre-sorted
-    unique ``on`` (or dedup first) when that matters.
+    Equal-``on`` ties between several RIGHT rows: pass ``tie_break``
+    (a right column name) to resolve them deterministically to the
+    row with the greatest ``tie_break`` value; without it the
+    carried row among exact ``on`` ties is whichever the partition
+    sort happened to order last — nondeterministic across runs.
+    Dedup the right side on (``by``, ``on``) when that matters.
 
     Scale shape (vs the quadratic inequality join Spark would plan
     from ``l.ts >= r.ts``): union-merge as in the module docstring —
@@ -66,10 +74,11 @@ def asof_join(left: DataFrame, right: DataFrame,
     # phantom match — drop null-keyed right rows (pandas merge_asof
     # rejects them outright); null-keyed LEFT rows stay, guarded to a
     # null match below
-    r = (right.where(F.col(on).isNotNull())
-         .select(*by, F.col(on).alias("__on__"),
-                 payload.alias("__r__"),
-                 F.lit(0).alias("__tag__")))
+    r_cols = [*by, F.col(on).alias("__on__"),
+              payload.alias("__r__"), F.lit(0).alias("__tag__")]
+    if tie_break is not None:
+        r_cols.append(F.col(tie_break).alias("__tb__"))
+    r = right.where(F.col(on).isNotNull()).select(*r_cols)
     l = left.select(*left.columns,
                     F.col(on).alias("__on__"),
                     F.lit(None).cast(r.schema["__r__"].dataType)
@@ -79,8 +88,12 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     frame = (Window.partitionBy(*by) if by else Window.partitionBy()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_back = frame.orderBy(F.asc("__on__"), F.asc("__tag__"))
-    w_fwd = frame.orderBy(F.desc("__on__"), F.asc("__tag__"))
+    # with a tie_break the greatest __tb__ among exact-__on__ right
+    # rows sorts LAST and is what last() carries — deterministic;
+    # left rows union in with a null __tb__ (sorts first, no effect)
+    tie = [F.asc_nulls_first("__tb__")] if tie_break is not None else []
+    w_back = frame.orderBy(F.asc("__on__"), F.asc("__tag__"), *tie)
+    w_fwd = frame.orderBy(F.desc("__on__"), F.asc("__tag__"), *tie)
 
     carried = []
     if direction in ("backward", "nearest"):
@@ -97,6 +110,18 @@ def asof_join(left: DataFrame, right: DataFrame,
                      - _ts_double(F.col("__on__")))
 
     if direction == "nearest":
+        if tolerance is not None:
+            # pandas merge_asof rule: tolerance gates each DIRECTION
+            # before the nearer-side pick — an out-of-tolerance
+            # nearer side loses to an in-tolerance farther side
+            # instead of nulling the whole match
+            tol = F.lit(float(tolerance))
+            u = u.withColumn(
+                "__b__",
+                F.when(delta("__b__") <= tol, F.col("__b__")))
+            u = u.withColumn(
+                "__f__",
+                F.when(delta("__f__") <= tol, F.col("__f__")))
         b, f = delta("__b__"), delta("__f__")
         pick_b = F.col("__f__").isNull() \
             | (F.col("__b__").isNotNull() & (b <= f))
@@ -106,7 +131,7 @@ def asof_join(left: DataFrame, right: DataFrame,
     # null-keyed left rows keep left-join semantics: present, no match
     match = F.when(F.col("__on__").isNotNull(), match)
     u = u.withColumn("__m__", match)
-    if tolerance is not None:
+    if tolerance is not None and direction != "nearest":
         u = u.withColumn(
             "__m__", F.when(delta("__m__") <= F.lit(float(tolerance)),
                             F.col("__m__")))

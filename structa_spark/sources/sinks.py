@@ -29,10 +29,30 @@ def _plan_size_bytes(df: DataFrame) -> int:
                .stats().sizeInBytes())
 
 
+def _sampled_row_bytes(df: DataFrame,
+                       sample_rows: int = 1024) -> Optional[float]:
+    """Measured in-memory bytes/row from a bounded sample
+    (``limit(N)`` -> Arrow -> pandas deep memory). Returns None for
+    an empty input. The limit is pushed into the scan, so this is a
+    single cheap partial job regardless of input size."""
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return None
+    total = float(pdf.memory_usage(index=False, deep=True).sum())
+    return max(1.0, total / len(pdf))
+
+
 def estimate_row_bytes(df: DataFrame) -> float:
-    """In-memory bytes/row from Catalyst's plan statistics (scan
-    size estimates propagated through the optimized plan) over a
-    row count. One count job; no data collected."""
+    """Bytes/row for file sizing, MEASURED from a bounded sample —
+    not read from Catalyst plan statistics. The size-only stats
+    visitor multiplies child sizes through joins, so a post-join
+    plan can claim astronomically large bytes/row and collapse the
+    records-per-file bound to 1 (one file per row — the exact
+    small-files failure the sink exists to prevent). Plan stats are
+    kept only as the empty-sample fallback."""
+    est = _sampled_row_bytes(df)
+    if est is not None:
+        return est
     rows = df.count()
     if rows == 0:
         return 1.0
@@ -49,7 +69,7 @@ def write_sized(df: DataFrame, path: str,
     near ``target_file_mb``, regardless of upstream partitioning or
     partition-value skew. Returns the records-per-file bound used.
 
-    How: estimate rows-per-file from plan statistics (in-memory
+    How: estimate rows-per-file from a measured sample (in-memory
     bytes/row over ``compression_ratio`` — parquet's typical 3-5x),
     count rows per partition value (an aggregation bounded by the
     number of values), broadcast that tiny map back and salt each
@@ -69,57 +89,69 @@ def write_sized(df: DataFrame, path: str,
     is catalog metadata and governs co-location, not file size.
     """
     partition_by = list(partition_by)
-    total = df.count()          # the ONE count job this write runs
-    bytes_per_row = (max(1.0, _plan_size_bytes(df) / total)
-                     if total else 1.0)
+    # one materialization feeds the row count, the sampled sizing,
+    # the per-value counts AND the write — without it an expensive
+    # upstream pipeline (joins, dedup) would run up to 4x
+    df = df.persist()
+    total = df.count()
+    # bytes/row is MEASURED from a sample, never taken from plan
+    # statistics: Catalyst's size-only estimate multiplies child
+    # sizes through joins, which would collapse records_per_file to
+    # 1 and write one file per row (see estimate_row_bytes)
+    bytes_per_row = (_sampled_row_bytes(df) or 1.0) if total else 1.0
     records_per_file = max(
         1, int(target_file_mb * (1 << 20) * compression_ratio
                / bytes_per_row))
 
-    out = df
-    if partition_by:
-        per = (df.groupBy(*partition_by)
-               .agg(F.count(F.lit(1)).alias("__n__"))
-               .withColumn(
-                   "__files__",
-                   F.greatest(F.lit(1),
-                              F.ceil(F.col("__n__")
-                                     / F.lit(records_per_file)))
-                   .cast("int"))
-               .drop("__n__"))
-        # LEFT join: an inner join would silently DROP every row
-        # whose partition value is NULL (null keys never equi-match);
-        # null-valued rows still belong in the write (parquet puts
-        # them under __HIVE_DEFAULT_PARTITION__) and get 1 file
-        out = (out.join(F.broadcast(per), partition_by, "left")
-               .withColumn("__files__",
-                           F.coalesce("__files__", F.lit(1))))
-        if salt_col is not None:
-            salt = F.pmod(F.abs(F.hash(F.col(salt_col))),
-                          F.col("__files__"))
+    try:
+        out = df
+        if partition_by:
+            per = (df.groupBy(*partition_by)
+                   .agg(F.count(F.lit(1)).alias("__n__"))
+                   .withColumn(
+                       "__files__",
+                       F.greatest(F.lit(1),
+                                  F.ceil(F.col("__n__")
+                                         / F.lit(records_per_file)))
+                       .cast("int"))
+                   .drop("__n__"))
+            # LEFT join: an inner join would silently DROP every row
+            # whose partition value is NULL (null keys never
+            # equi-match); null-valued rows still belong in the write
+            # (parquet puts them under __HIVE_DEFAULT_PARTITION__)
+            # and get 1 file
+            out = (out.join(F.broadcast(per), partition_by, "left")
+                   .withColumn("__files__",
+                               F.coalesce("__files__", F.lit(1))))
+            if salt_col is not None:
+                salt = F.pmod(F.abs(F.hash(F.col(salt_col))),
+                              F.col("__files__"))
+            else:
+                salt = F.pmod(F.spark_partition_id(),
+                              F.col("__files__"))
+            out = (out.withColumn("__salt__", salt)
+                   .repartition(*[F.col(c) for c in partition_by],
+                                F.col("__salt__"))
+                   .drop("__files__", "__salt__"))
         else:
-            salt = F.pmod(F.spark_partition_id(), F.col("__files__"))
-        out = (out.withColumn("__salt__", salt)
-               .repartition(*[F.col(c) for c in partition_by],
-                            F.col("__salt__"))
-               .drop("__files__", "__salt__"))
-    else:
-        n_files = max(1, math.ceil(total / records_per_file))
-        if salt_col is not None:
-            out = (out.withColumn(
-                "__salt__",
-                F.pmod(F.abs(F.hash(F.col(salt_col))),
-                       F.lit(n_files)))
-                .repartition(n_files, F.col("__salt__"))
-                .drop("__salt__"))
-        else:
-            out = out.repartition(n_files)
+            n_files = max(1, math.ceil(total / records_per_file))
+            if salt_col is not None:
+                out = (out.withColumn(
+                    "__salt__",
+                    F.pmod(F.abs(F.hash(F.col(salt_col))),
+                           F.lit(n_files)))
+                    .repartition(n_files, F.col("__salt__"))
+                    .drop("__salt__"))
+            else:
+                out = out.repartition(n_files)
 
-    w = (out.write.mode(mode)
-         .option("maxRecordsPerFile", records_per_file))
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+        w = (out.write.mode(mode)
+             .option("maxRecordsPerFile", records_per_file))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    finally:
+        df.unpersist()
     return records_per_file
 
 
@@ -147,19 +179,14 @@ def stream_compacted(sdf: DataFrame, path: str,
     Returns the started ``StreamingQuery``.
     """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # write_sized makes several passes (row count, per-value
-        # counts, the write itself); an uncached batch would re-read
-        # its source files for each — persist once per microbatch
-        batch_df = batch_df.persist()
-        try:
-            if batch_df.isEmpty():
-                return
-            write_sized(batch_df, path, partition_by=partition_by,
-                        salt_col=salt_col,
-                        target_file_mb=target_file_mb,
-                        mode="append")
-        finally:
-            batch_df.unpersist()
+        # write_sized persists internally (its count / sizing /
+        # per-value passes and the write share one materialization)
+        if batch_df.isEmpty():
+            return
+        write_sized(batch_df, path, partition_by=partition_by,
+                    salt_col=salt_col,
+                    target_file_mb=target_file_mb,
+                    mode="append")
 
     w = (sdf.writeStream.foreachBatch(write_batch)
          .option("checkpointLocation", checkpoint))

@@ -1036,6 +1036,48 @@ def test_asof_join_tolerance_nulls_far_matches(spark):
     assert out == {1: 101, 2: 102, 3: None, 4: None}
 
 
+def test_asof_join_nearest_tolerance_per_direction(spark):
+    # pandas merge_asof rule: tolerance gates EACH direction before
+    # the nearer-side pick. Left ts=10: backward is ts=7 (delta 3,
+    # nearer, OUT of tolerance 2), forward ts=11 (delta 1, within).
+    # The in-tolerance forward side must win, not null.
+    import pandas as pd
+    from structa_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10.0)], ["lid", "ts"])
+    right = spark.createDataFrame(
+        [(201, 7.0), (202, 11.0)], ["rid", "ts"])
+    out = asof_join(left, right, direction="nearest",
+                    tolerance=2.0).collect()[0]
+    assert out.asof_rid == 202
+    want = pd.merge_asof(
+        pd.DataFrame({"lid": [1], "ts": [10.0]}),
+        pd.DataFrame({"rid": [201, 202], "ts": [7.0, 11.0]}),
+        on="ts", direction="nearest", tolerance=2.0)
+    assert int(want.rid.iloc[0]) == 202   # parity with the claim
+
+    # both directions out of tolerance -> genuinely null
+    far = asof_join(left, right, direction="nearest",
+                    tolerance=0.5).collect()[0]
+    assert far.asof_rid is None
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    # several right rows share the exact `on`: with tie_break the
+    # greatest tie value wins, independent of partitioning
+    from structa_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10.0)], ["lid", "ts"])
+    right = spark.createDataFrame(
+        [(203, 5.0), (207, 5.0), (205, 5.0)], ["rid", "ts"])
+    for n in (1, 3):
+        out = asof_join(left, right.repartition(n),
+                        tie_break="rid").collect()[0]
+        assert out.asof_rid == 207, n
+        fwd = asof_join(left.withColumn("ts", F.lit(2.0)),
+                        right.repartition(n), direction="forward",
+                        tie_break="rid").collect()[0]
+        assert fwd.asof_rid == 207, n
+
+
 def test_asof_join_inclusive_same_instant(spark):
     from structa_spark.operators.joins import asof_join
     left = spark.createDataFrame([(1, 10.0)], ["lid", "ts"])
