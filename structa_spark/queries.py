@@ -2901,3 +2901,71 @@ def daily_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("avg_value")
                                 - F.lag("avg_value").over(w), 4))
             .orderBy("day"))
+
+@register("decoded_media_stats", oracle="""
+WITH ids AS (SELECT doc_id FROM documents),
+png AS (
+  SELECT i.doc_id AS media_id, 'png' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         ROUND(AVG(CAST((i.doc_id + 3*y.y + x.x) % 256 AS DOUBLE)), 6)
+             AS v_mean,
+         CAST(MIN((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_min,
+         CAST(MAX((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_max
+  FROM ids i, range(0, 14) x(x), range(0, 10) y(y)
+  WHERE i.doc_id % 2 = 0
+    AND x.x < 8 + i.doc_id % 7 AND y.y < 6 + i.doc_id % 5
+  GROUP BY i.doc_id
+),
+wav AS (
+  SELECT i.doc_id AS media_id, 'wav' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         ROUND(AVG(CAST((i.doc_id*13 + s.s*7) % 201 - 100 AS DOUBLE)), 6)
+             AS v_mean,
+         CAST(MIN((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_min,
+         CAST(MAX((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_max
+  FROM ids i, range(0, 64) s(s)
+  WHERE i.doc_id % 2 = 1 AND s.s < 40 + i.doc_id % 25
+  GROUP BY i.doc_id
+)
+SELECT * FROM png UNION ALL SELECT * FROM wav ORDER BY media_id
+""")
+def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample decode, values-checked end to end: build
+    genuine PNG files (gradient pixels, row filters cycling through
+    all five PNG filter types — None/Sub/Up/Average/Paeth, so the
+    decoder must invert every one) and genuine 16-bit PCM WAV files
+    (a known sample sequence) executor-side, then decode them BACK
+    OUT OF THE BYTES with operators.multimodal.media_stats (zlib
+    inflate + unfilter / RIFF data reinterpret) and aggregate raw
+    value stats. The oracle predicts mean/min/max from the generator
+    formulas in pure SQL, so any decode bug — filter arithmetic,
+    byte order, sample framing — hash-mismatches. This retires the
+    last fake-decode seam for formats stdlib can genuinely decode;
+    JPEG/GIF/MP4 stay declared DecodeUnavailable."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 8 + i % 7, 6 + i % 5
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                    payload = mm.encode_png(
+                        arr, row_filters=[0, 1, 2, 3, 4])
+                else:
+                    n = 40 + i % 25
+                    s = ((i * 13 + np.arange(n) * 7) % 201
+                         - 100).astype("<i2")
+                    payload = mm.wav_bytes(8000, 1, n, bits=16,
+                                           samples=s.tobytes())
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.media_stats(media).orderBy("media_id")

@@ -204,10 +204,121 @@ def test_extract_features_deterministic(spark):
     assert all(len(v) == 4 for v in a.values())
 
 
-def test_real_decode_raises(spark):
+def test_real_decode_raises_for_codec_formats(spark):
+    # JPEG entropy decode genuinely needs external codecs; the
+    # synthetic fixture's PNGs are header-only (no IDAT), so both
+    # payload kinds must raise through the real-decode path
     m = multimodal.synthetic_media(spark, 4)
     with pytest.raises(Exception):
         multimodal.extract_features(m, real_decode=True).collect()
+
+
+def test_png_decode_roundtrip_all_filters():
+    import numpy as np
+    rng = np.random.RandomState(11)
+    for shape in [(5, 9), (7, 4, 3), (6, 6, 4), (4, 3, 2), (1, 1)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            b = multimodal.encode_png(arr, row_filters=filters)
+            assert np.array_equal(
+                multimodal.decode_png_pixels(b), want), (shape, filters)
+            # the real header parser agrees with the real decoder
+            fmt, w, h = multimodal.parse_image_header(b)
+            assert (fmt, w, h) == ("png", want.shape[1], want.shape[0])
+
+
+def test_png_decode_palette_and_refusals():
+    import numpy as np
+    idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   np.uint8)
+    b = multimodal.encode_png(idx, palette=pal, row_filters=[0, 2])
+    assert np.array_equal(multimodal.decode_png_pixels(b), pal[idx])
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_png_pixels(b"not a png at all....")
+    with pytest.raises(multimodal.DecodeUnavailable):
+        # header-only stream (no IDAT)
+        multimodal.decode_png_pixels(multimodal.png_bytes(4, 4))
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_png_pixels(None)
+
+
+def test_wav_decode_sample_values():
+    import numpy as np
+    s = np.array([-100, 0, 50, 32767, -32768], "<i2")
+    b = multimodal.wav_bytes(8000, 1, len(s), bits=16,
+                             samples=s.tobytes(), junk_chunk=True)
+    got, rate = multimodal.decode_wav_samples(b)
+    assert rate == 8000 and np.array_equal(got.ravel(), s)
+    # 8-bit PCM is stored unsigned; decode centers it
+    got8, _ = multimodal.decode_wav_samples(multimodal.wav_bytes(
+        8000, 1, 3, bits=8,
+        samples=np.array([0, 128, 255], np.uint8).tobytes()))
+    assert got8.ravel().tolist() == [-128, 0, 127]
+    # IEEE float (tag 3) decodes losslessly
+    sf = np.array([0.5, -0.25, 1.0], "<f4")
+    gotf, _ = multimodal.decode_wav_samples(multimodal.wav_bytes(
+        16000, 1, 3, bits=32, fmt_tag=3, samples=sf.tobytes()))
+    assert np.allclose(gotf.ravel(), sf)
+    # stereo frames come back (n_frames, 2)
+    st = np.arange(12, dtype="<i2")
+    gots, _ = multimodal.decode_wav_samples(multimodal.wav_bytes(
+        8000, 2, 6, bits=16, samples=st.tobytes()))
+    assert gots.shape == (6, 2)
+    # compressed codecs refuse rather than mis-decode
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_wav_samples(
+            multimodal.wav_bytes(8000, 1, 10, bits=4, fmt_tag=2))
+
+
+def test_extract_features_real_decode_png_wav(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            arr = rng.randint(0, 256, size=(6, 5)).astype(np.uint8)
+            rows.append((i, bytearray(multimodal.encode_png(
+                arr, row_filters=[0, 1, 2, 3, 4]))))
+        else:
+            s = rng.randint(-500, 500, size=40).astype("<i2")
+            rows.append((i, bytearray(multimodal.wav_bytes(
+                8000, 1, 40, bits=16, samples=s.tobytes()))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r.feature for r in
+           multimodal.extract_features(
+               df, dim=8, real_decode=True).collect()}
+    assert set(out) == set(range(6))
+    for mid, feat in out.items():
+        assert len(feat) == 8
+        assert all(np.isfinite(feat))
+        # mean/min/max of normalized values live in [0, 1]
+        assert 0.0 <= feat[0] <= 1.0 and 0.0 <= feat[2] <= feat[3] <= 1.0
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_features(
+                 df, dim=8, real_decode=True).collect()}
+    assert out == again
+
+
+def test_media_stats_distributed(spark):
+    import numpy as np
+    arr = np.array([[0, 10], [250, 4]], np.uint8)
+    s = np.array([-7, 7, 21], "<i2")
+    rows = [(1, bytearray(multimodal.encode_png(arr))),
+            (2, bytearray(multimodal.wav_bytes(
+                8000, 1, 3, bits=16, samples=s.tobytes()))),
+            (3, bytearray(b"junk-payload-without-a-decoder")),
+            (4, bytearray(multimodal.jpeg_bytes(4, 4)))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.kind, r.n_values, r.v_mean, r.v_min, r.v_max)
+           for r in multimodal.media_stats(df).collect()}
+    assert got[1] == ("png", 4, 66.0, 0.0, 250.0)
+    assert got[2] == ("wav", 3, 7.0, -7.0, 21.0)
+    # undecodable rows degrade to null stats, never kill the batch
+    assert got[3] == (None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None)
 
 
 def test_parse_image_header_pure():
