@@ -95,10 +95,17 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
                watermark: str = "1 hour") -> DataFrame:
     """Gap-based sessionization via ``applyInPandasWithState``.
 
-    Emits one row per CLOSED session (closed when the inter-event gap
-    exceeds ``gap_seconds``, or on state timeout). Arrow-batched,
-    state is 4 scalars per active user — the minimal custom-stateful
-    pattern to clone for any bespoke streaming operator."""
+    Emits one row per CLOSED session: closed in-stream when a later
+    event arrives more than ``gap_seconds`` after the previous one,
+    or by EVENT-TIME timeout when the watermark passes
+    ``session_end + gap_seconds``. Closure depends only on data
+    timestamps and the watermark — never on wall-clock trigger
+    cadence — so replaying the same input in 1 or N microbatches
+    emits identical sessions (pinned by the replay-invariance test;
+    a ProcessingTimeTimeout would close sessions at points that vary
+    with replay speed). Arrow-batched, state is 4 scalars per active
+    user — the minimal custom-stateful pattern to clone for any
+    bespoke streaming operator."""
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (user_id,) = key
@@ -111,7 +118,16 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
                             float(total)))
                 state.remove()
         else:
-            rows = pd.concat(list(pdfs))
+            chunks = list(pdfs)
+            rows = (pd.concat(chunks) if chunks
+                    else pd.DataFrame(columns=[ts_col, value_col]))
+            if len(rows) == 0:
+                # the group was invoked but every row fell behind the
+                # watermark (late data). Leave the existing state AND
+                # its event-time timeout untouched: re-arming it past
+                # the current watermark here would postpone closure
+                # every time a straggler shows up, leaking the session
+                return
             rows = rows.sort_values(ts_col)
             ts = rows[ts_col].astype("int64") / 1e9
             vals = rows[value_col].fillna(0.0)
@@ -131,7 +147,15 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
                 n += 1
                 total += float(v)
             state.update((float(start), float(last), int(n), float(total)))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            # event-time closure: time out when the WATERMARK passes
+            # the gap after the last event of the open session. The
+            # timestamp must sit strictly beyond the current
+            # watermark, so a session already expired by the time its
+            # batch processes closes at the next watermark tick
+            # rather than erroring
+            wm = state.getCurrentWatermarkMs()
+            timeout_at = int((last + gap_seconds) * 1000)
+            state.setTimeoutTimestamp(max(timeout_at, wm + 1))
         if out:
             yield pd.DataFrame(out, columns=[
                 "user_id", "session_start", "session_end", "n_events",
@@ -142,7 +166,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             .groupBy(F.col(user_col))
             .applyInPandasWithState(
                 update, SESSION_SCHEMA, _STATE_SCHEMA,
-                "append", GroupStateTimeout.ProcessingTimeTimeout))
+                "append", GroupStateTimeout.EventTimeTimeout))
 
 
 def dedup_stream(sdf: DataFrame, key_cols: List[str],

@@ -129,7 +129,62 @@ def test_sessionize_batch_twin_matches_sql(spark, tmp_path):
     _run_stream(sessionize(sdf, gap_seconds=1800), "sess_twin", "append")
     streamed = {(r.user_id, r.n_events)
                 for r in spark.sql("SELECT * FROM sess_twin").collect()}
-    assert streamed == {(1, 2), (2, 1)}
+    # event-time closure also times out user 1's 11:00 singleton: its
+    # timeout (11:30) sits behind the final watermark (13:00 - 1h);
+    # user 2's 13:00 singleton stays open (timeout 13:30 > watermark)
+    assert streamed == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_sessionize_replay_speed_invariant(spark, tmp_path):
+    """Event-time closure makes replays speed-invariant: the same
+    input processed as ONE microbatch or as one-file-per-trigger
+    microbatches emits identical closed sessions (a processing-time
+    timeout would close sessions at wall-clock-dependent points)."""
+    rows = [
+        ("2024-01-01 09:00:00", 1, "view", 1.0),
+        ("2024-01-01 09:10:00", 1, "view", 2.0),
+        ("2024-01-01 11:00:00", 1, "view", 3.0),
+        ("2024-01-01 09:30:00", 2, "view", 5.0),
+        ("2024-01-01 11:20:00", 2, "view", 6.0),
+        ("2024-01-01 14:00:00", 3, "view", 7.0),
+    ]
+
+    # replay preserves event-time arrival order (the watermark
+    # contract); only the BATCH GRANULARITY differs between runs
+    ordered = sorted(rows)
+
+    def run(tag, n_files):
+        import os
+        src = tmp_path / f"replay_{tag}"
+        src.mkdir(parents=True)
+        per = (len(ordered) + n_files - 1) // n_files
+        for i in range(n_files):
+            p = src / f"part-{i}.json"
+            with p.open("w") as fh:
+                for ts, uid, etype, val in ordered[i * per:(i + 1) * per]:
+                    fh.write(json.dumps({
+                        "ts": ts, "user_id": uid,
+                        "event_type": etype, "value": val}) + "\n")
+            # the file source triggers oldest-mtime first: pin strictly
+            # increasing mtimes so batches arrive in event-time order
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        sdf = (spark.readStream.schema(EVENT_SCHEMA)
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (sessionize(sdf, gap_seconds=1800).writeStream
+             .format("memory").queryName(f"replay_{tag}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return {(r.user_id, str(r.session_start), str(r.session_end),
+                 r.n_events, r.total_value)
+                for r in spark.sql(
+                    f"SELECT * FROM replay_{tag}").collect()}
+
+    fast = run("one", 1)       # everything in a single microbatch
+    slow = run("many", 3)      # one file per trigger
+    assert fast == slow
+    assert (1, "2024-01-01 09:00:00", "2024-01-01 09:10:00",
+            2, 3.0) in fast
 
 
 def test_dedup_stream_drops_duplicates(spark, tmp_path):
