@@ -56,66 +56,76 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, contamination_check, cosine_topk,
-        json_props_stats, passage_dedup_summary, pq_adc_topk,
-        q1_pricing_summary, q3_top_orders, q5_nation_revenue,
-        repetition_signals, rollup_nation_year, semantic_dedup_summary,
-        sessionize_events, tfidf_top_terms, token_stats_by_lang,
-        top_orders_per_customer, training_manifest, unigram_nll,
-        windowed_event_stats,
+        asof_purchase_click, contamination_check, containment_pairs,
+        cosine_topk, decoded_media_stats, hybrid_rrf_topk,
+        int8_topk_search, json_props_stats, mixed_resample_counts,
+        passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
+        q3_top_orders, q5_nation_revenue, repetition_signals,
+        rollup_nation_year, semantic_dedup_summary, sessionize_events,
+        tfidf_top_terms, token_stats_by_lang, top_orders_per_customer,
+        training_manifest, unigram_nll, windowed_event_stats,
     )
     from structa_spark.sources.tables import load_table
 
-    def bench_profile():
-        p = analyze(load_table(spark, SF_DIR, "lineitem"))
-        return p.row_count
+    def make_suite(sf_dir):
+        def bench_profile():
+            p = analyze(load_table(spark, sf_dir, "lineitem"))
+            return p.row_count
 
-    def bench_profile_docs():
-        p = analyze(load_table(spark, SF_DIR, "documents"))
-        return p.row_count
+        def bench_profile_docs():
+            p = analyze(load_table(spark, sf_dir, "documents"))
+            return p.row_count
 
-    def bench_minhash():
-        d = load_table(spark, SF_DIR, "documents")
-        return dedup.minhash_candidates(d).count()
+        def bench_minhash():
+            d = load_table(spark, sf_dir, "documents")
+            return dedup.minhash_candidates(d).count()
 
-    def bench_simhash():
-        d = load_table(spark, SF_DIR, "documents")
-        return dedup.simhash_near_duplicates(d).count()
+        def bench_simhash():
+            d = load_table(spark, sf_dir, "documents")
+            return dedup.simhash_near_duplicates(d).count()
 
-    def bench_neardup_lsh():
-        e = load_table(spark, SF_DIR, "embeddings")
-        return similarity.embedding_near_duplicates(
-            e, threshold=0.9, use_lsh=True).count()
+        def bench_neardup_lsh():
+            e = load_table(spark, sf_dir, "embeddings")
+            return similarity.embedding_near_duplicates(
+                e, threshold=0.9, use_lsh=True).count()
 
-    def run_df(fn):
-        return lambda: fn(spark, SF_DIR).count()
+        def run_df(fn):
+            return lambda: fn(spark, sf_dir).count()
 
-    suite = {
-        "profile_lineitem": bench_profile,
-        "profile_documents": bench_profile_docs,
-        "json_props": run_df(json_props_stats),
-        "q1": run_df(q1_pricing_summary),
-        "q3": run_df(q3_top_orders),
-        "q5": run_df(q5_nation_revenue),
-        "window_topk": run_df(top_orders_per_customer),
-        "asof_join": run_df(asof_purchase_click),
-        "sessionize": run_df(sessionize_events),
-        "windowed_stats": run_df(windowed_event_stats),
-        "rollup": run_df(rollup_nation_year),
-        "minhash_candidates": bench_minhash,
-        "simhash_pairs": bench_simhash,
-        "token_stats": run_df(token_stats_by_lang),
-        "cosine_topk": run_df(cosine_topk),
-        "neardup_lsh": bench_neardup_lsh,
-        "repetition": run_df(repetition_signals),
-        "passage_dedup": run_df(passage_dedup_summary),
-        "pq_adc_topk": run_df(pq_adc_topk),
-        "training_manifest": run_df(training_manifest),
-        "tfidf": run_df(tfidf_top_terms),
-        "decontaminate": run_df(contamination_check),
-        "unigram_nll": run_df(unigram_nll),
-        "semantic_dedup": run_df(semantic_dedup_summary),
-    }
+        return {
+            "profile_lineitem": bench_profile,
+            "profile_documents": bench_profile_docs,
+            "json_props": run_df(json_props_stats),
+            "q1": run_df(q1_pricing_summary),
+            "q3": run_df(q3_top_orders),
+            "q5": run_df(q5_nation_revenue),
+            "window_topk": run_df(top_orders_per_customer),
+            "asof_join": run_df(asof_purchase_click),
+            "sessionize": run_df(sessionize_events),
+            "windowed_stats": run_df(windowed_event_stats),
+            "rollup": run_df(rollup_nation_year),
+            "minhash_candidates": bench_minhash,
+            "simhash_pairs": bench_simhash,
+            "token_stats": run_df(token_stats_by_lang),
+            "cosine_topk": run_df(cosine_topk),
+            "neardup_lsh": bench_neardup_lsh,
+            "repetition": run_df(repetition_signals),
+            "passage_dedup": run_df(passage_dedup_summary),
+            "pq_adc_topk": run_df(pq_adc_topk),
+            "training_manifest": run_df(training_manifest),
+            "tfidf": run_df(tfidf_top_terms),
+            "decontaminate": run_df(contamination_check),
+            "unigram_nll": run_df(unigram_nll),
+            "semantic_dedup": run_df(semantic_dedup_summary),
+            # newest retrieval / dedup / pipeline paths
+            "int8_topk": run_df(int8_topk_search),
+            "hybrid_rrf": run_df(hybrid_rrf_topk),
+            "containment": run_df(containment_pairs),
+            "mixed_resample": run_df(mixed_resample_counts),
+            "decoded_media": run_df(decoded_media_stats),
+        }
+
+    suite = make_suite(SF_DIR)
 
     # warm the JVM once so timings measure the queries, not session
     # startup: load the parquet vectorized reader, codegen/Janino,
@@ -193,6 +203,51 @@ def main():
         out["failed_passes"] = flaky
     if errors:
         out["errors"] = errors
+
+    # scale ladder: one extra pass at a smaller scale factor and the
+    # per-query scaling exponent log(t_big/t_small)/log(sf_ratio).
+    # A linear operator reads ~1.0 minus fixed-overhead compression
+    # (job-launch floor dominates small-SF timings, biasing exponents
+    # LOW); anything trending clearly above ~1.3 is the 100x alarm —
+    # super-linearity caught by trend, not eyeball.
+    import math
+    import re
+
+    def _sf_of(d):
+        m = re.search(r"sf([0-9.]+)", os.path.basename(d.rstrip("/")))
+        try:
+            return float(m.group(1)) if m else None
+        except ValueError:
+            return None
+
+    ladder_dir = os.environ.get("SPARK_GRAFT_LADDER_DIR",
+                                "/root/testdata/sf0.01")
+    sf_main, sf_small = _sf_of(SF_DIR), _sf_of(ladder_dir)
+    if (os.environ.get("SPARK_GRAFT_BENCH_LADDER", "1") != "0"
+            and os.path.isdir(ladder_dir)
+            and sf_main and sf_small and sf_main > sf_small):
+        small_suite = make_suite(ladder_dir)
+        small = {}
+        for name, fn in small_suite.items():
+            t0 = time.time()
+            try:
+                fn()
+                small[name] = round(time.time() - t0, 3)
+            except Exception:
+                small[name] = None
+        ratio = sf_main / sf_small
+        exponents = {
+            name: round(math.log(times[name] / small[name])
+                        / math.log(ratio), 2)
+            for name in suite
+            if times.get(name) and small.get(name)}
+        out["ladder"] = {
+            "sf_dir": ladder_dir,
+            "scale_ratio": ratio,
+            "queries": small,
+            "exponents": exponents,
+        }
+
     print(json.dumps(out))
     spark.stop()
 
