@@ -179,6 +179,10 @@ class Scalar(Node):
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
         rng = self.stats.range_str(opts.str_limit)
+        if rng:
+            # the reference styles the whole range suffix with
+            # suffix-style (green), reference ui/cli.xsl:44-49
+            rng = opts.s("suffix", rng)
         out = f"{self._styled_name(opts)} {rng}".strip()
         return _decorate(out, self.stats, opts)
 
@@ -212,6 +216,8 @@ class StrT(Scalar):
     def render(self, opts: Optional[RenderOptions] = None) -> str:
         opts = opts or RenderOptions()
         rng = self.stats.range_str(opts.str_limit)
+        if rng:
+            rng = opts.s("suffix", rng)
         pat = (' pattern=' + opts.s("pattern",
                                     f'"{pattern_str(self.pattern)}"')
                if self.pattern else "")

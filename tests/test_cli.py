@@ -166,3 +166,29 @@ def test_cli_csv_format_override(spark, tmp_path):
     out = get_structure(get_config(["--csv-format", "|", str(f)]),
                         spark=spark)
     assert "'a': int range=1..3" in out
+
+
+def test_cli_color_styling(spark, tmp_path):
+    # --color always wraps type names in cyan, suffixes in green,
+    # patterns in yellow (the reference's XSLT styling, reference
+    # ui/cli.py:271-278); --color never (and auto off-tty) emits no
+    # escapes at all
+    f = tmp_path / "c.json"
+    with f.open("w") as fh:
+        for i in range(30):
+            fh.write(json.dumps({"id": i, "code": f"{i % 5:03d}"}) + "\n")
+    plain = get_structure(get_config(["--color", "never", str(f)]),
+                          spark=spark)
+    assert "\x1b[" not in plain
+    styled = get_structure(get_config(["--color", "always", str(f)]),
+                           spark=spark)
+    assert "\x1b[36mint\x1b[0m" in styled          # cyan type name
+    assert "\x1b[32m" in styled                    # green suffix
+    assert "\x1b[33m" in styled                    # yellow pattern
+    # stripping the escapes reproduces the plain render exactly
+    import re
+    assert re.sub(r"\x1b\[[0-9;]*m", "", styled) == plain
+    # auto without a tty stays plain
+    auto = get_structure(get_config(["--color", "auto", str(f)]),
+                         spark=spark)
+    assert "\x1b[" not in auto
