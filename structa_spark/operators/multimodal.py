@@ -7,9 +7,11 @@ The Spark-side contract is real and tested — schemas, Arrow-batched
 * PNG — REAL pixel decode, stdlib-only (:func:`decode_png_pixels`:
   chunk walk -> zlib inflate -> per-row unfilter, all five filter
   types, gray/RGB/alpha/palette at bit depth 8).
+* GIF — REAL pixel decode (:func:`decode_gif_pixels`: block walk +
+  pure-Python LZW inflate, interlace, palettes).
 * WAV — REAL sample decode (:func:`decode_wav_samples`: linear PCM
   8/16/32-bit and IEEE-float chunks to numpy arrays).
-* JPEG / GIF / MP4 — header metadata is real byte-level parsing;
+* JPEG / MP4 — header metadata is real byte-level parsing;
   pixel/sample decode raises ``DecodeUnavailable`` (their entropy
   coders genuinely need external codec libraries, absent here).
   Swapping in PIL/ffmpeg later changes only the inner function body,
@@ -309,6 +311,202 @@ def encode_png(pixels, row_filters=None, palette=None) -> bytes:
     return out + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-flavor LZW decode (LSB-first bit packing, variable code
+    width min+1..12, clear/EOI codes) — pure algorithmic work, no
+    codec library involved."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [(i,) for i in range(clear)] + [(), ()]
+    out = []
+    prev = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out          # truncated stream: best effort
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif prev is not None and code == len(table):
+            entry = prev + (prev[0],)    # the KwKwK case
+        else:
+            raise DecodeUnavailable(f"corrupt LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encode, the round-trip twin of
+    :func:`_lzw_decode` (encoder widens one step later than the
+    decoder — the spec's off-by-one — and clears at a full table)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dict_ = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    codes = [(clear, width)]
+    w = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in dict_:
+            w = wk
+            continue
+        codes.append((dict_[w], width))
+        if next_code < 4096:
+            dict_[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            dict_ = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        codes.append((dict_[w], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload):
+    """REAL GIF pixel decode, stdlib-only: logical-screen parse,
+    color tables, block walk, LZW inflate of the first image frame
+    (variable code width, clear/EOI, the KwKwK case), Adam-style
+    4-pass de-interlace -> ``(h, w, 3)`` uint8 RGB via the palette.
+    LZW is pure table arithmetic — unlike JPEG's entropy coding it
+    needs no codec library, so GIF joins PNG/WAV on the real-decode
+    side of the seam."""
+    import numpy as np
+
+    if payload is None:
+        raise DecodeUnavailable("empty payload")
+    p = bytes(payload)
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        raise DecodeUnavailable("not a GIF stream")
+    packed = p[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p[i:i + 3 * n], np.uint8).reshape(-1, 3)
+        i += 3 * n
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:                      # trailer
+            break
+        if b == 0x21:                      # extension: skip sub-blocks
+            i += 2
+            while i < len(p) and p[i]:
+                i += 1 + p[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise DecodeUnavailable(f"unknown GIF block 0x{b:02x}")
+        w = int.from_bytes(p[i + 5:i + 7], "little")
+        h = int.from_bytes(p[i + 7:i + 9], "little")
+        ipack = p[i + 9]
+        i += 10
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(p[i:i + 3 * n], np.uint8).reshape(-1, 3)
+            i += 3 * n
+        if pal is None:
+            raise DecodeUnavailable("GIF frame without a color table")
+        min_code = p[i]
+        i += 1
+        data = bytearray()
+        while i < len(p) and p[i]:
+            size = p[i]
+            data += p[i + 1:i + 1 + size]
+            i += 1 + size
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise DecodeUnavailable("truncated GIF pixel data")
+        arr = np.array(idx[:w * h], np.int32).reshape(h, w)
+        if ipack & 0x40:                   # de-interlace
+            rows = [r for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)]
+            out = np.empty_like(arr)
+            out[rows] = arr
+            arr = out
+        if int(arr.max(initial=0)) >= len(pal):
+            raise DecodeUnavailable("palette index out of range")
+        return pal[arr]
+    raise DecodeUnavailable("GIF stream holds no image frame")
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """REAL GIF encoder (the synthetic/round-trip twin of
+    :func:`decode_gif_pixels`): an ``(h, w)`` uint8 index array and
+    an ``(n, 3)`` palette become a single-frame GIF89a, optionally
+    interlaced so tests exercise the 4-pass reorder."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(indices, dtype=np.uint8)
+    h, w = arr.shape
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    bits = max(1, (len(pal) - 1).bit_length())
+    n = 1 << bits
+    pal_full = np.zeros((n, 3), np.uint8)
+    pal_full[:len(pal)] = pal
+    min_code = max(2, bits)
+    body = arr
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, h, step)]
+        body = arr[rows]
+    data = _lzw_encode(body.reshape(-1), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out.append(min_code)
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("format", T.StringType()),
@@ -511,6 +709,8 @@ def _real_decode_feature(payload, dim: int) -> list:
     p = bytes(payload) if payload is not None else b""
     if p[:8] == _PNG_SIG:
         vals = decode_png_pixels(p).astype(np.float64).ravel() / 255.0
+    elif p[:6] in (b"GIF87a", b"GIF89a"):
+        vals = decode_gif_pixels(p).astype(np.float64).ravel() / 255.0
     elif p[:4] == b"RIFF":
         s, _rate = decode_wav_samples(p)
         s = s.astype(np.float64).ravel()
@@ -521,7 +721,7 @@ def _real_decode_feature(payload, dim: int) -> list:
             vals = (s / peak + 1.0) / 2.0
     else:
         raise DecodeUnavailable(
-            "no stdlib decoder for this format (JPEG/GIF/MP4 entropy "
+            "no stdlib decoder for this format (JPEG/MP4 entropy "
             "coding needs external codec libraries)")
     if vals.size == 0:
         return [0.0] * dim
@@ -617,6 +817,10 @@ def media_stats(df: DataFrame, payload_col: str = "payload",
                         vals = (decode_png_pixels(p)
                                 .astype(np.float64).ravel())
                         kind = "png"
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        vals = (decode_gif_pixels(p)
+                                .astype(np.float64).ravel())
+                        kind = "gif"
                     elif p[:4] == b"RIFF":
                         s, _rate = decode_wav_samples(p)
                         vals = s.astype(np.float64).ravel()

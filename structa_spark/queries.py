@@ -2927,7 +2927,7 @@ png AS (
          CAST(MIN((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_min,
          CAST(MAX((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_max
   FROM ids i, range(0, 14) x(x), range(0, 10) y(y)
-  WHERE i.doc_id % 2 = 0
+  WHERE i.doc_id % 3 = 0
     AND x.x < 8 + i.doc_id % 7 AND y.y < 6 + i.doc_id % 5
   GROUP BY i.doc_id
 ),
@@ -2939,24 +2939,43 @@ wav AS (
          CAST(MIN((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_min,
          CAST(MAX((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_max
   FROM ids i, range(0, 64) s(s)
-  WHERE i.doc_id % 2 = 1 AND s.s < 40 + i.doc_id % 25
+  WHERE i.doc_id % 3 = 1 AND s.s < 40 + i.doc_id % 25
+  GROUP BY i.doc_id
+),
+gif AS (
+  SELECT i.doc_id AS media_id, 'gif' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         ROUND(AVG(CAST((i.doc_id*5 + ((x.x+y.y)%4)*11 + c.c) % 256
+                        AS DOUBLE)), 6) AS v_mean,
+         CAST(MIN((i.doc_id*5 + ((x.x+y.y)%4)*11 + c.c) % 256)
+              AS DOUBLE) AS v_min,
+         CAST(MAX((i.doc_id*5 + ((x.x+y.y)%4)*11 + c.c) % 256)
+              AS DOUBLE) AS v_max
+  FROM ids i, range(0, 10) x(x), range(0, 8) y(y), range(0, 3) c(c)
+  WHERE i.doc_id % 3 = 2
+    AND x.x < 6 + i.doc_id % 5 AND y.y < 5 + i.doc_id % 4
   GROUP BY i.doc_id
 )
-SELECT * FROM png UNION ALL SELECT * FROM wav ORDER BY media_id
+SELECT * FROM png UNION ALL SELECT * FROM wav
+UNION ALL SELECT * FROM gif ORDER BY media_id
 """)
 def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel/sample decode, values-checked end to end: build
     genuine PNG files (gradient pixels, row filters cycling through
     all five PNG filter types — None/Sub/Up/Average/Paeth, so the
-    decoder must invert every one) and genuine 16-bit PCM WAV files
-    (a known sample sequence) executor-side, then decode them BACK
-    OUT OF THE BYTES with operators.multimodal.media_stats (zlib
-    inflate + unfilter / RIFF data reinterpret) and aggregate raw
-    value stats. The oracle predicts mean/min/max from the generator
-    formulas in pure SQL, so any decode bug — filter arithmetic,
-    byte order, sample framing — hash-mismatches. This retires the
-    last fake-decode seam for formats stdlib can genuinely decode;
-    JPEG/GIF/MP4 stay declared DecodeUnavailable."""
+    decoder must invert every one), genuine 16-bit PCM WAV files (a
+    known sample sequence), and genuine GIF files (LZW-compressed
+    palette indices, interlaced for every other doc) executor-side,
+    then decode them BACK OUT OF THE BYTES with
+    operators.multimodal.media_stats (zlib inflate + unfilter / RIFF
+    data reinterpret / LZW table inflate + de-interlace + palette
+    lookup) and aggregate raw value stats. The oracle predicts
+    mean/min/max from the generator formulas in pure SQL, so any
+    decode bug — filter arithmetic, byte order, sample framing, LZW
+    width handling — hash-mismatches. This retires the fake-decode
+    seam for every format stdlib can genuinely decode; JPEG/MP4 stay
+    declared DecodeUnavailable (their entropy coders need real codec
+    libraries)."""
     import numpy as np
     import pandas as pd
     from .operators import multimodal as mm
@@ -2967,18 +2986,27 @@ def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     w, h = 8 + i % 7, 6 + i % 5
                     yy, xx = np.mgrid[0:h, 0:w]
                     arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
                     payload = mm.encode_png(
                         arr, row_filters=[0, 1, 2, 3, 4])
-                else:
+                elif i % 3 == 1:
                     n = 40 + i % 25
                     s = ((i * 13 + np.arange(n) * 7) % 201
                          - 100).astype("<i2")
                     payload = mm.wav_bytes(8000, 1, n, bits=16,
                                            samples=s.tobytes())
+                else:
+                    w, h = 6 + i % 5, 5 + i % 4
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    idx = ((xx + yy) % 4).astype(np.uint8)
+                    pal = np.array(
+                        [[(i * 5 + k * 11 + c) % 256 for c in range(3)]
+                         for k in range(4)], np.uint8)
+                    payload = mm.encode_gif(idx, pal,
+                                            interlace=bool(i % 2))
                 rows.append((i, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

@@ -244,6 +244,39 @@ def test_png_decode_palette_and_refusals():
         multimodal.decode_png_pixels(None)
 
 
+def test_gif_decode_roundtrip():
+    import numpy as np
+    rng = np.random.RandomState(13)
+    for shape, npal, inter in [((7, 9), 4, False), ((16, 16), 4, True),
+                               ((31, 13), 2, False), ((1, 1), 1, False),
+                               ((8, 3), 7, True)]:
+        idx = rng.randint(0, npal, size=shape).astype(np.uint8)
+        pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+        b = multimodal.encode_gif(idx, pal, interlace=inter)
+        assert np.array_equal(multimodal.decode_gif_pixels(b),
+                              pal[idx]), (shape, npal, inter)
+        fmt, w, h = multimodal.parse_image_header(b)
+        assert (fmt, w, h) == ("gif", shape[1], shape[0])
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_gif_pixels(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_gif_pixels(b"not a gif")
+
+
+def test_gif_lzw_exercises_width_growth_and_clear():
+    # a long 256-symbol stream grows the code table to the 4096-entry
+    # cap and forces an in-stream clear; repetitive data hits deep
+    # dictionary chains and the KwKwK special case
+    import numpy as np
+    from structa_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode)
+    rng = np.random.RandomState(4)
+    seq = rng.randint(0, 256, size=60000).tolist()
+    assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq
+    seq = ([1, 1, 1, 1] * 800 + [2, 3] * 500) * 3
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+
+
 def test_wav_decode_sample_values():
     import numpy as np
     s = np.array([-100, 0, 50, 32767, -32768], "<i2")
