@@ -56,7 +56,7 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, contamination_check, containment_pairs,
+        asof_purchase_click, contamination_check,
         cosine_topk, decoded_media_stats, hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
@@ -89,6 +89,15 @@ def main():
             return similarity.embedding_near_duplicates(
                 e, threshold=0.9, use_lsh=True).count()
 
+        def bench_containment():
+            # the SCALE path: LSH candidates verified with
+            # array_intersect over the full table — never the
+            # labeled quadratic oracle slice the registry query uses
+            d = load_table(spark, sf_dir, "documents")
+            cands = dedup.minhash_candidates(d)
+            return dedup.containment_pairs(
+                d, threshold=0.5, candidates=cands).count()
+
         def run_df(fn):
             return lambda: fn(spark, sf_dir).count()
 
@@ -120,7 +129,7 @@ def main():
             # newest retrieval / dedup / pipeline paths
             "int8_topk": run_df(int8_topk_search),
             "hybrid_rrf": run_df(hybrid_rrf_topk),
-            "containment": run_df(containment_pairs),
+            "containment": bench_containment,
             "mixed_resample": run_df(mixed_resample_counts),
             "decoded_media": run_df(decoded_media_stats),
         }
