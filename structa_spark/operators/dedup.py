@@ -260,21 +260,35 @@ def _pair_intersections(df: DataFrame, text_col: str, id_col: str,
     via two id-keyed joins + ``array_intersect`` (the scale path).
     Without: all co-occurring pairs via the exploded shingle
     equi-join (the labeled quadratic oracle path)."""
+    if candidates is not None:
+        # join the RAW text to the pair list first and tokenize
+        # AFTER the join: shingle computation then runs over
+        # O(candidate pairs), not the corpus — at 100 TB the
+        # difference between re-tokenizing everything twice and
+        # touching a few thousand joined rows. Writing the shingle
+        # expression post-join (instead of semi-joining a tokenized
+        # corpus) also keeps `candidates` referenced exactly ONCE,
+        # so its LSH-producing DAG runs once with no materialization
+        # tricks needed.
+        da = df.select(F.col(id_col).alias("id_a"),
+                       F.col(text_col).alias("__t_a__"))
+        db = df.select(F.col(id_col).alias("id_b"),
+                       F.col(text_col).alias("__t_b__"))
+        paired = (candidates.select("id_a", "id_b")
+                  .join(da, "id_a").join(db, "id_b")
+                  .select("id_a", "id_b",
+                          word_shingles(F.col("__t_a__"), shingle_k)
+                          .alias("sh_a"),
+                          word_shingles(F.col("__t_b__"), shingle_k)
+                          .alias("sh_b")))
+        return paired.select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"))
     sh = df.select(F.col(id_col),
                    word_shingles(F.col(text_col), shingle_k)
                    .alias("shingles"))
-    if candidates is not None:
-        sha = sh.select(F.col(id_col).alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-        shb = sh.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
-        return (candidates.select("id_a", "id_b")
-                .join(sha, "id_a").join(shb, "id_b")
-                .select("id_a", "id_b",
-                        F.size(F.array_intersect("sh_a", "sh_b"))
-                        .alias("n_inter"),
-                        F.size("sh_a").alias("n_a"),
-                        F.size("sh_b").alias("n_b")))
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -58,7 +58,30 @@ FEATURE_SCHEMA = T.StructType([
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-decode path: codec libraries not present."""
+    """Raised by the real-decode path: codec libraries not present,
+    or the payload is malformed/truncated beyond parsing."""
+
+
+def _decode_errors(fn):
+    """Decoders promise to raise ONLY DecodeUnavailable on bad input:
+    a malformed payload otherwise surfaces struct.error / ValueError /
+    IndexError from deep inside the byte walk, which the per-row
+    handlers in media_stats / feature extraction would not catch — one
+    corrupt file would then kill a whole 100 TB scan task."""
+    import functools
+    import struct
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DecodeUnavailable:
+            raise
+        except (struct.error, ValueError, IndexError, TypeError,
+                OverflowError) as e:
+            raise DecodeUnavailable(
+                f"malformed payload: {type(e).__name__}: {e}") from e
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +165,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_decode_errors
 def decode_png_pixels(payload):
     """REAL PNG pixel decode, no codec libraries: chunk walk ->
     ``zlib`` inflate of the concatenated IDAT stream -> per-row
@@ -402,6 +426,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_decode_errors
 def decode_gif_pixels(payload):
     """REAL GIF pixel decode, stdlib-only: logical-screen parse,
     color tables, block walk, LZW inflate of the first image frame
@@ -638,6 +663,7 @@ def audio_metadata(df: DataFrame, payload_col: str = "payload",
                 / F.col("sample_rate").cast("double"), 6))
 
 
+@_decode_errors
 def decode_wav_samples(payload):
     """REAL WAV sample decode, no codec libraries: RIFF chunk walk
     collecting ``fmt `` + ``data``, then a numpy reinterpret of the
@@ -675,7 +701,11 @@ def decode_wav_samples(payload):
     if (tag, bits) not in dtypes:
         raise DecodeUnavailable(
             f"no stdlib decoder for fmt tag {tag} / {bits}-bit")
-    arr = np.frombuffer(data, dtype=dtypes[(tag, bits)])
+    dt = np.dtype(dtypes[(tag, bits)])
+    # a truncated data chunk may end mid-sample: trim the tail bytes
+    # rather than failing the whole payload
+    arr = np.frombuffer(data[:len(data) // dt.itemsize * dt.itemsize],
+                        dtype=dt)
     if tag == 1 and bits == 8:
         arr = arr.astype(np.int16) - 128
     n_frames = len(arr) // channels
@@ -702,8 +732,8 @@ def _real_decode_feature(payload, dim: int) -> list:
     dim-length [stats, histogram] vector over values normalized to
     [0, 1] (pixels / 255; audio peak-normalized then shifted). The
     first four slots are mean/std/min/max; the rest a density
-    histogram. Formats without a stdlib decoder (JPEG/GIF entropy
-    coding, compressed WAV) raise ``DecodeUnavailable``."""
+    histogram. Formats without a stdlib decoder (JPEG entropy
+    coding, MP4, compressed WAV) raise ``DecodeUnavailable``."""
     import numpy as np
 
     p = bytes(payload) if payload is not None else b""
@@ -746,9 +776,10 @@ def extract_features(df: DataFrame, dim: int = 16,
     any decode/resize/frame-sample stage.
 
     ``real_decode=True`` runs the REAL stdlib decoders
-    (:func:`decode_png_pixels` / :func:`decode_wav_samples`) and
-    features from actual pixel/sample values; formats that need an
-    external codec (JPEG, GIF, MP4) raise ``DecodeUnavailable``.
+    (:func:`decode_png_pixels` / :func:`decode_gif_pixels` /
+    :func:`decode_wav_samples`) and features from actual
+    pixel/sample values; formats that need an external codec
+    (JPEG, MP4) raise ``DecodeUnavailable``.
     The default fake path stays for engine tests that only exercise
     the distributed plumbing.
 

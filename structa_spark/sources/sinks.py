@@ -24,39 +24,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
-    return int(df._jdf.queryExecution().optimizedPlan()
-               .stats().sizeInBytes())
+def _field_size_expr(dt, col):
+    """Approximate serialized bytes of one value as a Column
+    expression — evaluated EXECUTOR-side, so sizing never ships
+    payload bytes to the driver."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return F.coalesce(F.octet_length(col), F.lit(0)) + F.lit(8)
+    if isinstance(dt, T.BooleanType):
+        return F.lit(1)
+    if isinstance(dt, (T.NumericType, T.TimestampType,
+                       T.TimestampNTZType, T.DateType)):
+        return F.lit(8)
+    if isinstance(dt, T.ArrayType):
+        n = F.coalesce(F.size(col), F.lit(0))
+        et = dt.elementType
+        if isinstance(et, (T.StringType, T.BinaryType)):
+            return F.coalesce(
+                F.aggregate(col, F.lit(0), lambda a, x:
+                            a + F.coalesce(F.octet_length(x), F.lit(0))),
+                F.lit(0)) + n * 8 + F.lit(16)
+        if isinstance(et, (T.NumericType, T.BooleanType)):
+            return n * 8 + F.lit(16)
+        return n * 64 + F.lit(16)
+    if isinstance(dt, T.StructType):
+        total = F.lit(8)
+        for f in dt.fields:
+            total = total + _field_size_expr(f.dataType, col[f.name])
+        return total
+    return F.lit(64)                  # maps & exotics: flat guess
 
 
 def _sampled_row_bytes(df: DataFrame,
                        sample_rows: int = 1024) -> Optional[float]:
-    """Measured in-memory bytes/row from a bounded sample
-    (``limit(N)`` -> Arrow -> pandas deep memory). Returns None for
-    an empty input. The limit is pushed into the scan, so this is a
-    single cheap partial job regardless of input size."""
-    pdf = df.limit(sample_rows).toPandas()
-    if len(pdf) == 0:
+    """Measured bytes/row from a bounded sample: ``limit(N)`` then an
+    executor-side aggregate over per-column size expressions
+    (octet_length for strings/binary, fixed widths for scalars,
+    element sums for arrays). Only ONE aggregated row reaches the
+    driver — a 50 MB-payload media table sizes as cheaply as a table
+    of ints. Returns None for an empty input."""
+    parts = [_field_size_expr(f.dataType, F.col(f.name))
+             for f in df.schema.fields]
+    total = parts[0] if parts else F.lit(1)
+    for p in parts[1:]:
+        total = total + p
+    row = (df.limit(sample_rows)
+           .select(total.cast("double").alias("__sz__"))
+           .agg(F.avg("__sz__").alias("avg_sz"))
+           .collect()[0])
+    if row.avg_sz is None:
         return None
-    total = float(pdf.memory_usage(index=False, deep=True).sum())
-    return max(1.0, total / len(pdf))
+    return max(1.0, float(row.avg_sz))
 
 
 def estimate_row_bytes(df: DataFrame) -> float:
     """Bytes/row for file sizing, MEASURED from a bounded sample —
-    not read from Catalyst plan statistics. The size-only stats
+    never read from Catalyst plan statistics: the size-only stats
     visitor multiplies child sizes through joins, so a post-join
     plan can claim astronomically large bytes/row and collapse the
     records-per-file bound to 1 (one file per row — the exact
-    small-files failure the sink exists to prevent). Plan stats are
-    kept only as the empty-sample fallback."""
+    small-files failure the sink exists to prevent). An empty input
+    sizes as 1 byte/row."""
     est = _sampled_row_bytes(df)
-    if est is not None:
-        return est
-    rows = df.count()
-    if rows == 0:
-        return 1.0
-    return max(1.0, _plan_size_bytes(df) / rows)
+    return 1.0 if est is None else est
 
 
 def write_sized(df: DataFrame, path: str,
@@ -91,19 +122,22 @@ def write_sized(df: DataFrame, path: str,
     partition_by = list(partition_by)
     # one materialization feeds the row count, the sampled sizing,
     # the per-value counts AND the write — without it an expensive
-    # upstream pipeline (joins, dedup) would run up to 4x
+    # upstream pipeline (joins, dedup) would run up to 4x. Persist
+    # and compute inside the SAME try so a failing count can never
+    # leak the cache entry for the session lifetime.
     df = df.persist()
-    total = df.count()
-    # bytes/row is MEASURED from a sample, never taken from plan
-    # statistics: Catalyst's size-only estimate multiplies child
-    # sizes through joins, which would collapse records_per_file to
-    # 1 and write one file per row (see estimate_row_bytes)
-    bytes_per_row = (_sampled_row_bytes(df) or 1.0) if total else 1.0
-    records_per_file = max(
-        1, int(target_file_mb * (1 << 20) * compression_ratio
-               / bytes_per_row))
-
     try:
+        total = df.count()
+        # bytes/row is MEASURED from a sample, never taken from plan
+        # statistics: Catalyst's size-only estimate multiplies child
+        # sizes through joins, which would collapse records_per_file
+        # to 1 and write one file per row (see estimate_row_bytes)
+        bytes_per_row = (_sampled_row_bytes(df) or 1.0) if total \
+            else 1.0
+        records_per_file = max(
+            1, int(target_file_mb * (1 << 20) * compression_ratio
+                   / bytes_per_row))
+
         out = df
         if partition_by:
             per = (df.groupBy(*partition_by)

@@ -1458,3 +1458,23 @@ def test_tune_lsh_rejects_bad_inputs():
         tune_lsh_params(1.5)
     with pytest.raises(ValueError):
         tune_lsh_params(0.5, n_perm=0)
+
+
+def test_media_stats_survives_malformed_payloads(spark):
+    # payloads that parse far enough to raise struct/ValueError deep
+    # in the byte walk (truncated IHDR, truncated color table, bad
+    # zlib stream) must degrade to null-stats rows — a corrupt file
+    # can't be allowed to kill a whole scan task
+    rows = [
+        (1, bytearray(multimodal._PNG_SIG
+                      + b"\x00\x00\x00\x0dIHDR\x01")),
+        (2, bytearray(b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff")),
+        (3, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+                      + b"\x01\x00")),
+        (4, bytearray(multimodal.encode_png(
+            __import__("numpy").zeros((9, 9), "uint8"))[:-30]
+            + b"\x00" * 30)),   # zeroed tail corrupts the IDAT body
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.kind for r in multimodal.media_stats(df).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None}

@@ -120,3 +120,32 @@ def test_stream_compacted_end_to_end(spark, tmp_path):
     files = glob.glob(f"{out}/lang=*/*.parquet")
     # one compacted file per partition value, not one per task
     assert len(files) == 2
+
+
+def test_write_sized_post_join_input_not_one_file_per_row(spark, tmp_path):
+    # Catalyst's size-only stats visitor multiplies child sizes
+    # through a join; sizing from plan stats here once collapsed
+    # records_per_file to 1 and wrote one file per row. The sampled
+    # estimate must keep this 200-row joined write in ONE file.
+    left = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("x"), 40).alias("text"))
+    dim = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"))
+    joined = left.join(dim, "doc_id")
+    out = str(tmp_path / "joined")
+    rpf = write_sized(joined, out)
+    assert rpf > 200, f"records_per_file collapsed to {rpf}"
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_estimate_row_bytes_executor_side_for_binary(spark):
+    # sizing a binary-payload table must not ship payloads to the
+    # driver; the estimate should still reflect the payload size
+    df = spark.range(50).select(
+        F.col("id"),
+        F.encode(F.repeat(F.lit("y"), 10_000), "utf-8").alias("payload"))
+    b = estimate_row_bytes(df)
+    assert 10_000 <= b <= 11_000
