@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import md5_long, universal_hash
 
@@ -611,3 +612,132 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (ex.groupBy("pair")
             .agg(F.sum("token_count").cast("long")
                  .alias("pair_count")))
+
+
+def _bpe_merge_word(symbols, ranks):
+    """Greedy BPE inference over one word's symbol list: repeatedly
+    merge the adjacent pair with the LOWEST learned rank (Sennrich
+    2016's inference loop). Pure Python — runs executor-side inside
+    Arrow batches."""
+    symbols = list(symbols)
+    while len(symbols) > 1:
+        best = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, symbols[i], symbols[i + 1])
+        if best is None:
+            break
+        _, a, b = best
+        out, i = [], 0
+        while i < len(symbols):
+            if (i < len(symbols) - 1 and symbols[i] == a
+                    and symbols[i + 1] == b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def bpe_train(df: DataFrame, n_merges: int = 200,
+              text_col: str = "text", max_vocab: int = 50_000,
+              min_frequency: int = 2):
+    """Learn an ordered BPE merge list from the corpus (Sennrich et
+    al. 2016). Returns ``[(left, right), ...]`` — rank = position.
+
+    Scale shape: ONE distributed job (the vocabulary aggregation,
+    capped to the ``max_vocab`` most frequent words — ties broken by
+    token so the cap is deterministic); the merge loop then runs
+    driver-side over that frequency-weighted vocabulary, which makes
+    training corpus-size-independent after the single scan — the
+    standard trick, of which :func:`bpe_pair_counts` is the
+    distributed single-step twin. Words are split to characters plus
+    a ``</w>`` end-of-word symbol; each iteration merges the
+    highest-count pair (ties to the lexicographically greatest pair,
+    so retraining is deterministic) and stops early below
+    ``min_frequency``.
+    """
+    from collections import Counter
+
+    rows = (corpus_vocabulary(df, text_col)
+            .orderBy(F.desc("token_count"), "token")
+            .limit(max_vocab).collect())
+    words = {}
+    for r in rows:
+        syms = tuple(r.token) + ("</w>",)
+        words[syms] = words.get(syms, 0) + int(r.token_count)
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        pair, cnt = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < min_frequency:
+            break
+        merges.append(pair)
+        a, b = pair
+        nxt = {}
+        for syms, c in words.items():
+            if a in syms:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            nxt[syms] = nxt.get(syms, 0) + c
+        words = nxt
+    return merges
+
+
+def bpe_encode(df: DataFrame, merges,
+               text_col: str = "text", id_col: str = "doc_id",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a learned BPE merge list to the corpus: lowercased
+    whitespace words -> characters + ``</w>`` -> greedy lowest-rank
+    merges -> subword tokens, concatenated in document order.
+
+    Scale shape: the merge table is vocabulary-sized and ships once
+    per task inside the serialized closure (the broadcast pattern);
+    rows never shuffle — encoding is a pure Arrow-batched map over
+    the scan. A per-batch word cache collapses repeated words, so
+    cost tracks DISTINCT words per batch, not token count.
+    """
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    out_field = T.StructField(out_col, T.ArrayType(T.StringType()))
+    schema = T.StructType(
+        [f for f in df.schema.fields
+         if f.name in (id_col,)] + [out_field])
+
+    def batches(it):
+        for pdf in it:
+            cache = {}
+
+            def enc_word(w):
+                got = cache.get(w)
+                if got is None:
+                    got = _bpe_merge_word(tuple(w) + ("</w>",), ranks)
+                    cache[w] = got
+                return got
+
+            toks = []
+            for text in pdf[text_col]:
+                parts = []
+                for w in (text or "").lower().split():
+                    parts.extend(enc_word(w))
+                toks.append(parts)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.mapInPandas(batches, schema=schema)

@@ -1478,3 +1478,43 @@ def test_media_stats_survives_malformed_payloads(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r.kind for r in multimodal.media_stats(df).collect()}
     assert got == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    # corpus dominated by "low" and "lowest": the first merges must
+    # build the shared "low</w>"-ish units, frequency-greedy
+    docs = [(i, "low low low lowest") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=5)
+    assert len(merges) == 5
+    # hand-computed: pairs weighted by word counts (low x30, lowest
+    # x10): (l,o)=40 ties (o,w)=40 -> lexicographically greatest wins
+    assert merges[0] == ("o", "w")
+    assert merges[1] == ("l", "ow")
+    assert merges[2] == ("low", "</w>")
+    # retraining is deterministic
+    assert text.bpe_train(df, n_merges=5) == merges
+
+
+def test_bpe_encode_roundtrip_and_invariance(spark):
+    docs = [(0, "the quick brown fox"), (1, "the the the lazy dog"),
+            (2, ""), (3, None), (4, "Quick THE fox")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=30)
+    out = {r.doc_id: r.bpe_tokens
+           for r in text.bpe_encode(df, merges).collect()}
+    # detokenization invariant: joining subwords and splitting at
+    # </w> reproduces the lowercased words exactly
+    for did, original in docs:
+        words = (original or "").lower().split()
+        joined = "".join(out[did])
+        rebuilt = [w for w in joined.split("</w>") if w]
+        assert rebuilt == words, (did, out[did])
+    # encoding is partitioning-invariant
+    again = {r.doc_id: r.bpe_tokens
+             for r in text.bpe_encode(df.repartition(5), merges).collect()}
+    assert out == again
+    # with zero merges every word is fully character-split
+    chars = {r.doc_id: r.bpe_tokens
+             for r in text.bpe_encode(df, []).collect()}
+    assert chars[0][:4] == ["t", "h", "e", "</w>"]
