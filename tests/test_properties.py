@@ -168,3 +168,59 @@ def test_header_parsers_never_raise_on_garbage(payload):
     parse_image_header(payload)      # any result, no exception
     parse_audio_header(payload)
     parse_video_header(payload)
+
+
+# -- multimodal codecs: encode/decode must be exact inverses ---------------
+
+import numpy as np
+
+from structa_spark.operators.multimodal import (
+    _lzw_decode, _lzw_encode, decode_gif_pixels, decode_png_pixels,
+    decode_wav_samples, encode_gif, encode_png, wav_bytes,
+)
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=2000),
+       st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(seq, bits_hint):
+    # symbols must fit the alphabet implied by min_code_size
+    mcs = max(2, max(seq).bit_length()) if max(seq) else 2
+    assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(1, 4),
+       st.lists(st.integers(0, 4), min_size=1, max_size=6),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, channels, filters, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, size=(h, w, channels)).astype(np.uint8)
+    b = encode_png(arr, row_filters=filters)
+    assert np.array_equal(decode_png_pixels(b), arr)
+
+
+@given(st.integers(1, 10), st.integers(1, 10), st.integers(1, 8),
+       st.booleans(), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(h, w, npal, interlace, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    idx = rng.randint(0, npal, size=(h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    b = encode_gif(idx, pal, interlace=interlace)
+    assert np.array_equal(decode_gif_pixels(b), pal[idx])
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+       st.integers(1, 2))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, channels):
+    n = len(samples) - len(samples) % channels
+    if n == 0:
+        return
+    s = np.array(samples[:n], "<i2")
+    b = wav_bytes(8000, channels, n // channels, bits=16,
+                  samples=s.tobytes())
+    got, rate = decode_wav_samples(b)
+    assert rate == 8000
+    assert np.array_equal(got.ravel(), s)
