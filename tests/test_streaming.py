@@ -319,3 +319,39 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM incdedup").collect()}
     # matches the batch operator minus the in-batch linking rule
     assert got == {(10, 0, False), (11, None, True), (13, 0, False)}
+
+
+def test_media_stats_streams_stateless(spark, tmp_path):
+    """Real decode works unchanged on a stream: media_stats is a
+    stateless Arrow-batched map, so it is append-mode-safe with no
+    watermark and per-microbatch output equals the batch twin on the
+    same rows."""
+    import numpy as np
+    from structa_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            arr = (np.arange(i + 4, dtype=np.uint8)
+                   .repeat(3)[:12].reshape(4, 3))
+            rows.append((i, bytearray(mm.encode_png(arr))))
+        else:
+            s = np.arange(-i, i + 5, dtype="<i2")
+            rows.append((i, bytearray(mm.wav_bytes(
+                8000, 1, len(s), bits=16, samples=s.tobytes()))))
+    src = str(tmp_path / "media_src")
+    batch_df = spark.createDataFrame(
+        rows, "media_id long, payload binary")
+    batch_df.write.parquet(src)
+    want = {tuple(r) for r in mm.media_stats(batch_df).collect()}
+
+    sdf = (spark.readStream
+           .schema("media_id long, payload binary").parquet(src))
+    q = (mm.media_stats(sdf).writeStream.format("memory")
+         .queryName("media_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM media_stream").collect()}
+    assert got == want and len(got) == 12
