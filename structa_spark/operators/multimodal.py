@@ -871,6 +871,66 @@ def media_stats(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
 
 
+def _resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resample of an ``(h, w, c)`` array — index
+    arithmetic only, so the result is bit-deterministic across
+    platforms (no interpolation rounding to disagree about)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[ys][:, xs]
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """REAL image resize over Arrow batches: decode (PNG/GIF via the
+    stdlib decoders), nearest-neighbor resample to ``target_w`` x
+    ``target_h``, re-encode as PNG (filter 0). The standard
+    normalize-thumbnails stage of a multimodal training pipeline —
+    payload bytes stay executor-side end to end; undecodable rows
+    come back with a null payload (kept, so join cardinality is
+    stable). Output PNGs always parse: ``parse_image_header`` and
+    :func:`decode_png_pixels` round-trip them."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    if p[:8] == _PNG_SIG:
+                        arr = decode_png_pixels(p)
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        arr = decode_gif_pixels(p)
+                    else:
+                        raise DecodeUnavailable("no stdlib decoder")
+                    small = _resize_nearest(arr, target_h, target_w)
+                    rows.append((mid, encode_png(small),
+                                 target_w, target_h))
+                except DecodeUnavailable:
+                    rows.append((mid, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "payload",
+                               "width", "height"])
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10,
                   id_col: str = "media_id",
                   n_frames_col: str = "n_frames") -> DataFrame:

@@ -3013,6 +3013,52 @@ def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return mm.media_stats(media).orderBy("media_id")
 
+@register("resized_media_stats", oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id,
+         (i.doc_id + 3*((yy.y*(6 + i.doc_id % 5))//3)
+          + ((xx.x*(8 + i.doc_id % 7))//4)) % 256 AS v
+  FROM ids i, range(0, 3) yy(y), range(0, 4) xx(x)
+)
+SELECT doc_id AS media_id, 'png' AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS v_mean,
+       CAST(MIN(v) AS DOUBLE) AS v_min,
+       CAST(MAX(v) AS DOUBLE) AS v_max
+FROM px GROUP BY doc_id ORDER BY media_id
+""")
+def resized_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REAL image pipeline, values-checked: generate gradient
+    PNGs (all five row filters), decode -> nearest-neighbor resize to
+    4x3 -> re-encode as PNG -> decode AGAIN for stats. The oracle
+    predicts each resized pixel from the generator formula and the
+    nearest-neighbor index map ((Y*h)//3, (X*w)//4), so a bug in the
+    decoder, the resampler, or the encoder (any stage of the
+    round-trip) hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 3 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 7, 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append((i, mm.encode_png(
+                    arr, row_filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    resized = mm.resize_images(media, 4, 3)
+    return mm.media_stats(resized).orderBy("media_id")
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

@@ -1518,3 +1518,36 @@ def test_bpe_encode_roundtrip_and_invariance(spark):
     chars = {r.doc_id: r.bpe_tokens
              for r in text.bpe_encode(df, []).collect()}
     assert chars[0][:4] == ["t", "h", "e", "</w>"]
+
+
+def test_resize_images_roundtrip(spark):
+    import numpy as np
+    rng = np.random.RandomState(9)
+    rows = []
+    arrs = {}
+    for i in range(4):
+        if i % 2 == 0:
+            arr = rng.randint(0, 256, size=(8, 6, 3)).astype(np.uint8)
+            rows.append((i, bytearray(multimodal.encode_png(
+                arr, row_filters=[0, 2]))))
+        else:
+            idx = rng.randint(0, 4, size=(5, 7)).astype(np.uint8)
+            pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+            arr = pal[idx]
+            rows.append((i, bytearray(multimodal.encode_gif(idx, pal))))
+        arrs[i] = arr
+    rows.append((9, bytearray(multimodal.jpeg_bytes(4, 4))))  # no decoder
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in
+           multimodal.resize_images(df, 4, 3).collect()}
+    assert len(out) == 5
+    assert out[9].payload is None          # kept, null payload
+    for i in range(4):
+        r = out[i]
+        assert (r.width, r.height) == (4, 3)
+        back = multimodal.decode_png_pixels(bytes(r.payload))
+        assert back.shape == (3, 4, 3)
+        want = multimodal._resize_nearest(arrs[i], 3, 4)
+        assert np.array_equal(back, want), i
+        fmt, w, h = multimodal.parse_image_header(bytes(r.payload))
+        assert (fmt, w, h) == ("png", 4, 3)

@@ -94,6 +94,7 @@ def test_driver_window_covers_every_family():
         "vocab_top20": "rare_token_stats",
         "pq_codes": "pq_adc_topk",
         "audio_header_metadata": "decoded_media_stats",
+        "resized_media_stats": "decoded_media_stats",
         "video_header_metadata": "image_header_metadata",
         "tfidf_top_terms": "rare_token_stats",
         "hashed_doc_vectors": "rare_token_stats",
