@@ -737,11 +737,8 @@ def _real_decode_feature(payload, dim: int) -> list:
     import numpy as np
 
     p = bytes(payload) if payload is not None else b""
-    if p[:8] == _PNG_SIG:
-        vals = decode_png_pixels(p).astype(np.float64).ravel() / 255.0
-    elif p[:6] in (b"GIF87a", b"GIF89a"):
-        vals = decode_gif_pixels(p).astype(np.float64).ravel() / 255.0
-    elif p[:4] == b"RIFF":
+    kind = _sniff_kind(p)
+    if kind == "wav":
         s, _rate = decode_wav_samples(p)
         s = s.astype(np.float64).ravel()
         if s.size == 0:
@@ -749,6 +746,9 @@ def _real_decode_feature(payload, dim: int) -> list:
         else:
             peak = float(np.max(np.abs(s))) or 1.0
             vals = (s / peak + 1.0) / 2.0
+    elif kind is not None:
+        _k, arr = _decode_image(p)
+        vals = arr.astype(np.float64).ravel() / 255.0
     else:
         raise DecodeUnavailable(
             "no stdlib decoder for this format (JPEG/MP4 entropy "
@@ -844,18 +844,14 @@ def media_stats(df: DataFrame, payload_col: str = "payload",
                 kind, vals = None, None
                 p = bytes(payload) if payload is not None else b""
                 try:
-                    if p[:8] == _PNG_SIG:
-                        vals = (decode_png_pixels(p)
-                                .astype(np.float64).ravel())
-                        kind = "png"
-                    elif p[:6] in (b"GIF87a", b"GIF89a"):
-                        vals = (decode_gif_pixels(p)
-                                .astype(np.float64).ravel())
-                        kind = "gif"
-                    elif p[:4] == b"RIFF":
+                    sniffed = _sniff_kind(p)
+                    if sniffed == "wav":
                         s, _rate = decode_wav_samples(p)
                         vals = s.astype(np.float64).ravel()
                         kind = "wav"
+                    elif sniffed is not None:
+                        kind, arr = _decode_image(p)
+                        vals = arr.astype(np.float64).ravel()
                 except DecodeUnavailable:
                     kind, vals = None, None
                 if vals is None or vals.size == 0:
@@ -869,6 +865,35 @@ def media_stats(df: DataFrame, payload_col: str = "payload",
                 "v_mean", "v_min", "v_max"])
 
     return df.mapInPandas(batches, schema=MEDIA_STATS_SCHEMA)
+
+
+def _sniff_kind(p: bytes):
+    """Magic-byte format sniff shared by every decode dispatch —
+    ONE place to extend when a format gains a stdlib decoder."""
+    if p[:8] == _PNG_SIG:
+        return "png"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if p[:4] == b"RIFF":
+        return "wav"
+    return None
+
+
+def _decode_image(p: bytes):
+    """(kind, (h, w, c) array) for PNG/GIF payloads; raises
+    DecodeUnavailable for other formats, malformed streams, and
+    zero-dimension images (a crafted IHDR can declare height=0 —
+    an empty array must not reach resampling index math)."""
+    kind = _sniff_kind(p)
+    if kind == "png":
+        arr = decode_png_pixels(p)
+    elif kind == "gif":
+        arr = decode_gif_pixels(p)
+    else:
+        raise DecodeUnavailable("no stdlib image decoder")
+    if arr.size == 0:
+        raise DecodeUnavailable("zero-dimension image")
+    return kind, arr
 
 
 def _resize_nearest(arr, out_h: int, out_w: int):
@@ -910,12 +935,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 p = bytes(payload) if payload is not None else b""
                 try:
-                    if p[:8] == _PNG_SIG:
-                        arr = decode_png_pixels(p)
-                    elif p[:6] in (b"GIF87a", b"GIF89a"):
-                        arr = decode_gif_pixels(p)
-                    else:
-                        raise DecodeUnavailable("no stdlib decoder")
+                    _kind, arr = _decode_image(p)
                     small = _resize_nearest(arr, target_h, target_w)
                     rows.append((mid, encode_png(small),
                                  target_w, target_h))

@@ -614,6 +614,16 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
                  .alias("pair_count")))
 
 
+# End-of-word sentinel: U+E000 (private use). A printable sentinel
+# like "</w>" can COLLIDE with a learned symbol when the corpus
+# itself contains those characters (HTML-ish data trains merges
+# ("<","/"),("</","w"),("</w",">") whose product is string-equal to
+# the sentinel), corrupting both the rank table and detokenization.
+# No real corpus word carries private-use codepoints, so BPE_EOW is
+# unambiguous; downstream detokenizers split on it.
+BPE_EOW = "\ue000"
+
+
 def _bpe_merge_word(symbols, ranks):
     """Greedy BPE inference over one word's symbol list: repeatedly
     merge the adjacent pair with the LOWEST learned rank (Sennrich
@@ -655,7 +665,7 @@ def bpe_train(df: DataFrame, n_merges: int = 200,
     training corpus-size-independent after the single scan — the
     standard trick, of which :func:`bpe_pair_counts` is the
     distributed single-step twin. Words are split to characters plus
-    a ``</w>`` end-of-word symbol; each iteration merges the
+    the ``BPE_EOW`` end-of-word sentinel; each iteration merges the
     highest-count pair (ties to the lexicographically greatest pair,
     so retraining is deterministic) and stops early below
     ``min_frequency``.
@@ -667,7 +677,7 @@ def bpe_train(df: DataFrame, n_merges: int = 200,
             .limit(max_vocab).collect())
     words = {}
     for r in rows:
-        syms = tuple(r.token) + ("</w>",)
+        syms = tuple(r.token) + (BPE_EOW,)
         words[syms] = words.get(syms, 0) + int(r.token_count)
     merges = []
     for _ in range(n_merges):
@@ -704,7 +714,7 @@ def bpe_encode(df: DataFrame, merges,
                text_col: str = "text", id_col: str = "doc_id",
                out_col: str = "bpe_tokens") -> DataFrame:
     """Apply a learned BPE merge list to the corpus: lowercased
-    whitespace words -> characters + ``</w>`` -> greedy lowest-rank
+    whitespace words -> characters + ``BPE_EOW`` -> greedy lowest-rank
     merges -> subword tokens, concatenated in document order.
 
     Scale shape: the merge table is vocabulary-sized and ships once
@@ -728,7 +738,7 @@ def bpe_encode(df: DataFrame, merges,
             def enc_word(w):
                 got = cache.get(w)
                 if got is None:
-                    got = _bpe_merge_word(tuple(w) + ("</w>",), ranks)
+                    got = _bpe_merge_word(tuple(w) + (BPE_EOW,), ranks)
                     cache[w] = got
                 return got
 

@@ -53,7 +53,15 @@ def _field_size_expr(dt, col):
         for f in dt.fields:
             total = total + _field_size_expr(f.dataType, col[f.name])
         return total
-    return F.lit(64)                  # maps & exotics: flat guess
+    if isinstance(dt, T.MapType):
+        # a flat guess here would let a 10 KB-per-row map column size
+        # as 64 bytes and inflate records_per_file ~100x — the
+        # giant-file failure; measure keys and values as arrays
+        return (_field_size_expr(T.ArrayType(dt.keyType),
+                                 F.map_keys(col))
+                + _field_size_expr(T.ArrayType(dt.valueType),
+                                   F.map_values(col)))
+    return F.lit(64)                  # exotics: flat guess
 
 
 def _sampled_row_bytes(df: DataFrame,

@@ -1491,14 +1491,17 @@ def test_bpe_train_learns_expected_merges(spark):
     # x10): (l,o)=40 ties (o,w)=40 -> lexicographically greatest wins
     assert merges[0] == ("o", "w")
     assert merges[1] == ("l", "ow")
-    assert merges[2] == ("low", "</w>")
+    assert merges[2] == ("low", text.BPE_EOW)
     # retraining is deterministic
     assert text.bpe_train(df, n_merges=5) == merges
 
 
 def test_bpe_encode_roundtrip_and_invariance(spark):
     docs = [(0, "the quick brown fox"), (1, "the the the lazy dog"),
-            (2, ""), (3, None), (4, "Quick THE fox")]
+            (2, ""), (3, None), (4, "Quick THE fox"),
+            # literal "</w>" in the corpus must not collide with the
+            # end-of-word sentinel (BPE_EOW is a private-use char)
+            (5, "</w> x</w>y </w></w> the")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     merges = text.bpe_train(df, n_merges=30)
     out = {r.doc_id: r.bpe_tokens
@@ -1508,7 +1511,7 @@ def test_bpe_encode_roundtrip_and_invariance(spark):
     for did, original in docs:
         words = (original or "").lower().split()
         joined = "".join(out[did])
-        rebuilt = [w for w in joined.split("</w>") if w]
+        rebuilt = [w for w in joined.split(text.BPE_EOW) if w]
         assert rebuilt == words, (did, out[did])
     # encoding is partitioning-invariant
     again = {r.doc_id: r.bpe_tokens
@@ -1517,7 +1520,7 @@ def test_bpe_encode_roundtrip_and_invariance(spark):
     # with zero merges every word is fully character-split
     chars = {r.doc_id: r.bpe_tokens
              for r in text.bpe_encode(df, []).collect()}
-    assert chars[0][:4] == ["t", "h", "e", "</w>"]
+    assert chars[0][:4] == ["t", "h", "e", text.BPE_EOW]
 
 
 def test_resize_images_roundtrip(spark):
@@ -1551,3 +1554,23 @@ def test_resize_images_roundtrip(spark):
         assert np.array_equal(back, want), i
         fmt, w, h = multimodal.parse_image_header(bytes(r.payload))
         assert (fmt, w, h) == ("png", 4, 3)
+
+
+def test_resize_images_zero_dimension_payload_degrades(spark):
+    # a crafted IHDR declaring height=0 decodes to an empty array;
+    # it must come back as a null-payload row, never an IndexError
+    # from the resampling index math
+    import struct
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", 4, 0, 8, 0, 0, 0, 0)
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    zp = (multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+          + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(zp))],
+                               "media_id long, payload binary")
+    row = multimodal.resize_images(df, 4, 3).collect()[0]
+    assert row.payload is None and row.width is None

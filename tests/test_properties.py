@@ -180,10 +180,9 @@ from structa_spark.operators.multimodal import (
 )
 
 
-@given(st.lists(st.integers(0, 255), min_size=1, max_size=2000),
-       st.integers(2, 8))
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=2000))
 @settings(max_examples=60, deadline=None)
-def test_lzw_roundtrip_property(seq, bits_hint):
+def test_lzw_roundtrip_property(seq):
     # symbols must fit the alphabet implied by min_code_size
     mcs = max(2, max(seq).bit_length()) if max(seq) else 2
     assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq

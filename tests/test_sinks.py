@@ -149,3 +149,14 @@ def test_estimate_row_bytes_executor_side_for_binary(spark):
         F.encode(F.repeat(F.lit("y"), 10_000), "utf-8").alias("payload"))
     b = estimate_row_bytes(df)
     assert 10_000 <= b <= 11_000
+
+
+def test_estimate_row_bytes_measures_map_columns(spark):
+    # a flat per-map guess would size a 10KB-per-row map column as
+    # 64 bytes and inflate records_per_file ~100x (giant files)
+    df = spark.range(30).select(
+        F.col("id"),
+        F.create_map(F.lit("k"),
+                     F.repeat(F.lit("v"), 10_000)).alias("m"))
+    b = estimate_row_bytes(df)
+    assert 10_000 <= b <= 11_000
