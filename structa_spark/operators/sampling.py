@@ -167,3 +167,31 @@ def split_corpus(df: DataFrame, weights=(0.9, 0.05, 0.05),
     expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
             else F.lit(labels[-1]))
     return df.withColumn(out_col, expr)
+
+
+def curriculum_shards(df: DataFrame, n_shards: int = 4,
+                      score_col: str = "n_chars") -> DataFrame:
+    """Curriculum sharding: assign every row to one of ``n_shards``
+    ordered difficulty buckets by EXACT score quantiles (shard 0 =
+    lowest scores) — the classic short-to-long / easy-to-hard
+    training-order stage, realized as a deterministic column.
+
+    Scale shape: ONE exact-percentile aggregation hands the driver
+    n-1 cutoff scalars; assignment is then a literal comparison per
+    row — no global sort and no single-partition ``ntile`` window
+    (the quadratic-ish oracle shape this operator deliberately
+    avoids). Rows exactly at a cutoff go to the lower shard (strict
+    ``>``), so the split is reproducible across engines computing the
+    same interpolated quantiles.
+    """
+    if n_shards < 2:
+        raise ValueError(f"n_shards must be >= 2: {n_shards}")
+    ps = [i / n_shards for i in range(1, n_shards)]
+    cuts = df.agg(F.percentile(F.col(score_col),
+                               F.lit(ps)).alias("c")).collect()[0].c
+    shard = None
+    for c in cuts:
+        step = F.when(F.col(score_col) > F.lit(float(c)), 1) \
+            .otherwise(0)
+        shard = step if shard is None else shard + step
+    return df.withColumn("shard", shard.cast("int"))

@@ -3059,6 +3059,40 @@ def resized_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(resized).orderBy("media_id")
 
 
+@register("curriculum_shard_stats", oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c
+  FROM documents
+), sharded AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST((CASE WHEN d.n_chars > c[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN d.n_chars > c[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN d.n_chars > c[3] THEN 1 ELSE 0 END)
+          AS INTEGER) AS shard
+  FROM documents d, cuts
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM sharded GROUP BY shard ORDER BY shard
+""")
+def curriculum_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding, values-checked: exact-quantile cutoffs on
+    document length, strict-greater bucket assignment, per-shard
+    counts and ranges. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, so the
+    cutoffs (and therefore every boundary assignment) match
+    bit-for-bit — verified including documents sitting exactly ON a
+    cutoff."""
+    from .operators.sampling import curriculum_shards
+    d = _t(spark, sf_dir, "documents")
+    return (curriculum_shards(d, n_shards=4, score_col="n_chars")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("shard"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

@@ -1574,3 +1574,25 @@ def test_resize_images_zero_dimension_payload_degrades(spark):
                                "media_id long, payload binary")
     row = multimodal.resize_images(df, 4, 3).collect()[0]
     assert row.payload is None and row.width is None
+
+
+def test_curriculum_shards_ordered_and_partition_invariant(spark):
+    from structa_spark.operators.sampling import curriculum_shards
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 500) for i in range(200)],
+        "doc_id long, n_chars long")
+    out = curriculum_shards(df, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.n_chars)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # shards are ordered: every score in shard k <= every in shard k+1
+    for k in range(3):
+        assert max(by_shard[k]) <= min(by_shard[k + 1])
+    # roughly balanced quartiles
+    assert all(40 <= len(v) <= 60 for v in by_shard.values())
+    again = {r.doc_id: r.shard for r in
+             curriculum_shards(df.repartition(7), n_shards=4).collect()}
+    assert again == {r.doc_id: r.shard for r in out}
+    with pytest.raises(ValueError):
+        curriculum_shards(df, n_shards=1)
