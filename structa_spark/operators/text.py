@@ -751,3 +751,44 @@ def bpe_encode(df: DataFrame, merges,
             yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   alpha: float = 0.5) -> DataFrame:
+    """Per-document average negative log-likelihood under the
+    corpus's own BIGRAM language model with add-alpha smoothing —
+    the conditional upgrade of :func:`unigram_logprob`:
+    ``p(w2|w1) = (c(w1 w2) + alpha) / (c_left(w1) + alpha * V)``
+    where ``c_left(w1)`` sums bigram counts starting with ``w1`` and
+    ``V`` is the distinct-token vocabulary size. Repetitive or
+    formulaic text scores low; token-salad scores high — a sharper
+    quality signal than unigram because it sees word ORDER.
+
+    Scale shape mirrors unigram_logprob: (doc, bigram) frequencies
+    aggregate FIRST, killing the natural bigram hot-key ("of the")
+    before any join; the bigram-count table joins on the bigram key
+    (AQE skew split covers the head), the left-context table is
+    token-vocabulary-sized, and V folds in as a 1-row broadcast.
+    Documents with fewer than two tokens have no bigram and are
+    absent from the output (score them with the unigram model).
+    """
+    arr = tokens(F.lower(F.col(text_col)))
+    bg = df.select(F.col(id_col),
+                   F.explode(word_ngrams(arr, 2)).alias("bg"))
+    tf = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
+    cl = (cb.select(F.split("bg", " ").getItem(0).alias("w1"), "cb")
+          .groupBy("w1").agg(F.sum("cb").alias("cl")))
+    v = (df.select(F.explode(arr).alias("t"))
+         .where(F.col("t") != "")
+         .agg(F.count_distinct("t").cast("double").alias("__v__")))
+    a = F.lit(float(alpha))
+    p = (F.col("cb") + a) / (F.col("cl") + a * F.col("__v__"))
+    nll = F.col("tf") * -F.log(p)
+    return (tf.withColumn("w1", F.split("bg", " ").getItem(0))
+            .join(cb, "bg").join(cl, "w1").join(F.broadcast(v))
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.round(F.sum(nll) / F.sum("tf"), 4)
+                 .alias("avg_nll")))

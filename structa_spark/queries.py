@@ -3093,6 +3093,45 @@ def curriculum_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard"))
 
 
+@register("bigram_nll", oracle="""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM w
+), tf AS (
+  SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2
+), cb AS (
+  SELECT bg, SUM(tf) AS cb FROM tf GROUP BY 1
+), cl AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(cb) AS cl
+  FROM cb GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS t FROM w) u WHERE t <> ''
+)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(tf.tf * -ln((cb.cb + 0.5) / (cl.cl + 0.5 * v.v)))
+             / SUM(tf.tf), 4) AS avg_nll
+FROM tf
+JOIN cb USING (bg)
+JOIN cl ON string_split(tf.bg, ' ')[1] = cl.w1, v
+GROUP BY tf.doc_id ORDER BY doc_id
+""")
+def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy, values-checked: the full smoothed
+    conditional model — per-doc bigram frequencies, corpus bigram
+    counts, left-context totals and the vocabulary size — replayed in
+    SQL. Word ORDER now matters to the score, which the unigram
+    oracle cannot see."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(d).orderBy("doc_id")
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

@@ -1596,3 +1596,18 @@ def test_curriculum_shards_ordered_and_partition_invariant(spark):
     assert again == {r.doc_id: r.shard for r in out}
     with pytest.raises(ValueError):
         curriculum_shards(df, n_shards=1)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a"), (2, "b a")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_nll)
+           for r in text.bigram_logprob(df).collect()}
+    # corpus: c("a b")=2, c("b a")=2, c_left(a)=2, c_left(b)=2, V=2
+    # p = (2+0.5)/(2+0.5*2) = 2.5/3 for every bigram here
+    want = round(-math.log(2.5 / 3), 4)
+    assert out[0] == (3, want)
+    assert out[2] == (1, want)
+    assert 1 not in out          # single-token doc: no bigram

@@ -49,6 +49,7 @@ _QUADRATIC_OK = {
 # row, not an all-pairs shape
 _SCALAR_BROADCAST_OK = {
     "unigram_nll",               # broadcast(total token count)
+    "bigram_nll",                # broadcast(vocabulary size V)
 }
 
 
