@@ -39,3 +39,40 @@ def parse_json_column(df: DataFrame, column: str,
     schema = infer_json_schema(df, column, sample_rows)
     return df.withColumn(out_col or column,
                          F.from_json(F.col(column), schema))
+
+
+def parse_variant_column(df: DataFrame, column: str,
+                         out_col: str | None = None) -> DataFrame:
+    """Replace (or add) a JSON-string column with Spark 4's native
+    ``VariantType`` via ``parse_json`` — the schema-on-read
+    alternative to :func:`parse_json_column`: NO sampling job, no
+    inferred schema to go stale when late rows carry new fields, and
+    binary-encoded shredded storage instead of string re-parsing.
+    Reach into it with ``variant_get``/``try_variant_get`` path
+    expressions; pushdown-friendly on parquet variant shredding.
+
+    Use from_json when downstream wants a fixed StructType contract;
+    use variant when payload shape drifts — both stay scan-local
+    projections."""
+    return df.withColumn(out_col or column,
+                         F.parse_json(F.col(column)))
+
+
+def variant_field_stats(df: DataFrame, column: str,
+                        fields) -> DataFrame:
+    """Aggregate stats over typed paths extracted from a variant (or
+    JSON-string) column: ``fields`` maps output name -> (variant
+    path, cast type). One scan; extraction is `try_variant_get` in
+    the projection, so unknown/mistyped paths yield nulls instead of
+    failing rows — the schema-drift-tolerant profiling primitive."""
+    src = F.parse_json(F.col(column)) \
+        if dict(df.dtypes)[column] == "string" else F.col(column)
+    cols = [F.try_variant_get(src, path, typ).alias(name)
+            for name, (path, typ) in fields.items()]
+    base = df.select(*cols)
+    aggs = []
+    for name in fields:
+        aggs += [F.count(name).alias(f"{name}_n"),
+                 F.min(name).alias(f"{name}_min"),
+                 F.max(name).alias(f"{name}_max")]
+    return base.agg(*aggs)

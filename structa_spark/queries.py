@@ -3132,6 +3132,37 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(d).orderBy("doc_id")
 
 
+@register("variant_props_stats", oracle="""
+SELECT event_type,
+       count(CAST(props->>'k' AS BIGINT))               AS n_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CAST(props->>'missing' AS BIGINT))         AS n_missing
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured columns: props
+    parses to a variant with NO sampling/inference job, and typed
+    paths come out with try_variant_get — including a path absent
+    from every row, which must count 0 instead of failing (the
+    schema-drift tolerance from_json's frozen StructType cannot
+    give). Same one-scan one-agg shape as json_props_stats; the two
+    queries pin that both semi-structured routes agree with the
+    oracle."""
+    from .operators.semistructured import parse_variant_column
+    ev = parse_variant_column(_t(spark, sf_dir, "events"), "props")
+    k = F.try_variant_get(F.col("props"), "$.k", "long")
+    miss = F.try_variant_get(F.col("props"), "$.missing", "long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(k).alias("n_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.count(miss).alias("n_missing"))
+            .orderBy("event_type"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

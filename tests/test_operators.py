@@ -1611,3 +1611,26 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[0] == (3, want)
     assert out[2] == (1, want)
     assert 1 not in out          # single-token doc: no bigram
+
+
+def test_variant_field_stats_tolerates_drift(spark):
+    from structa_spark.operators.semistructured import (
+        parse_variant_column, variant_field_stats)
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "nested": {"x": 1.5}}'),
+         (2, '{"a": "not-a-number", "nested": {"x": 2.5}}'),
+         (3, '{"b": 9}')],
+        "id long, js string")
+    out = variant_field_stats(df, "js", {
+        "a": ("$.a", "long"),
+        "x": ("$.nested.x", "double"),
+        "ghost": ("$.never", "long"),
+    }).collect()[0]
+    # row 2's a is a string -> try_variant_get nulls it, row 3 lacks it
+    assert (out.a_n, out.a_min, out.a_max) == (1, 5, 5)
+    assert (out.x_n, out.x_min, out.x_max) == (2, 1.5, 2.5)
+    assert (out.ghost_n, out.ghost_min) == (0, None)
+    # pre-parsed variant input takes the same path
+    v = parse_variant_column(df, "js", out_col="v")
+    out2 = variant_field_stats(v, "v", {"a": ("$.a", "long")}).collect()[0]
+    assert out2.a_n == 1
