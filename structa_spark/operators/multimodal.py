@@ -951,6 +951,64 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
     return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+DECOMPRESSED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def decompress_payloads(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id",
+                        encoding: str = "utf-8",
+                        max_bytes: int = 1 << 26) -> DataFrame:
+    """(media_id, codec, text) from COMPRESSED binary payloads —
+    the landing-zone reality of web corpora (gzip'd HTML bodies,
+    zlib-wrapped API blobs, bz2/xz archive members). Codec is
+    sniffed from magic bytes and inflated with the stdlib codecs
+    inside Arrow batches; rows that fail to inflate or decode come
+    back with codec/text null rather than failing the scan.
+
+    ``max_bytes`` caps the inflated size per payload (decompression-
+    bomb guard: a 42 KB zip-bomb-style stream must not balloon one
+    task to gigabytes); over-limit rows degrade to null like
+    malformed ones."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    def inflate(p: bytes):
+        if p[:2] == b"\x1f\x8b":
+            return "gzip", gzip.decompress(p)
+        if p[:3] == b"BZh":
+            return "bz2", bz2.decompress(p)
+        if p[:6] == b"\xfd7zXZ\x00":
+            return "xz", lzma.decompress(p)
+        if len(p) >= 2 and p[0] == 0x78 and (p[0] * 256 + p[1]) % 31 == 0:
+            return "zlib", zlib.decompress(p)
+        raise DecodeUnavailable("unknown compression magic")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    codec, raw = inflate(p)
+                    if len(raw) > max_bytes:
+                        raise DecodeUnavailable("inflated size cap")
+                    rows.append((mid, codec, raw.decode(encoding)))
+                except (DecodeUnavailable, OSError, EOFError,
+                        ValueError, lzma.LZMAError, zlib.error,
+                        UnicodeDecodeError):
+                    rows.append((mid, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "codec", "text"])
+
+    return df.mapInPandas(batches, schema=DECOMPRESSED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10,
                   id_col: str = "media_id",
                   n_frames_col: str = "n_frames") -> DataFrame:

@@ -3163,6 +3163,52 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@register("decompressed_text_stats", oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                       WHEN 2 THEN 'bz2' ELSE 'xz' END AS codec,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents ORDER BY media_id
+""")
+def decompressed_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-payload ingestion, values-checked end to end: each
+    document's text is compressed executor-side with a rotating
+    stdlib codec (gzip/zlib/bz2/xz), then sniffed and inflated BACK
+    by operators.multimodal.decompress_payloads. The oracle is the
+    plaintext itself — length and md5 straight off the documents
+    table — so any sniff, inflate, or encoding bug hash-mismatches.
+    This is the landing-zone step of a web-corpus pipeline (gzip'd
+    bodies) with the codec work kept inside Arrow batches."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    import pandas as pd
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                raw = (txt or "").encode("utf-8")
+                payload = [gzip.compress, zlib.compress, bz2.compress,
+                           lzma.compress][i % 4](raw)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from .operators.multimodal import decompress_payloads
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = decompress_payloads(media)
+    return (out.select("media_id", "codec",
+                       F.length("text").cast("long").alias("n_chars"),
+                       F.md5(F.encode("text", "utf-8"))
+                       .alias("text_md5"))
+            .orderBy("media_id"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

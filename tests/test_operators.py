@@ -1634,3 +1634,30 @@ def test_variant_field_stats_tolerates_drift(spark):
     v = parse_variant_column(df, "js", out_col="v")
     out2 = variant_field_stats(v, "v", {"a": ("$.a", "long")}).collect()[0]
     assert out2.a_n == 1
+
+
+def test_decompress_payloads_codecs_and_guards(spark):
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+    rows = [
+        (0, bytearray(gzip.compress(b"hello gz"))),
+        (1, bytearray(zlib.compress(b"hello zlib"))),
+        (2, bytearray(bz2.compress(b"hello bz2"))),
+        (3, bytearray(lzma.compress(b"hello xz"))),
+        (4, bytearray(b"plain uncompressed bytes")),
+        (5, bytearray(b"\x1f\x8b\x08truncated-garbage")),
+        # bomb guard: 64MB of zeros inflates past the 1KB cap
+        (6, bytearray(zlib.compress(b"\x00" * (1 << 16)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.codec, r.text) for r in
+           multimodal.decompress_payloads(df, max_bytes=1024).collect()}
+    assert got[0] == ("gzip", "hello gz")
+    assert got[1] == ("zlib", "hello zlib")
+    assert got[2] == ("bz2", "hello bz2")
+    assert got[3] == ("xz", "hello xz")
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)

@@ -98,6 +98,7 @@ def test_driver_window_covers_every_family():
         "curriculum_shard_stats": "split_counts_by_lang",
         "bigram_nll": "token_stats_by_lang",
         "variant_props_stats": "json_props_stats",
+        "decompressed_text_stats": "decoded_media_stats",
         "video_header_metadata": "image_header_metadata",
         "tfidf_top_terms": "rare_token_stats",
         "hashed_doc_vectors": "rare_token_stats",
