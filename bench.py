@@ -56,8 +56,9 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, contamination_check,
-        cosine_topk, decoded_media_stats, hybrid_rrf_topk,
+        asof_purchase_click, bigram_nll, contamination_check,
+        cosine_topk, decoded_media_stats, decompressed_text_stats,
+        hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         q3_top_orders, q5_nation_revenue, repetition_signals,
@@ -132,6 +133,8 @@ def main():
             "containment": bench_containment,
             "mixed_resample": run_df(mixed_resample_counts),
             "decoded_media": run_df(decoded_media_stats),
+            "bigram_nll": run_df(bigram_nll),
+            "decompress": run_df(decompressed_text_stats),
         }
 
     suite = make_suite(SF_DIR)
