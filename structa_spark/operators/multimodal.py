@@ -970,24 +970,35 @@ def decompress_payloads(df: DataFrame, payload_col: str = "payload",
     back with codec/text null rather than failing the scan.
 
     ``max_bytes`` caps the inflated size per payload (decompression-
-    bomb guard: a 42 KB zip-bomb-style stream must not balloon one
-    task to gigabytes); over-limit rows degrade to null like
-    malformed ones."""
+    bomb guard): inflation runs through STREAMING decompressors with
+    a length limit, so a 42 KB zip-bomb-style stream allocates at
+    most ``max_bytes`` before being rejected — it never materializes
+    the full inflated payload first. Over-limit and truncated rows
+    degrade to null like malformed ones."""
     import bz2
-    import gzip
     import lzma
     import zlib
 
     def inflate(p: bytes):
         if p[:2] == b"\x1f\x8b":
-            return "gzip", gzip.decompress(p)
-        if p[:3] == b"BZh":
-            return "bz2", bz2.decompress(p)
-        if p[:6] == b"\xfd7zXZ\x00":
-            return "xz", lzma.decompress(p)
-        if len(p) >= 2 and p[0] == 0x78 and (p[0] * 256 + p[1]) % 31 == 0:
-            return "zlib", zlib.decompress(p)
-        raise DecodeUnavailable("unknown compression magic")
+            codec, d = "gzip", zlib.decompressobj(wbits=47)
+        elif p[:3] == b"BZh":
+            codec, d = "bz2", bz2.BZ2Decompressor()
+        elif p[:6] == b"\xfd7zXZ\x00":
+            codec, d = "xz", lzma.LZMADecompressor()
+        elif (len(p) >= 2 and (p[0] & 0x0F) == 8 and (p[0] >> 4) <= 7
+              and ((p[0] << 8 | p[1]) % 31) == 0):
+            # any valid zlib CMF/FLG (deflate method, window <= 32K,
+            # header checksum) — not just the default-window 0x78
+            codec, d = "zlib", zlib.decompressobj()
+        else:
+            raise DecodeUnavailable("unknown compression magic")
+        raw = d.decompress(p, max_bytes + 1)
+        if len(raw) > max_bytes:
+            raise DecodeUnavailable("inflated size cap")
+        if not d.eof:
+            raise DecodeUnavailable("truncated stream")
+        return codec, raw
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -996,8 +1007,6 @@ def decompress_payloads(df: DataFrame, payload_col: str = "payload",
                 p = bytes(payload) if payload is not None else b""
                 try:
                     codec, raw = inflate(p)
-                    if len(raw) > max_bytes:
-                        raise DecodeUnavailable("inflated size cap")
                     rows.append((mid, codec, raw.decode(encoding)))
                 except (DecodeUnavailable, OSError, EOFError,
                         ValueError, lzma.LZMAError, zlib.error,

@@ -189,6 +189,10 @@ def curriculum_shards(df: DataFrame, n_shards: int = 4,
     ps = [i / n_shards for i in range(1, n_shards)]
     cuts = df.agg(F.percentile(F.col(score_col),
                                F.lit(ps)).alias("c")).collect()[0].c
+    if cuts is None:
+        # no rows, or every score null: there is nothing to rank —
+        # everything (if anything) sits in the first shard
+        return df.withColumn("shard", F.lit(0).cast("int"))
     shard = None
     for c in cuts:
         step = F.when(F.col(score_col) > F.lit(float(c)), 1) \

@@ -1648,9 +1648,20 @@ def test_decompress_payloads_codecs_and_guards(spark):
         (3, bytearray(lzma.compress(b"hello xz"))),
         (4, bytearray(b"plain uncompressed bytes")),
         (5, bytearray(b"\x1f\x8b\x08truncated-garbage")),
-        # bomb guard: 64MB of zeros inflates past the 1KB cap
+        # over-cap: 64KB of zeros inflates past the 1KB cap
         (6, bytearray(zlib.compress(b"\x00" * (1 << 16)))),
+        # genuine bomb ratio: 64MB of zeros compresses to ~64KB; the
+        # STREAMING guard must reject it while allocating at most
+        # ~max_bytes of output, never the full 64MB
+        (7, bytearray(zlib.compress(b"\x00" * (1 << 26), 9))),
+        # truncated but well-headed stream
+        (8, bytearray(zlib.compress(b"hello world " * 100)[:-8])),
     ]
+    # non-default zlib window (wbits=9): CMF is 0x18, not 0x78 —
+    # the header check must accept any valid CMF/FLG pair
+    c9 = zlib.compressobj(9, zlib.DEFLATED, 9)
+    rows.append((9, bytearray(c9.compress(b"small window")
+                              + c9.flush())))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: (r.codec, r.text) for r in
            multimodal.decompress_payloads(df, max_bytes=1024).collect()}
@@ -1661,3 +1672,6 @@ def test_decompress_payloads_codecs_and_guards(spark):
     assert got[4] == (None, None)
     assert got[5] == (None, None)
     assert got[6] == (None, None)
+    assert got[7] == (None, None)
+    assert got[8] == (None, None)
+    assert got[9] == ("zlib", "small window")
