@@ -1675,3 +1675,81 @@ def test_decompress_payloads_codecs_and_guards(spark):
     assert got[7] == (None, None)
     assert got[8] == (None, None)
     assert got[9] == ("zlib", "small window")
+
+
+# -- WARC ingestion ---------------------------------------------------------
+
+def _warc_fixture_records():
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>hello web</html>")
+    return [
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>"},
+         b"software: test"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:1>",
+          "WARC-Target-URI": "http://example.com/a",
+          "WARC-Date": "2024-01-01T00:00:00Z",
+          "Content-Type": "application/http;msgtype=response"}, http),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+          "WARC-Target-URI": "http://example.com/b",
+          "WARC-Date": "2024-01-02T00:00:00Z",
+          "Content-Type": "application/http;msgtype=response"},
+         b"HTTP/1.1 404 Not Found\r\n\r\nmissing"),
+    ]
+
+
+def test_read_warc_plain_and_gzip_members(spark, tmp_path):
+    from structa_spark.sources import warc
+    recs = _warc_fixture_records()
+    for tag, gz in (("plain", False), ("gz", True)):
+        p = tmp_path / f"seg_{tag}.warc"
+        p.write_bytes(warc.warc_bytes(recs, gzip_members=gz))
+        df = warc.read_warc(spark, str(p))
+        rows = {r.record_id: r for r in df.collect()}
+        assert len(rows) == 3, tag
+        resp = rows["<urn:uuid:1>"]
+        assert resp.warc_type == "response"
+        assert resp.target_uri == "http://example.com/a"
+        assert bytes(resp.payload).startswith(b"HTTP/1.1 200")
+        # http_body strips the HTTP header block from responses only
+        body = {r.record_id: bytes(r.payload) for r in
+                warc.read_warc(spark, str(p), http_body=True).collect()}
+        assert body["<urn:uuid:1>"] == b"<html>hello web</html>"
+        assert body["<urn:uuid:2>"] == b"missing"
+        assert body["<urn:uuid:0>"] == b"software: test"
+
+
+def test_warc_composes_with_text_pipeline(spark, tmp_path):
+    # the landing chain: WARC -> http body -> utf-8 text -> quality
+    from structa_spark.sources import warc
+    recs = [({"WARC-Type": "response",
+              "WARC-Record-ID": f"<urn:uuid:{i}>",
+              "WARC-Target-URI": f"http://site{i}.org/"},
+             b"HTTP/1.1 200 OK\r\n\r\n"
+             + f"document {i} with several useful words".encode())
+            for i in range(6)]
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(warc.warc_bytes(recs, gzip_members=True))
+    df = warc.read_warc(spark, str(p), http_body=True)
+    docs = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("target_uri"),
+        F.decode(F.col("payload"), "utf-8").alias("text"))
+    scored = text.quality_score(docs)
+    assert scored.count() == 6
+    assert scored.where(F.col("quality_score").isNotNull()).count() == 6
+
+
+def test_warc_truncated_and_bomb_guards(spark, tmp_path):
+    from structa_spark.sources import warc
+    recs = _warc_fixture_records()
+    blob = warc.warc_bytes(recs, gzip_members=False)
+    # truncation mid-payload: earlier records still parse
+    (tmp_path / "trunc.warc").write_bytes(blob[:-40])
+    got = warc.read_warc(spark, str(tmp_path / "trunc.warc")).count()
+    assert 1 <= got <= 3
+    # inflated-size cap: whole file degrades to no rows, not an OOM
+    import gzip
+    (tmp_path / "bomb.warc.gz").write_bytes(
+        gzip.compress(b"\x00" * (1 << 22)))
+    assert warc.read_warc(spark, str(tmp_path / "bomb.warc.gz"),
+                          max_bytes_per_file=1024).count() == 0
