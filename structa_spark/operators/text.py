@@ -792,3 +792,25 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)
                  .alias("avg_nll")))
+
+
+def html_visible_text(col: Column) -> Column:
+    """Visible text from an HTML column: drop the head and
+    script/style blocks and comments, strip tags, unescape the common entities, collapse
+    whitespace. Pure built-in regexp/replace expressions — the whole
+    extraction stays JVM-side in the scan projection (whole-stage
+    codegen), which is what lets it run over a 100 TB crawl without a
+    Python worker in the hot path. Deliberately the crude-but-
+    scalable extractor: boilerplate (nav/footer) removal is a
+    downstream quality-model concern, and no backreferences or
+    lookarounds are used so the same patterns replay on RE2-based
+    engines (the DuckDB oracle)."""
+    t = F.regexp_replace(col, r"(?is)<head[^>]*>.*?</head>", " ")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

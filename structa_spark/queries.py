@@ -3209,6 +3209,34 @@ def decompressed_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+@register("html_extracted_text", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text,
+       CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""")
+def html_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction, values-checked: each document's text is
+    wrapped in a full HTML page (head/style/script/entity noise)
+    with pure expressions, then html_visible_text must recover
+    exactly the whitespace-collapsed original — the oracle is the
+    plaintext itself. The whole wrap+extract chain is JVM-side
+    regexp codegen; no Python touches the hot path."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>t</title>"
+              "<style>body { color: red; }</style>"
+              "<script type=text/javascript>var x = 1 < 2;</script>"
+              "</head><body><!-- boilerplate --><div class=main><p>"),
+        F.col("text"),
+        F.lit("</p></div><br/>&nbsp;</body></html>"))
+    clean = text.html_visible_text(page)
+    return (d.select("doc_id", clean.alias("clean_text"),
+                     F.length(clean).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

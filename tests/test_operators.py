@@ -1753,3 +1753,23 @@ def test_warc_truncated_and_bomb_guards(spark, tmp_path):
         gzip.compress(b"\x00" * (1 << 22)))
     assert warc.read_warc(spark, str(tmp_path / "bomb.warc.gz"),
                           max_bytes_per_file=1024).count() == 0
+
+
+def test_html_visible_text_extraction(spark):
+    cases = [
+        ("<html><head><title>T</title><style>a{b}</style></head>"
+         "<body><p>Hello &amp; welcome</p><!-- hidden -->"
+         "<script>var x = '<p>';</script>"
+         "<div>to&nbsp;the   <b>site</b></div></body></html>",
+         'Hello & welcome to the site'),
+        ("plain text stays", "plain text stays"),
+        ("a &lt;tag&gt; &quot;quoted&quot; &#39;q&#39;",
+         'a <tag> "quoted" \'q\''),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, html string")
+    got = {r.id: r.t for r in df.select(
+        "id", text.html_visible_text(F.col("html")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
