@@ -1773,3 +1773,44 @@ def test_html_visible_text_extraction(spark):
         "id", text.html_visible_text(F.col("html")).alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_web_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The complete landing chain, composed: WARC (gzip members) ->
+    HTTP body -> HTML visible text -> quality score -> exact dedup ->
+    deterministic split. Every stage is an operator under test
+    elsewhere; this pins that they COMPOSE (schemas line up, nothing
+    forces an extra materialization)."""
+    from structa_spark.operators import dedup as dd
+    from structa_spark.operators.sampling import split_corpus
+    from structa_spark.sources import warc
+
+    page = ("<html><head><script>x</script></head><body><p>%s</p>"
+            "</body></html>")
+    texts = ["the quick brown fox jumps high " * 3,
+             "a completely different useful document here " * 3,
+             "the quick brown fox jumps high " * 3,     # dup of 0
+             "yet another unique piece of writing folks " * 3]
+    recs = [({"WARC-Type": "response",
+              "WARC-Record-ID": f"<urn:uuid:{i}>",
+              "WARC-Target-URI": f"http://s{i}.org/"},
+             ("HTTP/1.1 200 OK\r\n\r\n" + page % t).encode())
+            for i, t in enumerate(texts)]
+    seg = tmp_path / "crawl.warc.gz"
+    seg.write_bytes(warc.warc_bytes(recs, gzip_members=True))
+
+    raw = warc.read_warc(spark, str(seg), http_body=True)
+    docs = raw.select(
+        F.regexp_extract("record_id", r"uuid:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        text.html_visible_text(
+            F.decode(F.col("payload"), "utf-8")).alias("text"))
+    scored = text.quality_score(docs).where(
+        F.col("quality_score") > 0.2)
+    kept = dd.dedup_exact(scored)
+    out = split_corpus(kept.withColumn("lang", F.lit("en")))
+    rows = out.collect()
+    texts_kept = {r.text[:20] for r in rows}
+    assert len(rows) == 3                    # dup collapsed
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    assert len(texts_kept) == 3
