@@ -776,18 +776,25 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     arr = tokens(F.lower(F.col(text_col)))
     bg = df.select(F.col(id_col),
                    F.explode(word_ngrams(arr, 2)).alias("bg"))
-    tf = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    # w1 lives INSIDE the tf relation so cb and cl are plain
+    # aggregations of it. The three consumers still compile to
+    # separate scans (column pruning specializes each branch's
+    # aggregate, which defeats exchange reuse) — at 100 TB persist
+    # this compact (doc, bigram, tf) relation before scoring, or
+    # accept the extra passes; tf is the frequency-compressed form,
+    # orders of magnitude smaller than the token stream
+    tf = (bg.groupBy(id_col, "bg")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("w1", F.split("bg", " ").getItem(0)))
     cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
-    cl = (cb.select(F.split("bg", " ").getItem(0).alias("w1"), "cb")
-          .groupBy("w1").agg(F.sum("cb").alias("cl")))
+    cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
     v = (df.select(F.explode(arr).alias("t"))
          .where(F.col("t") != "")
          .agg(F.count_distinct("t").cast("double").alias("__v__")))
     a = F.lit(float(alpha))
     p = (F.col("cb") + a) / (F.col("cl") + a * F.col("__v__"))
     nll = F.col("tf") * -F.log(p)
-    return (tf.withColumn("w1", F.split("bg", " ").getItem(0))
-            .join(cb, "bg").join(cl, "w1").join(F.broadcast(v))
+    return (tf.join(cb, "bg").join(cl, "w1").join(F.broadcast(v))
             .groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)
