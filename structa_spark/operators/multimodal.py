@@ -981,24 +981,47 @@ def decompress_payloads(df: DataFrame, payload_col: str = "payload",
 
     def inflate(p: bytes):
         if p[:2] == b"\x1f\x8b":
-            codec, d = "gzip", zlib.decompressobj(wbits=47)
+            codec = "gzip"
+            make = lambda: zlib.decompressobj(wbits=47)  # noqa: E731
         elif p[:3] == b"BZh":
-            codec, d = "bz2", bz2.BZ2Decompressor()
+            codec, make = "bz2", bz2.BZ2Decompressor
         elif p[:6] == b"\xfd7zXZ\x00":
-            codec, d = "xz", lzma.LZMADecompressor()
+            codec, make = "xz", lzma.LZMADecompressor
         elif (len(p) >= 2 and (p[0] & 0x0F) == 8 and (p[0] >> 4) <= 7
               and ((p[0] << 8 | p[1]) % 31) == 0):
             # any valid zlib CMF/FLG (deflate method, window <= 32K,
             # header checksum) — not just the default-window 0x78
-            codec, d = "zlib", zlib.decompressobj()
+            codec, make = "zlib", zlib.decompressobj
         else:
             raise DecodeUnavailable("unknown compression magic")
-        raw = d.decompress(p, max_bytes + 1)
-        if len(raw) > max_bytes:
-            raise DecodeUnavailable("inflated size cap")
-        if not d.eof:
-            raise DecodeUnavailable("truncated stream")
-        return codec, raw
+        # stream with a size cap, and LOOP over concatenated
+        # members/streams (gzip WARC-style member layout, multi-
+        # stream bz2/xz) — a single decompressobj stops at the first
+        # member boundary and would silently truncate the payload
+        out = []
+        total = 0
+        buf = memoryview(p)
+        i = 0
+        while i < len(p):
+            d = make()
+            chunk = d.decompress(buf[i:], max_bytes + 1 - total)
+            total += len(chunk)
+            if total > max_bytes:
+                raise DecodeUnavailable("inflated size cap")
+            if not d.eof:
+                raise DecodeUnavailable("truncated stream")
+            out.append(chunk)
+            rem = len(d.unused_data)
+            consumed = (len(p) - i) - rem
+            if consumed <= 0 or rem == 0:
+                break
+            i += consumed
+            if codec == "zlib":
+                # concatenated zlib streams are not a standard
+                # container; trailing bytes after a complete stream
+                # are junk, not another member
+                raise DecodeUnavailable("trailing bytes after stream")
+        return codec, b"".join(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

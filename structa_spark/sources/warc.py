@@ -32,25 +32,28 @@ WARC_SCHEMA = T.StructType([
 ])
 
 
-def gunzip_members(data: bytes, max_bytes: int = 1 << 30) -> bytes:
+def gunzip_members(data: bytes, max_bytes: int = 1 << 32) -> bytes:
     """Concatenated-gzip-member inflate (the WARC storage layout:
     one member per record). Streaming with a total-size cap; a
-    non-gzip input passes through unchanged."""
+    non-gzip input passes through unchanged. The input is walked as
+    a memoryview, so per-member cost is the member itself — a 100k-
+    member segment stays linear, not O(members x file size) memcpy."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = []
     total = 0
+    buf = memoryview(data)
     i = 0
-    while i < len(data) and data[i:i + 2] == b"\x1f\x8b":
+    while i < len(data) and bytes(buf[i:i + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=47)
-        chunk = d.decompress(data[i:], max_bytes + 1 - total)
+        chunk = d.decompress(buf[i:], max_bytes + 1 - total)
         total += len(chunk)
         if total > max_bytes:
             raise ValueError("inflated WARC exceeds max_bytes")
         if not d.eof:
             raise ValueError("truncated gzip member")
         out.append(chunk)
-        consumed = len(data) - i - len(d.unused_data)
+        consumed = (len(data) - i) - len(d.unused_data)
         if consumed <= 0:
             break
         i += consumed
@@ -76,9 +79,15 @@ def parse_warc_records(data: bytes):
                 k, v = line.split(":", 1)
                 hdrs[k.strip().lower()] = v.strip()
         try:
-            n = int(hdrs.get("content-length", "0"))
+            # clamp: a negative Content-Length would walk i backwards
+            # and re-yield the same record forever
+            n = max(0, int(hdrs.get("content-length", "0")))
         except ValueError:
             n = 0
+        if he + 4 + n > len(data):
+            # final record cut mid-payload: drop it rather than yield
+            # a silently short body as if it were a complete document
+            return
         body = data[he + 4:he + 4 + n]
         yield hdrs, body
         i = he + 4 + n
@@ -86,16 +95,22 @@ def parse_warc_records(data: bytes):
 
 def strip_http_headers(body: bytes) -> bytes:
     """For ``response`` records the payload is an HTTP message;
-    return just its entity body (bytes after the header block)."""
+    return just its entity body (bytes after the header block).
+    Falls back to bare-LF header delimiters — non-conformant but
+    real servers emit them, and leaving the header block in would
+    pollute the extracted text."""
     if body[:5] != b"HTTP/":
         return body
     sep = body.find(b"\r\n\r\n")
-    return body[sep + 4:] if sep >= 0 else body
+    if sep >= 0:
+        return body[sep + 4:]
+    sep = body.find(b"\n\n")
+    return body[sep + 2:] if sep >= 0 else body
 
 
 def read_warc(spark: SparkSession, path: str,
               http_body: bool = False,
-              max_bytes_per_file: int = 1 << 30) -> DataFrame:
+              max_bytes_per_file: int = 1 << 32) -> DataFrame:
     """Read WARC file(s) into (file, record_id, warc_type,
     target_uri, warc_date, content_type, content_length, payload).
 

@@ -1814,3 +1814,52 @@ def test_web_corpus_pipeline_end_to_end(spark, tmp_path):
     assert len(rows) == 3                    # dup collapsed
     assert all(r.split in ("train", "val", "test") for r in rows)
     assert len(texts_kept) == 3
+
+
+def test_decompress_payloads_multi_member_gzip(spark):
+    # the WARC member layout: concatenated gzip members must inflate
+    # to the FULL payload, never silently truncate at member one
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+    rows = [
+        (1, bytearray(gzip.compress(b"AAAA") + gzip.compress(b"BBBB"))),
+        (2, bytearray(bz2.compress(b"CC") + bz2.compress(b"DD"))),
+        (3, bytearray(lzma.compress(b"EE") + lzma.compress(b"FF"))),
+        # zlib has no member convention: trailing junk -> null row
+        (4, bytearray(zlib.compress(b"GG") + b"trailing-junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.codec, r.text) for r in
+           multimodal.decompress_payloads(df).collect()}
+    assert got[1] == ("gzip", "AAAABBBB")
+    assert got[2] == ("bz2", "CCDD")
+    assert got[3] == ("xz", "EEFF")
+    assert got[4] == (None, None)
+
+
+def test_warc_hostile_records(spark, tmp_path):
+    from structa_spark.sources import warc
+    # negative Content-Length must not loop forever; short final
+    # records are dropped; LF-only HTTP headers still strip
+    blob = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:a>\r\n"
+            b"Content-Length: -999999\r\n\r\n"
+            + b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:b>\r\n"
+            b"Content-Length: 26\r\n\r\n"
+            b"HTTP/1.1 200 OK\n\nlf body!!\r\n\r\n"
+            + b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:c>\r\n"
+            b"Content-Length: 5000\r\n\r\nshort")
+    p = tmp_path / "hostile.warc"
+    p.write_bytes(blob)
+    rows = {r.record_id: r for r in
+            warc.read_warc(spark, str(p), http_body=True).collect()}
+    # record a: negative length clamps to 0-byte body, walk advances
+    assert bytes(rows["<urn:uuid:a>"].payload) == b""
+    # record b: LF-only header block stripped
+    assert bytes(rows["<urn:uuid:b>"].payload) == b"lf body!!"
+    # record c: declared 5000 bytes but truncated -> dropped
+    assert "<urn:uuid:c>" not in rows
