@@ -126,6 +126,7 @@ def _probe_score(text: str, ranges, min_nonascii: float,
         return 0.0
     non_ascii = native = bad = 0
     hits = [0] * len(ranges)
+    is_native = []
     for ch in text:
         o = ord(ch)
         if o < 0x20 and ch not in "\t\r\n":
@@ -133,13 +134,17 @@ def _probe_score(text: str, ranges, min_nonascii: float,
         elif 0x7F <= o <= 0x9F:
             bad += 1
         if o <= 0x7F:
+            is_native.append(False)
             continue
         non_ascii += 1
+        nat = False
         for i, (lo, hi) in enumerate(ranges):
             if lo <= o <= hi:
                 hits[i] += 1
                 native += 1
+                nat = True
                 break
+        is_native.append(nat)
     if bad:
         return 0.0                    # control chars: decoded garbage
     if non_ascii < max(1, min_nonascii * len(text)):
@@ -149,6 +154,19 @@ def _probe_score(text: str, ranges, min_nonascii: float,
     if hits[0] < must_frac * non_ascii or hits[0] == 0:
         return 0.0
     score = native / non_ascii
+    if ranges is not _LATIN_EXT:
+        # adjacency evidence: real CJK/Cyrillic prose runs its native
+        # chars together (words/sentences of them), while Western
+        # accents mis-decoded through a CJK/Cyrillic table come out
+        # as ISOLATED native chars embedded inside ASCII words
+        # ("héllo" -> "h幨lo", "naïve" -> "naпve"). Scale by the
+        # fraction of native chars with a native neighbor, which is
+        # ~1 for genuine prose and ~0 for scattered-accent mojibake.
+        attached = sum(
+            1 for j, nat in enumerate(is_native) if nat
+            and ((j > 0 and is_native[j - 1])
+                 or (j + 1 < len(is_native) and is_native[j + 1])))
+        score *= attached / native
     if ranges is _CYRILLIC:
         # case-layout signal: normal Russian prose is mostly
         # lowercase; a KOI8<->cp1251 mixup decodes it mostly upper

@@ -359,3 +359,26 @@ def test_xml_non_utf8_encoding_reads(spark, tmp_path):
     titles = {r["title"] for r in open_source(spark, str(f)).collect()}
     assert "日本語のテスト文書です漢字かな" in titles
     assert "二つ目の文書もあります完全に" in titles
+
+
+def test_western_accents_not_claimed_by_cjk_or_cyrillic():
+    """Accented Western text mis-decodes through CJK/Cyrillic tables
+    as ISOLATED native chars inside ASCII words; the adjacency
+    evidence must reject those claims so the text falls through to
+    the Western single-byte tier instead of mojibake."""
+    from structa_spark.sources.detect import detect_encoding
+    for txt in ["héllo wörld", "Müller straße äöü",
+                "naïve café résumé", "garçon français où ça",
+                "señor año mañana"]:
+        enc, conf = detect_encoding((txt + " ").encode("latin-1") * 20)
+        assert enc in ("iso-8859-1", "windows-1252"), (txt, enc)
+    # genuine non-Latin prose keeps detecting (native chars run
+    # together, so the adjacency factor is ~1)
+    for txt, codec in [
+            ("こんにちは世界、これはテストです。", "shift_jis"),
+            ("안녕하세요 세계 여러분 반갑습니다", "euc_kr"),
+            ("這是一段繁體中文測試文字內容", "big5"),
+            ("привет мир это тестовый текст для проверки",
+             "windows-1251")]:
+        enc, _ = detect_encoding((txt + " ").encode(codec) * 10)
+        assert enc == codec, (txt, enc)
