@@ -821,3 +821,27 @@ def html_visible_text(col: Column) -> Column:
                      ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for URL-level dedup and grouping: lowercase the
+    scheme+host, drop the fragment, strip the common tracking
+    parameters (``utm_*``/``fbclid``/``gclid``/``ref``), repair the
+    separators that stripping leaves behind, and drop a trailing
+    slash. Pure regexp/substring expressions, RE2-and-Java safe (no
+    backreferences, no lookarounds), so the same chain replays on
+    other engines; non-URL strings pass through trimmed. Port
+    normalization (``:80``/``:443``) is deliberately out of scope —
+    it needs replacement backreferences whose syntax differs across
+    engines."""
+    base = F.regexp_replace(url, "#.*$", "")
+    sh = F.regexp_extract(base, r"(?i)^(https?://[^/?]+)", 1)
+    rest = F.substr(base, F.length(sh) + 1)
+    rest = F.regexp_replace(
+        rest, r"(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(sh == "", F.trim(url)) \
+        .otherwise(F.concat(F.lower(sh), rest))

@@ -3237,6 +3237,50 @@ def html_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("url_dedup_stats", oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         'https://host' || CAST(doc_id % 20 AS VARCHAR)
+         || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 2
+                 THEN '?x=' || CAST(doc_id % 3 AS VARCHAR)
+                 ELSE '' END AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY 1 ORDER BY canonical_url
+""")
+def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, values-checked: four messy variants of
+    each synthetic URL (uppercased scheme/host, trailing slash,
+    utm-tracking params, fragments) must all collapse to the one
+    canonical form the oracle predicts ARITHMETICALLY from doc_id —
+    the oracle never runs the regex chain, so any canonicalization
+    bug (case, fragment, tracking-param, separator repair) produces
+    different group keys and hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.lit("host"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".com"))
+    url = F.concat(
+        F.when(v == 3, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(v == 1, F.upper(host)).otherwise(host),
+        F.lit("/page/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(v == 0, F.lit(""))
+        .when(v == 1, F.lit("/"))
+        .when(v == 2, F.concat(F.lit("?utm_source=feed&x="),
+                               (F.col("doc_id") % 3).cast("string")))
+        .otherwise(F.lit("#frag")))
+    canon = text.canonicalize_url(url)
+    return (d.select("doc_id", canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .orderBy("canonical_url"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

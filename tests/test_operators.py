@@ -1863,3 +1863,24 @@ def test_warc_hostile_records(spark, tmp_path):
     assert bytes(rows["<urn:uuid:b>"].payload) == b"lf body!!"
     # record c: declared 5000 bytes but truncated -> dropped
     assert "<urn:uuid:c>" not in rows
+
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        ("HTTPS://Example.COM/Path/?utm_source=x&utm_medium=y",
+         "https://example.com/Path"),
+        ("https://example.com/Path#frag", "https://example.com/Path"),
+        ("https://example.com/Path?a=1&utm_source=x&b=2",
+         "https://example.com/Path?a=1&b=2"),
+        ("https://example.com/Path?utm_source=x&a=1",
+         "https://example.com/Path?a=1"),
+        ("http://example.com/", "http://example.com"),
+        ("https://example.com/?ref=abc", "https://example.com"),
+        ("  not a url  ", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", text.canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])

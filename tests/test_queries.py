@@ -100,6 +100,7 @@ def test_driver_window_covers_every_family():
         "variant_props_stats": "json_props_stats",
         "decompressed_text_stats": "decoded_media_stats",
         "html_extracted_text": "text_quality_features",
+        "url_dedup_stats": "dedup_exact_groups",
         "video_header_metadata": "image_header_metadata",
         "tfidf_top_terms": "rare_token_stats",
         "hashed_doc_vectors": "rare_token_stats",
