@@ -91,6 +91,12 @@ def _decode_errors(fn):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+# Largest decoded-pixel buffer a single row may allocate (256 MiB ≈ a
+# 9000x9000 RGBA frame). Headers DECLARE dimensions; a crafted payload
+# can declare anything, and an executor-side OOM kills the whole scan
+# task — so every pixel decoder rejects implausible declared dims
+# before inflating, mirroring decompress_payloads' inflation cap.
+_MAX_PIXEL_BYTES = 256 * 1024 * 1024
 
 
 def parse_image_header(payload):
@@ -215,12 +221,22 @@ def decode_png_pixels(payload):
     if color not in channel_of:
         raise DecodeUnavailable(f"unknown color type {color}")
     channels = channel_of[color]
+    stride = w * channels
+    expected = h * (stride + 1)
+    # Bomb guard: a tiny crafted IDAT can inflate to gigabytes and OOM
+    # the executor, killing the whole scan task — the same contract as
+    # decompress_payloads' cap. Reject implausible declared dims, then
+    # inflate AT MOST the h*(stride+1) bytes the header promises via
+    # decompressobj(max_length) instead of an uncapped decompress().
+    if w == 0 or h == 0 or expected > _MAX_PIXEL_BYTES:
+        raise DecodeUnavailable(
+            f"implausible PNG dims {w}x{h}x{channels}")
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
     except zlib.error as e:
         raise DecodeUnavailable(f"corrupt IDAT: {e}") from e
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         raise DecodeUnavailable("truncated pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
@@ -335,10 +351,14 @@ def encode_png(pixels, row_filters=None, palette=None) -> bytes:
     return out + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list:
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_out: int = None) -> list:
     """GIF-flavor LZW decode (LSB-first bit packing, variable code
     width min+1..12, clear/EOI codes) — pure algorithmic work, no
-    codec library involved."""
+    codec library involved. ``max_out`` caps the emitted index count
+    (the caller passes w*h): LZW expands ~1500:1 at best per table
+    cycle, so without it a small crafted stream inflates without
+    bound and OOMs the executor task."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -371,6 +391,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
         else:
             raise DecodeUnavailable(f"corrupt LZW code {code}")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise DecodeUnavailable("LZW output exceeds declared size")
         if prev is not None and len(table) < 4096:
             table.append(prev + (entry[0],))
             if len(table) == (1 << width) and width < 12:
@@ -472,6 +494,8 @@ def decode_gif_pixels(payload):
             i += 3 * n
         if pal is None:
             raise DecodeUnavailable("GIF frame without a color table")
+        if w == 0 or h == 0 or w * h * 3 > _MAX_PIXEL_BYTES:
+            raise DecodeUnavailable(f"implausible GIF dims {w}x{h}")
         min_code = p[i]
         i += 1
         data = bytearray()
@@ -479,7 +503,7 @@ def decode_gif_pixels(payload):
             size = p[i]
             data += p[i + 1:i + 1 + size]
             i += 1 + size
-        idx = _lzw_decode(bytes(data), min_code)
+        idx = _lzw_decode(bytes(data), min_code, max_out=w * h)
         if len(idx) < w * h:
             raise DecodeUnavailable("truncated GIF pixel data")
         arr = np.array(idx[:w * h], np.int32).reshape(h, w)
@@ -799,11 +823,19 @@ def extract_features(df: DataFrame, dim: int = 16,
             T.StructField("feat_dim", T.IntegerType()),
         ])
 
+    def decode_or_null(p):
+        # degrade-to-null contract shared with media_stats /
+        # resize_images: ONE malformed or codec-less payload in an
+        # Arrow batch must not fail the whole job
+        try:
+            return _real_decode_feature(p, dim)
+        except DecodeUnavailable:
+            return None
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_decode:
-                feats = [_real_decode_feature(p, dim)
-                         for p in pdf[payload_col]]
+                feats = [decode_or_null(p) for p in pdf[payload_col]]
             else:
                 feats = [_fake_decode_feature(p, dim)
                          for p in pdf[payload_col]]

@@ -837,8 +837,16 @@ def canonicalize_url(url: Column) -> Column:
     base = F.regexp_replace(url, "#.*$", "")
     sh = F.regexp_extract(base, r"(?i)^(https?://[^/?]+)", 1)
     rest = F.substr(base, F.length(sh) + 1)
+    # Tracking params are anchored to their separator ('?' or '&') and
+    # stop at '?' as well as '&'/'#', so '?href=...' and Amazon-style
+    # path segments '/ref=sr_1_1?k=1' are never touched — an unanchored
+    # match here collapses DISTINCT urls to one key and silently drops
+    # documents in URL-level dedup. Two passes instead of one
+    # backreferenced pattern keeps the chain RE2-replayable.
     rest = F.regexp_replace(
-        rest, r"(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*", "")
+        rest, r"\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#?]*", "?")
+    rest = F.regexp_replace(
+        rest, r"&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#?]*", "")
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")

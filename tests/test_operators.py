@@ -204,13 +204,16 @@ def test_extract_features_deterministic(spark):
     assert all(len(v) == 4 for v in a.values())
 
 
-def test_real_decode_raises_for_codec_formats(spark):
+def test_real_decode_degrades_codec_formats_to_null(spark):
     # JPEG entropy decode genuinely needs external codecs; the
-    # synthetic fixture's PNGs are header-only (no IDAT), so both
-    # payload kinds must raise through the real-decode path
+    # synthetic fixture's PNGs are header-only (no IDAT). The
+    # real-decode path must DEGRADE those rows to a null feature —
+    # not raise out of the Arrow batch and kill the job — matching
+    # the media_stats / resize_images / decompress_payloads contract.
     m = multimodal.synthetic_media(spark, 4)
-    with pytest.raises(Exception):
-        multimodal.extract_features(m, real_decode=True).collect()
+    rows = multimodal.extract_features(m, real_decode=True).collect()
+    assert len(rows) == 4
+    assert all(r["feature"] is None for r in rows)
 
 
 def test_png_decode_roundtrip_all_filters():
@@ -305,6 +308,29 @@ def test_wav_decode_sample_values():
             multimodal.wav_bytes(8000, 1, 10, bits=4, fmt_tag=2))
 
 
+def test_decode_bomb_guards():
+    import struct
+
+    import numpy as np
+    # a PNG declaring absurd dims is rejected BEFORE inflating IDAT —
+    # an uncapped zlib.decompress of a crafted stream can expand a
+    # few-KB payload to gigabytes and OOM the scan task
+    b = bytearray(multimodal.encode_png(np.zeros((4, 4), np.uint8)))
+    b[16:20] = struct.pack(">I", 2 ** 20)
+    b[20:24] = struct.pack(">I", 2 ** 20)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_png_pixels(bytes(b))
+    # a GIF whose LZW stream inflates past the declared w*h stops at
+    # the cap instead of accumulating unbounded output
+    g = bytearray(multimodal.encode_gif(
+        np.zeros((4, 8), np.uint8), np.zeros((2, 3), np.uint8)))
+    sep = g.index(0x2C)
+    g[sep + 5:sep + 7] = struct.pack("<H", 2)
+    g[sep + 7:sep + 9] = struct.pack("<H", 2)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_gif_pixels(bytes(g))
+
+
 def test_extract_features_real_decode_png_wav(spark):
     import numpy as np
     rng = np.random.RandomState(3)
@@ -333,6 +359,15 @@ def test_extract_features_real_decode_png_wav(spark):
              multimodal.extract_features(
                  df, dim=8, real_decode=True).collect()}
     assert out == again
+    # a corrupt payload in the SAME batch degrades to null without
+    # disturbing the decodable rows
+    rows.append((99, bytearray(b"\x89PNG\r\n\x1a\ngarbage")))
+    df2 = spark.createDataFrame(rows, "media_id long, payload binary")
+    mixed = {r.media_id: r.feature for r in
+             multimodal.extract_features(
+                 df2, dim=8, real_decode=True).collect()}
+    assert mixed[99] is None
+    assert all(mixed[i] == out[i] for i in range(6))
 
 
 def test_media_stats_distributed(spark):
@@ -1747,12 +1782,76 @@ def test_warc_truncated_and_bomb_guards(spark, tmp_path):
     (tmp_path / "trunc.warc").write_bytes(blob[:-40])
     got = warc.read_warc(spark, str(tmp_path / "trunc.warc")).count()
     assert 1 <= got <= 3
-    # inflated-size cap: whole file degrades to no rows, not an OOM
+    # inflated-size cap: no data rows, but ONE error row so an
+    # over-cap segment is distinguishable from an empty archive
     import gzip
     (tmp_path / "bomb.warc.gz").write_bytes(
         gzip.compress(b"\x00" * (1 << 22)))
-    assert warc.read_warc(spark, str(tmp_path / "bomb.warc.gz"),
-                          max_bytes_per_file=1024).count() == 0
+    rows = warc.read_warc(spark, str(tmp_path / "bomb.warc.gz"),
+                          max_bytes_per_file=1024).collect()
+    assert len(rows) == 1 and rows[0].record_id is None
+    assert "max_bytes" in rows[0].error
+
+
+def test_warc_corrupt_tail_salvages_leading_members(spark, tmp_path):
+    # records from members that DID inflate must survive a corrupt
+    # tail, with the failure surfaced in the error column
+    from structa_spark.sources import warc
+    recs = _warc_fixture_records()
+    blob = warc.warc_bytes(recs, gzip_members=True)
+    (tmp_path / "tail.warc.gz").write_bytes(blob[:-25])
+    rows = warc.read_warc(
+        spark, str(tmp_path / "tail.warc.gz")).collect()
+    data = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert len(data) == 2          # first two members intact
+    assert len(errs) == 1 and "gzip" in errs[0].error
+    assert all(r.record_id for r in data)
+
+
+def test_index_gzip_members_offsets(tmp_path):
+    import gzip
+    import io
+    from structa_spark.sources import warc
+    parts = [b"alpha" * 50, b"b", b"gamma gamma" * 999]
+    blob = b"".join(gzip.compress(p) for p in parts)
+    spans = warc.index_gzip_members(io.BytesIO(blob), read_size=64)
+    assert len(spans) == 3
+    assert spans[0][0] == 0 and spans[-1][1] == len(blob)
+    # each recorded range re-inflates to exactly its member
+    for (s, e), want in zip(spans, parts):
+        assert gzip.decompress(blob[s:e]) == want
+    # bomb cap applies to the index pass too
+    with pytest.raises(ValueError):
+        warc.index_gzip_members(io.BytesIO(blob), max_bytes=100)
+    with pytest.raises(ValueError):
+        warc.index_gzip_members(io.BytesIO(blob[:-4]), read_size=64)
+
+
+def test_read_warc_chunked_matches_single_task(spark, tmp_path):
+    # intra-file parallelism: a multi-member segment parsed as
+    # several range-read tasks must equal the whole-file path
+    from structa_spark.sources import warc
+    recs = [({"WARC-Type": "response",
+              "WARC-Record-ID": f"<urn:uuid:{i}>",
+              "WARC-Target-URI": f"http://s{i}.org/"},
+             b"HTTP/1.1 200 OK\r\n\r\n"
+             + (f"doc {i} " * 40).encode()) for i in range(12)]
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(warc.warc_bytes(recs, gzip_members=True))
+    whole = warc.read_warc(spark, str(p), http_body=True)
+    chunked = warc.read_warc(spark, str(p), http_body=True,
+                             chunk_bytes=300)
+    n_tasks = chunked.rdd.getNumPartitions()
+    assert n_tasks > 1, "chunking must create multiple tasks"
+    a = sorted((r.record_id, bytes(r.payload)) for r in whole.collect())
+    b = sorted((r.record_id, bytes(r.payload))
+               for r in chunked.collect())
+    assert a == b and len(a) == 12
+    # plain (non-member) archives fall back to whole-file parsing
+    q = tmp_path / "plain.warc"
+    q.write_bytes(warc.warc_bytes(recs, gzip_members=False))
+    assert warc.read_warc(spark, str(q), chunk_bytes=300).count() == 12
 
 
 def test_html_visible_text_extraction(spark):
@@ -1877,6 +1976,17 @@ def test_canonicalize_url_cases(spark):
         ("http://example.com/", "http://example.com"),
         ("https://example.com/?ref=abc", "https://example.com"),
         ("  not a url  ", "not a url"),
+        # anchoring regressions: param NAMES containing a tracking
+        # name as a substring must survive, and path segments like
+        # Amazon's /ref=... must never eat the query
+        ("https://example.com/a?href=https://x.com/b",
+         "https://example.com/a?href=https://x.com/b"),
+        ("https://example.com/dp/B01/ref=sr_1_1?keywords=1",
+         "https://example.com/dp/B01/ref=sr_1_1?keywords=1"),
+        ("https://example.com/a?xref=1&utm_x=2",
+         "https://example.com/a?xref=1"),
+        ("https://example.com/a?utm_a=1&utm_b=2&c=3",
+         "https://example.com/a?c=3"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
