@@ -755,7 +755,8 @@ def bpe_encode(df: DataFrame, merges,
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   alpha: float = 0.5) -> DataFrame:
+                   alpha: float = 0.5,
+                   persist: bool = True) -> DataFrame:
     """Per-document average negative log-likelihood under the
     corpus's own BIGRAM language model with add-alpha smoothing —
     the conditional upgrade of :func:`unigram_logprob`:
@@ -773,19 +774,26 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     Documents with fewer than two tokens have no bigram and are
     absent from the output (score them with the unigram model).
     """
+    from pyspark import StorageLevel
+
     arr = tokens(F.lower(F.col(text_col)))
     bg = df.select(F.col(id_col),
                    F.explode(word_ngrams(arr, 2)).alias("bg"))
     # w1 lives INSIDE the tf relation so cb and cl are plain
-    # aggregations of it. The three consumers still compile to
-    # separate scans (column pruning specializes each branch's
-    # aggregate, which defeats exchange reuse) — at 100 TB persist
-    # this compact (doc, bigram, tf) relation before scoring, or
-    # accept the extra passes; tf is the frequency-compressed form,
-    # orders of magnitude smaller than the token stream
+    # aggregations of it. Column pruning specializes each consumer's
+    # aggregate, which defeats exchange reuse — without a persist the
+    # three consumers (cb, cl, scoring join) recompile to separate
+    # tokenize+explode scans of the corpus. tf is the
+    # frequency-compressed form, orders of magnitude smaller than the
+    # token stream, so it is persisted (memory, spilling to disk) and
+    # all three branches read ONE materialization; the ContextCleaner
+    # unpersists it once the returned plan is dropped. `persist=False`
+    # opts back into the stateless recompute-per-branch plan.
     tf = (bg.groupBy(id_col, "bg")
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("w1", F.split("bg", " ").getItem(0)))
+    if persist:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
     cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
     v = (df.select(F.explode(arr).alias("t"))
