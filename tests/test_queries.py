@@ -64,16 +64,18 @@ def test_driver_window_covers_every_family():
     assert all(n in o for n in DRIVER_PRIORITY), \
         "every driver-window query must be hash-checkable"
     # one representative per family the judge checks explicitly
-    for must in ("pq_adc_topk", "ivf_topk_search", "int8_topk_search",
+    for must in ("pq_codes", "ivf_topk_search",
+                 "embedding_quantization",
                  "hybrid_rrf_topk", "semantic_dedup_summary",
                  "contamination_check", "sequence_packing",
                  "asof_next_purchase_gap", "cube_status_priority",
-                 "pivot_lang_source_counts", "split_counts_by_lang",
+                 "pivot_lang_source_counts", "curriculum_shard_stats",
                  "bpe_merge_candidates", "daily_event_drift",
-                 "decoded_media_stats", "mixed_resample_counts"):
+                 "resized_media_stats", "mixing_weights_by_source"):
         assert must in DRIVER_PRIORITY, must
     # everything outside the window keeps an in-window family sibling
     siblings = {
+        # outside since round 1, witnessed via their anchor
         "profile_stats_strings": "profile_stats_numeric",
         "profile_quartiles_strings": "profile_quartiles",
         "dedup_exact_props": "dedup_exact_groups",
@@ -81,38 +83,39 @@ def test_driver_window_covers_every_family():
         "asof_purchase_click": "asof_next_purchase_gap",
         "rollup_nation_year": "cube_status_priority",
         "cosine_topk_vectorized": "cosine_topk",
-        "sample_docs_deterministic": "split_counts_by_lang",
-        "stratified_sample_by_lang": "split_counts_by_lang",
-        "cap_docs_per_lang": "split_counts_by_lang",
-        "token_length_histogram": "token_stats_by_lang",
+        "sample_docs_deterministic": "curriculum_shard_stats",
+        "stratified_sample_by_lang": "curriculum_shard_stats",
+        "cap_docs_per_lang": "curriculum_shard_stats",
+        "token_length_histogram": "unigram_nll",
         "label_centroids": "semantic_dedup_summary",
         "filter_training_corpus": "training_manifest",
-        "skewed_event_agg": "windowed_event_stats",
+        "skewed_event_agg": "sliding_event_stats",
         "ivf_assignment_counts": "ivf_topk_search",
         "repetition_signals": "training_manifest",
-        "passage_dedup_summary": "dedup_corpus_keep",
-        "vocab_top20": "rare_token_stats",
-        "pq_codes": "pq_adc_topk",
-        "audio_header_metadata": "decoded_media_stats",
-        "resized_media_stats": "decoded_media_stats",
-        "curriculum_shard_stats": "split_counts_by_lang",
-        "bigram_nll": "token_stats_by_lang",
-        "variant_props_stats": "json_props_stats",
-        "decompressed_text_stats": "decoded_media_stats",
-        "html_extracted_text": "text_quality_features",
-        "url_dedup_stats": "dedup_exact_groups",
-        "video_header_metadata": "image_header_metadata",
-        "tfidf_top_terms": "rare_token_stats",
-        "hashed_doc_vectors": "rare_token_stats",
-        "unigram_nll": "token_stats_by_lang",
-        "mixing_weights_by_source": "mixed_resample_counts",
-        "sliding_event_stats": "windowed_event_stats",
-        "group_quantiles_exact": "profile_quartiles",
-        "trailing_window_avg": "windowed_event_stats",
-        "domain_stats": "text_quality_features",
-        "value_outliers_by_type": "windowed_event_stats",
-        "lsh_recall": "minhash_band_buckets",
-        "embedding_quantization": "int8_topk_search",
+        "passage_dedup_summary": "dedup_exact_groups",
+        "vocab_top20": "tfidf_top_terms",
+        # rotated OUT in round 5 (driver-green in rounds 1-4)
+        "q5_nation_revenue": "q3_top_orders",
+        "top_orders_per_customer": "q3_top_orders",
+        "datetime_parse_formats": "profile_type_candidates",
+        "profile_freq_topk": "profile_stats_numeric",
+        "windowed_event_stats": "sliding_event_stats",
+        "ngram_jaccard_pairs": "containment_pairs",
+        "near_dup_groups": "dedup_exact_groups",
+        "dedup_corpus_keep": "dedup_exact_groups",
+        "token_stats_by_lang": "unigram_nll",
+        "text_quality_features": "domain_stats",
+        "rare_token_stats": "tfidf_top_terms",
+        "doc_fingerprints": "hashed_doc_vectors",
+        "mixed_resample_counts": "mixing_weights_by_source",
+        "pq_adc_topk": "pq_codes",
+        "int8_topk_search": "embedding_quantization",
+        "embedding_neardup_pairs": "cosine_topk",
+        "image_header_metadata": "audio_header_metadata",
+        "multimodal_doc_features": "resized_media_stats",
+        "decoded_media_stats": "resized_media_stats",
+        "json_props_stats": "variant_props_stats",
+        "split_counts_by_lang": "curriculum_shard_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
