@@ -260,6 +260,26 @@ def main():
             "exponents": exponents,
         }
 
+    # medians + exponents also land in their own small file so the
+    # judge/driver never depends on capturing this process's stdout
+    # tail (a truncated capture once cost a round its medians block)
+    medians_path = os.environ.get("SPARK_GRAFT_MEDIANS_PATH",
+                                  os.path.join(os.path.dirname(
+                                      os.path.abspath(__file__)),
+                                      "BENCH_medians.json"))
+    try:
+        with open(medians_path, "w") as fh:
+            json.dump({
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": out["unit"],
+                "sf": out["sf"],
+                "queries": times,
+                "exponents": out.get("ladder", {}).get("exponents"),
+            }, fh, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
+
     print(json.dumps(out))
     spark.stop()
 

@@ -170,25 +170,39 @@ def split_corpus(df: DataFrame, weights=(0.9, 0.05, 0.05),
 
 
 def curriculum_shards(df: DataFrame, n_shards: int = 4,
-                      score_col: str = "n_chars") -> DataFrame:
+                      score_col: str = "n_chars",
+                      approx: bool = False,
+                      accuracy: int = 10000) -> DataFrame:
     """Curriculum sharding: assign every row to one of ``n_shards``
-    ordered difficulty buckets by EXACT score quantiles (shard 0 =
-    lowest scores) — the classic short-to-long / easy-to-hard
-    training-order stage, realized as a deterministic column.
+    ordered difficulty buckets by score quantiles (shard 0 = lowest
+    scores) — the classic short-to-long / easy-to-hard training-order
+    stage, realized as a deterministic column.
 
-    Scale shape: ONE exact-percentile aggregation hands the driver
-    n-1 cutoff scalars; assignment is then a literal comparison per
-    row — no global sort and no single-partition ``ntile`` window
-    (the quadratic-ish oracle shape this operator deliberately
-    avoids). Rows exactly at a cutoff go to the lower shard (strict
-    ``>``), so the split is reproducible across engines computing the
-    same interpolated quantiles.
+    Scale shape: ONE percentile aggregation hands the driver n-1
+    cutoff scalars; assignment is then a literal comparison per row —
+    no global sort and no single-partition ``ntile`` window (the
+    quadratic-ish oracle shape this operator deliberately avoids).
+    Rows exactly at a cutoff go to the lower shard (strict ``>``), so
+    the split is reproducible across engines computing the same
+    interpolated quantiles.
+
+    The default EXACT percentile buffers O(distinct scores) in the
+    aggregation — fine for length-like integer scores and required
+    for the bit-exact DuckDB oracle replay. For a high-cardinality
+    float score at 100 TB pass ``approx=True``: a bounded-memory
+    ``percentile_approx`` (Greenwald-Khanna) sketch whose rank error
+    is ≤ 1/``accuracy`` of the row count, trading cutoff exactness
+    for O(accuracy·log n) state per partial.
     """
     if n_shards < 2:
         raise ValueError(f"n_shards must be >= 2: {n_shards}")
     ps = [i / n_shards for i in range(1, n_shards)]
-    cuts = df.agg(F.percentile(F.col(score_col),
-                               F.lit(ps)).alias("c")).collect()[0].c
+    if approx:
+        agg = F.percentile_approx(F.col(score_col), F.lit(ps),
+                                  F.lit(accuracy))
+    else:
+        agg = F.percentile(F.col(score_col), F.lit(ps))
+    cuts = df.agg(agg.alias("c")).collect()[0].c
     if cuts is None:
         # no rows, or every score null: there is nothing to rank —
         # everything (if anything) sits in the first shard

@@ -1633,6 +1633,37 @@ def test_curriculum_shards_ordered_and_partition_invariant(spark):
         curriculum_shards(df, n_shards=1)
 
 
+def test_curriculum_shards_approx_within_sketch_bound(spark):
+    # approx=True swaps the O(distinct-scores) exact percentile for a
+    # bounded-memory GK sketch; on a SKEWED high-cardinality float
+    # score each approx cutoff may be off by at most n/accuracy ranks,
+    # so a shard's size can deviate from n/k by <= 2*(n/accuracy)
+    # (one error per bounding cutoff)
+    import numpy as np
+    from structa_spark.operators.sampling import curriculum_shards
+    rng = np.random.RandomState(7)
+    n, k, accuracy = 20_000, 4, 1000
+    scores = np.exp(rng.normal(0.0, 2.0, size=n))   # lognormal skew
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)],
+        "doc_id long, n_chars double").repartition(8)
+    out = curriculum_shards(df, n_shards=k, approx=True,
+                            accuracy=accuracy)
+    sizes = {r.shard: r.n for r in
+             out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(k))
+    bound = 2 * (n // accuracy) + 1
+    for s in range(k):
+        assert abs(sizes[s] - n // k) <= bound, (s, sizes[s], bound)
+    # shards still strictly ordered by score
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.n_chars)
+    for s in range(k - 1):
+        assert max(by_shard[s]) <= min(by_shard[s + 1])
+
+
 def test_bigram_logprob_hand_computed(spark):
     import math
     df = spark.createDataFrame(
