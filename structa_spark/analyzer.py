@@ -38,7 +38,7 @@ reduces to per-leaf scalars, quartiles use mergeable GK sketches
 from __future__ import annotations
 
 import datetime as _dt
-from dataclasses import dataclass, field as dc_field, replace
+from dataclasses import dataclass, field as dc_field, fields as dc_fields, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -73,6 +73,10 @@ class AnalyzerConfig:
     max_pattern_len: int = 64       # induce patterns up to this width
     exact: bool = False             # exact quartiles/distincts (oracle mode)
     quantile_accuracy: int = 1000   # percentile_approx accuracy (~1/err)
+    # KLL-doubles sketch parameter for the mergeable quantile summary
+    # carried in Stats.qsketches (k=200 -> ~1.65% worst-case rank
+    # error, ~3 KB serialized). 0 disables carrying sketches.
+    kll_k: int = 200
     # HLL++ relative standard deviation for approx_count_distinct in
     # sketch mode. Tight (0.5%) because the uniqueness flag is derived
     # from it: a loose default-rsd (5%) sketch can't distinguish
@@ -369,6 +373,15 @@ def _sketch_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
              else F.percentile_approx(qc, F.lit([0.25, 0.5, 0.75]),
                                       F.lit(cfg.quantile_accuracy)))
         exprs.append(q.alias(f"{k}__q"))
+        if not cfg.exact and cfg.kll_k:
+            # mergeable quantile summary: lets merge_profiles fold
+            # shard profiles with sketch accuracy instead of the
+            # weighted-midpoint approximation (KLL is the
+            # DataSketches quantile twin of the HLL used above)
+            exprs.append(
+                F.kll_sketch_agg_double(qc.cast("double"),
+                                        F.lit(cfg.kll_k))
+                .alias(f"{k}__qsk"))
     return exprs
 
 
@@ -444,6 +457,9 @@ def _classify_leaf(leaf: _Leaf, row: Dict, cfg: AnalyzerConfig,
     q = row.get(f"{k}__q")
     if q is not None:
         stats = replace(stats, q1=q[0], q2=q[1], q3=q[2])
+    sk = row.get(f"{k}__qsk")
+    if sk is not None:
+        stats = replace(stats, qsketches=(bytes(sk),))
 
     dt = leaf.dtype
     if isinstance(dt, T.BooleanType):
@@ -1405,7 +1421,89 @@ def merge_profiles(a: Profile, b: Profile) -> Profile:
     ``unionByName`` semantics driver-side, reference types.py:674-679).
 
     At scale prefer analyzing the union DataFrame instead; this is the
-    associative summary combine for pre-computed profiles."""
+    associative summary combine for pre-computed profiles. Numeric /
+    datetime quartiles are resolved from the mergeable KLL sketches
+    each shard profile carries (``Stats.qsketches``) through ONE tiny
+    JVM job, so folded quartiles match the whole-dataset profile
+    within the sketch's rank-error bound instead of the
+    weighted-midpoint approximation ``Stats.__add__`` falls back to
+    (the fallback remains when no SparkSession is active or a column
+    carries no sketches — strings, exact mode)."""
     root = merge(a.root, b.root)
+    root = _resolve_quantile_sketches(root)
     return Profile(root=root, row_count=a.row_count + b.row_count,
                    cfg=a.config)
+
+
+def _resolve_quantile_sketches(root: Node) -> Node:
+    """Replace midpoint-approximated quartiles with KLL-merged values
+    for every Stats in the tree holding >= 2 pending sketches; the
+    pending list collapses to the one merged sketch. All columns
+    resolve in a single driver-data job (rows = columns, KB each)."""
+    from pyspark.sql import SparkSession
+
+    pending: List[Stats] = []
+
+    def collect(node: Node) -> None:
+        st = getattr(node, "stats", None)
+        if isinstance(st, Stats) and len(st.qsketches) >= 2:
+            pending.append(st)
+        for f in dc_fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, Node):
+                collect(v)
+            elif isinstance(v, tuple):
+                for x in v:
+                    if isinstance(x, Node):
+                        collect(x)
+
+    collect(root)
+    spark = SparkSession.getActiveSession()
+    if not pending or spark is None:
+        return root
+
+    rows = [(i, [bytearray(s) for s in st.qsketches])
+            for i, st in enumerate(pending)]
+    qcols = [F.kll_sketch_get_quantile_double("msk", F.lit(p))
+             .alias(f"q{j}") for j, p in enumerate((0.25, 0.5, 0.75))]
+    got = {r.i: r for r in
+           (spark.createDataFrame(rows, "i int, sks array<binary>")
+            .select("i", F.explode("sks").alias("sk"))
+            .groupBy("i")
+            .agg(F.kll_merge_agg_double("sk").alias("msk"))
+            .select("i", *qcols, "msk").collect())}
+    resolved = {}
+    for i, st in enumerate(pending):
+        r = got.get(i)
+        if r is None or r.msk is None:
+            continue
+        resolved[id(st)] = (replace(
+            st, q1=r.q0, q2=r.q1, q3=r.q2,
+            qsketches=(bytes(r.msk),)))
+
+    def rebuild(node: Node) -> Node:
+        changes = {}
+        for f in dc_fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, Node):
+                nv = rebuild(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, tuple) and any(
+                    isinstance(x, Node) for x in v):
+                nv = tuple(rebuild(x) if isinstance(x, Node) else x
+                           for x in v)
+                if any(x is not y for x, y in zip(nv, v)):
+                    changes[f.name] = nv
+            elif isinstance(v, Stats) and id(v) in resolved:
+                st = resolved[id(v)]
+                if isinstance(node, DateTimeT):
+                    # the sketch summarizes epoch seconds; surface
+                    # datetimes like the single-shard classify path
+                    st = replace(st, q1=_from_epoch(st.q1),
+                                 q2=_from_epoch(st.q2),
+                                 q3=_from_epoch(st.q3))
+                changes[f.name] = st
+        return replace(node, **changes) if changes else node
+
+    return rebuild(root)

@@ -11,11 +11,15 @@ The Spark-side contract is real and tested — schemas, Arrow-batched
   pure-Python LZW inflate, interlace, palettes).
 * WAV — REAL sample decode (:func:`decode_wav_samples`: linear PCM
   8/16/32-bit and IEEE-float chunks to numpy arrays).
-* JPEG / MP4 — header metadata is real byte-level parsing;
-  pixel/sample decode raises ``DecodeUnavailable`` (their entropy
-  coders genuinely need external codec libraries, absent here).
-  Swapping in PIL/ffmpeg later changes only the inner function body,
-  not the distributed shape of the pipeline.
+* JPEG — REAL baseline-sequential pixel decode
+  (:mod:`structa_spark.operators.jpeg`: Huffman + dequantize +
+  8x8 IDCT + chroma upsample + YCbCr->RGB, stdlib+numpy only).
+  Progressive/arithmetic JPEG raises ``DecodeUnavailable``.
+* MP4 — header metadata is real byte-level box parsing; sample
+  decode raises ``DecodeUnavailable`` (inter-frame video genuinely
+  needs ffmpeg-class codecs, absent here). Swapping one in later
+  changes only the inner function body, not the distributed shape
+  of the pipeline.
 
 Batch-shape guidance for 100 TB: binary payloads dominate partition
 size, so size ``spark.sql.files.maxPartitionBytes`` for the *decoded*
@@ -756,8 +760,8 @@ def _real_decode_feature(payload, dim: int) -> list:
     dim-length [stats, histogram] vector over values normalized to
     [0, 1] (pixels / 255; audio peak-normalized then shifted). The
     first four slots are mean/std/min/max; the rest a density
-    histogram. Formats without a stdlib decoder (JPEG entropy
-    coding, MP4, compressed WAV) raise ``DecodeUnavailable``."""
+    histogram. Formats without a stdlib decoder (progressive JPEG,
+    MP4, compressed WAV) raise ``DecodeUnavailable``."""
     import numpy as np
 
     p = bytes(payload) if payload is not None else b""
@@ -908,19 +912,33 @@ def _sniff_kind(p: bytes):
         return "gif"
     if p[:4] == b"RIFF":
         return "wav"
+    if p[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
+@_decode_errors
+def decode_jpeg_pixels(payload):
+    """Baseline-JPEG pixel decode -> (h, w, 1|3) uint8; see
+    :mod:`structa_spark.operators.jpeg` for the full codec.
+    Progressive/arithmetic streams raise DecodeUnavailable (their
+    JpegError is a ValueError, mapped by the decorator)."""
+    from . import jpeg
+    return jpeg.decode_jpeg_pixels(payload)
+
+
 def _decode_image(p: bytes):
-    """(kind, (h, w, c) array) for PNG/GIF payloads; raises
-    DecodeUnavailable for other formats, malformed streams, and
-    zero-dimension images (a crafted IHDR can declare height=0 —
+    """(kind, (h, w, c) array) for PNG/GIF/baseline-JPEG payloads;
+    raises DecodeUnavailable for other formats, malformed streams,
+    and zero-dimension images (a crafted IHDR can declare height=0 —
     an empty array must not reach resampling index math)."""
     kind = _sniff_kind(p)
     if kind == "png":
         arr = decode_png_pixels(p)
     elif kind == "gif":
         arr = decode_gif_pixels(p)
+    elif kind == "jpeg":
+        arr = decode_jpeg_pixels(p)
     else:
         raise DecodeUnavailable("no stdlib image decoder")
     if arr.size == 0:

@@ -2927,7 +2927,7 @@ png AS (
          CAST(MIN((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_min,
          CAST(MAX((i.doc_id + 3*y.y + x.x) % 256) AS DOUBLE) AS v_max
   FROM ids i, range(0, 14) x(x), range(0, 10) y(y)
-  WHERE i.doc_id % 3 = 0
+  WHERE i.doc_id % 4 = 0
     AND x.x < 8 + i.doc_id % 7 AND y.y < 6 + i.doc_id % 5
   GROUP BY i.doc_id
 ),
@@ -2939,7 +2939,7 @@ wav AS (
          CAST(MIN((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_min,
          CAST(MAX((i.doc_id*13 + s.s*7) % 201 - 100) AS DOUBLE) AS v_max
   FROM ids i, range(0, 64) s(s)
-  WHERE i.doc_id % 3 = 1 AND s.s < 40 + i.doc_id % 25
+  WHERE i.doc_id % 4 = 1 AND s.s < 40 + i.doc_id % 25
   GROUP BY i.doc_id
 ),
 gif AS (
@@ -2952,12 +2952,30 @@ gif AS (
          CAST(MAX((i.doc_id*5 + ((x.x+y.y)%4)*11 + c.c) % 256)
               AS DOUBLE) AS v_max
   FROM ids i, range(0, 10) x(x), range(0, 8) y(y), range(0, 3) c(c)
-  WHERE i.doc_id % 3 = 2
+  WHERE i.doc_id % 4 = 2
     AND x.x < 6 + i.doc_id % 5 AND y.y < 5 + i.doc_id % 4
+  GROUP BY i.doc_id
+),
+jpg AS (
+  SELECT i.doc_id AS media_id, 'jpeg' AS kind,
+         CAST(64 * COUNT(*) AS BIGINT) AS n_values,
+         ROUND(AVG(CAST((i.doc_id*7
+             + 13*(yb.b*(1 + i.doc_id % 3) + xb.b)) % 256
+             AS DOUBLE)), 6) AS v_mean,
+         CAST(MIN((i.doc_id*7
+             + 13*(yb.b*(1 + i.doc_id % 3) + xb.b)) % 256)
+             AS DOUBLE) AS v_min,
+         CAST(MAX((i.doc_id*7
+             + 13*(yb.b*(1 + i.doc_id % 3) + xb.b)) % 256)
+             AS DOUBLE) AS v_max
+  FROM ids i, range(0, 3) xb(b), range(0, 2) yb(b)
+  WHERE i.doc_id % 4 = 3
+    AND xb.b < 1 + i.doc_id % 3 AND yb.b < 1 + i.doc_id % 2
   GROUP BY i.doc_id
 )
 SELECT * FROM png UNION ALL SELECT * FROM wav
-UNION ALL SELECT * FROM gif ORDER BY media_id
+UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
+ORDER BY media_id
 """)
 def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel/sample decode, values-checked end to end: build
@@ -2969,15 +2987,21 @@ def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     then decode them BACK OUT OF THE BYTES with
     operators.multimodal.media_stats (zlib inflate + unfilter / RIFF
     data reinterpret / LZW table inflate + de-interlace + palette
-    lookup) and aggregate raw value stats. The oracle predicts
-    mean/min/max from the generator formulas in pure SQL, so any
-    decode bug — filter arithmetic, byte order, sample framing, LZW
-    width handling — hash-mismatches. This retires the fake-decode
-    seam for every format stdlib can genuinely decode; JPEG/MP4 stay
-    declared DecodeUnavailable (their entropy coders need real codec
+    lookup) and aggregate raw value stats. Round 5 adds genuine
+    baseline JPEGs (Huffman entropy coding + IDCT,
+    operators/jpeg.py): flat-valued 8x8 blocks with an all-ones
+    quantization table are DC-only and round-trip EXACTLY, so the
+    oracle predicts the decoded values arithmetically there too —
+    the lossy-format decoder is value-checked without modeling loss.
+    The oracle predicts mean/min/max from the generator formulas in
+    pure SQL, so any decode bug — filter arithmetic, byte order,
+    sample framing, LZW width handling, Huffman/zigzag/IDCT
+    arithmetic — hash-mismatches. Only progressive JPEG and MP4
+    remain declared DecodeUnavailable (they need real codec
     libraries)."""
     import numpy as np
     import pandas as pd
+    from .operators import jpeg as mjpeg
     from .operators import multimodal as mm
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
@@ -2986,19 +3010,19 @@ def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     w, h = 8 + i % 7, 6 + i % 5
                     yy, xx = np.mgrid[0:h, 0:w]
                     arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
                     payload = mm.encode_png(
                         arr, row_filters=[0, 1, 2, 3, 4])
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     n = 40 + i % 25
                     s = ((i * 13 + np.arange(n) * 7) % 201
                          - 100).astype("<i2")
                     payload = mm.wav_bytes(8000, 1, n, bits=16,
                                            samples=s.tobytes())
-                else:
+                elif i % 4 == 2:
                     w, h = 6 + i % 5, 5 + i % 4
                     yy, xx = np.mgrid[0:h, 0:w]
                     idx = ((xx + yy) % 4).astype(np.uint8)
@@ -3007,6 +3031,13 @@ def decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for k in range(4)], np.uint8)
                     payload = mm.encode_gif(idx, pal,
                                             interlace=bool(i % 2))
+                else:
+                    nbx, nby = 1 + i % 3, 1 + i % 2
+                    bv = ((i * 7 + 13 * (np.arange(nby)[:, None]
+                                         * nbx + np.arange(nbx)))
+                          % 256).astype(np.uint8)
+                    arr = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+                    payload = mjpeg.encode_jpeg(arr, quant=1)
                 rows.append((i, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

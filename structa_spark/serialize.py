@@ -32,6 +32,9 @@ _NODE_TYPES = {
 def _enc(v: Any) -> Any:
     if isinstance(v, _dt.datetime):
         return {"$dt": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+        return {"$b64": base64.b64encode(bytes(v)).decode("ascii")}
     if isinstance(v, CharClass):
         return {"$cc": None if v is ANY_CHAR or isinstance(v, type(ANY_CHAR))
                 else sorted(v.chars)}
@@ -58,6 +61,9 @@ def _dec(v: Any) -> Any:
         return v
     if "$dt" in v:
         return _dt.datetime.fromisoformat(v["$dt"])
+    if "$b64" in v:
+        import base64
+        return base64.b64decode(v["$b64"])
     if "$cc" in v:
         return ANY_CHAR if v["$cc"] is None else CharClass(v["$cc"])
     if "$stats" in v:

@@ -35,6 +35,15 @@ class Stats:
     # order (the reference displays top-3 ... bottom-3 of the sample,
     # types.py:142-163)
     bottom: Tuple = ()
+    # serialized DataSketches KLL-doubles sketches covering this
+    # column (numeric/datetime-as-epoch). One entry straight from the
+    # aggregation; ``__add__`` CONCATENATES (pure Python cannot merge
+    # the binary form) and ``analyzer.merge_profiles`` resolves the
+    # pending list through one JVM job (kll_merge_agg_double),
+    # replacing the weighted-midpoint quartile approximation with
+    # sketch-accurate values and collapsing the list back to one
+    # sketch so repeated folds stay O(1) per column.
+    qsketches: Tuple = ()
 
     @classmethod
     def empty(cls) -> "Stats":
@@ -121,6 +130,7 @@ class Stats:
             ),
             sample=sample,
             bottom=bottom,
+            qsketches=tuple(self.qsketches) + tuple(other.qsketches),
         )
 
     def range_str(self, str_limit=None) -> str:

@@ -12,11 +12,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_end_to_end_toy_scale():
+def test_bench_end_to_end_toy_scale(tmp_path):
+    medians = tmp_path / "BENCH_medians.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="8",
-               SPARK_GRAFT_BENCH_RUNS="1")
+               SPARK_GRAFT_BENCH_RUNS="1",
+               # keep the toy-scale artifact out of the repo root —
+               # the driver's real run owns that file
+               SPARK_GRAFT_MEDIANS_PATH=str(medians))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900, env=env,
@@ -31,3 +35,6 @@ def test_bench_end_to_end_toy_scale():
     missing = [q for q, t in out["queries"].items() if t is None]
     assert not missing, f"untimed queries: {missing}"
     assert len(out["queries"]) >= 20
+    # the medians artifact carries the same per-query numbers
+    side = json.loads(medians.read_text())
+    assert side["queries"] == out["queries"]

@@ -95,3 +95,77 @@ def test_merged_shards_match_whole_dataset_profile(shard_profiles):
     # the multi-source profile is indistinguishable from profiling
     # the union on everything the merge defines exactly
     assert sorted(_walk(folded.root)) == sorted(_walk(whole.root))
+
+
+def test_folded_quartiles_match_whole_within_sketch_bound(spark):
+    # RANGE-partitioned shards are the adversarial case for the
+    # weighted-midpoint fallback (each shard sees a disjoint value
+    # band, so averaging shard quartiles lands far from the truth);
+    # the KLL sketches carried in approx mode must resolve the folded
+    # quartiles to within the sketch's rank-error bound (~1.65% of n
+    # at k=200) of the true quantile ranks.
+    import numpy as np
+    rng = np.random.RandomState(11)
+    n = 30_000
+    vals = np.sort(np.exp(rng.normal(0.0, 1.5, size=n)))
+    cut = 24_000                      # 80/20 split by VALUE RANGE
+    mk = lambda a: spark.createDataFrame(
+        [(float(v),) for v in a], "x double")
+    pa, pb = analyze(mk(vals[:cut])), analyze(mk(vals[cut:]))
+    folded = merge_profiles(pa, pb)
+    leaf = folded.root.fields[0].value      # RecordT -> x column
+    st = leaf.stats
+    assert len(st.qsketches) == 1     # pending list collapsed
+    tol = int(0.0165 * n) + 200
+    for q, p in ((st.q1, 0.25), (st.q2, 0.5), (st.q3, 0.75)):
+        rank = int(np.searchsorted(vals, q))
+        assert abs(rank - p * n) <= tol, (p, rank, q)
+    # the midpoint fallback (sketches stripped) really is far off
+    # for the median here — this pins that the sketch path is doing
+    # the work, not that the fallback happened to be good enough
+    from dataclasses import replace as dc_replace
+    bare = dc_replace(pa.root.fields[0].value.stats, qsketches=()) \
+        + dc_replace(pb.root.fields[0].value.stats, qsketches=())
+    assert abs(int(np.searchsorted(vals, bare.q2)) - 0.5 * n) > 3 * tol
+
+
+def test_folded_profiles_roundtrip_and_datetime_quartiles(spark, tmp_path):
+    from structa_spark.serialize import load_profile, save_profile
+    df = load_table(spark, SF, "lineitem")
+    a = analyze(df.where("l_orderkey % 2 = 0"))
+    b = analyze(df.where("l_orderkey % 2 = 1"))
+    # sketches survive JSON persistence (the profile-store path)
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    save_profile(a, str(pa)), save_profile(b, str(pb))
+    folded = merge_profiles(load_profile(str(pa)), load_profile(str(pb)))
+    whole = analyze(df)
+    import datetime
+    got = {p: qs for p, *qs in _quartiles(folded.root)}
+    want = {p: qs for p, *qs in _quartiles(whole.root)}
+    assert set(got) == set(want)
+    for p in got:
+        for g, w in zip(got[p], want[p]):
+            # both sides are sketch/approx estimates of the same
+            # quantile; at sf0.001 row counts the rank bound converts
+            # to a loose relative value tolerance, plus one value
+            # step for low-cardinality integer columns (l_suppkey has
+            # 10 distinct values — adjacent-rank estimates differ by
+            # a whole step)
+            assert abs(g - w) <= max(0.1 * (abs(w) + 1), 1.001), \
+                (p, g, w)
+    # datetime quartiles come back as datetimes inside [min, max]
+    def find_dt(node):
+        if isinstance(node, type(None)):
+            return None
+        st = getattr(node, "stats", None)
+        if (st is not None and isinstance(st.q2, datetime.datetime)):
+            return st
+        for attr in ("fields", "element", "inner", "key", "value"):
+            v = getattr(node, attr, None)
+            for child in (v if isinstance(v, tuple) else (v,)):
+                got = find_dt(child) if child is not None else None
+                if got is not None:
+                    return got
+        return None
+    st = find_dt(folded.root)
+    assert st is not None and st.min <= st.q2 <= st.max

@@ -2025,3 +2025,73 @@ def test_canonicalize_url_cases(spark):
         "i", text.canonicalize_url(F.col("u")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_jpeg_roundtrip_gray_exact_and_color_tolerance():
+    import numpy as np
+    from structa_spark.operators import jpeg
+    # flat gray: DC-only blocks with quant=1 round-trip EXACTLY
+    for v in (0, 17, 128, 255):
+        arr = np.full((16, 24), v, np.uint8)
+        out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(arr))
+        assert out.shape == (16, 24, 1)
+        assert (out[:, :, 0] == v).all()
+    # per-block flat values (non-multiple-of-8 canvas padded by the
+    # encoder, cropped by the decoder) stay exact per block
+    bv = np.array([[10, 200], [55, 130]], np.uint8)
+    arr = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+    out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(arr))[:, :, 0]
+    assert (out == arr).all()
+    # random gray/RGB: quant=1 keeps error to FDCT/IDCT rounding
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (24, 17)).astype(np.uint8)
+    got = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(g))[:, :, 0]
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 4
+    c = rng.randint(0, 256, (19, 22, 3)).astype(np.uint8)
+    got = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(c))
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 6
+    # 4:2:0 subsampling: flat color exact within +-1 after the
+    # chroma down/upsample + YCbCr float round-trip
+    f = np.zeros((20, 28, 3), np.uint8)
+    f[...] = (90, 160, 30)
+    got = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(f, subsample=True))
+    assert np.abs(got.astype(int) - f.astype(int)).max() <= 1
+
+
+def test_jpeg_rejects_unsupported_and_hostile():
+    import numpy as np
+    from structa_spark.operators import jpeg
+    arr = np.full((8, 8), 100, np.uint8)
+    good = bytearray(jpeg.encode_jpeg(arr))
+    # progressive (SOF2) is a declared decline, not a wrong answer
+    sof = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bytes(prog))
+    # implausible declared dims rejected before any allocation
+    bomb = bytearray(good)
+    bomb[sof + 5:sof + 7] = (60000).to_bytes(2, "big")
+    bomb[sof + 7:sof + 9] = (60000).to_bytes(2, "big")
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bytes(bomb))
+    # truncated entropy stream
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bytes(good[:-12]))
+    # not a JPEG at all
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(b"\x00\x01\x02")
+
+
+def test_jpeg_flows_through_media_stats(spark):
+    import numpy as np
+    from structa_spark.operators import jpeg
+    arr = np.full((8, 16), 77, np.uint8)
+    rows = [(1, bytearray(jpeg.encode_jpeg(arr))),
+            (2, bytearray(b"\xff\xd8\xff\xc2garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           multimodal.media_stats(df).collect()}
+    assert got[1].kind == "jpeg" and got[1].n_values == 128
+    assert got[1].v_mean == 77.0 == got[1].v_min == got[1].v_max
+    assert got[2].n_values is None     # degrade-to-null contract
