@@ -45,7 +45,13 @@ _ZIGZAG = [
 # inverse permutation maps a zigzag-ordered 64-vector to natural order
 _ZIGZAG_INV = sorted(range(64), key=_ZIGZAG.__getitem__)
 
-_MAX_PIXELS = 64 * 1024 * 1024   # same bomb posture as PNG/GIF dims
+# Declared-dims bomb guard, like PNG/GIF's _MAX_PIXEL_BYTES — but
+# sized for THIS decoder's working set, not the output array: float64
+# component planes plus the transient RGB stack peak at ~72 bytes per
+# pixel, so 4M pixels (a 2048x2048 frame) keeps peak memory ~300 MB.
+# Bigger frames decline (degrade-to-null at the multimodal seam);
+# the per-block Python Huffman loop makes them a CPU hazard anyway.
+_MAX_PIXELS = 4 * 1024 * 1024
 
 
 class JpegError(ValueError):
@@ -164,10 +170,23 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_pixels(payload):
     """REAL baseline-JPEG pixel decode -> (h, w, 1|3) uint8 array.
-    Supports SOF0 (baseline sequential), 8-bit precision, 1 or 3
-    components, any sampling factors up to 4, multiple DQT/DHT
-    segments, restart intervals. Progressive/arithmetic/12-bit raise
-    :class:`JpegError`."""
+    Supports SOF0/1 (baseline sequential), 8-bit precision, 1 or 3
+    components, sampling factors up to 4 whose ratios divide evenly
+    (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 — the shipped layouts), multiple
+    DQT/DHT segments, restart intervals.
+    Progressive/arithmetic/12-bit, fractional-ratio sampling and any
+    malformed stream raise :class:`JpegError` — never a bare
+    IndexError/struct.error from the byte walk."""
+    try:
+        return _decode_jpeg(payload)
+    except JpegError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") \
+            from e
+
+
+def _decode_jpeg(payload):
     import numpy as np
 
     p = bytes(payload) if payload is not None else b""
@@ -262,6 +281,13 @@ def _decode_scan(p, pos, frame, sel, qt, huff_dc, huff_ac, restart):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise JpegError("unsupported sampling factors")
+    for _cid, hi, vi, _tq in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            # T.81 permits e.g. 3-vs-4 ratios; the repeat-based
+            # upsampler below cannot express fractional ratios, so
+            # decline instead of mis-sizing the plane
+            raise JpegError(
+                f"fractional sampling ratio {hi}x{vi}/{hmax}x{vmax}")
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
     M = _dct_matrix()
@@ -305,6 +331,7 @@ def _decode_scan(p, pos, frame, sel, qt, huff_dc, huff_ac, restart):
                                         x0:x0 + 8] = spat
             except _Restart:
                 raise JpegError("unexpected restart marker")
+            mcu_count += 1
     out = []
     for cid, hi, vi, tq in comps:
         pl = planes[cid]
@@ -395,12 +422,17 @@ def _category(v: int):
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
-def encode_jpeg(pixels, quant: int = 1, subsample: bool = False) -> bytes:
+def encode_jpeg(pixels, quant: int = 1, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Baseline JPEG encoder: ``(h, w)``/``(h, w, 1)`` gray or
     ``(h, w, 3)`` RGB uint8 -> SOF0 stream with a uniform ``quant``
     quantization table, 4:4:4 (or 4:2:0 with ``subsample``) sampling
     and per-image canonical Huffman tables. ``quant=1`` keeps every
-    flat 8x8 block exact through the round trip."""
+    flat 8x8 block exact through the round trip.
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience layout real camera JPEGs ship with, so the
+    decoder's restart path gets exercised by genuine streams."""
     import numpy as np
 
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -450,8 +482,19 @@ def encode_jpeg(pixels, quant: int = 1, subsample: bool = False) -> bytes:
     def scan(writer, enc_dc=None, enc_ac=None, dc_syms=None,
              ac_syms=None):
         pred = [0] * nc
+        mcu = 0
+        rst = 0
         for my in range(mcy):
             for mx in range(mcx):
+                if (restart_interval and mcu
+                        and mcu % restart_interval == 0):
+                    pred = [0] * nc
+                    if writer is not None:
+                        writer.flush()
+                        # markers bypass byte stuffing
+                        writer.out.extend((0xFF, 0xD0 + rst))
+                        rst = (rst + 1) % 8
+                mcu += 1
                 for ci in range(nc):
                     hi, vi = hs[ci]
                     for by in range(vi):
@@ -489,6 +532,8 @@ def encode_jpeg(pixels, quant: int = 1, subsample: bool = False) -> bytes:
         out.extend(body)
 
     seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         hi, vi = hs[ci]

@@ -753,6 +753,11 @@ def bpe_encode(df: DataFrame, merges,
     return df.mapInPandas(batches, schema=schema)
 
 
+# one-deep cache of bigram_logprob's persisted tf relation — see the
+# in-function comment for why the eviction lives with the NEXT call
+_BIGRAM_TF_CACHE: list = []
+
+
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5,
@@ -786,14 +791,27 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     # tokenize+explode scans of the corpus. tf is the
     # frequency-compressed form, orders of magnitude smaller than the
     # token stream, so it is persisted (memory, spilling to disk) and
-    # all three branches read ONE materialization; the ContextCleaner
-    # unpersists it once the returned plan is dropped. `persist=False`
-    # opts back into the stateless recompute-per-branch plan.
+    # all three branches read ONE materialization. SQL cache entries
+    # are NOT garbage-collected by the ContextCleaner (the
+    # CacheManager holds them until an explicit unpersist), and this
+    # function returns a LAZY plan, so it cannot unpersist eagerly
+    # itself; instead each call evicts the PREVIOUS call's cached tf
+    # (a one-deep cache), bounding the session's footprint at one
+    # relation instead of leaking one per call. Unpersisting the
+    # previous relation is always safe — a still-live older plan just
+    # recomputes. `persist=False` opts back into the stateless
+    # recompute-per-branch plan.
     tf = (bg.groupBy(id_col, "bg")
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("w1", F.split("bg", " ").getItem(0)))
     if persist:
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        while _BIGRAM_TF_CACHE:
+            try:
+                _BIGRAM_TF_CACHE.pop().unpersist(False)
+            except Exception:
+                pass    # session of the old relation already stopped
+        _BIGRAM_TF_CACHE.append(tf)
     cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
     cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
     v = (df.select(F.explode(arr).alias("t"))

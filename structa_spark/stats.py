@@ -130,7 +130,15 @@ class Stats:
             ),
             sample=sample,
             bottom=bottom,
-            qsketches=tuple(self.qsketches) + tuple(other.qsketches),
+            # both sides are non-empty here (empty sides returned
+            # early above). If EITHER carries no sketch (exact-mode
+            # profile, string column), the merged sketches would
+            # cover only part of the merged data — resolving
+            # quartiles from them would silently misrepresent the
+            # sketchless shard, so drop them and let the documented
+            # midpoint fallback stay authoritative.
+            qsketches=(tuple(self.qsketches) + tuple(other.qsketches)
+                       if self.qsketches and other.qsketches else ()),
         )
 
     def range_str(self, str_limit=None) -> str:

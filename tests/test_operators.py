@@ -2095,3 +2095,76 @@ def test_jpeg_flows_through_media_stats(spark):
     assert got[1].kind == "jpeg" and got[1].n_values == 128
     assert got[1].v_mean == 77.0 == got[1].v_min == got[1].v_max
     assert got[2].n_values is None     # degrade-to-null contract
+
+
+def test_jpeg_restart_intervals_and_hostile_segments():
+    import numpy as np
+    from structa_spark.operators import jpeg
+    rng = np.random.RandomState(9)
+    # DRI + RST0-7 markers: flat blocks stay exact across every
+    # restart cadence (predictor resets + byte alignment)
+    bv = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    arr = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+    for ri in (1, 2, 5):
+        out = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg(arr, restart_interval=ri))[:, :, 0]
+        assert (out == arr).all(), ri
+    g = rng.randint(0, 256, (24, 33)).astype(np.uint8)
+    out = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg(g, restart_interval=3))[:, :, 0]
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+    # 4:2:0 + restarts: flat color still within +-1
+    f = np.zeros((20, 28, 3), np.uint8)
+    f[...] = (40, 210, 99)
+    out = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg(f, subsample=True, restart_interval=2))
+    assert np.abs(out.astype(int) - f.astype(int)).max() <= 1
+    # malformed segment bodies raise JpegError, never a bare
+    # IndexError/struct.error out of the byte walk
+    good = bytearray(jpeg.encode_jpeg(np.full((8, 8), 5, np.uint8)))
+    sos = good.index(b"\xff\xda")
+    for tail in (b"\xff\xda\x00\x02",        # empty SOS body
+                 b"\xff\xdd\x00\x03\x01",    # short DRI
+                 b"\xff\xc0\x00\x04\x08\x00"):  # truncated SOF
+        with pytest.raises(jpeg.JpegError):
+            jpeg.decode_jpeg_pixels(bytes(good[:sos] + tail))
+    # fractional sampling ratios (T.81-legal, unsupported by the
+    # repeat upsampler) decline as JpegError instead of mis-sizing
+    col = bytearray(jpeg.encode_jpeg(
+        np.zeros((16, 16, 3), np.uint8), subsample=True))
+    sofp = col.index(b"\xff\xc0")
+    col[sofp + 4 + 10] = 0x33     # Cb 3x3 vs Y 2x2 -> 3%2 != 0
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bytes(col))
+
+
+def test_stats_add_drops_partial_sketches():
+    # folding a sketch-bearing profile with a sketchless one (exact
+    # mode, strings) must NOT carry sketches covering only part of
+    # the merged data — the midpoint fallback stays authoritative
+    from structa_spark.stats import Stats
+    a = Stats(card=10, q1=1.0, q2=2.0, q3=3.0, qsketches=(b"sk",))
+    b = Stats(card=10, q1=5.0, q2=6.0, q3=7.0)
+    assert (a + b).qsketches == ()
+    assert (b + a).qsketches == ()
+    c = Stats(card=4, q1=0.0, q2=0.0, q3=0.0, qsketches=(b"s2",))
+    assert (a + c).qsketches == (b"sk", b"s2")
+    # empty side passes the other through untouched
+    assert (Stats.empty() + a).qsketches == (b"sk",)
+
+
+def test_bigram_logprob_tf_cache_is_one_deep(spark):
+    from structa_spark.operators import text as t
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string")
+    t._BIGRAM_TF_CACHE.clear()
+    r1 = t.bigram_logprob(df).collect()
+    assert len(t._BIGRAM_TF_CACHE) == 1
+    first = t._BIGRAM_TF_CACHE[0]
+    assert first.storageLevel.useMemory
+    r2 = t.bigram_logprob(df).collect()
+    assert len(t._BIGRAM_TF_CACHE) == 1
+    assert t._BIGRAM_TF_CACHE[0] is not first
+    assert not first.storageLevel.useMemory   # evicted, not leaked
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
