@@ -879,3 +879,98 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"/$", "")
     return F.when(sh == "", F.trim(url)) \
         .otherwise(F.concat(F.lower(sh), rest))
+
+
+def nb_train(df: DataFrame, label_col: str = "lang",
+             text_col: str = "text"):
+    """'Train' a multinomial Naive Bayes document classifier — the
+    counting-based quality/domain classifier of classic corpus
+    curation (the pre-fasttext baseline of CCNet-style filtering):
+    training is ONE aggregation pass, no iteration, no optimizer.
+
+    Returns ``(cond, classes)``:
+
+    * ``cond`` — (label, token, c): class-conditional token counts.
+    * ``classes`` — (label, n_docs, n_tokens): per-class document
+      and token totals (priors and smoothing denominators derive
+      from these plus the corpus vocabulary size at predict time).
+
+    Scale shape: both outputs are pure groupBy counts over the
+    (label, token) explosion — map-side partial aggregation absorbs
+    the token hot-keys, and the model is vocabulary x classes, small
+    enough to broadcast for any real label set.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    cond = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("c"))
+    classes = (df.groupBy(F.col(label_col).alias("label"))
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .join(cond.groupBy("label")
+                     .agg(F.sum("c").alias("n_tokens")),
+                     "label", "left")
+               .fillna(0, ["n_tokens"]))
+    return cond, classes
+
+
+def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Score every document against a :func:`nb_train` model and
+    pick the add-1-smoothed maximum-likelihood class:
+
+    ``score(d, l) = ln(n_docs_l / N) - n_tok_d * ln(T_l + V)
+                    + sum_t tf(d,t) * ln(c(l,t) + 1)``
+
+    (the usual form regrouped so the join only needs tokens the
+    class HAS seen: ``ln((c+1)/(T+V)) - ln(1/(T+V)) = ln(c+1)``,
+    and the unseen-token mass folds into the closed-form
+    ``-n_tok * ln(T+V)`` term).
+
+    Scale shape: one (doc, token) tf aggregation, one token-keyed
+    join against the model (AQE skew split covers head tokens), one
+    (doc x classes) broadcast expansion for the score assembly —
+    classes are few, so that blowup is bounded. Scores round to 4
+    decimals BEFORE the argmax rank (ties break on label) so the
+    prediction is reproducible across engines summing in different
+    orders. Returns (id, pred_label, score).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    v = cond.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__v__"))
+    n_total = classes.agg(
+        F.sum("n_docs").cast("double").alias("__n__"))
+    # per-(doc, label) mass over tokens the class has seen
+    seen = (tf.join(cond, "token")
+            .groupBy(id_col, "label")
+            .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1))
+                 .alias("s_seen")))
+    doc_len = df.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tok"))
+    scored = (doc_len
+              .crossJoin(F.broadcast(classes))
+              .join(seen, [id_col, "label"], "left")
+              .crossJoin(F.broadcast(v))
+              .crossJoin(F.broadcast(n_total))
+              .select(
+                  F.col(id_col), "label",
+                  F.round(
+                      F.log(F.col("n_docs") / F.col("__n__"))
+                      - F.col("n_tok")
+                      * F.log(F.col("n_tokens") + F.col("__v__"))
+                      + F.coalesce(F.col("s_seen"), F.lit(0.0)),
+                      4).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("label"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col(id_col), F.col("label").alias("pred_label"),
+                    "score"))

@@ -800,6 +800,78 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "lang_pred"))
 
 
+@register("nb_lang_confusion", oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+cond AS (
+  SELECT lang AS label, token, count(*) AS c FROM toks GROUP BY 1, 2
+),
+nd AS (
+  SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1
+),
+tt AS (SELECT label, sum(c) AS n_tokens FROM cond GROUP BY 1),
+cls AS (
+  SELECT nd.label, nd.n_docs, COALESCE(tt.n_tokens, 0) AS n_tokens
+  FROM nd LEFT JOIN tt USING (label)
+),
+v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cond),
+n AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+dlen AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(lower(text)),
+                                            '\\s+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents
+),
+seen AS (
+  SELECT tf.doc_id, cond.label,
+         sum(tf.tf * ln(cond.c + 1)) AS s_seen
+  FROM tf JOIN cond USING (token) GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id, d.lang, c.label,
+         round(ln(c.n_docs / n.n) - d.n_tok * ln(c.n_tokens + v.v)
+               + COALESCE(s.s_seen, 0), 4) AS score
+  FROM dlen d CROSS JOIN cls c CROSS JOIN v CROSS JOIN n
+  LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.label = c.label
+),
+pred AS (
+  SELECT doc_id, lang, label AS pred_label,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rn
+  FROM scored
+)
+SELECT lang, pred_label, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LEARNED document classifier, values-checked end to end:
+    multinomial Naive Bayes trained on the corpus's own (lang, text)
+    pairs — training is pure counting (one aggregation), scoring is
+    one token-keyed join plus a bounded docs-x-classes expansion, so
+    the whole train+predict cycle is SQL-replayable and the oracle
+    recomputes the full model (class priors, add-1-smoothed
+    conditionals, vocabulary size) and the argmax. The counting
+    classifier is the classic pre-fasttext corpus-curation filter;
+    scores round to 4 decimals before the rank so the argmax is
+    engine-order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    cond, classes = text.nb_train(d)
+    pred = text.nb_predict(d, cond, classes)
+    return (pred.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "pred_label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("lang", "pred_label"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

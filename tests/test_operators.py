@@ -2168,3 +2168,28 @@ def test_bigram_logprob_tf_cache_is_one_deep(spark):
     assert t._BIGRAM_TF_CACHE[0] is not first
     assert not first.storageLevel.useMemory   # evicted, not leaked
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_nb_classifier_separable_and_priors(spark):
+    import math
+    from structa_spark.operators import text as t
+    rows = [(1, "cat cat purr", "feline"),
+            (2, "purr cat", "feline"),
+            (3, "dog bark bark", "canine"),
+            (4, "", "feline")]          # empty doc -> prior argmax
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cond, classes = t.nb_train(df)
+    got = {r.doc_id: r for r in
+           t.nb_predict(df, cond, classes).collect()}
+    assert got[1].pred_label == "feline"
+    assert got[2].pred_label == "feline"
+    assert got[3].pred_label == "canine"
+    # empty doc: score reduces to the class prior; feline has 3 of 4
+    # docs so it wins, and the score equals ln(3/4) exactly
+    assert got[4].pred_label == "feline"
+    assert abs(got[4].score - round(math.log(3 / 4), 4)) < 1e-9
+    # hand-check doc 3 against the closed form:
+    # V=4 (cat purr dog bark); canine: T=3, prior ln(1/4);
+    # tokens dog(1) bark(2): ln((1+1)/(3+4)) + 2*ln((2+1)/(3+4))
+    want = math.log(1 / 4) + math.log(2 / 7) + 2 * math.log(3 / 7)
+    assert abs(got[3].score - round(want, 4)) < 1e-9

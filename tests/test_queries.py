@@ -116,6 +116,8 @@ def test_driver_window_covers_every_family():
         "decoded_media_stats": "resized_media_stats",
         "json_props_stats": "variant_props_stats",
         "split_counts_by_lang": "curriculum_shard_stats",
+        # registered after the round-5 window froze
+        "nb_lang_confusion": "lang_id_confusion",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
