@@ -60,6 +60,7 @@ def main():
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
+        nb_lang_confusion,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         q3_top_orders, q5_nation_revenue, repetition_signals,
         rollup_nation_year, semantic_dedup_summary, sessionize_events,
@@ -135,6 +136,7 @@ def main():
             "decoded_media": run_df(decoded_media_stats),
             "bigram_nll": run_df(bigram_nll),
             "decompress": run_df(decompressed_text_stats),
+            "nb_confusion": run_df(nb_lang_confusion),
         }
 
     suite = make_suite(SF_DIR)
