@@ -649,3 +649,54 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("containment", score)
             .where(F.col("containment") >= threshold)
             .select("id_a", "id_b", "containment"))
+
+
+def duplicate_span_coverage(df: DataFrame, n: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Substring-level duplication signal (the span-dedup idea of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022, re-expressed relationally): for every document,
+    how much of it is covered by word ``n``-gram spans that ALSO
+    occur in at least one OTHER document. Sits between exact
+    doc-level dedup and passage dedup — it catches boilerplate
+    headers, license blocks and quoted chunks that duplicate across
+    otherwise-distinct documents.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac): total span
+    positions (n_tokens - n + 1), positions whose span occurs in >=2
+    distinct documents, and their ratio. Documents shorter than n
+    tokens have no spans and report 0 / 0 / 0.0.
+
+    Scale shape: span frequencies aggregate on (doc, span) FIRST —
+    the doc id in the key absorbs boilerplate hot-spans before any
+    join — then one span-keyed join against the distinct-doc counts
+    (AQE skew split covers the head); the finale is a doc-keyed agg.
+    No Python, no all-pairs: cost is linear in corpus token count.
+    The suffix-array formulation of the paper finds arbitrary-length
+    duplicated substrings; fixed-n spans are the bounded-state
+    relational variant (run several n if needed).
+    """
+    from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    grams = df.select(F.col(id_col),
+                      F.explode(_word_ngrams(toks, n)).alias("g"))
+    tf = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    per = (tf.join(nd, "g")
+           .groupBy(id_col)
+           .agg(F.sum("tf").cast("long").alias("n_spans"),
+                F.sum(F.when(F.col("nd") >= 2, F.col("tf"))
+                      .otherwise(0)).cast("long").alias("n_dup_spans")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                F.coalesce("n_dup_spans", F.lit(0))
+                .alias("n_dup_spans"),
+                F.when(F.coalesce("n_spans", F.lit(0)) > 0,
+                       F.round(F.col("n_dup_spans")
+                               / F.col("n_spans"), 4))
+                .otherwise(F.lit(0.0)).alias("dup_frac")))

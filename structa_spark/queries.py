@@ -872,6 +872,49 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "pred_label"))
 
 
+@register("span_dup_coverage", oracle="""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(ws) - 4, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+             AS g
+  FROM words WHERE len(ws) >= 5
+),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
+nd AS (SELECT g, count(*) AS nd FROM tf GROUP BY 1),
+per AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN nd.nd >= 2 THEN tf.tf ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM tf JOIN nd USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN round(p.n_dup_spans / p.n_spans, 4)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+""")
+def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication, values-checked: per document, the
+    fraction of word 5-gram span positions whose span also occurs in
+    another document — the relational form of Lee et al.'s span
+    dedup, catching cross-document boilerplate that doc- and
+    passage-level dedup both miss. The oracle recomputes the span
+    frequencies, cross-document counts and the coverage ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_span_coverage(d, n=5).orderBy("doc_id")
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

@@ -2193,3 +2193,25 @@ def test_nb_classifier_separable_and_priors(spark):
     # tokens dog(1) bark(2): ln((1+1)/(3+4)) + 2*ln((2+1)/(3+4))
     want = math.log(1 / 4) + math.log(2 / 7) + 2 * math.log(3 / 7)
     assert abs(got[3].score - round(want, 4)) < 1e-9
+
+
+def test_duplicate_span_coverage_hand_computed(spark):
+    from structa_spark.operators import dedup as dd
+    rows = [
+        (1, "a b c d e f"),      # spans: "a b c", "b c d", "c d e", "d e f"
+        (2, "x y z a b c"),      # shares span "a b c" with doc 1
+        (3, "p q"),              # too short for n=3 -> 0 spans
+        (4, "a b c a b c a"),    # "a b c" twice + "b c a" twice + "c a b"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dd.duplicate_span_coverage(df, n=3).collect()}
+    assert (got[1].n_spans, got[1].n_dup_spans) == (4, 1)
+    assert got[1].dup_frac == 0.25
+    assert (got[2].n_spans, got[2].n_dup_spans) == (4, 1)
+    assert (got[3].n_spans, got[3].n_dup_spans) == (0, 0)
+    assert got[3].dup_frac == 0.0
+    # doc 4: 5 positions; "a b c" (x2) duplicates cross-doc; the
+    # within-doc-only repeats ("b c a" x2) are NOT cross-doc dups
+    assert (got[4].n_spans, got[4].n_dup_spans) == (5, 2)
+    assert got[4].dup_frac == 0.4

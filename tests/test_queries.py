@@ -118,6 +118,7 @@ def test_driver_window_covers_every_family():
         "split_counts_by_lang": "curriculum_shard_stats",
         # registered after the round-5 window froze
         "nb_lang_confusion": "lang_id_confusion",
+        "span_dup_coverage": "dedup_exact_groups",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
