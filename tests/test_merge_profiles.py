@@ -169,3 +169,25 @@ def test_folded_profiles_roundtrip_and_datetime_quartiles(spark, tmp_path):
         return None
     st = find_dt(folded.root)
     assert st is not None and st.min <= st.q2 <= st.max
+
+
+def test_sketch_fold_is_order_robust(spark):
+    # approx-mode folds in different orders must agree on quartiles
+    # within the sketch rank bound (KLL merges are not bit-identical
+    # across orders; ranks are what the sketch guarantees)
+    import numpy as np
+    rng = np.random.RandomState(3)
+    n = 12_000
+    vals = np.sort(rng.gamma(2.0, 10.0, size=n))
+    thirds = [vals[:4000], vals[4000:8000], vals[8000:]]
+    mk = lambda a: spark.createDataFrame(
+        [(float(v),) for v in a], "x double")
+    p = [analyze(mk(t)) for t in thirds]
+    a = merge_profiles(merge_profiles(p[0], p[1]), p[2])
+    b = merge_profiles(p[2], merge_profiles(p[1], p[0]))
+    tol = int(0.0165 * n) + 200
+    for prof in (a, b):
+        st = prof.root.fields[0].value.stats
+        for q, frac in ((st.q1, 0.25), (st.q2, 0.5), (st.q3, 0.75)):
+            rank = int(np.searchsorted(vals, q))
+            assert abs(rank - frac * n) <= tol, (frac, rank)

@@ -2215,3 +2215,31 @@ def test_duplicate_span_coverage_hand_computed(spark):
     # within-doc-only repeats ("b c a" x2) are NOT cross-doc dups
     assert (got[4].n_spans, got[4].n_dup_spans) == (5, 2)
     assert got[4].dup_frac == 0.4
+
+
+def test_jpeg_decoder_fuzz_never_escapes_jpeg_error():
+    # hostile-input contract: random garbage and random mutations of
+    # a valid stream either decode or raise JpegError — never a bare
+    # IndexError/struct.error/ValueError, never a hang
+    import numpy as np
+    from structa_spark.operators import jpeg
+    rng = np.random.RandomState(1234)
+    good = bytearray(jpeg.encode_jpeg(
+        rng.randint(0, 256, (16, 24, 3)).astype(np.uint8),
+        restart_interval=2))
+    for trial in range(120):
+        if trial % 3 == 0:
+            buf = bytes(rng.randint(0, 256, rng.randint(0, 400),
+                                    dtype=np.uint8))
+        elif trial % 3 == 1:
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            buf = bytes(b)
+        else:
+            buf = bytes(good[:rng.randint(0, len(good))])
+        try:
+            out = jpeg.decode_jpeg_pixels(buf)
+            assert out.dtype.name == "uint8" and out.ndim == 3
+        except jpeg.JpegError:
+            pass
