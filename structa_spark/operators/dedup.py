@@ -700,3 +700,83 @@ def duplicate_span_coverage(df: DataFrame, n: int = 5,
                        F.round(F.col("n_dup_spans")
                                / F.col("n_spans"), 4))
                 .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+def drop_duplicated_spans(df: DataFrame, n: int = 5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The ACTION to :func:`duplicate_span_coverage`'s signal: remove
+    duplicated word ``n``-gram spans from the corpus, keeping each
+    span's globally FIRST occurrence (lowest ``(doc, position)``) —
+    the fixed-n relational form of Lee et al.'s substring dedup.
+    Matching is case-insensitive; the surviving original-case tokens
+    reassemble space-joined (whitespace is normalized — run after
+    text normalization, not before). A token is dropped when ANY
+    removed span occurrence covers it, so overlapping duplicated
+    runs collapse wholesale.
+
+    Returns (id, text_dedup, n_tokens_before, n_tokens_after); fully
+    deduplicated documents come back with an empty string, keeping
+    join cardinality stable for downstream stages.
+
+    Scale shape: span occurrences aggregate per span key into
+    (count, first-occurrence) — an agg, not a window, so AQE's skew
+    split covers boilerplate hot-spans — then one span-keyed join
+    marks removable occurrences, coverage explodes to (doc, token
+    position) pairs, and an anti-join keeps surviving tokens. All
+    keys carry the doc id except the span agg; reassembly sorts
+    within each document only. First-occurrence keying packs (doc,
+    pos) into one int64 (pos capped at 2^20 tokens per document —
+    beyond any sane training document; longer docs raise).
+    """
+    from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
+
+    posmax = 1 << 20
+    toks_arr = _tokens(F.trim(F.col(text_col)))
+    low_arr = _tokens(F.lower(F.trim(F.col(text_col))))
+    base = df.select(F.col(id_col), toks_arr.alias("__t"),
+                     low_arr.alias("__l"))
+
+    toks = base.select(
+        id_col, F.posexplode("__t").alias("pos", "tok"))
+    spans = base.select(
+        id_col, F.posexplode(_word_ngrams(F.col("__l"), n))
+        .alias("pos", "g"))
+    enc = (F.col(id_col) * posmax + F.col("pos")).alias("enc")
+    occ = spans.select(id_col, "pos", "g", enc)
+    keyed = occ.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("enc").alias("first_enc"))
+    removed = (occ.join(keyed, "g")
+               .where((F.col("cnt") >= 2)
+                      & (F.col("enc") != F.col("first_enc"))))
+    covered = (removed.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (n - 1))).alias("pos"))
+        .distinct())
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_tokens_after"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "tok"))),
+                        lambda s: s.tok)).alias("text_dedup")))
+    before = df.select(
+        F.col(id_col),
+        F.size(toks_arr).cast("long").alias("n_tokens_before"))
+    # guard the (doc, pos) packing before any of the above executes
+    guarded = before.select(
+        id_col, F.when(F.col("n_tokens_before") < posmax,
+                       F.col("n_tokens_before"))
+        .otherwise(F.raise_error(F.lit(
+            "drop_duplicated_spans: document exceeds 2^20 tokens")))
+        .alias("n_tokens_before"))
+    return (guarded.join(rebuilt, id_col, "left")
+            .select(id_col, "n_tokens_before",
+                    F.coalesce("n_tokens_after", F.lit(0))
+                    .alias("n_tokens_after"),
+                    F.coalesce("text_dedup", F.lit(""))
+                    .alias("text_dedup")))

@@ -915,6 +915,70 @@ def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_coverage(d, n=5).orderBy("doc_id")
 
 
+@register("span_dedup_texts", oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS wt,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS wl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, wt[i] AS tok
+  FROM base, range(1, 129) r(i) WHERE i <= len(wt)
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(wl, i, i + 4), ' ') AS g,
+         doc_id * 1048576 + (i - 1) AS enc
+  FROM base, range(1, 129) r(i) WHERE i <= len(wl) - 4
+),
+keyed AS (
+  SELECT g, count(*) AS cnt, min(enc) AS first_enc
+  FROM spans GROUP BY 1
+),
+removed AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN keyed k USING (g)
+  WHERE k.cnt >= 2 AND s.enc <> k.first_enc
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS cpos
+  FROM removed, range(0, 5) r(j)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c
+    ON c.doc_id = t.doc_id AND c.cpos = t.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after,
+         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, CAST(len(b.wt) AS BIGINT) AS n_tokens_before,
+       COALESCE(r.n_tokens_after, 0) AS n_tokens_after,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id
+""")
+def span_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED, values-checked down to the rebuilt
+    strings: every duplicated word 5-gram span keeps only its global
+    first occurrence, covered tokens drop, and the surviving
+    original-case tokens reassemble — the oracle rebuilds the exact
+    same texts (first-occurrence keying, overlap coverage, token
+    order), so any bug in the span accounting or reassembly
+    hash-mismatches on the strings themselves. The constant range
+    bound (129) covers the generator's 100-token max document; the
+    operator itself guards its 2^20-token packing limit."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.drop_duplicated_spans(d, n=5)
+            .select("doc_id", "n_tokens_before", "n_tokens_after",
+                    "text_dedup")
+            .orderBy("doc_id"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

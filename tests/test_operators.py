@@ -2243,3 +2243,23 @@ def test_jpeg_decoder_fuzz_never_escapes_jpeg_error():
             assert out.dtype.name == "uint8" and out.ndim == 3
         except jpeg.JpegError:
             pass
+
+
+def test_drop_duplicated_spans_hand_computed(spark):
+    from structa_spark.operators import dedup as dd
+    rows = [
+        (1, "A b c d"),            # holds the FIRST "a b c" -> kept
+        (2, "x a B c y"),          # its "a b c" removed -> "x y"
+        (3, "a b c a b c"),        # overlap: both spans dup -> empty
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dd.drop_duplicated_spans(df, n=3).collect()}
+    assert got[1].text_dedup == "A b c d"        # case preserved
+    assert (got[1].n_tokens_before, got[1].n_tokens_after) == (4, 4)
+    assert got[2].text_dedup == "x y"
+    assert (got[2].n_tokens_before, got[2].n_tokens_after) == (5, 2)
+    assert got[3].text_dedup == ""               # fully covered
+    assert (got[3].n_tokens_before, got[3].n_tokens_after) == (6, 0)
+    assert got[4].text_dedup == "unique words only here"
