@@ -761,15 +761,24 @@ _BIGRAM_TF_CACHE: list = []
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    alpha: float = 0.5,
-                   persist: bool = True) -> DataFrame:
-    """Per-document average negative log-likelihood under the
-    corpus's own BIGRAM language model with add-alpha smoothing —
-    the conditional upgrade of :func:`unigram_logprob`:
+                   persist: bool = True,
+                   train_df: DataFrame = None) -> DataFrame:
+    """Per-document average negative log-likelihood under a BIGRAM
+    language model with add-alpha smoothing — the conditional upgrade
+    of :func:`unigram_logprob`:
     ``p(w2|w1) = (c(w1 w2) + alpha) / (c_left(w1) + alpha * V)``
     where ``c_left(w1)`` sums bigram counts starting with ``w1`` and
     ``V`` is the distinct-token vocabulary size. Repetitive or
     formulaic text scores low; token-salad scores high — a sharper
     quality signal than unigram because it sees word ORDER.
+
+    By default the model trains on ``df`` itself (self-perplexity).
+    Pass ``train_df`` to train on a REFERENCE corpus and score ``df``
+    against it — the classic CCNet/GPT-style quality filter ("keep
+    what looks like the clean corpus"): bigrams and left contexts the
+    reference never saw fall back to the pure smoothing mass
+    (``c -> 0``, ``c_left -> 0``) instead of silently dropping out,
+    so out-of-domain text scores HIGH rather than vanishing.
 
     Scale shape mirrors unigram_logprob: (doc, bigram) frequencies
     aggregate FIRST, killing the natural bigram hot-key ("of the")
@@ -804,23 +813,49 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     tf = (bg.groupBy(id_col, "bg")
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("w1", F.split("bg", " ").getItem(0)))
-    if persist:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _evict_then_cache(rel):
+        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
         while _BIGRAM_TF_CACHE:
             try:
                 _BIGRAM_TF_CACHE.pop().unpersist(False)
             except Exception:
                 pass    # session of the old relation already stopped
-        _BIGRAM_TF_CACHE.append(tf)
-    cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
-    cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
-    v = (df.select(F.explode(arr).alias("t"))
-         .where(F.col("t") != "")
-         .agg(F.count_distinct("t").cast("double").alias("__v__")))
+        _BIGRAM_TF_CACHE.append(rel)
+        return rel
+
+    if train_df is None:
+        # self mode: tf feeds cb, cl AND the scoring join
+        if persist:
+            tf = _evict_then_cache(tf)
+        cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
+        cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
+        model_src = df
+        join_how = "inner"      # every scored bigram exists in cb/cl
+    else:
+        # cross mode: the model's bigram-count table feeds cb and cl
+        t_arr = tokens(F.lower(F.col(text_col)))
+        tb = (train_df.select(
+            F.explode(word_ngrams(t_arr, 2)).alias("bg"))
+            .groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+            .withColumn("w1", F.split("bg", " ").getItem(0)))
+        if persist:
+            tb = _evict_then_cache(tb)
+        cb = tb.select("bg", "cb")
+        cl = tb.groupBy("w1").agg(F.sum("cb").alias("cl"))
+        model_src = train_df
+        join_how = "left"       # unseen bigram/context -> smoothing
+    v = (model_src.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.count_distinct("t").cast("double").alias("__v__")))
     a = F.lit(float(alpha))
-    p = (F.col("cb") + a) / (F.col("cl") + a * F.col("__v__"))
+    cbv = F.coalesce(F.col("cb"), F.lit(0))
+    clv = F.coalesce(F.col("cl"), F.lit(0))
+    p = (cbv + a) / (clv + a * F.col("__v__"))
     nll = F.col("tf") * -F.log(p)
-    return (tf.join(cb, "bg").join(cl, "w1").join(F.broadcast(v))
+    return (tf.join(cb, "bg", join_how).join(cl, "w1", join_how)
+            .join(F.broadcast(v))
             .groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)

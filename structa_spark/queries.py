@@ -979,6 +979,67 @@ def span_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("reflm_nll", oracle="""
+WITH train_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents WHERE lang = 'en'
+),
+tb AS (
+  SELECT g AS bg, count(*) AS cb FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 0)
+                                       + 1),
+           i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM train_toks WHERE len(ts) >= 2) GROUP BY 1
+),
+cl AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(cb) AS cl
+  FROM tb GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(ts) AS t FROM train_toks) WHERE t <> ''
+),
+score_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, g AS bg, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 0)
+                                       + 1),
+           i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM score_toks WHERE len(ts) >= 2) GROUP BY 1, 2
+)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf.tf * -ln((COALESCE(tb.cb, 0) + 0.5)
+                             / (COALESCE(cl.cl, 0) + 0.5 * v.v)))
+             / sum(tf.tf), 4) AS avg_nll
+FROM tf
+LEFT JOIN tb USING (bg)
+LEFT JOIN cl ON cl.w1 = string_split(tf.bg, ' ')[1]
+CROSS JOIN v
+GROUP BY 1 ORDER BY 1
+""")
+def reflm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM perplexity filtering, values-checked: the bigram
+    model trains ONLY on the English subset and every document scores
+    against it — the CCNet/GPT-style "keep what looks like the clean
+    corpus" filter. Bigrams and left contexts the reference never saw
+    must fall back to the pure smoothing mass instead of dropping out
+    of the join, which the oracle's left joins + COALESCE replicate
+    exactly; a bug that silently drops unseen bigrams changes
+    n_bigrams and hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("lang") == "en")
+    return (text.bigram_logprob(d, train_df=train)
+            .orderBy("doc_id"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

@@ -2263,3 +2263,27 @@ def test_drop_duplicated_spans_hand_computed(spark):
     assert got[3].text_dedup == ""               # fully covered
     assert (got[3].n_tokens_before, got[3].n_tokens_after) == (6, 0)
     assert got[4].text_dedup == "unique words only here"
+
+
+def test_bigram_logprob_cross_corpus_smoothing(spark):
+    import math
+    from structa_spark.operators import text as t
+    train = spark.createDataFrame(
+        [(1, "the cat sat")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "the cat sat"),          # fully in-domain
+         (11, "zebra quokka axolotl")],  # fully out-of-domain
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           t.bigram_logprob(score, train_df=train,
+                            alpha=0.5).collect()}
+    # model: bigrams {the cat: 1, cat sat: 1}; cl {the:1, cat:1}; V=3
+    nll_in = -(math.log(1.5 / 2.5) + math.log(1.5 / 2.5)) / 2
+    assert abs(got[10].avg_nll - round(nll_in, 4)) < 1e-9
+    assert got[10].n_bigrams == 2
+    # unseen bigrams AND contexts: p = 0.5 / (0 + 0.5*3) = 1/3 each —
+    # they must NOT drop out of the join (n_bigrams stays 2)
+    nll_out = -math.log(0.5 / 1.5)
+    assert got[11].n_bigrams == 2
+    assert abs(got[11].avg_nll - round(nll_out, 4)) < 1e-9
+    assert got[11].avg_nll > got[10].avg_nll   # OOD scores higher

@@ -50,6 +50,7 @@ _QUADRATIC_OK = {
 _SCALAR_BROADCAST_OK = {
     "unigram_nll",               # broadcast(total token count)
     "bigram_nll",                # broadcast(vocabulary size V)
+    "reflm_nll",                 # broadcast(reference vocabulary V)
     "nb_lang_confusion",         # broadcast(classes): a docs x K
                                  # expansion bounded by the label-set
                                  # size (a handful of langs), plus

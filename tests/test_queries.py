@@ -120,6 +120,7 @@ def test_driver_window_covers_every_family():
         "nb_lang_confusion": "lang_id_confusion",
         "span_dup_coverage": "dedup_exact_groups",
         "span_dedup_texts": "dedup_exact_groups",
+        "reflm_nll": "bigram_nll",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
