@@ -1009,3 +1009,43 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
             .where(F.col("rn") == 1)
             .select(F.col(id_col), F.col("label").alias("pred_label"),
                     "score"))
+
+
+def chunk_windows(df: DataFrame, size: int = 32, stride: int = 16,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking with overlap — the context-window
+    builder of LLM training and RAG indexing (``stride < size``
+    gives overlapping windows so no span is ever split across a
+    boundary without also appearing whole in some window;
+    ``stride == size`` degrades to :func:`chunk_passages`).
+
+    Returns ``(id, win_idx, start_tok, n_win_tokens, passage)``:
+    window ``i`` starts at token ``i * stride`` and carries up to
+    ``size`` tokens; trailing windows may be short (callers filter
+    ``n_win_tokens`` if they need full windows only). An empty
+    document yields no windows.
+
+    Pure expression + ``posexplode`` — no shuffle, pipelines into
+    the scan; output rows ≈ total tokens / stride.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1: "
+                         f"{size}/{stride}")
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(starts, lambda s: F.struct(
+        s.alias("start_tok"),
+        F.least(F.lit(size), n - s).alias("n_win_tokens"),
+        F.concat_ws(" ", F.slice(toks, s + 1, size))
+        .alias("passage")))
+    return (df.select(F.col(id_col),
+                      F.posexplode(wins).alias("win_idx", "w"))
+            .select(id_col, "win_idx",
+                    F.col("w.start_tok").cast("int").alias("start_tok"),
+                    F.col("w.n_win_tokens").cast("int")
+                    .alias("n_win_tokens"),
+                    F.col("w.passage").alias("passage")))

@@ -1040,6 +1040,35 @@ def reflm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("window_chunks", oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(s // 12 AS INT) AS win_idx,
+       CAST(s AS INT) AS start_tok,
+       CAST(least(24, len(ws) - s) AS INT) AS n_win_tokens,
+       array_to_string(list_slice(ws, s + 1, s + 24), ' ')
+           AS passage
+FROM base, range(0, 128, 12) r(s)
+WHERE s < len(ws)
+ORDER BY doc_id, win_idx
+""")
+def window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking, values-checked on the
+    emitted passages themselves: 24-token windows at stride 12 (50%
+    overlap), trailing short windows included — the oracle rebuilds
+    every window string, so an off-by-one in the start/slice/overlap
+    arithmetic hash-mismatches. The constant range bound covers the
+    generator's 100-token max document."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return (text.chunk_windows(d, size=24, stride=12)
+            .orderBy("doc_id", "win_idx"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

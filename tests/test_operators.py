@@ -2287,3 +2287,26 @@ def test_bigram_logprob_cross_corpus_smoothing(spark):
     assert got[11].n_bigrams == 2
     assert abs(got[11].avg_nll - round(nll_out, 4)) < 1e-9
     assert got[11].avg_nll > got[10].avg_nll   # OOD scores higher
+
+
+def test_chunk_windows_overlap_and_edges(spark):
+    from structa_spark.operators import text as t
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string")
+    got = sorted(
+        ((r.doc_id, r.win_idx, r.start_tok, r.n_win_tokens, r.passage)
+         for r in t.chunk_windows(df, size=4, stride=2).collect()))
+    assert got == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 2, 4, "c d e f"),
+        (1, 2, 4, 3, "e f g"),       # trailing short window
+        (1, 3, 6, 1, "g"),
+        (2, 0, 0, 2, "x y"),
+    ]                                 # empty doc -> no windows
+    # stride == size degrades to non-overlapping passages
+    back = t.chunk_windows(df, size=3, stride=3).collect()
+    assert [r.passage for r in back if r.doc_id == 1] == \
+        ["a b c", "d e f", "g"]
+    with pytest.raises(ValueError):
+        t.chunk_windows(df, size=0, stride=1)

@@ -121,6 +121,7 @@ def test_driver_window_covers_every_family():
         "span_dup_coverage": "dedup_exact_groups",
         "span_dedup_texts": "dedup_exact_groups",
         "reflm_nll": "bigram_nll",
+        "window_chunks": "sequence_packing",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
