@@ -666,7 +666,11 @@ def duplicate_span_coverage(df: DataFrame, n: int = 5,
     Returns (id, n_spans, n_dup_spans, dup_frac): total span
     positions (n_tokens - n + 1), positions whose span occurs in >=2
     distinct documents, and their ratio. Documents shorter than n
-    tokens have no spans and report 0 / 0 / 0.0.
+    tokens have no spans and report 0 / 0 / 0.0. Note the metric is
+    CROSS-document only; the removal twin
+    :func:`drop_duplicated_spans` defaults to also dropping
+    within-document repeats (its ``cross_doc_only=True`` mode
+    matches this signal exactly).
 
     Scale shape: span frequencies aggregate on (doc, span) FIRST —
     the doc id in the key absorbs boilerplate hot-spans before any
@@ -704,16 +708,26 @@ def duplicate_span_coverage(df: DataFrame, n: int = 5,
 
 def drop_duplicated_spans(df: DataFrame, n: int = 5,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
-    """The ACTION to :func:`duplicate_span_coverage`'s signal: remove
-    duplicated word ``n``-gram spans from the corpus, keeping each
-    span's globally FIRST occurrence (lowest ``(doc, position)``) —
-    the fixed-n relational form of Lee et al.'s substring dedup.
-    Matching is case-insensitive; the surviving original-case tokens
-    reassemble space-joined (whitespace is normalized — run after
-    text normalization, not before). A token is dropped when ANY
-    removed span occurrence covers it, so overlapping duplicated
-    runs collapse wholesale.
+                          text_col: str = "text",
+                          cross_doc_only: bool = False) -> DataFrame:
+    """Remove duplicated word ``n``-gram spans from the corpus,
+    keeping each span's globally FIRST occurrence (lowest
+    ``(doc, position)``) — the fixed-n relational form of Lee et
+    al.'s substring dedup. Matching is case-insensitive; the
+    surviving original-case tokens reassemble space-joined
+    (whitespace is normalized — run after text normalization, not
+    before). A token is dropped when ANY removed span occurrence
+    covers it, so overlapping duplicated runs collapse wholesale.
+    Null text is treated as an empty document.
+
+    By default ANY repeated span qualifies — including repeats
+    WITHIN one document (the paper's behavior, which also flattens
+    degenerate "a b c a b c" self-repetition). This is deliberately
+    BROADER than :func:`duplicate_span_coverage`, whose dup_frac
+    counts only spans seen in >= 2 distinct documents; pass
+    ``cross_doc_only=True`` to key removal on distinct-document
+    counts and match the signal exactly (within-doc repeats then
+    survive).
 
     Returns (id, text_dedup, n_tokens_before, n_tokens_after); fully
     deduplicated documents come back with an empty string, keeping
@@ -726,15 +740,20 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
     position) pairs, and an anti-join keeps surviving tokens. All
     keys carry the doc id except the span agg; reassembly sorts
     within each document only. First-occurrence keying packs (doc,
-    pos) into one int64 (pos capped at 2^20 tokens per document —
-    beyond any sane training document; longer docs raise).
+    pos) into one int64, which bounds the domain: pos < 2^20 tokens
+    per document AND 0 <= id < 2^43 (both beyond sane training
+    corpora with sequential ids; 64-bit HASH ids need remapping
+    first) — out-of-range rows raise rather than silently corrupt
+    the first-occurrence ordering.
     """
     from .text import tokens as _tokens
     from .text import word_ngrams as _word_ngrams
 
     posmax = 1 << 20
-    toks_arr = _tokens(F.trim(F.col(text_col)))
-    low_arr = _tokens(F.lower(F.trim(F.col(text_col))))
+    idmax = 1 << 43
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks_arr = _tokens(F.trim(txt))
+    low_arr = _tokens(F.lower(F.trim(txt)))
     base = df.select(F.col(id_col), toks_arr.alias("__t"),
                      low_arr.alias("__l"))
 
@@ -745,9 +764,16 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
         .alias("pos", "g"))
     enc = (F.col(id_col) * posmax + F.col("pos")).alias("enc")
     occ = spans.select(id_col, "pos", "g", enc)
-    keyed = occ.groupBy("g").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("enc").alias("first_enc"))
+    if cross_doc_only:
+        # distinct-document span counts: matches the
+        # duplicate_span_coverage signal
+        keyed = occ.groupBy("g").agg(
+            F.count_distinct(F.col(id_col)).alias("cnt"),
+            F.min("enc").alias("first_enc"))
+    else:
+        keyed = occ.groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("enc").alias("first_enc"))
     removed = (occ.join(keyed, "g")
                .where((F.col("cnt") >= 2)
                       & (F.col("enc") != F.col("first_enc"))))
@@ -767,12 +793,18 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
     before = df.select(
         F.col(id_col),
         F.size(toks_arr).cast("long").alias("n_tokens_before"))
-    # guard the (doc, pos) packing before any of the above executes
+    # guard the (doc, pos) packing before any of the above executes;
+    # size() over the coalesced text is never null, so a null-text
+    # row lands in the n_tokens_before == 0 branch, not the guard
     guarded = before.select(
-        id_col, F.when(F.col("n_tokens_before") < posmax,
+        id_col, F.when((F.col("n_tokens_before") < posmax)
+                       & (F.col(id_col) >= 0)
+                       & (F.col(id_col) < idmax),
                        F.col("n_tokens_before"))
         .otherwise(F.raise_error(F.lit(
-            "drop_duplicated_spans: document exceeds 2^20 tokens")))
+            "drop_duplicated_spans: document exceeds 2^20 tokens "
+            "or doc id outside [0, 2^43) — the int64 (doc, pos) "
+            "packing would corrupt first-occurrence ordering")))
         .alias("n_tokens_before"))
     return (guarded.join(rebuilt, id_col, "left")
             .select(id_col, "n_tokens_before",

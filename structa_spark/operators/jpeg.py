@@ -45,13 +45,15 @@ _ZIGZAG = [
 # inverse permutation maps a zigzag-ordered 64-vector to natural order
 _ZIGZAG_INV = sorted(range(64), key=_ZIGZAG.__getitem__)
 
-# Declared-dims bomb guard, like PNG/GIF's _MAX_PIXEL_BYTES — but
-# sized for THIS decoder's working set, not the output array: float64
-# component planes plus the transient RGB stack peak at ~72 bytes per
-# pixel, so 4M pixels (a 2048x2048 frame) keeps peak memory ~300 MB.
-# Bigger frames decline (degrade-to-null at the multimodal seam);
-# the per-block Python Huffman loop makes them a CPU hazard anyway.
-_MAX_PIXELS = 4 * 1024 * 1024
+# Declared-dims bomb guard, like PNG/GIF's _MAX_PIXEL_BYTES — sized
+# for THIS decoder's working set, not the output array: float32
+# component planes + one float32 conversion transient + the uint8
+# output peak at ~23 bytes per pixel, so 16M pixels (4096x4096 — a
+# 16MP camera frame) keeps peak memory ~380 MB. Larger frames (48MP
+# phone sensors) decline with JpegError and degrade to null at the
+# multimodal seam; the per-block Python Huffman loop makes them a
+# CPU hazard before a memory one anyway.
+_MAX_PIXELS = 16 * 1024 * 1024
 
 
 class JpegError(ValueError):
@@ -181,7 +183,10 @@ def decode_jpeg_pixels(payload):
         return _decode_jpeg(payload)
     except JpegError:
         raise
-    except (IndexError, struct.error) as e:
+    except (IndexError, struct.error, ValueError, OverflowError) as e:
+        # ValueError: e.g. numpy frombuffer on an odd-length 16-bit
+        # DQT body; OverflowError: absurd magnitude categories from
+        # corrupt Huffman tables. The contract is JpegError or pixels.
         raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") \
             from e
 
@@ -293,8 +298,13 @@ def _decode_scan(p, pos, frame, sel, qt, huff_dc, huff_ac, restart):
     M = _dct_matrix()
     planes = {}
     for cid, hi, vi, tq in comps:
+        # float32 planes: IDCT runs per-block in float64, but stored
+        # samples are pre-clip pixel values (|x| <= ~1024) where
+        # float32's 24-bit mantissa is exact to far below the final
+        # uint8 rounding — and the plane memory halves, which is what
+        # the _MAX_PIXELS working-set budget is computed from
         planes[cid] = np.zeros((mcy * vi * 8, mcx * hi * 8),
-                               np.float64)
+                               np.float32)
         if tq not in qt:
             raise JpegError(f"missing quant table {tq}")
         if cid not in sel:
@@ -340,22 +350,39 @@ def _decode_scan(p, pos, frame, sel, qt, huff_dc, huff_ac, restart):
                            hmax // hi, axis=1)
         out.append(pl[:h, :w])
     if len(out) == 1:
-        g = np.clip(out[0] + 128.0, 0, 255)
+        # grayscale converts via float64: the flat-block exactness
+        # contract (DC-only, unit quant -> bit-exact round trip)
+        # rides this path
+        g = np.clip(out[0].astype(np.float64) + 128.0, 0, 255)
         return (g + 0.5).astype(np.uint8)[:, :, None]
-    y, cb, cr = (o + 128.0 for o in out)
-    cb -= 128.0
-    cr -= 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
+    # color path: channel-at-a-time float32 into a preallocated uint8
+    # image — no 3-channel float64 stack, which is what keeps the
+    # working set inside the _MAX_PIXELS budget. float32's ~1e-3
+    # absolute error on <=1024-magnitude samples is far below the
+    # +-1-per-channel chroma tolerance this path already carries.
+    y, cb, cr = out                  # level-shifted: y-128, cb, cr
+    f32 = np.float32
+    yf = y + f32(128.0)
+    img = np.empty(yf.shape + (3,), np.uint8)
+    img[..., 0] = (np.clip(yf + f32(1.402) * cr, 0, 255)
+                   + f32(0.5)).astype(np.uint8)
+    img[..., 1] = (np.clip(yf - f32(0.344136) * cb
+                           - f32(0.714136) * cr, 0, 255)
+                   + f32(0.5)).astype(np.uint8)
+    img[..., 2] = (np.clip(yf + f32(1.772) * cb, 0, 255)
+                   + f32(0.5)).astype(np.uint8)
+    return img
 
 
 def _decode_block(br, hdc, hac, pred, cid):
     import numpy as np
     blk = np.zeros(64, np.int64)
     t = br.huff(hdc)
+    if t > 16:
+        # baseline DC categories stop at 11; a corrupt DHT can name
+        # any byte as the symbol, and bits(255) would build a
+        # ~2^255 int before overflowing int64
+        raise JpegError(f"invalid DC magnitude category {t}")
     diff = _extend(br.bits(t), t) if t else 0
     pred[cid] += diff
     blk[0] = pred[cid]

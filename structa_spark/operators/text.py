@@ -815,12 +815,17 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
           .withColumn("w1", F.split("bg", " ").getItem(0)))
 
     def _evict_then_cache(rel):
-        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+        # evict BEFORE persisting: when two calls build the identical
+        # logical plan they share one CacheManager entry, and
+        # persist-then-unpersist would remove the entry the new call
+        # just registered (leaving passes 2..N of a benchmark
+        # silently uncached)
         while _BIGRAM_TF_CACHE:
             try:
                 _BIGRAM_TF_CACHE.pop().unpersist(False)
             except Exception:
                 pass    # session of the old relation already stopped
+        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
         _BIGRAM_TF_CACHE.append(rel)
         return rel
 
@@ -973,9 +978,14 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
     """
     from pyspark.sql.window import Window
 
+    # coalesce null text to "": F.size(tokens(NULL)) is NULL, which
+    # would null every class score and hand the argmax to the
+    # alphabetically-first label instead of the documented
+    # prior-argmax fallback for empty documents
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        F.explode(tokens(F.lower(txt))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"))
     v = cond.select("token").distinct().agg(
@@ -989,7 +999,7 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
                  .alias("s_seen")))
     doc_len = df.select(
         F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tok"))
+        F.size(tokens(F.lower(txt))).alias("n_tok"))
     scored = (doc_len
               .crossJoin(F.broadcast(classes))
               .join(seen, [id_col, "label"], "left")

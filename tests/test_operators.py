@@ -2158,16 +2158,26 @@ def test_bigram_logprob_tf_cache_is_one_deep(spark):
     df = spark.createDataFrame(
         [(i, "the cat sat on the mat") for i in range(4)],
         "doc_id long, text string")
+    other = spark.createDataFrame(
+        [(9, "completely different words")],
+        "doc_id long, text string")
     t._BIGRAM_TF_CACHE.clear()
     r1 = t.bigram_logprob(df).collect()
     assert len(t._BIGRAM_TF_CACHE) == 1
     first = t._BIGRAM_TF_CACHE[0]
     assert first.storageLevel.useMemory
+    # an IDENTICAL plan re-registers: eviction must run BEFORE the
+    # new persist, or the new call's cache entry would be the one
+    # removed (benchmark passes 2..N silently uncached)
     r2 = t.bigram_logprob(df).collect()
     assert len(t._BIGRAM_TF_CACHE) == 1
-    assert t._BIGRAM_TF_CACHE[0] is not first
-    assert not first.storageLevel.useMemory   # evicted, not leaked
+    assert t._BIGRAM_TF_CACHE[0].storageLevel.useMemory
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # a DIFFERENT plan evicts the previous relation outright
+    t.bigram_logprob(other).collect()
+    assert len(t._BIGRAM_TF_CACHE) == 1
+    assert t._BIGRAM_TF_CACHE[0].storageLevel.useMemory
+    assert not first.storageLevel.useMemory   # evicted, not leaked
 
 
 def test_nb_classifier_separable_and_priors(spark):
@@ -2310,3 +2320,75 @@ def test_chunk_windows_overlap_and_edges(spark):
         ["a b c", "d e f", "g"]
     with pytest.raises(ValueError):
         t.chunk_windows(df, size=0, stride=1)
+
+
+def test_review_fixes_null_text_and_modes(spark):
+    import math
+    from structa_spark.operators import dedup as dd
+    from structa_spark.operators import text as t
+    # null text must degrade like empty text, not kill the job or
+    # trip the size guard with a misleading message
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e"), (3, "x y a b c d z")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dd.drop_duplicated_spans(df, n=3).collect()}
+    assert (got[1].n_tokens_before, got[1].text_dedup) == (0, "")
+    assert got[2].text_dedup == "a b c d e"   # first occurrence kept
+    # cross_doc_only=True matches the coverage signal: within-doc
+    # repeats survive
+    rep = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "unrelated words here")],
+        "doc_id long, text string")
+    both = {r.doc_id: r.text_dedup for r in
+            dd.drop_duplicated_spans(rep, n=3).collect()}
+    only = {r.doc_id: r.text_dedup for r in
+            dd.drop_duplicated_spans(
+                rep, n=3, cross_doc_only=True).collect()}
+    assert both[1] == "p q r"                 # self-repeat removed
+    assert only[1] == "p q r p q r"           # signal-aligned: kept
+    # out-of-range doc ids raise instead of corrupting the packing
+    import pytest as _pt
+    bad = spark.createDataFrame(
+        [(1 << 50, "a b c")], "doc_id long, text string")
+    with _pt.raises(Exception, match="2\\^43"):
+        dd.drop_duplicated_spans(bad, n=3).collect()
+    # NB: null text falls back to the PRIOR argmax, like empty text
+    nb = spark.createDataFrame(
+        [(1, "cat cat", "feline"), (2, "cat purr", "feline"),
+         (3, "bark", "canine"), (4, None, "feline")],
+        "doc_id long, text string, lang string")
+    cond, classes = t.nb_train(nb)
+    got = {r.doc_id: r for r in t.nb_predict(nb, cond, classes).collect()}
+    assert got[4].pred_label == "feline"
+    assert abs(got[4].score - round(math.log(3 / 4), 4)) < 1e-9
+
+
+def test_jpeg_corrupt_tables_raise_jpeg_error():
+    import struct
+
+    import numpy as np
+    from structa_spark.operators import jpeg
+    # 16-bit DQT with an odd-length body: numpy frombuffer ValueError
+    # must surface as JpegError
+    bad = (b"\xff\xd8\xff\xdb" + struct.pack(">H", 2 + 6)
+           + b"\x10" + b"\xaa" * 5)
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bad)
+    # DHT naming an absurd DC category (0xFF) must not build a
+    # 2^255 int and escape as OverflowError
+    good = bytearray(jpeg.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    dht = good.index(b"\xff\xc4")
+    counts_at = dht + 5
+    sym_at = counts_at + 16
+    good[sym_at] = 0xFF               # first DC symbol -> category 255
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg_pixels(bytes(good))
+    # a 12MP camera frame's dims pass the guard (fails later only
+    # because this crafted stream has no scan data)
+    sof = bytearray(b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + 15)
+                    + b"\x08" + struct.pack(">HH", 3000, 4000)
+                    + b"\x03" + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+                    + b"\xff\xd9\x00\x00")
+    with pytest.raises(jpeg.JpegError, match="no SOS"):
+        jpeg.decode_jpeg_pixels(bytes(sof))
