@@ -956,69 +956,83 @@ def nb_train(df: DataFrame, label_col: str = "lang",
 
 def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
                id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               pre_aggregate: bool = True) -> DataFrame:
     """Score every document against a :func:`nb_train` model and
     pick the add-1-smoothed maximum-likelihood class:
 
     ``score(d, l) = ln(n_docs_l / N) - n_tok_d * ln(T_l + V)
                     + sum_t tf(d,t) * ln(c(l,t) + 1)``
 
-    (the usual form regrouped so the join only needs tokens the
-    class HAS seen: ``ln((c+1)/(T+V)) - ln(1/(T+V)) = ln(c+1)``,
-    and the unseen-token mass folds into the closed-form
-    ``-n_tok * ln(T+V)`` term).
+    (the usual form regrouped so unseen tokens contribute ``ln(1)=0``
+    and the unseen mass folds into the closed-form
+    ``-n_tok * ln(T_l + V)`` term).
 
-    Scale shape: one (doc, token) tf aggregation, one token-keyed
-    join against the model (AQE skew split covers head tokens), one
-    (doc x classes) broadcast expansion for the score assembly —
-    classes are few, so that blowup is bounded. Scores round to 4
-    decimals BEFORE the argmax rank (ties break on label) so the
-    prediction is reproducible across engines summing in different
-    orders. Returns (id, pred_label, score).
+    The model's SMALL side (class priors/totals, vocabulary size) is
+    collected eagerly — K rows plus two scalars, model-sized at any
+    corpus scale — and folds into the expressions as literals; the
+    vocabulary-sized conditional table pivots to one row per token
+    (K count columns) and joins on the token key. Scoring is then
+    ONE token-keyed join plus ONE doc-keyed aggregation, and the
+    argmax is an ``array_min`` over per-class structs (round to 4
+    decimals first, ties to the smallest label) — no window, no
+    self-join, so the SAME plan runs on a STREAMING ``df`` against
+    the static model (the production shape: train batch, score the
+    stream). ``pre_aggregate=True`` (default) compresses tokens to
+    (doc, token, tf) before the model join — the batch hot-key
+    shape; pass ``False`` to join per token occurrence instead,
+    keeping the plan to a single aggregation as Structured
+    Streaming requires. Null text scores like an empty document
+    (class-prior argmax). Returns (id, pred_label, score).
     """
-    from pyspark.sql.window import Window
+    import math
 
-    # coalesce null text to "": F.size(tokens(NULL)) is NULL, which
-    # would null every class score and hand the argmax to the
-    # alphabetically-first label instead of the documented
-    # prior-argmax fallback for empty documents
+    cls_rows = sorted(classes.collect(), key=lambda r: r.label)
+    if not cls_rows:
+        raise ValueError("nb_predict: empty class table")
+    labels = [r.label for r in cls_rows]
+    n_total = float(sum(r.n_docs for r in cls_rows))
+    # max(V, 1): an all-empty training corpus must not put ln(0)
+    # (-> null scores) into every expression
+    v = max(float(cond.select("token").distinct().count()), 1.0)
+    wide = (cond.groupBy("token").pivot("label", labels)
+            .agg(F.first("c"))
+            .toDF("token", *[f"__c{i}" for i in range(len(labels))]))
+
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(txt))).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("tf"))
-    v = cond.select("token").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("__v__"))
-    n_total = classes.agg(
-        F.sum("n_docs").cast("double").alias("__n__"))
-    # per-(doc, label) mass over tokens the class has seen
-    seen = (tf.join(cond, "token")
-            .groupBy(id_col, "label")
-            .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1))
-                 .alias("s_seen")))
-    doc_len = df.select(
-        F.col(id_col),
-        F.size(tokens(F.lower(txt))).alias("n_tok"))
-    scored = (doc_len
-              .crossJoin(F.broadcast(classes))
-              .join(seen, [id_col, "label"], "left")
-              .crossJoin(F.broadcast(v))
-              .crossJoin(F.broadcast(n_total))
-              .select(
-                  F.col(id_col), "label",
-                  F.round(
-                      F.log(F.col("n_docs") / F.col("__n__"))
-                      - F.col("n_tok")
-                      * F.log(F.col("n_tokens") + F.col("__v__"))
-                      + F.coalesce(F.col("s_seen"), F.lit(0.0)),
-                      4).alias("score")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("score"), F.asc("label"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col(id_col), F.col("label").alias("pred_label"),
-                    "score"))
+        F.explode_outer(tokens(F.lower(txt))).alias("token"))
+    if pre_aggregate:
+        rel = toks.groupBy(id_col, "token").agg(
+            F.count("token").alias("tf"))
+    else:
+        rel = toks.withColumn(
+            "tf", F.when(F.col("token").isNotNull(),
+                         F.lit(1)).otherwise(F.lit(0)))
+    j = rel.join(wide, "token", "left")
+    aggs = [F.sum("tf").alias("n_tok")]
+    for i in range(len(labels)):
+        aggs.append(
+            F.sum(F.col("tf")
+                  * F.log(F.coalesce(F.col(f"__c{i}"), F.lit(0)) + 1))
+            .alias(f"__s{i}"))
+    per = j.groupBy(id_col).agg(*aggs)
+
+    structs = []
+    for i, (lab, row) in enumerate(zip(labels, cls_rows)):
+        prior = math.log(row.n_docs / n_total)
+        denom = math.log(float(row.n_tokens) + v)
+        score = F.round(F.lit(prior)
+                        - F.col("n_tok") * F.lit(denom)
+                        + F.col(f"__s{i}"), 4)
+        structs.append(F.struct((-score).alias("neg"),
+                                F.lit(lab).alias("lab"),
+                                score.alias("sc")))
+    pick = F.array_min(F.array(*structs))
+    return per.select(F.col(id_col),
+                      pick["lab"].alias("pred_label"),
+                      pick["sc"].alias("score"))
 
 
 def chunk_windows(df: DataFrame, size: int = 32, stride: int = 16,

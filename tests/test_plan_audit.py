@@ -51,11 +51,6 @@ _SCALAR_BROADCAST_OK = {
     "unigram_nll",               # broadcast(total token count)
     "bigram_nll",                # broadcast(vocabulary size V)
     "reflm_nll",                 # broadcast(reference vocabulary V)
-    "nb_lang_confusion",         # broadcast(classes): a docs x K
-                                 # expansion bounded by the label-set
-                                 # size (a handful of langs), plus
-                                 # 1-row V and N scalars — linear in
-                                 # docs, never all-pairs
 }
 
 

@@ -355,3 +355,81 @@ def test_media_stats_streams_stateless(spark, tmp_path):
     got = {tuple(r) for r in
            spark.sql("SELECT * FROM media_stream").collect()}
     assert got == want and len(got) == 12
+
+
+def test_nb_stream_static_scoring_matches_batch(spark, tmp_path):
+    # the production classifier shape: model trained BATCH (pure
+    # counting), scoring a document STREAM against the static
+    # pivoted model. pre_aggregate=False keeps the plan to ONE
+    # aggregation (tf pre-compression would chain two, which
+    # Structured Streaming rejects); the argmax is an array_min
+    # expression, not a window, so the same operator runs unchanged
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    train = spark.createDataFrame(
+        [(1, "cat purr cat", "feline"), (2, "purr cat", "feline"),
+         (3, "dog bark", "canine")],
+        "doc_id long, text string, lang string")
+    cond, classes = _text.nb_train(train)
+
+    docs = [(10, "cat cat purr"), (11, "bark bark dog"), (12, "")]
+    p = tmp_path / "nbdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = _text.nb_predict(sdf, cond, classes, pre_aggregate=False)
+    _run_stream(out, "nb_stream", "complete")
+    got = {r.doc_id: (r.pred_label, r.score)
+           for r in spark.sql("SELECT * FROM nb_stream").collect()}
+
+    batch = _text.nb_predict(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        cond, classes)
+    want = {r.doc_id: (r.pred_label, r.score)
+            for r in batch.collect()}
+    assert got == want
+    assert got[10][0] == "feline" and got[11][0] == "canine"
+    # the occurrence-join path agrees with the tf-compressed path
+    batch2 = _text.nb_predict(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        cond, classes, pre_aggregate=False)
+    assert want == {r.doc_id: (r.pred_label, r.score)
+                    for r in batch2.collect()}
+
+
+def test_chunk_windows_streams_stateless(spark, tmp_path):
+    # chunking is a pure projection: it must run on a stream
+    # unchanged, in append mode, with output equal to the batch twin
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    docs = [(1, "a b c d e f g"), (2, "x y z")]
+    p = tmp_path / "chunkdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = _text.chunk_windows(sdf, size=4, stride=2)
+    _run_stream(out, "chunk_stream", "append")
+    got = sorted((r.doc_id, r.win_idx, r.passage) for r in
+                 spark.sql("SELECT * FROM chunk_stream").collect())
+    want = sorted((r.doc_id, r.win_idx, r.passage) for r in
+                  _text.chunk_windows(
+                      spark.createDataFrame(
+                          docs, "doc_id long, text string"),
+                      size=4, stride=2).collect())
+    assert got == want and len(got) == 6
