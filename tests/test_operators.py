@@ -2392,3 +2392,31 @@ def test_jpeg_corrupt_tables_raise_jpeg_error():
                     + b"\xff\xd9\x00\x00")
     with pytest.raises(jpeg.JpegError, match="no SOS"):
         jpeg.decode_jpeg_pixels(bytes(sof))
+
+
+def test_canonicalize_url_idempotent_and_tracking_free(spark):
+    # canonicalization is a fixpoint: canon(canon(u)) == canon(u),
+    # and no tracking parameter survives in query position —
+    # exercised over a generated mix of messy URL shapes
+    import itertools
+    urls = []
+    hosts = ["Example.COM", "sub.host.org"]
+    paths = ["", "/p", "/p/q/", "/ref=sr_1_1", "/a%20b"]
+    queries = ["", "?utm_source=x", "?a=1&utm_b=2&c=3",
+               "?href=https://x.com/y?z=1", "?utm_a=1&utm_b=2",
+               "?ref=abc&a=1", "?a=1&gclid=g#frag", "?fbclid=f",
+               "?xref=1&utm_x=2&ref=r"]
+    schemes = ["https://", "HTTP://"]
+    for s, h, p, q in itertools.product(schemes, hosts, paths, queries):
+        urls.append(s + h + p + q)
+    urls += ["not a url", "", "ftp://odd/utm_source=1"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, u string")
+    once = text.canonicalize_url(F.col("u"))
+    rows = df.select("i", "u", once.alias("c1"),
+                     text.canonicalize_url(once).alias("c2")).collect()
+    import re
+    for r in rows:
+        assert r.c1 == r.c2, (r.u, r.c1, r.c2)
+        assert not re.search(r"[?&](utm_[a-zA-Z]+|fbclid|gclid|ref)=",
+                             r.c1), (r.u, r.c1)
