@@ -103,6 +103,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help="exact quartiles/distincts instead of sketches")
     p.add_argument("--master", default=None,
                    help="Spark master (default: local[*])")
+    p.add_argument("--save-profile", metavar="PATH", default=None,
+                   help="persist the full-fidelity profile as JSON "
+                        "(reload with Profile.load / --diff)")
+    p.add_argument("--diff", metavar="PATH", default=None,
+                   help="load a previously saved profile and print "
+                        "the schema-drift report against THIS run "
+                        "instead of the summary")
     return p
 
 
@@ -172,6 +179,19 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
             root = profile.root
             if not cfg.no_merge:
                 root = merge_to_fixpoint(root, acfg)
+            if getattr(cfg, "save_profile", None) or \
+                    getattr(cfg, "diff", None):
+                from ..analyzer import Profile
+                from ..serialize import load_profile, save_profile
+                merged = Profile(root=root,
+                                 row_count=profile.row_count,
+                                 cfg=acfg)
+                if cfg.save_profile:
+                    save_profile(merged, cfg.save_profile)
+                if cfg.diff:
+                    from ..diff import diff_profiles, render_diff
+                    return render_diff(diff_profiles(
+                        load_profile(cfg.diff), merged))
             # a scalar-payload file was wrapped in a synthetic column;
             # render it the way the reference shows a list of values
             from ..model import RecordT, RenderOptions, node_to_dict

@@ -192,3 +192,29 @@ def test_cli_color_styling(spark, tmp_path):
     auto = get_structure(get_config(["--color", "auto", str(f)]),
                          spark=spark)
     assert "\x1b[" not in auto
+
+
+def test_cli_save_and_diff_profile(spark, tmp_path):
+    import json as _json
+    day1 = tmp_path / "day1.json"
+    with day1.open("w") as fh:
+        for i in range(60):
+            fh.write(_json.dumps({"id": i, "score": i * 0.5}) + "\n")
+    prof = tmp_path / "day1.profile.json"
+    out = get_structure(get_config(
+        [str(day1), "--save-profile", str(prof)]), spark=spark)
+    assert "'id': int range=0..59" in out     # summary still printed
+    assert prof.exists()
+    # same data diffed against itself: no drift
+    same = get_structure(get_config(
+        [str(day1), "--diff", str(prof)]), spark=spark)
+    assert same == "(no drift)"
+    # day 2 drifts: wider range + a new field
+    day2 = tmp_path / "day2.json"
+    with day2.open("w") as fh:
+        for i in range(60):
+            fh.write(_json.dumps(
+                {"id": i + 100, "score": i * 0.5, "lang": "en"}) + "\n")
+    drift = get_structure(get_config(
+        [str(day2), "--diff", str(prof)]), spark=spark)
+    assert "lang" in drift and drift != "(no drift)"
