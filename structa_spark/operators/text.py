@@ -916,7 +916,9 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"/$", "")
+    # ALL trailing slashes, not one: '/p//' must reach the same
+    # fixpoint as '/p/' in a single pass or URL dedup keys split
+    rest = F.regexp_replace(rest, r"/+$", "")
     return F.when(sh == "", F.trim(url)) \
         .otherwise(F.concat(F.lower(sh), rest))
 
@@ -935,23 +937,31 @@ def nb_train(df: DataFrame, label_col: str = "lang",
       and token totals (priors and smoothing denominators derive
       from these plus the corpus vocabulary size at predict time).
 
+    Rows with a NULL label are ignored — an unlabeled document
+    cannot define a class (and a null class name would poison the
+    collected model at predict time).
+
     Scale shape: both outputs are pure groupBy counts over the
     (label, token) explosion — map-side partial aggregation absorbs
     the token hot-keys, and the model is vocabulary x classes, small
     enough to broadcast for any real label set.
     """
-    toks = df.select(
+    labeled = df.where(F.col(label_col).isNotNull())
+    toks = labeled.select(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
     cond = toks.groupBy("label", "token").agg(
         F.count(F.lit(1)).alias("c"))
-    classes = (df.groupBy(F.col(label_col).alias("label"))
+    classes = (labeled.groupBy(F.col(label_col).alias("label"))
                .agg(F.count(F.lit(1)).alias("n_docs"))
                .join(cond.groupBy("label")
                      .agg(F.sum("c").alias("n_tokens")),
                      "label", "left")
                .fillna(0, ["n_tokens"]))
     return cond, classes
+
+
+_NB_COND_CACHE: list = []
 
 
 def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
@@ -986,6 +996,24 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
     (class-prior argmax). Returns (id, pred_label, score).
     """
     import math
+
+    from pyspark import StorageLevel
+
+    # cond is consumed three times (the classes totals it feeds, the
+    # vocabulary count, and the pivot at score time), and each is a
+    # full pass over the training explosion when cond is the lazy
+    # nb_train plan — persist it so model derivation costs ONE
+    # corpus pass. One-deep module cache, same lifecycle pattern as
+    # bigram_logprob's tf relation (SQL cache entries are not
+    # GC-cleaned; the next call evicts this one's).
+    if not cond.is_cached:
+        while _NB_COND_CACHE:
+            try:
+                _NB_COND_CACHE.pop().unpersist(False)
+            except Exception:
+                pass
+        cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
+        _NB_COND_CACHE.append(cond)
 
     cls_rows = sorted(classes.collect(), key=lambda r: r.label)
     if not cls_rows:

@@ -186,12 +186,24 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 merged = Profile(root=root,
                                  row_count=profile.row_count,
                                  cfg=acfg)
+                # load the diff baseline BEFORE saving: the rolling-
+                # baseline one-liner passes the SAME path to both
+                # flags, and save-first would overwrite yesterday's
+                # profile and then diff the run against itself
+                baseline = load_profile(cfg.diff) if cfg.diff else None
                 if cfg.save_profile:
                     save_profile(merged, cfg.save_profile)
-                if cfg.diff:
+                if baseline is not None:
+                    from dataclasses import asdict
+
                     from ..diff import diff_profiles, render_diff
-                    return render_diff(diff_profiles(
-                        load_profile(cfg.diff), merged))
+                    changes = diff_profiles(baseline, merged)
+                    if getattr(cfg, "json_out", False):
+                        import json as _json
+                        return _json.dumps(
+                            [dict(asdict(c), path=list(c.path))
+                             for c in changes], indent=2)
+                    return render_diff(changes)
             # a scalar-payload file was wrapped in a synthetic column;
             # render it the way the reference shows a list of values
             from ..model import RecordT, RenderOptions, node_to_dict

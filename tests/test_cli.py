@@ -218,3 +218,35 @@ def test_cli_save_and_diff_profile(spark, tmp_path):
     drift = get_structure(get_config(
         [str(day2), "--diff", str(prof)]), spark=spark)
     assert "lang" in drift and drift != "(no drift)"
+
+
+def test_cli_rolling_baseline_same_path(spark, tmp_path):
+    # the rolling-baseline one-liner: --save-profile and --diff with
+    # the SAME path must diff against YESTERDAY's file, then update
+    # it — not overwrite first and report "(no drift)" forever
+    import json as _json
+    prof = tmp_path / "rolling.profile.json"
+    day1 = tmp_path / "d1.json"
+    with day1.open("w") as fh:
+        for i in range(40):
+            fh.write(_json.dumps({"id": i}) + "\n")
+    get_structure(get_config(
+        [str(day1), "--save-profile", str(prof)]), spark=spark)
+    day2 = tmp_path / "d2.json"
+    with day2.open("w") as fh:
+        for i in range(40):
+            fh.write(_json.dumps({"id": i, "extra": "x"}) + "\n")
+    drift = get_structure(get_config(
+        [str(day2), "--save-profile", str(prof), "--diff", str(prof)]),
+        spark=spark)
+    assert "extra" in drift and drift != "(no drift)"
+    # and the baseline WAS updated: day2 vs itself is clean
+    again = get_structure(get_config(
+        [str(day2), "--diff", str(prof)]), spark=spark)
+    assert again == "(no drift)"
+    # --json --diff emits structured changes, not the text report
+    out = get_structure(get_config(
+        [str(day1), "--diff", str(prof), "--json"]), spark=spark)
+    changes = _json.loads(out)
+    assert isinstance(changes, list) and any(
+        c["kind"] == "removed" for c in changes)

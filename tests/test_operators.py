@@ -2018,6 +2018,9 @@ def test_canonicalize_url_cases(spark):
          "https://example.com/a?xref=1"),
         ("https://example.com/a?utm_a=1&utm_b=2&c=3",
          "https://example.com/a?c=3"),
+        # ALL trailing slashes strip in one pass (fixpoint)
+        ("https://example.com/p//", "https://example.com/p"),
+        ("https://example.com///", "https://example.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
@@ -2353,12 +2356,17 @@ def test_review_fixes_null_text_and_modes(spark):
         [(1 << 50, "a b c")], "doc_id long, text string")
     with _pt.raises(Exception, match="2\\^43"):
         dd.drop_duplicated_spans(bad, n=3).collect()
-    # NB: null text falls back to the PRIOR argmax, like empty text
+    # NB: null text falls back to the PRIOR argmax, like empty text;
+    # a null-LABEL training row is ignored (it cannot name a class,
+    # and a null in the collected model would crash the scorer)
     nb = spark.createDataFrame(
         [(1, "cat cat", "feline"), (2, "cat purr", "feline"),
-         (3, "bark", "canine"), (4, None, "feline")],
+         (3, "bark", "canine"), (4, None, "feline"),
+         (5, "stray unlabeled words", None)],
         "doc_id long, text string, lang string")
     cond, classes = t.nb_train(nb)
+    assert {r.label for r in classes.collect()} == {"feline",
+                                                    "canine"}
     got = {r.doc_id: r for r in t.nb_predict(nb, cond, classes).collect()}
     assert got[4].pred_label == "feline"
     assert abs(got[4].score - round(math.log(3 / 4), 4)) < 1e-9
@@ -2401,7 +2409,8 @@ def test_canonicalize_url_idempotent_and_tracking_free(spark):
     import itertools
     urls = []
     hosts = ["Example.COM", "sub.host.org"]
-    paths = ["", "/p", "/p/q/", "/ref=sr_1_1", "/a%20b"]
+    paths = ["", "/p", "/p/q/", "/p//", "//", "/ref=sr_1_1",
+             "/a%20b"]
     queries = ["", "?utm_source=x", "?a=1&utm_b=2&c=3",
                "?href=https://x.com/y?z=1", "?utm_a=1&utm_b=2",
                "?ref=abc&a=1", "?a=1&gclid=g#frag", "?fbclid=f",
