@@ -812,3 +812,67 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
                     .alias("n_tokens_after"),
                     F.coalesce("text_dedup", F.lit(""))
                     .alias("text_dedup")))
+
+
+def build_span_index(df: DataFrame, n: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct 64-bit span hashes of a corpus's word ``n``-grams —
+    the persisted index side of :func:`incremental_span_coverage`
+    (in production: yesterday's corpus, fingerprinted once, written
+    as a narrow parquet table). One explode + one distinct; spans
+    themselves never leave the executors."""
+    from ..functions.hashing import md5_long
+    from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.select(F.explode(
+        _word_ngrams(_tokens(F.lower(txt)), n)).alias("g"))
+        .select(md5_long(F.col("g")).alias("span_h"))
+        .distinct())
+
+
+def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
+                              n: int = 5, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Span-level boilerplate coverage of an INCOMING batch against
+    an existing corpus's span index — the incremental production
+    shape of :func:`duplicate_span_coverage` (yesterday's corpus is
+    already fingerprinted via :func:`build_span_index`; only the
+    delta is scanned). Per incoming document: total span positions,
+    positions whose span already exists in the index, and their
+    ratio — the "how much of this new crawl is old boilerplate"
+    admission signal.
+
+    Scale shape: ONE explode + ONE hash-keyed left join against the
+    narrow index + ONE doc-keyed aggregation — a single aggregation
+    over stream-static joins, so the SAME operator runs over a
+    STREAMING ``incoming`` against the static index (see the
+    streaming test). Null/short documents report 0/0/0.0.
+    """
+    from ..functions.hashing import md5_long
+    from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    grams = incoming.select(
+        F.col(id_col),
+        F.explode_outer(
+            _word_ngrams(_tokens(F.lower(txt)), n)).alias("g"))
+    hashed = grams.withColumn(
+        "span_h", F.when(F.col("g").isNotNull(),
+                         md5_long(F.col("g"))))
+    idx = index.select("span_h").distinct() \
+        .withColumn("__hit__", F.lit(1))
+    j = hashed.join(idx, "span_h", "left")
+    n_spans = F.count("g").cast("long")
+    n_dup = F.sum(F.when(F.col("__hit__").isNotNull(), 1)
+                  .otherwise(0)).cast("long")
+    return (j.groupBy(id_col)
+            .agg(n_spans.alias("n_spans"),
+                 n_dup.alias("n_dup_spans"))
+            .select(id_col, "n_spans", "n_dup_spans",
+                    F.when(F.col("n_spans") > 0,
+                           F.round(F.col("n_dup_spans")
+                                   / F.col("n_spans"), 4))
+                    .otherwise(F.lit(0.0)).alias("dup_frac")))

@@ -1069,6 +1069,60 @@ def window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "win_idx"))
 
 
+@register("incremental_span_hits", oracle=f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(ws) - 4, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+             AS g
+  FROM words WHERE len(ws) >= 5
+),
+idx AS (
+  SELECT DISTINCT {md5_long_sql('g')} AS span_h
+  FROM grams WHERE doc_id < 300
+),
+inc AS (
+  SELECT doc_id, {md5_long_sql('g')} AS span_h
+  FROM grams WHERE doc_id >= 300
+),
+per AS (
+  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN x.span_h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM inc i LEFT JOIN idx x USING (span_h) GROUP BY 1
+)
+SELECT w.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN round(p.n_dup_spans / p.n_spans, 4)
+            ELSE 0.0 END AS dup_frac
+FROM words w LEFT JOIN per p USING (doc_id)
+WHERE w.doc_id >= 300 ORDER BY w.doc_id
+""")
+def incremental_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span-level boilerplate admission, values-checked:
+    documents below id 300 play yesterday's corpus (fingerprinted to
+    a distinct span-hash index), the rest arrive as the delta, and
+    each incoming document reports how much of it is spans the index
+    has already seen. The oracle rebuilds the md5-derived span
+    hashes, the index and the coverage ratio; the same single-
+    aggregation operator runs over a STREAMING delta against the
+    static index (pinned in tests/test_streaming.py)."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup.build_span_index(d.where(F.col("doc_id") < 300), n=5)
+    inc = d.where(F.col("doc_id") >= 300)
+    return (dedup.incremental_span_coverage(inc, idx, n=5)
+            .orderBy("doc_id"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

@@ -122,6 +122,7 @@ def test_driver_window_covers_every_family():
         "span_dedup_texts": "dedup_exact_groups",
         "reflm_nll": "bigram_nll",
         "window_chunks": "sequence_packing",
+        "incremental_span_hits": "incremental_dedup_verdicts",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \

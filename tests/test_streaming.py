@@ -433,3 +433,47 @@ def test_chunk_windows_streams_stateless(spark, tmp_path):
                           docs, "doc_id long, text string"),
                       size=4, stride=2).collect())
     assert got == want and len(got) == 6
+
+
+def test_incremental_span_coverage_stream_matches_batch(spark, tmp_path):
+    # the crawl-admission shape: yesterday's span index is static,
+    # today's delta STREAMS through the same single-aggregation plan
+    import json as _json
+
+    from structa_spark.operators import dedup as _dedup
+
+    yesterday = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    idx = _dedup.build_span_index(yesterday, n=3)
+    idx_static = spark.createDataFrame(idx.collect(), idx.schema)
+
+    delta = [(10, "the quick brown fox jumps again today"),
+             (11, "entirely novel text with no shared spans"),
+             (12, "")]
+    p = tmp_path / "delta"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in delta:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = _dedup.incremental_span_coverage(sdf, idx_static, n=3)
+    _run_stream(out, "span_inc", "complete")
+    got = {(r.doc_id, r.n_spans, r.n_dup_spans, r.dup_frac)
+           for r in spark.sql("SELECT * FROM span_inc").collect()}
+    want = {(r.doc_id, r.n_spans, r.n_dup_spans, r.dup_frac)
+            for r in _dedup.incremental_span_coverage(
+                spark.createDataFrame(delta, "doc_id long, text string"),
+                idx, n=3).collect()}
+    assert got == want
+    by_id = dict((d, (s, du)) for d, s, du, _ in got)
+    # doc 10 shares "the quick brown"/"quick brown fox"/"brown fox
+    # jumps" with yesterday; doc 11 shares nothing; doc 12 is empty
+    assert by_id[10] == (5, 3)
+    assert by_id[11][1] == 0
+    assert by_id[12] == (0, 0)
