@@ -651,6 +651,27 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "containment"))
 
 
+def _span_grams(df: DataFrame, n: int, id_col,
+                text_col: str, keep_empty: bool = False) -> DataFrame:
+    """(id, pos, g): the ONE span derivation every span operator
+    shares — lowercased whitespace tokens, word n-grams joined with
+    single spaces, null text coalesced to empty. Centralized so the
+    batch signal, the removal pass, the persisted index and the
+    incremental scorer can never silently diverge on tokenization or
+    gram joining. ``keep_empty`` keeps one (id, null, null) row for
+    documents with no spans (posexplode_outer) so per-doc aggregates
+    retain them."""
+    from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    grams = _word_ngrams(_tokens(F.lower(F.trim(txt))), n)
+    ex = (F.posexplode_outer(grams) if keep_empty
+          else F.posexplode(grams))
+    lead = [F.col(id_col)] if id_col is not None else []
+    return df.select(*lead, ex.alias("pos", "g"))
+
+
 def duplicate_span_coverage(df: DataFrame, n: int = 5,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
@@ -681,12 +702,7 @@ def duplicate_span_coverage(df: DataFrame, n: int = 5,
     duplicated substrings; fixed-n spans are the bounded-state
     relational variant (run several n if needed).
     """
-    from .text import tokens as _tokens
-    from .text import word_ngrams as _word_ngrams
-
-    toks = _tokens(F.lower(F.col(text_col)))
-    grams = df.select(F.col(id_col),
-                      F.explode(_word_ngrams(toks, n)).alias("g"))
+    grams = _span_grams(df, n, id_col, text_col).drop("pos")
     tf = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("tf"))
     nd = tf.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     per = (tf.join(nd, "g")
@@ -747,21 +763,14 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
     the first-occurrence ordering.
     """
     from .text import tokens as _tokens
-    from .text import word_ngrams as _word_ngrams
 
     posmax = 1 << 20
     idmax = 1 << 43
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks_arr = _tokens(F.trim(txt))
-    low_arr = _tokens(F.lower(F.trim(txt)))
-    base = df.select(F.col(id_col), toks_arr.alias("__t"),
-                     low_arr.alias("__l"))
-
-    toks = base.select(
-        id_col, F.posexplode("__t").alias("pos", "tok"))
-    spans = base.select(
-        id_col, F.posexplode(_word_ngrams(F.col("__l"), n))
-        .alias("pos", "g"))
+    toks = df.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos", "tok"))
+    spans = _span_grams(df, n, id_col, text_col)
     enc = (F.col(id_col) * posmax + F.col("pos")).alias("enc")
     occ = spans.select(id_col, "pos", "g", enc)
     if cross_doc_only:
@@ -822,14 +831,10 @@ def build_span_index(df: DataFrame, n: int = 5,
     as a narrow parquet table). One explode + one distinct; spans
     themselves never leave the executors."""
     from ..functions.hashing import md5_long
-    from .text import tokens as _tokens
-    from .text import word_ngrams as _word_ngrams
 
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    return (df.select(F.explode(
-        _word_ngrams(_tokens(F.lower(txt)), n)).alias("g"))
-        .select(md5_long(F.col("g")).alias("span_h"))
-        .distinct())
+    return (_span_grams(df, n, None, text_col)
+            .select(md5_long(F.col("g")).alias("span_h"))
+            .distinct())
 
 
 def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
@@ -851,19 +856,19 @@ def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
     streaming test). Null/short documents report 0/0/0.0.
     """
     from ..functions.hashing import md5_long
-    from .text import tokens as _tokens
-    from .text import word_ngrams as _word_ngrams
 
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    grams = incoming.select(
-        F.col(id_col),
-        F.explode_outer(
-            _word_ngrams(_tokens(F.lower(txt)), n)).alias("g"))
+    grams = _span_grams(incoming, n, id_col, text_col,
+                        keep_empty=True)
     hashed = grams.withColumn(
         "span_h", F.when(F.col("g").isNotNull(),
                          md5_long(F.col("g"))))
-    idx = index.select("span_h").distinct() \
-        .withColumn("__hit__", F.lit(1))
+    # PRECONDITION: index holds DISTINCT span_h (build_span_index's
+    # contract) — duplicates would inflate hit counts via join
+    # multiplicity. No defensive .distinct() here: the static side
+    # of a stream-static join re-executes per microbatch, and a
+    # per-trigger full index shuffle is exactly the cost this
+    # operator exists to avoid.
+    idx = index.select("span_h").withColumn("__hit__", F.lit(1))
     j = hashed.join(idx, "span_h", "left")
     n_spans = F.count("g").cast("long")
     n_dup = F.sum(F.when(F.col("__hit__").isNotNull(), 1)

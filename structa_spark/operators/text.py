@@ -1006,12 +1006,15 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
     # corpus pass. One-deep module cache, same lifecycle pattern as
     # bigram_logprob's tf relation (SQL cache entries are not
     # GC-cleaned; the next call evicts this one's).
+    # drain UNCONDITIONALLY — even when the caller pre-cached cond,
+    # leaving a previous model's relation pinned would break the
+    # one-deep bound; only the persist itself is skipped then
+    while _NB_COND_CACHE:
+        try:
+            _NB_COND_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
     if not cond.is_cached:
-        while _NB_COND_CACHE:
-            try:
-                _NB_COND_CACHE.pop().unpersist(False)
-            except Exception:
-                pass
         cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
         _NB_COND_CACHE.append(cond)
 

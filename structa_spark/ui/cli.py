@@ -189,10 +189,22 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                 # load the diff baseline BEFORE saving: the rolling-
                 # baseline one-liner passes the SAME path to both
                 # flags, and save-first would overwrite yesterday's
-                # profile and then diff the run against itself
-                baseline = load_profile(cfg.diff) if cfg.diff else None
+                # profile and then diff the run against itself. A
+                # missing baseline (the bootstrap run) is not an
+                # error — save still happens and the diff reports
+                # that there is nothing to compare against yet.
+                baseline = missing = None
+                if cfg.diff:
+                    try:
+                        baseline = load_profile(cfg.diff)
+                    except FileNotFoundError:
+                        missing = cfg.diff
                 if cfg.save_profile:
                     save_profile(merged, cfg.save_profile)
+                if missing is not None:
+                    if getattr(cfg, "json_out", False):
+                        return "[]"
+                    return f"(no baseline at {missing})"
                 if baseline is not None:
                     from dataclasses import asdict
 

@@ -230,8 +230,13 @@ def test_cli_rolling_baseline_same_path(spark, tmp_path):
     with day1.open("w") as fh:
         for i in range(40):
             fh.write(_json.dumps({"id": i}) + "\n")
-    get_structure(get_config(
-        [str(day1), "--save-profile", str(prof)]), spark=spark)
+    # bootstrap run: no baseline yet — must still SAVE and say so,
+    # not crash with FileNotFoundError before writing anything
+    boot = get_structure(get_config(
+        [str(day1), "--save-profile", str(prof), "--diff", str(prof)]),
+        spark=spark)
+    assert boot == f"(no baseline at {prof})"
+    assert prof.exists()
     day2 = tmp_path / "d2.json"
     with day2.open("w") as fh:
         for i in range(40):
