@@ -1123,6 +1123,104 @@ def incremental_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("source_curation_report", oracle=f"""
+WITH f AS (
+  SELECT doc_id, source,
+    len({_TOKENS_SQL}) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digit,
+    length(text) - length(regexp_replace(text,
+        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+    len(list_filter({_TOKENS_SQL},
+        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
+    length(text) AS n
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    round(CASE WHEN n_tokens > 0 THEN
+      least(n_tokens / 50.0, 1.0) * 0.4
+      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + least(CASE WHEN n_tokens > 0
+              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5,
+              1.0) * 0.2
+    ELSE 0.0 END, 4) AS quality
+  FROM f),
+ls AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}"
+                    for lang in _LANGS)}
+  FROM documents),
+pred AS (
+  SELECT doc_id, CASE WHEN {_PRED_SQL} = lang THEN 0 ELSE 1 END
+             AS mismatch
+  FROM ls),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(ws) - 4, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+             AS g
+  FROM words WHERE len(ws) >= 5),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
+nd AS (SELECT g, count(*) AS nd FROM tf GROUP BY 1),
+cov AS (
+  SELECT tf.doc_id,
+         sum(tf.tf) AS n_spans,
+         sum(CASE WHEN nd.nd >= 2 THEN tf.tf ELSE 0 END) AS n_dup
+  FROM tf JOIN nd USING (g) GROUP BY 1),
+per AS (
+  SELECT q.doc_id, q.source, q.quality, p.mismatch,
+         CASE WHEN COALESCE(c.n_spans, 0) > 0
+              THEN round(c.n_dup / c.n_spans, 4) ELSE 0.0 END
+             AS dup_frac
+  FROM q JOIN pred p USING (doc_id)
+  LEFT JOIN cov c USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(dup_frac), 4) AS avg_span_dup,
+       CAST(sum(mismatch) AS BIGINT) AS n_lang_mismatch
+FROM per GROUP BY source ORDER BY source
+""")
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-source curation dashboard a data team reads
+    before admitting a crawl source: document volume, average
+    C4/Gopher-style quality, average cross-document span-duplication
+    coverage (boilerplate share) and heuristic-vs-labeled language
+    disagreements — three operator families joined doc-wise and
+    rolled up per source, every stage replayed exactly by the
+    oracle. Quality and lang-ID compose into the SAME scan (pure
+    expressions); the span signal adds its two aggregations; the
+    rollup is a source-keyed agg."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "source", "lang",
+                                     "quality_score")
+    pred = (text.lang_id(d).select(
+        "doc_id", F.when(F.col("lang_pred") == F.col("lang"), 0)
+        .otherwise(1).alias("mismatch")))
+    cov = dedup.duplicate_span_coverage(d, n=5) \
+        .select("doc_id", "dup_frac")
+    per = (q.join(pred, "doc_id").join(cov, "doc_id", "left")
+           .select("source", "quality_score", "mismatch",
+                   F.coalesce("dup_frac", F.lit(0.0))
+                   .alias("dup_frac")))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("quality_score"), 4)
+                 .alias("avg_quality"),
+                 F.round(F.avg("dup_frac"), 4).alias("avg_span_dup"),
+                 F.sum("mismatch").cast("long")
+                 .alias("n_lang_mismatch"))
+            .orderBy("source"))
+
+
 _FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")

@@ -123,6 +123,7 @@ def test_driver_window_covers_every_family():
         "reflm_nll": "bigram_nll",
         "window_chunks": "sequence_packing",
         "incremental_span_hits": "incremental_dedup_verdicts",
+        "source_curation_report": "training_manifest",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
