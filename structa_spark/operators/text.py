@@ -1006,15 +1006,25 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
     # corpus pass. One-deep module cache, same lifecycle pattern as
     # bigram_logprob's tf relation (SQL cache entries are not
     # GC-cleaned; the next call evicts this one's).
-    # drain UNCONDITIONALLY — even when the caller pre-cached cond,
-    # leaving a previous model's relation pinned would break the
-    # one-deep bound; only the persist itself is skipped then
+    # drain the one-deep cache — EXCEPT when the cached relation is
+    # this very cond (the train-once-score-many shape: unpersisting
+    # it would throw away the materialization and recompute the
+    # training explosion per call). A previous DIFFERENT model, or
+    # one left behind while the caller pre-cached cond themselves,
+    # is evicted so the bound holds.
+    keep = None
     while _NB_COND_CACHE:
+        prev = _NB_COND_CACHE.pop()
+        if prev is cond:
+            keep = prev
+            continue
         try:
-            _NB_COND_CACHE.pop().unpersist(False)
+            prev.unpersist(False)
         except Exception:
             pass
-    if not cond.is_cached:
+    if keep is not None:
+        _NB_COND_CACHE.append(keep)
+    elif not cond.is_cached:
         cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
         _NB_COND_CACHE.append(cond)
 

@@ -872,21 +872,28 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "pred_label"))
 
 
-@register("span_dup_coverage", oracle="""
-WITH words AS (
+# the ONE SQL span derivation (the oracle twin of dedup._span_grams):
+# shared by every span-dedup oracle so tokenization or gram-joining
+# changes cannot silently diverge between hand-copied CTE blocks
+_SPAN_WORDS_SQL = """words AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                      t -> t <> '') AS ws
   FROM documents
-),
-grams AS (
+)"""
+_SPAN_GRAMS_SQL = """grams AS (
   SELECT doc_id,
          unnest(list_transform(
              range(1, greatest(len(ws) - 4, 0) + 1),
              i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
              AS g
   FROM words WHERE len(ws) >= 5
-),
+)"""
+
+
+@register("span_dup_coverage", oracle=f"""
+WITH {_SPAN_WORDS_SQL},
+{_SPAN_GRAMS_SQL},
 tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
 nd AS (SELECT g, count(*) AS nd FROM tf GROUP BY 1),
 per AS (
@@ -1070,20 +1077,8 @@ def window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("incremental_span_hits", oracle=f"""
-WITH words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                     t -> t <> '') AS ws
-  FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(
-             range(1, greatest(len(ws) - 4, 0) + 1),
-             i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
-             AS g
-  FROM words WHERE len(ws) >= 5
-),
+WITH {_SPAN_WORDS_SQL},
+{_SPAN_GRAMS_SQL},
 idx AS (
   SELECT DISTINCT {md5_long_sql('g')} AS span_h
   FROM grams WHERE doc_id < 300
@@ -1157,18 +1152,8 @@ pred AS (
   SELECT doc_id, CASE WHEN {_PRED_SQL} = lang THEN 0 ELSE 1 END
              AS mismatch
   FROM ls),
-words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                     t -> t <> '') AS ws
-  FROM documents),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(
-             range(1, greatest(len(ws) - 4, 0) + 1),
-             i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
-             AS g
-  FROM words WHERE len(ws) >= 5),
+{_SPAN_WORDS_SQL},
+{_SPAN_GRAMS_SQL},
 tf AS (SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2),
 nd AS (SELECT g, count(*) AS nd FROM tf GROUP BY 1),
 cov AS (
@@ -1200,14 +1185,19 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions); the span signal adds its two aggregations; the
     rollup is a source-keyed agg."""
     d = _t(spark, sf_dir, "documents")
-    q = text.quality_score(d).select("doc_id", "source", "lang",
-                                     "quality_score")
-    pred = (text.lang_id(d).select(
-        "doc_id", F.when(F.col("lang_pred") == F.col("lang"), 0)
-        .otherwise(1).alias("mismatch")))
+    # quality and lang-ID are both pure projections: composing them
+    # (lang_id over quality_score's output) keeps them in ONE scan —
+    # a doc-keyed join of two separate projections of the same table
+    # would re-scan documents per branch (column pruning defeats
+    # exchange reuse)
+    scored = text.lang_id(text.quality_score(d))
+    q = scored.select(
+        "doc_id", "source", "quality_score",
+        F.when(F.col("lang_pred") == F.col("lang"), 0)
+        .otherwise(1).alias("mismatch"))
     cov = dedup.duplicate_span_coverage(d, n=5) \
         .select("doc_id", "dup_frac")
-    per = (q.join(pred, "doc_id").join(cov, "doc_id", "left")
+    per = (q.join(cov, "doc_id", "left")
            .select("source", "quality_score", "mismatch",
                    F.coalesce("dup_frac", F.lit(0.0))
                    .alias("dup_frac")))

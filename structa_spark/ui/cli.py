@@ -203,7 +203,12 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                     save_profile(merged, cfg.save_profile)
                 if missing is not None:
                     if getattr(cfg, "json_out", False):
-                        return "[]"
+                        # an OBJECT, not an (empty) change list — a
+                        # monitor must be able to tell "no drift"
+                        # from "nothing to compare against" (typo'd
+                        # or bootstrap baseline path)
+                        import json as _json
+                        return _json.dumps({"no_baseline": missing})
                     return f"(no baseline at {missing})"
                 if baseline is not None:
                     from dataclasses import asdict

@@ -2429,3 +2429,26 @@ def test_canonicalize_url_idempotent_and_tracking_free(spark):
         assert r.c1 == r.c2, (r.u, r.c1, r.c2)
         assert not re.search(r"[?&](utm_[a-zA-Z]+|fbclid|gclid|ref)=",
                              r.c1), (r.u, r.c1)
+
+
+def test_nb_predict_reuses_model_cache_across_calls(spark):
+    from structa_spark.operators import text as t
+    df = spark.createDataFrame(
+        [(1, "cat purr", "feline"), (2, "dog bark", "canine")],
+        "doc_id long, text string, lang string")
+    t._NB_COND_CACHE.clear()
+    cond, classes = t.nb_train(df)
+    t.nb_predict(df, cond, classes).collect()
+    assert len(t._NB_COND_CACHE) == 1
+    cached = t._NB_COND_CACHE[0]
+    assert cached.storageLevel.useMemory
+    # train-once-score-many: a second call with the SAME cond must
+    # keep the materialization, not unpersist-and-recompute it
+    t.nb_predict(df, cond, classes).collect()
+    assert t._NB_COND_CACHE == [cached]
+    assert cached.storageLevel.useMemory
+    # a DIFFERENT model evicts the previous one (one-deep bound)
+    cond2, classes2 = t.nb_train(df.where("doc_id = 1"))
+    t.nb_predict(df, cond2, classes2).collect()
+    assert len(t._NB_COND_CACHE) == 1
+    assert t._NB_COND_CACHE[0] is not cached
