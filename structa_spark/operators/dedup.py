@@ -672,6 +672,27 @@ def _span_grams(df: DataFrame, n: int, id_col,
     return df.select(*lead, ex.alias("pos", "g"))
 
 
+def span_dup_per_doc(df: DataFrame, n: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The aggregation core of :func:`duplicate_span_coverage`:
+    (id, n_spans, n_dup_spans) for documents that HAVE spans —
+    zero-span documents are absent. Composed pipelines that already
+    left-join per-doc signals onto a spine (e.g. the per-source
+    curation report) should use this directly and coalesce, instead
+    of paying duplicate_span_coverage's restore-join (an extra
+    corpus scan) just to re-drop the restored rows."""
+    grams = _span_grams(df, n, id_col, text_col).drop("pos")
+    tf = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (tf.join(nd, "g")
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_spans"),
+                 F.sum(F.when(F.col("nd") >= 2, F.col("tf"))
+                       .otherwise(0)).cast("long")
+                 .alias("n_dup_spans")))
+
+
 def duplicate_span_coverage(df: DataFrame, n: int = 5,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
@@ -702,14 +723,7 @@ def duplicate_span_coverage(df: DataFrame, n: int = 5,
     duplicated substrings; fixed-n spans are the bounded-state
     relational variant (run several n if needed).
     """
-    grams = _span_grams(df, n, id_col, text_col).drop("pos")
-    tf = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("tf"))
-    nd = tf.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
-    per = (tf.join(nd, "g")
-           .groupBy(id_col)
-           .agg(F.sum("tf").cast("long").alias("n_spans"),
-                F.sum(F.when(F.col("nd") >= 2, F.col("tf"))
-                      .otherwise(0)).cast("long").alias("n_dup_spans")))
+    per = span_dup_per_doc(df, n, id_col, text_col)
     return (df.select(id_col).join(per, id_col, "left")
             .select(
                 F.col(id_col),
@@ -839,7 +853,9 @@ def build_span_index(df: DataFrame, n: int = 5,
 
 def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
                               n: int = 5, id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              assume_distinct: bool = True
+                              ) -> DataFrame:
     """Span-level boilerplate coverage of an INCOMING batch against
     an existing corpus's span index — the incremental production
     shape of :func:`duplicate_span_coverage` (yesterday's corpus is
@@ -854,6 +870,15 @@ def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
     over stream-static joins, so the SAME operator runs over a
     STREAMING ``incoming`` against the static index (see the
     streaming test). Null/short documents report 0/0/0.0.
+
+    PRECONDITION (``assume_distinct=True``, the default): ``index``
+    must hold DISTINCT span_h values — :func:`build_span_index`'s
+    contract. Duplicate index rows (e.g. a union of per-day indexes
+    that was never re-deduplicated) would inflate BOTH counts via
+    join multiplicity; pass ``assume_distinct=False`` to pay one
+    defensive ``.distinct()`` — but note that on a stream the static
+    side re-executes per microbatch, so at scale deduplicate the
+    index ONCE when writing it instead.
     """
     from ..functions.hashing import md5_long
 
@@ -862,13 +887,10 @@ def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
     hashed = grams.withColumn(
         "span_h", F.when(F.col("g").isNotNull(),
                          md5_long(F.col("g"))))
-    # PRECONDITION: index holds DISTINCT span_h (build_span_index's
-    # contract) — duplicates would inflate hit counts via join
-    # multiplicity. No defensive .distinct() here: the static side
-    # of a stream-static join re-executes per microbatch, and a
-    # per-trigger full index shuffle is exactly the cost this
-    # operator exists to avoid.
-    idx = index.select("span_h").withColumn("__hit__", F.lit(1))
+    idx = index.select("span_h")
+    if not assume_distinct:
+        idx = idx.distinct()
+    idx = idx.withColumn("__hit__", F.lit(1))
     j = hashed.join(idx, "span_h", "left")
     n_spans = F.count("g").cast("long")
     n_dup = F.sum(F.when(F.col("__hit__").isNotNull(), 1)

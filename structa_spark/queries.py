@@ -734,6 +734,34 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_EN_SQL = "'" + "','".join(text.STOPWORDS_EN) + "'"
 
+# the ONE quality-score SQL derivation (the oracle twin of
+# text.quality_score): the feature select-list and the composite
+# CASE, shared by every oracle that replays the quality formula so a
+# weight/threshold tweak cannot silently diverge between hand-copied
+# blocks. {extra} carries pass-through columns (lang, source).
+def _quality_f_sql(extra: str) -> str:
+    return f"""SELECT doc_id, {extra}
+    len({_TOKENS_SQL}) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS n_digit,
+    length(text) - length(regexp_replace(text,
+        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+    len(list_filter({_TOKENS_SQL},
+        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
+    length(text) AS n
+  FROM documents"""
+
+
+_QUALITY_Q_SQL = """CASE WHEN n_tokens > 0 THEN
+      least(n_tokens / 50.0, 1.0) * 0.4
+      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
+                     1.0)) * 0.2
+      + least(CASE WHEN n_tokens > 0
+              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5, 1.0) * 0.2
+    ELSE 0.0 END"""
+
 
 @register("text_quality_features", oracle=f"""
 WITH f AS (
@@ -1120,28 +1148,10 @@ def incremental_span_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("source_curation_report", oracle=f"""
 WITH f AS (
-  SELECT doc_id, source,
-    len({_TOKENS_SQL}) AS n_tokens,
-    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-        AS n_digit,
-    length(text) - length(regexp_replace(text,
-        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
-    len(list_filter({_TOKENS_SQL},
-        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
-    length(text) AS n
-  FROM documents),
+  {_quality_f_sql('source,')}),
 q AS (
   SELECT doc_id, source,
-    round(CASE WHEN n_tokens > 0 THEN
-      least(n_tokens / 50.0, 1.0) * 0.4
-      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + least(CASE WHEN n_tokens > 0
-              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5,
-              1.0) * 0.2
-    ELSE 0.0 END, 4) AS quality
+    round({_QUALITY_Q_SQL}, 4) AS quality
   FROM f),
 ls AS (
   SELECT doc_id, lang,
@@ -1195,8 +1205,14 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "quality_score",
         F.when(F.col("lang_pred") == F.col("lang"), 0)
         .otherwise(1).alias("mismatch"))
-    cov = dedup.duplicate_span_coverage(d, n=5) \
-        .select("doc_id", "dup_frac")
+    # span_dup_per_doc (no restore-join): the outer left join +
+    # coalesce below already restores zero-span docs, so using the
+    # full duplicate_span_coverage here would pay an extra corpus
+    # scan just to re-drop the rows it restored
+    cov = dedup.span_dup_per_doc(d, n=5).select(
+        "doc_id",
+        F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        .alias("dup_frac"))
     per = (q.join(cov, "doc_id", "left")
            .select("source", "quality_score", "mismatch",
                    F.coalesce("dup_frac", F.lit(0.0))
@@ -1745,27 +1761,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("filter_training_corpus", oracle=f"""
 WITH f AS (
-  SELECT doc_id, lang,
-    len({_TOKENS_SQL}) AS n_tokens,
-    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-        AS n_digit,
-    length(text) - length(regexp_replace(text,
-        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
-    len(list_filter({_TOKENS_SQL},
-        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
-    length(text) AS n
-  FROM documents),
+  {_quality_f_sql('lang,')}),
 scored AS (
   SELECT doc_id, lang, n_tokens,
-    CASE WHEN n_tokens > 0 THEN
-      least(n_tokens / 50.0, 1.0) * 0.4
-      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + least(CASE WHEN n_tokens > 0
-              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5, 1.0) * 0.2
-    ELSE 0.0 END AS q
+    {_QUALITY_Q_SQL} AS q
   FROM f)
 SELECT doc_id, lang, n_tokens, round(q, 4) AS quality
 FROM scored
@@ -2204,27 +2203,10 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("training_manifest", oracle=f"""
 WITH f AS (
-  SELECT doc_id, lang,
-    len({_TOKENS_SQL}) AS n_tokens,
-    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-        AS n_digit,
-    length(text) - length(regexp_replace(text,
-        '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
-    len(list_filter({_TOKENS_SQL},
-        t -> lower(t) IN ({_STOP_EN_SQL}))) AS n_stop,
-    length(text) AS n
-  FROM documents),
+  {_quality_f_sql('lang,')}),
 scored AS (
   SELECT doc_id, lang, n_tokens,
-    CASE WHEN n_tokens > 0 THEN
-      least(n_tokens / 50.0, 1.0) * 0.4
-      + (1.0 - least(CASE WHEN n > 0 THEN n_punct / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + (1.0 - least(CASE WHEN n > 0 THEN n_digit / n ELSE 0 END * 4,
-                     1.0)) * 0.2
-      + least(CASE WHEN n_tokens > 0
-              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 5, 1.0) * 0.2
-    ELSE 0.0 END AS q
+    {_QUALITY_Q_SQL} AS q
   FROM f),
 rep AS (
   SELECT doc_id,

@@ -198,6 +198,14 @@ def get_structure(cfg: argparse.Namespace, spark=None) -> str:
                     try:
                         baseline = load_profile(cfg.diff)
                     except FileNotFoundError:
+                        # tolerated ONLY for the rolling bootstrap
+                        # (this same run writes the baseline). A
+                        # missing baseline that this run will NOT
+                        # create — e.g. a typo'd path in a monitor —
+                        # must stay a hard error, or exit-code-based
+                        # alerting is silently disabled forever
+                        if cfg.save_profile != cfg.diff:
+                            raise
                         missing = cfg.diff
                 if cfg.save_profile:
                     save_profile(merged, cfg.save_profile)

@@ -255,3 +255,16 @@ def test_cli_rolling_baseline_same_path(spark, tmp_path):
     changes = _json.loads(out)
     assert isinstance(changes, list) and any(
         c["kind"] == "removed" for c in changes)
+    # a missing baseline that this run will NOT create (typo'd path,
+    # no same-path --save-profile) stays a hard error so exit-code
+    # monitors are not silently disabled
+    with pytest.raises(FileNotFoundError):
+        get_structure(get_config(
+            [str(day1), "--diff", str(tmp_path / "nope.json")]),
+            spark=spark)
+    # bootstrap JSON marker is an object, not an empty change list
+    prof2 = tmp_path / "fresh.profile.json"
+    out = get_structure(get_config(
+        [str(day1), "--save-profile", str(prof2),
+         "--diff", str(prof2), "--json"]), spark=spark)
+    assert _json.loads(out) == {"no_baseline": str(prof2)}

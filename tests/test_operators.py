@@ -2452,3 +2452,21 @@ def test_nb_predict_reuses_model_cache_across_calls(spark):
     t.nb_predict(df, cond2, classes2).collect()
     assert len(t._NB_COND_CACHE) == 1
     assert t._NB_COND_CACHE[0] is not cached
+
+
+def test_incremental_span_coverage_distinct_precondition(spark):
+    from structa_spark.operators import dedup as dd
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox runs")], "doc_id long, text string")
+    # a union of per-day indexes without re-dedup duplicates hashes
+    dup_idx = dd.build_span_index(base, n=3).union(
+        dd.build_span_index(base, n=3))
+    inc = spark.createDataFrame(
+        [(9, "the quick brown fox naps")], "doc_id long, text string")
+    # default trusts the contract -> inflated counts on a bad index
+    bad = dd.incremental_span_coverage(inc, dup_idx, n=3).collect()[0]
+    assert bad.n_spans > 3
+    # assume_distinct=False pays the defensive dedup and is correct
+    good = dd.incremental_span_coverage(
+        inc, dup_idx, n=3, assume_distinct=False).collect()[0]
+    assert (good.n_spans, good.n_dup_spans) == (3, 2)
