@@ -903,3 +903,115 @@ def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
                            F.round(F.col("n_dup_spans")
                                    / F.col("n_spans"), 4))
                     .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every ``k``-char gram of the normalized text,
+    slide a window of ``w`` consecutive gram hashes, and select the
+    minimum of each window (rightmost on ties). The selected set is
+    the fingerprint index, with the paper's two guarantees:
+
+    * any shared substring of length >= ``w + k - 1`` between two
+      documents yields at least one shared fingerprint (no false
+      negatives for long matches), and
+    * expected density is 2 / (w + 1) — the index stores a provable
+      FRACTION of the gram stream, which is exactly what makes a
+      substring index feasible at 100 TB where the all-shingles span
+      index (:func:`span_dup_per_doc`) stores every position.
+
+    Returns (id, pos, fp): 1-based char position of the selected
+    gram and its hash. Selection is a pure per-row expression
+    (sequence + transform + array_min over ``struct(hash, -pos)``,
+    giving the rightmost-minimum tie-break) — no shuffle, no Python;
+    cost O(n * w) per document inside whole-stage codegen. Documents
+    shorter than ``k`` chars fingerprint their whole text;
+    normalization (lowercase, whitespace collapse) matches
+    :func:`structa_spark.operators.text.fingerprint`, which is the
+    degenerate w = #grams single-window case of this operator.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: {k}/{w}")
+    t = F.lower(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)))
+    # materialize the hash array as its own projection: the window
+    # pass below reads it via element_at O(n*w) times, and an
+    # INLINED expression would re-derive the whole md5 array per
+    # access (higher-order functions evaluate interpreted, with no
+    # subexpression cache) — O(n^2 * w) md5 calls per document.
+    # CollapseProject keeps the projection because the alias is
+    # non-cheap and referenced more than once.
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(grams, lambda g: universal_hash(
+            md5_long(g), 1664525, 1013904223)).alias("__hs"))
+    hs = F.col("__hs")
+    n_grams = F.size(hs)
+    starts = F.sequence(F.lit(1),
+                        F.greatest(n_grams - (w - 1), F.lit(1)))
+    # per window: lexicographic struct min = (smallest hash,
+    # then smallest -pos = RIGHTMOST position) — the paper's
+    # tie-break, which maximizes fingerprint overlap between
+    # documents sharing repetitive text
+    sel = F.transform(starts, lambda j: F.array_min(F.transform(
+        F.sequence(j, F.least(j + (w - 1), n_grams)),
+        lambda i: F.struct(F.element_at(hs, i).alias("fp"),
+                           (-i).alias("np")))))
+    return (hashed.select(F.col(id_col),
+                          F.explode(F.array_distinct(sel)).alias("s"))
+            .select(id_col,
+                    (-F.col("s.np")).cast("int").alias("pos"),
+                    F.col("s.fp").alias("fp")))
+
+
+def winnow_overlap_pairs(df: DataFrame, k: int = 8, w: int = 4,
+                         min_shared: int = 2,
+                         max_postings: int = 10_000,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Candidate locally-overlapping document pairs from a winnowing
+    fingerprint index: (doc_a, doc_b, n_shared) where ``n_shared``
+    counts distinct shared fingerprints and ``doc_a < doc_b``. By
+    the winnowing guarantee, any pair sharing a substring of length
+    >= ``w + k - 1`` appears (with ``min_shared=1``); ``n_shared``
+    scales with the total length of shared regions, so thresholding
+    it separates real boilerplate/quotation overlap from single-gram
+    coincidence. This is the plagiarism/local-overlap complement to
+    MinHash (whole-document resemblance): a page quoting one
+    paragraph of another scores near zero Jaccard but shares that
+    paragraph's full fingerprint run.
+
+    Shape mirrors :func:`minhash_candidates`: ONE shuffle groups the
+    (doc, fp)-distinct index by fingerprint into posting lists;
+    lists longer than ``max_postings`` are dropped (stop-gram
+    removal — a boilerplate gram posted in B documents expands to
+    B^2/2 pairs, and hot grams carry no overlap signal); pair
+    expansion is posexplode + slice (peak O(postings) memory per
+    row, never O(postings^2)), then one (a, b)-keyed count. A
+    round-robin respread keeps the CPU-quadratic expansion parallel
+    after AQE's byte-based coalesce.
+    """
+    fp = (winnow_fingerprints(df, k, w, id_col, text_col)
+          .select(id_col, "fp").distinct())
+    posts = (fp.groupBy("fp")
+             .agg(F.collect_list(id_col).alias("ids"))
+             .where(F.size("ids").between(2, max_postings)))
+    posts = posts.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
+    ids = F.array_sort(F.col("ids"))
+    members = posts.select(ids.alias("ids"),
+                           F.posexplode(ids).alias("i", "doc_a"))
+    pairs = members.select(
+        "doc_a",
+        F.explode(F.slice(F.col("ids"), F.col("i") + 2,
+                          F.size("ids"))).alias("doc_b"))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

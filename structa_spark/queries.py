@@ -1014,6 +1014,67 @@ def span_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# winnowing (Schleimer et al., SIGMOD 2003) oracle: the arg_min
+# ordering value packs (hash, rightmost-pos) into one int64 —
+# hash < 2^31 (MERSENNE_P) and pos < 2^21, so h * 2^21 + (2^21 - i)
+# is exact and minimizing it = (smallest hash, then LARGEST pos),
+# the paper's rightmost tie-break and the Spark struct(fp, -pos) min
+_WINNOW_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_WINNOW_HASH = universal_hash_sql(
+    md5_long_sql("substr(t, i, 8)"), 1664525, 1013904223)
+
+
+@register("winnow_overlap_pairs", oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_WINNOW_NORM} AS t
+  FROM documents WHERE doc_id < 150
+),
+g AS (
+  SELECT doc_id, i, {_WINNOW_HASH} AS h,
+         greatest(length(t) - 7, 1) AS ng
+  FROM d CROSS JOIN generate_series(1, 1024) s(i)
+  WHERE i <= greatest(length(t) - 7, 1)
+),
+sel AS (
+  -- window over ALL grams first, THEN keep window starts: filtering
+  -- before the window would truncate the last windows and the tail
+  -- grams would never compete for selection
+  SELECT doc_id, sel_i FROM (
+    SELECT doc_id, i, ng,
+           arg_min(i, h * 2097152 + (2097152 - i)) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_i
+    FROM g)
+  WHERE i <= greatest(ng - 3, 1)
+),
+fp0 AS (
+  SELECT DISTINCT s.doc_id, g.h AS fp
+  FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.i = s.sel_i
+),
+ok AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 40),
+fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN ok USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY 1, 2
+""")
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index (SIGMOD 2003) driving local-overlap
+    candidate pairs, values-checked: 8-char-gram hashes, window-of-4
+    rightmost-minimum selection, stop-gram posting cap (40), shared-
+    fingerprint count threshold (8). The oracle replays the full
+    selection with a window arg_min, so a drift in hashing, window
+    framing, tie-break direction, posting cap or pair counting all
+    hash-mismatch. Complements MinHash (whole-doc resemblance) with
+    the paper's guarantee: any shared substring >= w + k - 1 = 11
+    chars yields a shared fingerprint."""
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < 150))
+    return (dedup.winnow_overlap_pairs(
+                d, k=8, w=4, min_shared=8, max_postings=40)
+            .orderBy("doc_a", "doc_b"))
+
+
 @register("reflm_nll", oracle="""
 WITH train_toks AS (
   SELECT doc_id,

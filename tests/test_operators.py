@@ -192,6 +192,80 @@ def test_fingerprint_stability(spark):
     assert got[0] != got[2]
 
 
+def test_winnow_guarantee_and_density(spark):
+    # the SIGMOD 2003 guarantees: (a) any shared substring of length
+    # >= w + k - 1 yields >= 1 shared fingerprint; (b) exactly one
+    # selection per window, so |fps| <= #windows and every selected
+    # position is a real gram position
+    k, w = 8, 4
+    shared = "zqxjvkwp mbtfgyhn"          # 17 chars >= w + k - 1 = 11
+    df = spark.createDataFrame(
+        [(0, "left padding words " + shared + " tail one"),
+         (1, "other start " + shared + " different ending here"),
+         (2, "no overlap with those documents at all body")],
+        ["doc_id", "text"])
+    fp = dedup.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert r["pos"] >= 1
+    assert by_doc[0] & by_doc[1], "shared substring must share a fp"
+    pairs = dedup.winnow_overlap_pairs(
+        df, k=k, w=w, min_shared=1).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in pairs}
+    assert (0, 1) in got
+    assert got[(0, 1)] == len(by_doc[0] & by_doc[1])
+
+
+def test_winnow_tiebreak_deterministic_on_repetition(spark):
+    # "ab" * 60: every gram is one of two strings, so every window
+    # is full of hash ties — selection must be the RIGHTMOST minimum
+    # and stable across runs
+    df = spark.createDataFrame([(0, "ab" * 60)], ["doc_id", "text"])
+    a = sorted((r["pos"], r["fp"]) for r in
+               dedup.winnow_fingerprints(df).collect())
+    b = sorted((r["pos"], r["fp"]) for r in
+               dedup.winnow_fingerprints(df).collect())
+    assert a == b and len(a) >= 1
+    # rightmost tie-break on an alternating text selects every
+    # other gram of the minimizing parity: consecutive selected
+    # positions advance by exactly 2, never clump at window lefts
+    same = [p for p, _ in a]
+    assert all(q - p == 2 for p, q in zip(same, same[1:]))
+
+
+def test_winnow_short_and_empty_docs(spark):
+    # shorter than k: whole text is the single gram; empty text
+    # still yields exactly one deterministic fingerprint
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, ""), (2, None)], ["doc_id", "text"])
+    rows = dedup.winnow_fingerprints(df, k=8, w=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert all(len(v) == 1 and v[0][0] == 1 for v in per.values())
+    assert per[1] == per[2]          # null text == empty text
+
+
+def test_winnow_max_postings_drops_stop_grams(spark):
+    # a gram posted in MORE than max_postings docs must contribute
+    # nothing; distinct fps still pair
+    docs = [(i, "commonword shared body " + ("u%d" % i)) for i in
+            range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    allp = dedup.winnow_overlap_pairs(df, min_shared=1,
+                                      max_postings=10_000).collect()
+    capped = dedup.winnow_overlap_pairs(df, min_shared=1,
+                                        max_postings=4).collect()
+    n_all = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in allp}
+    n_cap = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in capped}
+    assert n_all and all(v >= 1 for v in n_all.values())
+    # capping removes the 5-doc postings, so every surviving count
+    # is <= its uncapped twin and no NEW pair appears
+    assert set(n_cap) <= set(n_all)
+    assert all(n_cap[p] <= n_all[p] for p in n_cap)
+
+
 # -- multimodal ------------------------------------------------------------
 
 def test_extract_features_deterministic(spark):

@@ -124,6 +124,7 @@ def test_driver_window_covers_every_family():
         "window_chunks": "sequence_packing",
         "incremental_span_hits": "incremental_dedup_verdicts",
         "source_curation_report": "training_manifest",
+        "winnow_overlap_pairs": "containment_pairs",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
