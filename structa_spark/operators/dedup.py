@@ -980,28 +980,35 @@ def winnow_overlap_pairs(df: DataFrame, k: int = 8, w: int = 4,
     fingerprint index: (doc_a, doc_b, n_shared) where ``n_shared``
     counts distinct shared fingerprints and ``doc_a < doc_b``. By
     the winnowing guarantee, any pair sharing a substring of length
-    >= ``w + k - 1`` appears (with ``min_shared=1``); ``n_shared``
-    scales with the total length of shared regions, so thresholding
-    it separates real boilerplate/quotation overlap from single-gram
-    coincidence. This is the plagiarism/local-overlap complement to
-    MinHash (whole-document resemblance): a page quoting one
-    paragraph of another scores near zero Jaccard but shares that
-    paragraph's full fingerprint run.
+    >= ``w + k - 1`` appears (with ``min_shared=1``) — PROVIDED the
+    region's fingerprints survive the posting cap: a region whose
+    fingerprints are all posted in more than ``max_postings``
+    documents (corpus-wide boilerplate) drops with them, the same
+    stop-gram trade as :func:`minhash_candidates`'s ``max_bucket``.
+    ``n_shared`` scales with the total length of shared regions, so
+    thresholding it separates real boilerplate/quotation overlap
+    from single-gram coincidence. This is the plagiarism/
+    local-overlap complement to MinHash (whole-document
+    resemblance): a page quoting one paragraph of another scores
+    near zero Jaccard but shares that paragraph's full fingerprint
+    run.
 
     Shape mirrors :func:`minhash_candidates`: ONE shuffle groups the
-    (doc, fp)-distinct index by fingerprint into posting lists;
-    lists longer than ``max_postings`` are dropped (stop-gram
-    removal — a boilerplate gram posted in B documents expands to
-    B^2/2 pairs, and hot grams carry no overlap signal); pair
-    expansion is posexplode + slice (peak O(postings) memory per
-    row, never O(postings^2)), then one (a, b)-keyed count. A
-    round-robin respread keeps the CPU-quadratic expansion parallel
-    after AQE's byte-based coalesce.
+    fingerprint index by fingerprint into per-doc-distinct posting
+    sets (``collect_set`` dedups repeated (doc, fp) occurrences
+    inside the same fp-keyed aggregation — a separate ``distinct``
+    first would exchange the whole index twice); lists longer than
+    ``max_postings`` are dropped (a boilerplate gram posted in B
+    documents expands to B^2/2 pairs, and hot grams carry no
+    overlap signal); pair expansion is posexplode + slice (peak
+    O(postings) memory per row, never O(postings^2)), then one
+    (a, b)-keyed count. A round-robin respread keeps the
+    CPU-quadratic expansion parallel after AQE's byte-based
+    coalesce.
     """
-    fp = (winnow_fingerprints(df, k, w, id_col, text_col)
-          .select(id_col, "fp").distinct())
+    fp = winnow_fingerprints(df, k, w, id_col, text_col)
     posts = (fp.groupBy("fp")
-             .agg(F.collect_list(id_col).alias("ids"))
+             .agg(F.collect_set(id_col).alias("ids"))
              .where(F.size("ids").between(2, max_postings)))
     posts = posts.repartition(
         df.sparkSession.sparkContext.defaultParallelism)

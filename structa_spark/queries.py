@@ -1014,19 +1014,27 @@ def span_dedup_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# the ONE char-gram normalization + 8-gram hash SQL, shared by the
+# winnowing and single-min fingerprint oracles (the Spark twins both
+# normalize identically): hand-copied fragments drift
+_FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def _fp_hash_sql(expr: str) -> str:
+    return universal_hash_sql(md5_long_sql(expr), 1664525, 1013904223)
+
+
 # winnowing (Schleimer et al., SIGMOD 2003) oracle: the arg_min
 # ordering value packs (hash, rightmost-pos) into one int64 —
 # hash < 2^31 (MERSENNE_P) and pos < 2^21, so h * 2^21 + (2^21 - i)
 # is exact and minimizing it = (smallest hash, then LARGEST pos),
 # the paper's rightmost tie-break and the Spark struct(fp, -pos) min
-_WINNOW_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
-_WINNOW_HASH = universal_hash_sql(
-    md5_long_sql("substr(t, i, 8)"), 1664525, 1013904223)
+_WINNOW_HASH = _fp_hash_sql("substr(t, i, 8)")
 
 
 @register("winnow_overlap_pairs", oracle=f"""
 WITH d AS (
-  SELECT doc_id, {_WINNOW_NORM} AS t
+  SELECT doc_id, {_FP_NORM} AS t
   FROM documents WHERE doc_id < 150
 ),
 g AS (
@@ -1067,7 +1075,12 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, tie-break direction, posting cap or pair counting all
     hash-mismatch. Complements MinHash (whole-doc resemblance) with
     the paper's guarantee: any shared substring >= w + k - 1 = 11
-    chars yields a shared fingerprint."""
+    chars yields a shared fingerprint (for fingerprints surviving
+    the stop-gram cap). The oracle's constant generate_series bound
+    (1024) covers the generator's documents (max normalized length
+    549 chars at every pinned scale) — regenerate it if the fixture
+    ever grows past 1031 chars, or tail grams truncate oracle-side
+    only."""
     d = (_t(spark, sf_dir, "documents")
          .where(F.col("doc_id") < 150))
     return (dedup.winnow_overlap_pairs(
@@ -1288,13 +1301,13 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-_FP_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+# _FP_NORM / _fp_hash_sql are shared with the winnowing oracle above
 _FP_GRAMS = (f"list_transform(range(1, greatest(length({_FP_NORM}) - 7, 1)"
              f" + 1), i -> substr({_FP_NORM}, i, 8))")
 _FP_SQL = (f"CASE WHEN length({_FP_NORM}) >= 8 THEN "
            f"list_min(list_transform({_FP_GRAMS}, g -> "
-           f"{universal_hash_sql(md5_long_sql('g'), 1664525, 1013904223)}))"
-           f" ELSE {universal_hash_sql(md5_long_sql(_FP_NORM), 1664525, 1013904223)} END")
+           f"{_fp_hash_sql('g')}))"
+           f" ELSE {_fp_hash_sql(_FP_NORM)} END")
 
 
 @register("doc_fingerprints", oracle=f"""

@@ -232,6 +232,11 @@ def test_winnow_tiebreak_deterministic_on_repetition(spark):
     # positions advance by exactly 2, never clump at window lefts
     same = [p for p, _ in a]
     assert all(q - p == 2 for p, q in zip(same, same[1:]))
+    # and the FIRST selection pins the direction: window 1 holds
+    # positions 1..4 with two grams of each parity, so rightmost
+    # picks 3 or 4 — a leftmost implementation would pick 1 or 2
+    # and still pass the spacing/determinism checks above
+    assert same[0] >= 3
 
 
 def test_winnow_short_and_empty_docs(spark):
@@ -248,10 +253,13 @@ def test_winnow_short_and_empty_docs(spark):
 
 
 def test_winnow_max_postings_drops_stop_grams(spark):
-    # a gram posted in MORE than max_postings docs must contribute
-    # nothing; distinct fps still pair
-    docs = [(i, "commonword shared body " + ("u%d" % i)) for i in
-            range(5)]
+    # five docs share one region (5-doc postings — dropped at
+    # cap=4); docs 0 and 1 additionally share a second region
+    # (2-doc postings — survive the cap)
+    boiler = "commonword shared boilerplate body across everyone"
+    pair = "qzjxkwv private duet paragraph only these two carry"
+    docs = [(i, boiler + (" " + pair if i < 2 else " solo%d" % i))
+            for i in range(5)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     allp = dedup.winnow_overlap_pairs(df, min_shared=1,
                                       max_postings=10_000).collect()
@@ -260,8 +268,12 @@ def test_winnow_max_postings_drops_stop_grams(spark):
     n_all = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in allp}
     n_cap = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in capped}
     assert n_all and all(v >= 1 for v in n_all.values())
-    # capping removes the 5-doc postings, so every surviving count
-    # is <= its uncapped twin and no NEW pair appears
+    # the cap MUST change the result (else it silently no-ops): the
+    # boilerplate-only pairs lose their shared fps, while the duet
+    # pair survives with a strictly smaller count
+    assert n_cap != n_all
+    assert (0, 1) in n_cap
+    assert n_cap[(0, 1)] < n_all[(0, 1)]
     assert set(n_cap) <= set(n_all)
     assert all(n_cap[p] <= n_all[p] for p in n_cap)
 
