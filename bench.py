@@ -101,6 +101,14 @@ def main():
             return dedup.containment_pairs(
                 d, threshold=0.5, candidates=cands).count()
 
+        def bench_winnow():
+            # full-table winnowing overlap (the registry query pins a
+            # 150-doc oracle slice; the scale path runs the whole
+            # corpus with the stop-gram posting cap engaged)
+            d = load_table(spark, sf_dir, "documents")
+            return dedup.winnow_overlap_pairs(
+                d, min_shared=8, max_postings=100).count()
+
         def run_df(fn):
             return lambda: fn(spark, sf_dir).count()
 
@@ -140,6 +148,7 @@ def main():
             "nb_confusion": run_df(nb_lang_confusion),
             "span_dedup": run_df(span_dedup_texts),
             "curation_report": run_df(source_curation_report),
+            "winnow_overlap": bench_winnow,
         }
 
     suite = make_suite(SF_DIR)
