@@ -756,6 +756,30 @@ def bpe_encode(df: DataFrame, merges,
 # one-deep cache of bigram_logprob's persisted tf relation — see the
 # in-function comment for why the eviction lives with the NEXT call
 _BIGRAM_TF_CACHE: list = []
+_JSD_GT_CACHE: list = []
+
+
+def _evict_then_cache(cache: list, rel: DataFrame) -> DataFrame:
+    """One-deep module cache for library functions that persist a
+    shared relation but return a LAZY plan (SQL cache entries are
+    held by the CacheManager until an explicit unpersist, so a
+    weakref/finalizer cannot bound the footprint). Evict BEFORE
+    persisting: when two calls build the identical logical plan they
+    share one CacheManager entry, and persist-then-unpersist would
+    remove the entry the new call just registered (leaving passes
+    2..N of a benchmark silently uncached). Unpersisting the
+    previous relation is always safe — a still-live older plan just
+    recomputes."""
+    from pyspark import StorageLevel
+
+    while cache:
+        try:
+            cache.pop().unpersist(False)
+        except Exception:
+            pass        # session of the old relation already stopped
+    rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+    cache.append(rel)
+    return rel
 
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
@@ -788,8 +812,6 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     Documents with fewer than two tokens have no bigram and are
     absent from the output (score them with the unigram model).
     """
-    from pyspark import StorageLevel
-
     arr = tokens(F.lower(F.col(text_col)))
     bg = df.select(F.col(id_col),
                    F.explode(word_ngrams(arr, 2)).alias("bg"))
@@ -814,25 +836,10 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
           .agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("w1", F.split("bg", " ").getItem(0)))
 
-    def _evict_then_cache(rel):
-        # evict BEFORE persisting: when two calls build the identical
-        # logical plan they share one CacheManager entry, and
-        # persist-then-unpersist would remove the entry the new call
-        # just registered (leaving passes 2..N of a benchmark
-        # silently uncached)
-        while _BIGRAM_TF_CACHE:
-            try:
-                _BIGRAM_TF_CACHE.pop().unpersist(False)
-            except Exception:
-                pass    # session of the old relation already stopped
-        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
-        _BIGRAM_TF_CACHE.append(rel)
-        return rel
-
     if train_df is None:
         # self mode: tf feeds cb, cl AND the scoring join
         if persist:
-            tf = _evict_then_cache(tf)
+            tf = _evict_then_cache(_BIGRAM_TF_CACHE, tf)
         cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
         cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
         model_src = df
@@ -845,7 +852,7 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
             .withColumn("w1", F.split("bg", " ").getItem(0)))
         if persist:
-            tb = _evict_then_cache(tb)
+            tb = _evict_then_cache(_BIGRAM_TF_CACHE, tb)
         cb = tb.select("bg", "cb")
         cl = tb.groupBy("w1").agg(F.sum("cb").alias("cl"))
         model_src = train_df
@@ -865,6 +872,64 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)
                  .alias("avg_nll")))
+
+
+def token_js_divergence(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text",
+                        persist: bool = True) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between each corpus slice's
+    unigram token distribution and the WHOLE corpus's — the
+    information-theoretic drift score of training-data mixture
+    monitoring (Lin 1991, "Divergence measures based on the Shannon
+    entropy"): 0 = the slice reads like the corpus, 1 = disjoint
+    vocabulary. Slice on source to rank feeds by distinctiveness,
+    on ingestion day to alarm on drift, on dedup survivors vs drops
+    to see what dedup removes.
+
+    Returns (group, n_tokens, jsd_bits) with
+    ``JSD = KL(P||M)/2 + KL(Q||M)/2``, ``M = (P+Q)/2``, P the slice
+    distribution and Q the corpus distribution. Only tokens present
+    in the slice need rows: for a token absent from the slice
+    ``p = 0`` and its KL(Q||M) term is ``q*log2(q/(q/2)) = q``, so
+    the out-of-slice tail folds into the closed form
+    ``1 - sum(q over slice tokens)`` — no full-vocabulary outer join.
+
+    Scale shape: ONE corpus scan aggregates (group, token) counts;
+    that compressed relation feeds the corpus token counts, the
+    per-group totals AND the scoring join, so it is persisted via
+    the one-deep module cache (column pruning would otherwise
+    specialize each consumer into its own corpus scan —
+    ``persist=False`` opts into stateless recompute). The token-keyed
+    join carries at most one row per (group, token), so skew is
+    bounded by the group count per token; group totals and the
+    corpus total are broadcast.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    gt = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("c"))
+    if persist:
+        gt = _evict_then_cache(_JSD_GT_CACHE, gt)
+    ct = gt.groupBy("token").agg(F.sum("c").alias("ctot"))
+    ng = gt.groupBy("grp").agg(F.sum("c").alias("ngrp"))
+    tot = ng.agg(F.sum("ngrp").cast("double").alias("__n__"))
+    p = F.col("c") / F.col("ngrp")
+    q = F.col("ctot") / F.col("__n__")
+    m = (p + q) / 2
+    per = (gt.join(ct, "token")
+           .join(F.broadcast(ng), "grp")
+           .join(F.broadcast(tot))
+           .groupBy("grp")
+           .agg(F.max("ngrp").cast("long").alias("n_tokens"),
+                F.sum(p * F.log2(p / m)).alias("klp"),
+                F.sum(q * F.log2(q / m)).alias("klq_in"),
+                F.sum(q).alias("qmass")))
+    return per.select(
+        F.col("grp").alias(group_col), "n_tokens",
+        F.round(0.5 * F.col("klp")
+                + 0.5 * (F.col("klq_in") + (1 - F.col("qmass"))),
+                6).alias("jsd_bits"))
 
 
 def html_visible_text(col: Column) -> Column:

@@ -1149,6 +1149,40 @@ def reflm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("source_token_jsd", oracle="""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+gt AS (SELECT grp, token, CAST(count(*) AS DOUBLE) AS c
+       FROM toks GROUP BY 1, 2),
+ct AS (SELECT token, sum(c) AS ctot FROM gt GROUP BY 1),
+ng AS (SELECT grp, sum(c) AS ngrp FROM gt GROUP BY 1),
+tot AS (SELECT sum(ngrp) AS n FROM ng)
+SELECT gt.grp AS source, CAST(ng.ngrp AS BIGINT) AS n_tokens,
+       round(0.5 * sum((gt.c / ng.ngrp) * log2((gt.c / ng.ngrp)
+                 / ((gt.c / ng.ngrp + ct.ctot / tot.n) / 2)))
+           + 0.5 * (sum((ct.ctot / tot.n) * log2((ct.ctot / tot.n)
+                 / ((gt.c / ng.ngrp + ct.ctot / tot.n) / 2)))
+                    + (1 - sum(ct.ctot / tot.n))), 6) AS jsd_bits
+FROM gt JOIN ct USING (token) JOIN ng USING (grp) CROSS JOIN tot
+GROUP BY 1, ng.ngrp ORDER BY 1
+""")
+def source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (bits) between the
+    source's unigram token distribution and the whole corpus's —
+    the mixture-drift dashboard row, values-checked: the oracle
+    recomputes both distributions, the mixture, both KL halves and
+    the closed-form out-of-slice tail, so a drift in tokenization,
+    the mixture arithmetic or the tail correction hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.token_js_divergence(d, group_col="source")
+            .orderBy("source"))
+
+
 @register("window_chunks", oracle="""
 WITH base AS (
   SELECT doc_id,

@@ -2269,6 +2269,33 @@ def test_bigram_logprob_tf_cache_is_one_deep(spark):
     assert not first.storageLevel.useMemory   # evicted, not leaked
 
 
+def test_token_jsd_identical_and_disjoint_slices(spark):
+    import math
+    from structa_spark.operators import text as t
+    # two sources with IDENTICAL token distributions: each slice
+    # reads exactly like the corpus -> jsd 0
+    same = spark.createDataFrame(
+        [(0, "a", "alpha beta"), (1, "b", "alpha beta")],
+        "doc_id long, source string, text string")
+    got = {r.source: r for r in
+           t.token_js_divergence(same).collect()}
+    assert got["a"].n_tokens == 2 and got["b"].n_tokens == 2
+    assert got["a"].jsd_bits == 0.0 and got["b"].jsd_bits == 0.0
+    assert len(t._JSD_GT_CACHE) == 1      # one-deep cache engaged
+    # two equal-mass sources with DISJOINT vocabularies: the corpus
+    # is the half-half mixture, so per slice
+    # JSD = 0.5*log2(4/3) + 0.25*log2(2/3) + 0.25 (hand-derived:
+    # in-slice tokens have q = p/2, m = 3p/4; the out-of-slice tail
+    # contributes its closed-form q-mass of 1/2)
+    disj = spark.createDataFrame(
+        [(0, "a", "x y"), (1, "b", "u v")],
+        "doc_id long, source string, text string")
+    expect = round(0.5 * math.log2(4 / 3)
+                   + 0.25 * math.log2(2 / 3) + 0.25, 6)
+    for r in t.token_js_divergence(disj).collect():
+        assert r.jsd_bits == expect, (r.source, r.jsd_bits, expect)
+
+
 def test_nb_classifier_separable_and_priors(spark):
     import math
     from structa_spark.operators import text as t

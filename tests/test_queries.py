@@ -125,6 +125,7 @@ def test_driver_window_covers_every_family():
         "incremental_span_hits": "incremental_dedup_verdicts",
         "source_curation_report": "training_manifest",
         "winnow_overlap_pairs": "containment_pairs",
+        "source_token_jsd": "daily_event_drift",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
