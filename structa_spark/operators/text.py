@@ -881,8 +881,13 @@ def token_js_divergence(df: DataFrame, group_col: str = "source",
     unigram token distribution and the WHOLE corpus's — the
     information-theoretic drift score of training-data mixture
     monitoring (Lin 1991, "Divergence measures based on the Shannon
-    entropy"): 0 = the slice reads like the corpus, 1 = disjoint
-    vocabulary. Slice on source to rank feeds by distinctiveness,
+    entropy"): 0 = the slice reads like the corpus. Because Q is
+    the WHOLE corpus (slice included), the upper bound depends on
+    the slice's mass share: a disjoint-vocabulary slice holding
+    fraction f of the corpus scores below 1, approaching 1 only as
+    f -> 0 (a half-corpus disjoint slice scores ~0.311 — compare
+    against slice-vs-REST if the full 0..1 range is needed).
+    Slice on source to rank feeds by distinctiveness,
     on ingestion day to alarm on drift, on dedup survivors vs drops
     to see what dedup removes.
 
@@ -907,8 +912,12 @@ def token_js_divergence(df: DataFrame, group_col: str = "source",
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-    gt = toks.groupBy("grp", "token").agg(
-        F.count(F.lit(1)).alias("c"))
+    # drop empty-string tokens: text starting with a TAB/newline
+    # trims to a leading \s+ separator and split yields "" — the
+    # same guard bigram_logprob's vocabulary count applies
+    gt = (toks.where(F.col("token") != "")
+          .groupBy("grp", "token").agg(
+              F.count(F.lit(1)).alias("c")))
     if persist:
         gt = _evict_then_cache(_JSD_GT_CACHE, gt)
     ct = gt.groupBy("token").agg(F.sum("c").alias("ctot"))

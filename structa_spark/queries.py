@@ -705,6 +705,10 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = ("CASE WHEN trim(text) = '' THEN [] "
                "ELSE string_split_regex(trim(text), '\\s+') END")
+# lowered + empty-filtered variant (the `tokens(lower(text))` +
+# empty-guard twin most LM/corpus oracles tokenize with)
+_LTOKS_SQL = ("list_filter(string_split_regex(trim(lower(text)), "
+              "'\\s+'), t -> t <> '')")
 
 
 @register("token_stats_by_lang", oracle=f"""
@@ -1149,12 +1153,9 @@ def reflm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@register("source_token_jsd", oracle="""
+@register("source_token_jsd", oracle=f"""
 WITH toks AS (
-  SELECT source AS grp,
-         unnest(list_filter(string_split_regex(trim(lower(text)),
-                                               '\\s+'),
-                            t -> t <> '')) AS token
+  SELECT source AS grp, unnest({_LTOKS_SQL}) AS token
   FROM documents
 ),
 gt AS (SELECT grp, token, CAST(count(*) AS DOUBLE) AS c

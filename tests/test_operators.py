@@ -2294,6 +2294,14 @@ def test_token_jsd_identical_and_disjoint_slices(spark):
                    + 0.25 * math.log2(2 / 3) + 0.25, 6)
     for r in t.token_js_divergence(disj).collect():
         assert r.jsd_bits == expect, (r.source, r.jsd_bits, expect)
+    # a leading TAB survives trim (space-only) and split yields a
+    # leading "" — it must NOT count as a token, or n_tokens and
+    # the distributions diverge from the oracle's empty-filter
+    tabby = spark.createDataFrame(
+        [(0, "a", "\tx y"), (1, "b", "x y")],
+        "doc_id long, source string, text string")
+    for r in t.token_js_divergence(tabby).collect():
+        assert r.n_tokens == 2 and r.jsd_bits == 0.0, r
 
 
 def test_nb_classifier_separable_and_priors(spark):
