@@ -213,3 +213,153 @@ def curriculum_shards(df: DataFrame, n_shards: int = 4,
             .otherwise(0)
         shard = step if shard is None else shard + step
     return df.withColumn("shard", shard.cast("int"))
+
+
+# one-deep cache of dsir_logweights' persisted doc-feature counts —
+# same lifecycle as text._BIGRAM_TF_CACHE (see _evict_then_cache)
+_DSIR_FC_CACHE: list = []
+
+
+def _hashed_ngram_counts(df: DataFrame, n_buckets: int,
+                         id_col: Optional[str],
+                         text_col: str) -> DataFrame:
+    """Hashed n-gram (unigram + bigram) bucket counts — the DSIR
+    feature space. Tokens are lowered, whitespace-split and
+    empty-filtered; features hash to ``md5_long(feat) % n_buckets``
+    (the repo's frozen cross-engine hash, so feature vectors never
+    drift between runs or engines). With ``id_col`` the result is
+    per-document ``(id, bucket, c)``; with ``id_col=None`` it is the
+    corpus-level bucket histogram ``(bucket, c)`` — the model side.
+
+    Scale shape: explode → one aggregation keyed by (doc, bucket) —
+    the (doc, bucket) key kills the natural feature hot-key ("of
+    the") exactly like the LM operators' tf relations, and rows out
+    are bounded by |docs| × n_buckets."""
+    from .text import tokens, word_ngrams
+
+    arr = F.filter(tokens(F.lower(F.col(text_col))),
+                   lambda t: t != "")
+    feats = F.concat(arr, word_ngrams(arr, 2))
+    bucket = (md5_long(F.col("feat")) % F.lit(n_buckets)).cast("int")
+    keys = [F.col(id_col)] if id_col else []
+    ex = df.select(*keys, F.explode(feats).alias("feat")) \
+           .select(*keys, bucket.alias("bucket"))
+    group = ([id_col, "bucket"] if id_col else ["bucket"])
+    return ex.groupBy(*group).agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_logweights(df: DataFrame, target_df: DataFrame,
+                    n_buckets: int = 1024,
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    alpha: float = 1.0,
+                    persist: bool = True) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how much more likely
+    its hashed-n-gram features are under a small TARGET corpus (the
+    clean seed you wish the whole corpus looked like) than under the
+    raw corpus itself:
+
+    ``logw(doc) = Σ_b c_doc(b) · [ln p̂_t(b) − ln p̂_r(b)]``
+
+    with add-alpha smoothed bucket unigram models
+    ``p̂(b) = (c(b) + α) / (T + α·B)`` estimated over B hashed
+    feature buckets. High ``logw`` = looks like the target; the
+    companion :func:`dsir_resample` turns the weights into a
+    deterministic Gumbel-top-k selection.
+
+    Documents with no features (empty text) have no feature mass and
+    are absent from the output — they carry no evidence either way.
+
+    Scale shape: both models are ≤ B-row relations (B is a few
+    thousand) that fold into the scoring join as ONE broadcast; the
+    raw model is an aggregation OF the per-doc feature counts, so the
+    corpus tokenizes ONCE — the (doc, bucket, c) relation is persisted
+    (one-deep module cache, same lifecycle as bigram_logprob's tf)
+    because column pruning would otherwise recompile the model branch
+    and the scoring branch into two full corpus scans. The target
+    corpus is small by construction (a hand-curated seed) and scans
+    once. No all-pairs anything: three bounded shuffles — the
+    (doc, bucket) aggregation, the bucket-keyed model aggregation
+    over the persisted counts, and the final per-doc sum."""
+    from .text import _evict_then_cache
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    fc = _hashed_ngram_counts(df, n_buckets, id_col, text_col)
+    if persist:
+        fc = _evict_then_cache(_DSIR_FC_CACHE, fc)
+    cr = fc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    ct = _hashed_ngram_counts(target_df, n_buckets, None, text_col) \
+        .withColumnRenamed("c", "ct")
+    tr = cr.agg(F.sum("cr").cast("double").alias("__tr__"))
+    tt = ct.agg(F.sum("ct").cast("double").alias("__tt__"))
+    a = float(alpha)
+    ab = F.lit(a * n_buckets)
+    # every bucket a document hits exists in cr by construction, so a
+    # left join to the target model is exhaustive; unseen-in-target
+    # buckets fall back to pure smoothing mass (ct -> 0)
+    # a zero-feature target (empty target_df, or all-empty text)
+    # would make tt NULL and every logw NULL — dsir_resample would
+    # then silently "select" the k smallest doc_ids. A mis-filtered
+    # seed slice must fail the job, not fabricate a corpus (the same
+    # contract as resample_to_mix's missing-rate error).
+    tt_val = F.when(F.col("__tt__").isNotNull(), F.col("__tt__")) \
+        .otherwise(F.raise_error(F.lit(
+            "dsir_logweights: target corpus has no features "
+            "(empty target_df or all-empty text)")))
+    lr = (F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+          - F.log(tt_val + ab)
+          - F.log(F.col("cr") + F.lit(a))
+          + F.log(F.col("__tr__") + ab))
+    model = (cr.join(ct, "bucket", "left")
+             .join(F.broadcast(tr)).join(F.broadcast(tt))
+             .select("bucket", lr.alias("lr")))
+    return (fc.join(F.broadcast(model), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_feats"),
+                 F.round(F.sum(F.col("c") * F.col("lr")), 4)
+                 .alias("logw")))
+
+
+def dsir_resample(df: DataFrame, target_df: DataFrame, k: int,
+                  tau: float = 1.0,
+                  n_buckets: int = 1024,
+                  id_col: str = "doc_id",
+                  text_col: str = "text",
+                  alpha: float = 1.0,
+                  salt: str = "dsir",
+                  persist: bool = True) -> DataFrame:
+    """The selection half of DSIR: draw ``k`` documents without
+    replacement with probability ∝ ``exp(logw / tau)`` via the
+    Gumbel-top-k trick — ``score = logw/tau + Gumbel(0,1)`` and take
+    the k largest. ``tau`` interpolates between hard top-k filtering
+    (tau → 0 keeps only the most target-like text) and uniform
+    sampling (tau → ∞ keeps diversity); the paper's insight is that
+    the NOISED selection beats hard top-k because it preserves
+    coverage of the target distribution's tails.
+
+    The Gumbel noise is the repo's deterministic md5 draw — not
+    ``rand()`` — mapped through ``-ln(-ln(u))`` with
+    ``u = (draw + 1) / (SAMPLE_MOD + 1) ∈ (0, 1)``: the same document
+    receives the same noise on every run, engine and partitioning, so
+    the selected corpus is byte-reproducible (change ``salt`` for an
+    independent epoch).
+
+    Scale shape: weights come from :func:`dsir_logweights` (two
+    shuffles, broadcast models); the global top-k is a
+    TakeOrdered-style bounded selection, never a full sort."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    lw = dsir_logweights(df, target_df, n_buckets=n_buckets,
+                         id_col=id_col, text_col=text_col,
+                         alpha=alpha, persist=persist)
+    u = ((sample_key(F.col(id_col), salt) + F.lit(1))
+         / F.lit(float(SAMPLE_MOD + 1)))
+    score = (F.col("logw") / F.lit(float(tau))
+             - F.log(-F.log(u)))
+    return (lw.select(id_col, "n_feats", "logw",
+                      F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

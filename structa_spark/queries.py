@@ -3626,6 +3626,82 @@ def curriculum_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard"))
 
 
+# the ONE SQL derivation of DSIR hashed-feature log-weights (unigram
+# + bigram features over 1024 md5 buckets, add-1 smoothing, target =
+# the 'src1' slice) — shared by both dsir oracles so the feature
+# space cannot drift between hand-copied CTE blocks
+_DSIR_LW_SQL = f"""toks AS (
+  SELECT doc_id, source, {_LTOKS_SQL} AS t FROM documents
+), dfeats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(t, list_transform(
+             range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1]))) AS feat
+  FROM toks
+), dfc AS (
+  SELECT doc_id,
+         CAST({md5_long_sql('feat')} % 1024 AS INTEGER) AS bucket,
+         count(*) AS c
+  FROM dfeats GROUP BY 1, 2
+), dcr AS (SELECT bucket, sum(c) AS cr FROM dfc GROUP BY 1),
+dct AS (
+  SELECT CAST({md5_long_sql('feat')} % 1024 AS INTEGER) AS bucket,
+         count(*) AS ct
+  FROM dfeats WHERE source = 'src1' GROUP BY 1
+), dtot AS (
+  SELECT (SELECT sum(cr) FROM dcr) AS tr,
+         (SELECT sum(ct) FROM dct) AS tt
+), dmodel AS (
+  SELECT dcr.bucket,
+         ln(coalesce(dct.ct, 0) + 1.0) - ln(tt + 1024.0)
+         - ln(dcr.cr + 1.0) + ln(tr + 1024.0) AS lr
+  FROM dcr LEFT JOIN dct USING (bucket), dtot
+), dlw AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         round(sum(c * lr), 4) AS logw
+  FROM dfc JOIN dmodel USING (bucket) GROUP BY 1
+)"""
+
+
+@register("dsir_logweights", oracle=f"""
+WITH {_DSIR_LW_SQL}
+SELECT doc_id, n_feats, logw FROM dlw ORDER BY doc_id
+""")
+def dsir_logweights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023), values-checked:
+    hashed unigram+bigram features, smoothed target-vs-raw bucket
+    models, per-document feature counts and log-ratio sums all replay
+    in the oracle — the md5 bucket hash and linear model algebra are
+    engine-exact, the double sums agree at the rounded precision."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.where(F.col("source") == "src1")
+    return (sampling.dsir_logweights(d, tgt, n_buckets=1024)
+            .orderBy("doc_id"))
+
+
+@register("dsir_resample_topk", oracle=f"""
+WITH {_DSIR_LW_SQL}
+SELECT doc_id, n_feats, logw,
+       round(logw / 2.0 - ln(-ln(
+           (({md5_long_sql("CAST(doc_id AS VARCHAR) || 'dsir'")})
+            % 1000000 + 1) / 1000001.0)), 4) AS score
+FROM dlw ORDER BY score DESC, doc_id LIMIT 25
+""")
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's Gumbel-top-k selection, values-checked: the noised
+    score (``logw/tau`` plus deterministic md5-draw Gumbel noise) and
+    the resulting 25-document selection match the oracle exactly —
+    pinning that the resample is reproducible across engines, which
+    is the property that makes a DSIR-selected corpus rebuildable."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.where(F.col("source") == "src1")
+    return (sampling.dsir_resample(d, tgt, k=25, tau=2.0,
+                                   n_buckets=1024)
+            .orderBy(F.desc("score"), "doc_id"))
+
+
 @register("bigram_nll", oracle="""
 WITH w AS (
   SELECT doc_id,

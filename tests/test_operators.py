@@ -2591,3 +2591,52 @@ def test_incremental_span_coverage_distinct_precondition(spark):
     good = dd.incremental_span_coverage(
         inc, dup_idx, n=3, assume_distinct=False).collect()[0]
     assert (good.n_spans, good.n_dup_spans) == (3, 2)
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    from structa_spark.operators.sampling import (dsir_logweights,
+                                                  dsir_resample)
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the lazy dog sleeps under the quick brown fox")],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox naps beside the lazy dog"),
+         (2, "zz qq xx vv kk jj ww yy uu oo pp ll"),
+         (3, "the quick brown fox")],
+        "doc_id long, text string")
+    lw = {r.doc_id: r.logw
+          for r in dsir_logweights(raw, target, n_buckets=256,
+                                   persist=False).collect()}
+    # target-phrased docs must out-score the letter-salad doc
+    assert lw[1] > lw[2] and lw[3] > lw[2]
+    # resample is deterministic: same inputs -> same selection/scores
+    a = dsir_resample(raw, target, k=2, n_buckets=256,
+                      persist=False).collect()
+    b = dsir_resample(raw, target, k=2, n_buckets=256,
+                      persist=False).collect()
+    assert [(r.doc_id, r.score) for r in a] \
+        == [(r.doc_id, r.score) for r in b]
+    assert len(a) == 2
+    # empty text carries no features and is absent from the weights
+    raw2 = spark.createDataFrame([(9, "   ")],
+                                 "doc_id long, text string")
+    assert dsir_logweights(raw2, target, n_buckets=256,
+                           persist=False).count() == 0
+
+
+def test_dsir_guards_empty_target_and_bad_tau(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from structa_spark.operators.sampling import (dsir_logweights,
+                                                  dsir_resample)
+    raw = spark.createDataFrame([(1, "some words here")],
+                                "doc_id long, text string")
+    empty_tgt = spark.createDataFrame([(9, "   ")],
+                                      "doc_id long, text string")
+    with _pytest.raises((Py4JJavaError, PySparkException)):
+        dsir_logweights(raw, empty_tgt, n_buckets=64,
+                        persist=False).collect()
+    with _pytest.raises(ValueError):
+        dsir_resample(raw, raw, k=1, tau=0.0, persist=False)

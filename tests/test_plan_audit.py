@@ -51,6 +51,9 @@ _SCALAR_BROADCAST_OK = {
     "unigram_nll",               # broadcast(total token count)
     "bigram_nll",                # broadcast(vocabulary size V)
     "reflm_nll",                 # broadcast(reference vocabulary V)
+    "dsir_logweights",           # broadcast(corpus/target totals)
+    "dsir_resample_topk",        # same weights, noised top-k
+    "source_token_jsd",          # broadcast(corpus token total)
 }
 
 

@@ -126,6 +126,8 @@ def test_driver_window_covers_every_family():
         "source_curation_report": "training_manifest",
         "winnow_overlap_pairs": "containment_pairs",
         "source_token_jsd": "daily_event_drift",
+        "dsir_logweights": "mixing_weights_by_source",
+        "dsir_resample_topk": "mixing_weights_by_source",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
