@@ -64,6 +64,7 @@ def main():
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         q3_top_orders, q5_nation_revenue, repetition_signals,
         rollup_nation_year, semantic_dedup_summary, sessionize_events,
+        dsir_resample_topk,
         source_curation_report, source_token_jsd, span_dedup_texts,
         tfidf_top_terms, token_stats_by_lang, top_orders_per_customer,
         training_manifest, unigram_nll, windowed_event_stats,
@@ -150,6 +151,7 @@ def main():
             "curation_report": run_df(source_curation_report),
             "winnow_overlap": bench_winnow,
             "token_jsd": run_df(source_token_jsd),
+            "dsir_select": run_df(dsir_resample_topk),
         }
 
     suite = make_suite(SF_DIR)
