@@ -1022,3 +1022,39 @@ def winnow_overlap_pairs(df: DataFrame, k: int = 8, w: int = 4,
     return (pairs.groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def dedup_corpus_best(df: DataFrame, score_col: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id", shingle_k: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      use_lsh: bool = True) -> DataFrame:
+    """Quality-aware dedup endpoint: keep the BEST-scoring member of
+    each near-duplicate family (ties and null scores fall back to
+    the lowest id) — the variant of :func:`dedup_corpus` a curation
+    pipeline actually wants, where the survivor should be the
+    longest / cleanest / highest-quality copy rather than whichever
+    id happens to be smallest.
+
+    Null scores are coalesced to -inf, so a null-scored document
+    survives only when its whole group is null-scored.
+
+    Scale shape: identical to :func:`dedup_corpus` — the group
+    relation plus an (id, score) projection are a few columns per
+    document; the per-group argmax is ONE aggregation (``max_by`` on
+    a (score, -id) struct: no per-group window sort), and the final
+    semi-join moves ids, never text."""
+    groups = near_duplicate_groups(
+        df, text_col, id_col, shingle_k, jaccard_threshold,
+        use_lsh=use_lsh)
+    s = F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf")))
+    scored = groups.join(df.select(id_col, score_col), id_col)
+    keep = (scored.groupBy("group_id")
+            .agg(F.max_by(
+                F.col(id_col),
+                F.struct(s.alias("s"),
+                         (-F.col(id_col)).alias("neg_id")))
+                .alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")

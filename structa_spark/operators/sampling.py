@@ -16,7 +16,7 @@ the only shuffle is the window in :func:`cap_per_group`.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -220,21 +220,16 @@ def curriculum_shards(df: DataFrame, n_shards: int = 4,
 _DSIR_FC_CACHE: list = []
 
 
-def _hashed_ngram_counts(df: DataFrame, n_buckets: int,
-                         id_col: Optional[str],
-                         text_col: str) -> DataFrame:
-    """Hashed n-gram (unigram + bigram) bucket counts — the DSIR
-    feature space. Tokens are lowered, whitespace-split and
-    empty-filtered; features hash to ``md5_long(feat) % n_buckets``
-    (the repo's frozen cross-engine hash, so feature vectors never
-    drift between runs or engines). With ``id_col`` the result is
-    per-document ``(id, bucket, c)``; with ``id_col=None`` it is the
-    corpus-level bucket histogram ``(bucket, c)`` — the model side.
-
-    Scale shape: explode → one aggregation keyed by (doc, bucket) —
-    the (doc, bucket) key kills the natural feature hot-key ("of
-    the") exactly like the LM operators' tf relations, and rows out
-    are bounded by |docs| × n_buckets."""
+def _hashed_ngram_buckets(df: DataFrame, n_buckets: int,
+                          id_col: Optional[str],
+                          text_col: str) -> DataFrame:
+    """One exploded row per hashed n-gram (unigram + bigram)
+    occurrence — THE DSIR feature pipeline, defined once so the
+    pre-aggregated and occurrence-join consumers can never diverge.
+    Tokens are lowered, whitespace-split and empty-filtered; features
+    hash to ``md5_long(feat) % n_buckets`` (the repo's frozen
+    cross-engine hash, so feature vectors never drift between runs or
+    engines)."""
     from .text import tokens, word_ngrams
 
     arr = F.filter(tokens(F.lower(F.col(text_col))),
@@ -242,8 +237,23 @@ def _hashed_ngram_counts(df: DataFrame, n_buckets: int,
     feats = F.concat(arr, word_ngrams(arr, 2))
     bucket = (md5_long(F.col("feat")) % F.lit(n_buckets)).cast("int")
     keys = [F.col(id_col)] if id_col else []
-    ex = df.select(*keys, F.explode(feats).alias("feat")) \
-           .select(*keys, bucket.alias("bucket"))
+    return df.select(*keys, F.explode(feats).alias("feat")) \
+             .select(*keys, bucket.alias("bucket"))
+
+
+def _hashed_ngram_counts(df: DataFrame, n_buckets: int,
+                         id_col: Optional[str],
+                         text_col: str) -> DataFrame:
+    """Aggregated hashed-feature counts. With ``id_col`` the result
+    is per-document ``(id, bucket, c)``; with ``id_col=None`` it is
+    the corpus-level bucket histogram ``(bucket, c)`` — the model
+    side.
+
+    Scale shape: explode → one aggregation keyed by (doc, bucket) —
+    the (doc, bucket) key kills the natural feature hot-key ("of
+    the") exactly like the LM operators' tf relations, and rows out
+    are bounded by |docs| × n_buckets."""
+    ex = _hashed_ngram_buckets(df, n_buckets, id_col, text_col)
     group = ([id_col, "bucket"] if id_col else ["bucket"])
     return ex.groupBy(*group).agg(F.count(F.lit(1)).alias("c"))
 
@@ -287,6 +297,10 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    if alpha <= 0:
+        # alpha=0 makes unseen-in-target buckets ln(0) -> NULL and
+        # every touching document's logw silently NULL
+        raise ValueError(f"alpha must be > 0: {alpha}")
     fc = _hashed_ngram_counts(df, n_buckets, id_col, text_col)
     if persist:
         fc = _evict_then_cache(_DSIR_FC_CACHE, fc)
@@ -363,3 +377,143 @@ def dsir_resample(df: DataFrame, target_df: DataFrame, k: int,
                       F.round(score, 4).alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+class DsirModel(NamedTuple):
+    """A trained DSIR model: the per-bucket smoothed log-ratio
+    relation (a LOCAL ≤ B-row DataFrame with zero corpus lineage),
+    the scalar fallback for buckets neither corpus produced, and the
+    bucket count the features were hashed with — carried WITH the
+    model so scoring can never silently hash into a different
+    feature space than training did."""
+
+    buckets: DataFrame          # (bucket int, lr double)
+    default_lr: float           # ln(tr + aB) - ln(tt + aB)
+    n_buckets: int
+    alpha: float
+
+
+def dsir_model(df: DataFrame, target_df: DataFrame,
+               n_buckets: int = 1024,
+               text_col: str = "text",
+               alpha: float = 1.0) -> DsirModel:
+    """Train a reusable DSIR model — the train-once / score-many
+    (and score-a-STREAM) counterpart of the one-shot
+    :func:`dsir_logweights`.
+
+    Unlike the one-shot path (which only ever scores documents drawn
+    from the raw corpus itself, so an inner join on raw buckets is
+    exhaustive), a model scoring NEW documents must cover three
+    cases: buckets seen in both corpora, buckets seen in only one,
+    and buckets seen in neither —
+    ``default_lr = ln(tr + αB) − ln(tt + αB)``, the pure smoothing
+    mass ratio, which :func:`dsir_score` coalesces with.
+
+    Each corpus scans exactly ONCE: the ≤ B-row bucket histograms are
+    collected to the driver (the same bounded collect as nb_train's
+    class list — B is a few thousand), the totals and log-ratios are
+    computed driver-side, and the model is re-created as a LOCAL
+    relation with no corpus lineage. That last property is the point
+    for streaming: a lineage-bearing model would re-tokenize both
+    corpora on every micro-batch of a stream-static scoring plan; the
+    local relation costs one broadcast, ever. A zero-feature corpus
+    on either side raises rather than minting a model whose every
+    score is NULL."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    if alpha <= 0:
+        # alpha=0 makes one-sided buckets ln(0) -> NULL, which the
+        # scoring coalesce would silently misread as never-seen
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    import math
+
+    crd = {r.bucket: r.c for r in _hashed_ngram_counts(
+        df, n_buckets, None, text_col).collect()}
+    ctd = {r.bucket: r.c for r in _hashed_ngram_counts(
+        target_df, n_buckets, None, text_col).collect()}
+    if not ctd:
+        raise ValueError(
+            "dsir_model: target corpus has no features "
+            "(empty target_df or all-empty text)")
+    if not crd:
+        raise ValueError(
+            "dsir_model: raw corpus has no features "
+            "(empty df or all-empty text)")
+    tr, tt = sum(crd.values()), sum(ctd.values())
+    a = float(alpha)
+    ab = a * n_buckets
+    base = math.log(tr + ab) - math.log(tt + ab)
+    rows = [(b, math.log(ctd.get(b, 0) + a)
+             - math.log(crd.get(b, 0) + a) + base)
+            for b in sorted(crd.keys() | ctd.keys())]
+    spark = df.sparkSession
+    model = spark.createDataFrame(rows, "bucket int, lr double")
+    return DsirModel(model, base, n_buckets, a)
+
+
+def dsir_score(df: DataFrame, model: DsirModel,
+               id_col: str = "doc_id",
+               text_col: str = "text",
+               pre_aggregate: bool = True) -> DataFrame:
+    """Score documents against a batch-trained :func:`dsir_model` —
+    returns ``(id, n_feats, logw)`` like :func:`dsir_logweights`, but
+    against a FROZEN model, which is what a production selection
+    pipeline does (train the models on this month's corpus snapshot,
+    score every new shard against them) and what makes the operator
+    STREAMABLE: with ``pre_aggregate=False`` the plan is explode →
+    stream-static broadcast join → ONE aggregation, which Structured
+    Streaming accepts unchanged (the default pre-aggregated path
+    compresses to (doc, bucket) counts first — cheaper batch-side,
+    but a second aggregation a stream plan cannot chain).
+
+    Buckets absent from the model fold in as ``default_lr`` — unseen
+    text degrades to the smoothing-mass ratio instead of dropping
+    features or nulling the score. The model carries its own
+    ``n_buckets``, so scoring always hashes into the feature space
+    the model was trained in."""
+    lr = F.coalesce(F.col("lr"), F.lit(float(model.default_lr)))
+    rel = F.broadcast(model.buckets)
+    if pre_aggregate:
+        fc = _hashed_ngram_counts(df, model.n_buckets, id_col,
+                                  text_col)
+        return (fc.join(rel, "bucket", "left")
+                .groupBy(id_col)
+                .agg(F.sum("c").cast("long").alias("n_feats"),
+                     F.round(F.sum(F.col("c") * lr), 4)
+                     .alias("logw")))
+    ex = _hashed_ngram_buckets(df, model.n_buckets, id_col, text_col)
+    return (ex.join(rel, "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                 F.round(F.sum(lr), 4).alias("logw")))
+
+
+def shuffle_order(df: DataFrame, n_shards: int = 64,
+                  key_col: str = "doc_id",
+                  salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, pos)`` coordinate — shard by key-hash modulus, position
+    by rank of the full 60-bit hash within the shard — so the
+    training order is uniformly random-looking yet byte-reproducible
+    across runs, engines and partitionings (``df.orderBy(rand())``
+    is neither), and resumable mid-epoch from any (shard, pos)
+    checkpoint. Change the salt for a fresh epoch order.
+
+    Scale shape: no global sort — each shard ranks independently
+    (ONE window shuffle, O(corpus / n_shards) per task); the hash is
+    effectively collision-free at corpus scale and the (hash, key)
+    order is total, so `pos` is dense and unambiguous. Size
+    ``n_shards`` to the downstream reader parallelism."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = md5_long(F.concat(F.col(key_col).cast("string"),
+                          F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("__h__", key_col)
+    return (df.withColumn("__h__", h)
+            .withColumn("shard", (F.col("__h__") % n_shards)
+                        .cast("int"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .drop("__h__"))

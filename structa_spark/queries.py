@@ -1788,6 +1788,32 @@ def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+@register("shuffle_order_coords", oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ({md5_long_sql("CAST(doc_id AS VARCHAR) || 'shuffle'")})
+         AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 64 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 64
+                               ORDER BY hv, doc_id) - 1 AS BIGINT)
+       AS pos
+FROM h ORDER BY doc_id
+""")
+def shuffle_order_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, values-checked:
+    every document's (shard, pos) coordinate — hash-modulus shard,
+    rank-of-hash position — replays identically in the oracle,
+    pinning that the training order is byte-reproducible across
+    engines and partitionings with NO global sort (each shard ranks
+    independently)."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.shuffle_order(d, n_shards=64)
+            .select("doc_id", "shard", "pos").orderBy("doc_id"))
+
+
 @register("stratified_sample_by_lang", oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DRAW_SQL} < CASE lang
@@ -1983,6 +2009,34 @@ def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return (dedup.dedup_corpus(d, jaccard_threshold=0.35, use_lsh=False)
             .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("dedup_keep_best", oracle=f"""
+WITH RECURSIVE {_neardup_cc_sql()}, labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(cc.label, d.doc_id) AS grp
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 150) d
+  LEFT JOIN cc ON cc.id = d.doc_id
+), ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM labeled
+)
+SELECT doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id
+""")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus dedup, values-checked: within each
+    near-dup family the LONGEST document survives (ties to the
+    lowest id) instead of the arbitrary minimum id — the survivor
+    choice a curation pipeline wants. Same bounded exact-edge graph
+    as dedup_corpus_keep, so the recursive-CTE oracle replays the
+    identical components; the argmax is an aggregation (max_by on a
+    (score, -id) struct), not a per-group window sort."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return (dedup.dedup_corpus_best(
+        d, score_col="n_chars", jaccard_threshold=0.35,
+        use_lsh=False)
+        .select("doc_id", "n_chars").orderBy("doc_id"))
 
 
 @register("repetition_signals", oracle="""

@@ -2640,3 +2640,92 @@ def test_dsir_guards_empty_target_and_bad_tau(spark):
                         persist=False).collect()
     with _pytest.raises(ValueError):
         dsir_resample(raw, raw, k=1, tau=0.0, persist=False)
+    with _pytest.raises(ValueError):
+        dsir_logweights(raw, raw, alpha=0.0, persist=False)
+
+
+def test_dsir_model_score_matches_one_shot_weights(spark):
+    from structa_spark.operators.sampling import (dsir_logweights,
+                                                  dsir_model,
+                                                  dsir_score)
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox naps beside the lazy dog"),
+         (2, "zz qq xx vv kk jj ww yy uu oo pp ll"),
+         (3, "the quick brown fox")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    model = dsir_model(raw, tgt, n_buckets=256)
+    scored = {r.doc_id: (r.n_feats, r.logw)
+              for r in dsir_score(raw, model).collect()}
+    one_shot = {r.doc_id: (r.n_feats, r.logw)
+                for r in dsir_logweights(raw, tgt, n_buckets=256,
+                                         persist=False).collect()}
+    # scoring the training corpus against its own frozen model
+    # reproduces the one-shot weights (same algebra, same rounding)
+    assert scored == one_shot
+    # guards: a featureless corpus on either side refuses to train
+    empty = spark.createDataFrame([(9, " ")],
+                                  "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_model(raw, empty, n_buckets=256)
+    with _pytest.raises(ValueError):
+        dsir_model(empty, tgt, n_buckets=256)
+    with _pytest.raises(ValueError):
+        dsir_model(raw, tgt, alpha=0.0)
+
+
+def test_dedup_corpus_best_keeps_highest_score(spark):
+    from structa_spark.operators.dedup import (dedup_corpus,
+                                               dedup_corpus_best)
+    # docs 1 and 5 are near-dups; 5 is longer and must survive the
+    # best-score keep even though min-id keep would pick 1
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta"
+    dup_b = dup_a + " iota kappa"
+    rows = [(1, dup_a, 44), (5, dup_b, 54), (9, "totally different "
+            "words nothing shared with others at all", 40)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, n long")
+    best = {r.doc_id for r in dedup_corpus_best(
+        df, score_col="n", jaccard_threshold=0.5,
+        use_lsh=False).collect()}
+    assert best == {5, 9}
+    first = {r.doc_id for r in dedup_corpus(
+        df, jaccard_threshold=0.5, use_lsh=False).collect()}
+    assert first == {1, 9}
+    # a null score loses to any scored sibling; an all-null group
+    # still keeps exactly one (lowest id)
+    rows2 = [(1, dup_a, None), (5, dup_b, 10),
+             (20, "x y z q r s t u v w", None),
+             (21, "x y z q r s t u v w!", None)]
+    df2 = spark.createDataFrame(rows2,
+                                "doc_id long, text string, n long")
+    best2 = {r.doc_id for r in dedup_corpus_best(
+        df2, score_col="n", jaccard_threshold=0.5,
+        use_lsh=False).collect()}
+    assert best2 == {5, 20}
+
+
+def test_shuffle_order_dense_reproducible_salted(spark):
+    from structa_spark.operators.sampling import shuffle_order
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = shuffle_order(df, n_shards=8).collect()
+    # positions are dense 0..k-1 within every shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # invariant under repartitioning
+    again = shuffle_order(df.repartition(7), n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in out} \
+        == {(r.doc_id, r.shard, r.pos) for r in again}
+    # a different salt reorders
+    other = shuffle_order(df, n_shards=8, salt="epoch2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in out} \
+        != {(r.doc_id, r.shard, r.pos) for r in other}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shuffle_order(df, n_shards=0)

@@ -128,6 +128,8 @@ def test_driver_window_covers_every_family():
         "source_token_jsd": "daily_event_drift",
         "dsir_logweights": "mixing_weights_by_source",
         "dsir_resample_topk": "mixing_weights_by_source",
+        "dedup_keep_best": "dedup_exact_groups",
+        "shuffle_order_coords": "curriculum_shard_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \

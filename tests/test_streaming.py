@@ -477,3 +477,54 @@ def test_incremental_span_coverage_stream_matches_batch(spark, tmp_path):
     assert by_id[10] == (5, 3)
     assert by_id[11][1] == 0
     assert by_id[12] == (0, 0)
+
+
+def test_dsir_stream_static_scoring_matches_batch(spark, tmp_path):
+    # the production selection shape: DSIR models trained BATCH on a
+    # corpus snapshot, every new document shard scored as a STREAM
+    # against the frozen (bucket, lr) relation. pre_aggregate=False
+    # keeps the plan to explode -> stream-static join -> ONE
+    # aggregation, which Structured Streaming accepts unchanged.
+    from structa_spark.operators.sampling import (dsir_model,
+                                                  dsir_score)
+
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "dog bark dog bark"),
+         (3, "zz qq xx vv")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")],
+        "doc_id long, text string")
+    model = dsir_model(raw, tgt, n_buckets=128)
+
+    docs = [(10, "the quick brown fox runs"),
+            (11, "zz qq unseen wholly novel words"),
+            (12, "")]
+    p = tmp_path / "dsirdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = dsir_score(sdf, model, pre_aggregate=False)
+    _run_stream(out, "dsir_stream", "complete")
+    got = {r.doc_id: (r.n_feats, r.logw)
+           for r in spark.sql("SELECT * FROM dsir_stream").collect()}
+
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {r.doc_id: (r.n_feats, r.logw)
+            for r in dsir_score(bdf, model).collect()}
+    assert got == want
+    # occurrence-join path == tf-compressed path on the batch side
+    want2 = {r.doc_id: (r.n_feats, r.logw)
+             for r in dsir_score(bdf, model,
+                                 pre_aggregate=False).collect()}
+    assert want == want2
+    # empty doc has no features and is absent; target-like beats
+    # the out-of-model doc even though both carry novel buckets
+    assert 12 not in got
+    assert got[10][1] > got[11][1]
