@@ -91,19 +91,28 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     maintain, so tokenization fixes cannot diverge between the dedup
     and repetition pipelines."""
     from .text import word_ngrams
-    norm = normalize_text(text)
-    grams = word_ngrams(F.split(norm, " "), k)
-    sh = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
+
+    # Let-bind the normalized token array: the split/normalize runs
+    # ONCE per row, and everything downstream (the n-gram transform,
+    # the size gate, the short-doc fallback) reads the cheap bound
+    # variable. `concat_ws(" ", toks)` reconstructs normalize_text's
+    # output exactly (single-space separators by construction); the
+    # isNotNull gate preserves the [null] result for null text.
+    def build(tv):
+        grams = word_ngrams(tv, k)
+        return F.when(F.size(tv) >= k, grams).otherwise(
+            F.array(F.when(tv.isNotNull(), F.concat_ws(" ", tv))))
+
+    sh = _bind(F.split(normalize_text(text), " "), build)
     return F.array_distinct(sh)
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    t = normalize_text(text)
-    n = F.length(t)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: t.substr(i, F.lit(k)))
-    return F.array_distinct(sh)
+    # Let-bound like word_shingles (normalization runs once, not per
+    # gram) and built on the code-point-array gram builder (substr's
+    # per-position seek is itself quadratic in string length).
+    return F.array_distinct(
+        _bind(normalize_text(text), lambda tv: _char_grams(tv, k)))
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +143,26 @@ def _bind(value: Column, fn) -> Column:
     in one projection evaluates it k times: Spark's subexpression
     elimination does not reach into separate higher-order lambdas."""
     return F.get(F.transform(F.array(value), fn), 0)
+
+
+def _char_grams(tv: Column, k: int) -> Column:
+    """All k-char grams of a BOUND string column (lambda variable or
+    attribute) as array<string>. Splits into a code-point array once
+    and builds each gram as an O(k) array slice — NOT
+    ``substr``-per-position, whose per-call code-point seek from the
+    string head makes gram building quadratic in string length.
+    Matches substr semantics exactly: strings shorter than ``k``
+    yield their whole text as the only gram, null yields ``[null]``
+    (regex split respects code points, so the slice/rejoin output is
+    byte-identical to ``substr(i, k)``)."""
+    def from_chars(chars):
+        return F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(tv) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws("", F.slice(chars, i, k)))
+
+    return F.when(tv.isNotNull(), _bind(F.split(tv, ""), from_chars)) \
+            .otherwise(F.array(F.lit(None).cast("string")))
 
 
 def minhash_signature_array(shingles: Column,
@@ -785,7 +814,13 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
     toks = df.select(
         F.col(id_col), F.posexplode(toks_arr).alias("pos", "tok"))
     spans = _span_grams(df, n, id_col, text_col)
-    enc = (F.col(id_col) * posmax + F.col("pos")).alias("enc")
+    # out-of-range (doc, pos) packs to NULL here rather than tripping
+    # the ANSI overflow check: plan-internal evaluation order is not
+    # guaranteed, and the user-facing error must be the explicit
+    # raise_error guard below, which always executes at action time
+    enc = F.when((F.col(id_col) >= 0) & (F.col(id_col) < idmax)
+                 & (F.col("pos") < posmax),
+                 F.col(id_col) * posmax + F.col("pos")).alias("enc")
     occ = spans.select(id_col, "pos", "g", enc)
     if cross_doc_only:
         # distinct-document span counts: matches the
@@ -937,10 +972,15 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         raise ValueError(f"k and w must be >= 1: {k}/{w}")
     t = F.lower(F.regexp_replace(
         F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
-    grams = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.length(t) - (k - 1), F.lit(1))),
-        lambda i: t.substr(i, F.lit(k)))
+
+    # The gram builder let-binds the normalized text (normalization
+    # runs once, not per gram) and slices a code-point array rather
+    # than substr-per-position (whose seek is quadratic in string
+    # length).
+    def hs_of(tv):
+        return F.transform(_char_grams(tv, k), lambda g: universal_hash(
+            md5_long(g), 1664525, 1013904223))
+
     # materialize the hash array as its own projection: the window
     # pass below reads it via element_at O(n*w) times, and an
     # INLINED expression would re-derive the whole md5 array per
@@ -949,26 +989,30 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     # CollapseProject keeps the projection because the alias is
     # non-cheap and referenced more than once.
     hashed = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.transform(grams, lambda g: universal_hash(
-            md5_long(g), 1664525, 1013904223)).alias("__hs"))
+        F.col(id_col), _bind(t, hs_of).alias("__hs"))
     hs = F.col("__hs")
     n_grams = F.size(hs)
     starts = F.sequence(F.lit(1),
                         F.greatest(n_grams - (w - 1), F.lit(1)))
-    # per window: lexicographic struct min = (smallest hash,
-    # then smallest -pos = RIGHTMOST position) — the paper's
-    # tie-break, which maximizes fingerprint overlap between
-    # documents sharing repetitive text
+    # per window: min of (hash, position) packed into ONE bigint —
+    # fp < 2^31 and pos < 2^32, so fp*2^32 + (2^32-1-pos) is
+    # loss-free and its numeric min is exactly the paper's
+    # tie-break (smallest hash, then RIGHTMOST position), which
+    # maximizes fingerprint overlap between documents sharing
+    # repetitive text. Packing (rather than a struct) also keeps
+    # array_distinct on its O(n) primitive-type hash path: over
+    # array<struct> it falls back to pairwise comparison — quadratic
+    # in fingerprint count, the dominant cost on long documents.
+    P = F.lit(4294967296)  # 2^32
     sel = F.transform(starts, lambda j: F.array_min(F.transform(
         F.sequence(j, F.least(j + (w - 1), n_grams)),
-        lambda i: F.struct(F.element_at(hs, i).alias("fp"),
-                           (-i).alias("np")))))
+        lambda i: F.element_at(hs, i) * P + (P - 1 - i))))
+    p = F.col("p")
     return (hashed.select(F.col(id_col),
-                          F.explode(F.array_distinct(sel)).alias("s"))
+                          F.explode(F.array_distinct(sel)).alias("p"))
             .select(id_col,
-                    (-F.col("s.np")).cast("int").alias("pos"),
-                    F.col("s.fp").alias("fp")))
+                    (F.lit(4294967295) - (p % P)).cast("int").alias("pos"),
+                    F.shiftright(p, 32).alias("fp")))
 
 
 def winnow_overlap_pairs(df: DataFrame, k: int = 8, w: int = 4,

@@ -8,6 +8,8 @@ aggregates, so these compose into a single scan at 100 TB.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -133,12 +135,26 @@ def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as space-joined strings
     (empty array when fewer than n tokens). Pure expression — the
     shared primitive under both the repetition signals here and
-    dedup's word shingles."""
-    m = F.size(toks)
-    return F.when(m >= n, F.transform(
-        F.sequence(F.lit(1), m - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))) \
-        .otherwise(F.array().cast("array<string>"))
+    dedup's word shingles.
+
+    The input is let-bound (``_bind``) INSIDE this function: Spark
+    evaluates higher-order-function lambdas interpreted with no
+    subexpression cache, so a raw ``tokens(lower(text))`` expression
+    passed as ``toks`` would otherwise be re-derived at every gram
+    position — quadratic in document length (measured 115x on
+    2000-token docs). Binding here makes every call site linear by
+    construction; callers may pass attributes or arbitrary
+    expressions interchangeably."""
+    from .dedup import _bind
+
+    def build(tv):
+        m = F.size(tv)
+        return F.when(m >= n, F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tv, i, n)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+    return _bind(toks, build)
 
 
 def repetition_signals(df: DataFrame, id_col: str = "doc_id",
@@ -199,14 +215,20 @@ def chunk_passages(df: DataFrame, id_col: str = "doc_id",
     Pure expression + ``posexplode``: no shuffle, pipelines into the
     scan. Output row count ≈ total tokens / k.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(float(k))).cast("int")
-    idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)) \
-            .otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        idxs, lambda i: F.concat_ws(
-            " ", F.slice(toks, i * k + 1, k)))
+    from .dedup import _bind
+
+    # Let-bind the token array: the per-chunk slice lambda reads the
+    # bound variable instead of re-tokenizing per chunk.
+    def build(tv):
+        n = F.size(tv)
+        n_chunks = F.ceil(n / F.lit(float(k))).cast("int")
+        idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+                .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idxs, lambda i: F.concat_ws(
+                " ", F.slice(tv, i * k + 1, k)))
+
+    chunks = _bind(tokens(F.lower(F.col(text_col))), build)
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "passage"))
@@ -386,16 +408,20 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     hash over all k-char grams of the normalized text — one int64 per
     doc, shift-invariant to small edits away from the minimizing gram.
     JVM-side: sequence + transform + array_min, no shuffle."""
+    from .dedup import _bind, _char_grams
+
+    # Let-bind the normalized text (normalization runs once, not per
+    # gram); grams come from the code-point-array builder, since
+    # substr's per-position seek is quadratic in string length.
     t = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    n = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: t.substr(i, F.lit(k)))
-    hashes = F.transform(grams, lambda g: universal_hash(
-        md5_long(g), 1664525, 1013904223))
-    fp = F.when(n >= k, F.array_min(hashes)).otherwise(
-        universal_hash(md5_long(t), 1664525, 1013904223))
-    return df.withColumn(out_col, fp)
+
+    def build(tv):
+        hashes = F.transform(_char_grams(tv, k), lambda g: universal_hash(
+            md5_long(g), 1664525, 1013904223))
+        return F.when(F.length(tv) >= k, F.array_min(hashes)).otherwise(
+            universal_hash(md5_long(tv), 1664525, 1013904223))
+
+    return df.withColumn(out_col, _bind(t, build))
 
 
 def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
@@ -758,6 +784,13 @@ def bpe_encode(df: DataFrame, merges,
 _BIGRAM_TF_CACHE: list = []
 _JSD_GT_CACHE: list = []
 
+# guards every evict-then-persist sequence over the module-level
+# one-deep caches (here and sampling's/NB's): two threads sharing a
+# SparkSession could otherwise interleave pop/unpersist/append,
+# unpersisting a relation the other thread just cached (silent
+# recompute) or leaking an entry past the one-deep bound
+_CACHE_LOCK = threading.Lock()
+
 
 def _evict_then_cache(cache: list, rel: DataFrame) -> DataFrame:
     """One-deep module cache for library functions that persist a
@@ -772,13 +805,14 @@ def _evict_then_cache(cache: list, rel: DataFrame) -> DataFrame:
     recomputes."""
     from pyspark import StorageLevel
 
-    while cache:
-        try:
-            cache.pop().unpersist(False)
-        except Exception:
-            pass        # session of the old relation already stopped
-    rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
-    cache.append(rel)
+    with _CACHE_LOCK:
+        while cache:
+            try:
+                cache.pop().unpersist(False)
+            except Exception:
+                pass    # session of the old relation already stopped
+        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.append(rel)
     return rel
 
 
@@ -1086,21 +1120,22 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
     # training explosion per call). A previous DIFFERENT model, or
     # one left behind while the caller pre-cached cond themselves,
     # is evicted so the bound holds.
-    keep = None
-    while _NB_COND_CACHE:
-        prev = _NB_COND_CACHE.pop()
-        if prev is cond:
-            keep = prev
-            continue
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass
-    if keep is not None:
-        _NB_COND_CACHE.append(keep)
-    elif not cond.is_cached:
-        cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
-        _NB_COND_CACHE.append(cond)
+    with _CACHE_LOCK:
+        keep = None
+        while _NB_COND_CACHE:
+            prev = _NB_COND_CACHE.pop()
+            if prev is cond:
+                keep = prev
+                continue
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
+        if keep is not None:
+            _NB_COND_CACHE.append(keep)
+        elif not cond.is_cached:
+            cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
+            _NB_COND_CACHE.append(cond)
 
     cls_rows = sorted(classes.collect(), key=lambda r: r.label)
     if not cls_rows:
@@ -1171,16 +1206,23 @@ def chunk_windows(df: DataFrame, size: int = 32, stride: int = 16,
     if size < 1 or stride < 1:
         raise ValueError(f"size and stride must be >= 1: "
                          f"{size}/{stride}")
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(
-        F.lit(0), n - 1, F.lit(stride))) \
-        .otherwise(F.array().cast("array<int>"))
-    wins = F.transform(starts, lambda s: F.struct(
-        s.alias("start_tok"),
-        F.least(F.lit(size), n - s).alias("n_win_tokens"),
-        F.concat_ws(" ", F.slice(toks, s + 1, size))
-        .alias("passage")))
+    from .dedup import _bind
+
+    # Let-bind the token array (and with it the size n): the
+    # per-window struct lambda otherwise re-tokenizes — and
+    # re-derives n — once per window.
+    def build(tv):
+        n = F.size(tv)
+        starts = F.when(n > 0, F.sequence(
+            F.lit(0), n - 1, F.lit(stride))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(F.lit(size), n - s).alias("n_win_tokens"),
+            F.concat_ws(" ", F.slice(tv, s + 1, size))
+            .alias("passage")))
+
+    wins = _bind(tokens(F.lower(F.col(text_col))), build)
     return (df.select(F.col(id_col),
                       F.posexplode(wins).alias("win_idx", "w"))
             .select(id_col, "win_idx",

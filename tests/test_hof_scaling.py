@@ -1,0 +1,147 @@
+"""Doc-length scaling discipline for the token/char-gram pipelines.
+
+Round-5 audit found that Spark evaluates higher-order-function
+lambdas interpreted with NO subexpression cache: a raw
+``tokens(lower(text))`` expression referenced inside a transform
+lambda is re-derived at every gram position — quadratic in document
+length (measured 115x on 2000-token docs) while invisible on
+short-doc fixtures. The fix is the ``_bind`` let-binding inside
+``word_ngrams``/the gram builders. These tests make the defect
+class unreintroducible:
+
+* a lint walk over every registered query's OPTIMIZED plan fails if
+  ``split``/``regexp_replace`` (the tokenizers/normalizers) appear
+  inside any lambda body applied to anything but a lambda variable;
+* a timing gate pins near-linear per-doc cost (4x tokens must stay
+  well under the 16x a quadratic shape would cost).
+"""
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from structa_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# the expensive derivations: re-running one of these per lambda
+# element is the quadratic shape
+_DERIVERS = ("split(", "regexp_replace(")
+
+
+def _lambda_bodies(plan: str):
+    """Every balanced ``lambdafunction(...)`` substring of a rendered
+    plan (nested ones appear both inside their parent and on their
+    own — scanning the parent already covers them, extra scans are
+    harmless)."""
+    out = []
+    start = 0
+    needle = "lambdafunction("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return out
+        j = i + len(needle)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(needle):j - 1])
+        start = i + len(needle)
+
+
+def _violations(body: str):
+    """Occurrences of a deriver inside a lambda body whose argument
+    is NOT a lambda variable. ``split(lambda x_1#3, ...)`` is the
+    sanctioned let-binding shape (the full-document derivation ran
+    once, in the bind value, outside the body); ``split(text#1, ...)``
+    or ``split(trim(lower(text#1)) ...`` inside a body means the
+    tokenization re-runs per element — quadratic in doc length."""
+    bad = []
+    for d in _DERIVERS:
+        start = 0
+        while True:
+            i = body.find(d, start)
+            if i < 0:
+                break
+            arg = body[i + len(d):i + len(d) + 7]
+            if not arg.startswith("lambda "):
+                bad.append(body[i:i + 120])
+            start = i + len(d)
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_derivation_inside_lambda_bodies(spark, name):
+    fn, _ = REGISTRY[name]
+    plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    bad = [v for body in _lambda_bodies(plan) for v in _violations(body)]
+    assert not bad, (
+        f"{name}: tokenizer/normalizer re-derived inside a lambda "
+        f"body (quadratic in doc length) — let-bind it (_bind) or "
+        f"materialize it as a projection column first:\n" + "\n".join(bad))
+
+
+def _long_docs(spark, n_docs: int, n_tokens: int):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu"]
+    rows = [(d, " ".join(
+        words[(d * 7 + i * 3) % len(words)] + str((d + i) % 97)
+        for i in range(n_tokens))) for d in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string") \
+              .repartition(8)
+    df.persist().count()
+    return df
+
+
+def _best_of(runs, fn):
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def test_token_pipelines_scale_linearly(spark):
+    """4x the tokens per document must cost well under the ~16x a
+    quadratic gram builder costs. The gate (8x) leaves room for the
+    box's noise band while still failing hard on any quadratic
+    regression (pre-fix ratios measured 12-70x at this size)."""
+    from structa_spark.operators import dedup as D
+    from structa_spark.operators import sampling as S
+    from structa_spark.operators import text as T
+
+    ops = {
+        "word_shingles": lambda df: df.select(
+            F.explode(D.word_shingles(F.col("text"), 3)).alias("s")).count(),
+        "span_dup_per_doc": lambda df: D.span_dup_per_doc(df, n=5)
+            .agg(F.sum("n_spans")).collect(),
+        "dsir_features": lambda df: S._hashed_ngram_counts(
+            df, 1024, "doc_id", "text").count(),
+        "fingerprint": lambda df: T.fingerprint(df, k=8)
+            .agg(F.sum("fingerprint")).collect(),
+        "winnow": lambda df: D.winnow_fingerprints(df, k=8, w=16).count(),
+        "chunk_windows": lambda df: T.chunk_windows(df, 32, 16).count(),
+    }
+    small = _long_docs(spark, 60, 500)
+    big = _long_docs(spark, 60, 2000)
+    try:
+        failures = []
+        for name, op in ops.items():
+            t_small = _best_of(2, lambda: op(small))
+            t_big = _best_of(2, lambda: op(big))
+            ratio = t_big / max(t_small, 1e-3)
+            if ratio > 8.0:
+                failures.append(f"{name}: 4x tokens -> {ratio:.1f}x time "
+                                f"({t_small:.2f}s -> {t_big:.2f}s)")
+        assert not failures, "super-linear doc-length scaling:\n" + \
+            "\n".join(failures)
+    finally:
+        small.unpersist()
+        big.unpersist()
