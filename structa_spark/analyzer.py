@@ -369,19 +369,33 @@ def _sketch_agg_exprs(leaf: _Leaf, cfg: AnalyzerConfig) -> List[Column]:
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         qc = c.cast("timestamp").cast("double")
     if qc is not None:
-        q = (F.percentile(qc, F.lit([0.25, 0.5, 0.75])) if cfg.exact
-             else F.percentile_approx(qc, F.lit([0.25, 0.5, 0.75]),
-                                      F.lit(cfg.quantile_accuracy)))
-        exprs.append(q.alias(f"{k}__q"))
-        if not cfg.exact and cfg.kll_k:
-            # mergeable quantile summary: lets merge_profiles fold
-            # shard profiles with sketch accuracy instead of the
-            # weighted-midpoint approximation (KLL is the
-            # DataSketches quantile twin of the HLL used above)
-            exprs.append(
-                F.kll_sketch_agg_double(qc.cast("double"),
-                                        F.lit(cfg.kll_k))
-                .alias(f"{k}__qsk"))
+        if cfg.exact:
+            exprs.append(F.percentile(qc, F.lit([0.25, 0.5, 0.75]))
+                         .alias(f"{k}__q"))
+        elif cfg.kll_k:
+            # ONE quantile aggregate per leaf: the displayed quartiles
+            # read from the same mergeable KLL sketch that
+            # merge_profiles folds (Spark collapses the semantically
+            # identical aggregate into one buffer, so the sketch is
+            # built once) — not a parallel percentile_approx doing the
+            # same imperative work twice. KLL k=200 carries ~1.65%
+            # rank error, the sketch's documented accuracy for both
+            # the single-shard and the shard-fold path.
+            sk = F.kll_sketch_agg_double(qc.cast("double"),
+                                         F.lit(cfg.kll_k))
+            # the count() gate keeps an all-null column from calling
+            # get_quantile on an empty sketch (which raises); the
+            # CaseWhen branch is lazy, so the result stays NULL like
+            # percentile_approx's
+            exprs.append(F.when(
+                F.count(qc) > 0,
+                F.kll_sketch_get_quantile_double(
+                    sk, F.lit([0.25, 0.5, 0.75]))).alias(f"{k}__q"))
+            exprs.append(sk.alias(f"{k}__qsk"))
+        else:
+            exprs.append(F.percentile_approx(
+                qc, F.lit([0.25, 0.5, 0.75]),
+                F.lit(cfg.quantile_accuracy)).alias(f"{k}__q"))
     return exprs
 
 
