@@ -838,13 +838,16 @@ WITH toks AS (
          unnest(list_filter(string_split_regex(trim(lower(text)),
                                                '\\s+'),
                             t -> t <> '')) AS token
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ),
 cond AS (
   SELECT lang AS label, token, count(*) AS c FROM toks GROUP BY 1, 2
 ),
 nd AS (
-  SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1
+  -- mirrors nb_train's null-label exclusion: an unlabeled row can
+  -- neither name a class nor contribute to priors
+  SELECT lang AS label, count(*) AS n_docs FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
 ),
 tt AS (SELECT label, sum(c) AS n_tokens FROM cond GROUP BY 1),
 cls AS (
@@ -3952,34 +3955,37 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every operator family shows a driver-green row; the TAIL ROTATES
 # each round so queries outside the window accumulate driver-green
 # rows over rounds (round 5 rotated in the 21 queries that had never
-# had a driver row; the queries rotated OUT all carry rows from
-# rounds 1-4). Queries outside the window are strict family siblings
-# of one inside it (pinned by test_driver_window_covers_every_family)
-# and keep full oracle coverage in tests/test_queries.py.
+# had a driver row; round 6 rotated in the 13 round-5 newcomers that
+# registered after that window froze — the 13 rotated OUT all carry
+# driver-green rows from rounds 1-5). Queries outside the window are
+# strict family siblings of one inside it (pinned by
+# test_driver_window_covers_every_family) and keep full oracle
+# coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
     # relational core
     "q1_pricing_summary", "q3_top_orders",
-    "customers_without_bigorder", "user_event_gaps",
     # profiler (the reference surface)
     "profile_stats_numeric", "profile_quartiles",
-    "profile_type_candidates", "profile_char_classes",
-    "group_quantiles_exact",
+    "profile_type_candidates",
     # joins / windows / grouping sets / drift
-    "asof_next_purchase_gap", "range_join_purchase_views",
-    "sliding_event_stats", "trailing_window_avg",
-    "value_outliers_by_type", "sessionize_events",
-    "cube_status_priority", "pivot_lang_source_counts",
-    "daily_event_drift",
-    # dedup
+    "asof_next_purchase_gap", "sliding_event_stats",
+    "sessionize_events", "cube_status_priority",
+    "pivot_lang_source_counts", "daily_event_drift",
+    # dedup (incl. the round-5 span/winnow family)
     "dedup_exact_groups", "minhash_band_buckets", "lsh_recall",
-    "simhash_values", "containment_pairs",
-    "incremental_dedup_verdicts", "url_dedup_stats",
+    "containment_pairs", "incremental_dedup_verdicts",
+    "span_dup_coverage", "span_dedup_texts", "winnow_overlap_pairs",
+    "incremental_span_hits", "dedup_keep_best",
     # text analysis / tokenization / corpus prep
-    "lang_id_confusion", "domain_stats", "html_extracted_text",
-    "tfidf_top_terms", "hashed_doc_vectors", "unigram_nll",
-    "bigram_nll", "pii_scan", "bpe_merge_candidates",
-    "contamination_check", "sequence_packing",
+    "lang_id_confusion", "nb_lang_confusion", "html_extracted_text",
+    "tfidf_top_terms", "bigram_nll", "reflm_nll",
+    "source_token_jsd", "bpe_merge_candidates",
+    "contamination_check", "sequence_packing", "window_chunks",
     "mixing_weights_by_source",
+    # sampling / selection / composed pipeline
+    "dsir_logweights", "dsir_resample_topk", "shuffle_order_coords",
+    "curriculum_shard_stats", "variant_props_stats",
+    "training_manifest", "source_curation_report",
     # retrieval / similarity
     "cosine_topk", "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
@@ -3987,9 +3993,6 @@ DRIVER_PRIORITY = [
     # multimodal
     "audio_header_metadata", "video_header_metadata",
     "resized_media_stats", "decompressed_text_stats",
-    # sampling / semi-structured / composed pipeline
-    "curriculum_shard_stats", "variant_props_stats",
-    "training_manifest",
 ]
 
 _unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -86,7 +86,7 @@ def test_driver_window_covers_every_family():
         "sample_docs_deterministic": "curriculum_shard_stats",
         "stratified_sample_by_lang": "curriculum_shard_stats",
         "cap_docs_per_lang": "curriculum_shard_stats",
-        "token_length_histogram": "unigram_nll",
+        "token_length_histogram": "bigram_nll",
         "label_centroids": "semantic_dedup_summary",
         "filter_training_corpus": "training_manifest",
         "skewed_event_agg": "sliding_event_stats",
@@ -103,10 +103,10 @@ def test_driver_window_covers_every_family():
         "ngram_jaccard_pairs": "containment_pairs",
         "near_dup_groups": "dedup_exact_groups",
         "dedup_corpus_keep": "dedup_exact_groups",
-        "token_stats_by_lang": "unigram_nll",
-        "text_quality_features": "domain_stats",
+        "token_stats_by_lang": "bigram_nll",
+        "text_quality_features": "lang_id_confusion",
         "rare_token_stats": "tfidf_top_terms",
-        "doc_fingerprints": "hashed_doc_vectors",
+        "doc_fingerprints": "tfidf_top_terms",
         "mixed_resample_counts": "mixing_weights_by_source",
         "pq_adc_topk": "pq_codes",
         "int8_topk_search": "embedding_quantization",
@@ -116,20 +116,21 @@ def test_driver_window_covers_every_family():
         "decoded_media_stats": "resized_media_stats",
         "json_props_stats": "variant_props_stats",
         "split_counts_by_lang": "curriculum_shard_stats",
-        # registered after the round-5 window froze
-        "nb_lang_confusion": "lang_id_confusion",
-        "span_dup_coverage": "dedup_exact_groups",
-        "span_dedup_texts": "dedup_exact_groups",
-        "reflm_nll": "bigram_nll",
-        "window_chunks": "sequence_packing",
-        "incremental_span_hits": "incremental_dedup_verdicts",
-        "source_curation_report": "training_manifest",
-        "winnow_overlap_pairs": "containment_pairs",
-        "source_token_jsd": "daily_event_drift",
-        "dsir_logweights": "mixing_weights_by_source",
-        "dsir_resample_topk": "mixing_weights_by_source",
-        "dedup_keep_best": "dedup_exact_groups",
-        "shuffle_order_coords": "curriculum_shard_stats",
+        # rotated OUT in round 6 (driver-green in rounds 1-5) to make
+        # room for the 13 round-5 newcomers
+        "customers_without_bigorder": "q3_top_orders",
+        "user_event_gaps": "sliding_event_stats",
+        "profile_char_classes": "profile_type_candidates",
+        "group_quantiles_exact": "profile_quartiles",
+        "range_join_purchase_views": "asof_next_purchase_gap",
+        "trailing_window_avg": "sliding_event_stats",
+        "value_outliers_by_type": "sliding_event_stats",
+        "simhash_values": "minhash_band_buckets",
+        "url_dedup_stats": "dedup_exact_groups",
+        "domain_stats": "lang_id_confusion",
+        "hashed_doc_vectors": "tfidf_top_terms",
+        "unigram_nll": "bigram_nll",
+        "pii_scan": "html_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
