@@ -277,6 +277,70 @@ def main():
             "exponents": exponents,
         }
 
+    # doc-length ladder: the sf ladder above scales ROW COUNT, but the
+    # fixture documents are short, so a gram builder that is quadratic
+    # IN DOCUMENT LENGTH is invisible to every sf number (the round-5
+    # blind spot: a 115x HOF re-derivation survived five rounds of
+    # green benches). This block times the token-pipeline operators
+    # over synthetic corpora at FIXED row count and 4x token lengths;
+    # the exponent is log(t_big/t_small)/log(4). Linear operators read
+    # ~<=1.0; anything trending toward 2.0 is a quadratic gram shape.
+    if os.environ.get("SPARK_GRAFT_BENCH_DOCLEN", "1") != "0":
+        from structa_spark.operators import sampling as _sampling
+
+        def _docs(n_docs, n_tokens):
+            words = ["alpha", "beta", "gamma", "delta", "epsilon",
+                     "zeta", "eta", "theta", "iota", "kappa"]
+            rows = [(d, " ".join(
+                words[(d * 7 + i * 3) % len(words)] + str((d + i) % 97)
+                for i in range(n_tokens))) for d in range(n_docs)]
+            df = (spark.createDataFrame(rows, "doc_id int, text string")
+                  .repartition(int(CPUS)))
+            df.persist().count()
+            return df
+
+        doclen_ops = {
+            "shingle_explode": lambda d: d.select(
+                F.explode(dedup.word_shingles(F.col("text"), 3))
+                .alias("s")).count(),
+            "span_dup": lambda d: dedup.span_dup_per_doc(d, n=5)
+                .agg(F.sum("n_spans")).collect(),
+            "dsir_features": lambda d: _sampling._hashed_ngram_counts(
+                d, 1024, "doc_id", "text").count(),
+            "bigram_nll": lambda d: text.bigram_logprob(
+                d, persist=False).agg(F.sum("n_bigrams")).collect(),
+            "fingerprint": lambda d: text.fingerprint(d, k=8)
+                .agg(F.sum("fingerprint")).collect(),
+            "winnow": lambda d: dedup.winnow_fingerprints(
+                d, k=8, w=16).count(),
+            "chunk_windows": lambda d: text.chunk_windows(
+                d, 32, 16).count(),
+        }
+        doclen = {}
+        for n_tok in (2000, 8000):
+            df = _docs(200, n_tok)
+            col = {}
+            for name, op in doclen_ops.items():
+                t0 = time.time()
+                try:
+                    op(df)
+                    col[name] = round(time.time() - t0, 3)
+                except Exception:
+                    col[name] = None
+            doclen[n_tok] = col
+            df.unpersist()
+        doclen_exp = {
+            name: round(math.log(doclen[8000][name]
+                                 / doclen[2000][name]) / math.log(4), 2)
+            for name in doclen_ops
+            if doclen[2000].get(name) and doclen[8000].get(name)}
+        out["doclen_ladder"] = {
+            "n_docs": 200,
+            "n_tokens": [2000, 8000],
+            "queries": {str(k): v for k, v in doclen.items()},
+            "exponents": doclen_exp,
+        }
+
     # medians + exponents also land in their own small file so the
     # judge/driver never depends on capturing this process's stdout
     # tail (a truncated capture once cost a round its medians block)
@@ -293,6 +357,8 @@ def main():
                 "sf": out["sf"],
                 "queries": times,
                 "exponents": out.get("ladder", {}).get("exponents"),
+                "doclen_exponents": out.get("doclen_ladder",
+                                            {}).get("exponents"),
             }, fh, indent=1)
     except OSError:
         pass  # a read-only checkout must not fail the bench
