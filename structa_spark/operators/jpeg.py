@@ -206,11 +206,22 @@ def _decode_jpeg(payload):
     while i + 4 <= len(p):
         if p[i] != 0xFF:
             raise JpegError("bad marker alignment")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (ITU-T T.81 B.1.1.2) — real camera files carry them
+        while i + 1 < len(p) and p[i + 1] == 0xFF:
+            i += 1
         m = p[i + 1]
         if m == 0xD8:
             i += 2
             continue
         if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            # length-less standalone markers between header segments
+            # (TEM, stray RSTn): advance without a bogus length read
+            i += 2
+            continue
+        if i + 4 > len(p):
             break
         ln = struct.unpack(">H", p[i + 2:i + 4])[0]
         seg = p[i + 4:i + 2 + ln]

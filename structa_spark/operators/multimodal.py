@@ -395,8 +395,12 @@ def _lzw_decode(data: bytes, min_code_size: int,
         else:
             raise DecodeUnavailable(f"corrupt LZW code {code}")
         out.extend(entry)
-        if max_out is not None and len(out) > max_out:
-            raise DecodeUnavailable("LZW output exceeds declared size")
+        if max_out is not None and len(out) >= max_out:
+            # conforming-but-sloppy streams may expand one entry past
+            # the pixel count; stop decoding (the caller truncates to
+            # w*h) rather than rejecting the frame — the OOM bound is
+            # preserved either way
+            return out
         if prev is not None and len(table) < 4096:
             table.append(prev + (entry[0],))
             if len(table) == (1 << width) and width < 12:

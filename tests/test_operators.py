@@ -406,15 +406,19 @@ def test_decode_bomb_guards():
     b[20:24] = struct.pack(">I", 2 ** 20)
     with pytest.raises(multimodal.DecodeUnavailable):
         multimodal.decode_png_pixels(bytes(b))
-    # a GIF whose LZW stream inflates past the declared w*h stops at
-    # the cap instead of accumulating unbounded output
+    # a GIF whose LZW stream inflates past the declared w*h STOPS at
+    # the cap instead of accumulating unbounded output: the decode
+    # succeeds with exactly the declared pixel count (conforming-but-
+    # sloppy encoders legitimately run one entry long, so overlong
+    # streams truncate rather than reject) — the OOM bound is the
+    # cap itself, not a rejection
     g = bytearray(multimodal.encode_gif(
         np.zeros((4, 8), np.uint8), np.zeros((2, 3), np.uint8)))
     sep = g.index(0x2C)
     g[sep + 5:sep + 7] = struct.pack("<H", 2)
     g[sep + 7:sep + 9] = struct.pack("<H", 2)
-    with pytest.raises(multimodal.DecodeUnavailable):
-        multimodal.decode_gif_pixels(bytes(g))
+    rgb = multimodal.decode_gif_pixels(bytes(g))
+    assert rgb.shape == (2, 2, 3)
 
 
 def test_extract_features_real_decode_png_wav(spark):
