@@ -872,6 +872,73 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
                     .alias("text_dedup")))
 
 
+def scrub_contaminated_spans(corpus: DataFrame, eval_df: DataFrame,
+                             n: int = 5, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """SURGICAL test-set decontamination: remove from each corpus
+    document every word ``n``-gram span that also occurs anywhere in
+    the held-out evaluation set, and keep the rest of the document —
+    the applied form of the GPT-3/PaLM n-gram-overlap hygiene rule
+    (Brown et al. 2020 appendix C scrub contaminated *spans*, not
+    whole documents, so one quoted benchmark sentence no longer costs
+    the entire page). Matching is case-insensitive; surviving
+    original-case tokens reassemble space-joined, like
+    :func:`drop_duplicated_spans`. Null text is an empty document.
+
+    Returns ``(id, n_tokens_before, n_tokens_after, n_hit_spans,
+    text_clean)`` — every corpus row is present, untouched documents
+    ride through with ``n_hit_spans = 0``.
+
+    Scale shape: the eval side is a benchmark — tiny by nature next
+    to a 100 TB corpus — so its DISTINCT span set broadcasts and the
+    corpus side never shuffles to find hits; hit spans explode to
+    (doc, token position) coverage, one doc-keyed anti-join keeps the
+    surviving tokens, and reassembly sorts within each document only.
+    Spans come from the shared :func:`_span_grams`, so tokenization
+    cannot drift from the span-dedup family or the detection-only
+    :func:`structa_spark.operators.text.contamination_hits`.
+    """
+    from .text import tokens as _tokens
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks_arr = _tokens(F.trim(txt))
+    toks = corpus.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos", "tok"))
+    ev = _span_grams(eval_df, n, None, text_col).select("g").distinct()
+    spans = _span_grams(corpus, n, id_col, text_col)
+    hits = spans.join(F.broadcast(ev), "g")
+    covered = (hits.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (n - 1))).alias("pos"))
+        .distinct())
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_tokens_after"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "tok"))),
+                        lambda s: s.tok)).alias("text_clean")))
+    n_hits = (hits.groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_hit_spans")))
+    before = corpus.select(
+        F.col(id_col),
+        F.size(toks_arr).cast("long").alias("n_tokens_before"))
+    # a missing rebuilt row means ZERO surviving tokens (untouched
+    # docs always rebuild — their kept set is their full token set),
+    # so absent joins coalesce to the empty document
+    return (before.join(rebuilt, id_col, "left")
+            .join(n_hits, id_col, "left")
+            .select(id_col, "n_tokens_before",
+                    F.coalesce("n_tokens_after", F.lit(0))
+                    .alias("n_tokens_after"),
+                    F.coalesce("n_hit_spans", F.lit(0))
+                    .alias("n_hit_spans"),
+                    F.coalesce("text_clean", F.lit(""))
+                    .alias("text_clean")))
+
+
 def build_span_index(df: DataFrame, n: int = 5,
                      text_col: str = "text") -> DataFrame:
     """Distinct 64-bit span hashes of a corpus's word ``n``-grams —

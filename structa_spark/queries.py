@@ -2584,6 +2584,92 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("scrub_eval_spans", oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS wt,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS wl
+  FROM documents WHERE doc_id >= 20
+),
+ev AS (
+  SELECT DISTINCT unnest(list_transform(
+             range(1, greatest(len(wl) - 4, 0) + 1),
+             i -> array_to_string(list_slice(wl, i, i + 4), ' ')))
+             AS g
+  FROM (SELECT list_filter(string_split_regex(trim(lower(text)),
+                                              '\\s+'),
+               t -> t <> '') AS wl
+        FROM documents WHERE doc_id < 20)
+  WHERE len(wl) >= 5
+),
+spans AS (
+  -- the gram joins AFTER the unnest: duckdb 1.0 rejects
+  -- array_to_string inside a struct literal's values
+  SELECT doc_id, u.s.pos AS pos,
+         array_to_string(u.s.gl, ' ') AS g
+  FROM base, unnest(list_transform(
+           range(1, greatest(len(wl) - 4, 0) + 1),
+           i -> {'pos': i - 1,
+                 'gl': list_slice(wl, i, i + 4)})) u(s)
+  WHERE len(wl) >= 5
+),
+hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN ev USING (g)),
+nh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_spans
+  FROM hits GROUP BY 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS cpos
+  FROM hits, range(0, 5) r(j)
+),
+toks AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+  FROM base, unnest(list_transform(
+           range(1, len(wt) + 1),
+           i -> {'pos': i - 1, 'tok': wt[i]})) u(s)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c
+    ON c.doc_id = t.doc_id AND c.cpos = t.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, CAST(len(b.wt) AS BIGINT) AS n_tokens_before,
+       COALESCE(r.n_tokens_after, 0) AS n_tokens_after,
+       COALESCE(h.n_hit_spans, 0) AS n_hit_spans,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM base b
+LEFT JOIN reb r USING (doc_id) LEFT JOIN nh h USING (doc_id)
+ORDER BY b.doc_id
+""")
+def scrub_eval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination, values-checked down to the rebuilt
+    strings: every corpus word 5-gram span that also occurs in the
+    held-out eval slice (doc_id < 20, the same stand-in benchmark as
+    contamination_check) is removed, covered tokens drop, and the
+    surviving original-case tokens reassemble — the oracle rebuilds
+    the exact same texts (broadcast eval span set, overlap coverage,
+    token order), so a drift in span matching, coverage arithmetic or
+    reassembly hash-mismatches on the strings themselves. Unlike
+    contamination_check (detection: doc-level hit counts), this is
+    the APPLIED hygiene step — one quoted benchmark sentence costs
+    its span, not the whole page. The oracle's position bounds are
+    fully dynamic (list_transform over per-document ranges), so the
+    same SQL replays on multi-thousand-token documents."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 20)
+    co = d.where(F.col("doc_id") >= 20)
+    return (dedup.scrub_contaminated_spans(co, ev, n=5)
+            .orderBy("doc_id"))
+
+
 @register("sequence_packing", oracle=f"""
 WITH d AS (
   SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,

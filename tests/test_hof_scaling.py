@@ -134,8 +134,8 @@ def test_token_pipelines_scale_linearly(spark):
     try:
         failures = []
         for name, op in ops.items():
-            t_small = _best_of(2, lambda: op(small))
-            t_big = _best_of(2, lambda: op(big))
+            t_small = _best_of(3, lambda: op(small))
+            t_big = _best_of(3, lambda: op(big))
             ratio = t_big / max(t_small, 1e-3)
             if ratio > 8.0:
                 failures.append(f"{name}: 4x tokens -> {ratio:.1f}x time "

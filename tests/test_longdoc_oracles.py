@@ -88,6 +88,7 @@ _LONGDOC_QUERIES = [
     "dsir_logweights",
     "source_token_jsd",
     "nb_lang_confusion",
+    "scrub_eval_spans",
 ]
 
 

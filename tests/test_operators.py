@@ -2450,6 +2450,35 @@ def test_chunk_windows_overlap_and_edges(spark):
         t.chunk_windows(df, size=0, stride=1)
 
 
+def test_scrub_contaminated_spans(spark):
+    from structa_spark.operators import dedup as dd
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")],
+        "doc_id long, text string")
+    co = spark.createDataFrame(
+        [(1, "intro words then The Quick Brown FOX jumps and more"),
+         (2, "completely unrelated content with enough tokens here"),
+         (3, "the quick brown fox jumps"),     # fully covered
+         (4, None),                            # null text
+         (5, "short doc")],                    # < n tokens, no spans
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dd.scrub_contaminated_spans(co, ev, n=5).collect()}
+    # matching is case-insensitive, surviving tokens keep case
+    assert got[1].n_hit_spans == 1
+    assert got[1].text_clean == "intro words then and more"
+    assert got[1].n_tokens_after == 5
+    # untouched docs ride through whole (whitespace-normalized)
+    assert got[2].n_hit_spans == 0
+    assert got[2].text_clean == \
+        "completely unrelated content with enough tokens here"
+    assert got[2].n_tokens_after == got[2].n_tokens_before == 7
+    # a fully-contaminated doc scrubs to empty, not to its input
+    assert (got[3].n_tokens_after, got[3].text_clean) == (0, "")
+    assert (got[4].n_tokens_before, got[4].text_clean) == (0, "")
+    assert got[5].n_hit_spans == 0 and got[5].n_tokens_after == 2
+
+
 def test_review_fixes_null_text_and_modes(spark):
     import math
     from structa_spark.operators import dedup as dd
