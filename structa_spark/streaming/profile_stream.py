@@ -282,3 +282,70 @@ def incremental_dedup_stream(sdf: DataFrame, index: DataFrame,
     return (inc.join(idx, "__h__", "left")
             .select(id_col, "dup_of",
                     F.col("dup_of").isNull().alias("is_new")))
+
+
+def scrub_spans_stream(sdf: DataFrame, eval_spans,
+                       n: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``operators.dedup.scrub_contaminated_spans``:
+    surgically remove every word ``n``-gram span that occurs in the
+    held-out eval set from each INCOMING document — the hygiene
+    filter applied at ingest time, before a contaminated span ever
+    lands in the corpus.
+
+    ``eval_spans`` is the driver-side list of the eval set's distinct
+    lowercased spans (e.g. ``[r.g for r in dedup._span_grams(
+    eval_df, n, None, "text").select("g").distinct().collect()]``).
+    Eval benchmarks are bounded by nature, so the set ships as ONE
+    array literal inside the expression (the streaming analogue of
+    the batch operator's broadcast) and the whole scrub — span
+    flags, coverage, token filter, reassembly — is a pure PER-ROW
+    expression: stateless, append-mode-safe, no watermark, and
+    per-microbatch output equals the batch operator row for row.
+
+    Per-token coverage reads at most ``n`` flag entries (a token is
+    covered iff some hit span STARTS within the previous ``n-1``
+    positions), so the expression stays linear in document length —
+    never "for each token scan all hits".
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _bind
+    from ..operators.text import tokens, word_ngrams
+
+    ev = F.lit(sorted(set(eval_spans)))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def build(wt):
+        grams = word_ngrams(F.transform(wt, F.lower), n)
+
+        def with_flags(fl):
+            ng = F.size(fl)
+
+            def covered(i):
+                lo = F.greatest(i - (n - 1), F.lit(0))
+                hi = F.least(i, ng - 1)
+                return F.when(
+                    (ng > 0) & (lo <= hi),
+                    F.exists(F.sequence(lo, hi),
+                             lambda j: F.element_at(fl, j + 1))) \
+                    .otherwise(F.lit(False))
+
+            kept = F.filter(wt, lambda t, i: ~covered(i))
+            return F.struct(
+                F.size(wt).cast("long").alias("n_tokens_before"),
+                F.size(kept).cast("long").alias("n_tokens_after"),
+                F.size(F.filter(fl, lambda x: x)).cast("long")
+                 .alias("n_hit_spans"),
+                F.concat_ws(" ", kept).alias("text_clean"))
+
+        return _bind(
+            F.transform(grams, lambda g: F.array_contains(ev, g)),
+            with_flags)
+
+    # materialize the struct once, then expand: four getField reads of
+    # the raw expression would re-run the whole scrub per field
+    s = _bind(tokens(F.trim(txt)), build)
+    return (sdf.select(F.col(id_col), s.alias("__s"))
+            .select(id_col, "__s.n_tokens_before", "__s.n_tokens_after",
+                    "__s.n_hit_spans", "__s.text_clean"))

@@ -528,3 +528,45 @@ def test_dsir_stream_static_scoring_matches_batch(spark, tmp_path):
     # the out-of-model doc even though both carry novel buckets
     assert 12 not in got
     assert got[10][1] > got[11][1]
+
+
+def test_scrub_spans_stream_matches_batch(spark, tmp_path):
+    # ingest-time surgical decontamination: the per-row expression
+    # twin must equal the batch operator row for row, in append mode,
+    # stateless
+    import json as _json
+
+    from structa_spark.operators import dedup as _dedup
+    from structa_spark.streaming.profile_stream import scrub_spans_stream
+
+    ev_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")],
+        "doc_id long, text string")
+    docs = [(1, "intro words then The Quick Brown FOX jumps and more"),
+            (2, "completely unrelated content with enough tokens here"),
+            (3, "the quick brown fox jumps"),
+            (4, None),
+            (5, "short doc")]
+    p = tmp_path / "scrubdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    ev_spans = [r.g for r in _dedup._span_grams(ev_df, 5, None, "text")
+                .select("g").distinct().collect()]
+    out = scrub_spans_stream(sdf, ev_spans, n=5)
+    _run_stream(out, "scrub_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM scrub_stream").collect())
+    want = sorted(tuple(r) for r in _dedup.scrub_contaminated_spans(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        ev_df, n=5).collect())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][4] == "intro words then and more"
+    assert by_id[3][1:] == (5, 0, 1, "")
