@@ -458,6 +458,51 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
 
 
+def fuzzy_contamination(corpus: DataFrame, eval_df: DataFrame,
+                        threshold: float = 0.2, k: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """FUZZY test-set decontamination: corpus documents whose word
+    ``k``-shingle Jaccard against some individual eval document
+    reaches ``threshold`` — the paraphrase/near-duplicate overlap
+    that :func:`contamination_hits` (raw shared-shingle counts) and
+    exact-span scrubbing both under-report when the benchmark text
+    was lightly rewritten. Returns ``(id, eval_id, jaccard)`` per
+    qualifying pair, so the caller can drop, down-weight, or audit
+    per-benchmark.
+
+    EXACT Jaccard, not MinHash: the eval side is a benchmark —
+    bounded by nature — so its exploded shingle set broadcasts and
+    the corpus-side cost is one broadcast-hash lookup per shingle
+    plus one aggregation keyed (corpus doc, eval doc), bounded by
+    actual overlap. LSH would only re-approximate what this computes
+    exactly at the same corpus-side cost (the quadratic LSH avoids is
+    corpus x corpus, not corpus x tiny-eval). No corpus shuffle
+    beyond the hit aggregation; shingles come from the same
+    expression the dedup pipeline uses."""
+    from .dedup import ensure_parallelism, word_shingles
+
+    ev_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+    ev_sz = (eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_ev")))
+    co = ensure_parallelism(corpus).select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
+    co_ex = co.select(id_col, F.size("__sh").alias("n_co"),
+                      F.explode("__sh").alias("s"))
+    inter = (co_ex.join(F.broadcast(ev_sh), "s")
+             .groupBy(id_col, "n_co", "eval_id")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    j = F.col("n_inter") / (F.col("n_co") + F.col("n_ev")
+                            - F.col("n_inter"))
+    return (inter.join(F.broadcast(ev_sz), "eval_id")
+            .where(j >= threshold)
+            .select(F.col(id_col), F.col("eval_id"),
+                    F.round(j, 6).alias("jaccard")))
+
+
 def pack_sequences(df: DataFrame, budget: int,
                    part_cols=("lang",), order_col: str = "doc_id",
                    id_col: str = "doc_id",

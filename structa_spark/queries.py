@@ -2584,6 +2584,42 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("fuzzy_contamination_pairs", oracle=f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id, {_shingles_sql()} AS sh
+  FROM documents WHERE doc_id < 20
+), co AS (
+  SELECT doc_id, {_shingles_sql()} AS sh
+  FROM documents WHERE doc_id >= 20
+), evx AS (SELECT eval_id, unnest(sh) AS s FROM ev),
+evs AS (SELECT eval_id, len(sh) AS n_ev FROM ev),
+cox AS (SELECT doc_id, len(sh) AS n_co, unnest(sh) AS s FROM co),
+inter AS (
+  SELECT doc_id, n_co, eval_id, count(*) AS n_inter
+  FROM cox JOIN evx USING (s) GROUP BY 1, 2, 3
+)
+SELECT doc_id, eval_id,
+       round(n_inter / (n_co + n_ev - n_inter), 6) AS jaccard
+FROM inter JOIN evs USING (eval_id)
+WHERE n_inter / (n_co + n_ev - n_inter) >= 0.05
+ORDER BY doc_id, eval_id
+""")
+def fuzzy_contamination_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Paraphrase-level decontamination, values-checked: per (corpus
+    doc, eval doc) word-3-shingle Jaccard >= 0.05 against the same
+    stand-in benchmark slice as contamination_check (doc_id < 20).
+    Exact Jaccard — the eval side is bounded, so LSH would only
+    re-approximate what one broadcast join computes exactly; the
+    oracle replays shingle sets, intersection counts and the
+    union-normalized ratio."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 20)
+    co = d.where(F.col("doc_id") >= 20)
+    return (text.fuzzy_contamination(co, ev, threshold=0.05)
+            .orderBy("doc_id", "eval_id"))
+
+
 @register("scrub_eval_spans", oracle="""
 WITH base AS (
   SELECT doc_id,

@@ -119,6 +119,7 @@ def test_driver_window_covers_every_family():
         # registered in round 6 (oracle-checked here; rotates into a
         # later driver window)
         "scrub_eval_spans": "contamination_check",
+        "fuzzy_contamination_pairs": "contamination_check",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
