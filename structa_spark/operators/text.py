@@ -120,15 +120,37 @@ def lang_scores(text: Column):
 def lang_id(df: DataFrame, text_col: str = "text",
             out_col: str = "lang_pred") -> DataFrame:
     """Argmax language by stopword hits; deterministic tiebreak on
-    language code; 'und' (undetermined) when no hits at all."""
-    scores = lang_scores(F.col(text_col))
-    langs = sorted(scores)           # deterministic tie order
-    best = F.greatest(*[scores[l] for l in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):     # earlier lang wins ties
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.withColumn(out_col, pred)
+    language code; 'und' (undetermined) when no hits at all.
+
+    Both the token array AND the per-language score array are
+    let-bound: the naive expression (each score referenced from the
+    greatest() and every tie-break branch) re-ran the tokenizing
+    split ~25x per row. Same scores, same tie order, identical
+    predictions."""
+    from .dedup import _bind
+
+    langs = sorted(LANG_STOPWORDS)   # deterministic tie order
+
+    def member(words):
+        return lambda x: x.isin(list(words))
+
+    def build(tv):
+        score_arr = F.array(*[
+            F.size(F.filter(tv, member(LANG_STOPWORDS[lang])))
+            for lang in langs])
+
+        def pick(sa):
+            best = F.array_max(sa)
+            pred = F.lit("und")
+            for i in range(len(langs) - 1, -1, -1):  # earlier wins
+                pred = F.when(F.element_at(sa, i + 1) == best,
+                              F.lit(langs[i])).otherwise(pred)
+            return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+        return _bind(score_arr, pick)
+
+    return df.withColumn(
+        out_col, _bind(tokens(F.lower(F.col(text_col))), build))
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
