@@ -2762,3 +2762,22 @@ def test_shuffle_order_dense_reproducible_salted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shuffle_order(df, n_shards=0)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    # spec-legal 0xFF fill bytes before a marker (ITU-T T.81
+    # B.1.1.2) and length-less standalone markers (TEM 0x01) between
+    # header segments must not break the segment walk - real camera
+    # baseline files carry both
+    import numpy as np
+
+    from structa_spark.operators import jpeg
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    enc = bytes(jpeg.encode_jpeg(arr))
+    want = jpeg.decode_jpeg_pixels(enc)
+    # inject fill bytes + a TEM marker right after SOI
+    padded = enc[:2] + b"\xff\xff\xff\x01" + enc[2:]
+    got = jpeg.decode_jpeg_pixels(padded)
+    assert (got == want).all()
