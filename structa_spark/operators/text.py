@@ -227,6 +227,52 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.lit(0.0)), 4).alias("top_bigram_frac"))
 
 
+def top_ngram_fracs(df: DataFrame, ns=(2, 3, 4),
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Gopher's "fraction of text in the most common n-gram" filter
+    for EVERY requested n, long format: one row per (doc, n) with
+    the top n-gram's occurrence count and the capped token-coverage
+    fraction ``min(n * count / n_tokens, 1)``.
+    :func:`repetition_signals` carries the n=2 case inline; training
+    pipelines thresholding several n at once (the paper uses 2-4)
+    read this one relation instead of three scans. Every document
+    appears for every n — too-short documents with count 0 — so
+    downstream joins need no restore pass.
+
+    Scale shape: the token array materializes once per document and
+    each n unions one explode over it; counts aggregate keyed
+    (doc, n, gram) — no global hot key, map-side partials apply —
+    and the per-(doc, n) max is a second small agg. No Python, no
+    window."""
+    base = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks"))
+    base = base.select(
+        id_col, "__toks",
+        F.size("__toks").cast("long").alias("n_tokens"))
+    grams = None
+    for n in sorted(set(int(n) for n in ns)):
+        g = base.select(
+            F.col(id_col), F.col("n_tokens"),
+            F.lit(n).cast("int").alias("n"),
+            F.explode_outer(word_ngrams(F.col("__toks"), n))
+            .alias("gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = (grams.groupBy(id_col, "n_tokens", "n", "gram")
+           .agg(F.count(F.lit(1)).alias("c")))
+    top = (cnt.groupBy(id_col, "n_tokens", "n")
+           .agg(F.coalesce(
+               F.max(F.when(F.col("gram").isNotNull(), F.col("c"))),
+               F.lit(0)).cast("long").alias("top_count")))
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.col("n") * F.col("top_count") / F.col("n_tokens"),
+                F.lit(1.0))).otherwise(F.lit(0.0))
+    return top.select(id_col, "n", "n_tokens", "top_count",
+                      F.round(frac, 4).alias("top_frac"))
+
+
 def chunk_passages(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 32) -> DataFrame:
     """Chunk each document into consecutive ``k``-token passages —

@@ -2584,6 +2584,51 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("repetition_ngram_profile", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n.n,
+         unnest(list_transform(
+             range(1, greatest(len(ws) - (n.n - 1), 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + n.n - 1),
+                                  ' '))) AS gram
+  FROM t, (VALUES (2), (3), (4)) n(n)
+  WHERE len(ws) >= n.n
+),
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, n, max(c) AS top_count FROM cnt GROUP BY 1, 2
+)
+SELECT d.doc_id, CAST(n.n AS INT) AS n,
+       CAST(len(d.ws) AS BIGINT) AS n_tokens,
+       COALESCE(t.top_count, 0) AS top_count,
+       CASE WHEN len(d.ws) > 0
+            THEN round(least(n.n * COALESCE(t.top_count, 0)
+                             / len(d.ws), 1.0), 4)
+            ELSE 0.0 END AS top_frac
+FROM t d CROSS JOIN (VALUES (2), (3), (4)) n(n)
+LEFT JOIN top t ON t.doc_id = d.doc_id AND t.n = n.n
+ORDER BY d.doc_id, n.n
+""")
+def repetition_ngram_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram repetition filter at n = 2, 3, 4 in one
+    relation, values-checked: per (doc, n) the most frequent word
+    n-gram's count and capped coverage fraction, every document
+    present at every n (too-short docs at 0). The oracle replays
+    gram construction (fully dynamic bounds — long-doc safe),
+    counting, the per-(doc, n) max and the capped ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return text.top_ngram_fracs(d, ns=(2, 3, 4)).orderBy("doc_id", "n")
+
+
 @register("fuzzy_contamination_pairs", oracle=f"""
 WITH ev AS (
   SELECT doc_id AS eval_id, {_shingles_sql()} AS sh

@@ -120,6 +120,7 @@ def test_driver_window_covers_every_family():
         # later driver window)
         "scrub_eval_spans": "contamination_check",
         "fuzzy_contamination_pairs": "contamination_check",
+        "repetition_ngram_profile": "training_manifest",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
