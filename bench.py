@@ -62,6 +62,8 @@ def main():
         int8_topk_search, json_props_stats, mixed_resample_counts,
         nb_lang_confusion,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
+        repetition_ngram_profile, scrub_eval_spans,
+        fuzzy_contamination_pairs,
         q3_top_orders, q5_nation_revenue, repetition_signals,
         rollup_nation_year, semantic_dedup_summary, sessionize_events,
         dsir_resample_topk,
@@ -152,6 +154,9 @@ def main():
             "winnow_overlap": bench_winnow,
             "token_jsd": run_df(source_token_jsd),
             "dsir_select": run_df(dsir_resample_topk),
+            "scrub_spans": run_df(scrub_eval_spans),
+            "fuzzy_decontam": run_df(fuzzy_contamination_pairs),
+            "ngram_profile": run_df(repetition_ngram_profile),
         }
 
     suite = make_suite(SF_DIR)
@@ -316,7 +321,7 @@ def main():
             "chunk_windows": lambda d: text.chunk_windows(
                 d, 32, 16).count(),
         }
-        # 3 alternated passes per size, per-op MIN: this box shares
+        # N_RUNS alternated passes per size, per-op MIN: this box shares
         # hardware and load spikes inflate single passes 10-20x (a
         # measured winnow pass went 50s -> 5.6s within one session as
         # external load drained), which fakes a quadratic exponent.
@@ -326,7 +331,7 @@ def main():
         frames = {n: _docs(200, n) for n in (2000, 8000)}
         doclen_passes = {n: {name: [] for name in doclen_ops}
                          for n in frames}
-        for _ in range(3):
+        for _ in range(N_RUNS):
             for n_tok, df in frames.items():
                 for name, op in doclen_ops.items():
                     t0 = time.time()
@@ -351,7 +356,7 @@ def main():
         out["doclen_ladder"] = {
             "n_docs": 200,
             "n_tokens": [2000, 8000],
-            "aggregation": "per-op min of 3 alternated passes",
+            "aggregation": f"per-op min of {N_RUNS} alternated passes",
             "queries": {str(k): v for k, v in doclen.items()},
             "passes": {str(k): v for k, v in doclen_passes.items()},
             "exponents": doclen_exp,

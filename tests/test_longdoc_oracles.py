@@ -89,6 +89,7 @@ _LONGDOC_QUERIES = [
     "source_token_jsd",
     "nb_lang_confusion",
     "scrub_eval_spans",
+    "repetition_ngram_profile",
 ]
 
 
