@@ -104,6 +104,55 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality_score", F.round(score, 4))
 
 
+def c4_rule_flags(df: DataFrame, text_col: str = "text",
+                  min_words: int = 5,
+                  mean_word_len_range=(3.0, 10.0)) -> DataFrame:
+    """The classic C4/RedPajama heuristic rule set as one projection
+    of boolean flag columns plus the combined ``keep`` verdict
+    (Raffel et al. 2020 §2.2's page filters, minus the line-level
+    rules, which need newline-preserving ingestion):
+
+    * ``ends_terminal`` — text ends with terminal punctuation
+      (``. ! ? "``), the "complete sentence" proxy;
+    * ``has_brace`` — contains ``{`` (code/templating leak);
+    * ``has_lorem`` — contains "lorem ipsum";
+    * ``has_policy`` — boilerplate legalese ("terms of use",
+      "privacy policy", "cookie policy", "all rights reserved");
+    * ``enough_words`` — at least ``min_words`` whitespace tokens;
+    * ``sane_word_len`` — mean word length inside
+      ``mean_word_len_range`` (symbol soup / minified-text guard);
+    * ``keep`` — the conjunction C4 applies.
+
+    One scan, no shuffle, no Python — flags compose with
+    quality_score/lang_id in the same projection at 100 TB."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.length(F.concat_ws("", toks)) / n_tok).otherwise(F.lit(0.0))
+    lo, hi = mean_word_len_range
+    flags = {
+        "ends_terminal": F.trim(t).rlike(r'[.!?"]$'),
+        "has_brace": t.contains("{"),
+        "has_lorem": low.contains("lorem ipsum"),
+        "has_policy": (low.contains("terms of use")
+                       | low.contains("privacy policy")
+                       | low.contains("cookie policy")
+                       | low.contains("all rights reserved")),
+        "enough_words": n_tok >= min_words,
+        "sane_word_len": (mean_len >= lo) & (mean_len <= hi),
+    }
+    out = df
+    for name, c in flags.items():
+        out = out.withColumn(name, c)
+    keep = (F.col("ends_terminal") & ~F.col("has_brace")
+            & ~F.col("has_lorem") & ~F.col("has_policy")
+            & F.col("enough_words") & F.col("sane_word_len"))
+    return out.withColumn("keep", keep)
+
+
 def lang_scores(text: Column):
     """Per-language stopword-hit counts (the n-gram heuristic)."""
     toks = tokens(F.lower(text))

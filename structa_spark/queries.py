@@ -2584,6 +2584,53 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("c4_rule_flags", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         lower(coalesce(text, '')) AS low,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         regexp_matches(trim(t), '[.!?"]$') AS ends_terminal,
+         contains(t, '{') AS has_brace,
+         contains(low, 'lorem ipsum') AS has_lorem,
+         (contains(low, 'terms of use')
+          OR contains(low, 'privacy policy')
+          OR contains(low, 'cookie policy')
+          OR contains(low, 'all rights reserved')) AS has_policy,
+         len(toks) >= 5 AS enough_words,
+         CASE WHEN len(toks) > 0
+              THEN len(array_to_string(toks, '')) / len(toks)
+              ELSE 0.0 END AS mean_len
+  FROM d
+)
+SELECT doc_id, ends_terminal, has_brace, has_lorem, has_policy,
+       enough_words,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS sane_word_len,
+       (ends_terminal AND NOT has_brace AND NOT has_lorem
+        AND NOT has_policy AND enough_words
+        AND mean_len >= 3.0 AND mean_len <= 10.0) AS keep
+FROM f ORDER BY doc_id
+""")
+def c4_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 heuristic page filters (Raffel et al. 2020 §2.2, minus
+    the line-level rules) per document, values-checked flag by flag:
+    terminal punctuation, brace leak, lorem ipsum, policy
+    boilerplate, word count, mean word length, and the combined keep
+    verdict. One projection in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.c4_rule_flags(d)
+            .select("doc_id", "ends_terminal", "has_brace",
+                    "has_lorem", "has_policy", "enough_words",
+                    "sane_word_len", "keep")
+            .orderBy("doc_id"))
+
+
 @register("repetition_ngram_profile", oracle="""
 WITH t AS (
   SELECT doc_id,

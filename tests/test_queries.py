@@ -121,6 +121,7 @@ def test_driver_window_covers_every_family():
         "scrub_eval_spans": "contamination_check",
         "fuzzy_contamination_pairs": "contamination_check",
         "repetition_ngram_profile": "training_manifest",
+        "c4_rule_flags": "lang_id_confusion",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
