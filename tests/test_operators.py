@@ -2781,3 +2781,64 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     padded = enc[:2] + b"\xff\xff\xff\x01" + enc[2:]
     got = jpeg.decode_jpeg_pixels(padded)
     assert (got == want).all()
+
+
+def test_scrub_contaminated_spans_randomized_reference(spark):
+    # 40 seeded random docs (some splicing eval substrings, some
+    # empty/null) against a 6-doc eval set, checked token-for-token
+    # against a pure-Python reference implementation
+    import random
+
+    from structa_spark.operators import dedup as dd
+
+    rng = random.Random(20240815)
+    vocab = [f"w{i}" for i in range(15)]
+    n = 5
+
+    def rand_doc(lo, hi):
+        return [rng.choice(vocab) for _ in range(rng.randint(lo, hi))]
+
+    ev_rows = [(100 + i, " ".join(rand_doc(5, 30))) for i in range(6)]
+    co_rows = []
+    for d in range(40):
+        if d == 0:
+            co_rows.append((d, None))
+            continue
+        toks = rand_doc(0, 60)
+        if rng.random() < 0.5 and ev_rows:
+            src = rng.choice(ev_rows)[1].split()
+            if len(src) >= n:
+                a = rng.randint(0, len(src) - n)
+                b = rng.randint(a + n, len(src))
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = src[a:b]
+        # mixed case exercises the case-insensitive matching
+        toks = [t.upper() if rng.random() < 0.2 else t for t in toks]
+        co_rows.append((d, " ".join(toks)))
+
+    ev_spans = set()
+    for _, txt in ev_rows:
+        wl = txt.lower().split()
+        for i in range(len(wl) - n + 1):
+            ev_spans.add(" ".join(wl[i:i + n]))
+    want = {}
+    for did, txt in co_rows:
+        wt = (txt or "").split()
+        wl = [w.lower() for w in wt]
+        hits = [i for i in range(len(wl) - n + 1)
+                if " ".join(wl[i:i + n]) in ev_spans]
+        covered = {j for i in hits for j in range(i, i + n)}
+        kept = [wt[i] for i in range(len(wt)) if i not in covered]
+        want[did] = (len(wt), len(kept), len(hits), " ".join(kept))
+
+    got = {r.doc_id: (r.n_tokens_before, r.n_tokens_after,
+                      r.n_hit_spans, r.text_clean)
+           for r in dd.scrub_contaminated_spans(
+               spark.createDataFrame(co_rows,
+                                     "doc_id long, text string"),
+               spark.createDataFrame(ev_rows,
+                                     "doc_id long, text string"),
+               n=n).collect()}
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())   # non-vacuous
+    assert any(v[2] == 0 and v[0] > 0 for v in want.values())

@@ -570,3 +570,35 @@ def test_scrub_spans_stream_matches_batch(spark, tmp_path):
     by_id = {r[0]: r for r in got}
     assert by_id[1][4] == "intro words then and more"
     assert by_id[3][1:] == (5, 0, 1, "")
+
+
+def test_c4_rule_flags_streams_stateless(spark, tmp_path):
+    # the C4 page filters are one projection: they must run on a
+    # stream unchanged, append-mode, equal to the batch twin
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    docs = [(1, 'A proper sentence with enough words here.'),
+            (2, 'short {code}'),
+            (3, 'all rights reserved boilerplate page footer text.')]
+    p = tmp_path / "c4docs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.c4_rule_flags(sdf), "c4_stream", "append")
+    got = {r.doc_id: (r.keep, r.has_brace, r.has_policy) for r in
+           spark.sql("SELECT * FROM c4_stream").collect()}
+    want = {r.doc_id: (r.keep, r.has_brace, r.has_policy) for r in
+            _text.c4_rule_flags(spark.createDataFrame(
+                docs, "doc_id long, text string")).collect()}
+    assert got == want
+    assert got[1] == (True, False, False)
+    assert got[2][1] is True and got[2][0] is False
+    assert got[3][2] is True and got[3][0] is False
