@@ -155,3 +155,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set(thr, old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    # the 100 TB posture of every decontamination shape: the bounded
+    # eval side must broadcast so the corpus never shuffles to find
+    # hits
+    for name in ("contamination_check", "scrub_eval_spans",
+                 "fuzzy_contamination_pairs"):
+        fn, _ = REGISTRY[name]
+        plan = _plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan[:1500]}"
