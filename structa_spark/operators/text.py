@@ -289,37 +289,48 @@ def top_ngram_fracs(df: DataFrame, ns=(2, 3, 4),
     appears for every n — too-short documents with count 0 — so
     downstream joins need no restore pass.
 
-    Scale shape: the token array materializes once per document and
-    each n unions one explode over it; counts aggregate keyed
-    (doc, n, gram) — no global hot key, map-side partials apply —
-    and the per-(doc, n) max is a second small agg. No Python, no
-    window."""
+    Scale shape: ONE corpus explode — the per-n gram arrays
+    concatenate as (n, gram) structs over the once-materialized
+    token array, so adding an n does not add a scan. Counts
+    aggregate keyed (doc, n, gram) — no global hot key, map-side
+    partials apply — the per-(doc, n) max is a second small agg,
+    and a column-pruned (doc, n_tokens) x ns spine restores the
+    too-short documents at 0. No Python, no window."""
+    ns = sorted(set(int(n) for n in ns))
     base = df.select(
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("__toks"))
     base = base.select(
         id_col, "__toks",
         F.size("__toks").cast("long").alias("n_tokens"))
-    grams = None
-    for n in sorted(set(int(n) for n in ns)):
-        g = base.select(
-            F.col(id_col), F.col("n_tokens"),
-            F.lit(n).cast("int").alias("n"),
-            F.explode_outer(word_ngrams(F.col("__toks"), n))
-            .alias("gram"))
-        grams = g if grams is None else grams.unionByName(g)
-    cnt = (grams.groupBy(id_col, "n_tokens", "n", "gram")
+
+    def tagger(n_):
+        return lambda g: F.struct(
+            F.lit(n_).cast("int").alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[
+        F.transform(word_ngrams(F.col("__toks"), n), tagger(n))
+        for n in ns])
+    ex = (base.select(F.col(id_col), F.explode(tagged).alias("t"))
+          .select(id_col, F.col("t.n").alias("n"),
+                  F.col("t.gram").alias("gram")))
+    cnt = (ex.groupBy(id_col, "n", "gram")
            .agg(F.count(F.lit(1)).alias("c")))
-    top = (cnt.groupBy(id_col, "n_tokens", "n")
-           .agg(F.coalesce(
-               F.max(F.when(F.col("gram").isNotNull(), F.col("c"))),
-               F.lit(0)).cast("long").alias("top_count")))
+    top = (cnt.groupBy(id_col, "n")
+           .agg(F.max("c").cast("long").alias("top_count")))
+    spine = base.select(
+        id_col, "n_tokens",
+        F.explode(F.array(*[F.lit(n).cast("int") for n in ns]))
+        .alias("n"))
+    joined = (spine.join(top, [id_col, "n"], "left")
+              .withColumn("top_count",
+                          F.coalesce("top_count", F.lit(0))))
     frac = F.when(
         F.col("n_tokens") > 0,
         F.least(F.col("n") * F.col("top_count") / F.col("n_tokens"),
                 F.lit(1.0))).otherwise(F.lit(0.0))
-    return top.select(id_col, "n", "n_tokens", "top_count",
-                      F.round(frac, 4).alias("top_frac"))
+    return joined.select(id_col, "n", "n_tokens", "top_count",
+                         F.round(frac, 4).alias("top_frac"))
 
 
 def chunk_passages(df: DataFrame, id_col: str = "doc_id",
