@@ -60,7 +60,7 @@ def main():
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
-        nb_lang_confusion,
+        image_dhash_values, nb_lang_confusion,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         repetition_ngram_profile, scrub_eval_spans,
         fuzzy_contamination_pairs,
@@ -157,6 +157,7 @@ def main():
             "scrub_spans": run_df(scrub_eval_spans),
             "fuzzy_decontam": run_df(fuzzy_contamination_pairs),
             "ngram_profile": run_df(repetition_ngram_profile),
+            "image_dhash": run_df(image_dhash_values),
         }
 
     suite = make_suite(SF_DIR)

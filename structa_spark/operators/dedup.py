@@ -554,9 +554,26 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     would otherwise emit the corpus squared. Pairs whose ONLY shared
     block lives in a dropped bucket are lost; raise ``max_bucket``
     (or pre-filter degenerate documents) when that tail matters."""
+    s = simhash_df(df, text_col, id_col, bits)
+    return hamming_near_duplicates(s, id_col=id_col, sig_col="sh",
+                                   max_hamming=max_hamming, bits=bits,
+                                   max_bucket=max_bucket)
+
+
+def hamming_near_duplicates(sig_df: DataFrame, id_col: str = "doc_id",
+                            sig_col: str = "sh",
+                            max_hamming: int = 3,
+                            bits: int = SIMHASH_BITS,
+                            max_bucket: int = 10_000) -> DataFrame:
+    """Near-dup pairs among PRECOMPUTED ``bits``-wide signatures by
+    Hamming distance — the pigeonhole core of
+    :func:`simhash_near_duplicates`, factored so any signature family
+    (text simhash, image dhash, audio fingerprints) reuses the same
+    full-recall bucketing, capped expansion and exact popcount
+    verification. Input: one ``(id, signature)`` row per item."""
     n_blocks = max_hamming + 1
     block_size = -(-bits // n_blocks)  # ceil
-    s = simhash_df(df, text_col, id_col, bits)
+    s = sig_df.select(F.col(id_col), F.col(sig_col).alias("sh"))
     mask = (1 << block_size) - 1
     blocks = F.array(*[
         F.struct(F.lit(j).alias("blk"),
@@ -576,7 +593,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # then expand via posexplode + slice-past-self so peak memory
     # per row is O(bucket), not O(bucket^2) (see minhash_candidates)
     grouped = grouped.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
+        sig_df.sparkSession.sparkContext.defaultParallelism)
     mem = F.array_sort(F.col("members"))     # orders by id first
     members = grouped.select(mem.alias("mem"),
                              F.posexplode(mem).alias("i", "a"))

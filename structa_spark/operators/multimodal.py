@@ -1285,3 +1285,72 @@ def video_metadata(df: DataFrame, payload_col: str = "payload",
             })
 
     return df.mapInPandas(batches, schema=VIDEO_META_SCHEMA)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", bits: int = 48) -> DataFrame:
+    """Perceptual difference-hash of image payloads: decode (PNG/GIF/
+    baseline-JPEG via the stdlib decoders), integer grayscale,
+    nearest-neighbor resize to 8 rows x (bits/8 + 1) columns, then one
+    bit per horizontal neighbor pair (``1`` iff the right pixel is
+    brighter) — the classic dHash, robust to re-encoding, scaling and
+    small edits. ``bits`` defaults to 48 so the signature drops
+    straight into the simhash pigeonhole machinery
+    (:func:`structa_spark.operators.dedup.hamming_near_duplicates`).
+
+    Integer arithmetic end to end (sum//channels grayscale, index-map
+    resize, strict > compare), so the hash is bit-deterministic
+    across platforms and exactly replayable by an oracle that knows
+    the pixel formula. Undecodable payloads yield a null hash (rows
+    kept, join cardinality stable). Arrow-batched; payload bytes stay
+    executor-side.
+    """
+    import numpy as np
+
+    rows = 8
+    if bits % rows:
+        raise ValueError(f"bits must be a multiple of {rows}: {bits}")
+    cols = bits // rows + 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    _kind, arr = _decode_image(p)
+                    if arr.ndim == 3:
+                        arr = (arr.astype(np.int64).sum(axis=2)
+                               // arr.shape[2])
+                    small = _resize_nearest(arr, rows, cols) \
+                        .astype(np.int64)
+                    diff = (small[:, 1:] > small[:, :-1]).flatten()
+                    h = 0
+                    for b in np.nonzero(diff)[0]:
+                        h |= 1 << int(b)
+                    out.append((int(mid), h))
+                except DecodeUnavailable:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, dhash long")
+
+
+def image_near_duplicates(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id",
+                          max_hamming: int = 3, bits: int = 48,
+                          max_bucket: int = 10_000) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance — the
+    image twin of text simhash dedup, sharing the full-recall
+    pigeonhole bucketing: signatures within ``max_hamming`` agree on
+    at least one of ``max_hamming + 1`` blocks, so candidates come
+    from ONE bucket shuffle (never an all-pairs join) and verify with
+    the exact popcount. Undecodable payloads drop (a null hash can
+    match nothing)."""
+    from .dedup import hamming_near_duplicates
+
+    sig = image_dhash(df, payload_col, id_col, bits) \
+        .where(F.col("dhash").isNotNull())
+    return hamming_near_duplicates(
+        sig, id_col=id_col, sig_col="dhash",
+        max_hamming=max_hamming, bits=bits, max_bucket=max_bucket)

@@ -3863,6 +3863,62 @@ def resized_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stats(resized).orderBy("media_id")
 
 
+@register("image_dhash_values", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+bits AS (
+  SELECT media_id,
+         CAST(y.y * 6 + x.x AS INT) AS b,
+         CASE WHEN ((media_id + 3 * ((y.y * h) // 8)
+                     + (((x.x + 1) * w) // 7)) % 256)
+                > ((media_id + 3 * ((y.y * h) // 8)
+                    + ((x.x * w) // 7)) % 256)
+              THEN 1 ELSE 0 END AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 7) y(y)
+  CROSS JOIN generate_series(0, 5) x(x)
+)
+SELECT media_id,
+       CAST(sum(v * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS dhash
+FROM bits GROUP BY 1 ORDER BY 1
+""")
+def image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dHash, values-checked END TO END through the
+    real codec path: generate gradient PNGs (same formula and ids as
+    resized_media_stats), REAL-decode, nearest-neighbor resize to
+    7x8 gray, one bit per horizontal neighbor pair, packed to a
+    48-bit signature. The oracle predicts every resized pixel from
+    the generator formula and the index map ((y*h)//8, (x*w)//7) and
+    rebuilds the exact bit packing — a drift in the decoder, the
+    resampler, the gray conversion, the compare direction or the bit
+    order all hash-mismatch. The signature width matches the simhash
+    pigeonhole (hamming_near_duplicates), which image_near_duplicates
+    reuses for sub-quadratic image dedup."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 3 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 7, 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append((i, mm.encode_png(
+                    arr, row_filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.image_dhash(media).orderBy("media_id")
+
+
 @register("curriculum_shard_stats", oracle="""
 WITH cuts AS (
   SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c

@@ -2842,3 +2842,32 @@ def test_scrub_contaminated_spans_randomized_reference(spark):
     assert got == want
     assert any(v[2] > 0 for v in want.values())   # non-vacuous
     assert any(v[2] == 0 and v[0] > 0 for v in want.values())
+
+
+def test_image_near_duplicates(spark):
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0] = (int(tweaked[0, 0]) + 40) % 256   # tiny edit
+    other = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_png(base))),
+        # same pixels, different filter choices -> same decode
+        (2, bytearray(mm.encode_png(base, row_filters=[0, 1, 2, 3, 4]))),
+        (3, bytearray(mm.encode_png(tweaked))),
+        (4, bytearray(mm.encode_png(other))),
+        (5, None),                                    # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+    assert sig[1] == sig[2]            # re-encode invariance
+    assert sig[5] is None
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             mm.image_near_duplicates(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 6
+    assert not any(4 in p or 5 in p for p in pairs)

@@ -122,6 +122,7 @@ def test_driver_window_covers_every_family():
         "fuzzy_contamination_pairs": "contamination_check",
         "repetition_ngram_profile": "training_manifest",
         "c4_rule_flags": "lang_id_confusion",
+        "image_dhash_values": "resized_media_stats",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
