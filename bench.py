@@ -60,7 +60,7 @@ def main():
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
-        image_dhash_values, nb_lang_confusion,
+        audio_envelope_hashes, image_dhash_values, nb_lang_confusion,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         repetition_ngram_profile, scrub_eval_spans,
         fuzzy_contamination_pairs,
@@ -158,6 +158,7 @@ def main():
             "fuzzy_decontam": run_df(fuzzy_contamination_pairs),
             "ngram_profile": run_df(repetition_ngram_profile),
             "image_dhash": run_df(image_dhash_values),
+            "audio_envhash": run_df(audio_envelope_hashes),
         }
 
     suite = make_suite(SF_DIR)

@@ -3919,6 +3919,72 @@ def image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash(media).orderBy("media_id")
 
 
+@register("audio_envelope_hashes", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 400 + 1 AS n
+  FROM documents
+),
+s AS (
+  SELECT media_id,
+         abs(((media_id * 7 + 13 * t.t) % 401) - 200) AS a,
+         (t.t * 49) // n AS w
+  FROM ids CROSS JOIN generate_series(0, 399) t(t)
+  WHERE t.t < n
+),
+e AS (SELECT media_id, w, sum(a) AS energy FROM s GROUP BY 1, 2),
+grid AS (
+  SELECT media_id, wn.w
+  FROM ids CROSS JOIN generate_series(0, 48) wn(w)
+),
+ee AS (
+  SELECT g.media_id, g.w, COALESCE(e.energy, 0) AS energy
+  FROM grid g LEFT JOIN e ON e.media_id = g.media_id AND e.w = g.w
+),
+bits AS (
+  SELECT a.media_id, CAST(a.w AS INT) AS b,
+         CASE WHEN b2.energy > a.energy THEN 1 ELSE 0 END AS v
+  FROM ee a JOIN ee b2
+    ON b2.media_id = a.media_id AND b2.w = a.w + 1
+  WHERE a.w < 48
+)
+SELECT media_id,
+       CAST(sum(v * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS env_hash
+FROM bits GROUP BY 1 ORDER BY 1
+""")
+def audio_envelope_hashes(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Audio energy-envelope hash, values-checked END TO END through
+    the real WAV decoder: generate mono 16-bit PCM clips whose
+    sample values follow a formula of (media_id, t), REAL-decode,
+    window the |sample| stream into 49 energy bins by the index map
+    t*49//n (empty bins zero for sub-49-sample clips), one bit per
+    neighboring bin pair, packed to 48 bits. The oracle recomputes
+    every sample, bin sum and bit from the formula, so a drift in
+    the RIFF walk, PCM reinterpret, mixdown, windowing or bit
+    packing hash-mismatches. The signature feeds
+    audio_near_duplicates via the shared pigeonhole machinery."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 400 + 1
+                samp = np.array(
+                    [((i * 7 + 13 * t) % 401) - 200 for t in range(n)],
+                    dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_envelope_hash(media).orderBy("media_id")
+
+
 @register("curriculum_shard_stats", oracle="""
 WITH cuts AS (
   SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c

@@ -2871,3 +2871,37 @@ def test_image_near_duplicates(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 6
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_audio_near_duplicates(spark):
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(-3000, 3000, size=490).astype("<i2")
+    tweak = base.copy()
+    tweak[:10] = tweak[:10] // 2            # dampen one window
+    other = rng.randint(-3000, 3000, size=490).astype("<i2")
+    stereo = np.repeat(base, 2).astype("<i2")  # same signal, 2ch
+    rows = [
+        (1, bytearray(mm.wav_bytes(8000, 1, 490, bits=16,
+                                   samples=base.tobytes()))),
+        (2, bytearray(mm.wav_bytes(8000, 2, 490, bits=16,
+                                   samples=stereo.tobytes()))),
+        (3, bytearray(mm.wav_bytes(8000, 1, 490, bits=16,
+                                   samples=tweak.tobytes()))),
+        (4, bytearray(mm.wav_bytes(8000, 1, 490, bits=16,
+                                   samples=other.tobytes()))),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = {r.media_id: r.env_hash
+           for r in mm.audio_envelope_hash(df).collect()}
+    assert sig[1] == sig[2]            # mono mixdown invariance
+    assert sig[5] is None
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             mm.audio_near_duplicates(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p or 5 in p for p in pairs)
