@@ -602,3 +602,47 @@ def test_c4_rule_flags_streams_stateless(spark, tmp_path):
     assert got[1] == (True, False, False)
     assert got[2][1] is True and got[2][0] is False
     assert got[3][2] is True and got[3][0] is False
+
+
+def test_image_dhash_streams_stateless(spark, tmp_path):
+    # the perceptual-hash path (generate -> real decode -> dhash) is
+    # two stateless mapInPandas stages: it must run on a stream
+    # unchanged, append mode, equal to the batch twin
+    import json as _json
+
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    ids = [0, 3, 6, 9]
+    p = tmp_path / "dhashids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 7, 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append((i, mm.encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = mm.image_dhash(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "dhash_stream", "append")
+    got = {r.media_id: r.dhash for r in
+           spark.sql("SELECT * FROM dhash_stream").collect()}
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = {r.media_id: r.dhash for r in mm.image_dhash(
+        bdf.mapInPandas(build, "media_id long, payload binary"))
+        .collect()}
+    assert got == want and len(got) == 4
+    assert all(v is not None for v in got.values())
