@@ -1992,6 +1992,64 @@ def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("list_id"))
 
 
+@register("diverse_sample_by_cluster", oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+               FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.cvec) AS s
+  FROM embeddings e CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cid) AS rn
+  FROM scored),
+assigned AS (SELECT vec_id, cid AS list_id FROM best WHERE rn = 1),
+ranked AS (
+  SELECT list_id, vec_id,
+         row_number() OVER (
+             PARTITION BY list_id
+             ORDER BY {md5_long_sql("CAST(vec_id AS VARCHAR)")}
+                      % 1000000, vec_id) AS rn
+  FROM assigned)
+SELECT list_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM ranked GROUP BY 1 ORDER BY 1
+""")
+def diverse_sample_by_cluster(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Diversity-capped sampling, values-checked: assign every
+    embedding to its nearest IVF cell (same fixed centroids and
+    tie-break as ivf_assignment_counts) and keep at most 25 vectors
+    per cell by deterministic hash order — the cluster-quota
+    downsampling that keeps a training mix from being swamped by one
+    dense mode (the coreset-flavored complement of SemDeDup's
+    near-duplicate pruning). Composition of two existing oracled
+    operators (similarity.ivf_assign x sampling.cap_per_group); the
+    oracle replays assignment, the hash draw and the per-cell rank.
+    Scale: one broadcast of the centroid list, ONE window shuffle
+    keyed by cell — the hash order bounds a skewed cell's sort at
+    O(cell), and the quota output is K x cells rows."""
+    from .operators import sampling
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [r.embedding
+             for r in e.where(F.col("vec_id") < 4)
+                       .orderBy("vec_id").collect()]
+    assigned = similarity.ivf_assign(e, cents)
+    kept = sampling.cap_per_group(assigned.select("vec_id", "list_id"),
+                                  "list_id", 25, key_col="vec_id")
+    totals = (assigned.groupBy("list_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    kc = (kept.groupBy("list_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_kept")))
+    return (totals.join(kc, "list_id", "left")
+            .select("list_id", "n_vecs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+            .orderBy("list_id"))
+
+
 @register("dedup_corpus_keep", oracle=f"""
 WITH RECURSIVE {_neardup_cc_sql()}, keepers AS (
   SELECT min(d.doc_id) AS doc_id

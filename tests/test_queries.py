@@ -124,6 +124,7 @@ def test_driver_window_covers_every_family():
         "c4_rule_flags": "lang_id_confusion",
         "image_dhash_values": "resized_media_stats",
         "audio_envelope_hashes": "audio_header_metadata",
+        "diverse_sample_by_cluster": "ivf_topk_search",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
