@@ -2770,6 +2770,84 @@ def fuzzy_contamination_pairs(spark: SparkSession,
             .orderBy("doc_id", "eval_id"))
 
 
+@register("source_curation_report_v2", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         coalesce(text, '') AS t,
+         lower(coalesce(text, '')) AS low,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id >= 20
+),
+flags AS (
+  SELECT doc_id, source,
+         CASE WHEN regexp_matches(trim(t), '[.!?"]$')
+                   AND NOT contains(t, '{{')
+                   AND NOT contains(low, 'lorem ipsum')
+                   AND NOT (contains(low, 'terms of use')
+                            OR contains(low, 'privacy policy')
+                            OR contains(low, 'cookie policy')
+                            OR contains(low, 'all rights reserved'))
+                   AND len(toks) >= 5
+                   AND (CASE WHEN len(toks) > 0
+                        THEN len(array_to_string(toks, ''))
+                             / len(toks)
+                        ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+              THEN 1 ELSE 0 END AS keep
+  FROM d
+),
+ev AS (
+  SELECT doc_id AS eval_id, {_shingles_sql()} AS sh
+  FROM documents WHERE doc_id < 20
+), co AS (
+  SELECT doc_id, {_shingles_sql()} AS sh
+  FROM documents WHERE doc_id >= 20
+), evx AS (SELECT eval_id, unnest(sh) AS s FROM ev),
+evs AS (SELECT eval_id, len(sh) AS n_ev FROM ev),
+cox AS (SELECT doc_id, len(sh) AS n_co, unnest(sh) AS s FROM co),
+inter AS (
+  SELECT doc_id, n_co, eval_id, count(*) AS n_inter
+  FROM cox JOIN evx USING (s) GROUP BY 1, 2, 3
+),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM inter JOIN evs USING (eval_id)
+  WHERE n_inter / (n_co + n_ev - n_inter) >= 0.05
+)
+SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(f.keep), 4) AS c4_keep_frac,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fuzzy_contaminated
+FROM flags f LEFT JOIN contam c USING (doc_id)
+GROUP BY f.source ORDER BY f.source
+""")
+def source_curation_report_v2(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The round-6 additions composed into the per-source dashboard:
+    C4 page-filter keep rate and paraphrase-level eval contamination
+    per source (the v1 report carries quality/lang/span-dup). The
+    flag pass is one projection over the corpus slice; contamination
+    marks compose doc-wise via the broadcast eval shingle set; the
+    rollup is a source-keyed agg — every stage replayed by the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 20)
+    co = d.where(F.col("doc_id") >= 20)
+    flags = text.c4_rule_flags(co).select(
+        "doc_id", "source", F.col("keep").cast("int").alias("k"))
+    contam = (text.fuzzy_contamination(co, ev, threshold=0.05)
+              .select("doc_id").distinct()
+              .withColumn("__c", F.lit(1)))
+    return (flags.join(contam, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("k"), 4).alias("c4_keep_frac"),
+                 F.sum(F.coalesce("__c", F.lit(0))).cast("long")
+                 .alias("n_fuzzy_contaminated"))
+            .orderBy("source"))
+
+
 @register("scrub_eval_spans", oracle="""
 WITH base AS (
   SELECT doc_id,

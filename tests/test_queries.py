@@ -125,6 +125,7 @@ def test_driver_window_covers_every_family():
         "image_dhash_values": "resized_media_stats",
         "audio_envelope_hashes": "audio_header_metadata",
         "diverse_sample_by_cluster": "ivf_topk_search",
+        "source_curation_report_v2": "source_curation_report",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
