@@ -60,14 +60,16 @@ def main():
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
-        audio_envelope_hashes, image_dhash_values, nb_lang_confusion,
+        audio_envelope_hashes, diverse_sample_by_cluster,
+        image_dhash_values, nb_lang_confusion,
         passage_dedup_summary, pq_adc_topk, q1_pricing_summary,
         repetition_ngram_profile, scrub_eval_spans,
         fuzzy_contamination_pairs,
         q3_top_orders, q5_nation_revenue, repetition_signals,
         rollup_nation_year, semantic_dedup_summary, sessionize_events,
         dsir_resample_topk,
-        source_curation_report, source_token_jsd, span_dedup_texts,
+        source_curation_report, source_curation_report_v2,
+        source_token_jsd, span_dedup_texts,
         tfidf_top_terms, token_stats_by_lang, top_orders_per_customer,
         training_manifest, unigram_nll, windowed_event_stats,
     )
@@ -159,6 +161,8 @@ def main():
             "ngram_profile": run_df(repetition_ngram_profile),
             "image_dhash": run_df(image_dhash_values),
             "audio_envhash": run_df(audio_envelope_hashes),
+            "diverse_sample": run_df(diverse_sample_by_cluster),
+            "curation_v2": run_df(source_curation_report_v2),
         }
 
     suite = make_suite(SF_DIR)
