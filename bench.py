@@ -337,7 +337,15 @@ def main():
         frames = {n: _docs(200, n) for n in (2000, 8000)}
         doclen_passes = {n: {name: [] for name in doclen_ops}
                          for n in frames}
+        doclen_load = []
         for _ in range(N_RUNS):
+            # 1-minute load average per pass: when an exponent reads
+            # super-linear, this shows whether external contention
+            # (not the operator) owned the run
+            try:
+                doclen_load.append(round(os.getloadavg()[0], 1))
+            except OSError:
+                doclen_load.append(None)
             for n_tok, df in frames.items():
                 for name, op in doclen_ops.items():
                     t0 = time.time()
@@ -365,6 +373,7 @@ def main():
             "aggregation": f"per-op min of {N_RUNS} alternated passes",
             "queries": {str(k): v for k, v in doclen.items()},
             "passes": {str(k): v for k, v in doclen_passes.items()},
+            "loadavg_per_pass": doclen_load,
             "exponents": doclen_exp,
         }
 
