@@ -72,10 +72,18 @@ class AnalyzerConfig:
     strip_whitespace: bool = False  # trim strings before analysis
     max_pattern_len: int = 64       # induce patterns up to this width
     exact: bool = False             # exact quartiles/distincts (oracle mode)
-    quantile_accuracy: int = 1000   # percentile_approx accuracy (~1/err)
+    # percentile_approx accuracy (~1/err). PRECEDENCE: used only when
+    # kll_k == 0 (and exact is False) — with a KLL sketch enabled the
+    # displayed quartiles read from that sketch (fixed ~1.65% rank
+    # error at k=200) so merge_profiles folds the very numbers shown,
+    # and this knob is ignored. Set kll_k=0 to get the
+    # accuracy-tunable percentile_approx path (profiles then carry no
+    # mergeable quantile state).
+    quantile_accuracy: int = 1000
     # KLL-doubles sketch parameter for the mergeable quantile summary
     # carried in Stats.qsketches (k=200 -> ~1.65% worst-case rank
-    # error, ~3 KB serialized). 0 disables carrying sketches.
+    # error, ~3 KB serialized). 0 disables carrying sketches (and
+    # hands quartiles to percentile_approx/quantile_accuracy above).
     kll_k: int = 200
     # HLL++ relative standard deviation for approx_count_distinct in
     # sketch mode. Tight (0.5%) because the uniqueness flag is derived

@@ -136,6 +136,11 @@ def minhash_signature(shingles: Column,
             for a, b in params]
 
 
+# one-deep cache of scrub_contaminated_spans' tokenized-corpus
+# relation (see text._evict_then_cache for the eviction contract)
+_SCRUB_TOKS_CACHE: list = []
+
+
 def _bind(value: Column, fn) -> Column:
     """Evaluate ``value`` once and pass it to ``fn`` — a let-binding
     via a singleton-array transform. Without this, referencing an
@@ -891,7 +896,8 @@ def drop_duplicated_spans(df: DataFrame, n: int = 5,
 
 def scrub_contaminated_spans(corpus: DataFrame, eval_df: DataFrame,
                              n: int = 5, id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             persist: bool = True) -> DataFrame:
     """SURGICAL test-set decontamination: remove from each corpus
     document every word ``n``-gram span that also occurs anywhere in
     the held-out evaluation set, and keep the rest of the document —
@@ -911,18 +917,35 @@ def scrub_contaminated_spans(corpus: DataFrame, eval_df: DataFrame,
     corpus side never shuffles to find hits; hit spans explode to
     (doc, token position) coverage, one doc-keyed anti-join keeps the
     surviving tokens, and reassembly sorts within each document only.
-    Spans come from the shared :func:`_span_grams`, so tokenization
-    cannot drift from the span-dedup family or the detection-only
-    :func:`structa_spark.operators.text.contamination_hits`.
+    The corpus text column TOKENIZES ONCE: the three consumers
+    (original-case token positions, lowercased span grams, per-doc
+    token counts) all derive from one persisted ``(id, __toks)``
+    projection (one-deep module cache, same lifecycle as
+    dsir_logweights' feature counts) — without it, column pruning
+    recompiles each branch into its own full corpus scan and the
+    text column is read and split three times. ``persist=False``
+    opts out (the branches then recompute — only sensible when the
+    caller persists upstream). Grams lowercase the bound token
+    array, which is byte-identical to tokenizing lowercased text
+    (lowercasing never creates or removes whitespace), so
+    tokenization cannot drift from the span-dedup family's shared
+    :func:`_span_grams`.
     """
+    from .text import _evict_then_cache
     from .text import tokens as _tokens
+    from .text import word_ngrams as _word_ngrams
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks_arr = _tokens(F.trim(txt))
-    toks = corpus.select(
-        F.col(id_col), F.posexplode(toks_arr).alias("pos", "tok"))
+    base = corpus.select(
+        F.col(id_col), _tokens(F.trim(txt)).alias("__toks"))
+    if persist:
+        base = _evict_then_cache(_SCRUB_TOKS_CACHE, base)
+    toks = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok"))
     ev = _span_grams(eval_df, n, None, text_col).select("g").distinct()
-    spans = _span_grams(corpus, n, id_col, text_col)
+    grams = _word_ngrams(F.transform(F.col("__toks"), F.lower), n)
+    spans = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g"))
     hits = spans.join(F.broadcast(ev), "g")
     covered = (hits.select(
         id_col,
@@ -939,9 +962,9 @@ def scrub_contaminated_spans(corpus: DataFrame, eval_df: DataFrame,
                         lambda s: s.tok)).alias("text_clean")))
     n_hits = (hits.groupBy(id_col)
               .agg(F.count(F.lit(1)).cast("long").alias("n_hit_spans")))
-    before = corpus.select(
+    before = base.select(
         F.col(id_col),
-        F.size(toks_arr).cast("long").alias("n_tokens_before"))
+        F.size("__toks").cast("long").alias("n_tokens_before"))
     # a missing rebuilt row means ZERO surviving tokens (untouched
     # docs always rebuild — their kept set is their full token set),
     # so absent joins coalesce to the empty document

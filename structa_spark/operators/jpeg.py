@@ -210,6 +210,11 @@ def _decode_jpeg(payload):
         # (ITU-T T.81 B.1.1.2) — real camera files carry them
         while i + 1 < len(p) and p[i + 1] == 0xFF:
             i += 1
+        if i + 2 > len(p):
+            # payload ends inside a fill-byte run: keep the contract
+            # "JpegError or pixels" even for direct _decode_jpeg
+            # callers, not a bare IndexError from the read below
+            raise JpegError("truncated marker")
         m = p[i + 1]
         if m == 0xD8:
             i += 2

@@ -1310,6 +1310,12 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     rows = 8
     if bits % rows:
         raise ValueError(f"bits must be a multiple of {rows}: {bits}")
+    if not 0 < bits <= 56:
+        # bit index bits-1 must stay below 63: the hash column is a
+        # signed int64, so bits=64 would overflow at the Arrow/pandas
+        # long conversion on ~half of all inputs. 56 is the largest
+        # multiple of 8 that fits.
+        raise ValueError(f"bits must be in [8, 56]: {bits}")
     cols = bits // rows + 1
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1375,6 +1381,11 @@ def audio_envelope_hash(df: DataFrame, payload_col: str = "payload",
     hash (rows kept)."""
     import numpy as np
 
+    if not 0 < bits <= 63:
+        # highest diff bit is bits-1; the env_hash column is a signed
+        # int64, so bits=64 would set bit 63 and overflow at the
+        # Arrow/pandas long conversion on ~half of all inputs
+        raise ValueError(f"bits must be in [1, 63]: {bits}")
     windows = bits + 1
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -286,7 +286,8 @@ def incremental_dedup_stream(sdf: DataFrame, index: DataFrame,
 
 def scrub_spans_stream(sdf: DataFrame, eval_spans,
                        n: int = 5, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_eval_spans: int = 100_000) -> DataFrame:
     """Streaming twin of ``operators.dedup.scrub_contaminated_spans``:
     surgically remove every word ``n``-gram span that occurs in the
     held-out eval set from each INCOMING document — the hygiene
@@ -303,17 +304,48 @@ def scrub_spans_stream(sdf: DataFrame, eval_spans,
     expression: stateless, append-mode-safe, no watermark, and
     per-microbatch output equals the batch operator row for row.
 
+    COST MODEL (be honest about the literal): each gram is checked
+    against the span set with an ``array_contains`` scan, so per-doc
+    cost is O(n_grams x |eval_spans|) — the |eval| factor has no
+    streaming-side hash-join to hide behind. Two mitigations keep it
+    practical: spans ship as 64-bit ``md5_long`` hashes (8-byte
+    integer compares and ~50x less plan bloat than embedding the
+    span strings; same verdicts as the batch operator's exact string
+    join barring 1-in-2^64 collisions), and ``max_eval_spans``
+    (default 1e5) raises rather than silently degrading ingest —
+    beyond it, run the batch operator per microbatch via
+    ``foreachBatch``, where the eval side is a real broadcast hash
+    join. A true stream-static join form would need an
+    explode + re-aggregate on the stream side — stateful, and no
+    longer append-mode-safe; this operator's contract is stateless.
+
     Per-token coverage reads at most ``n`` flag entries (a token is
     covered iff some hit span STARTS within the previous ``n-1``
     positions), so the expression stays linear in document length —
     never "for each token scan all hits".
     """
+    import hashlib
+
     from pyspark.sql import functions as F
 
+    from ..functions.hashing import md5_long
     from ..operators.dedup import _bind
     from ..operators.text import tokens, word_ngrams
 
-    ev = F.lit(sorted(set(eval_spans)))
+    distinct_spans = sorted(set(eval_spans))
+    if len(distinct_spans) > max_eval_spans:
+        raise ValueError(
+            f"scrub_spans_stream: {len(distinct_spans)} eval spans "
+            f"exceed max_eval_spans={max_eval_spans}; per-gram cost "
+            f"is O(|eval_spans|) in this stateless form — scrub via "
+            f"foreachBatch + scrub_contaminated_spans instead")
+
+    def _md5_long_py(s: str) -> int:
+        # driver-side twin of functions.hashing.md5_long
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    ev = F.lit(sorted(_md5_long_py(s) for s in distinct_spans)) \
+        .cast("array<bigint>")   # empty span set -> typed empty array
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
     def build(wt):
@@ -340,7 +372,8 @@ def scrub_spans_stream(sdf: DataFrame, eval_spans,
                 F.concat_ws(" ", kept).alias("text_clean"))
 
         return _bind(
-            F.transform(grams, lambda g: F.array_contains(ev, g)),
+            F.transform(grams, lambda g: F.array_contains(ev,
+                                                          md5_long(g))),
             with_flags)
 
     # materialize the struct once, then expand: four getField reads of

@@ -112,10 +112,25 @@ def test_token_pipelines_scale_linearly(spark):
     """4x the tokens per document must cost well under the ~16x a
     quadratic gram builder costs. The gate (8x) leaves room for the
     box's noise band while still failing hard on any quadratic
-    regression (pre-fix ratios measured 12-70x at this size)."""
+    regression (pre-fix ratios measured 12-70x at this size).
+
+    This is the SOFT half of the discipline — wall-clock on a shared
+    box; the plan-lint test above is the hard gate. On a genuinely
+    contended box (loadavg > 1.5x cores at entry) the timing is
+    meaningless noise and the test skips, recording the loadavg; any
+    failure message also carries per-op loadavg for triage."""
+    import os
+
     from structa_spark.operators import dedup as D
     from structa_spark.operators import sampling as S
     from structa_spark.operators import text as T
+
+    cores = os.cpu_count() or 1
+    load0 = os.getloadavg()[0]
+    if load0 > 1.5 * cores:
+        pytest.skip(f"box contended (loadavg {load0:.1f} > 1.5x "
+                    f"{cores} cores) — wall-clock gate would be noise;"
+                    f" the plan-lint test remains the hard gate")
 
     ops = {
         "word_shingles": lambda df: df.select(
@@ -139,7 +154,9 @@ def test_token_pipelines_scale_linearly(spark):
             ratio = t_big / max(t_small, 1e-3)
             if ratio > 8.0:
                 failures.append(f"{name}: 4x tokens -> {ratio:.1f}x time "
-                                f"({t_small:.2f}s -> {t_big:.2f}s)")
+                                f"({t_small:.2f}s -> {t_big:.2f}s, "
+                                f"loadavg {os.getloadavg()[0]:.1f}"
+                                f"/{cores} cores)")
         assert not failures, "super-linear doc-length scaling:\n" + \
             "\n".join(failures)
     finally:

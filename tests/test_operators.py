@@ -2905,3 +2905,34 @@ def test_audio_near_duplicates(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_perceptual_hash_bits_bounds(spark):
+    # the hash columns are signed int64: bits=64 would pass the old
+    # multiple-of-8 check but overflow at the Arrow long conversion
+    # whenever bit 63 is set (~half of inputs) — reject up front
+    import pytest as _pt
+
+    from structa_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, None)],
+                               "media_id long, payload binary")
+    with _pt.raises(ValueError, match=r"\[8, 56\]"):
+        mm.image_dhash(df, bits=64)
+    with _pt.raises(ValueError, match=r"\[1, 63\]"):
+        mm.audio_envelope_hash(df, bits=64)
+    # top of the legal range still constructs (lazy: no decode runs)
+    mm.image_dhash(df, bits=56)
+    mm.audio_envelope_hash(df, bits=63)
+
+
+def test_jpeg_trailing_fill_bytes_raise_jpeg_error():
+    # a payload ending inside a 0xFF fill-byte run must surface the
+    # declared JpegError even from a direct _decode_jpeg call — not
+    # a bare IndexError from reading one past the end
+    import pytest as _pt
+
+    from structa_spark.operators import jpeg as J
+
+    with _pt.raises(J.JpegError, match="truncated marker"):
+        J._decode_jpeg(b"\xff\xd8" + b"\xff" * 7)

@@ -157,6 +157,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_scrub_spans_tokenizes_corpus_once(spark):
+    # scrub_contaminated_spans derives token positions, span grams
+    # AND per-doc counts from ONE persisted (id, __toks) projection —
+    # every consumer must read the cache, not recompile its own
+    # corpus scan + split (three full text scans at 100 TB). The
+    # cached plan's own text (split + parquet scan) reprints under
+    # each InMemoryTableScan, so the assertion is on cache READS:
+    # all three-plus consumer branches hit InMemoryTableScan.
+    fn, _ = REGISTRY["scrub_eval_spans"]
+    plan = _plan(fn(spark, SF))
+    n_cache_reads = plan.count("InMemoryTableScan")
+    assert n_cache_reads >= 3, (
+        f"corpus token projection not cached ({n_cache_reads} cache "
+        f"reads) — each branch re-scans and re-tokenizes the text "
+        f"column:\n{plan[:2000]}")
+
+
 def test_decontamination_broadcasts_eval_side(spark):
     # the 100 TB posture of every decontamination shape: the bounded
     # eval side must broadcast so the corpus never shuffles to find
