@@ -153,6 +153,69 @@ def c4_rule_flags(df: DataFrame, text_col: str = "text",
     return out.withColumn("keep", keep)
 
 
+def c4_clean_lines(df: DataFrame, text_col: str = "text",
+                   min_words_per_line: int = 3,
+                   min_sentences: int = 3) -> DataFrame:
+    """C4's LINE-level rules (Raffel et al. 2020 §2.2 — the half
+    :func:`c4_rule_flags` leaves out because it needs
+    newline-preserving ingestion): split the page on newlines, keep
+    only lines that
+
+    * end in a terminal punctuation mark (``. ! ? "``);
+    * contain at least ``min_words_per_line`` whitespace words;
+    * do not mention "javascript" (case-insensitive);
+
+    reassemble the survivors with newlines, and gate the page on
+    having at least ``min_sentences`` sentences afterwards
+    (sentences approximated as terminal punctuation marks in the
+    cleaned text — C4 runs a sentence splitter; the punctuation
+    count is the engine-portable stand-in).
+
+    Adds ``n_lines``, ``n_kept_lines``, ``text_clean``,
+    ``n_sentences`` and ``page_keep``. A whitespace-only line never
+    passes the word gate, so blank separators drop; null text is an
+    empty page (one empty line, zero kept). Cleaning precedes the
+    page verdict exactly as in C4 — a page of boilerplate lines dies
+    on ``min_sentences`` even if every line LOOKED like a sentence
+    before cleaning.
+
+    Scale shape: ONE projection, no shuffle, no Python — the line
+    split runs once per row (let-bound), the keep-filter and the
+    reassembly see only bounded lambda variables, and the whole
+    battery composes with :func:`c4_rule_flags` / quality / lang-id
+    flags in the same scan at 100 TB; being a pure per-row
+    expression it also runs stateless on a stream, append-mode.
+    """
+    from .dedup import _bind
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def keep_line(ln):
+        return (ln.rlike(r'[.!?"]\s*$')
+                & (F.regexp_count(ln, F.lit(r"\S+"))
+                   >= F.lit(min_words_per_line))
+                & ~F.lower(ln).contains("javascript"))
+
+    def build(lv):
+        def with_kept(kv):
+            def with_clean(cl):
+                ns = F.regexp_count(cl, F.lit(r"[.!?]"))
+                return F.struct(
+                    F.size(lv).alias("n_lines"),
+                    F.size(kv).alias("n_kept_lines"),
+                    cl.alias("text_clean"),
+                    ns.alias("n_sentences"),
+                    (ns >= F.lit(min_sentences)).alias("page_keep"))
+            return _bind(F.concat_ws("\n", kv), with_clean)
+        return _bind(F.filter(lv, keep_line), with_kept)
+
+    s = _bind(F.split(t, r"\n"), build)
+    return (df.withColumn("__c4", s)
+            .select(*df.columns, "__c4.n_lines", "__c4.n_kept_lines",
+                    "__c4.text_clean", "__c4.n_sentences",
+                    "__c4.page_keep"))
+
+
 def lang_scores(text: Column):
     """Per-language stopword-hit counts (the n-gram heuristic)."""
     toks = tokens(F.lower(text))
@@ -331,6 +394,84 @@ def top_ngram_fracs(df: DataFrame, ns=(2, 3, 4),
                 F.lit(1.0))).otherwise(F.lit(0.0))
     return joined.select(id_col, "n", "n_tokens", "top_count",
                          F.round(frac, 4).alias("top_frac"))
+
+
+def gopher_dup_fractions(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         max_line_frac: float = 0.30,
+                         max_para_frac: float = 0.30,
+                         max_line_char_frac: float = 0.20,
+                         max_para_char_frac: float = 0.20
+                         ) -> DataFrame:
+    """Gopher's duplicate-line / duplicate-paragraph repetition
+    signals (Rae et al. 2021, Table A1 — the structural half that
+    :func:`repetition_signals` / :func:`top_ngram_fracs` don't
+    cover): per document,
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (occurrences beyond each distinct line's first);
+    * ``dup_line_char_frac`` — fraction of line characters inside
+      those repeated occurrences;
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — the same at
+      paragraph granularity (paragraphs split on blank-line runs,
+      i.e. two or more consecutive newlines);
+    * ``gopher_keep`` — the paper's thresholds applied (drop when
+      line/para frac > 0.30 or char frac > 0.20), evaluated on the
+      4-dp rounded fractions so replays across engines can never
+      straddle a threshold on float dust.
+
+    Units are trimmed before comparison and whitespace-only units
+    drop first — a blank separator line is not a "duplicate line".
+    A document with no units reports all-zero fractions and keeps.
+
+    Scale shape: ONE projection, no shuffle, no Python — each
+    granularity let-binds its unit array once, derives beyond-first
+    repeat counts as ``size(arr) - size(array_distinct(arr))`` and
+    repeated characters as the same difference over summed lengths,
+    and the whole battery composes with the other quality flags in
+    the same scan at 100 TB. Being a pure per-row expression it also
+    runs stateless on a stream, append-mode.
+    """
+    from .dedup import _bind
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    zero = F.lit(0).cast("long")
+
+    def chars(av):
+        return F.aggregate(av, zero,
+                           lambda acc, x: acc + F.length(x))
+
+    def fracs(sep_regex, prefix):
+        units = F.filter(
+            F.transform(F.split(t, sep_regex), lambda x: F.trim(x)),
+            lambda x: x != "")
+
+        def build(av):
+            def with_distinct(dv):
+                n = F.size(av)
+                tot = chars(av)
+                uf = F.when(
+                    n > 0, F.round((n - F.size(dv)) / n, 4)) \
+                    .otherwise(F.lit(0.0))
+                cf = F.when(
+                    tot > 0, F.round((tot - chars(dv)) / tot, 4)) \
+                    .otherwise(F.lit(0.0))
+                return F.struct(uf.alias(f"dup_{prefix}_frac"),
+                                cf.alias(f"dup_{prefix}_char_frac"))
+            return _bind(F.array_distinct(av), with_distinct)
+
+        return _bind(units, build)
+
+    out = (df.withColumn("__l", fracs(r"\n", "line"))
+           .withColumn("__p", fracs(r"\n{2,}", "para"))
+           .select(*df.columns,
+                   "__l.dup_line_frac", "__l.dup_line_char_frac",
+                   "__p.dup_para_frac", "__p.dup_para_char_frac"))
+    keep = ((F.col("dup_line_frac") <= max_line_frac)
+            & (F.col("dup_para_frac") <= max_para_frac)
+            & (F.col("dup_line_char_frac") <= max_line_char_frac)
+            & (F.col("dup_para_char_frac") <= max_para_char_frac))
+    return out.withColumn("gopher_keep", keep)
 
 
 def chunk_passages(df: DataFrame, id_col: str = "doc_id",

@@ -2689,6 +2689,224 @@ def c4_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("c4_line_clean", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS wt
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             range(1, CAST(ceil(len(wt) / 8.0) AS BIGINT) + 1),
+             i -> CASE
+                  WHEN i % 7 = 0
+                  THEN 'please enable javascript now.'
+                  WHEN i % 3 = 0
+                  THEN array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                  ELSE array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                       || '.'
+                  END),
+             chr(10)) AS page
+  FROM d
+),
+ln AS (
+  SELECT doc_id,
+         string_split(page, chr(10)) AS lines,
+         list_filter(string_split(page, chr(10)),
+             l -> regexp_matches(l, '[.!?"]\\s*$')
+                  AND len(regexp_extract_all(l, '\\S+')) >= 3
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM pg
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                   '[.!?]')) AS INT) AS n_sentences,
+       len(regexp_extract_all(array_to_string(kept, chr(10)),
+                              '[.!?]')) >= 3 AS page_keep
+FROM ln ORDER BY doc_id
+""")
+def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's LINE-level rules (Raffel et al. 2020 §2.2's other half),
+    values-checked down to the rebuilt page text: the corpus has no
+    newlines, so each document first becomes a deterministic
+    multi-line page — 8-token lines; every 7th line replaced by a
+    javascript notice, every 3rd left unpunctuated, the rest
+    terminal-punctuated — and ``c4_clean_lines`` then drops
+    short / unpunctuated / javascript lines, reassembles, and gates
+    the page on >= 3 surviving sentences. The oracle rebuilds the
+    exact same pages and cleaned texts, so a drift in the line
+    split, any keep-rule, reassembly order or the sentence gate
+    hash-mismatches on the strings themselves."""
+    from .operators.dedup import _bind
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+
+    def page(tv):
+        nl = F.ceil(F.size(tv) / F.lit(8.0)).cast("int")
+        idxs = F.when(nl > 0, F.sequence(F.lit(1), nl)) \
+            .otherwise(F.array().cast("array<int>"))
+
+        def line_of(i):
+            raw = F.concat_ws(
+                " ", F.slice(tv, (i - 1) * F.lit(8) + 1, 8))
+            return (F.when(i % 7 == 0,
+                           F.lit("please enable javascript now."))
+                    .when(i % 3 == 0, raw)
+                    .otherwise(F.concat(raw, F.lit("."))))
+
+        return F.concat_ws("\n", F.transform(idxs, line_of))
+
+    paged = d.select("doc_id", _bind(toks, page).alias("text"))
+    return (text.c4_clean_lines(paged)
+            .select("doc_id", "n_lines", "n_kept_lines", "text_clean",
+                    "n_sentences", "page_keep")
+            .orderBy("doc_id"))
+
+
+@register("gopher_dup_fractions", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS wt
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, CAST(ceil(len(wt) / 8.0) AS BIGINT) + 1),
+             i -> array_to_string(
+                 list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' '))
+         AS lines
+  FROM d
+),
+p AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, CAST(ceil(len(lines) / 2.0) AS BIGINT) + 1),
+             j -> array_to_string(list_slice(lines, 2*j - 1, 2*j),
+                                  chr(10)))
+         AS paras
+  FROM l
+),
+pg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 AND len(paras) >= 1
+              THEN array_to_string(paras, chr(10) || chr(10))
+                   || chr(10) || chr(10) || paras[1]
+              ELSE array_to_string(paras, chr(10) || chr(10))
+         END AS page
+  FROM p
+),
+u AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(page, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS ul,
+         list_filter(list_transform(
+                         string_split_regex(page, '\\n{2,}'),
+                         x -> trim(x)),
+                     x -> x <> '') AS up
+  FROM pg
+),
+fr AS (
+  SELECT doc_id,
+         CASE WHEN len(ul) > 0
+              THEN round((len(ul) - len(list_distinct(ul)))
+                         / len(ul), 4)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN coalesce(list_sum(list_transform(ul,
+                        x -> length(x))), 0) > 0
+              THEN round((list_sum(list_transform(ul,
+                              x -> length(x)))
+                          - coalesce(list_sum(list_transform(
+                                list_distinct(ul),
+                                x -> length(x))), 0))
+                         / list_sum(list_transform(ul,
+                               x -> length(x))), 4)
+              ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(up) > 0
+              THEN round((len(up) - len(list_distinct(up)))
+                         / len(up), 4)
+              ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN coalesce(list_sum(list_transform(up,
+                        x -> length(x))), 0) > 0
+              THEN round((list_sum(list_transform(up,
+                              x -> length(x)))
+                          - coalesce(list_sum(list_transform(
+                                list_distinct(up),
+                                x -> length(x))), 0))
+                         / list_sum(list_transform(up,
+                               x -> length(x))), 4)
+              ELSE 0.0 END AS dup_para_char_frac
+  FROM u
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac,
+       dup_para_frac, dup_para_char_frac,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20
+        AND dup_para_char_frac <= 0.20) AS gopher_keep
+FROM fr ORDER BY doc_id
+""")
+def gopher_dup_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-line / duplicate-paragraph repetition
+    fractions (Rae et al. 2021, Table A1), values-checked on derived
+    multi-paragraph pages: 8-token lines pair into 2-line
+    paragraphs, and every third document re-appends its first
+    paragraph — a real duplicated paragraph whose two lines are also
+    duplicated lines — so all four fractions and the combined
+    gopher_keep verdict exercise both the zero and non-zero paths.
+    The oracle rebuilds the same pages and replays the beyond-first
+    occurrence arithmetic (unit counts and character sums over
+    distinct-vs-all units), so drift in unit splitting, trimming,
+    blank dropping or the threshold gate hash-mismatches."""
+    from .operators.dedup import _bind
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+
+    def page(tv):
+        nl = F.ceil(F.size(tv) / F.lit(8.0)).cast("int")
+        lidx = F.when(nl > 0, F.sequence(F.lit(1), nl)) \
+            .otherwise(F.array().cast("array<int>"))
+        lines = F.transform(lidx, lambda i: F.concat_ws(
+            " ", F.slice(tv, (i - 1) * F.lit(8) + 1, 8)))
+
+        def with_lines(lv):
+            np_ = F.ceil(F.size(lv) / F.lit(2.0)).cast("int")
+            pidx = F.when(np_ > 0, F.sequence(F.lit(1), np_)) \
+                .otherwise(F.array().cast("array<int>"))
+            paras = F.transform(pidx, lambda j: F.concat_ws(
+                "\n", F.slice(lv, 2 * j - 1, 2)))
+
+            def with_paras(pv):
+                base = F.concat_ws("\n\n", pv)
+                return F.when(
+                    (F.col("doc_id") % 3 == 0) & (F.size(pv) >= 1),
+                    F.concat(base, F.lit("\n\n"),
+                             F.element_at(pv, 1))).otherwise(base)
+
+            return _bind(paras, with_paras)
+
+        return _bind(lines, with_lines)
+
+    paged = d.select("doc_id", _bind(toks, page).alias("text"))
+    return (text.gopher_dup_fractions(paged)
+            .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+                    "dup_para_frac", "dup_para_char_frac",
+                    "gopher_keep")
+            .orderBy("doc_id"))
+
+
 @register("repetition_ngram_profile", oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -4441,30 +4659,36 @@ DRIVER_PRIORITY = [
     "profile_type_candidates",
     # joins / windows / grouping sets / drift
     "asof_next_purchase_gap", "sliding_event_stats",
-    "sessionize_events", "cube_status_priority",
-    "pivot_lang_source_counts", "daily_event_drift",
-    # dedup (incl. the round-5 span/winnow family)
-    "dedup_exact_groups", "minhash_band_buckets", "lsh_recall",
-    "containment_pairs", "incremental_dedup_verdicts",
-    "span_dup_coverage", "span_dedup_texts", "winnow_overlap_pairs",
-    "incremental_span_hits", "dedup_keep_best",
+    "cube_status_priority", "pivot_lang_source_counts",
+    "daily_event_drift",
+    # dedup (span/winnow family anchored by span_dup_coverage)
+    "dedup_exact_groups", "minhash_band_buckets",
+    "containment_pairs", "span_dup_coverage", "winnow_overlap_pairs",
+    # decontamination (detect + surgical scrub + fuzzy)
+    "contamination_check", "scrub_eval_spans",
+    "fuzzy_contamination_pairs",
     # text analysis / tokenization / corpus prep
-    "lang_id_confusion", "nb_lang_confusion", "html_extracted_text",
-    "tfidf_top_terms", "bigram_nll", "reflm_nll",
+    "lang_id_confusion", "html_extracted_text",
+    "tfidf_top_terms", "bigram_nll",
     "source_token_jsd", "bpe_merge_candidates",
-    "contamination_check", "sequence_packing", "window_chunks",
+    "sequence_packing", "window_chunks",
     "mixing_weights_by_source",
+    # quality-filter battery (C4 page + line rules, Gopher profiles)
+    "c4_rule_flags", "c4_line_clean", "gopher_dup_fractions",
+    "repetition_ngram_profile",
     # sampling / selection / composed pipeline
-    "dsir_logweights", "dsir_resample_topk", "shuffle_order_coords",
+    "dsir_logweights", "shuffle_order_coords",
     "curriculum_shard_stats", "variant_props_stats",
     "training_manifest", "source_curation_report",
+    "source_curation_report_v2", "diverse_sample_by_cluster",
     # retrieval / similarity
     "cosine_topk", "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
     "hybrid_rrf_topk",
     # multimodal
-    "audio_header_metadata", "video_header_metadata",
-    "resized_media_stats", "decompressed_text_stats",
+    "audio_header_metadata", "resized_media_stats",
+    "decompressed_text_stats", "image_dhash_values",
+    "audio_envelope_hashes",
 ]
 
 _unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -2907,6 +2907,67 @@ def test_audio_near_duplicates(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_c4_clean_lines_rules(spark):
+    # each line rule pinned on crafted pages: terminal punctuation,
+    # min words, javascript mention, blank separators, empty page,
+    # and the min-sentences page gate AFTER cleaning
+    from structa_spark.operators import text as T
+
+    docs = [
+        (1, "A good long sentence right here.\nshort.\n"
+            "please enable javascript now.\nNo terminal punct line\n"
+            "Another proper sentence ends well!\n\n"
+            "Third full sentence closes out fine."),
+        (2, None),                                  # null page
+        (3, "one two three"),                       # no terminal punct
+        (4, "Only one good sentence in this page."),  # < min_sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.c4_clean_lines(df).collect()}
+    assert got[1].text_clean == (
+        "A good long sentence right here.\n"
+        "Another proper sentence ends well!\n"
+        "Third full sentence closes out fine.")
+    assert (got[1].n_lines, got[1].n_kept_lines,
+            got[1].n_sentences, got[1].page_keep) == (7, 3, 3, True)
+    assert (got[2].n_kept_lines, got[2].text_clean,
+            got[2].page_keep) == (0, "", False)
+    assert got[3].n_kept_lines == 0          # unpunctuated line drops
+    assert (got[4].n_kept_lines, got[4].page_keep) == (1, False)
+    # quoted-speech terminal mark counts like C4's
+    q = spark.createDataFrame(
+        [(9, 'He said "stop right there now."')],
+        "doc_id long, text string")
+    assert T.c4_clean_lines(q).collect()[0].n_kept_lines == 1
+
+
+def test_gopher_dup_fractions_rules(spark):
+    from structa_spark.operators import text as T
+
+    docs = [
+        # 2 paragraphs; 2nd repeats the 1st: dup para AND dup lines
+        (1, "aa bb\ncc dd\n\naa bb\ncc dd"),
+        (2, "unique one line\nanother line\n\nsecond para here"),
+        (3, None),
+        (4, "x\nx\nx\nx\nx"),                 # 4/5 lines duplicated
+        # blank separator lines are NOT duplicate lines
+        (5, "alpha beta\n\n\n\ngamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.gopher_dup_fractions(df).collect()}
+    assert (got[1].dup_line_frac, got[1].dup_para_frac) == (0.5, 0.5)
+    assert got[1].dup_line_char_frac == 0.5
+    assert got[1].gopher_keep is False
+    assert (got[2].dup_line_frac, got[2].dup_para_frac,
+            got[2].gopher_keep) == (0.0, 0.0, True)
+    assert (got[3].dup_line_frac, got[3].gopher_keep) == (0.0, True)
+    assert (got[4].dup_line_frac, got[4].dup_line_char_frac) \
+        == (0.8, 0.8)
+    assert got[4].gopher_keep is False
+    assert (got[5].dup_line_frac, got[5].dup_para_frac,
+            got[5].gopher_keep) == (0.0, 0.0, True)
+
+
 def test_perceptual_hash_bits_bounds(spark):
     # the hash columns are signed int64: bits=64 would pass the old
     # multiple-of-8 check but overflow at the Arrow long conversion

@@ -116,16 +116,6 @@ def test_driver_window_covers_every_family():
         "decoded_media_stats": "resized_media_stats",
         "json_props_stats": "variant_props_stats",
         "split_counts_by_lang": "curriculum_shard_stats",
-        # registered in round 6 (oracle-checked here; rotates into a
-        # later driver window)
-        "scrub_eval_spans": "contamination_check",
-        "fuzzy_contamination_pairs": "contamination_check",
-        "repetition_ngram_profile": "training_manifest",
-        "c4_rule_flags": "lang_id_confusion",
-        "image_dhash_values": "resized_media_stats",
-        "audio_envelope_hashes": "audio_header_metadata",
-        "diverse_sample_by_cluster": "ivf_topk_search",
-        "source_curation_report_v2": "source_curation_report",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
@@ -141,6 +131,19 @@ def test_driver_window_covers_every_family():
         "hashed_doc_vectors": "tfidf_top_terms",
         "unigram_nll": "bigram_nll",
         "pii_scan": "html_extracted_text",
+        # rotated OUT in round 7 (driver-green in rounds 1-6) to make
+        # room for the 8 round-6 newcomers + the round-7 C4/Gopher
+        # line-rule pair
+        "sessionize_events": "sliding_event_stats",
+        "lsh_recall": "minhash_band_buckets",
+        "incremental_dedup_verdicts": "dedup_exact_groups",
+        "span_dedup_texts": "span_dup_coverage",
+        "incremental_span_hits": "span_dup_coverage",
+        "dedup_keep_best": "dedup_exact_groups",
+        "nb_lang_confusion": "lang_id_confusion",
+        "reflm_nll": "bigram_nll",
+        "dsir_resample_topk": "dsir_logweights",
+        "video_header_metadata": "audio_header_metadata",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \

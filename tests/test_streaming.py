@@ -604,6 +604,45 @@ def test_c4_rule_flags_streams_stateless(spark, tmp_path):
     assert got[3][2] is True and got[3][0] is False
 
 
+def test_c4_clean_lines_streams_stateless(spark, tmp_path):
+    # the C4 LINE rules are one pure projection like the page flags:
+    # they must run on a stream unchanged, append-mode, equal to the
+    # batch twin down to the rebuilt page text
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    docs = [(1, "A proper first sentence here.\nshort.\n"
+                "please enable javascript now.\n"
+                "Another full sentence survives too!\n"
+                "Third one closes the page out fine."),
+            (2, "no terminal punctuation anywhere"),
+            (3, None)]
+    p = tmp_path / "c4lines"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.c4_clean_lines(sdf), "c4_lines_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT doc_id, n_lines, n_kept_lines, "
+                           "text_clean, n_sentences, page_keep "
+                           "FROM c4_lines_stream").collect())
+    want = sorted(tuple(r) for r in _text.c4_clean_lines(
+        spark.createDataFrame(docs, "doc_id long, text string"))
+        .select("doc_id", "n_lines", "n_kept_lines", "text_clean",
+                "n_sentences", "page_keep").collect())
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] == 3 and by_id[1][5] is True
+    assert by_id[2][2] == 0 and by_id[3][2] == 0
+
+
 def test_image_dhash_streams_stateless(spark, tmp_path):
     # the perceptual-hash path (generate -> real decode -> dhash) is
     # two stateless mapInPandas stages: it must run on a stream
