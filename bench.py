@@ -56,9 +56,10 @@ def main():
     from structa_spark import analyze
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
-        asof_purchase_click, bigram_nll, contamination_check,
+        asof_purchase_click, bigram_nll, c4_line_clean,
+        contamination_check,
         cosine_topk, decoded_media_stats, decompressed_text_stats,
-        hybrid_rrf_topk,
+        gopher_dup_fractions, hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
         audio_envelope_hashes, diverse_sample_by_cluster,
         image_dhash_values, nb_lang_confusion,
@@ -163,6 +164,8 @@ def main():
             "audio_envhash": run_df(audio_envelope_hashes),
             "diverse_sample": run_df(diverse_sample_by_cluster),
             "curation_v2": run_df(source_curation_report_v2),
+            "c4_line_clean": run_df(c4_line_clean),
+            "gopher_dup": run_df(gopher_dup_fractions),
         }
 
     suite = make_suite(SF_DIR)
@@ -376,6 +379,20 @@ def main():
             "loadavg_per_pass": doclen_load,
             "exponents": doclen_exp,
         }
+
+    # the COMPLETE result also lands on disk: the round-6 driver
+    # artifact captured only the last 2000 chars of stdout and lost
+    # the per-query medians block ("parsed": null) — the file copy
+    # makes stdout truncation unable to lose anything again
+    full_path = os.environ.get("SPARK_GRAFT_FULL_PATH",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   "BENCH_local.json"))
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
     # medians + exponents also land in their own small file so the
     # judge/driver never depends on capturing this process's stdout

@@ -14,13 +14,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_bench_end_to_end_toy_scale(tmp_path):
     medians = tmp_path / "BENCH_medians.json"
+    full = tmp_path / "BENCH_local.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="8",
                SPARK_GRAFT_BENCH_RUNS="1",
-               # keep the toy-scale artifact out of the repo root —
-               # the driver's real run owns that file
-               SPARK_GRAFT_MEDIANS_PATH=str(medians))
+               # keep the toy-scale artifacts out of the repo root —
+               # the driver's real run owns those files
+               SPARK_GRAFT_MEDIANS_PATH=str(medians),
+               SPARK_GRAFT_FULL_PATH=str(full))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900, env=env,
@@ -38,3 +40,6 @@ def test_bench_end_to_end_toy_scale(tmp_path):
     # the medians artifact carries the same per-query numbers
     side = json.loads(medians.read_text())
     assert side["queries"] == out["queries"]
+    # the full-result artifact is the stdout JSON, byte-equivalent —
+    # stdout truncation can no longer lose the medians/ladder blocks
+    assert json.loads(full.read_text()) == out
