@@ -59,7 +59,7 @@ def main():
         asof_purchase_click, bigram_nll, c4_line_clean,
         contamination_check,
         cosine_topk, decoded_media_stats, decompressed_text_stats,
-        gopher_dup_fractions, hybrid_rrf_topk,
+        gopher_dup_fractions, gopher_quality_flags, hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
         audio_envelope_hashes, diverse_sample_by_cluster,
         image_dhash_values, nb_lang_confusion,
@@ -166,6 +166,7 @@ def main():
             "curation_v2": run_df(source_curation_report_v2),
             "c4_line_clean": run_df(c4_line_clean),
             "gopher_dup": run_df(gopher_dup_fractions),
+            "gopher_quality": run_df(gopher_quality_flags),
         }
 
     suite = make_suite(SF_DIR)
@@ -291,6 +292,56 @@ def main():
             "exponents": exponents,
         }
 
+    # upper ladder tier: the OPTIONAL local sf1 fixture
+    # (scripts/gen_sf1.py, 10x sf0.1, gitignored) adds a third
+    # row-count point above the main SF, turning the two-point
+    # exponent into a least-squares fit and exercising AQE at real
+    # partition counts. Skipped silently when the fixture is absent
+    # (fresh clones) — the two-point ladder above still reports.
+    up_dir = os.environ.get(
+        "SPARK_GRAFT_LADDER_UP_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "spark-warehouse", "sf1"))
+    sf_up = _sf_of(up_dir)
+    if (os.environ.get("SPARK_GRAFT_BENCH_LADDER_UP", "1") != "0"
+            and os.path.isdir(up_dir)
+            and sf_main and sf_up and sf_up > sf_main):
+        up_suite = make_suite(up_dir)
+        up = {}
+        for name, fn in up_suite.items():
+            t0 = time.time()
+            try:
+                fn()
+                up[name] = round(time.time() - t0, 3)
+            except Exception:
+                up[name] = None
+        # per-query least-squares slope of log(t) on log(sf) over
+        # every tier that produced a time (2 or 3 points)
+        small_times = out.get("ladder", {}).get("queries", {})
+        exps3 = {}
+        for name in suite:
+            xs, ys = [], []
+            for sf_val, t in ((sf_small, small_times.get(name)),
+                              (sf_main, times.get(name)),
+                              (sf_up, up.get(name))):
+                if sf_val and t:
+                    xs.append(math.log(sf_val))
+                    ys.append(math.log(t))
+            if len(xs) >= 2:
+                mx = sum(xs) / len(xs)
+                my = sum(ys) / len(ys)
+                denom = sum((x - mx) ** 2 for x in xs)
+                if denom:
+                    exps3[name] = round(
+                        sum((x - mx) * (y - my)
+                            for x, y in zip(xs, ys)) / denom, 2)
+        out["ladder_up"] = {
+            "sf_dir": up_dir,
+            "sf": sf_up,
+            "queries": up,
+            "exponents_3pt": exps3,
+        }
+
     # doc-length ladder: the sf ladder above scales ROW COUNT, but the
     # fixture documents are short, so a gram builder that is quadratic
     # IN DOCUMENT LENGTH is invisible to every sf number (the round-5
@@ -410,6 +461,8 @@ def main():
                 "sf": out["sf"],
                 "queries": times,
                 "exponents": out.get("ladder", {}).get("exponents"),
+                "exponents_3pt": out.get("ladder_up",
+                                         {}).get("exponents_3pt"),
                 "doclen_exponents": out.get("doclen_ladder",
                                             {}).get("exponents"),
             }, fh, indent=1)

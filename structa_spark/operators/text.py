@@ -396,6 +396,113 @@ def top_ngram_fracs(df: DataFrame, ns=(2, 3, 4),
                          F.round(frac, 4).alias("top_frac"))
 
 
+#: Gopher's required-stopword set (Rae et al. 2021, Table A1): a page
+#: must contain at least 2 distinct of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         word_count_range=(50, 100_000),
+                         mean_word_len_range=(3.0, 10.0),
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8,
+                         min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher's page-QUALITY rule battery (Rae et al. 2021, Table A1
+    — the non-repetition half; pair with
+    :func:`gopher_dup_fractions` / :func:`top_ngram_fracs` for the
+    full filter): one projection of per-rule value columns, boolean
+    flags, and the combined ``gopher_quality_keep`` verdict.
+
+    * ``n_words`` in ``word_count_range`` (50..100k);
+    * ``mean_word_len`` in ``mean_word_len_range`` (3..10);
+    * ``symbol_ratio`` — ``#`` and ellipsis occurrences per word,
+      <= ``max_symbol_ratio``;
+    * ``bullet_line_frac`` — lines starting with a bullet mark,
+      <= ``max_bullet_line_frac``;
+    * ``ellipsis_line_frac`` — lines ending with an ellipsis,
+      <= ``max_ellipsis_line_frac``;
+    * ``alpha_word_frac`` — words containing at least one [A-Za-z]
+      (the ASCII reading of the paper's "alphabetic character" —
+      right for the English corpora Gopher filters),
+      >= ``min_alpha_word_frac``;
+    * ``stopword_hits`` — distinct :data:`GOPHER_STOPWORDS` present,
+      >= ``min_stopword_hits``.
+
+    Ratio rules on an empty page read 0 (vacuously passing); the
+    word-count floor is what rejects empty/near-empty pages, exactly
+    as in the paper. Fractions round to 4 dp BEFORE thresholding so
+    cross-engine replays can never straddle a gate on float dust.
+
+    Scale shape: ONE projection, no shuffle, no Python — the token
+    and line arrays are each let-bound (split runs once per row; the
+    per-word/per-line predicates see only lambda variables), and the
+    battery composes with the C4 flags in the same scan at 100 TB.
+    Pure per-row expressions, so it also runs stateless on a stream.
+    """
+    from .dedup import _bind
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    wlo, whi = word_count_range
+    mlo, mhi = mean_word_len_range
+
+    def with_toks(tv):
+        n = F.size(tv)
+        mean_len = F.when(
+            n > 0, F.round(F.length(F.concat_ws("", tv)) / n, 4)) \
+            .otherwise(F.lit(0.0))
+        n_sym = (F.regexp_count(t, F.lit(r"#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\."))
+                 + F.regexp_count(t, F.lit("…")))
+        sym_ratio = F.when(n > 0, F.round(n_sym / n, 4)) \
+            .otherwise(F.lit(0.0))
+        alpha = F.when(
+            n > 0,
+            F.round(F.size(F.filter(
+                tv, lambda w: w.rlike("[A-Za-z]"))) / n, 4)) \
+            .otherwise(F.lit(0.0))
+        stops = F.size(F.array_intersect(
+            F.array_distinct(F.transform(tv, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            alpha.alias("alpha_word_frac"),
+            stops.cast("int").alias("stopword_hits"))
+
+    def with_lines(lv):
+        nl = F.size(lv)
+        bullet = F.size(F.filter(
+            lv, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+        ell = F.size(F.filter(
+            lv, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        return F.struct(
+            F.when(nl > 0, F.round(bullet / nl, 4))
+            .otherwise(F.lit(0.0)).alias("bullet_line_frac"),
+            F.when(nl > 0, F.round(ell / nl, 4))
+            .otherwise(F.lit(0.0)).alias("ellipsis_line_frac"))
+
+    out = (df.withColumn("__w", _bind(tokens(t), with_toks))
+           .withColumn("__ln", _bind(F.split(t, r"\n"), with_lines))
+           .select(*df.columns,
+                   "__w.n_words", "__w.mean_word_len",
+                   "__w.symbol_ratio", "__w.alpha_word_frac",
+                   "__w.stopword_hits",
+                   "__ln.bullet_line_frac", "__ln.ellipsis_line_frac"))
+    keep = ((F.col("n_words") >= wlo) & (F.col("n_words") <= whi)
+            & (F.col("mean_word_len") >= mlo)
+            & (F.col("mean_word_len") <= mhi)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stopword_hits") >= min_stopword_hits))
+    return out.withColumn("gopher_quality_keep", keep)
+
+
 def gopher_dup_fractions(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          max_line_frac: float = 0.30,

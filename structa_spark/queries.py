@@ -2772,6 +2772,122 @@ def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("gopher_quality_flags", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS wt
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             range(1, CAST(ceil(len(wt) / 8.0) AS BIGINT) + 1),
+             i -> CASE
+                  WHEN i % 5 = 0
+                  THEN '- ' || array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                  WHEN i % 4 = 0
+                  THEN array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                       || '...'
+                  ELSE array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                  END),
+             chr(10)) AS page
+  FROM d
+),
+w AS (
+  SELECT doc_id, page,
+         list_filter(string_split_regex(trim(page), '\\s+'),
+                     t -> t <> '') AS pw,
+         string_split(page, chr(10)) AS lines
+  FROM pg
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(pw) AS BIGINT) AS n_words,
+         CASE WHEN len(pw) > 0
+              THEN round(len(array_to_string(pw, '')) / len(pw), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(pw) > 0
+              THEN round((len(regexp_extract_all(page, '#'))
+                          + len(regexp_extract_all(page, '\\.\\.\\.'))
+                          + len(regexp_extract_all(page, '…')))
+                         / len(pw), 4)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(pw) > 0
+              THEN round(len(list_filter(pw,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                         / len(pw), 4)
+              ELSE 0.0 END AS alpha_word_frac,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(pw, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))
+             AS INT) AS stopword_hits,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*[-*•‣▪]')))
+                         / len(lines), 4)
+              ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                         / len(lines), 4)
+              ELSE 0.0 END AS ellipsis_line_frac
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       alpha_word_frac, stopword_hits, bullet_line_frac,
+       ellipsis_line_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS gopher_quality_keep
+FROM m ORDER BY doc_id
+""")
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's page-quality rule battery (Rae et al. 2021 Table A1,
+    the non-repetition half), values-checked rule by rule on derived
+    multi-line pages: 8-token lines with every 5th line bulleted and
+    every 4th (non-bulleted) given a trailing ellipsis, so the
+    line-shape rules, the symbol ratio AND the word-level rules all
+    exercise non-trivial values (the raw corpus would leave the line
+    rules vacuous). The oracle rebuilds the same pages and replays
+    every ratio and the combined verdict, so drift in tokenization,
+    any regex, rounding or a threshold hash-mismatches."""
+    from .operators.dedup import _bind
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+
+    def page(tv):
+        nl = F.ceil(F.size(tv) / F.lit(8.0)).cast("int")
+        idxs = F.when(nl > 0, F.sequence(F.lit(1), nl)) \
+            .otherwise(F.array().cast("array<int>"))
+
+        def line_of(i):
+            raw = F.concat_ws(
+                " ", F.slice(tv, (i - 1) * F.lit(8) + 1, 8))
+            return (F.when(i % 5 == 0, F.concat(F.lit("- "), raw))
+                    .when(i % 4 == 0, F.concat(raw, F.lit("...")))
+                    .otherwise(raw))
+
+        return F.concat_ws("\n", F.transform(idxs, line_of))
+
+    paged = d.select("doc_id", _bind(toks, page).alias("text"))
+    return (text.gopher_quality_flags(paged)
+            .select("doc_id", "n_words", "mean_word_len",
+                    "symbol_ratio", "alpha_word_frac",
+                    "stopword_hits", "bullet_line_frac",
+                    "ellipsis_line_frac", "gopher_quality_keep")
+            .orderBy("doc_id"))
+
+
 @register("gopher_dup_fractions", oracle="""
 WITH d AS (
   SELECT doc_id,
@@ -4671,11 +4787,11 @@ DRIVER_PRIORITY = [
     "lang_id_confusion", "html_extracted_text",
     "tfidf_top_terms", "bigram_nll",
     "source_token_jsd", "bpe_merge_candidates",
-    "sequence_packing", "window_chunks",
+    "sequence_packing",
     "mixing_weights_by_source",
     # quality-filter battery (C4 page + line rules, Gopher profiles)
     "c4_rule_flags", "c4_line_clean", "gopher_dup_fractions",
-    "repetition_ngram_profile",
+    "gopher_quality_flags", "repetition_ngram_profile",
     # sampling / selection / composed pipeline
     "dsir_logweights", "shuffle_order_coords",
     "curriculum_shard_stats", "variant_props_stats",

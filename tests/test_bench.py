@@ -22,7 +22,9 @@ def test_bench_end_to_end_toy_scale(tmp_path):
                # keep the toy-scale artifacts out of the repo root —
                # the driver's real run owns those files
                SPARK_GRAFT_MEDIANS_PATH=str(medians),
-               SPARK_GRAFT_FULL_PATH=str(full))
+               SPARK_GRAFT_FULL_PATH=str(full),
+               # the toy run must not climb to the local sf1 fixture
+               SPARK_GRAFT_BENCH_LADDER_UP="0")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900, env=env,

@@ -2941,6 +2941,37 @@ def test_c4_clean_lines_rules(spark):
     assert T.c4_clean_lines(q).collect()[0].n_kept_lines == 1
 
 
+def test_gopher_quality_flags_rules(spark):
+    # each quality rule pinned: word-count floor, bullet lines,
+    # ellipsis lines, symbol ratio, stopword presence, null page
+    from structa_spark.operators import text as T
+
+    good = " ".join(
+        ["the quick brown fox jumps over and rests with care of "
+         "that idea to be fair have some"] * 4)      # 72 words
+    docs = [
+        (1, good),
+        (2, "- one\n- two\n- three\n- four"),        # 100% bullets
+        (3, ("word " * 60) + "trailing..."),         # no stopwords
+        (4, None),
+        (5, "### ## # " + ("the of to " * 20)),      # symbol-heavy
+        (6, "so it goes...\nand then...\nmore to come...\n"
+            "the end is near"),                      # 75% ellipsis
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.gopher_quality_flags(df).collect()}
+    assert got[1].gopher_quality_keep is True
+    assert (got[1].n_words, got[1].stopword_hits) == (72, 8)
+    assert got[2].bullet_line_frac == 1.0
+    assert got[2].gopher_quality_keep is False
+    assert got[3].stopword_hits == 0
+    assert got[3].gopher_quality_keep is False
+    assert (got[4].n_words, got[4].gopher_quality_keep) == (0, False)
+    assert got[5].symbol_ratio > 0.05
+    assert got[6].ellipsis_line_frac == 0.75
+    assert got[6].gopher_quality_keep is False
+
+
 def test_gopher_dup_fractions_rules(spark):
     from structa_spark.operators import text as T
 

@@ -144,6 +144,7 @@ def test_driver_window_covers_every_family():
         "reflm_nll": "bigram_nll",
         "dsir_resample_topk": "dsir_logweights",
         "video_header_metadata": "audio_header_metadata",
+        "window_chunks": "sequence_packing",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
