@@ -643,6 +643,48 @@ def test_c4_clean_lines_streams_stateless(spark, tmp_path):
     assert by_id[2][2] == 0 and by_id[3][2] == 0
 
 
+def test_gopher_filters_stream_stateless(spark, tmp_path):
+    # both Gopher batteries are pure projections: they must run on a
+    # stream unchanged, append-mode, equal to their batch twins
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    docs = [(1, "the quick brown fox jumps over and rests with care "
+                "of that idea to be fair have some " * 3),
+            (2, "aa bb\naa bb\ncc dd\n\naa bb\ncc dd"),
+            (3, None)]
+    p = tmp_path / "gopherdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.gopher_quality_flags(sdf), "gq_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM gq_stream").collect())
+    want = sorted(tuple(r) for r in
+                  _text.gopher_quality_flags(bdf).collect())
+    assert got == want
+
+    sdf2 = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.gopher_dup_fractions(sdf2), "gd_stream",
+                "append")
+    got2 = sorted(tuple(r) for r in
+                  spark.sql("SELECT * FROM gd_stream").collect())
+    want2 = sorted(tuple(r) for r in
+                   _text.gopher_dup_fractions(bdf).collect())
+    assert got2 == want2
+    by_id = {t[0]: t for t in got2}
+    assert by_id[2][-1] is False         # dup-heavy page fails keep
+
+
 def test_image_dhash_streams_stateless(spark, tmp_path):
     # the perceptual-hash path (generate -> real decode -> dhash) is
     # two stateless mapInPandas stages: it must run on a stream
