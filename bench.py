@@ -308,7 +308,19 @@ def main():
             and sf_main and sf_up and sf_up > sf_main):
         up_suite = make_suite(up_dir)
         up = {}
+        # wall-clock budget for the whole tier (measured ~200s for
+        # the full suite at sf1): once exceeded, the remaining
+        # queries record as skipped rather than risking the driver's
+        # bench window — partial 3-point evidence beats a lost round
+        up_budget = float(os.environ.get(
+            "SPARK_GRAFT_LADDER_UP_BUDGET", "300"))
+        tier_t0 = time.time()
+        skipped = []
         for name, fn in up_suite.items():
+            if time.time() - tier_t0 > up_budget:
+                skipped.append(name)
+                up[name] = None
+                continue
             t0 = time.time()
             try:
                 fn()
@@ -341,6 +353,8 @@ def main():
             "queries": up,
             "exponents_3pt": exps3,
         }
+        if skipped:
+            out["ladder_up"]["skipped_on_budget"] = skipped
 
     # doc-length ladder: the sf ladder above scales ROW COUNT, but the
     # fixture documents are short, so a gram builder that is quadratic
@@ -380,6 +394,14 @@ def main():
                 d, k=8, w=16).count(),
             "chunk_windows": lambda d: text.chunk_windows(
                 d, 32, 16).count(),
+            # line-rule batteries: the synthetic docs are one long
+            # line, which still scales the split/filter/reassemble
+            # path these share — a super-linear regexp or HOF shape
+            # shows up exactly like the gram builders above
+            "c4_lines": lambda d: text.c4_clean_lines(d)
+                .agg(F.sum("n_kept_lines")).collect(),
+            "gopher_quality": lambda d: text.gopher_quality_flags(d)
+                .agg(F.sum("n_words")).collect(),
         }
         # N_RUNS alternated passes per size, per-op MIN: this box shares
         # hardware and load spikes inflate single passes 10-20x (a
