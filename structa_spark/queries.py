@@ -3023,6 +3023,216 @@ def gopher_dup_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("corpus_filter_report", oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS wt
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(
+             range(1, CAST(ceil(len(wt) / 8.0) AS BIGINT) + 1),
+             i -> CASE
+                  WHEN i % 7 = 0
+                  THEN 'please enable javascript now.'
+                  WHEN i % 3 = 0
+                  THEN array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                  ELSE array_to_string(
+                      list_slice(wt, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                       || '.'
+                  END),
+             chr(10))
+         || chr(10) ||
+         CASE WHEN doc_id % 11 = 0
+              THEN 'Template {placeholder} with the be to of and '
+                   || 'that have ending.'
+              ELSE 'We conclude that the story should be of help '
+                   || 'and end with this.'
+         END AS page
+  FROM d
+),
+pt AS (
+  SELECT doc_id, source, page, lower(page) AS lowpage,
+         list_filter(string_split_regex(trim(page), '\\s+'),
+                     t -> t <> '') AS pw,
+         string_split(page, chr(10)) AS lines
+  FROM pg
+),
+per AS (
+  SELECT doc_id, source,
+         (regexp_matches(trim(page), '[.!?"]$')
+          AND NOT contains(page, '{')
+          AND NOT contains(lowpage, 'lorem ipsum')
+          AND NOT (contains(lowpage, 'terms of use')
+                   OR contains(lowpage, 'privacy policy')
+                   OR contains(lowpage, 'cookie policy')
+                   OR contains(lowpage, 'all rights reserved'))
+          AND len(pw) >= 5
+          AND (CASE WHEN len(pw) > 0
+                    THEN len(array_to_string(pw, '')) / len(pw)
+                    ELSE 0.0 END) >= 3.0
+          AND (CASE WHEN len(pw) > 0
+                    THEN len(array_to_string(pw, '')) / len(pw)
+                    ELSE 0.0 END) <= 10.0) AS c4_keep,
+         (len(regexp_extract_all(array_to_string(
+              list_filter(lines,
+                  l -> regexp_matches(l, '[.!?"]\\s*$')
+                       AND len(regexp_extract_all(l, '\\S+')) >= 3
+                       AND NOT contains(lower(l), 'javascript')),
+              chr(10)), '[.!?]')) >= 3) AS line_keep,
+         (len(pw) >= 50 AND len(pw) <= 100000
+          AND (CASE WHEN len(pw) > 0
+                    THEN round(len(array_to_string(pw, ''))
+                               / len(pw), 4)
+                    ELSE 0.0 END) >= 3.0
+          AND (CASE WHEN len(pw) > 0
+                    THEN round(len(array_to_string(pw, ''))
+                               / len(pw), 4)
+                    ELSE 0.0 END) <= 10.0
+          AND (CASE WHEN len(pw) > 0
+                    THEN round((len(regexp_extract_all(page, '#'))
+                            + len(regexp_extract_all(page,
+                                  '\\.\\.\\.'))
+                            + len(regexp_extract_all(page, '…')))
+                               / len(pw), 4)
+                    ELSE 0.0 END) <= 0.1
+          AND (CASE WHEN len(lines) > 0
+                    THEN round(len(list_filter(lines,
+                            l -> regexp_matches(l, '^\\s*[-*•‣▪]')))
+                               / len(lines), 4)
+                    ELSE 0.0 END) <= 0.9
+          AND (CASE WHEN len(lines) > 0
+                    THEN round(len(list_filter(lines,
+                            l -> regexp_matches(l,
+                                '(\\.\\.\\.|…)\\s*$')))
+                               / len(lines), 4)
+                    ELSE 0.0 END) <= 0.3
+          AND (CASE WHEN len(pw) > 0
+                    THEN round(len(list_filter(pw,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                               / len(pw), 4)
+                    ELSE 0.0 END) >= 0.8
+          AND len(list_intersect(
+                  list_distinct(list_transform(pw, x -> lower(x))),
+                  ['the','be','to','of','and','that','have','with']))
+              >= 2) AS quality_keep,
+         (SELECT (CASE WHEN len(ul) > 0
+                  THEN round((len(ul) - len(list_distinct(ul)))
+                             / len(ul), 4) ELSE 0.0 END) <= 0.30
+             AND (CASE WHEN len(up) > 0
+                  THEN round((len(up) - len(list_distinct(up)))
+                             / len(up), 4) ELSE 0.0 END) <= 0.30
+             AND (CASE WHEN coalesce(list_sum(list_transform(ul,
+                          x -> length(x))), 0) > 0
+                  THEN round((list_sum(list_transform(ul,
+                              x -> length(x)))
+                          - coalesce(list_sum(list_transform(
+                              list_distinct(ul),
+                              x -> length(x))), 0))
+                         / list_sum(list_transform(ul,
+                               x -> length(x))), 4)
+                  ELSE 0.0 END) <= 0.20
+             AND (CASE WHEN coalesce(list_sum(list_transform(up,
+                          x -> length(x))), 0) > 0
+                  THEN round((list_sum(list_transform(up,
+                              x -> length(x)))
+                          - coalesce(list_sum(list_transform(
+                              list_distinct(up),
+                              x -> length(x))), 0))
+                         / list_sum(list_transform(up,
+                               x -> length(x))), 4)
+                  ELSE 0.0 END) <= 0.20
+          FROM (SELECT
+                  list_filter(list_transform(
+                      string_split(page, chr(10)), x -> trim(x)),
+                      x -> x <> '') AS ul,
+                  list_filter(list_transform(
+                      string_split_regex(page, '\\n{2,}'),
+                      x -> trim(x)),
+                      x -> x <> '') AS up)) AS dup_keep
+  FROM pt
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN c4_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS c4_keep_rate,
+       round(avg(CASE WHEN line_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS line_keep_rate,
+       round(avg(CASE WHEN quality_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS quality_keep_rate,
+       round(avg(CASE WHEN dup_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS dup_keep_rate,
+       round(avg(CASE WHEN c4_keep AND line_keep AND quality_keep
+                      AND dup_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS all_keep_rate
+FROM per GROUP BY source ORDER BY source
+""")
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASSEMBLED curation verdict: one derived page per document
+    runs the entire quality battery — C4 page rules, C4 line rules,
+    Gopher quality rules, Gopher dup fractions — chained in a single
+    projection, then per-source keep rates. The page derivation is
+    the c4_line_clean one (8-token lines, javascript/unpunctuated
+    injections) plus a closing sentence (brace-poisoned on every
+    11th document so the C4 page verdict exercises both paths, and
+    stopword-rich so the Gopher stopword rule sees real hits). The
+    oracle replays all four batteries and the rate aggregation, so a
+    drift in ANY rule of ANY battery moves a rate by >= 1/|source
+    docs| = 0.008 and hash-mismatches at 4 dp. One corpus scan + one
+    small source-keyed agg — the 100 TB curation-dashboard shape."""
+    from .operators.dedup import _bind
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+    close = ("We conclude that the story should be of help "
+             "and end with this.")
+    close_brace = ("Template {placeholder} with the be to of and "
+                   "that have ending.")
+
+    def page(tv):
+        nl = F.ceil(F.size(tv) / F.lit(8.0)).cast("int")
+        idxs = F.when(nl > 0, F.sequence(F.lit(1), nl)) \
+            .otherwise(F.array().cast("array<int>"))
+
+        def line_of(i):
+            raw = F.concat_ws(
+                " ", F.slice(tv, (i - 1) * F.lit(8) + 1, 8))
+            return (F.when(i % 7 == 0,
+                           F.lit("please enable javascript now."))
+                    .when(i % 3 == 0, raw)
+                    .otherwise(F.concat(raw, F.lit("."))))
+
+        body = F.concat_ws("\n", F.transform(idxs, line_of))
+        tail = F.when(F.col("doc_id") % 11 == 0,
+                      F.lit(close_brace)).otherwise(F.lit(close))
+        return F.concat_ws("\n", F.array(body, tail))
+
+    paged = d.select("doc_id", "source",
+                     _bind(toks, page).alias("text"))
+    flagged = text.gopher_dup_fractions(
+        text.gopher_quality_flags(
+            text.c4_clean_lines(
+                text.c4_rule_flags(paged))))
+
+    def rate(c):
+        return F.round(F.avg(c.cast("double")), 4)
+
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 rate(F.col("keep")).alias("c4_keep_rate"),
+                 rate(F.col("page_keep")).alias("line_keep_rate"),
+                 rate(F.col("gopher_quality_keep"))
+                 .alias("quality_keep_rate"),
+                 rate(F.col("gopher_keep")).alias("dup_keep_rate"),
+                 rate(F.col("keep") & F.col("page_keep")
+                      & F.col("gopher_quality_keep")
+                      & F.col("gopher_keep")).alias("all_keep_rate"))
+            .orderBy("source"))
+
+
 @register("repetition_ngram_profile", oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -4786,12 +4996,13 @@ DRIVER_PRIORITY = [
     # text analysis / tokenization / corpus prep
     "lang_id_confusion", "html_extracted_text",
     "tfidf_top_terms", "bigram_nll",
-    "source_token_jsd", "bpe_merge_candidates",
+    "bpe_merge_candidates",
     "sequence_packing",
     "mixing_weights_by_source",
     # quality-filter battery (C4 page + line rules, Gopher profiles)
     "c4_rule_flags", "c4_line_clean", "gopher_dup_fractions",
     "gopher_quality_flags", "repetition_ngram_profile",
+    "corpus_filter_report",
     # sampling / selection / composed pipeline
     "dsir_logweights", "shuffle_order_coords",
     "curriculum_shard_stats", "variant_props_stats",

@@ -145,6 +145,7 @@ def test_driver_window_covers_every_family():
         "dsir_resample_topk": "dsir_logweights",
         "video_header_metadata": "audio_header_metadata",
         "window_chunks": "sequence_packing",
+        "source_token_jsd": "daily_event_drift",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
