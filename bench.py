@@ -57,7 +57,8 @@ def main():
     from structa_spark.operators import dedup, similarity, text
     from structa_spark.queries import (
         asof_purchase_click, bigram_nll, c4_line_clean,
-        contamination_check, corpus_filter_report,
+        ccnet_perplexity_buckets, contamination_check,
+        corpus_filter_report,
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         gopher_dup_fractions, gopher_quality_flags, hybrid_rrf_topk,
         int8_topk_search, json_props_stats, mixed_resample_counts,
@@ -168,6 +169,7 @@ def main():
             "gopher_dup": run_df(gopher_dup_fractions),
             "gopher_quality": run_df(gopher_quality_flags),
             "filter_report": run_df(corpus_filter_report),
+            "ccnet_buckets": run_df(ccnet_perplexity_buckets),
         }
 
     suite = make_suite(SF_DIR)

@@ -1156,6 +1156,119 @@ def reflm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("ccnet_perplexity_buckets", oracle="""
+WITH train_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents WHERE lang = 'en'
+),
+tb AS (
+  SELECT g AS bg, count(*) AS cb FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 0)
+                                       + 1),
+           i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM train_toks WHERE len(ts) >= 2) GROUP BY 1
+),
+cl AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(cb) AS cl
+  FROM tb GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(ts) AS t FROM train_toks) WHERE t <> ''
+),
+score_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, g AS bg, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 0)
+                                       + 1),
+           i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM score_toks WHERE len(ts) >= 2) GROUP BY 1, 2
+),
+nll AS (
+  SELECT tf.doc_id,
+         round(sum(tf.tf * -ln((COALESCE(tb.cb, 0) + 0.5)
+                               / (COALESCE(cl.cl, 0) + 0.5 * v.v)))
+               / sum(tf.tf), 4) AS avg_nll
+  FROM tf
+  LEFT JOIN tb USING (bg)
+  LEFT JOIN cl ON cl.w1 = string_split(tf.bg, ' ')[1]
+  CROSS JOIN v
+  GROUP BY 1
+),
+j AS (
+  SELECT n.doc_id, d.lang, n.avg_nll
+  FROM nll n JOIN documents d USING (doc_id)
+),
+cut AS (
+  SELECT lang,
+         quantile_cont(avg_nll, 1.0/3.0) AS c1,
+         quantile_cont(avg_nll, 2.0/3.0) AS c2
+  FROM j GROUP BY 1
+),
+b AS (
+  SELECT j.lang,
+         CASE WHEN j.avg_nll <= cut.c1 THEN 'head'
+              WHEN j.avg_nll <= cut.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         j.avg_nll
+  FROM j JOIN cut USING (lang)
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_nll), 4) AS bucket_avg_nll
+FROM b GROUP BY 1, 2 ORDER BY lang, bucket
+""")
+def ccnet_perplexity_buckets(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): score every document against a reference LM
+    trained on the clean slice (here: the English subset, the same
+    reference model as reflm_nll), then split EACH LANGUAGE at its
+    own perplexity tertiles — head (closest to the reference) /
+    middle / tail — the bucketing CCNet uses to keep head+middle and
+    drop tail. Values-checked end to end: the oracle replays the
+    smoothed bigram model, the per-lang ``quantile_cont`` tertile
+    cutoffs (bit-for-bit vs Spark's exact ``percentile``, the
+    equivalence curriculum_shard_stats already pins), the boundary
+    rule (<= goes low) and the per-bucket counts/means, so a drift
+    anywhere from tokenization to the cutoff arithmetic
+    hash-mismatches.
+
+    Scale shape: the per-doc NLL relation rides bigram_logprob's
+    persisted tf (one corpus tokenize); cutoffs are a #langs-row agg
+    that folds back in as ONE broadcast; the finale is a
+    (lang, bucket)-keyed agg. Docs with < 2 tokens have no bigrams
+    and are absent, exactly like reflm_nll."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("lang") == "en")
+    nll = text.bigram_logprob(d, train_df=train)
+    j = nll.join(d.select("doc_id", "lang"), "doc_id")
+    cut = (j.groupBy("lang")
+           .agg(F.percentile("avg_nll",
+                             F.lit([1.0 / 3.0, 2.0 / 3.0]))
+                .alias("c")))
+    b = (j.join(F.broadcast(cut), "lang")
+         .withColumn("bucket",
+                     F.when(F.col("avg_nll") <= F.col("c")[0],
+                            "head")
+                     .when(F.col("avg_nll") <= F.col("c")[1],
+                           "middle")
+                     .otherwise("tail")))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("avg_nll"), 4)
+                 .alias("bucket_avg_nll"))
+            .orderBy("lang", "bucket"))
+
+
 @register("source_token_jsd", oracle=f"""
 WITH toks AS (
   SELECT source AS grp, unnest({_LTOKS_SQL}) AS token
@@ -5004,7 +5117,7 @@ DRIVER_PRIORITY = [
     "gopher_quality_flags", "repetition_ngram_profile",
     "corpus_filter_report",
     # sampling / selection / composed pipeline
-    "dsir_logweights", "shuffle_order_coords",
+    "dsir_logweights", "ccnet_perplexity_buckets",
     "curriculum_shard_stats", "variant_props_stats",
     "training_manifest", "source_curation_report",
     "source_curation_report_v2", "diverse_sample_by_cluster",

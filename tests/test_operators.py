@@ -2941,6 +2941,36 @@ def test_c4_clean_lines_rules(spark):
     assert T.c4_clean_lines(q).collect()[0].n_kept_lines == 1
 
 
+def test_c4_clean_lines_idempotent(spark):
+    # cleaning is a FIXPOINT: every line the cleaner keeps already
+    # satisfies all three keep rules, so re-cleaning the cleaned text
+    # must keep everything verbatim — a drift that makes a rule
+    # depend on removed context would break this
+    from structa_spark.operators import text as T
+
+    pages = [
+        (1, "A good long sentence right here.\nshort.\n"
+            "please enable javascript now.\nNo terminal punct\n"
+            "Proper sentence two lands well!\n\n"
+            "Proper sentence three closes fine."),
+        (2, 'Quoted line ends like this."\n- bullet but long '
+            'enough ends with period.\nx y z!\nmid line no end'),
+        (3, "   \n\n  \n"),
+        (4, None),
+        (5, "One two three four.\nOne two three four.\n"
+            "One two three four."),        # duplicates survive as-is
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    once = T.c4_clean_lines(df).select(
+        "doc_id", F.col("text_clean").alias("text"))
+    twice = T.c4_clean_lines(once)
+    rows = twice.collect()
+    for r in rows:
+        assert r.text_clean == r.text, r
+        assert r.n_kept_lines == (0 if r.text == ""
+                                  else r.n_lines), r
+
+
 def test_gopher_quality_flags_rules(spark):
     # each quality rule pinned: word-count floor, bullet lines,
     # ellipsis lines, symbol ratio, stopword presence, null page

@@ -51,6 +51,9 @@ _SCALAR_BROADCAST_OK = {
     "unigram_nll",               # broadcast(total token count)
     "bigram_nll",                # broadcast(vocabulary size V)
     "reflm_nll",                 # broadcast(reference vocabulary V)
+    "ccnet_perplexity_buckets",  # same reference-LM scoring relation
+                                 # (broadcast V), tertile cutoffs are
+                                 # a #langs-row broadcast on top
     "dsir_logweights",           # broadcast(corpus/target totals)
     "dsir_resample_topk",        # same weights, noised top-k
     "source_token_jsd",          # broadcast(corpus token total)

@@ -146,6 +146,7 @@ def test_driver_window_covers_every_family():
         "video_header_metadata": "audio_header_metadata",
         "window_chunks": "sequence_packing",
         "source_token_jsd": "daily_event_drift",
+        "shuffle_order_coords": "curriculum_shard_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
