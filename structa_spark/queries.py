@@ -4712,6 +4712,123 @@ def image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash(media).orderBy("media_id")
 
 
+@register("image_dup_groups", oracle="""
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
+         8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h
+  FROM documents WHERE doc_id < 320
+),
+bits AS (
+  -- source pixel (r, c) = ((g+1) * 37 * (r*w + c + 1)) % 256, the
+  -- per-group pseudo-pattern (mod-256 wraps make the horizontal
+  -- compare direction vary per group — a monotone gradient would
+  -- give every image the same all-ones signature); member m bumps
+  -- pixel (m % h, m % w) by +40
+  SELECT media_id, CAST(y.y * 6 + x.x AS INT) AS b,
+         CASE WHEN
+           (CASE WHEN ((y.y * h) // 8) = (m % h)
+                      AND (((x.x + 1) * w) // 7) = (m % w)
+                 THEN ((g + 1) * 37 * (((y.y * h) // 8) * w
+                       + (((x.x + 1) * w) // 7) + 1) + 40) % 256
+                 ELSE ((g + 1) * 37 * (((y.y * h) // 8) * w
+                       + (((x.x + 1) * w) // 7) + 1)) % 256 END)
+           >
+           (CASE WHEN ((y.y * h) // 8) = (m % h)
+                      AND ((x.x * w) // 7) = (m % w)
+                 THEN ((g + 1) * 37 * (((y.y * h) // 8) * w
+                       + ((x.x * w) // 7) + 1) + 40) % 256
+                 ELSE ((g + 1) * 37 * (((y.y * h) // 8) * w
+                       + ((x.x * w) // 7) + 1)) % 256 END)
+           THEN 1 ELSE 0 END AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 7) y(y)
+  CROSS JOIN generate_series(0, 5) x(x)
+),
+hh AS (
+  SELECT media_id,
+         CAST(sum(v * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS dhash
+  FROM bits GROUP BY 1
+),
+-- brute force here is EXACTLY the pigeonhole path's pair set: with
+-- max_hamming+1 blocks, any pair within max_hamming shares >= 1
+-- untouched block (full recall), and the exact popcount filter
+-- removes everything else
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hh a JOIN hh b
+    ON a.media_id < b.media_id
+   AND bit_count(xor(a.dhash, b.dhash)) <= 3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
+),
+cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id)
+SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
+FROM ids i LEFT JOIN cc ON cc.id = i.media_id
+ORDER BY i.media_id
+""")
+def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE dedup decision, values-checked through the
+    whole multimodal x graph composition: generate 4-member image
+    clusters (a shared gradient per group; each member perturbs one
+    pixel by +40), REAL-decode -> dHash -> pigeonhole hamming pairs
+    -> pointer-doubled connected components -> (media, group). A
+    member whose perturbed pixel survives the resize index map can
+    flip several signature bits and legitimately split from its
+    cluster, so the grouping exercises both cohesion and separation.
+    The oracle recomputes every resized pixel (including the
+    perturbation), the bit packing, the BRUTE-FORCE hamming pair set
+    (equal to the pigeonhole candidates by the full-recall argument)
+    and the recursive-CTE components — a drift in the codec, the
+    resampler, the blocking, the popcount or the label walk all
+    hash-mismatch.
+
+    Scale shape: the pairs come from the bucketed pigeonhole (ONE
+    shuffle, capped buckets, never all-pairs — the oracle's brute
+    force is oracle-only); components iterate O(log D) rounds on the
+    edge subset; the final listing is one left join of labels onto
+    the id spine."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") < 320))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, m = i // 4, i % 4
+                w, h = 8 + g % 5, 6 + g % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((g + 1) * 37 * (yy * w + xx + 1)) % 256
+                arr = arr.astype(np.int64)
+                arr[m % h, m % w] = (arr[m % h, m % w] + 40) % 256
+                rows.append((i, mm.encode_png(
+                    arr.astype(np.uint8), row_filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    pairs = mm.image_near_duplicates(media, max_hamming=3)
+    comp = dedup.connected_components(
+        pairs.select("id_a", "id_b"), id_col="media_id")
+    return (media.select("media_id")
+            .join(comp, F.col("media_id") == F.col("id"), "left")
+            .select(F.col("media_id"),
+                    F.coalesce("label", "media_id").alias("group_id"))
+            .orderBy("media_id"))
+
+
 @register("audio_envelope_hashes", oracle="""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 400 + 1 AS n

@@ -147,6 +147,9 @@ def test_driver_window_covers_every_family():
         "window_chunks": "sequence_packing",
         "source_token_jsd": "daily_event_drift",
         "shuffle_order_coords": "curriculum_shard_stats",
+        # registered in round 7 (oracle-checked here; rotates into
+        # the round-8 driver window)
+        "image_dup_groups": "image_dhash_values",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
