@@ -2755,6 +2755,70 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("benchmark_contamination_report", oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT 'bench' || CAST(doc_id % 4 AS VARCHAR)
+             AS benchmark,
+         unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id < 20
+), co AS (
+  SELECT doc_id, unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id >= 20
+), hits AS (
+  SELECT ev.benchmark, co.doc_id, count(*) AS nh
+  FROM co JOIN ev USING (s) GROUP BY 1, 2
+), tot AS (
+  SELECT count(*) AS n FROM documents WHERE doc_id >= 20
+)
+SELECT benchmark,
+       CAST(count(*) AS BIGINT) AS n_docs_contaminated,
+       CAST(sum(nh) AS BIGINT) AS n_hit_shingles,
+       round(count(*) / tot.n, 4) AS contamination_rate
+FROM hits CROSS JOIN tot
+GROUP BY benchmark, tot.n ORDER BY benchmark
+""")
+def benchmark_contamination_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-BENCHMARK contamination dashboard: the eval slice splits
+    into four stand-in benchmark suites (doc_id % 4) and every suite
+    gets its corpus contamination stats — contaminated-doc count,
+    total hit shingles, contamination rate — from ONE corpus shingle
+    pass (the eval side is tagged by benchmark and broadcast once;
+    a shingle shared by two suites counts for both). This is the
+    release-gate table a training run checks per benchmark before
+    shipping; the single-suite detection twin is contamination_check.
+    Values-checked: the oracle replays the tagged shingle sets, the
+    per-(benchmark, doc) hit counts and the rates.
+
+    Scale shape: identical to contamination_check — the corpus never
+    shuffles to find hits (broadcast membership join), the hit
+    relation is bounded by the overlap, and the report is a
+    #benchmarks-row aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    ev = (d.where(F.col("doc_id") < 20)
+          .select(F.concat(F.lit("bench"),
+                           (F.col("doc_id") % 4).cast("string"))
+                  .alias("benchmark"),
+                  F.explode(dedup.word_shingles(F.col("text"), 3))
+                  .alias("s"))
+          .distinct())
+    co_df = d.where(F.col("doc_id") >= 20)
+    n_corpus = co_df.count()
+    co = co_df.select(
+        "doc_id",
+        F.explode(dedup.word_shingles(F.col("text"), 3)).alias("s"))
+    hits = (co.join(F.broadcast(ev), "s")
+            .groupBy("benchmark", "doc_id")
+            .agg(F.count(F.lit(1)).alias("nh")))
+    return (hits.groupBy("benchmark")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_docs_contaminated"),
+                 F.sum("nh").cast("long").alias("n_hit_shingles"),
+                 F.round(F.count(F.lit(1)) / F.lit(float(n_corpus)),
+                         4).alias("contamination_rate"))
+            .orderBy("benchmark"))
+
+
 @register("c4_rule_flags", oracle="""
 WITH d AS (
   SELECT doc_id,

@@ -150,6 +150,7 @@ def test_driver_window_covers_every_family():
         # registered in round 7 (oracle-checked here; rotates into
         # the round-8 driver window)
         "image_dup_groups": "image_dhash_values",
+        "benchmark_contamination_report": "contamination_check",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
