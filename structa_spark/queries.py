@@ -4959,6 +4959,113 @@ def audio_envelope_hashes(spark: SparkSession,
     return mm.audio_envelope_hash(media).orderBy("media_id")
 
 
+@register("audio_dup_groups", oracle="""
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
+         50 + ((doc_id // 4) * 13) % 330 AS n
+  FROM documents WHERE doc_id < 320
+),
+s AS (
+  -- stored sample v(t) = ((g+1)*7 + 13t) % 401 - 200; member m
+  -- bumps sample t = m by +100 BEFORE the envelope's abs()
+  SELECT media_id,
+         abs(CASE WHEN t.t = m
+                  THEN (((g + 1) * 7 + 13 * t.t) % 401) - 200 + 100
+                  ELSE (((g + 1) * 7 + 13 * t.t) % 401) - 200 END)
+             AS a,
+         (t.t * 49) // n AS w
+  FROM ids CROSS JOIN generate_series(0, 379) t(t)
+  WHERE t.t < n
+),
+e AS (SELECT media_id, w, sum(a) AS energy FROM s GROUP BY 1, 2),
+grid AS (
+  SELECT media_id, wn.w
+  FROM ids CROSS JOIN generate_series(0, 48) wn(w)
+),
+ee AS (
+  SELECT g.media_id, g.w, COALESCE(e.energy, 0) AS energy
+  FROM grid g LEFT JOIN e ON e.media_id = g.media_id AND e.w = g.w
+),
+bits AS (
+  SELECT a.media_id, CAST(a.w AS INT) AS b,
+         CASE WHEN b2.energy > a.energy THEN 1 ELSE 0 END AS v
+  FROM ee a JOIN ee b2
+    ON b2.media_id = a.media_id AND b2.w = a.w + 1
+  WHERE a.w < 48
+),
+hh AS (
+  SELECT media_id,
+         CAST(sum(v * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS env
+  FROM bits GROUP BY 1
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hh a JOIN hh b
+    ON a.media_id < b.media_id
+   AND bit_count(xor(a.env, b.env)) <= 3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
+),
+cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id)
+SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
+FROM ids i LEFT JOIN cc ON cc.id = i.media_id
+ORDER BY i.media_id
+""")
+def audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end AUDIO dedup decision — the audio twin of
+    image_dup_groups: 4-member clip clusters (a shared sample
+    formula per group; each member bumps one sample by +100),
+    REAL WAV decode -> energy-envelope hash -> pigeonhole hamming
+    pairs -> pointer-doubled connected components -> (media, group).
+    The oracle recomputes every sample (with the perturbation before
+    the envelope's abs), the 49-bin windowing, the bit packing, the
+    brute-force hamming pair set (= the pigeonhole candidates by the
+    full-recall argument) and the recursive-CTE components. Same
+    scale shape as the image twin: bucketed pairs (never all-pairs),
+    O(log D) component rounds, one label join onto the spine."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") < 320))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, m = i // 4, i % 4
+                n = 50 + (g * 13) % 330
+                samp = np.array(
+                    [(((g + 1) * 7 + 13 * t) % 401) - 200
+                     for t in range(n)], dtype=np.int64)
+                samp[m] += 100
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16,
+                    samples=samp.astype("<i2").tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    pairs = mm.audio_near_duplicates(media, max_hamming=3)
+    comp = dedup.connected_components(
+        pairs.select("id_a", "id_b"), id_col="media_id")
+    return (media.select("media_id")
+            .join(comp, F.col("media_id") == F.col("id"), "left")
+            .select(F.col("media_id"),
+                    F.coalesce("label", "media_id").alias("group_id"))
+            .orderBy("media_id"))
+
+
 @register("curriculum_shard_stats", oracle="""
 WITH cuts AS (
   SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS c

@@ -151,6 +151,7 @@ def test_driver_window_covers_every_family():
         # the round-8 driver window)
         "image_dup_groups": "image_dhash_values",
         "benchmark_contamination_report": "contamination_check",
+        "audio_dup_groups": "audio_envelope_hashes",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
