@@ -78,6 +78,40 @@ def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
                     *keys, "n_events", "sum_value", "approx_users"))
 
 
+def quality_rate_stream(docs: DataFrame, ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "1 day",
+                        keys: Tuple[str, ...] = ("source",)
+                        ) -> DataFrame:
+    """Ingest-time corpus-quality monitor: the C4 page flags and the
+    Gopher quality battery run per incoming document (both are pure
+    stateless projections), then a tumbling event-time window
+    aggregates per-key document counts and keep RATES with late-data
+    tolerance — the dashboard a crawl-ingest pipeline watches to
+    catch a quality regression in a source within one window of it
+    starting. State is bounded by the watermark exactly like
+    :func:`windowed_event_stats` (windows older than it finalize and
+    evict; append mode works downstream); per-microbatch flag values
+    equal the batch operators row for row since the flag stage
+    carries no state at all."""
+    from ..operators.text import c4_rule_flags, gopher_quality_flags
+
+    flagged = gopher_quality_flags(c4_rule_flags(docs))
+    return (flagged
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), *keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg(F.col("keep").cast("double")), 4)
+                 .alias("c4_keep_rate"),
+                 F.round(F.avg(F.col("gopher_quality_keep")
+                               .cast("double")), 4)
+                 .alias("quality_keep_rate"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *keys, "n_docs", "c4_keep_rate",
+                    "quality_keep_rate"))
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

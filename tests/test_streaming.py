@@ -643,6 +643,68 @@ def test_c4_clean_lines_streams_stateless(spark, tmp_path):
     assert by_id[2][2] == 0 and by_id[3][2] == 0
 
 
+def test_quality_rate_stream_matches_batch(spark, tmp_path):
+    # the ingest-quality dashboard: stateless flag projections into a
+    # tumbling event-time window — per-(window, source) keep rates
+    # must equal the same composition run in batch
+    import json as _json
+
+    from structa_spark.operators import text as _text
+    from structa_spark.streaming.profile_stream import (
+        quality_rate_stream)
+
+    good = ("the quick brown fox jumps over and rests with care of "
+            "that idea to be fair have some " * 3).strip() + "."
+    docs = [
+        (1, "2024-01-01T00:10:00", "web", good),
+        (2, "2024-01-01T00:20:00", "web", "short {code}"),
+        (3, "2024-01-01T00:40:00", "books", good),
+        (4, "2024-01-01T01:15:00", "web", good),       # next window
+        (5, "2024-01-01T00:50:00", "web", None),
+    ]
+    p = tmp_path / "qrdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, ts, src, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "ts": ts,
+                                  "source": src, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = quality_rate_stream(sdf, window="1 hour",
+                              watermark="1 hour")
+    _run_stream(out, "qr_stream", "complete")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM qr_stream").collect())
+    bdf = spark.createDataFrame(
+        docs, "doc_id long, ts string, source string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    flagged = _text.gopher_quality_flags(_text.c4_rule_flags(bdf))
+    want = sorted(tuple(r) for r in (
+        flagged.groupBy(F.window("ts", "1 hour"), "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.round(F.avg(F.col("keep").cast("double")), 4)
+             .alias("c4_keep_rate"),
+             F.round(F.avg(F.col("gopher_quality_keep")
+                           .cast("double")), 4)
+             .alias("quality_keep_rate"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "source", "n_docs", "c4_keep_rate",
+                "quality_keep_rate")).collect())
+    assert got == want
+    by_key = {(t[0].isoformat(), t[2]): t[3:] for t in got}
+    # window 0: web = [good, bad-brace, null] -> 3 docs, 1/3 keep
+    assert by_key[("2024-01-01T00:00:00", "web")][0] == 3
+    assert by_key[("2024-01-01T00:00:00", "web")][1] == 0.3333
+    assert by_key[("2024-01-01T00:00:00", "books")] == (1, 1.0, 1.0)
+    assert by_key[("2024-01-01T01:00:00", "web")] == (1, 1.0, 1.0)
+
+
 def test_gopher_filters_stream_stateless(spark, tmp_path):
     # both Gopher batteries are pure projections: they must run on a
     # stream unchanged, append-mode, equal to their batch twins
