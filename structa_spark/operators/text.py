@@ -396,6 +396,63 @@ def top_ngram_fracs(df: DataFrame, ns=(2, 3, 4),
                          F.round(frac, 4).alias("top_frac"))
 
 
+#: One-to-one typographic normalizations (codepoint -> ASCII):
+#: curly quotes, dashes, NBSP. Kept 1:1 so a single ``translate``
+#: call handles them all; the 1->3 ellipsis lives in its own replace.
+TYPOGRAPHY_SRC = "“”„‘’‚–— "
+TYPOGRAPHY_DST = "\"\"\"'''-- "
+
+#: Latin-1/Latin-Extended accent folding (codepoint -> base letter),
+#: both cases — the fold dedup canonicalization wants so "café" and
+#: "cafe" collapse. 1:1 by construction (``translate``-safe).
+ACCENT_SRC = ("àáâãäå"
+              "èéêëìíîï"
+              "òóôõöùúûü"
+              "ýÿçñ"
+              "ÀÁÂÃÄÅ"
+              "ÈÉÊËÌÍÎÏ"
+              "ÒÓÔÕÖÙÚÛÜ"
+              "ÝŸÇÑ")
+ACCENT_DST = ("aaaaaa" "eeeeiiii" "ooooouuuu" "yycn"
+              "AAAAAA" "EEEEIIII" "OOOOOUUUU" "YYCN")
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def clean_typography(text: Column) -> Column:
+    """Fold typographic punctuation to its ASCII form: curly
+    single/double quotes, en/em dashes, non-breaking spaces (all
+    1:1, one ``translate``) and the 1->3 horizontal ellipsis. The
+    canonicalization step before hashing/shingling so re-encoded
+    copies of one document ("smart quotes" vs straight) collapse in
+    dedup. Pure expression, engine-portable (DuckDB has the same
+    translate/replace semantics)."""
+    t = F.translate(text, TYPOGRAPHY_SRC, TYPOGRAPHY_DST)
+    return F.regexp_replace(t, "…", "...")
+
+
+def strip_accents(text: Column) -> Column:
+    """Fold Latin-1 accented letters to their base letters (both
+    cases) — the "café == cafe" canonicalization. A fixed 1:1
+    ``translate`` (NOT full Unicode NFKD, which Spark has no builtin
+    for — this covers the Latin-1/Extended range web text actually
+    carries; anything outside the map passes through unchanged)."""
+    return F.translate(text, ACCENT_SRC, ACCENT_DST)
+
+
+def normalize_typography(df: DataFrame, text_col: str = "text",
+                         out_col: str = "text_norm") -> DataFrame:
+    """Apply :func:`clean_typography` + :func:`strip_accents` and
+    flag rows the normalization changed. One projection, no shuffle,
+    no Python — composes with the quality batteries in the same scan
+    and runs stateless on a stream. Null text stays null (nothing to
+    normalize; the flag reads false)."""
+    t = F.col(text_col)
+    norm = strip_accents(clean_typography(t))
+    return (df.withColumn(out_col, norm)
+            .withColumn("norm_changed",
+                        F.coalesce(t != F.col(out_col), F.lit(False))))
+
+
 #: Gopher's required-stopword set (Rae et al. 2021, Table A1): a page
 #: must contain at least 2 distinct of these to pass the stopword rule.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",

@@ -2755,6 +2755,75 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("normalized_text_stats", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0
+           THEN replace(replace(text, 'a', 'à'), 'o', 'ö')
+           WHEN doc_id % 4 = 1
+           THEN chr(8220) || replace(text, 'table',
+                                     'table' || chr(8230))
+                || chr(8221)
+           WHEN doc_id % 4 = 2
+           THEN replace(replace(text, 'e', 'é'), ' ', chr(160))
+           ELSE text
+         END AS messy
+  FROM documents
+),
+n AS (
+  SELECT doc_id, messy,
+         translate(
+             replace(
+                 translate(messy,
+                     chr(8220)||chr(8221)||chr(8222)||chr(8216)
+                     ||chr(8217)||chr(8218)||chr(8211)||chr(8212)
+                     ||chr(160),
+                     chr(34)||chr(34)||chr(34)
+                     || chr(39)||chr(39)||chr(39) || '-- '),
+                 chr(8230), '...'),
+             'àáâãäåèéêëìíîïòóôõöùúûüýÿçñÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝŸÇÑ',
+             'aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYYCN')
+         AS text_norm
+  FROM m
+)
+SELECT doc_id, text_norm, messy <> text_norm AS norm_changed
+FROM n ORDER BY doc_id
+""")
+def normalized_text_stats(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Typography + accent canonicalization, values-checked on the
+    normalized strings themselves: the ASCII corpus first gets
+    deterministic per-doc "messy" re-encodings — accented vowels,
+    curly-quote wrapping with injected ellipses, NBSP-for-space —
+    and ``normalize_typography`` must fold every one back (curly
+    quotes/dashes/NBSP via one translate, the 1->3 ellipsis, the
+    54-char Latin-1 accent fold). The ftfy-lite canonicalization
+    dedup needs so a re-encoded copy hashes identically to its
+    original; the oracle rebuilds the same messy text and replays
+    the exact translate/replace chain, so one wrong codepoint in
+    either map mismatches. One projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    messy = (F.when(F.col("doc_id") % 4 == 0,
+                    F.replace(F.replace(F.col("text"), F.lit("a"),
+                                        F.lit("à")),
+                              F.lit("o"), F.lit("ö")))
+             .when(F.col("doc_id") % 4 == 1,
+                   F.concat(F.lit("“"),
+                            F.replace(F.col("text"), F.lit("table"),
+                                      F.lit("table…")),
+                            F.lit("”")))
+             .when(F.col("doc_id") % 4 == 2,
+                   F.replace(F.replace(F.col("text"), F.lit("e"),
+                                       F.lit("é")),
+                             F.lit(" "), F.lit(" ")))
+             .otherwise(F.col("text")))
+    out = text.normalize_typography(
+        d.select("doc_id", messy.alias("text")))
+    return (out.select("doc_id", "text_norm", "norm_changed")
+            .orderBy("doc_id"))
+
+
 @register("benchmark_contamination_report", oracle=f"""
 WITH ev AS (
   SELECT DISTINCT 'bench' || CAST(doc_id % 4 AS VARCHAR)

@@ -2941,6 +2941,30 @@ def test_c4_clean_lines_rules(spark):
     assert T.c4_clean_lines(q).collect()[0].n_kept_lines == 1
 
 
+def test_normalize_typography(spark):
+    from structa_spark.operators import text as T
+
+    rows = [(1, "“café — résumé…”"),
+            (2, "plain ascii text."),
+            (3, None),
+            (4, "nbsp here ‘q’ Ÿ Ñ"),
+            (5, "–dash– „alt“")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_norm, r.norm_changed)
+           for r in T.normalize_typography(df).collect()}
+    assert got[1] == ('"cafe - resume..."', True)
+    assert got[2] == ("plain ascii text.", False)
+    assert got[3] == (None, False)
+    assert got[4] == ("nbsp here 'q' Y N", True)
+    assert got[5] == ('-dash- "alt"', True)
+    # idempotent: normalizing normalized text changes nothing
+    again = T.normalize_typography(
+        spark.createDataFrame(
+            [(k, v[0]) for k, v in got.items()],
+            "doc_id long, text string"))
+    assert all(not r.norm_changed for r in again.collect())
+
+
 def test_c4_clean_lines_idempotent(spark):
     # cleaning is a FIXPOINT: every line the cleaner keeps already
     # satisfies all three keep rules, so re-cleaning the cleaned text

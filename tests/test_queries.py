@@ -152,6 +152,7 @@ def test_driver_window_covers_every_family():
         "image_dup_groups": "image_dhash_values",
         "benchmark_contamination_report": "contamination_check",
         "audio_dup_groups": "audio_envelope_hashes",
+        "normalized_text_stats": "html_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
