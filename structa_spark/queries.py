@@ -2755,6 +2755,71 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+@register("corpus_version_diff", oracle="""
+WITH v1 AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' v2'
+              ELSE coalesce(text, '') END AS t
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, coalesce(text, '')
+  FROM documents WHERE doc_id % 9 = 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v1.t <> v2.t THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY status ORDER BY status
+""")
+def corpus_version_diff(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Snapshot-delta report between two corpus versions — the table
+    a data-ops team checks after every crawl refresh: per-document
+    added/removed/changed/unchanged classification, summarized. The
+    v2 corpus derives deterministically (every 7th doc removed,
+    every 5th text edited, every 9th re-added under a shifted id),
+    so all four statuses carry real counts; the oracle rebuilds v2
+    and replays the full-outer classification. Values-checked at the
+    summary level: one misclassified document shifts two counts.
+
+    Scale shape: both sides project to (id, content-hash) FIRST —
+    the full-outer join moves two longs per document, never text —
+    then one id-keyed shuffle (bucket both snapshots on doc_id to
+    delete even that) and a 4-row aggregation. Hash compare stands
+    in for text compare (64-bit md5; a collision would need 2^32
+    same-id snapshots)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    v1 = d.select("doc_id", md5_long(t).alias("h1"))
+    v2_kept = (d.where(F.col("doc_id") % 7 != 0)
+               .select("doc_id", md5_long(
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(t, F.lit(" v2")))
+                   .otherwise(t)).alias("h2")))
+    v2_added = (d.where(F.col("doc_id") % 9 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        md5_long(t).alias("h2")))
+    v2 = v2_kept.unionByName(v2_added)
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (F.when(F.col("h2").isNull(), "removed")
+              .when(F.col("h1").isNull(), "added")
+              .when(F.col("h1") != F.col("h2"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(status.alias("status"))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("status"))
+
+
 @register("normalized_text_stats", oracle="""
 WITH m AS (
   SELECT doc_id,

@@ -153,6 +153,7 @@ def test_driver_window_covers_every_family():
         "benchmark_contamination_report": "contamination_check",
         "audio_dup_groups": "audio_envelope_hashes",
         "normalized_text_stats": "html_extracted_text",
+        "corpus_version_diff": "dedup_exact_groups",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
