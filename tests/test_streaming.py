@@ -746,6 +746,16 @@ def test_gopher_filters_stream_stateless(spark, tmp_path):
     by_id = {t[0]: t for t in got2}
     assert by_id[2][-1] is False         # dup-heavy page fails keep
 
+    # typography normalization is the same kind of pure projection
+    sdf3 = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.normalize_typography(sdf3), "nt_stream",
+                "append")
+    got3 = sorted(tuple(r) for r in
+                  spark.sql("SELECT * FROM nt_stream").collect())
+    want3 = sorted(tuple(r) for r in
+                   _text.normalize_typography(bdf).collect())
+    assert got3 == want3
+
 
 def test_image_dhash_streams_stateless(spark, tmp_path):
     # the perceptual-hash path (generate -> real decode -> dhash) is
