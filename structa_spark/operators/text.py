@@ -35,10 +35,19 @@ _WS = r"\s+"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (empty string -> empty array)."""
+    """Whitespace tokenization (empty string -> empty array).
+
+    ``F.trim`` strips SPACES only, so text with leading/trailing
+    tabs or newlines would leave boundary ""-tokens after the
+    ``\\s+`` split — which the DuckDB oracles' ``list_filter(...,
+    t -> t <> '')`` form never sees. ``array_remove`` drops them
+    (codegen'd, no lambda; interior empties are impossible — the
+    regex split consumes whitespace runs whole), keeping both
+    engines byte-identical on multi-line/tabbed input, not just the
+    single-spaced fixtures."""
     t = F.trim(text)
     return F.when(t == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(t, _WS))
+            .otherwise(F.array_remove(F.split(t, _WS), ""))
 
 
 def bpe_ish_tokens(text: Column) -> Column:

@@ -703,8 +703,8 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # ===========================================================================
 
-_TOKENS_SQL = ("CASE WHEN trim(text) = '' THEN [] "
-               "ELSE string_split_regex(trim(text), '\\s+') END")
+_TOKENS_SQL = ("list_filter(string_split_regex(trim(text), "
+               "'\\s+'), t -> t <> '')")
 # lowered + empty-filtered variant (the `tokens(lower(text))` +
 # empty-guard twin most LM/corpus oracles tokenize with)
 _LTOKS_SQL = ("list_filter(string_split_regex(trim(lower(text)), "
@@ -5313,7 +5313,8 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bigram_nll", oracle="""
 WITH w AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS toks
   FROM documents
 ), bg AS (
   SELECT doc_id,

@@ -1,0 +1,189 @@
+"""Differential tests: seeded-random nasty-whitespace pages run
+through the line-rule / tokenization operators AND a line-by-line
+plain-Python reference implementation. The oracle queries pin parity
+on the (single-spaced, ASCII) fixtures; these pin the rule semantics
+on inputs the fixtures never produce — tabs, newlines at boundaries,
+NBSP inside tokens, bullets, ellipses, curly quotes, accents.
+
+The references deliberately mirror JAVA/RE2 regex semantics:
+``\\s`` is the ASCII class (NBSP is NOT whitespace — it glues
+tokens), ``trim`` strips spaces only, splits keep boundary empties
+(which ``tokens`` then drops). Rounded fractions compare against the
+UNROUNDED reference with half-step tolerance so a value sitting on a
+rounding boundary cannot flake the test.
+"""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+WS = r"[ \t\n\x0b\f\r]"
+NWS = r"[^ \t\n\x0b\f\r]"
+
+WORDS = ["the", "quick", "café", "naïve", "data", "spark", "»x«",
+         "be", "of", "and", "javascript", "row#", "...", "–", "a",
+         "longish", "word", "“q”", "N B", "t\tb"]
+PUNCT = ["", ".", "!", "?", '"', "...", "…"]
+SEPS = ["\n", "\n", "\n\n", " \n", "\n ", "\t\n"]
+
+
+def _pages(n=150, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        if i % 29 == 0:
+            out.append((i, None))
+            continue
+        lines = []
+        for _ in range(rng.randrange(0, 9)):
+            toks = [rng.choice(WORDS)
+                    for _ in range(rng.randrange(0, 7))]
+            ln = " ".join(toks) + rng.choice(PUNCT)
+            if rng.random() < 0.15:
+                ln = "- " + ln
+            if rng.random() < 0.1:
+                ln = " " + ln + " "
+            lines.append(ln)
+        page = rng.choice(SEPS).join(lines)
+        if rng.random() < 0.2:
+            page = "\t" + page + "\n"
+        out.append((i, page))
+    return out
+
+
+def _toks(t):
+    """tokens(): trim spaces, ASCII-\\s+ split, drop empties."""
+    s = (t or "").strip(" ")
+    if s == "":
+        return []
+    return [w for w in re.split(WS + "+", s) if w != ""]
+
+
+def test_c4_clean_lines_differential(spark):
+    from structa_spark.operators import text as T
+
+    rows = _pages()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.c4_clean_lines(df).collect()}
+    for i, page in rows:
+        t = page or ""
+        lines = t.split("\n")
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"]' + WS + r"*$", ln)
+                and len(re.findall(NWS + "+", ln)) >= 3
+                and "javascript" not in ln.lower()]
+        clean = "\n".join(kept)
+        ns = len(re.findall(r"[.!?]", clean))
+        r = got[i]
+        assert r.n_lines == len(lines), (i, page)
+        assert r.n_kept_lines == len(kept), (i, page)
+        assert r.text_clean == clean, (i, page)
+        assert r.n_sentences == ns, (i, page)
+        assert r.page_keep == (ns >= 3), (i, page)
+
+
+def test_gopher_dup_fractions_differential(spark):
+    from structa_spark.operators import text as T
+
+    rows = _pages(seed=11)
+    # force real duplicates into some pages
+    rows = [(i, (p + "\ndup line here.\ndup line here." if p and
+                 i % 3 == 0 else p)) for i, p in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.gopher_dup_fractions(df).collect()}
+
+    def fracs(t, sep):
+        units = [u.strip(" ") for u in re.split(sep, t or "")]
+        units = [u for u in units if u != ""]
+        if not units:
+            return 0.0, 0.0
+        dist = list(dict.fromkeys(units))
+        uf = (len(units) - len(dist)) / len(units)
+        tot = sum(len(u) for u in units)
+        dtot = sum(len(u) for u in dist)
+        cf = (tot - dtot) / tot if tot else 0.0
+        return uf, cf
+
+    for i, page in rows:
+        lf, lcf = fracs(page, r"\n")
+        pf, pcf = fracs(page, r"\n{2,}")
+        r = got[i]
+        for spark_v, ref_v in [(r.dup_line_frac, lf),
+                               (r.dup_line_char_frac, lcf),
+                               (r.dup_para_frac, pf),
+                               (r.dup_para_char_frac, pcf)]:
+            assert abs(spark_v - ref_v) <= 5.1e-5, (i, page)
+
+
+def test_gopher_quality_flags_differential(spark):
+    from structa_spark.operators import text as T
+
+    rows = _pages(seed=23)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.gopher_quality_flags(df).collect()}
+    for i, page in rows:
+        t = page or ""
+        toks = _toks(t)
+        n = len(toks)
+        r = got[i]
+        assert r.n_words == n, (i, page)
+        if n:
+            mean = sum(len(w) for w in toks) / n
+            sym = (t.count("#") + len(re.findall(r"\.\.\.", t))
+                   + t.count("…")) / n
+            alpha = sum(1 for w in toks
+                        if re.search("[A-Za-z]", w)) / n
+            assert abs(r.mean_word_len - mean) <= 5.1e-5, (i, page)
+            assert abs(r.symbol_ratio - sym) <= 5.1e-5, (i, page)
+            assert abs(r.alpha_word_frac - alpha) <= 5.1e-5, (i, page)
+        else:
+            assert (r.mean_word_len, r.symbol_ratio,
+                    r.alpha_word_frac) == (0.0, 0.0, 0.0)
+        stops = len({w.lower() for w in toks}
+                    & set(T.GOPHER_STOPWORDS))
+        assert r.stopword_hits == stops, (i, page)
+        lines = t.split("\n")
+        bullet = sum(1 for ln in lines
+                     if re.search("^" + WS + r"*[-*•‣▪]", ln))
+        ell = sum(1 for ln in lines
+                  if re.search(r"(\.\.\.|…)" + WS + r"*$", ln))
+        assert abs(r.bullet_line_frac - bullet / len(lines)) \
+            <= 5.1e-5, (i, page)
+        assert abs(r.ellipsis_line_frac - ell / len(lines)) \
+            <= 5.1e-5, (i, page)
+
+
+def test_tokens_differential(spark):
+    # the shared tokenizer itself, on boundary-whitespace shapes the
+    # fixtures never produce: Spark tokens() must equal the ASCII
+    # strip/split/drop-empties reference (NBSP glues, tabs split)
+    from structa_spark.operators.text import tokens
+
+    rows = _pages(seed=31)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.tk for r in
+           df.select("doc_id",
+                     tokens(F.col("text")).alias("tk")).collect()}
+    for i, page in rows:
+        want = _toks(page) if page is not None else None
+        assert got[i] == want, (i, page)
+
+
+def test_normalize_typography_differential(spark):
+    from structa_spark.operators import text as T
+
+    rows = _pages(seed=43)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_norm, r.norm_changed)
+           for r in T.normalize_typography(df).collect()}
+    table = str.maketrans(dict(zip(T.TYPOGRAPHY_SRC,
+                                   T.TYPOGRAPHY_DST)))
+    acc = str.maketrans(dict(zip(T.ACCENT_SRC, T.ACCENT_DST)))
+    for i, page in rows:
+        if page is None:
+            assert got[i] == (None, False)
+            continue
+        want = page.translate(table).replace("…", "...") \
+                   .translate(acc)
+        assert got[i] == (want, want != page), (i, page)
