@@ -318,6 +318,66 @@ def incremental_dedup_stream(sdf: DataFrame, index: DataFrame,
                     F.col("dup_of").isNull().alias("is_new")))
 
 
+def neardup_candidates_stream(sdf: DataFrame, index: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              shingle_k: int = 3,
+                              n_bands: int = 4) -> DataFrame:
+    """Streaming NEAR-dup candidate flags against a STATIC LSH band
+    index — the ingest-time analogue of ``dedup.minhash_candidates``
+    crossed with the already-ingested corpus, completing the
+    streaming dedup ladder (exact hash: ``incremental_dedup_stream``;
+    spans: ``scrub_spans_stream``; near-dup: here). ``index`` is
+    ``dedup.minhash_bands(static_corpus)`` — the narrow
+    (id, band, band_key) relation a nightly job persists.
+
+    Emits one row per (incoming doc, band, colliding index doc):
+    banding is a pure projection (the codegen MinHash path) and the
+    stream-static equi-join on (band, band_key) is stateless — no
+    watermark, append-safe. A pair colliding in several bands emits
+    once per band; candidates are CANDIDATES — exact Jaccard
+    verification happens downstream in batch where both texts live,
+    exactly as in the batch LSH pipeline. Self-collisions (the same
+    id on both sides, e.g. replayed ingestion) are dropped.
+
+    Scale shape: the static side re-plans per microbatch (broadcast
+    while it fits, shuffled join beyond); the stream side never
+    aggregates, so there is no state to retain. Signatures come from
+    the EXPRESSION MinHash path (``minhash_signature_array``) — the
+    codegen path aggregates exploded shingles, which a stream cannot
+    do statelessly — and both paths compute identical values, so the
+    band keys join the batch-built index exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import MINHASH_PARAMS
+    from ..operators.dedup import (
+        _bind, minhash_signature_array, word_shingles)
+
+    rows_per_band = len(MINHASH_PARAMS) // n_bands
+    sig = minhash_signature_array(
+        word_shingles(F.col(text_col), shingle_k))
+
+    def bands_of(s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.concat_ws("_", F.transform(
+                    F.slice(s, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"))).alias("band_key")))
+
+    inc = (sdf.select(F.col(id_col),
+                      F.explode(_bind(sig, bands_of)).alias("bb"))
+           .select(id_col, F.col("bb.band").alias("band"),
+                   F.col("bb.band_key").alias("band_key")))
+    idx = index.select("band", "band_key",
+                       F.col(id_col).alias("candidate_id"))
+    return (inc.join(idx, ["band", "band_key"])
+            .where(F.col(id_col) != F.col("candidate_id"))
+            .select(id_col, "band", "candidate_id"))
+
+
 def scrub_spans_stream(sdf: DataFrame, eval_spans,
                        n: int = 5, id_col: str = "doc_id",
                        text_col: str = "text",
