@@ -170,6 +170,43 @@ def test_tokens_differential(spark):
         assert got[i] == want, (i, page)
 
 
+def test_span_dup_coverage_differential(spark):
+    # the span-dedup signal on boundary-whitespace corpora: per-doc
+    # span counts and cross-doc duplicate-span counts must equal the
+    # Python reference (lowered ASCII tokenization, 5-gram spans,
+    # >= 2 distinct docs per duplicated span)
+    from collections import Counter
+
+    from structa_spark.operators import dedup as D
+
+    rows = _pages(n=80, seed=57)
+    # force cross-doc duplicated spans into a third of the docs
+    boiler = "all rights reserved by the original content owner"
+    rows = [(i, (p + "\n" + boiler if p and i % 3 == 0 else p))
+            for i, p in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+           for r in D.duplicate_span_coverage(df, n=5).collect()}
+
+    def spans(t):
+        toks = _toks((t or "").lower())
+        return [" ".join(toks[j:j + 5])
+                for j in range(len(toks) - 4)]
+
+    per_doc = {i: spans(p) for i, p in rows}
+    doc_count = Counter()
+    for i, ss in per_doc.items():
+        for s in set(ss):
+            doc_count[s] += 1
+    for i, p in rows:
+        ss = per_doc[i]
+        dup = sum(1 for s in ss if doc_count[s] >= 2)
+        frac = round(dup / len(ss), 4) if ss else 0.0
+        assert got[i][0] == len(ss), (i, p)
+        assert got[i][1] == dup, (i, p)
+        assert abs(got[i][2] - frac) <= 5.1e-5, (i, p)
+
+
 def test_normalize_typography_differential(spark):
     from structa_spark.operators import text as T
 
