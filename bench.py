@@ -61,6 +61,7 @@ def main():
         corpus_filter_report,
         cosine_topk, decoded_media_stats, decompressed_text_stats,
         gopher_dup_fractions, gopher_quality_flags, hybrid_rrf_topk,
+        kn_bigram_nll,
         int8_topk_search, json_props_stats, mixed_resample_counts,
         audio_envelope_hashes, diverse_sample_by_cluster,
         image_dhash_values, nb_lang_confusion,
@@ -170,6 +171,7 @@ def main():
             "gopher_quality": run_df(gopher_quality_flags),
             "filter_report": run_df(corpus_filter_report),
             "ccnet_buckets": run_df(ccnet_perplexity_buckets),
+            "kn_bigram_nll": run_df(kn_bigram_nll),
         }
 
     suite = make_suite(SF_DIR)

@@ -1395,6 +1395,71 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_nll")))
 
 
+def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", d: float = 0.75,
+                      persist: bool = True) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form) — the smoothing KenLM
+    ships and CCNet's quality filter actually runs, upgrading the
+    add-alpha stand-in of :func:`bigram_logprob`:
+
+    ``P(w2|w1) = max(c(w1 w2) - d, 0) / c(w1)
+                 + (d * N1+(w1 *) / c(w1)) * N1+(* w2) / B``
+
+    with discount ``d``, ``N1+(w1 *)`` the distinct continuations of
+    ``w1``, ``N1+(* w2)`` the distinct predecessors of ``w2`` (the
+    continuation probability that makes "Francisco" unlikely outside
+    "San"), and ``B`` the number of distinct bigram types. Self
+    mode: the model trains on the scored corpus itself, so every
+    scored bigram has counts and ``P > 0`` by construction (counts
+    >= 1 > d). Returns (id, n_bigrams, avg_nll); documents with
+    fewer than two tokens are absent, like bigram_logprob.
+
+    Scale shape: the (doc, bigram) tf relation aggregates FIRST and
+    persists (one-deep module cache) because FIVE consumers read it
+    — the bigram counts, the (context total, continuation-type)
+    aggregate (ONE agg computes both), the predecessor-type
+    aggregate, and the scoring join; B folds in as a 1-row
+    broadcast. No token hot-key anywhere: every aggregation is keyed
+    by bigram, w1 or w2 AFTER the (doc, bigram) compression.
+    """
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount d must be in (0, 1): {d}")
+    arr = tokens(F.lower(F.col(text_col)))
+    bg = df.select(F.col(id_col),
+                   F.explode(word_ngrams(arr, 2)).alias("bg"))
+    tf = (bg.groupBy(id_col, "bg")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("w1", F.split("bg", " ").getItem(0))
+          .withColumn("w2", F.split("bg", " ").getItem(1)))
+    if persist:
+        tf = _evict_then_cache(_KN_TF_CACHE, tf)
+    bgc = (tf.groupBy("bg", "w1", "w2")
+           .agg(F.sum("tf").alias("cb")))
+    ctx = (bgc.groupBy("w1")
+           .agg(F.sum("cb").alias("cl"),
+                F.count(F.lit(1)).alias("n1p_fw")))
+    pred = (bgc.groupBy("w2")
+            .agg(F.count(F.lit(1)).alias("n1p_bw")))
+    btot = bgc.agg(F.count(F.lit(1)).cast("double").alias("__b__"))
+    dd = F.lit(float(d))
+    p = (F.greatest(F.col("cb") - dd, F.lit(0.0)) / F.col("cl")
+         + (dd * F.col("n1p_fw") / F.col("cl"))
+         * (F.col("n1p_bw") / F.col("__b__")))
+    nll = F.col("tf") * -F.log(p)
+    return (tf.join(bgc.select("bg", "cb"), "bg")
+            .join(ctx, "w1").join(pred, "w2")
+            .join(F.broadcast(btot))
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.round(F.sum(nll) / F.sum("tf"), 4)
+                 .alias("avg_nll")))
+
+
+# one-deep cache for kn_bigram_logprob's tf (see _evict_then_cache)
+_KN_TF_CACHE: list = []
+
+
 def token_js_divergence(df: DataFrame, group_col: str = "source",
                         text_col: str = "text",
                         persist: bool = True) -> DataFrame:

@@ -1269,6 +1269,58 @@ def ccnet_perplexity_buckets(spark: SparkSession,
             .orderBy("lang", "bucket"))
 
 
+@register("kn_bigram_nll", oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bgx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM w
+), tf AS (
+  SELECT doc_id, bg, count(*) AS tf FROM bgx GROUP BY 1, 2
+), sp AS (
+  SELECT doc_id, bg, tf,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM tf
+), bgc AS (
+  SELECT bg, w1, w2, sum(tf) AS cb FROM sp GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT w1, sum(cb) AS cl, count(*) AS n1f FROM bgc GROUP BY 1
+), pred AS (
+  SELECT w2, count(*) AS n1b FROM bgc GROUP BY 1
+), b AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM bgc
+)
+SELECT sp.doc_id, CAST(sum(sp.tf) AS BIGINT) AS n_bigrams,
+       round(sum(sp.tf * -ln(
+           greatest(bgc.cb - 0.75, 0) / ctx.cl
+           + (0.75 * ctx.n1f / ctx.cl) * (pred.n1b / b.b)))
+           / sum(sp.tf), 4) AS avg_nll
+FROM sp
+JOIN (SELECT bg, cb FROM bgc) bgc USING (bg)
+JOIN ctx USING (w1)
+JOIN pred USING (w2)
+CROSS JOIN b
+GROUP BY 1 ORDER BY 1
+""")
+def kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (the KenLM
+    smoothing CCNet's filter runs), values-checked model component
+    by component: the oracle rebuilds the discounted bigram term,
+    the context totals, BOTH continuation-type counts (forward for
+    the backoff weight, backward for the continuation probability)
+    and the bigram-type total, then replays every document's
+    weighted NLL — a drift in the discount, either N1+ count or the
+    interpolation hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    return text.kn_bigram_logprob(d).orderBy("doc_id")
+
+
 @register("source_token_jsd", oracle=f"""
 WITH toks AS (
   SELECT source AS grp, unnest({_LTOKS_SQL}) AS token

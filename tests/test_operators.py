@@ -2941,6 +2941,50 @@ def test_c4_clean_lines_rules(spark):
     assert T.c4_clean_lines(q).collect()[0].n_kept_lines == 1
 
 
+def test_kn_bigram_logprob(spark):
+    from structa_spark.operators import text as T
+
+    docs = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "san francisco san francisco san francisco"),  # twin
+        (3, "one two three four five six"),   # all-unique bigrams
+        (4, "word"),                          # < 2 tokens: absent
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll)
+           for r in T.kn_bigram_logprob(df, persist=False).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2]                   # deterministic
+    # the repeated-bigram page is far more predictable under the
+    # self-trained model than the all-unique one
+    assert got[1][1] < got[3][1]
+    with pytest.raises(ValueError, match="discount"):
+        T.kn_bigram_logprob(df, d=1.5)
+    # KN is a PROPER conditional distribution: sum_w2 P(w2|w1) = 1
+    # for every context; verify numerically for one context by
+    # replaying the formula on the corpus counts
+    from collections import Counter
+    toks = ("san francisco san francisco san francisco "
+            "san francisco san francisco san francisco "
+            "one two three four five six").split()
+    bgs = Counter(zip(toks, toks[1:]))
+    cl = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in bgs.items():
+        cl[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    B = len(bgs)
+    d = 0.75
+    for ctx in ("san", "francisco", "one"):
+        tot = sum(max(bgs[(ctx, w2)] - d, 0) / cl[ctx]
+                  + (d * n1f[ctx] / cl[ctx]) * (n1b[w2] / B)
+                  for w2 in n1b)
+        assert abs(tot - 1.0) < 1e-9, (ctx, tot)
+
+
 def test_normalize_typography(spark):
     from structa_spark.operators import text as T
 

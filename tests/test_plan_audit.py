@@ -54,6 +54,7 @@ _SCALAR_BROADCAST_OK = {
     "ccnet_perplexity_buckets",  # same reference-LM scoring relation
                                  # (broadcast V), tertile cutoffs are
                                  # a #langs-row broadcast on top
+    "kn_bigram_nll",             # broadcast(bigram-type total B)
     "dsir_logweights",           # broadcast(corpus/target totals)
     "dsir_resample_topk",        # same weights, noised top-k
     "source_token_jsd",          # broadcast(corpus token total)

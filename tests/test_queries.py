@@ -154,6 +154,7 @@ def test_driver_window_covers_every_family():
         "audio_dup_groups": "audio_envelope_hashes",
         "normalized_text_stats": "html_extracted_text",
         "corpus_version_diff": "dedup_exact_groups",
+        "kn_bigram_nll": "bigram_nll",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
