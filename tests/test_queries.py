@@ -50,6 +50,40 @@ def test_query_matches_oracle(spark, duck, name, fn, sql):
             f"duckdb:\n{ddf.head(10)}\ndiff sample:\n{diff.head(10)}")
 
 
+SF_SCALE = "/root/testdata/sf0.1"
+
+# representative scale-critical queries re-checked at 100x the local
+# parity tier (10x the driver's correctness tier): the hash compare
+# is identical — only the data volume changes, so a bug that needs
+# volume to show (bucket caps, skew paths, agg overflow) surfaces
+SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
+              "span_dup_coverage", "minhash_band_buckets",
+              "bigram_nll", "kn_bigram_nll", "gopher_quality_flags",
+              "scrub_eval_spans"]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_SCALE}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SCALE_SPOT)
+def test_query_matches_oracle_sf01(spark, duck01, name):
+    from structa_spark.queries import REGISTRY
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_SCALE).toPandas()
+    ddf = duck01.execute(sql).df()
+    assert len(sdf) == len(ddf), f"{name}: {len(sdf)} vs {len(ddf)}"
+    assert _canon(sdf) == _canon(ddf), f"{name}: value hash mismatch"
+
+
 def test_driver_window_covers_every_family():
     """The round driver records correctness rows for the first 50
     entries of queries() only — pin that the window is exactly the
