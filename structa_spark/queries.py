@@ -5145,6 +5145,49 @@ def audio_envelope_hashes(spark: SparkSession,
     return mm.audio_envelope_hash(media).orderBy("media_id")
 
 
+@register("image_exif_metadata", oracle="""
+SELECT doc_id AS media_id,
+       'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'cam' || CAST(doc_id % 7 AS VARCHAR) AS model,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || ' 12:00:00' AS exif_datetime
+FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id
+""")
+def image_exif_metadata(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction, values-checked field by field: build
+    JPEG payloads whose Exif APP1 (TIFF IFD0, alternating
+    little/big byte order per doc) carries formula-derived
+    make/model/orientation/datetime, walk the markers and the IFD
+    with ``parse_exif``, and compare every extracted value against
+    the formula — a drift in the marker walk, either byte order,
+    the inline-vs-offset ASCII handling or the SHORT read
+    mismatches. The camera-provenance layer for dedup-by-device and
+    orientation-aware preprocessing."""
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 2 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                bo = b"II" if i % 4 == 0 else b"MM"
+                app1 = mm.exif_app1_bytes(
+                    f"maker{i % 5}", f"cam{i % 7}", i % 8 + 1,
+                    f"2024:01:{i % 28 + 1:02d} 12:00:00", bo)
+                rows.append((i, b"\xff\xd8" + app1 + b"\xff\xd9"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.image_exif_metadata(media).orderBy("media_id")
+
+
 @register("audio_dup_groups", oracle="""
 WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,

@@ -3097,6 +3097,35 @@ def test_gopher_dup_fractions_rules(spark):
             got[5].gopher_keep) == (0.0, 0.0, True)
 
 
+def test_parse_exif_roundtrip_and_degradation():
+    from structa_spark.operators import multimodal as mm
+
+    for bo in (b"II", b"MM"):
+        app1 = mm.exif_app1_bytes("NIKON CORP", "D850", 6,
+                                  "2024:01:15 12:00:00", bo)
+        payload = b"\xff\xd8" + app1 + b"\xff\xd9"
+        assert mm.parse_exif(payload) == (
+            "NIKON CORP", "D850", 6, "2024:01:15 12:00:00"), bo
+    # inline (<= 4 byte) ASCII values use the slot, not the data area
+    short = b"\xff\xd8" + mm.exif_app1_bytes("A", "B2", 1, "x",
+                                             b"II") + b"\xff\xd9"
+    assert mm.parse_exif(short) == ("A", "B2", 1, "x")
+    # degradation paths: null, EXIF-less JPEG, non-JPEG, truncated
+    # TIFF body — all-None, never an exception
+    assert mm.parse_exif(None) == (None, None, None, None)
+    assert mm.parse_exif(b"\xff\xd8\xff\xd9") == (None,) * 4
+    assert mm.parse_exif(bytes(mm.jpeg_bytes(4, 4))) == (None,) * 4
+    assert mm.parse_exif(b"not a jpeg") == (None,) * 4
+    assert mm.parse_exif(
+        b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00IIxxxxxxxx") \
+        == (None,) * 4
+    # APP1 present but EXIF preceded by other segments still found
+    behind = (b"\xff\xd8" + bytes(mm.jpeg_bytes(4, 4))[2:-2]
+              + mm.exif_app1_bytes("m", "c", 3, "d", b"MM")
+              + b"\xff\xd9")
+    assert mm.parse_exif(behind) == ("m", "c", 3, "d")
+
+
 def test_perceptual_hash_bits_bounds(spark):
     # the hash columns are signed int64: bits=64 would pass the old
     # multiple-of-8 check but overflow at the Arrow long conversion

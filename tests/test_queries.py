@@ -189,6 +189,7 @@ def test_driver_window_covers_every_family():
         "normalized_text_stats": "html_extracted_text",
         "corpus_version_diff": "dedup_exact_groups",
         "kn_bigram_nll": "bigram_nll",
+        "image_exif_metadata": "image_dhash_values",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
