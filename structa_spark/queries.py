@@ -1222,7 +1222,8 @@ b AS (
   FROM j JOIN cut USING (lang)
 )
 SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(avg_nll), 4) AS bucket_avg_nll
+       min(avg_nll) AS bucket_min_nll,
+       max(avg_nll) AS bucket_max_nll
 FROM b GROUP BY 1, 2 ORDER BY lang, bucket
 """)
 def ccnet_perplexity_buckets(spark: SparkSession,
@@ -1262,10 +1263,16 @@ def ccnet_perplexity_buckets(spark: SparkSession,
                      .when(F.col("avg_nll") <= F.col("c")[1],
                            "middle")
                      .otherwise("tail")))
+    # per-bucket stats are min/max of the ALREADY-4dp-rounded NLLs —
+    # exact picks, not sums, so they replay bit-for-bit in any
+    # engine and summation order (a bucket MEAN of 70+ doubles once
+    # landed on a .5 rounding boundary and flipped the last digit
+    # between engines); they are also the real information: the
+    # per-language bucket boundaries
     return (b.groupBy("lang", "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.round(F.avg("avg_nll"), 4)
-                 .alias("bucket_avg_nll"))
+                 F.min("avg_nll").alias("bucket_min_nll"),
+                 F.max("avg_nll").alias("bucket_max_nll"))
             .orderBy("lang", "bucket"))
 
 
