@@ -5617,7 +5617,7 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
     # relational core
-    "q1_pricing_summary", "q3_top_orders",
+    "q3_top_orders",
     # profiler (the reference surface)
     "profile_stats_numeric", "profile_quartiles",
     "profile_type_candidates",
@@ -5627,16 +5627,16 @@ DRIVER_PRIORITY = [
     "daily_event_drift",
     # dedup (span/winnow family anchored by span_dup_coverage)
     "dedup_exact_groups", "minhash_band_buckets",
-    "containment_pairs", "span_dup_coverage", "winnow_overlap_pairs",
-    # decontamination (detect + surgical scrub + fuzzy)
-    "contamination_check", "scrub_eval_spans",
-    "fuzzy_contamination_pairs",
+    "containment_pairs", "span_dup_coverage",
+    # decontamination (detect + per-benchmark dashboard)
+    "contamination_check", "benchmark_contamination_report",
     # text analysis / tokenization / corpus prep
     "lang_id_confusion", "html_extracted_text",
-    "tfidf_top_terms", "bigram_nll",
+    "tfidf_top_terms", "bigram_nll", "kn_bigram_nll",
     "bpe_merge_candidates",
     "sequence_packing",
     "mixing_weights_by_source",
+    "normalized_text_stats",
     # quality-filter battery (C4 page + line rules, Gopher profiles)
     "c4_rule_flags", "c4_line_clean", "gopher_dup_fractions",
     "gopher_quality_flags", "repetition_ngram_profile",
@@ -5644,8 +5644,7 @@ DRIVER_PRIORITY = [
     # sampling / selection / composed pipeline
     "dsir_logweights", "ccnet_perplexity_buckets",
     "curriculum_shard_stats", "variant_props_stats",
-    "training_manifest", "source_curation_report",
-    "source_curation_report_v2", "diverse_sample_by_cluster",
+    "training_manifest", "corpus_version_diff",
     # retrieval / similarity
     "cosine_topk", "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
@@ -5653,7 +5652,8 @@ DRIVER_PRIORITY = [
     # multimodal
     "audio_header_metadata", "resized_media_stats",
     "decompressed_text_stats", "image_dhash_values",
-    "audio_envelope_hashes",
+    "audio_envelope_hashes", "image_dup_groups",
+    "audio_dup_groups", "image_exif_metadata",
 ]
 
 _unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -181,15 +181,15 @@ def test_driver_window_covers_every_family():
         "window_chunks": "sequence_packing",
         "source_token_jsd": "daily_event_drift",
         "shuffle_order_coords": "curriculum_shard_stats",
-        # registered in round 7 (oracle-checked here; rotates into
-        # the round-8 driver window)
-        "image_dup_groups": "image_dhash_values",
-        "benchmark_contamination_report": "contamination_check",
-        "audio_dup_groups": "audio_envelope_hashes",
-        "normalized_text_stats": "html_extracted_text",
-        "corpus_version_diff": "dedup_exact_groups",
-        "kn_bigram_nll": "bigram_nll",
-        "image_exif_metadata": "image_dhash_values",
+        # rotated OUT in round 8 (driver-green in rounds 1-7) to make
+        # room for the 7 round-7 newcomers
+        "q1_pricing_summary": "q3_top_orders",
+        "winnow_overlap_pairs": "span_dup_coverage",
+        "scrub_eval_spans": "contamination_check",
+        "fuzzy_contamination_pairs": "contamination_check",
+        "source_curation_report": "training_manifest",
+        "source_curation_report_v2": "training_manifest",
+        "diverse_sample_by_cluster": "curriculum_shard_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
