@@ -1583,6 +1583,102 @@ def canonicalize_url(url: Column) -> Column:
         .otherwise(F.concat(F.lower(sh), rest))
 
 
+def host_of(url: Column) -> Column:
+    """Lowercased network host of a URL — the grouping key of
+    host-level curation (the RefinedWeb/C4 source-reputation stage
+    runs BEFORE content filters). Strips userinfo, the port, one
+    leading ``www.`` label and a trailing root dot; a string with no
+    ``http(s)://`` scheme yields the empty string (callers treat
+    those as host-less documents, never as a shared '' reputation
+    bucket — filter them out before aggregating). Pure
+    regexp/substring chain, RE2-and-Java safe, one projection."""
+    h = F.lower(F.regexp_extract(url, r"(?i)^https?://([^/?#]+)", 1))
+    h = F.regexp_replace(h, r"^[^@/]*@", "")
+    h = F.regexp_replace(h, r":[0-9]+$", "")
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r"\.$", "")
+
+
+# The common two-level public suffixes. A full public-suffix-list
+# lookup is a broadcast dict in production; the regexp covers the
+# high-traffic ccTLD registries and keeps the operator a pure
+# expression (and therefore identically replayable in the oracle).
+_SLD_RX = (r"([^.]+\.(?:co|com|org|net|ac|gov|or|ne|edu)"
+           r"\.(?:uk|jp|au|nz|in|br|mx|cn|tw|kr|za))$")
+_APEX_RX = r"([^.]+\.[^.]+)$"
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 approximation for reputation grouping: the last two
+    host labels, or the last three when the trailing two form a
+    common two-level public suffix (``co.uk``, ``com.au``, ...), so
+    ``a.example.co.uk`` and ``b.example.co.uk`` share the key
+    ``example.co.uk`` instead of the useless ``co.uk``. A host with
+    fewer labels passes through unchanged."""
+    sld = F.regexp_extract(host, _SLD_RX, 1)
+    apex = F.regexp_extract(host, _APEX_RX, 1)
+    return F.when(sld != "", sld) \
+        .when(apex != "", apex).otherwise(host)
+
+
+def host_reputation(df: DataFrame, host_col: str = "host",
+                    keep_col: str = "keep",
+                    text_col: str = "text") -> DataFrame:
+    """Per-host curation statistics — the aggregation behind a
+    source-reputation gate: ``n_docs``, ``keep_rate`` (mean of the
+    page-level keep verdict) and ``dup_rate`` (1 - distinct
+    normalized-content hashes / docs, the within-host mirror-page
+    fraction). ONE host-keyed aggregation over flags the caller
+    already computed in the document scan; the result is #hosts
+    rows — small enough to broadcast back onto the corpus, which is
+    the point: the corpus itself never shuffles for the host stage.
+    """
+    from .dedup import normalize_text
+
+    h = md5_long(normalize_text(F.col(text_col)))
+    n = F.count(F.lit(1))
+    return (df.groupBy(F.col(host_col).alias("host"))
+            .agg(n.cast("long").alias("n_docs"),
+                 F.round(F.avg(F.col(keep_col).cast("double")), 4)
+                 .alias("keep_rate"),
+                 F.round(1.0 - F.countDistinct(h) / n, 4)
+                 .alias("dup_rate")))
+
+
+def host_policy_verdict(reputation: DataFrame,
+                        blocklist=(), allowlist=(),
+                        min_keep_rate: float = 0.0,
+                        max_dup_rate: float = 1.0) -> DataFrame:
+    """Per-host ``host_keep`` verdict from :func:`host_reputation`
+    output plus explicit lists: allowlisted hosts always pass;
+    otherwise a host passes iff it is not blocklisted, its page-keep
+    rate clears ``min_keep_rate`` and its dup rate stays under
+    ``max_dup_rate`` — the RefinedWeb-style reputation gate. The
+    lists are literal ``isin`` sets (curated lists are thousands of
+    entries, driver-side literals broadcast with the plan); the
+    verdict relation stays #hosts rows."""
+    block = (F.col("host").isin(list(blocklist)) if blocklist
+             else F.lit(False))
+    allow = (F.col("host").isin(list(allowlist)) if allowlist
+             else F.lit(False))
+    keep = allow | (~block & (F.col("keep_rate") >= min_keep_rate)
+                    & (F.col("dup_rate") <= max_dup_rate))
+    return reputation.select("host", keep.alias("host_keep"))
+
+
+def apply_host_policy(df: DataFrame, verdict: DataFrame,
+                      host_col: str = "host") -> DataFrame:
+    """Gate a document relation on a :func:`host_policy_verdict`
+    relation: broadcast the #hosts-row verdict and left-join it onto
+    the corpus (a host absent from the verdict — e.g. filtered out
+    before reputation ran — fails closed). Adds ``host_keep``; the
+    corpus side never shuffles."""
+    v = F.broadcast(verdict.withColumnRenamed("host", host_col))
+    out = df.join(v, host_col, "left")
+    return out.withColumn(
+        "host_keep", F.coalesce(F.col("host_keep"), F.lit(False)))
+
+
 def nb_train(df: DataFrame, label_col: str = "lang",
              text_col: str = "text"):
     """'Train' a multinomial Naive Bayes document classifier — the

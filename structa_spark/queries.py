@@ -2614,8 +2614,14 @@ rep AS (
                                               '\\s+'),
                            t -> t <> '') AS ts
         FROM documents)),
+hosts AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host
+  FROM documents),
 keep AS (
   SELECT min(doc_id) AS doc_id FROM documents
+  JOIN hosts USING (doc_id)
+  WHERE host NOT IN ('h3.com', 'h8.com')
   GROUP BY {_H_NORM}),
 cents AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -2627,38 +2633,55 @@ assigned AS (
                                       cents.cvec) DESC, cid
           LIMIT 1) AS list_id
   FROM embeddings e)
-SELECT s.doc_id, s.lang, s.n_tokens, round(s.q, 4) AS quality,
+SELECT s.doc_id, h.host, s.lang, s.n_tokens, round(s.q, 4) AS quality,
        r.distinct_token_frac, a.list_id
 FROM scored s
 JOIN rep r USING (doc_id)
 JOIN keep k USING (doc_id)
+JOIN hosts h USING (doc_id)
 JOIN assigned a ON a.vec_id = s.doc_id
 WHERE round(s.q, 4) >= 0.5 AND r.distinct_token_frac >= 0.3
   AND s.n_tokens BETWEEN 10 AND 5000
+  AND h.host NOT IN ('h3.com', 'h8.com')
 ORDER BY s.doc_id
 """)
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pipeline, composed end to end: quality-score the corpus,
-    drop degenerate-repetition documents, keep one doc per exact-dup
-    family, join each survivor's embedding and record its IVF list —
-    the manifest a training job would shard by list for locality.
+    """The pipeline, composed end to end: URL -> host blocklist gate
+    (the RefinedWeb-style source-reputation stage, applied FIRST so
+    blocked sources never pay for content filters), quality-score
+    the survivors, drop degenerate-repetition documents, keep one
+    doc per exact-dup family, join each survivor's embedding and
+    record its IVF list — the manifest a training job would shard by
+    list for locality. URLs synthesize from doc_id (the corpus is
+    URL-free word soup) and the host rides
+    text.host_of/registered_domain; the oracle predicts each host
+    arithmetically, so a host-extraction bug hash-mismatches.
 
-    Scale shape: quality features, the type/token ratio AND the
-    exact-dedup hash all come out of ONE projection over ONE scan of
-    documents (the repetition filter here needs only the shuffle-free
-    distinct-token fraction, not the bigram mode, and keep-first is a
-    window over the same rows — no second scan, no semi join); the
-    embedding join is id-to-id (co-partitioned after AQE); the
-    centroid assignment is a shuffle-free unrolled expression."""
+    Scale shape: the host gate is a literal ``isin`` on a derived
+    column (a curated blocklist broadcasts with the plan — no
+    shuffle, no join); quality features, the type/token ratio AND
+    the exact-dedup hash all come out of ONE projection over ONE
+    scan of documents (the repetition filter here needs only the
+    shuffle-free distinct-token fraction, not the bigram mode, and
+    keep-first is a window over the same rows — no second scan, no
+    semi join); the embedding join is id-to-id (co-partitioned after
+    AQE); the centroid assignment is a shuffle-free unrolled
+    expression."""
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
+    url = F.concat(F.lit("https://h"),
+                   (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".com/d/"), F.col("doc_id").cast("string"))
+    host = text.registered_domain(text.host_of(url))
     toks = text.tokens(F.lower(F.col("text")))
     n_tok = F.size(toks)
     distinct_frac = F.round(
         F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok)
         .otherwise(F.lit(0.0)), 4)
-    scored = (text.quality_score(d)
-              .select("doc_id", "lang",
+    scored = (text.quality_score(
+                  d.withColumn("host", host)
+                  .where(~F.col("host").isin("h3.com", "h8.com")))
+              .select("doc_id", "host", "lang",
                       F.col("n_tokens").cast("long").alias("n_tokens"),
                       F.col("quality_score").alias("quality"),
                       distinct_frac.alias("distinct_token_frac"),
@@ -2676,7 +2699,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("quality") >= 0.5)
                    & (F.col("distinct_token_frac") >= 0.3)
                    & F.col("n_tokens").between(10, 5000))
-            .select("doc_id", "lang", "n_tokens", "quality",
+            .select("doc_id", "host", "lang", "n_tokens", "quality",
                     "distinct_token_frac", "list_id")
             .orderBy("doc_id"))
 
@@ -5601,6 +5624,148 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("canonical_url"))
 
 
+def _synth_host_url() -> "F.Column":
+    """Synthetic per-document URL for the host-curation queries
+    (corpus text is URL-free word soup, so URLs derive from doc_id
+    like domain_stats'): 13 hosts across .com/.org/.co.uk/.net, with
+    every messy variant host_of must erase — a ``www.`` label on
+    doc_id%4==1, an uppercased host on doc_id%5==0, an explicit port
+    on doc_id%7==0. The oracle predicts the cleaned host
+    ARITHMETICALLY from doc_id and never runs the regex chain, so
+    any host_of/registered_domain bug shifts a reputation bucket and
+    hash-mismatches."""
+    k = F.col("doc_id") % 13
+    suffix = F.element_at(
+        F.array(F.lit(".com"), F.lit(".org"),
+                F.lit(".co.uk"), F.lit(".net")),
+        (k % 4 + 1).cast("int"))
+    hostname = F.concat(F.lit("site"), k.cast("string"), suffix)
+    host_part = F.when(F.col("doc_id") % 5 == 0,
+                       F.upper(hostname)).otherwise(hostname)
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        host_part,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/a/"), F.col("doc_id").cast("string"))
+
+
+_HOST_SQL = ("'site' || CAST(doc_id % 13 AS VARCHAR) || "
+             "CASE (doc_id % 13) % 4 WHEN 0 THEN '.com' "
+             "WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk' "
+             "ELSE '.net' END")
+
+_HOST_REP_SQL = f"""per AS (
+  SELECT doc_id, {_HOST_SQL} AS host,
+         CASE WHEN round({_QUALITY_Q_SQL}, 4) >= 0.5
+              THEN 1.0 ELSE 0.0 END AS keep,
+         {_H_NORM} AS h
+  FROM f),
+rep AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(keep), 4) AS keep_rate,
+         round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+  FROM per GROUP BY host),
+verdict AS (
+  SELECT host, n_docs, keep_rate, dup_rate,
+         (host = 'site5.org'
+          OR (host <> 'site3.net' AND keep_rate >= 0.98
+              AND dup_rate <= 0.5)) AS host_keep
+  FROM rep)"""
+
+
+@register("host_curation_report", oracle=f"""
+WITH f AS ({_quality_f_sql('text,')}),
+{_HOST_REP_SQL}
+SELECT host, n_docs, keep_rate, dup_rate, host_keep
+FROM verdict ORDER BY host
+""")
+def host_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host/domain-level source curation — the RefinedWeb/C4
+    reputation stage that runs BEFORE content filters: extract the
+    registrable domain from each document's (synthesized) URL, fold
+    the page-level quality verdict and the within-host mirror-page
+    dup rate into ONE host-keyed aggregation, and apply the policy
+    gate (allowlist overrides; otherwise blocklist + keep-rate +
+    dup-rate thresholds). The oracle predicts every host
+    arithmetically from doc_id (never running host_of's regex chain)
+    and replays quality, the content-hash dup rate and the policy
+    booleans, so a bug anywhere in host extraction, reputation math
+    or the verdict hash-mismatches.
+
+    Scale shape: flags come out of the document scan, the host agg
+    is one shuffle to #hosts rows, and the verdict is a projection
+    of that tiny relation — nothing here grows with corpus size
+    except the single agg, and the corpus text column never moves."""
+    d = _t(spark, sf_dir, "documents")
+    dom = text.registered_domain(text.host_of(_synth_host_url()))
+    flagged = (text.quality_score(d)
+               .select("doc_id", "text",
+                       (F.col("quality_score") >= 0.5).alias("keep"),
+                       dom.alias("host")))
+    rep = text.host_reputation(flagged)
+    verdict = text.host_policy_verdict(
+        rep, blocklist=("site3.net",), allowlist=("site5.org",),
+        min_keep_rate=0.98, max_dup_rate=0.5)
+    return (rep.join(verdict, "host")
+            .select("host", "n_docs", "keep_rate", "dup_rate",
+                    "host_keep")
+            .orderBy("host"))
+
+
+@register("host_policy_filter", oracle=f"""
+WITH f AS ({_quality_f_sql('text, source,')}),
+{_HOST_REP_SQL},
+gated AS (
+  SELECT f.doc_id, f.source,
+         coalesce(v.host_keep, false) AS host_keep
+  FROM (SELECT doc_id, source, {_HOST_SQL} AS host FROM f) f
+  LEFT JOIN verdict v USING (host))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN host_keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       round(avg(CASE WHEN host_keep THEN 1.0 ELSE 0.0 END), 4)
+           AS kept_rate
+FROM gated GROUP BY source ORDER BY source
+""")
+def host_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reputation gate APPLIED: broadcast the #hosts-row
+    host_policy_verdict back onto the corpus (left join, absent
+    hosts fail closed) and report per-source document counts before
+    and after the gate — the blocklist-filter step a crawl-curation
+    pipeline runs between URL dedup and content filters. Same
+    synthesized hosts, reputation and policy as
+    host_curation_report; the oracle replays the join and both
+    aggregations end to end.
+
+    Scale shape: reputation is one host-keyed agg; the verdict
+    relation broadcasts (plan-audited), so gating 100 TB of
+    documents is a map-side hash-join — the corpus never shuffles,
+    and the final per-source report is a second tiny agg."""
+    d = _t(spark, sf_dir, "documents")
+    dom = text.registered_domain(text.host_of(_synth_host_url()))
+    flagged = (text.quality_score(d)
+               .select("doc_id", "source", "text",
+                       (F.col("quality_score") >= 0.5).alias("keep"),
+                       dom.alias("host")))
+    verdict = text.host_policy_verdict(
+        text.host_reputation(flagged),
+        blocklist=("site3.net",), allowlist=("site5.org",),
+        min_keep_rate=0.98, max_dup_rate=0.5)
+    gated = text.apply_host_policy(
+        flagged.select("doc_id", "source", "host"), verdict)
+    return (gated.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("host_keep").cast("int")).cast("long")
+                 .alias("n_kept"),
+                 F.round(F.avg(F.col("host_keep").cast("double")), 4)
+                 .alias("kept_rate"))
+            .orderBy("source"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================
@@ -5638,9 +5803,11 @@ DRIVER_PRIORITY = [
     "mixing_weights_by_source",
     "normalized_text_stats",
     # quality-filter battery (C4 page + line rules, Gopher profiles)
-    "c4_rule_flags", "c4_line_clean", "gopher_dup_fractions",
-    "gopher_quality_flags", "repetition_ngram_profile",
+    "c4_rule_flags", "c4_line_clean",
+    "gopher_quality_flags",
     "corpus_filter_report",
+    # host/domain reputation curation (new in round 8)
+    "host_curation_report", "host_policy_filter",
     # sampling / selection / composed pipeline
     "dsir_logweights", "ccnet_perplexity_buckets",
     "curriculum_shard_stats", "variant_props_stats",

@@ -3155,3 +3155,60 @@ def test_jpeg_trailing_fill_bytes_raise_jpeg_error():
 
     with _pt.raises(J.JpegError, match="truncated marker"):
         J._decode_jpeg(b"\xff\xd8" + b"\xff" * 7)
+
+
+def test_host_of_and_registered_domain(spark):
+    # host_of strips scheme/userinfo/port/www/root-dot and lowers;
+    # registered_domain keeps eTLD+1 incl. two-level public suffixes
+    cases = [
+        ("https://WWW.Example.COM/p?q=1", "example.com", "example.com"),
+        ("http://a.b.example.co.uk:8080/x", "a.b.example.co.uk",
+         "example.co.uk"),
+        ("https://user:pw@Host.ORG/p", "host.org", "host.org"),
+        ("https://news.site.com.", "news.site.com", "site.com"),
+        ("https://localhost/x", "localhost", "localhost"),
+        ("not a url", "", ""),
+        (None, "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "i long, u string")
+    rows = {r.i: r for r in df.select(
+        "i", text.host_of(F.col("u")).alias("h"),
+        text.registered_domain(text.host_of(F.col("u"))).alias("d"))
+        .collect()}
+    for i, (u, h, d) in enumerate(cases):
+        got = rows[i]
+        assert (got.h or "") == h, (u, got.h)
+        assert (got.d or "") == d, (u, got.d)
+
+
+def test_host_policy_verdict_and_apply(spark):
+    # allowlist overrides blocklist AND thresholds; absent hosts
+    # fail closed through apply_host_policy's left join
+    rep = spark.createDataFrame(
+        [("good.com", 10, 0.99, 0.0),
+         ("dupfarm.net", 10, 1.0, 0.9),
+         ("lowq.org", 10, 0.2, 0.0),
+         ("blocked.io", 10, 1.0, 0.0),
+         ("saved.io", 10, 0.0, 1.0)],
+        "host string, n_docs long, keep_rate double, dup_rate double")
+    v = text.host_policy_verdict(
+        rep, blocklist=("blocked.io", "saved.io"),
+        allowlist=("saved.io",),
+        min_keep_rate=0.5, max_dup_rate=0.5)
+    got = {r.host: r.host_keep for r in v.collect()}
+    assert got == {"good.com": True, "dupfarm.net": False,
+                   "lowq.org": False, "blocked.io": False,
+                   "saved.io": True}
+    # empty lists: pure threshold gate
+    v2 = text.host_policy_verdict(rep, min_keep_rate=0.5,
+                                  max_dup_rate=0.5)
+    got2 = {r.host: r.host_keep for r in v2.collect()}
+    assert got2["blocked.io"] and not got2["saved.io"]
+    docs = spark.createDataFrame(
+        [(1, "good.com"), (2, "lowq.org"), (3, "unseen.xyz")],
+        "doc_id long, host string")
+    gated = {r.doc_id: r.host_keep
+             for r in text.apply_host_policy(docs, v).collect()}
+    assert gated == {1: True, 2: False, 3: False}

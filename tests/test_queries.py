@@ -190,6 +190,8 @@ def test_driver_window_covers_every_family():
         "source_curation_report": "training_manifest",
         "source_curation_report_v2": "training_manifest",
         "diverse_sample_by_cluster": "curriculum_shard_stats",
+        "gopher_dup_fractions": "gopher_quality_flags",
+        "repetition_ngram_profile": "gopher_quality_flags",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
