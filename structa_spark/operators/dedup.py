@@ -1198,14 +1198,32 @@ def dedup_corpus_best(df: DataFrame, score_col: str,
     groups = near_duplicate_groups(
         df, text_col, id_col, shingle_k, jaccard_threshold,
         use_lsh=use_lsh)
+    keep = keep_best_per_group(
+        groups, df.select(id_col, score_col), id_col=id_col,
+        score_col=score_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def keep_best_per_group(groups: DataFrame, scores: DataFrame,
+                        id_col: str = "doc_id",
+                        group_col: str = "group_id",
+                        score_col: str = "score") -> DataFrame:
+    """Survivor selection for ANY dup-group relation — text, image
+    or audio families alike: join a per-item score onto the
+    (item, group) relation and return one ``(group_col, keep_id)``
+    row per group, the highest-scoring member with ties and null
+    scores falling back to the LOWEST id (nulls coalesce to -inf, so
+    a null-scored item survives only in an all-null group).
+
+    Scale shape: the per-group argmax is ONE aggregation — ``max_by``
+    on a (score, -id) struct, no per-group window sort; inputs and
+    output are id/score columns only, payloads never move."""
     s = F.coalesce(F.col(score_col).cast("double"),
                    F.lit(float("-inf")))
-    scored = groups.join(df.select(id_col, score_col), id_col)
-    keep = (scored.groupBy("group_id")
+    scored = groups.join(scores.select(id_col, score_col), id_col)
+    return (scored.groupBy(group_col)
             .agg(F.max_by(
                 F.col(id_col),
                 F.struct(s.alias("s"),
                          (-F.col(id_col)).alias("neg_id")))
-                .alias(id_col))
-            .select(id_col))
-    return df.join(keep, id_col, "left_semi")
+                .alias("keep_id")))

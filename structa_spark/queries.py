@@ -4992,8 +4992,7 @@ def image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash(media).orderBy("media_id")
 
 
-@register("image_dup_groups", oracle="""
-WITH RECURSIVE ids AS (
+_IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h
   FROM documents WHERE doc_id < 320
@@ -5049,10 +5048,38 @@ walk(id, label) AS (
   UNION
   SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
 ),
-cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id)
-SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
-FROM ids i LEFT JOIN cc ON cc.id = i.media_id
-ORDER BY i.media_id
+cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+grp AS (
+  SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
+  FROM ids i LEFT JOIN cc ON cc.id = i.media_id)"""
+
+
+def _media_keep_best_sql(groups_cte: str) -> str:
+    """Append survivor selection to a media dup-group oracle: join
+    documents.n_chars as the quality score, pick the per-group
+    argmax (score desc, id asc) and label every member kept or
+    dropped."""
+    return groups_cte + """,
+scored AS (
+  SELECT g.media_id, g.group_id, d.n_chars
+  FROM grp g JOIN documents d ON d.doc_id = g.media_id),
+sel AS (
+  SELECT group_id, media_id AS keep_id
+  FROM (SELECT group_id, media_id,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY n_chars DESC, media_id)
+                   AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT s.media_id, s.group_id, sel.keep_id,
+       s.media_id = sel.keep_id AS kept
+FROM scored s JOIN sel USING (group_id)
+ORDER BY s.media_id
+"""
+
+
+@register("image_dup_groups", oracle=_IMAGE_GROUPS_CTE + """
+SELECT media_id, group_id FROM grp ORDER BY media_id
 """)
 def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IMAGE dedup decision, values-checked through the
@@ -5075,6 +5102,14 @@ def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     force is oracle-only); components iterate O(log D) rounds on the
     edge subset; the final listing is one left join of labels onto
     the id spine."""
+    return _image_cluster_groups(spark, sf_dir).orderBy("media_id")
+
+
+def _image_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup spine shared by image_dup_groups and
+    image_dedup_keep: synthesize the 4-member PNG clusters, real
+    decode -> dHash -> pigeonhole pairs -> connected components ->
+    (media_id, group_id), unordered."""
     import numpy as np
     import pandas as pd
 
@@ -5105,8 +5140,49 @@ def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (media.select("media_id")
             .join(comp, F.col("media_id") == F.col("id"), "left")
             .select(F.col("media_id"),
-                    F.coalesce("label", "media_id").alias("group_id"))
+                    F.coalesce("label", "media_id").alias("group_id")))
+
+
+def _media_dedup_keep(spark: SparkSession, sf_dir: str,
+                      groups: DataFrame) -> DataFrame:
+    """Shared survivor-selection tail of image_dedup_keep /
+    audio_dedup_keep: score each media item by its sidecar
+    document's n_chars (the 'keep the richest copy' heuristic —
+    pixel area and duration are constant within these synthetic
+    clusters, so an exogenous quality score is what varies), run
+    dedup.keep_best_per_group's max_by argmax, and label every
+    member kept or dropped. One group-keyed agg + one group-keyed
+    join; payloads never move."""
+    scores = (_t(spark, sf_dir, "documents")
+              .select(F.col("doc_id").alias("media_id"), "n_chars"))
+    keep = dedup.keep_best_per_group(
+        groups, scores, id_col="media_id", score_col="n_chars")
+    return (groups.join(keep, "group_id")
+            .select("media_id", "group_id", "keep_id",
+                    (F.col("media_id") == F.col("keep_id"))
+                    .alias("kept"))
             .orderBy("media_id"))
+
+
+@register("image_dedup_keep", oracle=_media_keep_best_sql(
+    _IMAGE_GROUPS_CTE))
+def image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup TERMINATED in a keep/drop decision — the endpoint
+    a curation pipeline actually ships: the image_dup_groups spine
+    (real decode -> dHash -> pigeonhole pairs -> connected
+    components) followed by dedup.keep_best_per_group, keeping the
+    member with the richest sidecar document (n_chars; ties fall to
+    the lowest id — singleton groups keep themselves by
+    construction). The oracle replays the whole chain: pixels,
+    packing, pair set, components, the score join AND the per-group
+    argmax, so a drift anywhere from the codec to the tie-break
+    hash-mismatches.
+
+    Scale shape: identical to image_dup_groups plus ONE group-keyed
+    max_by agg and one group-keyed join of the #groups-row keep
+    relation — no window sort, no payload movement."""
+    return _media_dedup_keep(
+        spark, sf_dir, _image_cluster_groups(spark, sf_dir))
 
 
 @register("audio_envelope_hashes", oracle="""
@@ -5218,8 +5294,7 @@ def image_exif_metadata(spark: SparkSession,
     return mm.image_exif_metadata(media).orderBy("media_id")
 
 
-@register("audio_dup_groups", oracle="""
-WITH RECURSIVE ids AS (
+_AUDIO_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          50 + ((doc_id // 4) * 13) % 330 AS n
   FROM documents WHERE doc_id < 320
@@ -5273,10 +5348,14 @@ walk(id, label) AS (
   UNION
   SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
 ),
-cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id)
-SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
-FROM ids i LEFT JOIN cc ON cc.id = i.media_id
-ORDER BY i.media_id
+cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+grp AS (
+  SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
+  FROM ids i LEFT JOIN cc ON cc.id = i.media_id)"""
+
+
+@register("audio_dup_groups", oracle=_AUDIO_GROUPS_CTE + """
+SELECT media_id, group_id FROM grp ORDER BY media_id
 """)
 def audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end AUDIO dedup decision — the audio twin of
@@ -5290,6 +5369,14 @@ def audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-recall argument) and the recursive-CTE components. Same
     scale shape as the image twin: bucketed pairs (never all-pairs),
     O(log D) component rounds, one label join onto the spine."""
+    return _audio_cluster_groups(spark, sf_dir).orderBy("media_id")
+
+
+def _audio_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-dedup spine shared by audio_dup_groups and
+    audio_dedup_keep: synthesize the 4-member WAV clusters, real
+    decode -> envelope hash -> pigeonhole pairs -> connected
+    components -> (media_id, group_id), unordered."""
     import numpy as np
     import pandas as pd
 
@@ -5321,8 +5408,25 @@ def audio_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (media.select("media_id")
             .join(comp, F.col("media_id") == F.col("id"), "left")
             .select(F.col("media_id"),
-                    F.coalesce("label", "media_id").alias("group_id"))
-            .orderBy("media_id"))
+                    F.coalesce("label", "media_id").alias("group_id")))
+
+
+@register("audio_dedup_keep", oracle=_media_keep_best_sql(
+    _AUDIO_GROUPS_CTE))
+def audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup TERMINATED in a keep/drop decision — the audio
+    twin of image_dedup_keep: the audio_dup_groups spine (real WAV
+    decode -> envelope hash -> pigeonhole pairs -> connected
+    components) followed by dedup.keep_best_per_group on the sidecar
+    document's n_chars (ties fall to the lowest id). The oracle
+    replays samples, windowing, packing, pair set, components, the
+    score join and the per-group argmax end to end.
+
+    Scale shape: identical to audio_dup_groups plus ONE group-keyed
+    max_by agg and one group-keyed join of the #groups-row keep
+    relation."""
+    return _media_dedup_keep(
+        spark, sf_dir, _audio_cluster_groups(spark, sf_dir))
 
 
 @register("curriculum_shard_stats", oracle="""
@@ -5809,7 +5913,7 @@ DRIVER_PRIORITY = [
     # host/domain reputation curation (new in round 8)
     "host_curation_report", "host_policy_filter",
     # sampling / selection / composed pipeline
-    "dsir_logweights", "ccnet_perplexity_buckets",
+    "dsir_logweights",
     "curriculum_shard_stats", "variant_props_stats",
     "training_manifest", "corpus_version_diff",
     # retrieval / similarity
@@ -5818,9 +5922,11 @@ DRIVER_PRIORITY = [
     "hybrid_rrf_topk",
     # multimodal
     "audio_header_metadata", "resized_media_stats",
-    "decompressed_text_stats", "image_dhash_values",
+    "decompressed_text_stats",
     "audio_envelope_hashes", "image_dup_groups",
     "audio_dup_groups", "image_exif_metadata",
+    # media dedup survivor selection (new in round 8)
+    "image_dedup_keep", "audio_dedup_keep",
 ]
 
 _unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -3212,3 +3212,19 @@ def test_host_policy_verdict_and_apply(spark):
     gated = {r.doc_id: r.host_keep
              for r in text.apply_host_policy(docs, v).collect()}
     assert gated == {1: True, 2: False, 3: False}
+
+
+def test_keep_best_per_group_ties_and_nulls(spark):
+    # highest score wins; ties and null scores fall to lowest id;
+    # an all-null group keeps its lowest id
+    groups = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "doc_id long, group_id long")
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, None), (5, 2.0),
+         (6, None)],
+        "doc_id long, score double")
+    keep = {r.group_id: r.keep_id
+            for r in dedup.keep_best_per_group(groups, scores)
+            .collect()}
+    assert keep == {10: 2, 20: 5, 30: 6}

@@ -192,6 +192,8 @@ def test_driver_window_covers_every_family():
         "diverse_sample_by_cluster": "curriculum_shard_stats",
         "gopher_dup_fractions": "gopher_quality_flags",
         "repetition_ngram_profile": "gopher_quality_flags",
+        "ccnet_perplexity_buckets": "kn_bigram_nll",
+        "image_dhash_values": "image_dup_groups",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
