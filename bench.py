@@ -75,6 +75,8 @@ def main():
         source_token_jsd, span_dedup_texts,
         tfidf_top_terms, token_stats_by_lang, top_orders_per_customer,
         training_manifest, unigram_nll, windowed_event_stats,
+        host_curation_report, host_policy_filter,
+        image_dedup_keep, audio_dedup_keep,
     )
     from structa_spark.sources.tables import load_table
 
@@ -172,6 +174,10 @@ def main():
             "filter_report": run_df(corpus_filter_report),
             "ccnet_buckets": run_df(ccnet_perplexity_buckets),
             "kn_bigram_nll": run_df(kn_bigram_nll),
+            "host_report": run_df(host_curation_report),
+            "host_filter": run_df(host_policy_filter),
+            "image_dedup_keep": run_df(image_dedup_keep),
+            "audio_dedup_keep": run_df(audio_dedup_keep),
         }
 
     suite = make_suite(SF_DIR)
@@ -200,12 +206,30 @@ def main():
     # three raw passes ship in the payload for transparency — pass 1
     # includes each query's one-time codegen, so median-of-3 reads as
     # the steady-state number a long-lived session sees.
+    #
+    # Pass ORDER alternates (forward / reversed / half-rotated): in a
+    # single long-lived driver session, later queries inherit JVM/GC
+    # pressure from earlier ones, so a growing suite read as a
+    # round-over-round "regression" of whichever queries happened to
+    # sit late in the fixed order (round 7 measured unchanged code
+    # drifting 1.0-1.5x non-uniformly). Alternation spreads the
+    # position effect across passes so the per-query median compares
+    # across rounds even as the suite grows.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    names = list(suite)
     all_runs = []
     errors = {}
     for r in range(N_RUNS):
+        if r % 3 == 1:
+            order = list(reversed(names))
+        elif r % 3 == 2:
+            mid = len(names) // 2
+            order = names[mid:] + names[:mid]
+        else:
+            order = names
         run = {}
-        for name, fn in suite.items():
+        for name in order:
+            fn = suite[name]
             t0 = time.time()
             try:
                 fn()
@@ -241,7 +265,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
-        "aggregation": f"per-query median of {N_RUNS} passes",
+        "aggregation": (f"per-query median of {N_RUNS} "
+                        "order-alternated passes"),
         "passes": all_runs,
         "runs": [round(sum(t for t in run.values() if t is not None), 3)
                  for run in all_runs],
@@ -457,13 +482,19 @@ def main():
         # targeted re-measure: a contention spike during one op's
         # 8000-token passes fakes a super-linear exponent (round 6
         # recorded fingerprint at 1.14 under loadavg 24; a quiet-box
-        # min-of-7 read 0.95). Any op reading > 1.0 gets extra
-        # alternated passes of JUST that op — min-of-more converges
-        # to the algorithmic cost, and a REAL quadratic (~2.0) keeps
-        # failing no matter how many minimums are taken.
+        # min-of-7 read 0.95). Any op reading > 1.0 gets a FIXED
+        # number of extra alternated passes — never stopping early
+        # when the exponent first dips under 1.0, which would be a
+        # stop-when-pass protocol that asymmetrically nudges marginal
+        # readings downward (min-of-N can only decrease with more
+        # passes). A REAL quadratic (~2.0) keeps failing no matter
+        # how many minimums are taken; pre/post-retry exponents ship
+        # in the artifact so the adjustment is auditable.
         retries = int(os.environ.get("SPARK_GRAFT_DOCLEN_RETRIES",
                                      "4"))
-        for name in [n for n, e in doclen_exp.items() if e > 1.0]:
+        flagged = sorted(n for n, e in doclen_exp.items() if e > 1.0)
+        pre_retry = {n: doclen_exp[n] for n in flagged}
+        for name in flagged:
             for _ in range(retries):
                 for n_tok, df in frames.items():
                     t0 = time.time()
@@ -473,10 +504,7 @@ def main():
                             round(time.time() - t0, 3))
                     except Exception:
                         doclen_passes[n_tok][name].append(None)
-                mins = _doclen_mins()
-                e = _doclen_exps(mins).get(name)
-                if e is not None and e <= 1.0:
-                    break
+        if flagged:
             doclen = _doclen_mins()
             doclen_exp = _doclen_exps(doclen)
         for df in frames.values():
@@ -489,6 +517,13 @@ def main():
             "passes": {str(k): v for k, v in doclen_passes.items()},
             "loadavg_per_pass": doclen_load,
             "exponents": doclen_exp,
+            "retry": {
+                "flagged": flagged,
+                "extra_passes_each": retries,
+                "pre_retry_exponents": pre_retry,
+                "post_retry_exponents": {
+                    n: doclen_exp.get(n) for n in flagged},
+            },
         }
 
     # the COMPLETE result also lands on disk: the round-6 driver

@@ -92,6 +92,15 @@ def main():
         if k == 0:
             return F.col("text")
         a = (3 * k + 1) % V or 1
+        # i -> i*a + k is a bijection mod V ONLY when gcd(a, V) == 1;
+        # the default fixture's V=31 is prime so any a in 1..30
+        # works, but an overridden SPARK_GRAFT_SF1_SRC with composite
+        # vocab size would silently collapse words and break the
+        # claimed within-copy dup preservation — search up to the
+        # next coprime multiplier instead
+        import math
+        while math.gcd(a, V) != 1:
+            a = (a + 1) % V or 1
         mapping = {w: vocab[(i * a + k) % V]
                    for i, w in enumerate(vocab)}
         m = F.create_map(*[F.lit(x) for kv in mapping.items()

@@ -44,14 +44,33 @@ MINHASH_PARAMS = [
 ]
 
 
+# md5_long keeps the first 15 hex chars = 60 bits (NOT 64 — 16 chars
+# could overflow a signed int64). All three twins below — Spark
+# column, DuckDB SQL, driver-side Python — MUST derive from this one
+# constant or a silent drift makes hash-membership tests match
+# nothing (test_hashing pins the three-way equality).
+MD5_LONG_HEX_CHARS = 15
+
+
 def md5_long(c: Column) -> Column:
-    """Deterministic non-negative int64 hash of a string column."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).try_cast("long")
+    """Deterministic non-negative int64 (60-bit) hash of a string
+    column."""
+    return F.conv(F.substring(F.md5(c), 1, MD5_LONG_HEX_CHARS),
+                  16, 10).try_cast("long")
 
 
 def md5_long_sql(expr: str) -> str:
     """DuckDB SQL equivalent of :func:`md5_long`."""
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    return (f"CAST(('0x' || substr(md5({expr}), 1, "
+            f"{MD5_LONG_HEX_CHARS})) AS BIGINT)")
+
+
+def md5_long_py(s: str) -> int:
+    """Driver-side Python equivalent of :func:`md5_long` (e.g. for
+    baking a bounded span set into a streaming plan as literals)."""
+    import hashlib
+    return int(hashlib.md5(s.encode("utf-8"))
+               .hexdigest()[:MD5_LONG_HEX_CHARS], 16)
 
 
 def universal_hash(x: Column, a: int, b: int) -> Column:

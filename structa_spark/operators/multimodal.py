@@ -230,6 +230,13 @@ def parse_exif(payload):
     while i + 4 <= len(p):
         if p[i] != 0xFF:
             break
+        # 0xFF fill bytes are legal padding between segments
+        # (ITU-T T.81 B.1.1.2) — valid camera JPEGs pad before APP1,
+        # and without this skip their provenance read all-None
+        while i + 4 <= len(p) and p[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(p):
+            break
         m = p[i + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2

@@ -163,7 +163,7 @@ def c4_rule_flags(df: DataFrame, text_col: str = "text",
 
 
 def c4_clean_lines(df: DataFrame, text_col: str = "text",
-                   min_words_per_line: int = 3,
+                   min_words_per_line: int = 5,
                    min_sentences: int = 3) -> DataFrame:
     """C4's LINE-level rules (Raffel et al. 2020 §2.2 — the half
     :func:`c4_rule_flags` leaves out because it needs
@@ -171,7 +171,9 @@ def c4_clean_lines(df: DataFrame, text_col: str = "text",
     only lines that
 
     * end in a terminal punctuation mark (``. ! ? "``);
-    * contain at least ``min_words_per_line`` whitespace words;
+    * contain at least ``min_words_per_line`` whitespace words
+      (default 5, the figure Raffel et al. 2020 §2.2 uses — "only
+      retained lines that ... contained at least 5 words");
     * do not mention "javascript" (case-insensitive);
 
     reassemble the survivors with newlines, and gate the page on

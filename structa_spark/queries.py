@@ -3112,7 +3112,7 @@ ln AS (
          string_split(page, chr(10)) AS lines,
          list_filter(string_split(page, chr(10)),
              l -> regexp_matches(l, '[.!?"]\\s*$')
-                  AND len(regexp_extract_all(l, '\\S+')) >= 3
+                  AND len(regexp_extract_all(l, '\\S+')) >= 5
                   AND NOT contains(lower(l), 'javascript')) AS kept
   FROM pg
 )
@@ -3474,7 +3474,7 @@ per AS (
          (len(regexp_extract_all(array_to_string(
               list_filter(lines,
                   l -> regexp_matches(l, '[.!?"]\\s*$')
-                       AND len(regexp_extract_all(l, '\\S+')) >= 3
+                       AND len(regexp_extract_all(l, '\\S+')) >= 5
                        AND NOT contains(lower(l), 'javascript')),
               chr(10)), '[.!?]')) >= 3) AS line_keep,
          (len(pw) >= 50 AND len(pw) <= 100000

@@ -402,10 +402,10 @@ def scrub_spans_stream(sdf: DataFrame, eval_spans,
     against the span set with an ``array_contains`` scan, so per-doc
     cost is O(n_grams x |eval_spans|) — the |eval| factor has no
     streaming-side hash-join to hide behind. Two mitigations keep it
-    practical: spans ship as 64-bit ``md5_long`` hashes (8-byte
+    practical: spans ship as 60-bit ``md5_long`` hashes (8-byte
     integer compares and ~50x less plan bloat than embedding the
     span strings; same verdicts as the batch operator's exact string
-    join barring 1-in-2^64 collisions), and ``max_eval_spans``
+    join barring 1-in-2^60 collisions), and ``max_eval_spans``
     (default 1e5) raises rather than silently degrading ingest —
     beyond it, run the batch operator per microbatch via
     ``foreachBatch``, where the eval side is a real broadcast hash
@@ -418,11 +418,9 @@ def scrub_spans_stream(sdf: DataFrame, eval_spans,
     positions), so the expression stays linear in document length —
     never "for each token scan all hits".
     """
-    import hashlib
-
     from pyspark.sql import functions as F
 
-    from ..functions.hashing import md5_long
+    from ..functions.hashing import md5_long, md5_long_py
     from ..operators.dedup import _bind
     from ..operators.text import tokens, word_ngrams
 
@@ -434,11 +432,7 @@ def scrub_spans_stream(sdf: DataFrame, eval_spans,
             f"is O(|eval_spans|) in this stateless form — scrub via "
             f"foreachBatch + scrub_contaminated_spans instead")
 
-    def _md5_long_py(s: str) -> int:
-        # driver-side twin of functions.hashing.md5_long
-        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-    ev = F.lit(sorted(_md5_long_py(s) for s in distinct_spans)) \
+    ev = F.lit(sorted(md5_long_py(s) for s in distinct_spans)) \
         .cast("array<bigint>")   # empty span set -> typed empty array
     txt = F.coalesce(F.col(text_col), F.lit(""))
 

@@ -71,7 +71,7 @@ def test_c4_clean_lines_differential(spark):
         lines = t.split("\n")
         kept = [ln for ln in lines
                 if re.search(r'[.!?"]' + WS + r"*$", ln)
-                and len(re.findall(NWS + "+", ln)) >= 3
+                and len(re.findall(NWS + "+", ln)) >= 5
                 and "javascript" not in ln.lower()]
         clean = "\n".join(kept)
         ns = len(re.findall(r"[.!?]", clean))

@@ -3228,3 +3228,38 @@ def test_keep_best_per_group_ties_and_nulls(spark):
             for r in dedup.keep_best_per_group(groups, scores)
             .collect()}
     assert keep == {10: 2, 20: 5, 30: 6}
+
+
+def test_parse_exif_skips_fill_bytes(spark):
+    # 0xFF fill padding before APP1 (ITU-T T.81 B.1.1.2) must not
+    # hide the EXIF block — the same case _decode_jpeg handles
+    from structa_spark.operators import multimodal as mm
+
+    app1 = mm.exif_app1_bytes("Maker", "Cam", 6, "2024:01:02 03:04:05")
+    plain = b"\xff\xd8" + app1 + b"\xff\xd9"
+    padded = b"\xff\xd8" + b"\xff" * 5 + app1 + b"\xff\xd9"
+    assert mm.parse_exif(plain) == ("Maker", "Cam", 6,
+                                    "2024:01:02 03:04:05")
+    assert mm.parse_exif(padded) == mm.parse_exif(plain)
+
+
+def test_md5_long_three_way_twins_agree(spark):
+    # the Spark column, the DuckDB SQL fragment and the driver-side
+    # Python twin must hash identically — a silent drift would make
+    # streaming span membership match nothing
+    import duckdb
+
+    from structa_spark.functions.hashing import (
+        md5_long, md5_long_py, md5_long_sql)
+
+    samples = ["", "a", "hello world", "Exact Span Text",
+               "unicode éß中"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got_spark = [r.h for r in
+                 df.select(md5_long(F.col("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    got_duck = [con.execute(
+        "SELECT " + md5_long_sql("$1"), [s]).fetchone()[0]
+        for s in samples]
+    got_py = [md5_long_py(s) for s in samples]
+    assert got_spark == got_py == got_duck
