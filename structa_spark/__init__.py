@@ -21,6 +21,7 @@ from .analyzer import (
     merge_to_fixpoint,
 )
 from .diff import diff_profiles, render_diff
+from .operators._cache import clear_caches, registered_cells
 from .model import (
     BoolT, DateTimeT, Empty, FieldT, FloatT, IntT, ListT, Node, NumReprT,
     RecordT, StrReprT, StrT, TableT, TupleT, URLT, ValueAny, merge,
@@ -32,6 +33,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AnalyzerConfig", "Profile", "analyze", "merge_profiles",
     "merge_to_fixpoint", "merge", "diff_profiles", "render_diff",
+    "clear_caches", "registered_cells",
     "Stats", "LengthStats",
     "BoolT", "DateTimeT", "Empty", "FieldT", "FloatT", "IntT", "ListT",
     "Node", "NumReprT", "RecordT", "StrReprT", "StrT", "TableT", "TupleT",

@@ -137,8 +137,10 @@ def minhash_signature(shingles: Column,
 
 
 # one-deep cache of scrub_contaminated_spans' tokenized-corpus
-# relation (see text._evict_then_cache for the eviction contract)
-_SCRUB_TOKS_CACHE: list = []
+# relation (see operators/_cache for the eviction contract)
+from ._cache import register_cell as _register_cell
+
+_SCRUB_TOKS_CACHE = _register_cell("dedup.scrub_toks")
 
 
 def _bind(value: Column, fn) -> Column:
@@ -931,7 +933,7 @@ def scrub_contaminated_spans(corpus: DataFrame, eval_df: DataFrame,
     tokenization cannot drift from the span-dedup family's shared
     :func:`_span_grams`.
     """
-    from .text import _evict_then_cache
+    from ._cache import evict_then_cache as _evict_then_cache
     from .text import tokens as _tokens
     from .text import word_ngrams as _word_ngrams
 

@@ -216,8 +216,10 @@ def curriculum_shards(df: DataFrame, n_shards: int = 4,
 
 
 # one-deep cache of dsir_logweights' persisted doc-feature counts —
-# same lifecycle as text._BIGRAM_TF_CACHE (see _evict_then_cache)
-_DSIR_FC_CACHE: list = []
+# same lifecycle as text._BIGRAM_TF_CACHE (see operators/_cache)
+from ._cache import register_cell as _register_cell
+
+_DSIR_FC_CACHE = _register_cell("sampling.dsir_fc")
 
 
 def _hashed_ngram_buckets(df: DataFrame, n_buckets: int,
@@ -293,7 +295,7 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
     once. No all-pairs anything: three bounded shuffles — the
     (doc, bucket) aggregation, the bucket-keyed model aggregation
     over the persisted counts, and the final per-doc sum."""
-    from .text import _evict_then_cache
+    from ._cache import evict_then_cache as _evict_then_cache
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2: {n_buckets}")

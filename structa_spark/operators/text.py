@@ -8,8 +8,6 @@ aggregates, so these compose into a single scan at 100 TB.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1268,41 +1266,15 @@ def bpe_encode(df: DataFrame, merges,
     return df.mapInPandas(batches, schema=schema)
 
 
-# one-deep cache of bigram_logprob's persisted tf relation — see the
-# in-function comment for why the eviction lives with the NEXT call
-_BIGRAM_TF_CACHE: list = []
-_JSD_GT_CACHE: list = []
+# one-deep caches of persisted shared relations, owned by the
+# central registry (operators/_cache.py — clear_caches() releases
+# them all); the eviction lives with the NEXT call through a cell
+from ._cache import LOCK as _CACHE_LOCK
+from ._cache import evict_then_cache as _evict_then_cache
+from ._cache import register_cell as _register_cell
 
-# guards every evict-then-persist sequence over the module-level
-# one-deep caches (here and sampling's/NB's): two threads sharing a
-# SparkSession could otherwise interleave pop/unpersist/append,
-# unpersisting a relation the other thread just cached (silent
-# recompute) or leaking an entry past the one-deep bound
-_CACHE_LOCK = threading.Lock()
-
-
-def _evict_then_cache(cache: list, rel: DataFrame) -> DataFrame:
-    """One-deep module cache for library functions that persist a
-    shared relation but return a LAZY plan (SQL cache entries are
-    held by the CacheManager until an explicit unpersist, so a
-    weakref/finalizer cannot bound the footprint). Evict BEFORE
-    persisting: when two calls build the identical logical plan they
-    share one CacheManager entry, and persist-then-unpersist would
-    remove the entry the new call just registered (leaving passes
-    2..N of a benchmark silently uncached). Unpersisting the
-    previous relation is always safe — a still-live older plan just
-    recomputes."""
-    from pyspark import StorageLevel
-
-    with _CACHE_LOCK:
-        while cache:
-            try:
-                cache.pop().unpersist(False)
-            except Exception:
-                pass    # session of the old relation already stopped
-        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
-        cache.append(rel)
-    return rel
+_BIGRAM_TF_CACHE = _register_cell("text.bigram_tf")
+_JSD_GT_CACHE = _register_cell("text.jsd_gt")
 
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
@@ -1458,8 +1430,8 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_nll")))
 
 
-# one-deep cache for kn_bigram_logprob's tf (see _evict_then_cache)
-_KN_TF_CACHE: list = []
+# one-deep cache for kn_bigram_logprob's tf (see operators/_cache)
+_KN_TF_CACHE = _register_cell("text.kn_tf")
 
 
 def token_js_divergence(df: DataFrame, group_col: str = "source",
@@ -1719,7 +1691,7 @@ def nb_train(df: DataFrame, label_col: str = "lang",
     return cond, classes
 
 
-_NB_COND_CACHE: list = []
+_NB_COND_CACHE = _register_cell("text.nb_cond")
 
 
 def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,

@@ -3263,3 +3263,29 @@ def test_md5_long_three_way_twins_agree(spark):
         for s in samples]
     got_py = [md5_long_py(s) for s in samples]
     assert got_spark == got_py == got_duck
+
+
+def test_cache_registry_one_deep_and_clear(spark):
+    # the central registry holds every operator family's one-deep
+    # cell; caching a second relation through a cell evicts the
+    # first (unpersisted), and clear_caches releases everything
+    from structa_spark import clear_caches, registered_cells
+    from structa_spark.operators._cache import (
+        evict_then_cache, register_cell)
+
+    clear_caches()
+    for name in ("text.bigram_tf", "text.kn_tf", "text.jsd_gt",
+                 "text.nb_cond", "dedup.scrub_toks"):
+        assert name in registered_cells(), name
+    cell = register_cell("test.scratch")
+    a = spark.range(5)
+    b = spark.range(7)
+    ra = evict_then_cache(cell, a)
+    assert ra.is_cached and cell == [ra]
+    rb = evict_then_cache(cell, b)          # evicts ra first
+    assert rb.is_cached and cell == [rb]
+    assert not ra.is_cached                 # one-deep bound held
+    cleared = clear_caches()
+    assert "test.scratch" in cleared
+    assert not rb.is_cached and cell == []
+    assert registered_cells()["test.scratch"] == 0

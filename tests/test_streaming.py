@@ -850,3 +850,54 @@ def test_image_dhash_streams_stateless(spark, tmp_path):
         .collect()}
     assert got == want and len(got) == 4
     assert all(v is not None for v in got.values())
+
+
+def test_image_exif_metadata_streams_stateless(spark, tmp_path):
+    # EXIF provenance extraction is one stateless mapInPandas stage
+    # over opaque payloads: it must run on a stream unchanged,
+    # append mode, equal to the batch twin — including fill-byte
+    # padded and EXIF-less payloads degrading to nulls
+    import json as _json
+
+    from structa_spark.operators import multimodal as mm
+
+    ids = [0, 1, 2, 3]
+    p = tmp_path / "exifids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i == 3:
+                    payload = b"\xff\xd8\xff\xd9"   # no EXIF
+                else:
+                    app1 = mm.exif_app1_bytes(
+                        f"Make{i}", f"Model{i}", 1 + i,
+                        f"2024:01:0{i + 1} 10:00:00",
+                        byte_order=b"II" if i % 2 else b"MM")
+                    pad = b"\xff" * (3 * i)
+                    payload = b"\xff\xd8" + pad + app1 + b"\xff\xd9"
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = mm.image_exif_metadata(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "exif_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM exif_stream").collect())
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = sorted(tuple(r) for r in mm.image_exif_metadata(
+        bdf.mapInPandas(build, "media_id long, payload binary"))
+        .collect())
+    assert got == want and len(got) == 4
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][1] == "Make0" and by_id[2][3] == 3
+    assert by_id[3][1:] == (None, None, None, None)
