@@ -77,6 +77,7 @@ def main():
         training_manifest, unigram_nll, windowed_event_stats,
         host_curation_report, host_policy_filter,
         image_dedup_keep, audio_dedup_keep,
+        bloom_contamination_flags,
     )
     from structa_spark.sources.tables import load_table
 
@@ -178,6 +179,7 @@ def main():
             "host_filter": run_df(host_policy_filter),
             "image_dedup_keep": run_df(image_dedup_keep),
             "audio_dedup_keep": run_df(audio_dedup_keep),
+            "bloom_decontam": run_df(bloom_contamination_flags),
         }
 
     suite = make_suite(SF_DIR)

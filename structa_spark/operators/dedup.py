@@ -1229,3 +1229,132 @@ def keep_best_per_group(groups: DataFrame, scores: DataFrame,
                 F.struct(s.alias("s"),
                          (-F.col(id_col)).alias("neg_id")))
                 .alias("keep_id")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate (the Dolma "BFF" decontamination shape)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+
+
+def bloom_positions(key: Column, n_hashes: int = BLOOM_HASHES,
+                    m_bits: int = BLOOM_BITS,
+                    params: Optional[List[Tuple[int, int]]] = None
+                    ) -> List[Column]:
+    """The ``n_hashes`` Bloom bit positions of a string key:
+    universal hashes of ``md5_long(key)`` reduced mod ``m_bits``.
+    Every term is exact int64 arithmetic in Spark AND DuckDB, so an
+    external oracle can replay membership bit-for-bit (false
+    positives included)."""
+    params = list(params or MINHASH_PARAMS)[:n_hashes]
+    x = md5_long(key)
+    return [universal_hash(x, a, b) % F.lit(m_bits) for a, b in params]
+
+
+def bloom_fp_rate(n_keys: int, m_bits: int = BLOOM_BITS,
+                  n_hashes: int = BLOOM_HASHES) -> float:
+    """Expected false-positive rate (1 - e^(-kn/m))^k — the standard
+    sizing formula; callers pick m_bits so this stays acceptable."""
+    import math
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-n_hashes * n_keys / m_bits)) ** n_hashes
+
+
+def build_bloom(keys: DataFrame, key_col: str = "key",
+                n_hashes: int = BLOOM_HASHES,
+                m_bits: int = BLOOM_BITS) -> List[int]:
+    """Build the Bloom bitset over a key relation (e.g. every shingle
+    of an eval benchmark) and return it as ``m_bits/64`` SIGNED int64
+    words — the form :func:`bloom_member` probes with ``getbit``.
+
+    Scale shape: the distributed side is one projection + a distinct
+    on bit positions; the driver-side collect is bounded by
+    ``m_bits`` rows of ints (64 KiB of longs at the default 2^16) no
+    matter how many keys feed the build — the whole point of a Bloom
+    filter is that its size is fixed by the chosen m, not by n.
+    """
+    pos = (keys.select(F.explode(F.array(
+               *bloom_positions(F.col(key_col), n_hashes, m_bits)))
+               .alias("p"))
+           .distinct())
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos.collect():  # bounded: <= m_bits rows
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed int64 so the list is a valid
+    # array<bigint> literal; getbit reads the raw bit pattern, so
+    # bit 63 round-trips
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(key: Column, words: List[int],
+                 n_hashes: int = BLOOM_HASHES,
+                 m_bits: int = BLOOM_BITS,
+                 params: Optional[List[Tuple[int, int]]] = None
+                 ) -> Column:
+    """Boolean Bloom membership of ``key`` against a built bitset:
+    AND of ``n_hashes`` ``getbit`` probes into the array<bigint>
+    literal. The bitset travels inside the plan (one copy per task,
+    like any broadcast), so gating a 100 TB corpus is a pure
+    projection — no join, no shuffle, no Python.
+
+    Both the literal array and the md5 of the key are let-bound
+    (:func:`_bind`) so each occurs ONCE in the expression tree, not
+    once per probe."""
+    params = list(params or MINHASH_PARAMS)[:n_hashes]
+    arr = F.lit(list(words)).cast("array<bigint>")
+
+    def probes(w, x):
+        cond = None
+        for a, b in params:
+            pos = universal_hash(x, a, b) % F.lit(m_bits)
+            word = F.element_at(w, F.shiftright(pos, 6).cast("int")
+                                + F.lit(1))
+            hit = F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1
+            cond = hit if cond is None else cond & hit
+        return cond
+
+    return _bind(arr, lambda w: _bind(md5_long(key),
+                                      lambda x: probes(w, x)))
+
+
+def bloom_flag_docs(corpus: DataFrame, words: List[int],
+                    n_hashes: int = BLOOM_HASHES,
+                    m_bits: int = BLOOM_BITS, k: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document Bloom contamination flags: how many of the
+    document's distinct word ``k``-shingles probe all-set in a Bloom
+    built over a held-out set (Soldaini et al. 2024's Dolma "BFF"
+    dedup/decontamination gate; Bloom 1970). Returns ``(id,
+    n_shingles, n_hits, contaminated)`` for EVERY corpus document.
+
+    vs :func:`~.text.contamination_hits` (broadcast-join on the
+    exact eval shingle set): the Bloom admits a sized false-positive
+    rate (:func:`bloom_fp_rate`) in exchange for a fixed-size,
+    join-free gate — the variant an ingest stream or a 1000-executor
+    map-only pass wants. Membership is deterministic given (m, k,
+    params), so an oracle replays it exactly, false positives and
+    all.
+
+    Scale shape: ONE projection over the corpus — shingles are
+    let-bound and probed in place (no explode, no join, no shuffle);
+    the result aggregates nothing."""
+    sh = word_shingles(F.col(text_col), k)
+
+    def stats(shv):
+        hits = F.filter(
+            shv, lambda s: bloom_member(s, words, n_hashes, m_bits))
+        return F.struct(F.size(shv).cast("long").alias("n_shingles"),
+                        F.size(hits).cast("long").alias("n_hits"))
+
+    st = _bind(sh, stats)
+    return (corpus
+            .select(F.col(id_col), st.alias("__st"))
+            .select(id_col,
+                    F.col("__st.n_shingles").alias("n_shingles"),
+                    F.col("__st.n_hits").alias("n_hits"),
+                    (F.col("__st.n_hits") > 0).alias("contaminated")))

@@ -2837,6 +2837,72 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_hits(co, ev).orderBy("doc_id")
 
 
+def _bloom_probe_sql(m_bits: int, n_hashes: int) -> str:
+    """SQL replay of bloom_member: AND of n_hashes position-set
+    membership tests (set semantics == bitset semantics, false
+    positives included)."""
+    terms = []
+    for a, b in MINHASH_PARAMS[:n_hashes]:
+        h = universal_hash_sql(md5_long_sql("s"), a, b)
+        terms.append(f"(({h}) % {m_bits}) IN (SELECT p FROM pos)")
+    return "\n     AND ".join(terms)
+
+
+_BLOOM_POS_SQL = " UNION ".join(
+    f"SELECT DISTINCT (({universal_hash_sql(md5_long_sql('s'), a, b)})"
+    f" % {1 << 16}) AS p FROM ev"
+    for a, b in MINHASH_PARAMS[:4])
+
+
+@register("bloom_contamination_flags", oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id < 20
+),
+pos AS ({_BLOOM_POS_SQL}),
+co AS (
+  SELECT doc_id, unnest({_shingles_sql()}) AS s
+  FROM documents WHERE doc_id >= 20
+),
+probe AS (
+  SELECT doc_id,
+         {_bloom_probe_sql(1 << 16, 4)} AS hit
+  FROM co
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       bool_or(hit) AS contaminated
+FROM probe GROUP BY doc_id ORDER BY doc_id
+""")
+def bloom_contamination_flags(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate (the Dolma "BFF" shape,
+    Soldaini et al. 2024): build a fixed-size Bloom bitset over every
+    word 3-shingle of the held-out eval slice (doc_id < 20, the same
+    stand-in benchmark as contamination_check), then flag every
+    corpus document by probing its shingles against the bitset — the
+    sized-false-positive variant of contamination_check that trades
+    the broadcast-join for a join-free, fixed-memory projection. The
+    oracle rebuilds the position set and replays all four probes per
+    shingle, so membership (false positives included) hash-matches
+    bit-for-bit; shingles come from the SAME expression as the dedup
+    pipeline, so tokenization cannot drift.
+
+    Scale shape: the build side collects <= m_bits ints regardless
+    of eval size; the corpus side is ONE projection — shingles are
+    let-bound and probed in place with getbit (no explode, no join,
+    no shuffle, no Python), which is why this gate also drops
+    straight into an ingest stream."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 20)
+    co = d.where(F.col("doc_id") >= 20)
+    words = dedup.build_bloom(
+        ev.select(F.explode(dedup.word_shingles(F.col("text")))
+                  .alias("key")))
+    return (dedup.bloom_flag_docs(co, words).orderBy("doc_id"))
+
+
 @register("corpus_version_diff", oracle="""
 WITH v1 AS (
   SELECT doc_id, coalesce(text, '') AS t FROM documents

@@ -3289,3 +3289,80 @@ def test_cache_registry_one_deep_and_clear(spark):
     assert "test.scratch" in cleared
     assert not rb.is_cached and cell == []
     assert registered_cells()["test.scratch"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate
+# ---------------------------------------------------------------------------
+
+def _py_bloom_positions(s, n_hashes, m_bits):
+    from structa_spark.functions.hashing import (
+        MERSENNE_P, MINHASH_PARAMS, md5_long_py)
+    x = md5_long_py(s)
+    return [((a * (x % MERSENNE_P) + b) % MERSENNE_P) % m_bits
+            for a, b in MINHASH_PARAMS[:n_hashes]]
+
+
+def test_bloom_member_matches_python_replay(spark):
+    # tiny m -> heavy load factor: exercises false positives AND
+    # bit-63 sign handling; Spark membership must equal the pure
+    # set-semantics replay on every probe, hit or miss
+    keys = [f"shingle number {i}" for i in range(300)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    m, nh = 1 << 10, 4
+    words = dedup.build_bloom(kdf, m_bits=m, n_hashes=nh)
+    assert len(words) == m // 64
+    assert any(w < 0 for w in words)  # bit 63 was set somewhere
+    bits = set(p for k in keys for p in _py_bloom_positions(k, nh, m))
+    probes = keys[:40] + [f"novel {i}" for i in range(400)]
+    pdf = spark.createDataFrame([(s,) for s in probes], "s string")
+    got = {r["s"]: r["m"] for r in pdf.select(
+        "s", dedup.bloom_member(F.col("s"), words, nh, m).alias("m"))
+        .collect()}
+    for s in probes:
+        want = all(p in bits for p in _py_bloom_positions(s, nh, m))
+        assert got[s] == want, s
+    # no false negatives, ever
+    assert all(got[k] for k in keys[:40])
+    # at this load factor some novel probe must false-positive,
+    # proving the oracle-replayable FP semantics are exercised
+    assert any(got[s] for s in probes[40:])
+
+
+def test_bloom_build_is_bounded_by_m(spark):
+    # the collect driving the build is <= m_bits positions no matter
+    # how many keys feed it — the fixed-size property of the filter
+    kdf = spark.range(5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    m = 1 << 8
+    words = dedup.build_bloom(kdf, m_bits=m)
+    assert len(words) == m // 64
+    # saturated: every probe is a member now (FP rate -> 1)
+    assert dedup.bloom_fp_rate(5000, m, 4) > 0.99
+
+
+def test_bloom_flag_docs_counts_distinct_shingle_hits(spark):
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string")
+    co = spark.createDataFrame(
+        [(1, "the quick brown fox sat down"),   # shares 2 shingles
+         (2, "completely unrelated words entirely here"),
+         (3, "hi")],                            # short doc: 1 shingle
+        "doc_id long, text string")
+    words = dedup.build_bloom(
+        ev.select(F.explode(dedup.word_shingles(F.col("text")))
+                  .alias("key")))
+    out = {r.doc_id: r for r in dedup.bloom_flag_docs(co, words)
+           .collect()}
+    assert out[1].contaminated and out[1].n_hits == 2
+    assert out[1].n_shingles == 4
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert out[3].n_shingles == 1 and not out[3].contaminated
+
+
+def test_bloom_fp_rate_formula():
+    assert dedup.bloom_fp_rate(0, 1 << 16, 4) == 0.0
+    r = dedup.bloom_fp_rate(1000, 1 << 16, 4)
+    assert 0.0 < r < 0.01
+    assert math.isclose(
+        r, (1 - math.exp(-4 * 1000 / (1 << 16))) ** 4)

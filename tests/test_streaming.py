@@ -901,3 +901,45 @@ def test_image_exif_metadata_streams_stateless(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[0][1] == "Make0" and by_id[2][3] == 3
     assert by_id[3][1:] == (None, None, None, None)
+
+
+def test_bloom_flag_docs_streams_stateless(spark, tmp_path):
+    # the Bloom gate is one join-free projection over a plan-literal
+    # bitset — the property that makes it THE streaming dedup/
+    # decontamination structure (Dolma's BFF). It must run on a
+    # stream unchanged, append-mode, equal to the batch twin.
+    import json as _json
+
+    from structa_spark.operators import dedup as _dedup
+
+    ev = spark.createDataFrame(
+        [(0, "held out eval question text")],
+        "doc_id long, text string")
+    words = _dedup.build_bloom(
+        ev.select(F.explode(_dedup.word_shingles(F.col("text")))
+                  .alias("key")))
+    docs = [(1, "held out eval question text verbatim copy"),
+            (2, "fresh ingest document with novel content"),
+            (3, "eval question text appears mid document here")]
+    p = tmp_path / "bloomdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_dedup.bloom_flag_docs(sdf, words), "bloom_stream",
+                "append")
+    got = {r.doc_id: (r.n_shingles, r.n_hits, r.contaminated) for r in
+           spark.sql("SELECT * FROM bloom_stream").collect()}
+    want = {r.doc_id: (r.n_shingles, r.n_hits, r.contaminated)
+            for r in _dedup.bloom_flag_docs(
+                spark.createDataFrame(docs,
+                                      "doc_id long, text string"),
+                words).collect()}
+    assert got == want
+    assert got[1][2] is True      # verbatim overlap flagged
+    assert got[2][2] is False     # novel content passes
