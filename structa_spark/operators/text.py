@@ -1026,6 +1026,45 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_nll")))
 
 
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution —
+    ``H = -sum((tf/n) * ln(tf/n))`` over the document's own token
+    frequencies — plus the type count and the type-normalized
+    entropy ``H / ln(n_types)``. Low raw entropy flags degenerate /
+    template / keyword-stuffed documents that length and
+    distinct-token-fraction miss (a doc can have many types yet
+    concentrate all mass on one); near-1 normalized entropy means the
+    doc uses its vocabulary evenly. A standard cheap quality signal
+    alongside the Gopher ratios.
+
+    Documents with no tokens produce no row (there is no
+    distribution to score) — callers left-join if they need them.
+
+    Scale shape: entropy decomposes over sums — ``H = ln(n) -
+    sum(tf*ln(tf))/n`` — so the whole thing is ONE (doc, token)
+    aggregation (the doc id in the key kills the natural token hot
+    key) followed by one per-doc aggregation, both map-side partial.
+    No join: unlike :func:`unigram_logprob`, the model here is the
+    document itself."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n = F.sum("tf").cast("double")
+    h = F.log(n) - F.sum(F.col("tf") * F.log("tf")) / n
+    return (tf.groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.round(h, 4).alias("entropy"),
+                 F.round(F.when(F.count(F.lit(1)) > 1,
+                                h / F.log(F.count(F.lit(1))
+                                          .cast("double")))
+                         .otherwise(F.lit(0.0)), 4)
+                 .alias("entropy_norm")))
+
+
 def mixing_weights(df: DataFrame, alpha: float = 0.5,
                    group_col: str = "source",
                    text_col: str = "text") -> DataFrame:

@@ -5645,6 +5645,42 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(d).orderBy("doc_id")
 
 
+@register("token_entropy_stats", oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM w) u
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf), 4)
+           AS entropy,
+       ROUND(CASE WHEN COUNT(*) > 1
+             THEN (ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf))
+                  / ln(COUNT(*))
+             ELSE 0.0 END, 4) AS entropy_norm
+FROM tf GROUP BY doc_id ORDER BY doc_id
+""")
+def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the cheap
+    degenerate-text signal that distinct-token fraction misses (many
+    types, all mass on one). The oracle replays the sum
+    decomposition H = ln(n) - sum(tf ln tf)/n exactly, types and
+    normalization included.
+
+    Scale shape: one (doc, token) aggregation (doc id kills the
+    token hot key) + one per-doc aggregation, both map-side partial;
+    no join — the model is the document itself."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_entropy(d).orderBy("doc_id")
+
+
 @register("variant_props_stats", oracle="""
 SELECT event_type,
        count(CAST(props->>'k' AS BIGINT))               AS n_k,

@@ -3366,3 +3366,25 @@ def test_bloom_fp_rate_formula():
     assert 0.0 < r < 0.01
     assert math.isclose(
         r, (1 - math.exp(-4 * 1000 / (1 << 16))) ** 4)
+
+
+def test_token_entropy_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),        # degenerate
+         (2, "six completely different words appear here"),  # uniform
+         (3, "a a a a a a a a a b"),  # many tokens, 2 types, skewed
+         (4, "")],                    # no tokens -> no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in text.token_entropy(df).collect()}
+    assert 4 not in out
+    assert out[1].n_types == 1 and out[1].entropy == 0.0
+    assert out[1].entropy_norm == 0.0   # single-type guard, not NaN
+    # uniform over 6 types: H = ln(6), normalized = 1
+    assert out[2].entropy == round(math.log(6), 4)
+    assert out[2].entropy_norm == 1.0
+    # skewed two-type doc: 0 < H < ln(2)
+    assert 0.0 < out[3].entropy < math.log(2)
+    p = 9 / 10
+    want = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    assert out[3].entropy == round(want, 4)
+    assert out[3].entropy_norm == round(want / math.log(2), 4)

@@ -196,6 +196,7 @@ def test_driver_window_covers_every_family():
         "image_dhash_values": "image_dup_groups",
         # registered in round 8, awaiting a future window rotation
         "bloom_contamination_flags": "contamination_check",
+        "token_entropy_stats": "bigram_nll",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
