@@ -1,0 +1,86 @@
+"""Graph operators over edge relations (the crawl/link-graph side of
+corpus curation).
+
+The reference engine has no graph surface (structa profiles document
+structure only); this module exists for the curation pipeline — host
+authority from the crawl's link graph is the classic reputation
+signal next to :func:`~.text.host_reputation`'s content-derived one
+(Page et al. 1999; Common Crawl publishes exactly this ranking for
+its host graph).
+
+Everything here is deterministic and oracle-replayable: iteration
+counts are fixed by the caller, per-iteration sums are rounded
+column-side (SQL ``round``, half away from zero — identical in Spark
+and DuckDB), and no randomness or wall-clock enters the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iters: int = 3, src: str = "src", dst: str = "dst",
+             round_to: int = 9,
+             checkpoint_every: int = 0) -> DataFrame:
+    """PageRank over a directed edge relation, ``iters`` fixed
+    power-iterations with uniform init, dangling-mass redistribution
+    and per-iteration rounding:
+
+    ``r'(v) = round((1-d)/N + d * (sum_{u->v} r(u)/outdeg(u)
+    + dangling_mass/N), round_to)``
+
+    Parallel edges collapse (DISTINCT) and self-loops drop before
+    iterating — the web-graph convention. Returns ``(v, rank)`` for
+    every node on either side of an edge.
+
+    The per-iteration ``round`` makes the fixpoint path replayable
+    bit-for-bit by an external SQL oracle: division and the damping
+    mix are order-independent IEEE ops, and rounding the one
+    order-dependent term (the contribution sum) to ``round_to``
+    decimals absorbs summation-order ulps before they can compound
+    across iterations.
+
+    Scale shape: the plan never touches the driver — N and the
+    dangling mass are 1-row broadcast relations, not collects — and
+    each iteration is one src-keyed join (contributions), one
+    dst-keyed aggregation, and one left join back onto the node set:
+    shuffles bounded by the node/edge relation, never the corpus
+    that derived it. For many iterations on a big graph, pass
+    ``checkpoint_every`` to truncate lineage with localCheckpoint
+    every k rounds (the :func:`~.dedup.connected_components`
+    discipline); the default keeps the plan fully lazy.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .where(F.col(src) != F.col(dst))
+         .distinct())
+    nodes = (e.select(F.col("s").alias("v"))
+             .union(e.select(F.col("t").alias("v")))
+             .distinct())
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+
+    r = (nodes.join(F.broadcast(n_rel))
+         .select("v", (F.lit(1.0) / F.col("__n")).alias("rank")))
+    for i in range(iters):
+        dang = (r.join(deg, r["v"] == deg["s"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dm")))
+        contrib = (e.join(r, e["s"] == r["v"])
+                   .join(deg, "s")
+                   .groupBy("t")
+                   .agg(F.sum(F.col("rank") / F.col("d"))
+                        .alias("__c")))
+        r = (nodes.join(contrib, nodes["v"] == contrib["t"], "left")
+             .join(F.broadcast(n_rel))
+             .join(F.broadcast(dang))
+             .select("v", F.round(
+                 F.lit(1.0 - damping) / F.col("__n")
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("__c"), F.lit(0.0))
+                    + F.col("__dm") / F.col("__n")),
+                 round_to).alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=False)
+    return r

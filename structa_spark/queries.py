@@ -26,7 +26,7 @@ from .functions.hashing import (
     MERSENNE_P, MINHASH_PARAMS, md5_long, md5_long_sql, universal_hash,
     universal_hash_sql,
 )
-from .operators import dedup, similarity, text
+from .operators import dedup, graph, similarity, text
 from .sources.tables import load_table
 
 QuerySpec = Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
@@ -5970,6 +5970,102 @@ def host_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.col("host_keep").cast("double")), 4)
                  .alias("kept_rate"))
             .orderBy("source"))
+
+
+def _site_sql(k_expr: str) -> str:
+    """SQL twin of the synthetic site-name builder: 'site' || k ||
+    suffix-by-(k % 4), matching _synth_host_url's host naming."""
+    return (f"'site' || CAST(({k_expr}) AS VARCHAR) || "
+            f"CASE ({k_expr}) % 4 WHEN 0 THEN '.com' "
+            f"WHEN 1 THEN '.org' WHEN 2 THEN '.co.uk' "
+            f"ELSE '.net' END")
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTEs replaying graph.pagerank exactly:
+    same uniform init, dangling redistribution, per-iteration
+    9-dp round."""
+    parts = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(r), 0.0) AS dm
+  FROM {p} LEFT JOIN deg ON {p}.v = deg.s WHERE deg.s IS NULL),
+c{i} AS (
+  SELECT e.t AS v, sum({p}.r / deg.d) AS c
+  FROM e JOIN {p} ON e.s = {p}.v JOIN deg ON deg.s = e.s
+  GROUP BY e.t),
+r{i} AS (
+  SELECT nodes.v,
+         round((1.0 - {damping}) / nn.n
+               + {damping} * (coalesce(c{i}.c, 0.0) + d{i}.dm / nn.n),
+               9) AS r
+  FROM nodes LEFT JOIN c{i} ON c{i}.v = nodes.v, nn, d{i})""")
+    return ",".join(parts)
+
+
+@register("host_pagerank", oracle=f"""
+WITH raw AS (
+  SELECT {_HOST_SQL} AS s,
+         {_site_sql("(doc_id * 3 + 1) % 13")} AS t
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT {_HOST_SQL}, {_site_sql("(doc_id * 5 + 2) % 13")}
+  FROM documents WHERE doc_id % 13 <> 0
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM e
+                          UNION SELECT t FROM e)),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn),
+{_pagerank_sql(3)}
+SELECT v AS host, round(r, 6) AS rank FROM r3 ORDER BY host
+""")
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph host authority — PageRank over the crawl's
+    host-to-host link graph (Page et al. 1999; the ranking Common
+    Crawl publishes for its own host graph), the reputation signal
+    that complements host_reputation's content-derived one: a host
+    full of duplicate boilerplate can still be heavily linked, and
+    vice versa. Links synthesize arithmetically from doc_id (two
+    outlinks per document onto the same 13-host universe as the host
+    curation family; site0's documents publish none, so it is linked
+    TO but never FROM — a genuine dangling node whose mass the
+    redistribution term must carry, while site6's links are all
+    self-loops and it drops out of the graph entirely); the oracle
+    rebuilds the edge set and replays all three power iterations — init,
+    contribution sums, dangling redistribution, per-iteration
+    rounding — so a drift anywhere in the iteration hash-mismatches.
+
+    Scale shape: the corpus scan only derives edges (then DISTINCT
+    collapses them to the host graph); each iteration shuffles the
+    node/edge relation, never the corpus; N and the dangling mass
+    are 1-row broadcast relations — the plan never touches the
+    driver."""
+    d = _t(spark, sf_dir, "documents")
+
+    def site(k):
+        suffix = F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"),
+                    F.lit(".co.uk"), F.lit(".net")),
+            (k % 4 + 1).cast("int"))
+        return F.concat(F.lit("site"), k.cast("string"), suffix)
+
+    linking = d.where(F.col("doc_id") % 13 != 0)
+    src = text.registered_domain(text.host_of(_synth_host_url()))
+    e1 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 3 + 1) % 13).alias("dst"))
+    e2 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 5 + 2) % 13).alias("dst"))
+    ranks = graph.pagerank(e1.union(e2), iters=3)
+    return (ranks.select(F.col("v").alias("host"),
+                         F.round("rank", 6).alias("rank"))
+            .orderBy("host"))
 
 
 # ===========================================================================

@@ -3388,3 +3388,57 @@ def test_token_entropy_signals(spark):
     want = -(p * math.log(p) + (1 - p) * math.log(1 - p))
     assert out[3].entropy == round(want, 4)
     assert out[3].entropy_norm == round(want / math.log(2), 4)
+
+
+# ---------------------------------------------------------------------------
+# graph: pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_hand_computed_triangle(spark):
+    from structa_spark.operators import graph
+
+    # a -> b, a -> c, b -> c, c -> a : hand-replayable in one step
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    got = {r.v: r.rank for r in
+           graph.pagerank(edges, iters=1).collect()}
+    # init 1/3 each; contribs: b <- a/2; c <- a/2 + b; a <- c
+    third = 1.0 / 3.0
+    want = {
+        "a": round(0.15 / 3 + 0.85 * third, 9),
+        "b": round(0.15 / 3 + 0.85 * (third / 2), 9),
+        "c": round(0.15 / 3 + 0.85 * (third / 2 + third), 9),
+    }
+    assert got == want
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from structa_spark.operators import graph
+
+    # b has no outlinks: its mass must redistribute, keeping sum == 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "a"), ("c", "b")],
+        "src string, dst string")
+    rows = graph.pagerank(edges, iters=4).collect()
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+    ranks = {r.v: r.rank for r in rows}
+    # the sink node accumulates the most mass
+    assert ranks["b"] == max(ranks.values())
+
+
+def test_pagerank_collapses_parallel_edges_and_self_loops(spark):
+    from structa_spark.operators import graph
+
+    noisy = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")],
+        "src string, dst string")
+    clean = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r.v: r.rank for r in graph.pagerank(noisy, iters=3)
+           .collect()}
+    want = {r.v: r.rank for r in graph.pagerank(clean, iters=3)
+            .collect()}
+    assert got == want
+    # symmetric 2-cycle: both nodes at 1/2 every iteration
+    assert got == {"a": 0.5, "b": 0.5}

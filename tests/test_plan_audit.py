@@ -58,6 +58,10 @@ _SCALAR_BROADCAST_OK = {
     "dsir_logweights",           # broadcast(corpus/target totals)
     "dsir_resample_topk",        # same weights, noised top-k
     "source_token_jsd",          # broadcast(corpus token total)
+    "host_pagerank",             # broadcast(node count N) and
+                                 # broadcast(dangling mass) — two
+                                 # 1-row scalars folded into every
+                                 # power iteration
 }
 
 

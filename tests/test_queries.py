@@ -197,6 +197,7 @@ def test_driver_window_covers_every_family():
         # registered in round 8, awaiting a future window rotation
         "bloom_contamination_flags": "contamination_check",
         "token_entropy_stats": "bigram_nll",
+        "host_pagerank": "host_curation_report",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
