@@ -8,6 +8,8 @@ aggregates, so these compose into a single scan at 100 TB.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1063,6 +1065,77 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
                                           .cast("double")))
                          .otherwise(F.lit(0.0)), 4)
                  .alias("entropy_norm")))
+
+
+def tokenizer_fertility(df: DataFrame, group_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per group: subword tokens emitted per
+    whitespace word — the standard metric for how well a tokenizer
+    fits each language/source (high fertility = the tokenizer
+    fragments that group's text, inflating its effective sequence
+    lengths and training cost). Subwords come from the BPE-ish
+    pre-tokenizer split (:func:`bpe_ish_tokens`), words from the
+    shared whitespace tokenizer — the same two expressions the BPE
+    and quality pipelines use, so the ratio cannot drift from them.
+
+    Scale shape: two array-size expressions in ONE projection over
+    one scan, then a #groups-row aggregation — nothing grows with
+    corpus size."""
+    lt = F.lower(F.col(text_col))
+    n_words = F.size(tokens(lt))
+    n_sub = F.size(bpe_ish_tokens(lt))
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(n_words).cast("long").alias("n_words"),
+                 F.sum(n_sub).cast("long").alias("n_subwords"))
+            .withColumn(
+                "fertility",
+                F.round(F.when(F.col("n_words") > 0,
+                               F.col("n_subwords")
+                               / F.col("n_words"))
+                        .otherwise(F.lit(0.0)), 4)))
+
+
+def oov_rate_curve(df: DataFrame,
+                   sizes: Tuple[int, ...] = (1000, 2000, 4000,
+                                             8000, 16000),
+                   text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary token-mass rate as a function of vocabulary
+    size — the curve a tokenizer/vocab design reads to pick V: for
+    each candidate size, the share of corpus token occurrences NOT
+    covered by the top-V tokens (by corpus count, ties broken
+    lexicographically). Returns one row per candidate size.
+
+    Scale shape: corpus counts are one (token) aggregation with
+    map-side partials; the head is a distributed TakeOrdered of
+    max(sizes) rows (orderBy+limit never global-sorts the vocab
+    relation), the rank window then runs on that bounded head; total
+    mass is a scalar agg folded in as a 1-row broadcast. The corpus
+    itself is scanned once."""
+    from pyspark.sql.window import Window
+
+    cnt = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    total = cnt.agg(F.sum("c").cast("double").alias("__m"))
+    head = (cnt.orderBy(F.desc("c"), F.asc("token"))
+            .limit(max(sizes))
+            .withColumn("__r", F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("token")))))
+    covered = [
+        F.sum(F.when(F.col("__r") <= v, F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias(f"__cov{v}")
+        for v in sizes]
+    wide = head.agg(*covered).join(F.broadcast(total))
+    rows = [
+        F.struct(F.lit(v).cast("long").alias("vocab_size"),
+                 F.col(f"__cov{v}").alias("covered_tokens"),
+                 F.round(F.lit(1.0) - F.col(f"__cov{v}")
+                         / F.col("__m"), 6).alias("oov_rate"))
+        for v in sizes]
+    return (wide.select(F.explode(F.array(*rows)).alias("__s"))
+            .select("__s.vocab_size", "__s.covered_tokens",
+                    "__s.oov_rate"))
 
 
 def mixing_weights(df: DataFrame, alpha: float = 0.5,

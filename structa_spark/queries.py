@@ -5681,6 +5681,79 @@ def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(d).orderBy("doc_id")
 
 
+@register("tokenizer_fertility_by_lang", oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'),
+           t -> t <> ''))) AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(
+           lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)))
+           AS BIGINT) AS n_subwords,
+       round(CASE WHEN sum(len(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> t <> ''))) > 0
+             THEN CAST(sum(len(regexp_extract_all(
+                      lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])',
+                      1))) AS DOUBLE)
+                  / sum(len(list_filter(
+                      string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> t <> '')))
+             ELSE 0.0 END, 4) AS fertility
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def tokenizer_fertility_by_lang(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords emitted per whitespace word) per
+    language — the metric that decides whether a vocabulary serves
+    all languages in the mix or fragments some of them. The oracle
+    re-runs both tokenizers (the shared whitespace split and the
+    BPE-ish pre-tokenizer regex, case-folded so the letter class is
+    just [a-z]) and replays the ratio.
+
+    Scale shape: two array-size expressions in one projection over
+    one scan, then a #langs-row aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return text.tokenizer_fertility(d).orderBy("lang")
+
+
+@register("oov_rate_by_vocab_size", oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+  FROM cnt
+), m AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS m FROM cnt
+)
+SELECT v.vocab_size,
+       CAST(coalesce(sum(ranked.c), 0) AS BIGINT) AS covered_tokens,
+       round(1.0 - coalesce(sum(ranked.c), 0) / m.m, 6) AS oov_rate
+FROM (VALUES (CAST(1000 AS BIGINT)), (2000), (4000), (8000),
+             (16000)) v(vocab_size)
+LEFT JOIN ranked ON ranked.r <= v.vocab_size, m
+GROUP BY v.vocab_size, m.m ORDER BY v.vocab_size
+""")
+def oov_rate_by_vocab_size(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The vocabulary-sizing curve: corpus token-mass share left out
+    of the top-V vocabulary for candidate sizes V in {1k..16k} —
+    what a tokenizer design reads to pick V. The oracle ranks the
+    full vocabulary (count desc, token asc) and replays each
+    cumulative coverage.
+
+    Scale shape: one token aggregation; the head is a distributed
+    TakeOrdered of max(V) rows (the vocab relation is never
+    global-sorted); total mass folds in as a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return text.oov_rate_curve(d).orderBy("vocab_size")
+
+
 @register("variant_props_stats", oracle="""
 SELECT event_type,
        count(CAST(props->>'k' AS BIGINT))               AS n_k,

@@ -3442,3 +3442,30 @@ def test_pagerank_collapses_parallel_edges_and_self_loops(spark):
     assert got == want
     # symmetric 2-cycle: both nodes at 1/2 every iteration
     assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_tokenizer_fertility_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"),          # 2 words -> 2 subwords
+         (2, "en", "don't stop-me now!"),   # 3 words -> 8 subwords:
+          # don ' t stop - me now !
+         (3, "xx", "")],                    # empty: zero both
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in text.tokenizer_fertility(df).collect()}
+    assert out["en"].n_words == 5 and out["en"].n_subwords == 10
+    assert out["en"].fertility == round(10 / 5, 4)
+    assert out["xx"].n_words == 0 and out["xx"].fertility == 0.0
+
+
+def test_oov_rate_curve_cumulative_coverage(spark):
+    # 4 types with counts 4,3,2,1 -> mass 10
+    body = " ".join(["aa"] * 4 + ["bb"] * 3 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    out = {r.vocab_size: r for r in
+           text.oov_rate_curve(df, sizes=(1, 2, 3, 8)).collect()}
+    assert out[1].covered_tokens == 4
+    assert out[1].oov_rate == round(1 - 4 / 10, 6)
+    assert out[2].covered_tokens == 7
+    assert out[3].covered_tokens == 9
+    # V beyond the vocabulary covers everything
+    assert out[8].covered_tokens == 10 and out[8].oov_rate == 0.0

@@ -58,6 +58,8 @@ _SCALAR_BROADCAST_OK = {
     "dsir_logweights",           # broadcast(corpus/target totals)
     "dsir_resample_topk",        # same weights, noised top-k
     "source_token_jsd",          # broadcast(corpus token total)
+    "oov_rate_by_vocab_size",    # broadcast(total token mass) onto
+                                 # the 1-row coverage relation
     "host_pagerank",             # broadcast(node count N) and
                                  # broadcast(dangling mass) — two
                                  # 1-row scalars folded into every

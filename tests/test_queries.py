@@ -198,6 +198,8 @@ def test_driver_window_covers_every_family():
         "bloom_contamination_flags": "contamination_check",
         "token_entropy_stats": "bigram_nll",
         "host_pagerank": "host_curation_report",
+        "tokenizer_fertility_by_lang": "bpe_merge_candidates",
+        "oov_rate_by_vocab_size": "tfidf_top_terms",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
