@@ -943,3 +943,38 @@ def test_bloom_flag_docs_streams_stateless(spark, tmp_path):
     assert got == want
     assert got[1][2] is True      # verbatim overlap flagged
     assert got[2][2] is False     # novel content passes
+
+
+def test_host_policy_gate_streams_stateless(spark, tmp_path):
+    # the host gate at ingest time: the #hosts-row verdict relation
+    # is static (computed batch-side from yesterday's reputation),
+    # the corpus is the stream — a stateless stream-static broadcast
+    # join, append-safe, with absent hosts failing closed
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    verdict = spark.createDataFrame(
+        [("good.com", True), ("bad.net", False)],
+        "host string, host_keep boolean")
+    docs = [(1, "good.com"), (2, "bad.net"), (3, "unseen.org")]
+    p = tmp_path / "hostdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, host in docs:
+            fh.write(_json.dumps({"doc_id": did, "host": host})
+                     + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("host", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_text.apply_host_policy(sdf, verdict), "host_gate",
+                "append")
+    got = {r.doc_id: r.host_keep for r in
+           spark.sql("SELECT * FROM host_gate").collect()}
+    want = {r.doc_id: r.host_keep for r in _text.apply_host_policy(
+        spark.createDataFrame(docs, "doc_id long, host string"),
+        verdict).collect()}
+    assert got == want
+    assert got == {1: True, 2: False, 3: False}  # unseen fails closed
