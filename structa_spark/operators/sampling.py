@@ -519,3 +519,70 @@ def shuffle_order(df: DataFrame, n_shards: int = 64,
             .withColumn("pos",
                         (F.row_number().over(w) - 1).cast("long"))
             .drop("__h__"))
+
+
+def unimax_allocation(df: DataFrame, budget_frac: float = 0.8,
+                      max_epochs: float = 1.0,
+                      group_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread a total token budget as UNIFORMLY as possible across
+    groups (languages/sources), capping each group at ``max_epochs``
+    passes over its own data — the allocator that replaced
+    temperature sampling for mT5/umT5 because temperature both
+    over-epochs tail languages and still under-trains them.
+
+    The exact water-filling closed form: with groups ascending by
+    capacity ``c_i = max_epochs * tokens_i``, the water level is
+    ``t = (B - prefix_c(k-1)) / (L - k + 1)`` at the first rank k
+    where that candidate dips under ``c_k``; every group below t
+    is consumed whole, every group above gets exactly t. Budget
+    ``B = floor(budget_frac * total_tokens)``.
+
+    Returns ``(group, n_docs, n_tokens, allocation, epochs_used)``.
+
+    Scale shape: one #groups-row aggregation off the corpus scan;
+    the ranking window, prefix sums and the water-level pick all run
+    on that #groups-sized relation (languages/sources number in the
+    dozens), with the total and the water level folded back as 1-row
+    broadcasts. Deterministic: ties in capacity order break on the
+    group name, and the one order-dependent prefix sum runs in that
+    pinned order in any engine."""
+    from pyspark.sql.window import Window
+
+    from .text import token_count
+
+    per = (df.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col(text_col))).cast("long")
+                .alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"),
+                  F.count(F.lit(1)).cast("long").alias("__L"))
+    cap = (F.col("n_tokens").cast("double")
+           * F.lit(float(max_epochs)))
+    w = Window.orderBy("capacity", "grp")
+    ranked = (per.withColumn("capacity", cap)
+              .join(F.broadcast(tot))
+              .withColumn("__r", F.row_number().over(w))
+              .withColumn("__pre", F.coalesce(
+                  F.sum("capacity").over(
+                      w.rowsBetween(Window.unboundedPreceding, -1)),
+                  F.lit(0.0)))
+              .withColumn("__B", F.floor(F.col("__t")
+                                         * F.lit(float(budget_frac)))
+                          .cast("double"))
+              .withColumn("__cand",
+                          (F.col("__B") - F.col("__pre"))
+                          / (F.col("__L") - F.col("__r") + 1)))
+    level = (ranked.where(F.col("__cand") <= F.col("capacity"))
+             .agg(F.min_by("__cand", "__r").alias("__wl")))
+    alloc = F.least(F.col("capacity"),
+                    F.coalesce(F.col("__wl"), F.col("capacity")))
+    return (ranked.join(F.broadcast(level))
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    "n_tokens",
+                    F.round(alloc, 4).alias("allocation"),
+                    F.round(F.when(F.col("n_tokens") > 0,
+                                   alloc / F.col("n_tokens"))
+                            .otherwise(F.lit(0.0)), 4)
+                    .alias("epochs_used")))

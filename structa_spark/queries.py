@@ -5681,6 +5681,60 @@ def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(d).orderBy("doc_id")
 
 
+@register("unimax_lang_allocation", oracle="""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+         CAST(count(*) AS BIGINT) AS L
+  FROM per
+), ranked AS (
+  SELECT per.*, CAST(n_tokens AS DOUBLE) * 1.0 AS capacity,
+         row_number() OVER
+           (ORDER BY CAST(n_tokens AS DOUBLE) * 1.0, lang) AS r,
+         coalesce(sum(CAST(n_tokens AS DOUBLE) * 1.0) OVER
+           (ORDER BY CAST(n_tokens AS DOUBLE) * 1.0, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0.0) AS pre,
+         floor(tot.t * 0.8) AS B, tot.L AS L
+  FROM per, tot
+), cand AS (
+  SELECT *, (B - pre) / (L - r + 1) AS cand FROM ranked
+), wl AS (
+  SELECT min_by(cand, r) AS wl FROM cand WHERE cand <= capacity
+)
+SELECT lang, n_docs, n_tokens,
+       round(least(capacity, coalesce(wl.wl, capacity)), 4)
+           AS allocation,
+       round(CASE WHEN n_tokens > 0
+             THEN least(capacity, coalesce(wl.wl, capacity))
+                  / n_tokens ELSE 0.0 END, 4) AS epochs_used
+FROM cand, wl ORDER BY lang
+""")
+def unimax_lang_allocation(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """UniMax language budget allocation (Chung et al. 2023) — the
+    water-filling allocator that replaced temperature sampling for
+    mT5/umT5: 80% of the corpus token mass spread as uniformly as
+    possible across languages, each capped at one epoch of its own
+    data. On this corpus the four smaller languages are consumed
+    whole (epochs_used = 1.0) and English pins the water level — the
+    oracle replays the capacity ranking, prefix sums, water-level
+    pick and both allocation branches exactly.
+
+    Scale shape: one #langs-row aggregation off the corpus scan;
+    ranking/prefix/water-level all run on that tiny relation, with
+    total and level folded back as 1-row broadcasts."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.unimax_allocation(
+        d, budget_frac=0.8, max_epochs=1.0).orderBy("lang"))
+
+
 @register("tokenizer_fertility_by_lang", oracle="""
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -3469,3 +3469,30 @@ def test_oov_rate_curve_cumulative_coverage(spark):
     assert out[3].covered_tokens == 9
     # V beyond the vocabulary covers everything
     assert out[8].covered_tokens == 10 and out[8].oov_rate == 0.0
+
+
+def test_unimax_allocation_waterfilling(spark):
+    from structa_spark.operators import sampling
+
+    # capacities 10, 20, 70 tokens; budget = 0.5 * 100 = 50:
+    # water level t solves min(10,t)+min(20,t)+min(70,t)=50 -> t=20
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(["x"] * 10)),
+         (2, "b", " ".join(["y"] * 20)),
+         (3, "c", " ".join(["z"] * 70))],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in sampling.unimax_allocation(
+        df, budget_frac=0.5, max_epochs=1.0).collect()}
+    assert out["a"].allocation == 10.0 and out["a"].epochs_used == 1.0
+    assert out["b"].allocation == 20.0
+    assert out["c"].allocation == 20.0
+    assert out["c"].epochs_used == round(20 / 70, 4)
+    # budget beyond total capacity: everyone consumed whole, no level
+    full = {r.lang: r.allocation for r in sampling.unimax_allocation(
+        df, budget_frac=2.0, max_epochs=1.0).collect()}
+    assert full == {"a": 10.0, "b": 20.0, "c": 70.0}
+    # epoch cap binds before the water level
+    capped = {r.lang: r for r in sampling.unimax_allocation(
+        df, budget_frac=0.5, max_epochs=0.3).collect()}
+    assert capped["a"].allocation == 3.0
+    assert capped["a"].epochs_used == 0.3

@@ -60,6 +60,9 @@ _SCALAR_BROADCAST_OK = {
     "source_token_jsd",          # broadcast(corpus token total)
     "oov_rate_by_vocab_size",    # broadcast(total token mass) onto
                                  # the 1-row coverage relation
+    "unimax_lang_allocation",    # broadcast(total+group count) and
+                                 # broadcast(water level) onto the
+                                 # #langs-row allocation relation
     "host_pagerank",             # broadcast(node count N) and
                                  # broadcast(dangling mass) — two
                                  # 1-row scalars folded into every

@@ -200,6 +200,7 @@ def test_driver_window_covers_every_family():
         "host_pagerank": "host_curation_report",
         "tokenizer_fertility_by_lang": "bpe_merge_candidates",
         "oov_rate_by_vocab_size": "tfidf_top_terms",
+        "unimax_lang_allocation": "mixing_weights_by_source",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
