@@ -1,0 +1,93 @@
+"""Relational Count-Min Sketch (Cormode & Muthukrishnan 2005) — the
+frequency sketch beside the profiler's KLL (quantiles) and HLL
+(distinct counts).
+
+Spark ships a binary ``count_min_sketch`` aggregate, but its sketch
+bytes are engine-private (xxhash seeds) and unverifiable from
+outside. This build keeps the sketch RELATIONAL — d x w counters as
+(row, bucket, c) rows from the same md5/universal-hash family every
+other hash-derived operator uses — so an external SQL oracle can
+replay both the build and every estimate bit-for-bit, and the
+counters merge across partitions/batches by plain addition (the
+mergeability that makes CMS a one-pass distributed/streaming
+structure).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PARAMS, md5_long, universal_hash
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 10
+
+
+def cms_bucket(key: Column, row: int, width: int = CMS_WIDTH,
+               params: Optional[List[Tuple[int, int]]] = None
+               ) -> Column:
+    """The sketch bucket of a string key in counter row ``row``:
+    universal hash of ``md5_long(key)`` mod width — exact int64 in
+    Spark and DuckDB."""
+    a, b = (params or MINHASH_PARAMS)[row]
+    return universal_hash(md5_long(key), a, b) % F.lit(width)
+
+
+def cms_build(df: DataFrame, key_col: str = "key",
+              weight_col: Optional[str] = None,
+              depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Build the d x w counter relation ``(row, bucket, c)`` over a
+    key (optionally weighted) relation. At most ``depth * width``
+    rows regardless of input size — the fixed-memory property.
+
+    Scale shape: one projection fans each key into ``depth``
+    (row, bucket) cells (an inline array explode — no join), then
+    ONE aggregation with map-side partials; the hot-bucket skew a
+    heavy hitter creates is absorbed by exactly that partial
+    aggregation. Counter relations from different shards/batches
+    merge by unioning and re-aggregating — plain addition."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("row"),
+                 cms_bucket(F.col(key_col), i, width).alias("bucket"))
+        for i in range(depth)])
+    return (df.select(w.alias("__w"),
+                      F.explode(cells).alias("__cell"))
+            .groupBy(F.col("__cell.row").alias("row"),
+                     F.col("__cell.bucket").alias("bucket"))
+            .agg(F.sum("__w").alias("c")))
+
+
+def cms_estimate(queries: DataFrame, counters: DataFrame,
+                 key_col: str = "key", depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH,
+                 out_col: str = "cms_estimate") -> DataFrame:
+    """Point-frequency estimates for a key relation against a built
+    counter relation: the MIN over the key's ``depth`` counter
+    cells. CMS never underestimates — estimate >= true count, with
+    the overshoot bounded by (e/width) * total mass at probability
+    1 - e^-depth.
+
+    Scale shape: the probe side fans into depth cells and joins the
+    counter relation on (row, bucket) — at most depth * width rows,
+    which broadcasts; absent cells count 0 (an empty counter cell
+    is a true zero, and min() ignoring it would inflate the
+    estimate)."""
+    cells = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("row"),
+                 cms_bucket(F.col(key_col), i, width).alias("bucket"))
+        for i in range(depth)])
+    probes = (queries.select(F.col(key_col),
+                             F.explode(cells).alias("__cell"))
+              .select(key_col, F.col("__cell.row").alias("row"),
+                      F.col("__cell.bucket").alias("bucket")))
+    return (probes.join(F.broadcast(counters), ["row", "bucket"],
+                        "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .cast("long").alias(out_col)))

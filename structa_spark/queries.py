@@ -5681,6 +5681,82 @@ def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(d).orderBy("doc_id")
 
 
+def _cms_cells_sql(src: str, depth: int = 4, width: int = 1024,
+                   extra: str = "") -> str:
+    """UNION ALL of the depth (row, bucket) hash fan-outs — the SQL
+    twin of sketches.cms_bucket over each counter row."""
+    sel = []
+    for i in range(depth):
+        a, b = MINHASH_PARAMS[i]
+        h = universal_hash_sql(md5_long_sql("token"), a, b)
+        sel.append(f"SELECT token{extra}, {i} AS row, "
+                   f"({h}) % {width} AS bucket FROM {src}")
+    return "\nUNION ALL\n".join(sel)
+
+
+@register("cms_heavy_hitters", oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+), counters AS (
+  SELECT row, bucket, sum(c) AS cc
+  FROM (SELECT cells.row, cells.bucket, cnt.c
+        FROM ({_cms_cells_sql('cnt')}) cells
+        JOIN cnt USING (token))
+  GROUP BY row, bucket
+), top AS (
+  SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 20
+), est AS (
+  SELECT token, min(coalesce(cc, 0)) AS e
+  FROM ({_cms_cells_sql('top')}) p
+  LEFT JOIN counters USING (row, bucket)
+  GROUP BY token
+)
+SELECT t.token, CAST(t.c AS BIGINT) AS exact_count,
+       CAST(e.e AS BIGINT) AS cms_estimate,
+       CAST(e.e - t.c AS BIGINT) AS overshoot
+FROM top t JOIN est e USING (token)
+ORDER BY exact_count DESC, token
+""")
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters, verified against exact counts:
+    build the 4 x 1024 relational CMS over corpus token frequencies
+    and read back the estimates for the exact top-20 tokens —
+    estimate >= exact always (the one-sided CMS guarantee), with the
+    overshoot column showing the collision cost. The oracle replays
+    the same md5/universal-hash fan-out, counter aggregation and
+    min-read, so estimates (collisions included) hash-match
+    bit-for-bit.
+
+    Scale shape: the counter relation is AT MOST depth x width rows
+    no matter the corpus (the fixed-memory property), built with one
+    map-side-partial aggregation and mergeable across
+    shards/batches by plain addition; probes join the broadcast
+    counter relation."""
+    from .operators import sketches
+    d = _t(spark, sf_dir, "documents")
+    cnt = (d.select(F.explode(text.tokens(F.lower(F.col("text"))))
+                    .alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    # weighting the (token, count) relation is arithmetic-identical
+    # to per-occurrence increments, and reuses the one explode
+    counters = sketches.cms_build(cnt, key_col="token",
+                                  weight_col="c")
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(20)
+    est = sketches.cms_estimate(top, counters, key_col="token")
+    return (top.join(est, "token")
+            .select("token", F.col("c").cast("long")
+                    .alias("exact_count"),
+                    F.col("cms_estimate"),
+                    (F.col("cms_estimate") - F.col("c")).cast("long")
+                    .alias("overshoot"))
+            .orderBy(F.desc("exact_count"), F.asc("token")))
+
+
 @register("unimax_lang_allocation", oracle="""
 WITH per AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -3496,3 +3496,70 @@ def test_unimax_allocation_waterfilling(spark):
         df, budget_frac=0.5, max_epochs=0.3).collect()}
     assert capped["a"].allocation == 3.0
     assert capped["a"].epochs_used == 0.3
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+def _py_cms_bucket(s, row, width):
+    from structa_spark.functions.hashing import (
+        MERSENNE_P, MINHASH_PARAMS, md5_long_py)
+    a, b = MINHASH_PARAMS[row]
+    return ((a * (md5_long_py(s) % MERSENNE_P) + b)
+            % MERSENNE_P) % width
+
+
+def test_cms_estimate_matches_python_replay_with_collisions(spark):
+    from structa_spark.operators import sketches
+
+    # width 16 over 60 keys: collisions guaranteed; the estimate must
+    # equal the pure-Python sketch replay, including the overshoot
+    width, depth = 16, 4
+    keys = [(f"key{i}", i % 7 + 1) for i in range(60)]
+    df = spark.createDataFrame(keys, "key string, w long")
+    counters = sketches.cms_build(df, weight_col="w", depth=depth,
+                                  width=width)
+    est = {r.key: r.cms_estimate for r in sketches.cms_estimate(
+        df.select("key"), counters, depth=depth, width=width)
+        .collect()}
+    # python replay
+    table = [[0] * width for _ in range(depth)]
+    for k, w in keys:
+        for r in range(depth):
+            table[r][_py_cms_bucket(k, r, width)] += w
+    some_overshoot = False
+    for k, w in keys:
+        want = min(table[r][_py_cms_bucket(k, r, width)]
+                   for r in range(depth))
+        assert est[k] == want, k
+        assert est[k] >= w          # one-sided guarantee
+        some_overshoot |= est[k] > w
+    assert some_overshoot           # collisions actually exercised
+
+
+def test_cms_counters_merge_by_addition(spark):
+    from structa_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 9}") for i in range(40)], "i long, key string")
+    whole = sketches.cms_build(df, width=32)
+    a = sketches.cms_build(df.where(F.col("i") < 17), width=32)
+    b = sketches.cms_build(df.where(F.col("i") >= 17), width=32)
+    merged = (a.unionByName(b).groupBy("row", "bucket")
+              .agg(F.sum("c").alias("c")))
+    got = {(r.row, r.bucket): r.c for r in merged.collect()}
+    want = {(r.row, r.bucket): r.c for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    from structa_spark.operators import sketches
+
+    built = spark.createDataFrame([("present",)], "key string")
+    counters = sketches.cms_build(built, width=1024)
+    est = {r.key: r.cms_estimate for r in sketches.cms_estimate(
+        spark.createDataFrame([("absent-key",)], "key string"),
+        counters).collect()}
+    # one key in 4x1024 cells: an unrelated probe misses every cell
+    assert est["absent-key"] == 0

@@ -201,6 +201,7 @@ def test_driver_window_covers_every_family():
         "tokenizer_fertility_by_lang": "bpe_merge_candidates",
         "oov_rate_by_vocab_size": "tfidf_top_terms",
         "unimax_lang_allocation": "mixing_weights_by_source",
+        "cms_heavy_hitters": "tfidf_top_terms",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
