@@ -2848,10 +2848,12 @@ def _bloom_probe_sql(m_bits: int, n_hashes: int) -> str:
     return "\n     AND ".join(terms)
 
 
+# m and k come from the operator's own defaults so the oracle can
+# never drift from what bloom_flag_docs actually probes
 _BLOOM_POS_SQL = " UNION ".join(
     f"SELECT DISTINCT (({universal_hash_sql(md5_long_sql('s'), a, b)})"
-    f" % {1 << 16}) AS p FROM ev"
-    for a, b in MINHASH_PARAMS[:4])
+    f" % {dedup.BLOOM_BITS}) AS p FROM ev"
+    for a, b in MINHASH_PARAMS[:dedup.BLOOM_HASHES])
 
 
 @register("bloom_contamination_flags", oracle=f"""
@@ -2866,7 +2868,8 @@ co AS (
 ),
 probe AS (
   SELECT doc_id,
-         {_bloom_probe_sql(1 << 16, 4)} AS hit
+         {_bloom_probe_sql(dedup.BLOOM_BITS, dedup.BLOOM_HASHES)}
+             AS hit
   FROM co
 )
 SELECT doc_id,
