@@ -5684,6 +5684,82 @@ def token_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(d).orderBy("doc_id")
 
 
+@register("split_leakage_report", oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_shingles_sql()} AS sh FROM documents
+  WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS j
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+), sp AS (
+  SELECT doc_id,
+         CASE
+           WHEN {md5_long_sql("doc_id::VARCHAR || 'split'")}
+                % 1000000 < 900000 THEN 'train'
+           WHEN {md5_long_sql("doc_id::VARCHAR || 'split'")}
+                % 1000000 < 950000 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents WHERE doc_id < 150
+)
+SELECT least(pa.split, pb.split) AS split_a,
+       greatest(pa.split, pb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(p.j) AS max_jaccard,
+       (least(pa.split, pb.split) <> greatest(pa.split, pb.split))
+           AS is_leak
+FROM pairs p JOIN sp pa ON pa.doc_id = p.id_a
+             JOIN sp pb ON pb.doc_id = p.id_b
+GROUP BY 1, 2 ORDER BY split_a, split_b
+""")
+def split_leakage_report(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """The QA step after train/val/test splitting: near-duplicate
+    document pairs (exact word-3-shingle Jaccard >= 0.2, the labeled
+    quadratic oracle slice the dedup family pins) that STRADDLE
+    split boundaries — a val document whose near-copy sits in train
+    is leakage no per-split dedup can see. Reports pair counts per
+    canonical (split_a, split_b) bucket with the leak flag;
+    max_jaccard is the max of pre-rounded pair scores (an exact pick
+    that replays bit-for-bit — never a mean of rounded values). The
+    oracle replays shingling, exact Jaccard, the md5 split-band
+    arithmetic and the aggregation end to end.
+
+    Scale shape: at scale the pair relation comes from the LSH
+    candidate path (bounded, bucketed); here the exact quadratic
+    slice keeps the oracle honest. The split column is a scan-local
+    CASE on the hash; pair-to-split attachment is two id-keyed
+    joins of an (id, split) projection — no text moves."""
+    from .operators.sampling import split_corpus
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = dedup.jaccard_pairs(d, threshold=0.2)
+    sp = split_corpus(d).select("doc_id", "split")
+    pa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("__sa"))
+    pb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("__sb"))
+    sa = F.least(F.col("__sa"), F.col("__sb"))
+    sb = F.greatest(F.col("__sa"), F.col("__sb"))
+    return (pairs.join(pa, "id_a").join(pb, "id_b")
+            .groupBy(sa.alias("split_a"), sb.alias("split_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.max("jaccard").alias("max_jaccard"))
+            .withColumn("is_leak",
+                        F.col("split_a") != F.col("split_b"))
+            .orderBy("split_a", "split_b"))
+
+
 def _cms_cells_sql(src: str, depth: int = 4, width: int = 1024,
                    extra: str = "") -> str:
     """UNION ALL of the depth (row, bucket) hash fan-outs — the SQL

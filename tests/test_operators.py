@@ -3563,3 +3563,34 @@ def test_cms_absent_key_estimates_zero_or_collision(spark):
         counters).collect()}
     # one key in 4x1024 cells: an unrelated probe misses every cell
     assert est["absent-key"] == 0
+
+
+def test_split_leakage_detects_cross_split_near_dup(spark):
+    from structa_spark.functions.hashing import md5_long_py
+    from structa_spark.operators.sampling import (
+        SAMPLE_MOD, split_corpus)
+
+    def split_of(i):
+        u = md5_long_py(f"{i}split") % SAMPLE_MOD
+        return ("train" if u < 900000 else
+                "val" if u < 950000 else "test")
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    val_id = next(i for i in range(1000) if split_of(i) == "val")
+    body = "the same long shared passage of text repeated here"
+    df = spark.createDataFrame(
+        [(train_id, body + " alpha"),
+         (val_id, body + " beta"),
+         (max(train_id, val_id) + 1, "entirely different words")],
+        "doc_id long, text string")
+    sp = split_corpus(df).select("doc_id", "split")
+    got = {r.doc_id: r.split for r in sp.collect()}
+    assert got[train_id] == "train" and got[val_id] == "val"
+    pairs = dedup.jaccard_pairs(df, threshold=0.2)
+    joined = (pairs.join(sp.withColumnRenamed("doc_id", "id_a")
+                         .withColumnRenamed("split", "sa"), "id_a")
+              .join(sp.withColumnRenamed("doc_id", "id_b")
+                    .withColumnRenamed("split", "sb"), "id_b")
+              .collect())
+    assert any(r.sa != r.sb for r in joined), \
+        "the near-dup pair must straddle train/val"

@@ -27,6 +27,8 @@ SF = "/root/testdata/sf0.001"
 # is the point, the bound is the doc-id filter
 _QUADRATIC_OK = {
     "ngram_jaccard_pairs",       # exact-Jaccard ground truth, doc_id<150
+    "split_leakage_report",      # rides the same labeled exact-Jaccard
+                                 # slice; scale path is LSH candidates
     "near_dup_groups",           # exact edge mode vs recursive-CTE oracle
     "cosine_topk",               # brute-force baseline: queries x corpus
     "cosine_topk_vectorized",    # same, Arrow path

@@ -202,6 +202,7 @@ def test_driver_window_covers_every_family():
         "oov_rate_by_vocab_size": "tfidf_top_terms",
         "unimax_lang_allocation": "mixing_weights_by_source",
         "cms_heavy_hitters": "tfidf_top_terms",
+        "split_leakage_report": "containment_pairs",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
