@@ -77,7 +77,8 @@ def main():
         training_manifest, unigram_nll, windowed_event_stats,
         host_curation_report, host_policy_filter,
         image_dedup_keep, audio_dedup_keep,
-        bloom_contamination_flags,
+        bloom_contamination_flags, host_pagerank,
+        cms_heavy_hitters,
     )
     from structa_spark.sources.tables import load_table
 
@@ -180,6 +181,8 @@ def main():
             "image_dedup_keep": run_df(image_dedup_keep),
             "audio_dedup_keep": run_df(audio_dedup_keep),
             "bloom_decontam": run_df(bloom_contamination_flags),
+            "host_pagerank": run_df(host_pagerank),
+            "cms_hitters": run_df(cms_heavy_hitters),
         }
 
     suite = make_suite(SF_DIR)
