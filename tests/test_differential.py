@@ -224,3 +224,84 @@ def test_normalize_typography_differential(spark):
         want = page.translate(table).replace("…", "...") \
                    .translate(acc)
         assert got[i] == (want, want != page), (i, page)
+
+def test_token_entropy_differential(spark):
+    import math
+
+    from structa_spark.operators import text as T
+
+    rows = _pages(seed=11)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.token_entropy(df).collect()}
+    for i, page in rows:
+        toks = _toks((page or "").lower())
+        if not toks:
+            assert i not in got, (i, page)
+            continue
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        n = len(toks)
+        h = math.log(n) - sum(c * math.log(c) for c in tf.values()) / n
+        r = got[i]
+        assert r.n_tokens == n, (i, page)
+        assert r.n_types == len(tf), (i, page)
+        assert abs(r.entropy - h) <= 0.5e-4 + 1e-9, (i, page)
+        want_norm = h / math.log(len(tf)) if len(tf) > 1 else 0.0
+        assert abs(r.entropy_norm - want_norm) <= 0.5e-4 + 1e-9, \
+            (i, page)
+
+
+def test_bloom_flag_docs_differential(spark):
+    from structa_spark.functions.hashing import (
+        MERSENNE_P, MINHASH_PARAMS, md5_long_py)
+    from structa_spark.operators import dedup as D
+
+    rows = [(i, p) for i, p in _pages(seed=13) if i < 80]
+    ev = [(i, p) for i, p in rows if i < 20 and p is not None]
+    co = [(i, p) for i, p in rows if i >= 20]
+    m, nh = 1 << 12, 4
+
+    def shingles(t):
+        toks = _toks(re.sub(WS + "+", " ",
+                            (t or "").lower()).strip(" "))
+        if len(toks) >= 3:
+            out = [" ".join(toks[j:j + 3])
+                   for j in range(len(toks) - 2)]
+        elif t is None:
+            out = [None]
+        else:
+            out = [" ".join(toks)]
+        seen, uniq = set(), []
+        for s in out:
+            if s not in seen:
+                seen.add(s)
+                uniq.append(s)
+        return uniq
+
+    def positions(s):
+        x = md5_long_py(s)
+        return [((a * (x % MERSENNE_P) + b) % MERSENNE_P) % m
+                for a, b in MINHASH_PARAMS[:nh]]
+
+    bits = set()
+    for _, p in ev:
+        for s in shingles(p):
+            if s is not None:
+                bits.update(positions(s))
+
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    cdf = spark.createDataFrame(co, "doc_id long, text string")
+    words = D.build_bloom(
+        edf.select(F.explode(D.word_shingles(F.col("text")))
+                   .alias("key")), m_bits=m, n_hashes=nh)
+    got = {r.doc_id: r for r in D.bloom_flag_docs(
+        cdf, words, n_hashes=nh, m_bits=m).collect()}
+    for i, page in co:
+        sh = shingles(page)
+        hits = sum(1 for s in sh if s is not None
+                   and all(pp in bits for pp in positions(s)))
+        r = got[i]
+        assert r.n_shingles == len(sh), (i, page)
+        assert r.n_hits == hits, (i, page)
+        assert r.contaminated == (hits > 0), (i, page)
