@@ -6368,21 +6368,27 @@ DRIVER_PRIORITY = [
     # relational core
     "q3_top_orders",
     # profiler (the reference surface)
-    "profile_stats_numeric", "profile_quartiles",
+    "profile_quartiles",
     "profile_type_candidates",
     # joins / windows / grouping sets / drift
     "asof_next_purchase_gap", "sliding_event_stats",
     "cube_status_priority", "pivot_lang_source_counts",
     "daily_event_drift",
-    # dedup (span/winnow family anchored by span_dup_coverage)
-    "dedup_exact_groups", "minhash_band_buckets",
+    # dedup (span/winnow family anchored by span_dup_coverage;
+    # Bloom gate new in round 8)
+    "dedup_exact_groups",
     "containment_pairs", "span_dup_coverage",
-    # decontamination (detect + per-benchmark dashboard)
-    "contamination_check", "benchmark_contamination_report",
-    # text analysis / tokenization / corpus prep
-    "lang_id_confusion", "html_extracted_text",
-    "tfidf_top_terms", "bigram_nll", "kn_bigram_nll",
+    "bloom_contamination_flags",
+    # decontamination (per-benchmark dashboard anchors the family)
+    "benchmark_contamination_report",
+    # text analysis / tokenization / corpus prep (entropy, fertility,
+    # OOV curve and the CMS sketch new in round 8)
+    "lang_id_confusion",
+    "tfidf_top_terms", "kn_bigram_nll",
+    "token_entropy_stats",
     "bpe_merge_candidates",
+    "tokenizer_fertility_by_lang", "oov_rate_by_vocab_size",
+    "cms_heavy_hitters",
     "sequence_packing",
     "mixing_weights_by_source",
     "normalized_text_stats",
@@ -6390,19 +6396,22 @@ DRIVER_PRIORITY = [
     "c4_rule_flags", "c4_line_clean",
     "gopher_quality_flags",
     "corpus_filter_report",
-    # host/domain reputation curation (new in round 8)
+    # host/domain reputation curation (new in round 8; link-graph
+    # PageRank authority new in round 8)
     "host_curation_report", "host_policy_filter",
-    # sampling / selection / composed pipeline
-    "dsir_logweights",
+    "host_pagerank",
+    # sampling / selection / composed pipeline (UniMax allocation and
+    # the split-leakage QA new in round 8)
+    "dsir_logweights", "unimax_lang_allocation",
     "curriculum_shard_stats", "variant_props_stats",
     "training_manifest", "corpus_version_diff",
+    "split_leakage_report",
     # retrieval / similarity
-    "cosine_topk", "ivf_topk_search", "pq_codes",
+    "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
     "hybrid_rrf_topk",
     # multimodal
-    "audio_header_metadata", "resized_media_stats",
-    "decompressed_text_stats",
+    "resized_media_stats",
     "audio_envelope_hashes", "image_dup_groups",
     "audio_dup_groups", "image_exif_metadata",
     # media dedup survivor selection (new in round 8)

@@ -101,7 +101,7 @@ def test_driver_window_covers_every_family():
     for must in ("pq_codes", "ivf_topk_search",
                  "embedding_quantization",
                  "hybrid_rrf_topk", "semantic_dedup_summary",
-                 "contamination_check", "sequence_packing",
+                 "benchmark_contamination_report", "sequence_packing",
                  "asof_next_purchase_gap", "cube_status_priority",
                  "pivot_lang_source_counts", "curriculum_shard_stats",
                  "bpe_merge_candidates", "daily_event_drift",
@@ -110,17 +110,17 @@ def test_driver_window_covers_every_family():
     # everything outside the window keeps an in-window family sibling
     siblings = {
         # outside since round 1, witnessed via their anchor
-        "profile_stats_strings": "profile_stats_numeric",
+        "profile_stats_strings": "profile_quartiles",
         "profile_quartiles_strings": "profile_quartiles",
         "dedup_exact_props": "dedup_exact_groups",
-        "minhash_signatures": "minhash_band_buckets",
+        "minhash_signatures": "containment_pairs",
         "asof_purchase_click": "asof_next_purchase_gap",
         "rollup_nation_year": "cube_status_priority",
-        "cosine_topk_vectorized": "cosine_topk",
+        "cosine_topk_vectorized": "hybrid_rrf_topk",
         "sample_docs_deterministic": "curriculum_shard_stats",
         "stratified_sample_by_lang": "curriculum_shard_stats",
         "cap_docs_per_lang": "curriculum_shard_stats",
-        "token_length_histogram": "bigram_nll",
+        "token_length_histogram": "kn_bigram_nll",
         "label_centroids": "semantic_dedup_summary",
         "filter_training_corpus": "training_manifest",
         "skewed_event_agg": "sliding_event_stats",
@@ -132,20 +132,20 @@ def test_driver_window_covers_every_family():
         "q5_nation_revenue": "q3_top_orders",
         "top_orders_per_customer": "q3_top_orders",
         "datetime_parse_formats": "profile_type_candidates",
-        "profile_freq_topk": "profile_stats_numeric",
+        "profile_freq_topk": "profile_quartiles",
         "windowed_event_stats": "sliding_event_stats",
         "ngram_jaccard_pairs": "containment_pairs",
         "near_dup_groups": "dedup_exact_groups",
         "dedup_corpus_keep": "dedup_exact_groups",
-        "token_stats_by_lang": "bigram_nll",
+        "token_stats_by_lang": "kn_bigram_nll",
         "text_quality_features": "lang_id_confusion",
         "rare_token_stats": "tfidf_top_terms",
         "doc_fingerprints": "tfidf_top_terms",
         "mixed_resample_counts": "mixing_weights_by_source",
         "pq_adc_topk": "pq_codes",
         "int8_topk_search": "embedding_quantization",
-        "embedding_neardup_pairs": "cosine_topk",
-        "image_header_metadata": "audio_header_metadata",
+        "embedding_neardup_pairs": "hybrid_rrf_topk",
+        "image_header_metadata": "resized_media_stats",
         "multimodal_doc_features": "resized_media_stats",
         "decoded_media_stats": "resized_media_stats",
         "json_props_stats": "variant_props_stats",
@@ -159,25 +159,25 @@ def test_driver_window_covers_every_family():
         "range_join_purchase_views": "asof_next_purchase_gap",
         "trailing_window_avg": "sliding_event_stats",
         "value_outliers_by_type": "sliding_event_stats",
-        "simhash_values": "minhash_band_buckets",
+        "simhash_values": "containment_pairs",
         "url_dedup_stats": "dedup_exact_groups",
         "domain_stats": "lang_id_confusion",
         "hashed_doc_vectors": "tfidf_top_terms",
-        "unigram_nll": "bigram_nll",
-        "pii_scan": "html_extracted_text",
+        "unigram_nll": "kn_bigram_nll",
+        "pii_scan": "c4_line_clean",
         # rotated OUT in round 7 (driver-green in rounds 1-6) to make
         # room for the 8 round-6 newcomers + the round-7 C4/Gopher
         # line-rule pair
         "sessionize_events": "sliding_event_stats",
-        "lsh_recall": "minhash_band_buckets",
+        "lsh_recall": "containment_pairs",
         "incremental_dedup_verdicts": "dedup_exact_groups",
         "span_dedup_texts": "span_dup_coverage",
         "incremental_span_hits": "span_dup_coverage",
         "dedup_keep_best": "dedup_exact_groups",
         "nb_lang_confusion": "lang_id_confusion",
-        "reflm_nll": "bigram_nll",
+        "reflm_nll": "kn_bigram_nll",
         "dsir_resample_topk": "dsir_logweights",
-        "video_header_metadata": "audio_header_metadata",
+        "video_header_metadata": "resized_media_stats",
         "window_chunks": "sequence_packing",
         "source_token_jsd": "daily_event_drift",
         "shuffle_order_coords": "curriculum_shard_stats",
@@ -185,8 +185,8 @@ def test_driver_window_covers_every_family():
         # room for the 7 round-7 newcomers
         "q1_pricing_summary": "q3_top_orders",
         "winnow_overlap_pairs": "span_dup_coverage",
-        "scrub_eval_spans": "contamination_check",
-        "fuzzy_contamination_pairs": "contamination_check",
+        "scrub_eval_spans": "benchmark_contamination_report",
+        "fuzzy_contamination_pairs": "benchmark_contamination_report",
         "source_curation_report": "training_manifest",
         "source_curation_report_v2": "training_manifest",
         "diverse_sample_by_cluster": "curriculum_shard_stats",
@@ -194,15 +194,18 @@ def test_driver_window_covers_every_family():
         "repetition_ngram_profile": "gopher_quality_flags",
         "ccnet_perplexity_buckets": "kn_bigram_nll",
         "image_dhash_values": "image_dup_groups",
-        # registered in round 8, awaiting a future window rotation
-        "bloom_contamination_flags": "contamination_check",
-        "token_entropy_stats": "bigram_nll",
-        "host_pagerank": "host_curation_report",
-        "tokenizer_fertility_by_lang": "bpe_merge_candidates",
-        "oov_rate_by_vocab_size": "tfidf_top_terms",
-        "unimax_lang_allocation": "mixing_weights_by_source",
-        "cms_heavy_hitters": "tfidf_top_terms",
-        "split_leakage_report": "containment_pairs",
+        # rotated OUT late in round 8 (driver-green in rounds 1-7) to
+        # put the round-8 newcomers (bloom gate, token entropy, host
+        # pagerank, tokenizer fertility, OOV curve, UniMax, CMS,
+        # split leakage) into the round-8 correctness window
+        "profile_stats_numeric": "profile_quartiles",
+        "minhash_band_buckets": "containment_pairs",
+        "bigram_nll": "kn_bigram_nll",
+        "cosine_topk": "hybrid_rrf_topk",
+        "audio_header_metadata": "resized_media_stats",
+        "decompressed_text_stats": "resized_media_stats",
+        "html_extracted_text": "c4_line_clean",
+        "contamination_check": "benchmark_contamination_report",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
