@@ -1290,6 +1290,20 @@ def build_bloom(keys: DataFrame, key_col: str = "key",
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def merge_blooms(a: List[int], b: List[int]) -> List[int]:
+    """Union of two Bloom bitsets built with the same (m, k, params):
+    the bitwise OR of their words — how an incremental ingest folds
+    each new batch's filter into the standing one without touching
+    old data (membership in the union == membership in either, with
+    the fp rate of the combined key count). Mismatched sizes mean
+    mismatched m and would silently corrupt membership — rejected."""
+    if len(a) != len(b):
+        raise ValueError(
+            f"bloom word counts differ ({len(a)} vs {len(b)}) — "
+            f"filters built with different m_bits cannot merge")
+    return [x | y for x, y in zip(a, b)]
+
+
 def bloom_member(key: Column, words: List[int],
                  n_hashes: int = BLOOM_HASHES,
                  m_bits: int = BLOOM_BITS,

@@ -3594,3 +3594,19 @@ def test_split_leakage_detects_cross_split_near_dup(spark):
               .collect())
     assert any(r.sa != r.sb for r in joined), \
         "the near-dup pair must straddle train/val"
+
+
+def test_merge_blooms_is_union(spark):
+    keys_a = [(f"a{i}",) for i in range(50)]
+    keys_b = [(f"b{i}",) for i in range(50)]
+    m = 1 << 9
+    wa = dedup.build_bloom(
+        spark.createDataFrame(keys_a, "key string"), m_bits=m)
+    wb = dedup.build_bloom(
+        spark.createDataFrame(keys_b, "key string"), m_bits=m)
+    whole = dedup.build_bloom(
+        spark.createDataFrame(keys_a + keys_b, "key string"),
+        m_bits=m)
+    assert dedup.merge_blooms(wa, wb) == whole
+    with pytest.raises(ValueError):
+        dedup.merge_blooms(wa, wa[:-1])

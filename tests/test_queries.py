@@ -59,7 +59,13 @@ SF_SCALE = "/root/testdata/sf0.1"
 SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
               "span_dup_coverage", "minhash_band_buckets",
               "bigram_nll", "kn_bigram_nll", "gopher_quality_flags",
-              "scrub_eval_spans"]
+              "scrub_eval_spans",
+              # round-8 window newcomers whose semantics depend on
+              # volume (bitset load, sketch collisions, vocab head,
+              # water level, graph edges)
+              "bloom_contamination_flags", "cms_heavy_hitters",
+              "host_pagerank", "unimax_lang_allocation",
+              "oov_rate_by_vocab_size"]
 
 
 @pytest.fixture(scope="module")
