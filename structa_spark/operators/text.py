@@ -1067,6 +1067,70 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
                  .alias("entropy_norm")))
 
 
+def sentences(text: Column) -> Column:
+    """Sentence segmentation as runs of non-terminators plus their
+    trailing ``.!?`` terminators, trimmed, empties dropped — a
+    lookbehind-free pattern (RE2-and-Java safe) so external oracles
+    replay the split exactly."""
+    raw = F.regexp_extract_all(text, F.lit(r"[^.!?]+[.!?]*"), 0)
+    return F.filter(F.transform(raw, lambda s: F.trim(s)),
+                    lambda s: s != "")
+
+
+def sentence_chunks(df: DataFrame, max_tokens: int = 128,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence-aware chunking for retrieval/RAG corpora: pack
+    CONSECUTIVE sentences greedily into chunks of at most
+    ``max_tokens`` whitespace tokens, never splitting mid-sentence
+    (a single over-long sentence becomes its own over-budget chunk
+    rather than being cut). The fixed-stride alternative
+    (chunk_windows) keeps budgets exact but severs sentences; this
+    keeps retrieval units semantically whole.
+
+    Returns one row per (id, chunk_idx): sentence count, token
+    count, and the 64-bit hash of the space-joined chunk text
+    (chunks feed dedup/indexing by hash; reassembly is
+    deterministic).
+
+    Scale shape: the greedy fold is ONE expression (``aggregate``
+    over the sentence array — no Python, no iteration outside
+    codegen); the only shuffle keys on (doc, chunk), which carries
+    no hot key. Documents with no sentences produce no rows."""
+    sents = sentences(F.col(text_col))
+    init = F.struct(
+        F.lit(None).cast("array<int>").alias("asg"),
+        F.lit(0).alias("idx"), F.lit(0).alias("cur"))
+
+    def fold(acc, s):
+        n = token_count(s)
+        fresh = (acc["cur"] > 0) & (acc["cur"] + n > max_tokens)
+        idx2 = F.when(fresh, acc["idx"] + 1).otherwise(acc["idx"])
+        cur2 = F.when(fresh, n).otherwise(acc["cur"] + n)
+        return F.struct(
+            F.concat(F.coalesce(acc["asg"],
+                                F.array().cast("array<int>")),
+                     F.array(idx2)).alias("asg"),
+            idx2.alias("idx"), cur2.alias("cur"))
+
+    asg = F.aggregate(sents, init, fold)["asg"]
+    zipped = F.zip_with(
+        sents, asg,
+        lambda s, a: F.struct(s.alias("s"), a.alias("a"),
+                              token_count(s).alias("n")))
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(zipped).alias("i", "sa"))
+    return (ex.groupBy(id_col, F.col("sa.a").alias("chunk_idx"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sentences"),
+                 F.sum("sa.n").cast("long").alias("n_tokens"),
+                 md5_long(F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct(F.col("i").alias("i"),
+                                  F.col("sa.s").alias("s")))),
+                     lambda x: x["s"]))).alias("chunk_hash")))
+
+
 def tokenizer_fertility(df: DataFrame, group_col: str = "lang",
                         text_col: str = "text") -> DataFrame:
     """Tokenizer fertility per group: subword tokens emitted per

@@ -5760,6 +5760,83 @@ def split_leakage_report(spark: SparkSession,
             .orderBy("split_a", "split_b"))
 
 
+@register("sentence_chunk_index", oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sentenced AS (
+  -- the corpus is punctuation-free word soup: synthesize a sentence
+  -- boundary after every 7th token so the packing rule carries real
+  -- weight (the operator itself sees only the text column)
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_zip(ts, range(1, len(ts) + 1)),
+             z -> z[1] ||
+                  CASE WHEN z[2] % 7 = 0 THEN '.' ELSE '' END),
+             ' ') AS text
+  FROM toks
+), base AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+[.!?]*'),
+             s -> trim(s)), s -> s <> '') AS sents
+  FROM sentenced
+), scn AS (
+  SELECT doc_id,
+         unnest(range(1, len(sents) + 1)) AS i,
+         unnest(sents) AS s,
+         unnest(list_transform(sents,
+             s -> len(list_filter(string_split_regex(s, '\\s+'),
+                                  t -> t <> '')))) AS n
+  FROM base WHERE len(sents) > 0
+), step AS (
+  SELECT doc_id, i, s, n, 0 AS chunk_idx, n AS cur
+  FROM scn WHERE i = 1
+  UNION ALL
+  SELECT c.doc_id, c.i, c.s, c.n,
+         CASE WHEN p.cur > 0 AND p.cur + c.n > 24
+              THEN p.chunk_idx + 1 ELSE p.chunk_idx END,
+         CASE WHEN p.cur > 0 AND p.cur + c.n > 24
+              THEN c.n ELSE p.cur + c.n END
+  FROM step p JOIN scn c ON c.doc_id = p.doc_id AND c.i = p.i + 1
+)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       {md5_long_sql("string_agg(s, ' ' ORDER BY i)")} AS chunk_hash
+FROM step GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+""")
+def sentence_chunk_index(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Sentence-aware retrieval chunking realized over the corpus:
+    greedy consecutive-sentence packing into <= 24-token chunks
+    (never splitting mid-sentence) with the chunk-text hash that
+    feeds dedup/indexing. The corpus text is punctuation-free word
+    soup, so a period is synthesized after every 7th token in BOTH
+    engines first — 7-token sentences against a 24-token budget make
+    every chunk a real 3-sentence pack plus a remainder. The Spark
+    side folds the assignment in ONE ``aggregate`` expression; the
+    oracle replays the identical greedy recurrence as a recursive
+    CTE stepping sentence-by-sentence, so a drift anywhere in
+    segmentation, token counting or the packing rule
+    hash-mismatches.
+
+    Scale shape: segmentation + fold are scan-local expressions; the
+    one shuffle keys on (doc, chunk)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    sentenced = F.concat_ws(" ", F.transform(
+        toks, lambda t, i: F.concat(
+            t, F.when((i + 1) % 7 == 0, F.lit("."))
+               .otherwise(F.lit("")))))
+    d2 = d.select("doc_id", sentenced.alias("text"))
+    return (text.sentence_chunks(d2, max_tokens=24)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def _cms_cells_sql(src: str, depth: int = 4, width: int = 1024,
                    extra: str = "") -> str:
     """UNION ALL of the depth (row, bucket) hash fan-outs — the SQL

@@ -3610,3 +3610,26 @@ def test_merge_blooms_is_union(spark):
     assert dedup.merge_blooms(wa, wb) == whole
     with pytest.raises(ValueError):
         dedup.merge_blooms(wa, wa[:-1])
+
+
+def test_sentence_chunks_greedy_packing(spark):
+    df = spark.createDataFrame(
+        [(1, "One two three. Four five! Six seven eight nine? Ten."),
+         (2, "a b c d e f g h"),   # one long sentence: own chunk
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           text.sentence_chunks(df, max_tokens=5).collect()}
+    # doc 1: [3 tok][2 tok] pack to 5; [4 tok][1 tok] pack to 5
+    assert out[(1, 0)].n_sentences == 2
+    assert out[(1, 0)].n_tokens == 5
+    assert out[(1, 1)].n_sentences == 2
+    assert out[(1, 1)].n_tokens == 5
+    # over-budget single sentence is kept whole
+    assert out[(2, 0)].n_tokens == 8
+    # no rows for empty/null docs
+    assert not any(k[0] in (3, 4) for k in out)
+    # chunk hash matches reassembled text
+    from structa_spark.functions.hashing import md5_long_py
+    assert out[(1, 0)].chunk_hash == md5_long_py(
+        "One two three. Four five!")

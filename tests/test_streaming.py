@@ -978,3 +978,29 @@ def test_host_policy_gate_streams_stateless(spark, tmp_path):
         verdict).collect()}
     assert got == want
     assert got == {1: True, 2: False, 3: False}  # unseen fails closed
+
+
+def test_cms_counters_stream_matches_batch(spark, tmp_path):
+    # the CMS is a one-pass streaming structure: the counter relation
+    # is a plain keyed aggregation, so readStream -> cms_build is the
+    # batch build verbatim (complete mode); estimates read the same
+    import json as _json
+
+    from structa_spark.operators import sketches as _sk
+
+    rows = [(f"tok{i % 5}",) for i in range(30)]
+    p = tmp_path / "cmskeys"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for (k,) in rows:
+            fh.write(_json.dumps({"key": k}) + "\n")
+    schema = T.StructType([T.StructField("key", T.StringType())])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(_sk.cms_build(sdf, width=64), "cms_stream",
+                "complete")
+    got = {(r.row, r.bucket): r.c for r in
+           spark.sql("SELECT * FROM cms_stream").collect()}
+    want = {(r.row, r.bucket): r.c for r in _sk.cms_build(
+        spark.createDataFrame(rows, "key string"), width=64)
+        .collect()}
+    assert got == want and len(got) > 0
