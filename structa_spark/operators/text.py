@@ -1202,6 +1202,50 @@ def oov_rate_curve(df: DataFrame,
                     "__s.oov_rate"))
 
 
+def zipf_fit(df: DataFrame, top_n: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary head: least-squares
+    slope of ln(count) against ln(rank) over the ``top_n`` most
+    frequent tokens. Natural language sits near alpha = 1
+    (Zipf 1949); a corpus that drifts far off — template spam,
+    boilerplate floods, synthetic word soup — shows it here before
+    any per-document filter fires. Returns one row:
+    ``(n_points, alpha, intercept, r2)`` with alpha = -slope.
+
+    Scale shape: one token aggregation (map-side partial), a
+    distributed TakeOrdered head of ``top_n`` rows (the vocabulary
+    relation is never global-sorted), the rank window on that
+    bounded head, and a single closed-form regression aggregation —
+    five scalar sums, no iteration."""
+    from pyspark.sql.window import Window
+
+    cnt = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    head = (cnt.orderBy(F.desc("c"), F.asc("token")).limit(top_n)
+            .withColumn("__r", F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("token")))))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = head.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    # r2 = corr^2 of (x, y)
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = (n * sxy - sx * sy) / denom
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(-slope, 4).alias("alpha"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r * r, 4).alias("r2"))
+
+
 def mixing_weights(df: DataFrame, alpha: float = 0.5,
                    group_col: str = "source",
                    text_col: str = "text") -> DataFrame:

@@ -5967,6 +5967,48 @@ def unimax_lang_allocation(spark: SparkSession,
         d, budget_frac=0.8, max_epochs=1.0).orderBy("lang"))
 
 
+@register("zipf_vocab_fit", oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+), head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+  FROM cnt ORDER BY c DESC, token LIMIT 1000
+), pts AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM head
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
+           AS alpha,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 4) AS intercept,
+       round(((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             ^ 2, 4) AS r2
+FROM s
+""")
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the vocabulary head (log-log least squares
+    over the top 1000 tokens) — the corpus-naturalness diagnostic
+    that flags template spam or synthetic text before per-document
+    filters fire. The oracle replays ranking, the five regression
+    sums and the closed-form slope/intercept/r2.
+
+    Scale shape: one token agg, a TakeOrdered head, one scalar
+    regression aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return text.zipf_fit(d, top_n=1000)
+
+
 @register("tokenizer_fertility_by_lang", oracle="""
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -3633,3 +3633,23 @@ def test_sentence_chunks_greedy_packing(spark):
     from structa_spark.functions.hashing import md5_long_py
     assert out[(1, 0)].chunk_hash == md5_long_py(
         "One two three. Four five!")
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    # construct an exact Zipf corpus: token r appears floor(3000/r)
+    # times -> slope of ln(c) on ln(r) is -1 up to rounding
+    body = []
+    for r in range(1, 41):
+        body.extend([f"w{r:02d}x"] * (3000 // r))
+    df = spark.createDataFrame([(1, " ".join(body))],
+                               "doc_id long, text string")
+    row = text.zipf_fit(df, top_n=40).collect()[0]
+    assert row.n_points == 40
+    assert abs(row.alpha - 1.0) < 0.02
+    assert row.r2 > 0.999
+    # degenerate uniform corpus: slope ~ 0
+    flat = spark.createDataFrame(
+        [(1, " ".join([f"t{i}" for i in range(30)] * 5))],
+        "doc_id long, text string")
+    frow = text.zipf_fit(flat, top_n=30).collect()[0]
+    assert abs(frow.alpha) < 0.05

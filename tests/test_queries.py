@@ -214,6 +214,7 @@ def test_driver_window_covers_every_family():
         "contamination_check": "benchmark_contamination_report",
         # registered after the round-8 rotation, awaiting round 9
         "sentence_chunk_index": "sequence_packing",
+        "zipf_vocab_fit": "tfidf_top_terms",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
