@@ -1500,6 +1500,68 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, schema=f"{id_col} long, dhash long")
 
 
+def image_phash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", n: int = 16,
+                block: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) of image payloads: decode,
+    integer grayscale, nearest-neighbor resize to ``n x n``, 2-D
+    DCT-II, keep the ``block x block`` low-frequency corner, and set
+    one bit per non-DC coefficient above the median of the 63
+    non-DC coefficients — the classic pHash (as popularized by the
+    ImageHash library and used in LAION-scale image dedup), which
+    survives brightness/scale/re-encode edits that flip dHash bits.
+    63 bits pack into a signed int64.
+
+    Cross-engine determinism: every DCT coefficient is rounded
+    HALF-UP to 4 decimals before the median pick and the strict >
+    compare — libm cos differences between engines sit at ~1e-12
+    after the 256-term sums, so the rounded coefficients (and hence
+    the median, an exact order statistic of rounded values, and
+    every bit) replay identically in an external SQL oracle.
+    Undecodable payloads yield a null hash (rows kept).
+    Arrow-batched; payload bytes stay executor-side."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal(1).scaleb(-4)
+
+    def _r4(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(
+            q, rounding=ROUND_HALF_UP))
+
+    y = np.arange(n)
+    u = np.arange(block)
+    # M[u, y] = cos(pi * (2y + 1) * u / (2n)); coeffs = M p M^T
+    M = np.cos(np.pi * (2 * y[None, :] + 1) * u[:, None] / (2 * n))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    _kind, arr = _decode_image(p)
+                    if arr.ndim == 3:
+                        arr = (arr.astype(np.int64).sum(axis=2)
+                               // arr.shape[2])
+                    small = _resize_nearest(arr, n, n) \
+                        .astype(np.float64)
+                    co = M @ small @ M.T
+                    flat = [_r4(v) for v in co.flatten()[1:]]
+                    med = sorted(flat)[(len(flat) - 1) // 2]
+                    h = 0
+                    for b, v in enumerate(flat):
+                        if v > med:
+                            h |= 1 << b
+                    out.append((int(mid), h))
+                except DecodeUnavailable:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=[id_col, "phash"])
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, phash long")
+
+
 def image_near_duplicates(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id",
                           max_hamming: int = 3, bits: int = 48,

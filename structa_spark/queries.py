@@ -5061,6 +5061,85 @@ def image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash(media).orderBy("media_id")
 
 
+@register("image_phash_values", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, y.y AS y, x.x AS x,
+         CAST((media_id + 3 * ((y.y * h) // 16)
+               + ((x.x * w) // 16)) % 256 AS DOUBLE) AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 15) y(y)
+  CROSS JOIN generate_series(0, 15) x(x)
+),
+co AS (
+  SELECT px.media_id, u.u AS u, vv.v AS vq,
+         round(sum(px.v
+                   * cos(pi() * (2 * px.y + 1) * u.u / 32)
+                   * cos(pi() * (2 * px.x + 1) * vv.v / 32)), 4)
+             AS c
+  FROM px
+  CROSS JOIN generate_series(0, 7) u(u)
+  CROSS JOIN generate_series(0, 7) vv(v)
+  GROUP BY 1, 2, 3
+),
+flat AS (
+  SELECT media_id, u * 8 + vq AS i, c
+  FROM co WHERE NOT (u = 0 AND vq = 0)
+),
+med AS (
+  SELECT media_id, c AS m FROM (
+    SELECT media_id, c,
+           row_number() OVER (PARTITION BY media_id
+                              ORDER BY c, i) AS rn
+    FROM flat) WHERE rn = 32
+),
+bits AS (
+  SELECT f.media_id, CAST(f.i - 1 AS INT) AS b,
+         CASE WHEN f.c > med.m THEN 1 ELSE 0 END AS bit
+  FROM flat f JOIN med USING (media_id)
+)
+SELECT media_id,
+       CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS phash
+FROM bits GROUP BY 1 ORDER BY 1
+""")
+def image_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash (pHash), values-checked END TO END through
+    the real codec path: the same gradient PNGs as image_dhash_values
+    REAL-decode, resize to 16x16 gray, 2-D DCT-II, 8x8 low-frequency
+    block, one bit per non-DC coefficient above the rounded-median —
+    the re-encode-robust complement to dHash. The oracle rebuilds
+    every resized pixel from the generator formula and replays the
+    256-term cosine sums, the half-up 4-dp rounding, the order-
+    statistic median and the bit packing — a drift in the decoder,
+    resampler, DCT convention, rounding mode or bit order all
+    hash-mismatch (cos() differences between engines die in the
+    rounding, by design)."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 3 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 7, 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append((i, mm.encode_png(
+                    arr, row_filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.image_phash(media).orderBy("media_id")
+
+
 _IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h

@@ -3653,3 +3653,32 @@ def test_zipf_fit_recovers_power_law(spark):
         "doc_id long, text string")
     frow = text.zipf_fit(flat, top_n=30).collect()[0]
     assert abs(frow.alpha) < 0.05
+
+
+def test_image_phash_invariances_and_nulls(spark):
+    import numpy as np
+
+    def png_of(arr):
+        return multimodal.encode_png(arr.astype(np.uint8))
+
+    yy, xx = np.mgrid[0:10, 0:12]
+    base = ((3 * yy + 5 * xx) % 200).astype(np.int64)
+    rows = [(1, png_of(base)),
+            (2, png_of(base + 30)),          # uniform brightness shift
+            (3, png_of(np.minimum(base * 2, 255))),  # contrast-ish
+            (4, b"not an image"),
+            (5, png_of((base.T % 200)))]     # genuinely different
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in
+           multimodal.image_phash(df).collect()}
+    # brightness shifts only the DC coefficient: hash unchanged
+    assert got[2] == got[1]
+    # undecodable -> null, row kept
+    assert got[4] is None
+    # a different image produces a different signature
+    assert got[5] != got[1]
+    # 63-bit non-negative pack
+    assert 0 <= got[1] < (1 << 63)
+    # hamming distance to the clipped-contrast variant stays small
+    d = bin(got[1] ^ got[3]).count("1")
+    assert d <= 12, d

@@ -215,6 +215,7 @@ def test_driver_window_covers_every_family():
         # registered after the round-8 rotation, awaiting round 9
         "sentence_chunk_index": "sequence_packing",
         "zipf_vocab_fit": "tfidf_top_terms",
+        "image_phash_values": "image_dup_groups",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
