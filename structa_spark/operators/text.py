@@ -1094,16 +1094,22 @@ def sentence_chunks(df: DataFrame, max_tokens: int = 128,
     deterministic).
 
     Scale shape: the greedy fold is ONE expression (``aggregate``
-    over the sentence array — no Python, no iteration outside
-    codegen); the only shuffle keys on (doc, chunk), which carries
-    no hot key. Documents with no sentences produce no rows."""
+    over the PRE-COMPUTED token-count array — per-sentence
+    tokenization runs exactly once, in its own transform, never
+    inside the fold's lambda body); the only shuffle keys on
+    (doc, chunk), which carries no hot key. Documents with no
+    sentences produce no rows."""
     sents = sentences(F.col(text_col))
+    # sentences() already trims and drops empties, so the count is a
+    # bare split on the lambda variable (the HOF-audit-sanctioned
+    # shape — no trim/tokenize re-derivation inside any lambda)
+    counts = F.transform(
+        sents, lambda s: F.size(F.array_remove(F.split(s, _WS), "")))
     init = F.struct(
         F.lit(None).cast("array<int>").alias("asg"),
         F.lit(0).alias("idx"), F.lit(0).alias("cur"))
 
-    def fold(acc, s):
-        n = token_count(s)
+    def fold(acc, n):
         fresh = (acc["cur"] > 0) & (acc["cur"] + n > max_tokens)
         idx2 = F.when(fresh, acc["idx"] + 1).otherwise(acc["idx"])
         cur2 = F.when(fresh, n).otherwise(acc["cur"] + n)
@@ -1113,11 +1119,14 @@ def sentence_chunks(df: DataFrame, max_tokens: int = 128,
                      F.array(idx2)).alias("asg"),
             idx2.alias("idx"), cur2.alias("cur"))
 
-    asg = F.aggregate(sents, init, fold)["asg"]
+    asg = F.aggregate(counts, init, fold)["asg"]
     zipped = F.zip_with(
-        sents, asg,
-        lambda s, a: F.struct(s.alias("s"), a.alias("a"),
-                              token_count(s).alias("n")))
+        F.zip_with(sents, counts,
+                   lambda s, n: F.struct(s.alias("s"),
+                                         n.alias("n"))),
+        asg,
+        lambda sn, a: F.struct(sn["s"].alias("s"), a.alias("a"),
+                               sn["n"].alias("n")))
     ex = df.select(
         F.col(id_col),
         F.posexplode(zipped).alias("i", "sa"))
