@@ -54,10 +54,18 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     """
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col(src) != F.col(dst))
-         .distinct())
+         .distinct()
+         # the edge relation is read by EVERY iteration (contribution
+         # join) and everything below derives from it — without this
+         # barrier each iteration re-runs the upstream corpus scan
+         # that derived the edges, turning 3 iterations into 7+ full
+         # scans. The checkpointed relation is graph-sized, not
+         # corpus-sized.
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("s").alias("v"))
              .union(e.select(F.col("t").alias("v")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
 
