@@ -1637,6 +1637,51 @@ def audio_envelope_hash(df: DataFrame, payload_col: str = "payload",
                           schema=f"{id_col} long, env_hash long")
 
 
+def audio_zero_crossings(df: DataFrame,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id") -> DataFrame:
+    """Zero-crossing rate of audio payloads through the REAL WAV
+    decoder: integer mono mixdown, then a crossing wherever two
+    consecutive samples have strictly opposite signs
+    (``s[t] * s[t+1] < 0`` — zeros never cross, so the count is
+    integer-exact and replayable). ZCR is the classic cheap
+    voiced/unvoiced/noise discriminator a speech-data curation
+    pipeline screens with before any model runs: silence and hum sit
+    near 0, white noise near 0.5.
+
+    Returns ``(id, n_samples, n_crossings, zcr)`` with
+    ``zcr = crossings / (n_samples - 1)`` (single-sample clips rate
+    0). Undecodable payloads yield null features (rows kept).
+    Arrow-batched; payload bytes stay executor-side."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, _rate = decode_wav_samples(p)
+                    s = np.asarray(samples).astype(np.int64)
+                    if s.ndim == 2:
+                        s = s.sum(axis=1) // s.shape[1]
+                    n = len(s)
+                    if n == 0:
+                        raise DecodeUnavailable("no samples")
+                    k = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+                    zcr = round(k / (n - 1), 6) if n > 1 else 0.0
+                    out.append((int(mid), n, k, zcr))
+                except DecodeUnavailable:
+                    out.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_samples", "n_crossings",
+                              "zcr"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_samples long, "
+                         f"n_crossings long, zcr double"))
+
+
 def audio_near_duplicates(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id",
                           max_hamming: int = 3, bits: int = 48,

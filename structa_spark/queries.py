@@ -5399,6 +5399,63 @@ def audio_envelope_hashes(spark: SparkSession,
     return mm.audio_envelope_hash(media).orderBy("media_id")
 
 
+@register("audio_zcr_features", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 400 + 1 AS n
+  FROM documents
+),
+s AS (
+  SELECT media_id, t.t,
+         ((media_id * 7 + 13 * t.t) % 401) - 200 AS v
+  FROM ids CROSS JOIN generate_series(0, 399) t(t)
+  WHERE t.t < n
+),
+x AS (
+  SELECT a.media_id,
+         CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END AS c
+  FROM s a JOIN s b
+    ON b.media_id = a.media_id AND b.t = a.t + 1
+)
+SELECT ids.media_id, CAST(ids.n AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(x.c), 0) AS BIGINT) AS n_crossings,
+       CASE WHEN ids.n > 1
+            THEN round(CAST(coalesce(sum(x.c), 0) AS DOUBLE)
+                       / (ids.n - 1), 6)
+            ELSE 0.0 END AS zcr
+FROM ids LEFT JOIN x USING (media_id)
+GROUP BY ids.media_id, ids.n ORDER BY media_id
+""")
+def audio_zcr_features(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """Zero-crossing rate, values-checked END TO END through the
+    real WAV decoder: the same formula-generated PCM clips as
+    audio_envelope_hashes, REAL-decoded, then the strict
+    opposite-sign crossing count and rate. The oracle recomputes
+    every sample and crossing from the formula (single-sample clips
+    take the zero-rate branch), so a drift in the RIFF walk, PCM
+    reinterpret, mixdown or the sign rule hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 400 + 1
+                samp = np.array(
+                    [((i * 7 + 13 * t) % 401) - 200 for t in range(n)],
+                    dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_zero_crossings(media).orderBy("media_id")
+
+
 @register("image_exif_metadata", oracle="""
 SELECT doc_id AS media_id,
        'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,

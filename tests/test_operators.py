@@ -3682,3 +3682,24 @@ def test_image_phash_invariances_and_nulls(spark):
     # hamming distance to the clipped-contrast variant stays small
     d = bin(got[1] ^ got[3]).count("1")
     assert d <= 12, d
+
+
+def test_audio_zero_crossings(spark):
+    import numpy as np
+
+    def wav(samples):
+        arr = np.array(samples, dtype="<i2")
+        return multimodal.wav_bytes(8000, 1, len(arr), bits=16,
+                                    samples=arr.tobytes())
+
+    rows = [(1, wav([100, -100, 100, -100])),   # 3 crossings
+            (2, wav([5, 0, -5])),               # zeros never cross
+            (3, wav([7])),                      # single sample
+            (4, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           multimodal.audio_zero_crossings(df).collect()}
+    assert got[1].n_crossings == 3 and got[1].zcr == 1.0
+    assert got[2].n_crossings == 0
+    assert got[3].zcr == 0.0 and got[3].n_samples == 1
+    assert got[4].zcr is None

@@ -216,6 +216,7 @@ def test_driver_window_covers_every_family():
         "sentence_chunk_index": "sequence_packing",
         "zipf_vocab_fit": "tfidf_top_terms",
         "image_phash_values": "image_dup_groups",
+        "audio_zcr_features": "audio_envelope_hashes",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
