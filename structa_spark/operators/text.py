@@ -1211,6 +1211,52 @@ def oov_rate_curve(df: DataFrame,
                     "__s.oov_rate"))
 
 
+def flesch_reading_ease(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Flesch reading ease per document (Flesch 1948):
+    ``206.835 - 1.015 * words/sentences - 84.6 * syllables/words``
+    with the standard vowel-group syllable heuristic (runs of
+    ``[aeiouy]`` per lowercased token, floored at one per word) —
+    the classic readability screen an educational-quality filter
+    baselines against. Sentences come from the shared segmenter,
+    floored at one so punctuation-free text still scores.
+
+    Returns ``(id, n_words, n_sentences, n_syllables, flesch)``;
+    documents with no words produce no row.
+
+    Scale shape: ONE projection — the token array is let-bound, the
+    per-token syllable count is a regexp on the lambda variable
+    (never a re-tokenization), and the sums fold in an aggregate
+    expression; no shuffle at all beyond the scan."""
+    from .dedup import _bind
+
+    def build(tv):
+        syll = F.aggregate(
+            F.transform(tv, lambda t: F.greatest(
+                F.size(F.regexp_extract_all(
+                    t, F.lit("[aeiouy]+"), 0)), F.lit(1))),
+            F.lit(0), lambda acc, x: acc + x)
+        return F.struct(F.size(tv).alias("w"), syll.alias("sy"))
+
+    st = _bind(tokens(F.lower(F.col(text_col))), build)
+    n_sents = F.greatest(F.size(sentences(F.col(text_col))),
+                         F.lit(1))
+    w = F.col("__st.w").cast("double")
+    sy = F.col("__st.sy").cast("double")
+    ns = F.col("n_sentences").cast("double")
+    score = (F.lit(206.835) - F.lit(1.015) * w / ns
+             - F.lit(84.6) * sy / w)
+    return (df.select(F.col(id_col), st.alias("__st"),
+                      n_sents.cast("long").alias("n_sentences"))
+            .where(F.col("__st.w") > 0)
+            .select(id_col,
+                    F.col("__st.w").cast("long").alias("n_words"),
+                    "n_sentences",
+                    F.col("__st.sy").cast("long")
+                    .alias("n_syllables"),
+                    F.round(score, 4).alias("flesch")))
+
+
 def zipf_fit(df: DataFrame, top_n: int = 1000,
              text_col: str = "text") -> DataFrame:
     """Zipf-law fit of the corpus vocabulary head: least-squares

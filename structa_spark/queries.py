@@ -6103,6 +6103,45 @@ def unimax_lang_allocation(spark: SparkSession,
         d, budget_frac=0.8, max_epochs=1.0).orderBy("lang"))
 
 
+@register("flesch_readability", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts,
+         greatest(len(list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+[.!?]*'),
+             s -> trim(s)), s -> s <> '')), 1) AS n_sentences
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         len(ts) AS w,
+         list_sum(list_transform(ts,
+             t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                           1))) AS sy,
+         n_sentences
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(sy AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(sy AS DOUBLE) / w), 4) AS flesch
+FROM agg ORDER BY doc_id
+""")
+def flesch_readability(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document — the classic readability
+    screen educational-quality filters baseline against, with the
+    vowel-group syllable heuristic. The oracle replays tokenization,
+    the per-token syllable floor, the sentence floor and the score
+    formula.
+
+    Scale shape: one projection, no shuffle — token array let-bound,
+    syllables folded in an aggregate expression."""
+    d = _t(spark, sf_dir, "documents")
+    return text.flesch_reading_ease(d).orderBy("doc_id")
+
+
 @register("zipf_vocab_fit", oracle="""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)),

@@ -3703,3 +3703,20 @@ def test_audio_zero_crossings(spark):
     assert got[2].n_crossings == 0
     assert got[3].zcr == 0.0 and got[3].n_samples == 1
     assert got[4].zcr is None
+
+
+def test_flesch_reading_ease_formula(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."),
+         (2, "xyz"),            # vowel-free token floors at 1 syllable
+         (3, "")],              # no words -> no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           text.flesch_reading_ease(df).collect()}
+    r = out[1]
+    assert r.n_words == 6 and r.n_sentences == 2
+    assert r.n_syllables == 6          # all monosyllables
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r.flesch == round(want, 4)
+    assert out[2].n_syllables == 1     # the floor
+    assert 3 not in out

@@ -217,6 +217,7 @@ def test_driver_window_covers_every_family():
         "zipf_vocab_fit": "tfidf_top_terms",
         "image_phash_values": "image_dup_groups",
         "audio_zcr_features": "audio_envelope_hashes",
+        "flesch_readability": "gopher_quality_flags",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
