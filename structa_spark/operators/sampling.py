@@ -555,7 +555,11 @@ def unimax_allocation(df: DataFrame, budget_frac: float = 0.8,
     per = (df.groupBy(F.col(group_col).alias("grp"))
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum(token_count(F.col(text_col))).cast("long")
-                .alias("n_tokens")))
+                .alias("n_tokens"))
+           # the #groups-row relation feeds the total, the ranking
+           # AND the water-level pick — without this barrier each
+           # consumer re-runs the corpus scan that produced it
+           .localCheckpoint(eager=False))
     tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"),
                   F.count(F.lit(1)).cast("long").alias("__L"))
     cap = (F.col("n_tokens").cast("double")

@@ -1189,7 +1189,10 @@ def oov_rate_curve(df: DataFrame,
 
     cnt = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
                      .alias("token"))
-           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+           # the vocab relation feeds both the head and the total
+           # mass — materialize so the corpus scans once
+           .localCheckpoint(eager=False))
     total = cnt.agg(F.sum("c").cast("double").alias("__m"))
     head = (cnt.orderBy(F.desc("c"), F.asc("token"))
             .limit(max(sizes))

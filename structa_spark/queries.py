@@ -6033,7 +6033,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cnt = (d.select(F.explode(text.tokens(F.lower(F.col("text"))))
                     .alias("token"))
-           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+           # feeds the counter build, the exact top-20 AND the
+           # estimate probes — materialize so the corpus scans once
+           .localCheckpoint(eager=False))
     # weighting the (token, count) relation is arithmetic-identical
     # to per-occurrence increments, and reuses the one explode
     counters = sketches.cms_build(cnt, key_col="token",
