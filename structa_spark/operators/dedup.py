@@ -1344,7 +1344,11 @@ def bloom_flag_docs(corpus: DataFrame, words: List[int],
     document's distinct word ``k``-shingles probe all-set in a Bloom
     built over a held-out set (Soldaini et al. 2024's Dolma "BFF"
     dedup/decontamination gate; Bloom 1970). Returns ``(id,
-    n_shingles, n_hits, contaminated)`` for EVERY corpus document.
+    n_shingles, n_hits, contaminated)`` for EVERY corpus document —
+    including null-text documents, which carry zero shingles (the
+    ``[null]`` placeholder word_shingles yields for null text is
+    filtered out, so the contract is corpus-independent and an
+    oracle's unnest-then-regroup can replay it with a left join).
 
     vs :func:`~.text.contamination_hits` (broadcast-join on the
     exact eval shingle set): the Bloom admits a sized false-positive
@@ -1357,7 +1361,8 @@ def bloom_flag_docs(corpus: DataFrame, words: List[int],
     Scale shape: ONE projection over the corpus — shingles are
     let-bound and probed in place (no explode, no join, no shuffle);
     the result aggregates nothing."""
-    sh = word_shingles(F.col(text_col), k)
+    sh = F.filter(word_shingles(F.col(text_col), k),
+                  lambda s: s.isNotNull())
 
     def stats(shv):
         hits = F.filter(

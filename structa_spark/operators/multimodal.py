@@ -1512,23 +1512,19 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
     survives brightness/scale/re-encode edits that flip dHash bits.
     63 bits pack into a signed int64.
 
-    Cross-engine determinism: every DCT coefficient is rounded
-    HALF-UP to 4 decimals before the median pick and the strict >
-    compare — libm cos differences between engines sit at ~1e-12
-    after the 256-term sums, so the rounded coefficients (and hence
-    the median, an exact order statistic of rounded values, and
-    every bit) replay identically in an external SQL oracle.
+    Cross-engine determinism: every DCT coefficient is rounded to 4
+    decimals as ``floor(x * 10000 + 0.5) / 10000`` — half-up toward
+    +infinity, computed on the BINARY double with three IEEE ops that
+    any SQL engine replays verbatim (no shortest-repr detour, which
+    can round a boundary-straddling sum differently from the binary
+    value) — before the median pick and the strict > compare. libm
+    cos differences between engines sit at ~1e-12 after the 256-term
+    sums, so the rounded coefficients (and hence the median, an exact
+    order statistic of rounded values, and every bit) replay
+    identically in an external SQL oracle.
     Undecodable payloads yield a null hash (rows kept).
     Arrow-batched; payload bytes stay executor-side."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     import numpy as np
-
-    q = Decimal(1).scaleb(-4)
-
-    def _r4(x: float) -> float:
-        return float(Decimal(repr(float(x))).quantize(
-            q, rounding=ROUND_HALF_UP))
 
     y = np.arange(n)
     u = np.arange(block)
@@ -1548,7 +1544,8 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
                     small = _resize_nearest(arr, n, n) \
                         .astype(np.float64)
                     co = M @ small @ M.T
-                    flat = [_r4(v) for v in co.flatten()[1:]]
+                    flat = (np.floor(co.flatten()[1:] * 10000.0
+                                     + 0.5) / 10000.0).tolist()
                     med = sorted(flat)[(len(flat) - 1) // 2]
                     h = 0
                     for b, v in enumerate(flat):
@@ -1641,13 +1638,18 @@ def audio_zero_crossings(df: DataFrame,
                          payload_col: str = "payload",
                          id_col: str = "media_id") -> DataFrame:
     """Zero-crossing rate of audio payloads through the REAL WAV
-    decoder: integer mono mixdown, then a crossing wherever two
-    consecutive samples have strictly opposite signs
-    (``s[t] * s[t+1] < 0`` — zeros never cross, so the count is
-    integer-exact and replayable). ZCR is the classic cheap
-    voiced/unvoiced/noise discriminator a speech-data curation
-    pipeline screens with before any model runs: silence and hum sit
-    near 0, white noise near 0.5.
+    decoder: mono mixdown, then a crossing wherever two consecutive
+    samples have strictly opposite signs (``s[t] * s[t+1] < 0`` —
+    zeros never cross, so the count is exact and replayable). ZCR is
+    the classic cheap voiced/unvoiced/noise discriminator a
+    speech-data curation pipeline screens with before any model runs:
+    silence and hum sit near 0, white noise near 0.5.
+
+    Integer PCM mixes down in exact int64 (``sum // channels``);
+    IEEE-float WAVs (fmt tag 3, samples in [-1, 1)) mix down and
+    sign-test on the RAW float values — casting them to int64 first
+    would truncate every sample to 0 and report silence for loud
+    noise. The sign test itself is exact in either domain.
 
     Returns ``(id, n_samples, n_crossings, zcr)`` with
     ``zcr = crossings / (n_samples - 1)`` (single-sample clips rate
@@ -1662,9 +1664,15 @@ def audio_zero_crossings(df: DataFrame,
                 p = bytes(payload) if payload is not None else b""
                 try:
                     samples, _rate = decode_wav_samples(p)
-                    s = np.asarray(samples).astype(np.int64)
-                    if s.ndim == 2:
-                        s = s.sum(axis=1) // s.shape[1]
+                    s = np.asarray(samples)
+                    if np.issubdtype(s.dtype, np.floating):
+                        s = s.astype(np.float64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) / s.shape[1]
+                    else:
+                        s = s.astype(np.int64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) // s.shape[1]
                     n = len(s)
                     if n == 0:
                         raise DecodeUnavailable("no samples")

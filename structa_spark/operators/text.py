@@ -1292,16 +1292,27 @@ def zipf_fit(df: DataFrame, top_n: int = 1000,
         F.sum(y * y).alias("syy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Zero-variance guards so the engines agree: a single-point head
+    # zeroes var(x) (slope undefined), a uniform-count head zeroes
+    # var(y) (r2 undefined) — Spark's non-ANSI x/0 is NULL but IEEE
+    # engines give inf, so both sides NULL explicitly. The guard
+    # tests the variance ROUNDED to 6 dp, because an analytically-
+    # zero variance leaves an O(1e-12) summation residue whose exact
+    # value (even its being 0.0) depends on the engine's summation
+    # order — the rounded gate lands on the same side in both.
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(F.round(varx, 6) != 0, cov / varx)
     intercept = (sy - slope * sx) / n
-    # r2 = corr^2 of (x, y)
-    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    r = (n * sxy - sx * sy) / denom
+    # r2 = corr^2 of (x, y) = cov^2 / (var(x) * var(y))
+    r2 = F.when(F.round(varx * vary, 6) != 0,
+                (cov * cov) / (varx * vary))
     return agg.select(
         F.col("n").cast("long").alias("n_points"),
         F.round(-slope, 4).alias("alpha"),
         F.round(intercept, 4).alias("intercept"),
-        F.round(r * r, 4).alias("r2"))
+        F.round(r2, 4).alias("r2"))
 
 
 def mixing_weights(df: DataFrame, alpha: float = 0.5,

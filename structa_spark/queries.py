@@ -2870,13 +2870,22 @@ probe AS (
   SELECT doc_id,
          {_bloom_probe_sql(dedup.BLOOM_BITS, dedup.BLOOM_HASHES)}
              AS hit
-  FROM co
+  FROM co WHERE s IS NOT NULL
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+         bool_or(hit) AS contaminated
+  FROM probe GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_shingles,
-       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       bool_or(hit) AS contaminated
-FROM probe GROUP BY doc_id ORDER BY doc_id
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(a.contaminated, FALSE) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """)
 def bloom_contamination_flags(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -5077,9 +5086,10 @@ px AS (
 ),
 co AS (
   SELECT px.media_id, u.u AS u, vv.v AS vq,
-         round(sum(px.v
+         floor(sum(px.v
                    * cos(pi() * (2 * px.y + 1) * u.u / 32)
-                   * cos(pi() * (2 * px.x + 1) * vv.v / 32)), 4)
+                   * cos(pi() * (2 * px.x + 1) * vv.v / 32))
+               * 10000 + 0.5) / 10000
              AS c
   FROM px
   CROSS JOIN generate_series(0, 7) u(u)
@@ -5113,7 +5123,9 @@ def image_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     block, one bit per non-DC coefficient above the rounded-median —
     the re-encode-robust complement to dHash. The oracle rebuilds
     every resized pixel from the generator formula and replays the
-    256-term cosine sums, the half-up 4-dp rounding, the order-
+    256-term cosine sums, the binary-double half-up 4-dp rounding
+    (``floor(x * 10000 + 0.5) / 10000``, the identical IEEE ops in
+    both engines — no decimal-repr detour), the order-
     statistic median and the bit packing — a drift in the decoder,
     resampler, DCT convention, rounding mode or bit order all
     hash-mismatch (cos() differences between engines die in the
@@ -6165,13 +6177,18 @@ WITH toks AS (
   FROM pts
 )
 SELECT CAST(n AS BIGINT) AS n_points,
-       round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
-           AS alpha,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+       round(-(CASE WHEN round(n * sxx - sx * sx, 6) <> 0
+               THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               END), 4) AS alpha,
+       round((sy - (CASE WHEN round(n * sxx - sx * sx, 6) <> 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END) * sx)
              / n, 4) AS intercept,
-       round(((n * sxy - sx * sy)
-              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-             ^ 2, 4) AS r2
+       round(CASE WHEN round((n * sxx - sx * sx)
+                             * (n * syy - sy * sy), 6) <> 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 4) AS r2
 FROM s
 """)
 def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,7 +269,7 @@ def test_bloom_flag_docs_differential(spark):
             out = [" ".join(toks[j:j + 3])
                    for j in range(len(toks) - 2)]
         elif t is None:
-            out = [None]
+            out = []          # null text carries zero shingles
         else:
             out = [" ".join(toks)]
         seen, uniq = set(), []

@@ -3347,7 +3347,8 @@ def test_bloom_flag_docs_counts_distinct_shingle_hits(spark):
     co = spark.createDataFrame(
         [(1, "the quick brown fox sat down"),   # shares 2 shingles
          (2, "completely unrelated words entirely here"),
-         (3, "hi")],                            # short doc: 1 shingle
+         (3, "hi"),                             # short doc: 1 shingle
+         (4, None)],                            # null text: 0 shingles
         "doc_id long, text string")
     words = dedup.build_bloom(
         ev.select(F.explode(dedup.word_shingles(F.col("text")))
@@ -3358,6 +3359,10 @@ def test_bloom_flag_docs_counts_distinct_shingle_hits(spark):
     assert out[1].n_shingles == 4
     assert not out[2].contaminated and out[2].n_hits == 0
     assert out[3].n_shingles == 1 and not out[3].contaminated
+    # the row-set contract is corpus-independent: a null-text doc
+    # keeps its row with zero shingles (not word_shingles' [null])
+    assert out[4].n_shingles == 0 and out[4].n_hits == 0
+    assert not out[4].contaminated
 
 
 def test_bloom_fp_rate_formula():
@@ -3653,6 +3658,9 @@ def test_zipf_fit_recovers_power_law(spark):
         "doc_id long, text string")
     frow = text.zipf_fit(flat, top_n=30).collect()[0]
     assert abs(frow.alpha) < 0.05
+    # uniform counts zero var(y): r2 is NULL (not inf/NaN) in BOTH
+    # engines via the shared NULLIF-style zero-variance guard
+    assert frow.r2 is None
 
 
 def test_image_phash_invariances_and_nulls(spark):
@@ -3692,10 +3700,19 @@ def test_audio_zero_crossings(spark):
         return multimodal.wav_bytes(8000, 1, len(arr), bits=16,
                                     samples=arr.tobytes())
 
+    def fwav(samples):
+        arr = np.array(samples, dtype="<f4")
+        return multimodal.wav_bytes(8000, 1, len(arr), bits=32,
+                                    fmt_tag=3, samples=arr.tobytes())
+
     rows = [(1, wav([100, -100, 100, -100])),   # 3 crossings
             (2, wav([5, 0, -5])),               # zeros never cross
             (3, wav([7])),                      # single sample
-            (4, b"junk")]
+            (4, b"junk"),
+            # IEEE-float WAV in [-1, 1): an int64 cast would truncate
+            # every sample to 0 and report silence — signs must be
+            # tested on the raw float values
+            (5, fwav([0.5, -0.5, 0.5, -0.5]))]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in
            multimodal.audio_zero_crossings(df).collect()}
@@ -3703,6 +3720,7 @@ def test_audio_zero_crossings(spark):
     assert got[2].n_crossings == 0
     assert got[3].zcr == 0.0 and got[3].n_samples == 1
     assert got[4].zcr is None
+    assert got[5].n_crossings == 3 and got[5].zcr == 1.0
 
 
 def test_flesch_reading_ease_formula(spark):
