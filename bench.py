@@ -122,7 +122,13 @@ def main():
                 d, min_shared=8, max_postings=100).count()
 
         def run_df(fn):
-            return lambda: fn(spark, sf_dir).count()
+            def thunk():
+                return fn(spark, sf_dir).count()
+            # expose the DataFrame builder so the warm-up pass can
+            # fingerprint the optimized plan without re-running the
+            # (possibly model-building) query a second time
+            thunk._df = lambda: fn(spark, sf_dir)
+            return thunk
 
         return {
             "profile_lineitem": bench_profile,
@@ -204,6 +210,39 @@ def main():
          Window.partitionBy("t").orderBy("t")))
      .collect())
 
+    # DISCARDED warm-up pass over the whole suite: the first-ever
+    # execution of each query pays one-time codegen + class loading
+    # + shared-cache materialization, and a cold first pass has read
+    # 3-4x the steady-state total (288.7 s vs 83.5/68.3 s in the
+    # round-8 driver artifact), dragging every median of 3 one-third
+    # cold. The warm-up's timings are thrown away; it doubles as the
+    # plan-fingerprint pass — each query's OPTIMIZED plan (expression
+    # IDs normalized out) is hashed into the artifact so a future
+    # timing drift on "unchanged code" is instantly attributable:
+    # fingerprint changed => the plan changed; unchanged => box noise.
+    import hashlib
+    import re as _re
+
+    def _plan_fingerprint(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = _re.sub(r"#\d+", "#", s)          # expression IDs
+        s = _re.sub(r"@[0-9a-f]+", "@", s)    # object addresses
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    fingerprints = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in suite:
+            fn = suite[name]
+            try:
+                if hasattr(fn, "_df"):
+                    df = fn._df()
+                    fingerprints[name] = _plan_fingerprint(df)
+                    df.count()
+                else:
+                    fn()
+            except Exception:
+                pass  # the timed passes report the error properly
+
     # median of 3 passes per query: this box shares hardware and a
     # single noisy-neighbor spike can triple an individual query's
     # wall-clock (observed 0.4s -> 2.9s on an unchanged scan query);
@@ -271,7 +310,9 @@ def main():
         "unit": "sec",
         "queries": times,
         "aggregation": (f"per-query median of {N_RUNS} "
-                        "order-alternated passes"),
+                        "order-alternated passes after a discarded "
+                        "warm-up pass"),
+        "plan_fingerprints": fingerprints,
         "passes": all_runs,
         "runs": [round(sum(t for t in run.values() if t is not None), 3)
                  for run in all_runs],
@@ -565,6 +606,7 @@ def main():
                                          {}).get("exponents_3pt"),
                 "doclen_exponents": out.get("doclen_ladder",
                                             {}).get("exponents"),
+                "plan_fingerprints": fingerprints,
             }, fh, indent=1)
     except OSError:
         pass  # a read-only checkout must not fail the bench
