@@ -6681,24 +6681,26 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY = [
     # relational core
     "q3_top_orders",
-    # profiler (the reference surface)
-    "profile_quartiles",
+    # profiler (the reference surface; profile_quartiles rotated out
+    # in round 9 after 8 green rounds — type_candidates anchors)
     "profile_type_candidates",
-    # joins / windows / grouping sets / drift
-    "asof_next_purchase_gap", "sliding_event_stats",
+    # joins / windows / grouping sets / drift (sliding_event_stats
+    # rotated out round 9 after 4 green rounds; daily_event_drift
+    # anchors the events family)
+    "asof_next_purchase_gap",
     "cube_status_priority", "pivot_lang_source_counts",
     "daily_event_drift",
     # dedup (span/winnow family anchored by span_dup_coverage;
-    # Bloom gate new in round 8)
-    "dedup_exact_groups",
+    # dedup_exact_groups rotated out round 9 after 8 green rounds)
     "containment_pairs", "span_dup_coverage",
     "bloom_contamination_flags",
     # decontamination (per-benchmark dashboard anchors the family)
     "benchmark_contamination_report",
-    # text analysis / tokenization / corpus prep (entropy, fertility,
-    # OOV curve and the CMS sketch new in round 8)
-    "lang_id_confusion",
-    "tfidf_top_terms", "kn_bigram_nll",
+    # text analysis / tokenization / corpus prep (zipf fit, Flesch
+    # readability and sentence-aware RAG chunking enter in round 9;
+    # lang_id_confusion / tfidf_top_terms rotated out after 8 / 4
+    # green rounds)
+    "kn_bigram_nll",
     "token_entropy_stats",
     "bpe_merge_candidates",
     "tokenizer_fertility_by_lang", "oov_rate_by_vocab_size",
@@ -6706,6 +6708,8 @@ DRIVER_PRIORITY = [
     "sequence_packing",
     "mixing_weights_by_source",
     "normalized_text_stats",
+    "zipf_vocab_fit", "flesch_readability",
+    "sentence_chunk_index",
     # quality-filter battery (C4 page + line rules, Gopher profiles)
     "c4_rule_flags", "c4_line_clean",
     "gopher_quality_flags",
@@ -6724,10 +6728,11 @@ DRIVER_PRIORITY = [
     "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
     "hybrid_rrf_topk",
-    # multimodal
+    # multimodal (DCT pHash and audio ZCR enter in round 9)
     "resized_media_stats",
     "audio_envelope_hashes", "image_dup_groups",
     "audio_dup_groups", "image_exif_metadata",
+    "image_phash_values", "audio_zcr_features",
     # media dedup survivor selection (new in round 8)
     "image_dedup_keep", "audio_dedup_keep",
 ]

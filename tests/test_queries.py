@@ -116,9 +116,9 @@ def test_driver_window_covers_every_family():
     # everything outside the window keeps an in-window family sibling
     siblings = {
         # outside since round 1, witnessed via their anchor
-        "profile_stats_strings": "profile_quartiles",
-        "profile_quartiles_strings": "profile_quartiles",
-        "dedup_exact_props": "dedup_exact_groups",
+        "profile_stats_strings": "profile_type_candidates",
+        "profile_quartiles_strings": "profile_type_candidates",
+        "dedup_exact_props": "span_dup_coverage",
         "minhash_signatures": "containment_pairs",
         "asof_purchase_click": "asof_next_purchase_gap",
         "rollup_nation_year": "cube_status_priority",
@@ -129,24 +129,24 @@ def test_driver_window_covers_every_family():
         "token_length_histogram": "kn_bigram_nll",
         "label_centroids": "semantic_dedup_summary",
         "filter_training_corpus": "training_manifest",
-        "skewed_event_agg": "sliding_event_stats",
+        "skewed_event_agg": "daily_event_drift",
         "ivf_assignment_counts": "ivf_topk_search",
         "repetition_signals": "training_manifest",
-        "passage_dedup_summary": "dedup_exact_groups",
-        "vocab_top20": "tfidf_top_terms",
+        "passage_dedup_summary": "span_dup_coverage",
+        "vocab_top20": "kn_bigram_nll",
         # rotated OUT in round 5 (driver-green in rounds 1-4)
         "q5_nation_revenue": "q3_top_orders",
         "top_orders_per_customer": "q3_top_orders",
         "datetime_parse_formats": "profile_type_candidates",
-        "profile_freq_topk": "profile_quartiles",
-        "windowed_event_stats": "sliding_event_stats",
+        "profile_freq_topk": "profile_type_candidates",
+        "windowed_event_stats": "daily_event_drift",
         "ngram_jaccard_pairs": "containment_pairs",
-        "near_dup_groups": "dedup_exact_groups",
-        "dedup_corpus_keep": "dedup_exact_groups",
+        "near_dup_groups": "span_dup_coverage",
+        "dedup_corpus_keep": "span_dup_coverage",
         "token_stats_by_lang": "kn_bigram_nll",
-        "text_quality_features": "lang_id_confusion",
-        "rare_token_stats": "tfidf_top_terms",
-        "doc_fingerprints": "tfidf_top_terms",
+        "text_quality_features": "normalized_text_stats",
+        "rare_token_stats": "kn_bigram_nll",
+        "doc_fingerprints": "kn_bigram_nll",
         "mixed_resample_counts": "mixing_weights_by_source",
         "pq_adc_topk": "pq_codes",
         "int8_topk_search": "embedding_quantization",
@@ -159,28 +159,28 @@ def test_driver_window_covers_every_family():
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
         "customers_without_bigorder": "q3_top_orders",
-        "user_event_gaps": "sliding_event_stats",
+        "user_event_gaps": "daily_event_drift",
         "profile_char_classes": "profile_type_candidates",
-        "group_quantiles_exact": "profile_quartiles",
+        "group_quantiles_exact": "profile_type_candidates",
         "range_join_purchase_views": "asof_next_purchase_gap",
-        "trailing_window_avg": "sliding_event_stats",
-        "value_outliers_by_type": "sliding_event_stats",
+        "trailing_window_avg": "daily_event_drift",
+        "value_outliers_by_type": "daily_event_drift",
         "simhash_values": "containment_pairs",
-        "url_dedup_stats": "dedup_exact_groups",
-        "domain_stats": "lang_id_confusion",
-        "hashed_doc_vectors": "tfidf_top_terms",
+        "url_dedup_stats": "span_dup_coverage",
+        "domain_stats": "normalized_text_stats",
+        "hashed_doc_vectors": "kn_bigram_nll",
         "unigram_nll": "kn_bigram_nll",
         "pii_scan": "c4_line_clean",
         # rotated OUT in round 7 (driver-green in rounds 1-6) to make
         # room for the 8 round-6 newcomers + the round-7 C4/Gopher
         # line-rule pair
-        "sessionize_events": "sliding_event_stats",
+        "sessionize_events": "daily_event_drift",
         "lsh_recall": "containment_pairs",
-        "incremental_dedup_verdicts": "dedup_exact_groups",
+        "incremental_dedup_verdicts": "span_dup_coverage",
         "span_dedup_texts": "span_dup_coverage",
         "incremental_span_hits": "span_dup_coverage",
-        "dedup_keep_best": "dedup_exact_groups",
-        "nb_lang_confusion": "lang_id_confusion",
+        "dedup_keep_best": "span_dup_coverage",
+        "nb_lang_confusion": "normalized_text_stats",
         "reflm_nll": "kn_bigram_nll",
         "dsir_resample_topk": "dsir_logweights",
         "video_header_metadata": "resized_media_stats",
@@ -204,7 +204,7 @@ def test_driver_window_covers_every_family():
         # put the round-8 newcomers (bloom gate, token entropy, host
         # pagerank, tokenizer fertility, OOV curve, UniMax, CMS,
         # split leakage) into the round-8 correctness window
-        "profile_stats_numeric": "profile_quartiles",
+        "profile_stats_numeric": "profile_type_candidates",
         "minhash_band_buckets": "containment_pairs",
         "bigram_nll": "kn_bigram_nll",
         "cosine_topk": "hybrid_rrf_topk",
@@ -212,12 +212,14 @@ def test_driver_window_covers_every_family():
         "decompressed_text_stats": "resized_media_stats",
         "html_extracted_text": "c4_line_clean",
         "contamination_check": "benchmark_contamination_report",
-        # registered after the round-8 rotation, awaiting round 9
-        "sentence_chunk_index": "sequence_packing",
-        "zipf_vocab_fit": "tfidf_top_terms",
-        "image_phash_values": "image_dup_groups",
-        "audio_zcr_features": "audio_envelope_hashes",
-        "flesch_readability": "gopher_quality_flags",
+        # rotated OUT in round 9 (driver-green in rounds 1-8) to make
+        # room for the 5 late round-8 newcomers (pHash, ZCR, sentence
+        # chunking, zipf fit, Flesch)
+        "profile_quartiles": "profile_type_candidates",
+        "dedup_exact_groups": "span_dup_coverage",
+        "lang_id_confusion": "normalized_text_stats",
+        "tfidf_top_terms": "kn_bigram_nll",
+        "sliding_event_stats": "daily_event_drift",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
