@@ -1555,6 +1555,181 @@ def bpe_encode(df: DataFrame, merges,
     return df.mapInPandas(batches, schema=schema)
 
 
+def _r6(x: float) -> float:
+    """Half-up-toward-+inf rounding to 6 dp on the BINARY double —
+    ``floor(x * 1e6 + 0.5) / 1e6``, three IEEE ops any SQL engine
+    replays verbatim (the pHash rounding discipline)."""
+    import math
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _unigram_viterbi(word, logp, max_piece_len):
+    """Best segmentation of ``word`` under a unigram piece model:
+    maximize the sum of (pre-rounded) piece log-probs; ties prefer
+    FEWER pieces, then the lexicographically smallest piece sequence
+    — a total, engine-replayable order (the SQL twin sorts candidate
+    extensions by (score DESC, n_pieces ASC, path ASC) and takes the
+    first). Returns the piece list, or None if some character has no
+    vocabulary entry (unreachable)."""
+    n = len(word)
+    # dp[i] = (score, n_pieces, path) for the prefix word[:i]
+    dp = [None] * (n + 1)
+    dp[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] is None:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            cand = (dp[j][0] + lp, dp[j][1] + 1,
+                    dp[j][2] + (word[j:i],))
+            key = (-cand[0], cand[1], cand[2])
+            if best is None or key < best[0]:
+                best = (key, cand)
+        if best is not None:
+            dp[i] = best[1]
+    return list(dp[n][2]) if dp[n] is not None else None
+
+
+def unigram_train(df: DataFrame, vocab_size: int = 200,
+                  seed_size: int = 1000, max_piece_len: int = 8,
+                  max_vocab: int = 10_000, max_word_len: int = 16,
+                  n_iters: int = 2, text_col: str = "text"):
+    """Train a unigram-LM (SentencePiece-style) tokenizer vocabulary
+    — the Kudo 2018 counterpart to :func:`bpe_train`, here as the
+    deterministic HARD-EM (Viterbi-EM) variant: seed with frequent
+    substrings, iterate (best-segmentation E-step -> count M-step),
+    prune to ``vocab_size``. Returns ``[(piece, n_uses, logp), ...]``
+    ordered by (n_uses DESC, piece).
+
+    The recipe, every step engine-replayable:
+
+    1. Corpus vocabulary capped to the ``max_vocab`` most frequent
+       words (ties by token), words longer than ``max_word_len``
+       dropped — the :func:`bpe_train` discipline that makes training
+       corpus-size-independent after ONE distributed scan.
+    2. Seed = every substring of length 2..``max_piece_len`` of those
+       words, scored ``occurrences x length`` (frequency-weighted,
+       occurrences counted per position), top ``seed_size`` kept —
+       plus ALL single characters, so every word stays segmentable.
+    3. Initial piece log-prob: ln(score / total score), rounded to
+       6 dp on the binary double (floor(x*1e6+0.5)/1e6) so Viterbi
+       comparisons are over identical doubles in any engine.
+    4. E-step: Viterbi best segmentation per word (ties: fewer
+       pieces, then lexicographically smallest sequence); M-step:
+       piece uses weighted by word count, plus add-one smoothing on
+       single characters (SentencePiece keeps the character alphabet
+       alive unconditionally; the +1 is its deterministic stand-in).
+       Multi-char pieces with zero uses prune; re-estimate log-probs
+       and repeat ``n_iters`` times.
+    5. Final vocabulary: all single characters + the top
+       ``vocab_size - n_chars`` multi-char pieces by (uses DESC,
+       piece); logp renormalized over the final vocabulary.
+
+    Scale shape: identical to bpe_train — ONE distributed
+    vocabulary aggregation with a deterministic TakeOrdered cap; the
+    EM loop is driver-side over <= max_vocab short words, so cost is
+    independent of corpus size after the single scan.
+    """
+    import math
+
+    rows = (corpus_vocabulary(df, text_col)
+            .orderBy(F.desc("token_count"), "token")
+            .limit(max_vocab).collect())
+    words = [(r.token, int(r.token_count)) for r in rows
+             if len(r.token) <= max_word_len]
+
+    # 2. seed scores: per-position substring occurrences
+    freq = {}
+    for w, c in words:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                s = w[i:j]
+                freq[s] = freq.get(s, 0) + c
+    chars = sorted(s for s in freq if len(s) == 1)
+    multi = sorted((s for s in freq if len(s) > 1),
+                   key=lambda s: (-freq[s] * len(s), s))[:seed_size]
+    scores = {s: freq[s] * len(s) for s in chars}
+    scores.update({s: freq[s] * len(s) for s in multi})
+
+    def logp_of(weights):
+        total = float(sum(weights.values()))
+        return {s: _r6(math.log(v / total))
+                for s, v in weights.items()}
+
+    logp = logp_of(scores)
+    counts = {}
+    for _ in range(max(1, n_iters)):
+        counts = {}
+        for w, c in words:
+            seg = _unigram_viterbi(w, logp, max_piece_len)
+            for p in seg or ():
+                counts[p] = counts.get(p, 0) + c
+        # add-one smoothing keeps the character alphabet alive;
+        # unused multi-char pieces prune (they're absent from counts)
+        for ch in chars:
+            counts[ch] = counts.get(ch, 0) + 1
+        logp = logp_of(counts)
+
+    kept_multi = sorted(
+        (s for s in counts if len(s) > 1),
+        key=lambda s: (-counts[s], s))[:max(0, vocab_size - len(chars))]
+    final = {s: counts[s] for s in chars}
+    final.update({s: counts[s] for s in kept_multi})
+    flogp = logp_of(final)
+    out = [(s, final[s], flogp[s]) for s in final]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def unigram_encode(df: DataFrame, model,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   out_col: str = "unigram_tokens",
+                   max_piece_len: int = 8) -> DataFrame:
+    """Viterbi-encode the corpus with a trained unigram vocabulary
+    (:func:`unigram_train` output, or any ``[(piece, _, logp)]``):
+    lowercased whitespace words segment into the max-likelihood piece
+    sequence; a word containing a character outside the vocabulary
+    emits the single ``<unk>`` piece (the SentencePiece convention).
+
+    Scale shape: the model is vocabulary-sized and ships once per
+    task inside the closure (the broadcast pattern); rows never
+    shuffle — Arrow-batched map with a per-batch word cache, so cost
+    tracks DISTINCT words per batch (the bpe_encode discipline)."""
+    import pandas as pd
+
+    logp = {p: lp for p, _n, lp in model}
+    out_field = T.StructField(out_col, T.ArrayType(T.StringType()))
+    schema = T.StructType(
+        [f for f in df.schema.fields
+         if f.name in (id_col,)] + [out_field])
+
+    def batches(it):
+        for pdf in it:
+            cache = {}
+
+            def enc_word(w):
+                got = cache.get(w)
+                if got is None:
+                    got = _unigram_viterbi(w, logp, max_piece_len)
+                    got = got if got is not None else ["<unk>"]
+                    cache[w] = got
+                return got
+
+            toks = []
+            for text in pdf[text_col]:
+                parts = []
+                for w in (text or "").lower().split():
+                    parts.extend(enc_word(w))
+                toks.append(parts)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 # one-deep caches of persisted shared relations, owned by the
 # central registry (operators/_cache.py — clear_caches() releases
 # them all); the eviction lives with the NEXT call through a cell

@@ -4178,6 +4178,123 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@register("unigram_tokenizer_vocab", oracle="""
+WITH RECURSIVE toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY 1
+), words AS (
+  SELECT token AS w, c FROM vocab ORDER BY c DESC, token LIMIT 250
+), words2 AS (
+  SELECT w, c FROM words WHERE length(w) <= 12
+), sub AS (
+  SELECT substring(w, i.i, l.l) AS s, sum(c) AS f
+  FROM words2
+  CROSS JOIN generate_series(1, 12) i(i)
+  CROSS JOIN generate_series(1, 4) l(l)
+  WHERE i.i + l.l - 1 <= length(w)
+  GROUP BY 1
+), chars AS (
+  SELECT s, f FROM sub WHERE length(s) = 1
+), multi AS (
+  SELECT s, f FROM sub WHERE length(s) > 1
+  ORDER BY f * length(s) DESC, s LIMIT 150
+), seed AS (
+  SELECT s, f * length(s) AS score FROM chars
+  UNION ALL
+  SELECT s, f * length(s) AS score FROM multi
+), lp0 AS (
+  SELECT s, floor(ln(CAST(score AS DOUBLE)
+                      / (SELECT CAST(sum(score) AS DOUBLE) FROM seed))
+                  * 1000000 + 0.5) / 1000000 AS lp
+  FROM seed
+), lpm AS (
+  SELECT map(list(s ORDER BY s), list(lp ORDER BY s)) AS m FROM lp0
+), vit AS (
+  -- Viterbi DP, one recursion level per character position: each
+  -- row carries the per-position best (score, n_pieces, path) as a
+  -- growing list; candidates sort by (score DESC, pieces ASC,
+  -- path ASC) via the negated-score struct
+  SELECT w, c, 0 AS i,
+         [{'ns': CAST(0.0 AS DOUBLE), 'np': 0,
+           'path': CAST([] AS VARCHAR[])}] AS dps
+  FROM words2
+  UNION ALL
+  SELECT w, c, i + 1 AS i, list_append(dps, cands[1])
+  FROM (
+    SELECT w, c, i, dps,
+           list_sort(list_filter(list_transform(
+             range(greatest(i + 1 - 4, 0), i + 1),
+             j -> {'ns': -(-dps[j + 1]['ns']
+                           + map_extract(m, substring(w, j + 1,
+                                                      i + 1 - j))[1]),
+                   'np': dps[j + 1]['np'] + 1,
+                   'path': list_append(dps[j + 1]['path'],
+                                       substring(w, j + 1,
+                                                 i + 1 - j))}),
+             x -> x['ns'] IS NOT NULL)) AS cands
+    FROM vit, lpm WHERE i < length(w)
+  )
+), segs AS (
+  SELECT w, c, dps[length(w) + 1]['path'] AS path
+  FROM vit WHERE i = length(w)
+), uses AS (
+  SELECT p AS s, sum(c) AS n
+  FROM (SELECT unnest(path) AS p, c FROM segs)
+  GROUP BY 1
+), counted AS (
+  SELECT ch.s, coalesce(u.n, 0) + 1 AS n
+  FROM chars ch LEFT JOIN uses u ON u.s = ch.s
+  UNION ALL
+  SELECT s, n FROM uses WHERE length(s) > 1
+), ranked AS (
+  SELECT s, n, row_number() OVER (ORDER BY n DESC, s) AS rk
+  FROM counted WHERE length(s) > 1
+), kept AS (
+  SELECT s, n FROM counted WHERE length(s) = 1
+  UNION ALL
+  SELECT s, n FROM ranked
+  WHERE rk <= 60 - (SELECT count(*) FROM chars)
+)
+SELECT s AS piece, CAST(n AS BIGINT) AS n_uses,
+       floor(ln(CAST(n AS DOUBLE)
+                / (SELECT CAST(sum(n) AS DOUBLE) FROM kept))
+             * 1000000 + 0.5) / 1000000 AS logp
+FROM kept ORDER BY n_uses DESC, piece
+""")
+def unigram_tokenizer_vocab(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer vocabulary trained
+    on the corpus — the Kudo 2018 counterpart to bpe_merge_candidates
+    completing the tokenizer-training surface, as the deterministic
+    Viterbi-EM variant: frequent-substring seed, one hard-EM round
+    (best-segmentation E-step, count M-step with add-one character
+    smoothing), prune to 60 pieces. The oracle replays every stage —
+    the capped word list, per-position substring seed scores, the
+    6-dp-rounded initial log-probs, the Viterbi DP itself (a
+    recursive CTE stepping one character per level, ties broken
+    (score DESC, pieces ASC, path ASC) exactly like the trainer),
+    the smoothed use counts, the prune and the final log-probs — so
+    a drift anywhere in seeding, segmentation, tie-breaking or
+    rounding hash-mismatches.
+
+    Scale shape: the bpe_train discipline — ONE distributed
+    vocabulary aggregation with a deterministic TakeOrdered cap
+    (250 words here), then driver-side EM over that bounded table;
+    training cost is corpus-size-independent after the single scan,
+    and the result relation is vocabulary-sized."""
+    d = _t(spark, sf_dir, "documents")
+    model = text.unigram_train(
+        d, vocab_size=60, seed_size=150, max_piece_len=4,
+        max_vocab=250, max_word_len=12, n_iters=1)
+    return spark.createDataFrame(
+        [(p, n, lp) for p, n, lp in model],
+        "piece string, n_uses long, logp double")
+
+
 @register("cube_status_priority", oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -3663,6 +3663,45 @@ def test_zipf_fit_recovers_power_law(spark):
     assert frow.r2 is None
 
 
+def test_unigram_train_viterbi_em(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string")
+    model = text.unigram_train(df, vocab_size=12, seed_size=6,
+                               max_piece_len=3, max_vocab=50,
+                               max_word_len=12, n_iters=1)
+    got = {p: (n, lp) for p, n, lp in model}
+    # seed keeps {low, lo, ow, new, we, est}; Viterbi segments
+    # lower->low+e+r, lowest->low+est, newer->new+e+r,
+    # newest->new+est, so uses: low 5 (3 as a word + 2 prefixes),
+    # new 3, est 2; e/r used twice + add-one char smoothing = 3;
+    # unused seed pieces (lo, ow, we) prune
+    assert got["low"][0] == 5 and got["new"][0] == 3
+    assert got["est"][0] == 2
+    assert got["e"][0] == 3 and got["r"][0] == 3
+    assert "lo" not in got and "we" not in got
+    # every char of every trained word survives
+    assert all(c in got for c in "lowernst")
+    # logp is the 6-dp-rounded ln(n/total) over the kept vocabulary
+    total = sum(n for n, _ in got.values())
+    want = math.floor(math.log(5 / total) * 1e6 + 0.5) / 1e6
+    assert got["low"][1] == want
+    # ordering: (n_uses DESC, piece ASC)
+    keys = [(-n, p) for p, n, _ in model]
+    assert keys == sorted(keys)
+
+    enc = {r.doc_id: r.unigram_tokens for r in
+           text.unigram_encode(df, model, max_piece_len=3).collect()}
+    assert enc[1] == ["low", "low", "low", "e", "r", "low", "est"]
+    # a word with an out-of-alphabet character emits <unk>
+    df2 = spark.createDataFrame([(9, "zzz low")],
+                                "doc_id long, text string")
+    got2 = text.unigram_encode(df2, model,
+                               max_piece_len=3).collect()[0]
+    assert got2.unigram_tokens == ["<unk>", "low"]
+
+
 def test_image_phash_invariances_and_nulls(spark):
     import numpy as np
 

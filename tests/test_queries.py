@@ -220,6 +220,8 @@ def test_driver_window_covers_every_family():
         "lang_id_confusion": "normalized_text_stats",
         "tfidf_top_terms": "kn_bigram_nll",
         "sliding_event_stats": "daily_event_drift",
+        # registered in round 9, awaiting the late round-9 rotation
+        "unigram_tokenizer_vocab": "bpe_merge_candidates",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
