@@ -1049,6 +1049,111 @@ def incremental_span_coverage(incoming: DataFrame, index: DataFrame,
                     .otherwise(F.lit(0.0)).alias("dup_frac")))
 
 
+def duplicate_span_ladder(df: DataFrame, min_n: int = 8,
+                          rounds: int = 3,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          threshold: Optional[int] = None
+                          ) -> DataFrame:
+    """VARIABLE-LENGTH exact substring dedup probe — the
+    longest-duplicate formulation of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which their suffix
+    array computes exactly and fixed-n span dedup
+    (:func:`duplicate_span_coverage`) cannot see: a document whose
+    LONGEST duplicated run is 50 tokens is a far stronger
+    memorization risk than one with scattered 8-token matches, even
+    at equal dup_frac.
+
+    Measures each document's longest duplicated exact token run on a
+    geometric ladder of window lengths ``n_r = min_n * 2^r``
+    (r < rounds): a run of length L >= n_r is duplicated iff some
+    ``n_r``-token window occurs at least twice corpus-wide (any
+    repeat, including within-document at a different position — the
+    :func:`drop_duplicated_spans` default), so the largest ladder
+    tier with a hit BRACKETS the true longest duplicate:
+    ``max_dup_span <= L < 2 * max_dup_span`` (when below the top
+    tier). log2(max/min) tiers replace the suffix array — each tier
+    is one relational pass, no global ordering.
+
+    Returns one row per document: ``(id, n_tokens, n_min_windows,
+    n_dup_min_windows, max_dup_span, drop_doc)`` — the min-tier window
+    counts link back to the coverage signal; ``max_dup_span`` is 0
+    when no tier hits; ``drop_doc`` flags documents at or beyond
+    ``threshold`` (default ``min_n * 2``) for the keep/drop surgery
+    (:func:`drop_long_dup_docs`). Documents shorter than ``min_n``
+    tokens report zero windows. Spans derive from the SAME shared
+    expression as every span operator (:func:`_span_grams`), so
+    tokenization cannot drift.
+
+    Scale shape: per tier, ONE span-keyed aggregation (map-side
+    partials absorb repeats; AQE skew split covers boilerplate
+    hot-spans) and one doc-keyed agg — higher tiers shrink
+    geometrically, so the ladder costs ~2x the base tier, not
+    rounds-x. No suffix array, no global sort, no Python."""
+    from .text import tokens as _tokens
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1: {rounds}")
+    threshold = threshold if threshold is not None else min_n * 2
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    spine = df.select(
+        F.col(id_col),
+        F.size(_tokens(F.lower(F.trim(txt)))).cast("long")
+        .alias("n_tokens"))
+
+    tiers = None
+    for r in range(rounds):
+        n_r = min_n << r
+        grams = _span_grams(df, n_r, id_col, text_col)
+        occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+        tier = (grams.join(occ, "g")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.sum(F.when(F.col("k") >= 2, 1).otherwise(0))
+                     .alias("n_dup"))
+                .select(F.col(id_col), F.lit(n_r).alias("tier_n"),
+                        "n_windows", "n_dup"))
+        tiers = tier if tiers is None else tiers.unionByName(tier)
+
+    agg = (tiers.groupBy(id_col).agg(
+        F.max(F.when(F.col("n_dup") > 0, F.col("tier_n")))
+        .alias("max_dup"),
+        F.sum(F.when(F.col("tier_n") == min_n, F.col("n_windows")))
+        .alias("w0"),
+        F.sum(F.when(F.col("tier_n") == min_n, F.col("n_dup")))
+        .alias("d0")))
+    return (spine.join(agg, id_col, "left")
+            .select(
+                F.col(id_col), F.col("n_tokens"),
+                F.coalesce("w0", F.lit(0)).cast("long")
+                .alias("n_min_windows"),
+                F.coalesce("d0", F.lit(0)).cast("long")
+                .alias("n_dup_min_windows"),
+                F.coalesce("max_dup", F.lit(0)).cast("int")
+                .alias("max_dup_span"),
+                (F.coalesce("max_dup", F.lit(0)) >= threshold)
+                .alias("drop_doc")))
+
+
+def drop_long_dup_docs(df: DataFrame, min_n: int = 8,
+                       rounds: int = 3,
+                       threshold: Optional[int] = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The keep/drop surgery terminating the ladder: remove every
+    document whose longest duplicated exact run reaches ``threshold``
+    (default ``min_n * 2``) — the document-level analogue of
+    :func:`drop_duplicated_spans`' span excision, for pipelines that
+    drop memorization-risk documents wholesale rather than editing
+    them. One id-only anti-join; the corpus rows never shuffle."""
+    flagged = (duplicate_span_ladder(
+        df, min_n=min_n, rounds=rounds, id_col=id_col,
+        text_col=text_col, threshold=threshold)
+        .where(F.col("drop_doc")).select(id_col))
+    return df.join(flagged, id_col, "left_anti")
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

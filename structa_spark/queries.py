@@ -957,6 +957,66 @@ def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_coverage(d, n=5).orderBy("doc_id")
 
 
+def _ladder_tier_sql(n: int) -> str:
+    return f"""t{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(ws) - {n - 1}, 0) + 1),
+             i -> array_to_string(list_slice(ws, i, i + {n - 1}),
+                                  ' '))) AS g
+  FROM words WHERE len(ws) >= {n}
+), k{n} AS (
+  SELECT g, count(*) AS k FROM t{n} GROUP BY 1
+), d{n} AS (
+  SELECT t.doc_id, {n} AS tier_n,
+         count(*) AS n_windows,
+         sum(CASE WHEN k.k >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM t{n} t JOIN k{n} k USING (g) GROUP BY 1
+)"""
+
+
+@register("longest_dup_span_report", oracle=f"""
+WITH {_SPAN_WORDS_SQL},
+{_ladder_tier_sql(8)},
+{_ladder_tier_sql(16)},
+{_ladder_tier_sql(32)},
+tiers AS (
+  SELECT * FROM d8 UNION ALL SELECT * FROM d16
+  UNION ALL SELECT * FROM d32
+), agg AS (
+  SELECT doc_id,
+         max(CASE WHEN n_dup > 0 THEN tier_n END) AS max_dup,
+         sum(CASE WHEN tier_n = 8 THEN n_windows END) AS w0,
+         sum(CASE WHEN tier_n = 8 THEN n_dup END) AS d0
+  FROM tiers GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.w0, 0) AS BIGINT) AS n_min_windows,
+       CAST(coalesce(a.d0, 0) AS BIGINT) AS n_dup_min_windows,
+       CAST(coalesce(a.max_dup, 0) AS INT) AS max_dup_span,
+       coalesce(a.max_dup, 0) >= 16 AS drop_doc
+FROM words w LEFT JOIN agg a USING (doc_id) ORDER BY w.doc_id
+""")
+def longest_dup_span_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Variable-length exact substring dedup (the longest-duplicate
+    formulation of Lee et al.'s suffix-array dedup): each document's
+    longest duplicated exact token run, bracketed by a geometric
+    ladder of window lengths (8/16/32) — one relational pass per
+    tier instead of a suffix array — with the drop verdict at the
+    16-token threshold. The oracle replays every tier's window
+    derivation, occurrence counts and the longest-match (max ladder
+    tier) rule, the min-tier coverage link and the keep/drop flag.
+
+    Scale shape: per tier ONE span-keyed aggregation + one doc-keyed
+    agg; tiers shrink geometrically so the ladder costs ~2x the base
+    tier. No global ordering, no Python, no all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.duplicate_span_ladder(
+        d, min_n=8, rounds=3, threshold=16).orderBy("doc_id"))
+
+
 @register("span_dedup_texts", oracle="""
 WITH base AS (
   SELECT doc_id,

@@ -3663,6 +3663,43 @@ def test_zipf_fit_recovers_power_law(spark):
     assert frow.r2 is None
 
 
+def test_duplicate_span_ladder_and_surgery(spark):
+    run20 = " ".join(f"w{i}" for i in range(20))
+    run9 = " ".join(f"q{i}" for i in range(9))
+    half8 = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, run20 + " alpha beta"),   # shares a 20-token run with 2
+        (2, "gamma " + run20),
+        (3, run9 + " endtok"),        # shares a 9-token run with 4
+        (4, "starttok " + run9),
+        (5, half8 + " " + half8),     # WITHIN-doc repeat of an 8-run
+        (6, "just a few unique tokens here"),   # < 8 tokens
+        (7, " ".join(f"u{i}" for i in range(40))),  # long, no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.duplicate_span_ladder(
+        df, min_n=8, rounds=3, threshold=16).collect()}
+    # 20-token shared run: tiers 8 and 16 hit, 32 can't (docs are
+    # shorter) -> bracketed at 16, at the drop threshold
+    assert got[1].max_dup_span == 16 and got[1].drop_doc
+    assert got[2].max_dup_span == 16 and got[2].drop_doc
+    # 9-token run: only the 8-tier hits -> kept
+    assert got[3].max_dup_span == 8 and not got[3].drop_doc
+    # within-document repeat counts (the drop_duplicated_spans
+    # default: ANY second occurrence, same doc included)
+    assert got[5].max_dup_span == 8
+    # short doc: zero windows at every tier
+    assert got[6].n_tokens == 6 and got[6].n_min_windows == 0
+    assert got[6].max_dup_span == 0 and not got[6].drop_doc
+    # long unique doc: windows exist, none duplicated
+    assert got[7].n_min_windows == 33
+    assert got[7].n_dup_min_windows == 0 and got[7].max_dup_span == 0
+    # surgery: the 16+-span docs drop wholesale, everyone else stays
+    kept = {r.doc_id for r in dedup.drop_long_dup_docs(
+        df, min_n=8, rounds=3, threshold=16).collect()}
+    assert kept == {3, 4, 5, 6, 7}
+
+
 def test_unigram_train_viterbi_em(spark):
     import math
     df = spark.createDataFrame(

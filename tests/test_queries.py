@@ -222,6 +222,7 @@ def test_driver_window_covers_every_family():
         "sliding_event_stats": "daily_event_drift",
         # registered in round 9, awaiting the late round-9 rotation
         "unigram_tokenizer_vocab": "bpe_merge_candidates",
+        "longest_dup_span_report": "span_dup_coverage",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
