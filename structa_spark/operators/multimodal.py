@@ -1690,6 +1690,94 @@ def audio_zero_crossings(df: DataFrame,
                          f"n_crossings long, zcr double"))
 
 
+def audio_spectral_features(df: DataFrame,
+                            payload_col: str = "payload",
+                            id_col: str = "media_id",
+                            frame: int = 64,
+                            rolloff_frac: float = 0.85) -> DataFrame:
+    """Frequency-domain screen of audio payloads through the REAL
+    WAV decoder: spectral centroid and rolloff over a DFT of the
+    first ``frame`` samples — the natural next rung after the
+    time-domain ZCR screen (:func:`audio_zero_crossings`) on the
+    speech-curation ladder: hum and rumble sit at a low centroid,
+    hiss and noise high; rolloff separates band-limited speech from
+    full-band noise before any model runs.
+
+    Per clip: mono mixdown (int64-exact for PCM, raw floats for
+    IEEE-float WAVs — the ZCR discipline), the first
+    ``m = min(n, frame)`` samples, magnitude per DFT bin
+    ``k = 1..m//2`` (DC skipped), each magnitude rounded
+    ``floor(x * 10000 + 0.5) / 10000`` BEFORE any ratio — the pHash
+    rounding discipline, so an external SQL oracle replaying the
+    cosine/sine sums lands on the identical doubles. Centroid is the
+    magnitude-weighted mean bin (4-dp rounded); ``rolloff_bin`` the
+    smallest bin whose cumulative magnitude reaches
+    ``rolloff_frac`` of the total. Silent frames (zero total)
+    report centroid 0.0, rolloff 0. Returns ``(id, n_samples,
+    frame_len, centroid, rolloff_bin)``; undecodable payloads yield
+    null features (rows kept). Arrow-batched; payload bytes stay
+    executor-side."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, _rate = decode_wav_samples(p)
+                    s = np.asarray(samples)
+                    if np.issubdtype(s.dtype, np.floating):
+                        s = s.astype(np.float64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) / s.shape[1]
+                    else:
+                        s = s.astype(np.int64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) // s.shape[1]
+                    n = len(s)
+                    if n == 0:
+                        raise DecodeUnavailable("no samples")
+                    m = min(n, frame)
+                    x = s[:m].astype(np.float64)
+                    kk = np.arange(1, m // 2 + 1, dtype=np.float64)
+                    centroid, roll = 0.0, 0
+                    if kk.size:
+                        t = np.arange(m, dtype=np.float64)
+                        # angle = ((2*pi) * (k*t)) / m — the exact
+                        # op order the SQL twin uses, so the doubles
+                        # entering cos/sin are bit-identical
+                        ang = (2.0 * np.pi) \
+                            * (kk[:, None] * t[None, :]) / m
+                        re = (np.cos(ang) * x[None, :]).sum(axis=1)
+                        im = (np.sin(ang) * x[None, :]).sum(axis=1)
+                        mag = np.floor(np.sqrt(re * re + im * im)
+                                       * 10000.0 + 0.5) / 10000.0
+                        total = float(mag.sum())
+                        if total > 0:
+                            centroid = math.floor(
+                                float((kk * mag).sum()) / total
+                                * 10000.0 + 0.5) / 10000.0
+                            cum = np.cumsum(mag)
+                            idx = int(np.searchsorted(
+                                cum, rolloff_frac * total,
+                                side="left"))
+                            roll = int(kk[min(idx, kk.size - 1)])
+                    out.append((int(mid), n, m, centroid, roll))
+                except DecodeUnavailable:
+                    out.append((int(mid), None, None, None, None))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_samples", "frame_len",
+                              "centroid", "rolloff_bin"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_samples long, "
+                         f"frame_len int, centroid double, "
+                         f"rolloff_bin int"))
+
+
 def audio_near_duplicates(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id",
                           max_hamming: int = 3, bits: int = 48,

@@ -5645,6 +5645,94 @@ def audio_zcr_features(spark: SparkSession,
     return mm.audio_zero_crossings(media).orderBy("media_id")
 
 
+@register("audio_spectral_features", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 400 + 1 AS n,
+         least(doc_id % 400 + 1, 64) AS m
+  FROM documents
+),
+s AS (
+  SELECT media_id, t.t,
+         CAST(((media_id * 7 + 13 * t.t) % 401) - 200 AS DOUBLE) AS v
+  FROM ids CROSS JOIN generate_series(0, 63) t(t)
+  WHERE t.t < m
+),
+bins AS (
+  SELECT s.media_id, k.k,
+         floor(sqrt(pow(sum(s.v * cos(2 * pi() * (k.k * s.t)
+                                      / ids.m)), 2)
+                    + pow(sum(s.v * sin(2 * pi() * (k.k * s.t)
+                                        / ids.m)), 2))
+               * 10000 + 0.5) / 10000 AS mag
+  FROM s JOIN ids USING (media_id)
+  CROSS JOIN generate_series(1, 32) k(k)
+  WHERE k.k <= ids.m // 2
+  GROUP BY s.media_id, k.k, ids.m
+),
+tot AS (
+  SELECT media_id, sum(mag) AS total, sum(k * mag) AS wsum
+  FROM bins GROUP BY 1
+),
+cum AS (
+  SELECT media_id, k,
+         sum(mag) OVER (PARTITION BY media_id ORDER BY k) AS c
+  FROM bins
+),
+roll AS (
+  SELECT c.media_id, min(c.k) AS rolloff
+  FROM cum c JOIN tot USING (media_id)
+  WHERE c.c >= 0.85 * tot.total AND tot.total > 0
+  GROUP BY 1
+)
+SELECT i.media_id, CAST(i.n AS BIGINT) AS n_samples,
+       CAST(i.m AS INT) AS frame_len,
+       CASE WHEN coalesce(t.total, 0) > 0
+            THEN floor(t.wsum / t.total * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS centroid,
+       CAST(CASE WHEN coalesce(t.total, 0) > 0
+            THEN r.rolloff ELSE 0 END AS INT) AS rolloff_bin
+FROM ids i
+LEFT JOIN tot t USING (media_id)
+LEFT JOIN roll r USING (media_id)
+ORDER BY media_id
+""")
+def audio_spectral_features(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Spectral centroid + rolloff, values-checked END TO END through
+    the real WAV decoder: the same formula-generated PCM clips as
+    audio_zcr_features, REAL-decoded, framed to the first 64 samples,
+    DFT'd, magnitudes rounded 4-dp on the binary double (the pHash
+    discipline) before the weighted-mean and cumulative-energy
+    reads. The oracle rebuilds every sample from the generator
+    formula and replays the cosine/sine sums with the IDENTICAL
+    operation order (2*pi*(k*t)/m), the magnitude rounding, the
+    centroid ratio and the min-bin rolloff rule — a drift in the
+    decoder, framing, DFT convention, rounding or the cumulative
+    compare all hash-mismatch. Short clips (< 2 samples per frame)
+    take the silent branch; the sub-64-sample clips exercise the
+    variable frame length."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 400 + 1
+                samp = np.array(
+                    [((i * 7 + 13 * t) % 401) - 200 for t in range(n)],
+                    dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_spectral_features(media).orderBy("media_id")
+
+
 @register("image_exif_metadata", oracle="""
 SELECT doc_id AS media_id,
        'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,

@@ -3799,6 +3799,41 @@ def test_audio_zero_crossings(spark):
     assert got[5].n_crossings == 3 and got[5].zcr == 1.0
 
 
+def test_audio_spectral_features(spark):
+    import numpy as np
+
+    def wav(arr, dtype="<i2", bits=16, tag=1):
+        a = np.array(arr).astype(dtype)
+        return multimodal.wav_bytes(8000, 1, len(a), bits=bits,
+                                    fmt_tag=tag, samples=a.tobytes())
+
+    t = np.arange(64)
+    tone4 = np.round(1000 * np.cos(2 * np.pi * 4 * t / 64))
+    rows = [(1, wav(tone4)),                   # pure tone at bin 4
+            (2, wav([0] * 64)),                # silence
+            (3, wav([7])),                     # single sample
+            (4, b"junk"),
+            # float WAV: raw float signs/values must be used
+            (5, wav(np.cos(2 * np.pi * 16 * t / 64) * 0.5,
+                    dtype="<f4", bits=32, tag=3))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           multimodal.audio_spectral_features(df).collect()}
+    # a pure bin-4 tone concentrates energy at bin 4
+    assert got[1].rolloff_bin == 4
+    assert 3.5 < got[1].centroid < 4.5
+    assert got[1].frame_len == 64 and got[1].n_samples == 64
+    # silence: the zero-total branch
+    assert got[2].centroid == 0.0 and got[2].rolloff_bin == 0
+    # single sample: no bins -> zero branch
+    assert got[3].centroid == 0.0 and got[3].rolloff_bin == 0
+    # undecodable: nulls, row kept
+    assert got[4].centroid is None
+    # float tone at bin 16 (would be all-zero under an int cast)
+    assert got[5].rolloff_bin == 16
+    assert 15.5 < got[5].centroid < 16.5
+
+
 def test_flesch_reading_ease_formula(spark):
     df = spark.createDataFrame(
         [(1, "The cat sat. The dog ran."),

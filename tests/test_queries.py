@@ -223,6 +223,7 @@ def test_driver_window_covers_every_family():
         # registered in round 9, awaiting the late round-9 rotation
         "unigram_tokenizer_vocab": "bpe_merge_candidates",
         "longest_dup_span_report": "span_dup_coverage",
+        "audio_spectral_features": "audio_zcr_features",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
