@@ -2117,6 +2117,49 @@ def apply_host_policy(df: DataFrame, verdict: DataFrame,
         "host_keep", F.coalesce(F.col("host_keep"), F.lit(False)))
 
 
+def host_policy_verdict_v2(reputation: DataFrame,
+                           authority: DataFrame,
+                           blocklist=(), allowlist=(),
+                           min_keep_rate: float = 0.0,
+                           max_dup_rate: float = 1.0,
+                           min_rank: float = 0.0) -> DataFrame:
+    """Two-signal host gate: content reputation
+    (:func:`host_reputation`) COMPOSED with link-graph authority
+    (:func:`structa_spark.operators.graph.pagerank` output as
+    ``(host, rank)``). The v1 rule drops any host whose page-keep
+    rate dips below threshold; but a heavily-linked host with a
+    borderline content score is usually worth keeping (Common
+    Crawl's own host ranking exists for exactly this), while the
+    reverse — unlinked AND low-quality — is the classic spam-farm
+    signature. So the drop condition becomes conjunctive:
+
+    allowlisted hosts always pass; otherwise a host passes iff it is
+    not blocklisted, its dup rate stays under ``max_dup_rate``
+    (mirror farms are dropped regardless of who links them), and
+    EITHER its keep rate clears ``min_keep_rate`` OR its authority
+    clears ``min_rank``. A host absent from the link graph (no edges
+    either way) carries rank 0 and must stand on content alone —
+    fail-closed on the authority side.
+
+    Returns ``(host, n_docs, keep_rate, dup_rate, rank, host_keep)``
+    — still #hosts rows; both inputs are host-keyed relations
+    orders of magnitude smaller than the corpus, so the join is
+    trivially broadcastable and the corpus never shuffles."""
+    block = (F.col("host").isin(list(blocklist)) if blocklist
+             else F.lit(False))
+    allow = (F.col("host").isin(list(allowlist)) if allowlist
+             else F.lit(False))
+    rank = F.coalesce(F.col("rank"), F.lit(0.0))
+    keep = allow | (~block & (F.col("dup_rate") <= max_dup_rate)
+                    & ((F.col("keep_rate") >= min_keep_rate)
+                       | (rank >= min_rank)))
+    return (reputation
+            .join(F.broadcast(authority.select("host", "rank")),
+                  "host", "left")
+            .select("host", "n_docs", "keep_rate", "dup_rate",
+                    rank.alias("rank"), keep.alias("host_keep")))
+
+
 def nb_train(df: DataFrame, label_col: str = "lang",
              text_col: str = "text"):
     """'Train' a multinomial Naive Bayes document classifier — the

@@ -6929,6 +6929,86 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host"))
 
 
+@register("host_policy_v2", oracle=f"""
+WITH f AS ({_quality_f_sql('text,')}),
+{_HOST_REP_SQL},
+raw AS (
+  SELECT {_HOST_SQL} AS s,
+         {_site_sql("(doc_id * 3 + 1) % 13")} AS t
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT {_HOST_SQL}, {_site_sql("(doc_id * 5 + 2) % 13")}
+  FROM documents WHERE doc_id % 13 <> 0
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM e
+                          UNION SELECT t FROM e)),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn),
+{_pagerank_sql(3)}
+SELECT rep.host, rep.n_docs, rep.keep_rate, rep.dup_rate,
+       round(coalesce(r3.r, 0.0), 6) AS rank,
+       (rep.host = 'site5.org'
+        OR (rep.host <> 'site3.net' AND rep.dup_rate <= 0.5
+            AND (rep.keep_rate >= 0.98
+                 OR round(coalesce(r3.r, 0.0), 6) >= 0.08)))
+           AS host_keep
+FROM rep LEFT JOIN r3 ON r3.v = rep.host
+ORDER BY rep.host
+""")
+def host_policy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-signal host gate: content reputation
+    (host_curation_report's keep/dup rates) JOINED with link-graph
+    PageRank authority (host_pagerank's ranks), dropping a host only
+    when BOTH signals are bad — borderline content with rank >= 0.08
+    is rescued (the Common-Crawl-host-ranking rationale: a
+    heavily-linked host with a slightly low page-keep rate is not a
+    spam farm), a host absent from the link graph stands on content
+    alone (fail-closed rank 0), and the mirror-farm dup gate plus
+    block/allow lists keep their v1 precedence. The oracle replays
+    both upstream stages end to end — quality flags, host
+    reputation, the edge derivation, all three pagerank iterations —
+    plus the composed boolean, so a drift in EITHER signal or in the
+    composition rule hash-mismatches.
+
+    Scale shape: two host-keyed relations (#hosts rows each) join
+    broadcast; the corpus is scanned once for flags and once for
+    edges, and never shuffles on its own keys."""
+    d = _t(spark, sf_dir, "documents")
+    dom = text.registered_domain(text.host_of(_synth_host_url()))
+    flagged = (text.quality_score(d)
+               .select("doc_id", "text",
+                       (F.col("quality_score") >= 0.5).alias("keep"),
+                       dom.alias("host")))
+    rep = text.host_reputation(flagged)
+
+    def site(k):
+        suffix = F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"),
+                    F.lit(".co.uk"), F.lit(".net")),
+            (k % 4 + 1).cast("int"))
+        return F.concat(F.lit("site"), k.cast("string"), suffix)
+
+    linking = d.where(F.col("doc_id") % 13 != 0)
+    src = text.registered_domain(text.host_of(_synth_host_url()))
+    e1 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 3 + 1) % 13).alias("dst"))
+    e2 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 5 + 2) % 13).alias("dst"))
+    ranks = (graph.pagerank(e1.union(e2), iters=3)
+             .select(F.col("v").alias("host"),
+                     F.round("rank", 6).alias("rank")))
+    return (text.host_policy_verdict_v2(
+        rep, ranks, blocklist=("site3.net",),
+        allowlist=("site5.org",), min_keep_rate=0.98,
+        max_dup_rate=0.5, min_rank=0.08)
+        .orderBy("host"))
+
+
 # ===========================================================================
 # driver-facing order
 # ===========================================================================

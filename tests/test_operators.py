@@ -3214,6 +3214,32 @@ def test_host_policy_verdict_and_apply(spark):
     assert gated == {1: True, 2: False, 3: False}
 
 
+def test_host_policy_verdict_v2_authority_rescue(spark):
+    rep = spark.createDataFrame(
+        [("solid.com", 10, 0.99, 0.0),      # content passes alone
+         ("linked.org", 10, 0.60, 0.0),     # low keep, high rank
+         ("island.net", 10, 0.60, 0.0),     # low keep, NO rank row
+         ("spamfarm.io", 10, 0.60, 0.9),    # high rank can't beat dup
+         ("blocked.io", 10, 1.00, 0.0),     # blocklist beats both
+         ("saved.io", 10, 0.00, 1.0)],      # allowlist beats all
+        "host string, n_docs long, keep_rate double, dup_rate double")
+    auth = spark.createDataFrame(
+        [("linked.org", 0.21), ("spamfarm.io", 0.30),
+         ("blocked.io", 0.30), ("solid.com", 0.01)],
+        "host string, rank double")
+    v = text.host_policy_verdict_v2(
+        rep, auth, blocklist=("blocked.io",), allowlist=("saved.io",),
+        min_keep_rate=0.9, max_dup_rate=0.5, min_rank=0.1)
+    got = {r.host: r for r in v.collect()}
+    assert got["solid.com"].host_keep          # keep_rate alone
+    assert got["linked.org"].host_keep         # rank rescues
+    assert not got["island.net"].host_keep     # fail-closed rank 0
+    assert got["island.net"].rank == 0.0
+    assert not got["spamfarm.io"].host_keep    # dup gate is mandatory
+    assert not got["blocked.io"].host_keep     # blocklist precedence
+    assert got["saved.io"].host_keep           # allowlist precedence
+
+
 def test_keep_best_per_group_ties_and_nulls(spark):
     # highest score wins; ties and null scores fall to lowest id;
     # an all-null group keeps its lowest id

@@ -224,6 +224,7 @@ def test_driver_window_covers_every_family():
         "unigram_tokenizer_vocab": "bpe_merge_candidates",
         "longest_dup_span_report": "span_dup_coverage",
         "audio_spectral_features": "audio_zcr_features",
+        "host_policy_v2": "host_curation_report",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
