@@ -91,3 +91,76 @@ def cms_estimate(queries: DataFrame, counters: DataFrame,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .cast("long").alias(out_col)))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter relations built with the same (depth,
+    width): union + re-aggregate — CMS's merge law is plain
+    addition, so merging shards, days or micro-batches is one
+    bounded aggregation (output <= depth * width rows)."""
+    return (a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("c").cast("long").alias("c")))
+
+
+class CmsStreamFold:
+    """Standing Count-Min counters folded over a stream's
+    micro-batches — the ``foreachBatch`` ingest monitor that
+    completes the Bloom/CMS pair (the Bloom gate answers "have we
+    seen this key?", this answers "roughly how often?" — the
+    heavy-hitter alarm an ingest pipeline watches).
+
+    Each micro-batch builds its OWN counter relation with
+    :func:`cms_build` (distributed, map-side partials absorb the hot
+    keys) and the fold adds it into the standing counters. Addition
+    is associative and commutative, so the standing sketch after any
+    prefix of batches is IDENTICAL to ``cms_build`` over those
+    batches' union — stream-vs-batch estimate parity is exact, not
+    approximate (pinned in tests/test_streaming.py).
+
+    The standing state is at most ``depth * width`` counters (the
+    CMS fixed-memory property, ~64 KiB at the defaults) — that bound,
+    not the stream length, is what the per-batch ``collect`` and the
+    driver-held dict cost, the same discipline as the Bloom gate's
+    m_bits-bounded word list.
+
+    Usage::
+
+        fold = CmsStreamFold(key_col="token", width=1 << 10)
+        q = (keys.writeStream.foreachBatch(fold.foreach_batch())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        estimates = cms_estimate(probes, fold.counters(spark))
+    """
+
+    def __init__(self, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                 key_col: str = "key",
+                 weight_col: Optional[str] = None):
+        self.depth = depth
+        self.width = width
+        self.key_col = key_col
+        self.weight_col = weight_col
+        self.n_batches = 0
+        self._counters: dict = {}
+
+    def foreach_batch(self):
+        """The ``foreachBatch`` callback: build the batch's counter
+        relation and fold it into the standing state by addition."""
+
+        def fold(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = cms_build(batch_df, self.key_col, self.weight_col,
+                             self.depth, self.width).collect()
+            for r in rows:
+                k = (r["row"], r["bucket"])
+                self._counters[k] = self._counters.get(k, 0) + r["c"]
+            self.n_batches += 1
+
+        return fold
+
+    def counters(self, spark) -> DataFrame:
+        """The standing counter relation ``(row, bucket, c)`` —
+        drop-in for :func:`cms_estimate`'s ``counters`` side."""
+        rows = [(r, b, c)
+                for (r, b), c in sorted(self._counters.items())]
+        return spark.createDataFrame(
+            rows, "row int, bucket bigint, c bigint")

@@ -1004,3 +1004,59 @@ def test_cms_counters_stream_matches_batch(spark, tmp_path):
         spark.createDataFrame(rows, "key string"), width=64)
         .collect()}
     assert got == want and len(got) > 0
+
+
+def test_cms_stream_fold_matches_batch(spark, tmp_path):
+    # the foreachBatch INGEST fold: each micro-batch builds its own
+    # counter relation and the standing state folds them by addition
+    # — associative, so after ANY number of micro-batches the
+    # standing sketch (and every estimate read from it) is
+    # bit-identical to one batch build over the whole stream. Three
+    # files + maxFilesPerTrigger=1 force a genuinely multi-batch run.
+    import json as _json
+
+    from structa_spark.operators import sketches as _sk
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} fill{i}") for i in range(30)]
+    p = tmp_path / "cmsfold"
+    p.mkdir(parents=True)
+    for part in range(3):
+        with (p / f"part-{part}.json").open("w") as fh:
+            for did, txt in docs[part * 10:(part + 1) * 10]:
+                fh.write(_json.dumps({"doc_id": did, "text": txt})
+                         + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).json(str(p)))
+    keys = sdf.select(F.explode(F.split("text", " ")).alias("key"))
+
+    fold = _sk.CmsStreamFold(width=64)
+    q = (keys.writeStream.foreachBatch(fold.foreach_batch())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    assert fold.n_batches >= 3          # it really folded batch-wise
+
+    standing = fold.counters(spark)
+    batch_keys = (spark.createDataFrame(docs,
+                                        "doc_id long, text string")
+                  .select(F.explode(F.split("text", " "))
+                          .alias("key")))
+    want_counters = {(r.row, r.bucket): r.c for r in
+                     _sk.cms_build(batch_keys, width=64).collect()}
+    got_counters = {(r.row, r.bucket): r.c
+                    for r in standing.collect()}
+    assert got_counters == want_counters and len(got_counters) > 0
+
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok6",), ("absent",)], "key string")
+    got = {r.key: r.cms_estimate for r in
+           _sk.cms_estimate(probes, standing, width=64).collect()}
+    want = {r.key: r.cms_estimate for r in _sk.cms_estimate(
+        probes, _sk.cms_build(batch_keys, width=64),
+        width=64).collect()}
+    assert got == want
+    assert got["tok0"] >= 5             # CMS never underestimates
