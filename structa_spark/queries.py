@@ -7024,8 +7024,8 @@ def host_policy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_driver_window_covers_every_family) and keep full oracle
 # coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
-    # relational core
-    "q3_top_orders",
+    # relational core: q3_top_orders rotated out late in round 9
+    # after 8 green rounds (asof anchors the relational family)
     # profiler (the reference surface; profile_quartiles rotated out
     # in round 9 after 8 green rounds — type_candidates anchors)
     "profile_type_candidates",
@@ -7036,8 +7036,11 @@ DRIVER_PRIORITY = [
     "cube_status_priority", "pivot_lang_source_counts",
     "daily_event_drift",
     # dedup (span/winnow family anchored by span_dup_coverage;
-    # dedup_exact_groups rotated out round 9 after 8 green rounds)
-    "containment_pairs", "span_dup_coverage",
+    # dedup_exact_groups and containment_pairs rotated out round 9
+    # after 8 / 5 green rounds; the longest-duplicate span ladder
+    # enters, new in round 9)
+    "span_dup_coverage",
+    "longest_dup_span_report",
     "bloom_contamination_flags",
     # decontamination (per-benchmark dashboard anchors the family)
     "benchmark_contamination_report",
@@ -7047,7 +7050,7 @@ DRIVER_PRIORITY = [
     # green rounds)
     "kn_bigram_nll",
     "token_entropy_stats",
-    "bpe_merge_candidates",
+    "bpe_merge_candidates", "unigram_tokenizer_vocab",
     "tokenizer_fertility_by_lang", "oov_rate_by_vocab_size",
     "cms_heavy_hitters",
     "sequence_packing",
@@ -7059,25 +7062,28 @@ DRIVER_PRIORITY = [
     "c4_rule_flags", "c4_line_clean",
     "gopher_quality_flags",
     "corpus_filter_report",
-    # host/domain reputation curation (new in round 8; link-graph
-    # PageRank authority new in round 8)
+    # host/domain reputation curation (round 8) + the composed
+    # two-signal gate (content x link authority, new in round 9)
     "host_curation_report", "host_policy_filter",
-    "host_pagerank",
-    # sampling / selection / composed pipeline (UniMax allocation and
-    # the split-leakage QA new in round 8)
-    "dsir_logweights", "unimax_lang_allocation",
+    "host_pagerank", "host_policy_v2",
+    # sampling / selection / composed pipeline (dsir_logweights and
+    # training_manifest rotated out late in round 9 after 3 / 5
+    # green rounds)
+    "unimax_lang_allocation",
     "curriculum_shard_stats", "variant_props_stats",
-    "training_manifest", "corpus_version_diff",
+    "corpus_version_diff",
     "split_leakage_report",
     # retrieval / similarity
     "ivf_topk_search", "pq_codes",
     "embedding_quantization", "semantic_dedup_summary",
     "hybrid_rrf_topk",
-    # multimodal (DCT pHash and audio ZCR enter in round 9)
+    # multimodal (DCT pHash, audio ZCR and the spectral screen enter
+    # in round 9)
     "resized_media_stats",
     "audio_envelope_hashes", "image_dup_groups",
     "audio_dup_groups", "image_exif_metadata",
     "image_phash_values", "audio_zcr_features",
+    "audio_spectral_features",
     # media dedup survivor selection (new in round 8)
     "image_dedup_keep", "audio_dedup_keep",
 ]

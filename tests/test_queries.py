@@ -119,7 +119,7 @@ def test_driver_window_covers_every_family():
         "profile_stats_strings": "profile_type_candidates",
         "profile_quartiles_strings": "profile_type_candidates",
         "dedup_exact_props": "span_dup_coverage",
-        "minhash_signatures": "containment_pairs",
+        "minhash_signatures": "span_dup_coverage",
         "asof_purchase_click": "asof_next_purchase_gap",
         "rollup_nation_year": "cube_status_priority",
         "cosine_topk_vectorized": "hybrid_rrf_topk",
@@ -128,19 +128,19 @@ def test_driver_window_covers_every_family():
         "cap_docs_per_lang": "curriculum_shard_stats",
         "token_length_histogram": "kn_bigram_nll",
         "label_centroids": "semantic_dedup_summary",
-        "filter_training_corpus": "training_manifest",
+        "filter_training_corpus": "corpus_filter_report",
         "skewed_event_agg": "daily_event_drift",
         "ivf_assignment_counts": "ivf_topk_search",
-        "repetition_signals": "training_manifest",
+        "repetition_signals": "corpus_filter_report",
         "passage_dedup_summary": "span_dup_coverage",
         "vocab_top20": "kn_bigram_nll",
         # rotated OUT in round 5 (driver-green in rounds 1-4)
-        "q5_nation_revenue": "q3_top_orders",
-        "top_orders_per_customer": "q3_top_orders",
+        "q5_nation_revenue": "asof_next_purchase_gap",
+        "top_orders_per_customer": "asof_next_purchase_gap",
         "datetime_parse_formats": "profile_type_candidates",
         "profile_freq_topk": "profile_type_candidates",
         "windowed_event_stats": "daily_event_drift",
-        "ngram_jaccard_pairs": "containment_pairs",
+        "ngram_jaccard_pairs": "span_dup_coverage",
         "near_dup_groups": "span_dup_coverage",
         "dedup_corpus_keep": "span_dup_coverage",
         "token_stats_by_lang": "kn_bigram_nll",
@@ -158,14 +158,14 @@ def test_driver_window_covers_every_family():
         "split_counts_by_lang": "curriculum_shard_stats",
         # rotated OUT in round 6 (driver-green in rounds 1-5) to make
         # room for the 13 round-5 newcomers
-        "customers_without_bigorder": "q3_top_orders",
+        "customers_without_bigorder": "asof_next_purchase_gap",
         "user_event_gaps": "daily_event_drift",
         "profile_char_classes": "profile_type_candidates",
         "group_quantiles_exact": "profile_type_candidates",
         "range_join_purchase_views": "asof_next_purchase_gap",
         "trailing_window_avg": "daily_event_drift",
         "value_outliers_by_type": "daily_event_drift",
-        "simhash_values": "containment_pairs",
+        "simhash_values": "span_dup_coverage",
         "url_dedup_stats": "span_dup_coverage",
         "domain_stats": "normalized_text_stats",
         "hashed_doc_vectors": "kn_bigram_nll",
@@ -175,26 +175,26 @@ def test_driver_window_covers_every_family():
         # room for the 8 round-6 newcomers + the round-7 C4/Gopher
         # line-rule pair
         "sessionize_events": "daily_event_drift",
-        "lsh_recall": "containment_pairs",
+        "lsh_recall": "span_dup_coverage",
         "incremental_dedup_verdicts": "span_dup_coverage",
         "span_dedup_texts": "span_dup_coverage",
         "incremental_span_hits": "span_dup_coverage",
         "dedup_keep_best": "span_dup_coverage",
         "nb_lang_confusion": "normalized_text_stats",
         "reflm_nll": "kn_bigram_nll",
-        "dsir_resample_topk": "dsir_logweights",
+        "dsir_resample_topk": "unimax_lang_allocation",
         "video_header_metadata": "resized_media_stats",
         "window_chunks": "sequence_packing",
         "source_token_jsd": "daily_event_drift",
         "shuffle_order_coords": "curriculum_shard_stats",
         # rotated OUT in round 8 (driver-green in rounds 1-7) to make
         # room for the 7 round-7 newcomers
-        "q1_pricing_summary": "q3_top_orders",
+        "q1_pricing_summary": "asof_next_purchase_gap",
         "winnow_overlap_pairs": "span_dup_coverage",
         "scrub_eval_spans": "benchmark_contamination_report",
         "fuzzy_contamination_pairs": "benchmark_contamination_report",
-        "source_curation_report": "training_manifest",
-        "source_curation_report_v2": "training_manifest",
+        "source_curation_report": "corpus_filter_report",
+        "source_curation_report_v2": "corpus_filter_report",
         "diverse_sample_by_cluster": "curriculum_shard_stats",
         "gopher_dup_fractions": "gopher_quality_flags",
         "repetition_ngram_profile": "gopher_quality_flags",
@@ -205,7 +205,7 @@ def test_driver_window_covers_every_family():
         # pagerank, tokenizer fertility, OOV curve, UniMax, CMS,
         # split leakage) into the round-8 correctness window
         "profile_stats_numeric": "profile_type_candidates",
-        "minhash_band_buckets": "containment_pairs",
+        "minhash_band_buckets": "span_dup_coverage",
         "bigram_nll": "kn_bigram_nll",
         "cosine_topk": "hybrid_rrf_topk",
         "audio_header_metadata": "resized_media_stats",
@@ -220,11 +220,14 @@ def test_driver_window_covers_every_family():
         "lang_id_confusion": "normalized_text_stats",
         "tfidf_top_terms": "kn_bigram_nll",
         "sliding_event_stats": "daily_event_drift",
-        # registered in round 9, awaiting the late round-9 rotation
-        "unigram_tokenizer_vocab": "bpe_merge_candidates",
-        "longest_dup_span_report": "span_dup_coverage",
-        "audio_spectral_features": "audio_zcr_features",
-        "host_policy_v2": "host_curation_report",
+        # rotated OUT late in round 9 (driver-green in rounds 1-8) to
+        # put the round-9 newcomers (unigram tokenizer, longest-dup
+        # span ladder, audio spectral screen, host_policy_v2) into
+        # the round-9 correctness window
+        "q3_top_orders": "asof_next_purchase_gap",
+        "containment_pairs": "span_dup_coverage",
+        "training_manifest": "corpus_filter_report",
+        "dsir_logweights": "unimax_lang_allocation",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
