@@ -79,6 +79,8 @@ def main():
         image_dedup_keep, audio_dedup_keep,
         bloom_contamination_flags, host_pagerank,
         cms_heavy_hitters,
+        longest_dup_span_report, unigram_tokenizer_vocab,
+        audio_spectral_features, host_policy_v2,
     )
     from structa_spark.sources.tables import load_table
 
@@ -189,6 +191,13 @@ def main():
             "bloom_decontam": run_df(bloom_contamination_flags),
             "host_pagerank": run_df(host_pagerank),
             "cms_hitters": run_df(cms_heavy_hitters),
+            # round-9 paths: the ladder's tiered span aggs, the
+            # capped-vocab EM trainer, the DFT screen through the
+            # real decoder, the composed two-signal host gate
+            "span_ladder": run_df(longest_dup_span_report),
+            "unigram_vocab": run_df(unigram_tokenizer_vocab),
+            "audio_spectral": run_df(audio_spectral_features),
+            "host_policy_v2": run_df(host_policy_v2),
         }
 
     suite = make_suite(SF_DIR)

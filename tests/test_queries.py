@@ -65,7 +65,12 @@ SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
               # water level, graph edges)
               "bloom_contamination_flags", "cms_heavy_hitters",
               "host_pagerank", "unimax_lang_allocation",
-              "oov_rate_by_vocab_size"]
+              "oov_rate_by_vocab_size",
+              # round-9 newcomers whose semantics depend on volume
+              # (dup-run lengths per tier, the capped word list and
+              # seed competition, the rank/keep-rate interplay)
+              "longest_dup_span_report", "unigram_tokenizer_vocab",
+              "host_policy_v2"]
 
 
 @pytest.fixture(scope="module")
