@@ -5329,6 +5329,90 @@ def image_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_phash(media).orderBy("media_id")
 
 
+@register("image_entropy_stats", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id,
+         (media_id + 3 * y.y + x.x) % 256 AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 9) y(y)
+  CROSS JOIN generate_series(0, 13) x(x)
+  WHERE y.y < h AND x.x < w
+),
+bc AS (
+  SELECT media_id, (v * 16) // 256 AS b, count(*) AS c
+  FROM px GROUP BY 1, 2
+),
+n AS (
+  SELECT media_id, sum(c) AS n, max(c) AS cmax, count(*) AS k
+  FROM bc GROUP BY 1
+),
+vsum AS (
+  SELECT media_id, sum(v) AS sv FROM px GROUP BY 1
+),
+terms AS (
+  SELECT bc.media_id,
+         floor(-(CAST(bc.c AS DOUBLE) / n.n)
+               * ln(CAST(bc.c AS DOUBLE) / n.n)
+               * 1000000 + 0.5) / 1000000 AS term
+  FROM bc JOIN n USING (media_id)
+),
+ent AS (
+  SELECT media_id,
+         floor(sum(term) * 10000 + 0.5) / 10000 AS entropy
+  FROM terms GROUP BY 1
+)
+SELECT n.media_id,
+       CAST(n.n AS BIGINT) AS n_pixels,
+       floor(CAST(vsum.sv AS DOUBLE) / n.n * 10000 + 0.5) / 10000
+           AS mean_gray,
+       ent.entropy,
+       floor(CAST(n.cmax AS DOUBLE) / n.n * 10000 + 0.5) / 10000
+           AS dominant_frac,
+       CAST(n.k AS INT) AS n_buckets_used
+FROM n JOIN vsum USING (media_id) JOIN ent USING (media_id)
+ORDER BY n.media_id
+""")
+def image_entropy_stats(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Pixel-distribution quality screen, values-checked END TO END
+    through the real codec path: the same gradient PNGs as
+    image_phash_values REAL-decode, then the 16-bucket grayscale
+    histogram's Shannon entropy, dominant-bucket fraction and mean
+    level — the flat/synthetic-image filter. The oracle rebuilds
+    every pixel from the generator formula and replays the bucket
+    counts, the per-term 6-dp-rounded -p*ln(p) entropy fold, the
+    4-dp final rounding and both exact-integer ratios, so a drift in
+    the decoder, mixdown, bucketing, ln or rounding hash-mismatches.
+
+    Scale shape: Arrow-batched decode projection, no shuffle — the
+    result is doc-keyed and orderBy is the only exchange."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 3 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 7, 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append((i, mm.encode_png(
+                    arr, row_filters=[0, 1, 2, 3, 4])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.image_pixel_stats(media).orderBy("media_id")
+
+
 _IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h

@@ -3825,6 +3825,41 @@ def test_audio_zero_crossings(spark):
     assert got[5].n_crossings == 3 and got[5].zcr == 1.0
 
 
+def test_image_pixel_stats(spark):
+    import math
+
+    import numpy as np
+
+    def png_of(arr):
+        return multimodal.encode_png(arr.astype(np.uint8))
+
+    flat = np.full((8, 8), 100)                 # one bucket
+    half = np.zeros((8, 8))
+    half[:4, :] = 255                           # two equal buckets
+    grad = np.arange(256).reshape(16, 16)       # every bucket equal
+    rows = [(1, png_of(flat)), (2, png_of(half)), (3, png_of(grad)),
+            (4, b"not an image")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           multimodal.image_pixel_stats(df).collect()}
+    # solid color: zero entropy, one bucket owns everything
+    assert got[1].entropy == 0.0
+    assert got[1].dominant_frac == 1.0 and got[1].n_buckets_used == 1
+    assert got[1].mean_gray == 100.0
+    # 50/50 split: H = ln 2 through the per-term rounding
+    term = math.floor(-0.5 * math.log(0.5) * 1e6 + 0.5) / 1e6
+    assert got[2].entropy == math.floor(2 * term * 1e4 + 0.5) / 1e4
+    assert got[2].dominant_frac == 0.5 and got[2].n_buckets_used == 2
+    # uniform over all 16 buckets: H = ln 16, every bucket used
+    t16 = math.floor(-(1 / 16) * math.log(1 / 16) * 1e6 + 0.5) / 1e6
+    assert got[3].entropy == math.floor(16 * t16 * 1e4 + 0.5) / 1e4
+    assert got[3].n_buckets_used == 16
+    assert got[3].dominant_frac == math.floor(
+        16 / 256 * 1e4 + 0.5) / 1e4
+    # undecodable: nulls, row kept
+    assert got[4].entropy is None
+
+
 def test_audio_spectral_features(spark):
     import numpy as np
 

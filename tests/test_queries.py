@@ -233,6 +233,9 @@ def test_driver_window_covers_every_family():
         "containment_pairs": "span_dup_coverage",
         "training_manifest": "corpus_filter_report",
         "dsir_logweights": "unimax_lang_allocation",
+        # registered after the late round-9 rotation, awaiting
+        # round 10
+        "image_entropy_stats": "image_phash_values",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
