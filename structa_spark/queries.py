@@ -4238,8 +4238,11 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-@register("unigram_tokenizer_vocab", oracle="""
-WITH RECURSIVE toks AS (
+# The unigram-LM trainer's full SQL replay, shared by the vocab and
+# the corpus-encode queries: capped word list -> substring seed ->
+# rounded initial log-probs -> recursive-CTE Viterbi -> smoothed
+# counts -> prune -> `model(s, n_uses, logp)`.
+_UNIGRAM_TRAIN_CTES = """toks AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
                                                '\\s+'),
                             t -> t <> '')) AS token
@@ -4318,12 +4321,19 @@ WITH RECURSIVE toks AS (
   UNION ALL
   SELECT s, n FROM ranked
   WHERE rk <= 60 - (SELECT count(*) FROM chars)
-)
-SELECT s AS piece, CAST(n AS BIGINT) AS n_uses,
-       floor(ln(CAST(n AS DOUBLE)
-                / (SELECT CAST(sum(n) AS DOUBLE) FROM kept))
-             * 1000000 + 0.5) / 1000000 AS logp
-FROM kept ORDER BY n_uses DESC, piece
+), model AS (
+  SELECT s, CAST(n AS BIGINT) AS n_uses,
+         floor(ln(CAST(n AS DOUBLE)
+                  / (SELECT CAST(sum(n) AS DOUBLE) FROM kept))
+               * 1000000 + 0.5) / 1000000 AS logp
+  FROM kept
+)"""
+
+
+@register("unigram_tokenizer_vocab", oracle=f"""
+WITH RECURSIVE {_UNIGRAM_TRAIN_CTES}
+SELECT s AS piece, n_uses, logp
+FROM model ORDER BY n_uses DESC, piece
 """)
 def unigram_tokenizer_vocab(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -4353,6 +4363,121 @@ def unigram_tokenizer_vocab(spark: SparkSession,
     return spark.createDataFrame(
         [(p, n, lp) for p, n, lp in model],
         "piece string, n_uses long, logp double")
+
+
+@register("unigram_encode_fertility", oracle=f"""
+WITH RECURSIVE {_UNIGRAM_TRAIN_CTES},
+lw AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), lwc AS (
+  SELECT lang, w, count(*) AS c FROM lw GROUP BY 1, 2
+), dw AS (
+  SELECT DISTINCT w FROM lwc
+), lpm2 AS (
+  SELECT map(list(s ORDER BY s), list(logp ORDER BY s)) AS m
+  FROM model
+), vit2 AS (
+  SELECT w, 0 AS i,
+         [{{'ns': CAST(0.0 AS DOUBLE), 'np': 0,
+            'path': CAST([] AS VARCHAR[])}}] AS dps
+  FROM dw
+  UNION ALL
+  SELECT w, i + 1 AS i, list_append(dps, cands[1])
+  FROM (
+    SELECT w, i, dps,
+           list_sort(list_filter(list_transform(
+             range(greatest(i + 1 - 4, 0), i + 1),
+             j -> {{'ns': -(-dps[j + 1]['ns']
+                            + map_extract(m, substring(w, j + 1,
+                                                       i + 1 - j))[1]),
+                    'np': dps[j + 1]['np'] + 1,
+                    'path': list_append(dps[j + 1]['path'],
+                                        substring(w, j + 1,
+                                                  i + 1 - j))}}),
+             x -> x['ns'] IS NOT NULL)) AS cands
+    FROM vit2, lpm2 WHERE i < length(w)
+  )
+), we AS (
+  SELECT w, dps[length(w) + 1]['path'] AS path
+  FROM vit2 WHERE i = length(w)
+), wn AS (
+  SELECT w,
+         CASE WHEN path IS NULL THEN 1 ELSE len(path) END AS np,
+         CASE WHEN path IS NULL THEN 1 ELSE 0 END AS unk
+  FROM we
+), per AS (
+  SELECT lwc.lang, sum(lwc.c) AS n_words,
+         sum(lwc.c * wn.np) AS n_pieces,
+         sum(lwc.c * wn.unk) AS n_unk
+  FROM lwc JOIN wn USING (w) GROUP BY 1
+), nd AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT nd.lang, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(per.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(per.n_unk, 0) AS BIGINT) AS n_unk,
+       round(CASE WHEN coalesce(per.n_words, 0) > 0
+             THEN CAST(per.n_pieces AS DOUBLE) / per.n_words
+             ELSE 0.0 END, 4) AS fertility,
+       round(CASE WHEN coalesce(per.n_words, 0) > 0
+             THEN CAST(per.n_unk AS DOUBLE) / per.n_words
+             ELSE 0.0 END, 4) AS unk_rate
+FROM nd LEFT JOIN per USING (lang) ORDER BY nd.lang
+""")
+def unigram_encode_fertility(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The trained unigram tokenizer APPLIED at corpus scale:
+    Viterbi-encode every document with the unigram_tokenizer_vocab
+    model and report per-language fertility (pieces per whitespace
+    word) and ``<unk>`` rate — the evaluation read-out that says
+    whether the learned vocabulary actually serves each language in
+    the mix (the per-language fairness check of mT5-style vocab
+    work), measured under the REAL segmenter rather than the
+    regex proxy tokenizer_fertility_by_lang uses. The oracle replays
+    the ENTIRE path: the trainer end to end (shared CTEs with
+    unigram_tokenizer_vocab), then a second recursive-CTE Viterbi
+    over every distinct corpus word under the FINAL model log-probs,
+    the unreachable-word ``<unk>`` rule, and the per-language
+    weighted aggregation.
+
+    Scale shape: training is the one capped scan; encoding is a
+    broadcast-model Arrow-batched map whose cost tracks DISTINCT
+    words per batch (the word cache), and the report is one
+    lang-keyed agg. The only corpus-keyed join (encode output back
+    onto lang) is doc-id-keyed and co-partitioned with the scan."""
+    d = _t(spark, sf_dir, "documents")
+    model = text.unigram_train(
+        d, vocab_size=60, seed_size=150, max_piece_len=4,
+        max_vocab=250, max_word_len=12, n_iters=1)
+    enc = text.unigram_encode(d, model, max_piece_len=4)
+    base = d.select(
+        "doc_id", "lang",
+        F.size(text.tokens(F.lower(
+            F.coalesce(F.col("text"), F.lit(""))))).alias("__nw"))
+    joined = base.join(enc, "doc_id")
+    toks = F.col("unigram_tokens")
+    return (joined.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__nw").cast("long").alias("n_words"),
+                 F.sum(F.size(toks)).cast("long").alias("n_pieces"),
+                 F.sum(F.size(F.filter(
+                     toks, lambda t: t == F.lit("<unk>"))))
+                 .cast("long").alias("n_unk"))
+            .select("lang", "n_docs", "n_words", "n_pieces", "n_unk",
+                    F.when(F.col("n_words") > 0,
+                           F.round(F.col("n_pieces")
+                                   / F.col("n_words"), 4))
+                    .otherwise(0.0).alias("fertility"),
+                    F.when(F.col("n_words") > 0,
+                           F.round(F.col("n_unk")
+                                   / F.col("n_words"), 4))
+                    .otherwise(0.0).alias("unk_rate"))
+            .orderBy("lang"))
 
 
 @register("cube_status_priority", oracle="""

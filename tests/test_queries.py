@@ -236,6 +236,7 @@ def test_driver_window_covers_every_family():
         # registered after the late round-9 rotation, awaiting
         # round 10
         "image_entropy_stats": "image_phash_values",
+        "unigram_encode_fertility": "unigram_tokenizer_vocab",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
