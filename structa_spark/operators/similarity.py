@@ -460,16 +460,17 @@ def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
     k-row collect: the same driver-sided centroid exchange every
     distributed k-means (including Spark MLlib's) performs.
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     def _round_half_up(x: float, n: int) -> float:
-        # SQL round (Spark F.round, DuckDB round) ties away from
-        # zero; Python's round() is banker's half-to-even — on a
-        # boundary coordinate the two would diverge and break the
-        # cross-engine replay
-        q = Decimal(1).scaleb(-n)
-        return float(Decimal(repr(x)).quantize(
-            q, rounding=ROUND_HALF_UP))
+        # floor(x * 10^n + 0.5) / 10^n on the BINARY double — three
+        # IEEE ops a SQL oracle replays verbatim. Python's round()
+        # is banker's half-to-even, and a shortest-repr Decimal
+        # detour can round a boundary-straddling mean differently
+        # from the binary value the SQL engine rounds — either would
+        # break the cross-engine replay on a boundary coordinate.
+        s = 10.0 ** n
+        return math.floor(x * s + 0.5) / s
 
     cur = [[float(x) for x in c] for c in centroids]
     for _ in range(iters):

@@ -4086,7 +4086,8 @@ WITH seeds AS (
   SELECT vec_id, cid FROM s0 WHERE rn = 1
 ), dims AS (
   SELECT a0.cid, p.range AS pos,
-         round(avg(e.embedding[p.range + 1]::DOUBLE), 6) AS v
+         floor(avg(e.embedding[p.range + 1]::DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS v
   FROM embeddings e JOIN a0 USING (vec_id)
        CROSS JOIN range(0, 64) p
   GROUP BY 1, 2
