@@ -69,6 +69,9 @@ _SCALAR_BROADCAST_OK = {
                                  # broadcast(dangling mass) — two
                                  # 1-row scalars folded into every
                                  # power iteration
+    "host_policy_v2",            # composes host_pagerank's ranks:
+                                 # inherits the same two 1-row
+                                 # scalar broadcasts
 }
 
 
