@@ -1136,6 +1136,77 @@ def duplicate_span_ladder(df: DataFrame, min_n: int = 8,
                 .alias("drop_doc")))
 
 
+def incremental_dup_span_ladder(incoming: DataFrame,
+                                indexes,
+                                min_n: int = 8,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                threshold: Optional[int] = None
+                                ) -> DataFrame:
+    """The PRODUCTION shape of :func:`duplicate_span_ladder`: probe
+    an INCOMING batch's tiered windows against per-tier persisted
+    span indexes (yesterday's corpus, each tier built once with
+    :func:`build_span_index` at ``n = min_n * 2^r``) instead of
+    re-laddering the whole corpus per batch. ``indexes`` maps tier
+    length -> its distinct span-hash relation.
+
+    Per incoming document: ``max_dup_span`` = the largest tier whose
+    some window hash appears in that tier's index (0 if none), plus
+    the min-tier window/hit counts and the ``drop_doc`` verdict at
+    ``threshold`` (default ``min_n * 2``) — the
+    :func:`incremental_span_coverage` contract lifted to the
+    variable-length ladder. Matching is index-only (a run repeated
+    only WITHIN the incoming batch does not flag — exactly the
+    incremental contract).
+
+    Scale shape: per tier ONE explode + ONE hash-keyed left join
+    against the distinct narrow index (static side — a bounded
+    corpus slice broadcasts; at full scale it is a bucketed parquet
+    table and the join co-locates), unioned into a SINGLE doc-keyed
+    aggregation — the :func:`incremental_span_coverage` discipline
+    (one stateful agg over stream-static joins), so the SAME plan
+    runs over a STREAMING ``incoming`` (see tests/test_streaming.py).
+    The min tier keeps a null-window row per zero-span document
+    (posexplode_outer), so short/null docs report zeros instead of
+    vanishing. Returns ``(id, n_min_windows, n_dup_min_windows,
+    max_dup_span, drop_doc)``."""
+    from ..functions.hashing import md5_long
+
+    if not indexes:
+        raise ValueError("indexes must map tier length -> index")
+    threshold = threshold if threshold is not None else min_n * 2
+
+    rows = None
+    for n_r in sorted(indexes):
+        idx = (indexes[n_r].select(F.col("span_h")).distinct()
+               .withColumn("__hit", F.lit(1)))
+        grams = _span_grams(incoming, n_r, id_col, text_col,
+                            keep_empty=(n_r == min_n))
+        hashed = grams.select(
+            F.col(id_col), F.lit(n_r).alias("tier_n"),
+            F.col("g").isNotNull().alias("has_g"),
+            F.when(F.col("g").isNotNull(),
+                   md5_long(F.col("g"))).alias("span_h"))
+        tier = hashed.join(F.broadcast(idx), "span_h", "left")
+        rows = tier if rows is None else rows.unionByName(tier)
+
+    hit = F.col("__hit").isNotNull()
+    is_min = F.col("tier_n") == min_n
+    agg = (rows.groupBy(id_col).agg(
+        F.max(F.when(hit, F.col("tier_n"))).alias("max_dup"),
+        F.sum(F.when(is_min & F.col("has_g"), 1).otherwise(0))
+        .alias("w0"),
+        F.sum(F.when(is_min & hit, 1).otherwise(0)).alias("d0")))
+    return agg.select(
+        F.col(id_col),
+        F.col("w0").cast("long").alias("n_min_windows"),
+        F.col("d0").cast("long").alias("n_dup_min_windows"),
+        F.coalesce("max_dup", F.lit(0)).cast("int")
+        .alias("max_dup_span"),
+        (F.coalesce("max_dup", F.lit(0)) >= threshold)
+        .alias("drop_doc"))
+
+
 def drop_long_dup_docs(df: DataFrame, min_n: int = 8,
                        rounds: int = 3,
                        threshold: Optional[int] = None,

@@ -3726,6 +3726,38 @@ def test_duplicate_span_ladder_and_surgery(spark):
     assert kept == {3, 4, 5, 6, 7}
 
 
+def test_incremental_dup_span_ladder(spark):
+    run20 = " ".join(f"w{i}" for i in range(20))
+    run9 = " ".join(f"q{i}" for i in range(9))
+    half8 = " ".join(f"z{i}" for i in range(8))
+    yesterday = spark.createDataFrame(
+        [(100, "head " + run20 + " tail"),
+         (101, run9 + " closing")],
+        "doc_id long, text string")
+    indexes = {n: dedup.build_span_index(yesterday, n=n)
+               for n in (8, 16, 32)}
+    incoming = spark.createDataFrame(
+        [(1, run20 + " fresh suffix"),   # 20-run indexed -> tier 16
+         (2, "prefix " + run9),          # 9-run indexed -> tier 8
+         (3, " ".join(f"u{i}" for i in range(40))),  # novel
+         (4, "hi"),                      # < 8 tokens
+         (5, None),                      # null text
+         (6, half8 + " " + half8)],      # repeats WITHIN incoming
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.incremental_dup_span_ladder(
+        incoming, indexes, min_n=8, threshold=16).collect()}
+    assert got[1].max_dup_span == 16 and got[1].drop_doc
+    assert got[2].max_dup_span == 8 and not got[2].drop_doc
+    assert got[3].max_dup_span == 0
+    assert got[3].n_min_windows == 33
+    # zero-window docs keep their row with zeros
+    assert got[4].n_min_windows == 0 and got[4].max_dup_span == 0
+    assert got[5].n_min_windows == 0 and not got[5].drop_doc
+    # index-only contract: a run repeated only within the incoming
+    # batch does not flag (the batch ladder WOULD flag it)
+    assert got[6].max_dup_span == 0
+
+
 def test_unigram_train_viterbi_em(spark):
     import math
     df = spark.createDataFrame(

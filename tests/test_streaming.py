@@ -1060,3 +1060,54 @@ def test_cms_stream_fold_matches_batch(spark, tmp_path):
         width=64).collect()}
     assert got == want
     assert got["tok0"] >= 5             # CMS never underestimates
+
+
+def test_incremental_dup_span_ladder_stream_matches_batch(
+        spark, tmp_path):
+    # the variable-length ladder at ingest time: per-tier static
+    # indexes, today's delta streams through the single-aggregation
+    # plan — same contract as the fixed-n incremental probe
+    import json as _json
+
+    from structa_spark.operators import dedup as _dedup
+
+    run20 = " ".join(f"w{i}" for i in range(20))
+    run9 = " ".join(f"q{i}" for i in range(9))
+    yesterday = spark.createDataFrame(
+        [(100, "head " + run20 + " tail"), (101, run9 + " closing")],
+        "doc_id long, text string")
+    indexes = {}
+    for n in (8, 16, 32):
+        idx = _dedup.build_span_index(yesterday, n=n)
+        indexes[n] = spark.createDataFrame(idx.collect(), idx.schema)
+
+    delta = [(10, run20 + " fresh suffix"),
+             (11, "entirely novel text streaming in with more words"),
+             (12, "")]
+    p = tmp_path / "ladderdelta"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in delta:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = _dedup.incremental_dup_span_ladder(sdf, indexes, min_n=8,
+                                             threshold=16)
+    _run_stream(out, "ladder_inc", "complete")
+    cols = ("doc_id", "n_min_windows", "n_dup_min_windows",
+            "max_dup_span", "drop_doc")
+    got = {tuple(getattr(r, c) for c in cols)
+           for r in spark.sql("SELECT * FROM ladder_inc").collect()}
+    want = {tuple(getattr(r, c) for c in cols)
+            for r in _dedup.incremental_dup_span_ladder(
+                spark.createDataFrame(delta,
+                                      "doc_id long, text string"),
+                indexes, min_n=8, threshold=16).collect()}
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[10][3] == 16 and by_id[10][4]    # indexed 20-run
+    assert by_id[11][3] == 0                      # novel
+    assert by_id[12] == (12, 0, 0, 0, False)      # empty doc kept
