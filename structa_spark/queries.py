@@ -3419,6 +3419,114 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("quality_gopher_calibration", oracle=f"""
+WITH f AS ({{Q_F}}),
+q AS (
+  SELECT doc_id, round({{Q_Q}}, 4) AS q FROM f
+),
+d AS (
+  SELECT doc_id, coalesce(text, '') AS page,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                                        '\\s+'),
+                     t -> t <> '') AS pw,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(pw) AS BIGINT) AS n_words,
+         CASE WHEN len(pw) > 0
+              THEN round(len(array_to_string(pw, '')) / len(pw), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(pw) > 0
+              THEN round((len(regexp_extract_all(page, '#'))
+                          + len(regexp_extract_all(page, '\\.\\.\\.'))
+                          + len(regexp_extract_all(page, '…')))
+                         / len(pw), 4)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(pw) > 0
+              THEN round(len(list_filter(pw,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                         / len(pw), 4)
+              ELSE 0.0 END AS alpha_word_frac,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(pw, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with']))
+             AS INT) AS stopword_hits,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*[-*•‣▪]')))
+                         / len(lines), 4)
+              ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0
+              THEN round(len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                         / len(lines), 4)
+              ELSE 0.0 END AS ellipsis_line_frac
+  FROM d
+),
+v AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1
+          AND bullet_line_frac <= 0.9
+          AND ellipsis_line_frac <= 0.3
+          AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 2) AS keep
+  FROM m
+),
+b AS (
+  SELECT q.doc_id, least(CAST(floor(q.q * 10) AS INT), 9) AS bucket,
+         q.q, v.keep
+  FROM q JOIN v USING (doc_id)
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gopher_keep,
+       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4)
+           AS gopher_keep_rate,
+       min(q) AS min_q, max(q) AS max_q
+FROM b GROUP BY bucket ORDER BY bucket
+""".replace("{Q_F}", _quality_f_sql('text,'))
+   .replace("{Q_Q}", _QUALITY_Q_SQL))
+def quality_gopher_calibration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-filter threshold calibration: the composite C4-ish
+    quality score bucketed into deciles against the Gopher Table-A1
+    rule verdict on the SAME raw text — the agreement table a
+    curation pipeline reads before picking a score cutoff (a decile
+    where the independent rule battery's pass rate collapses is
+    where the threshold belongs; two filters that disagree
+    everywhere means one of them is broken). The oracle replays the
+    score, every Gopher rule on raw text, the decile bucketing (on
+    the 4-dp-rounded score, so bucket edges cannot straddle float
+    dust) and the per-bucket aggregation.
+
+    Scale shape: both filter batteries are single-scan projections
+    that compose in ONE pass over the corpus; the calibration table
+    is a <= 10-row aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    g = text.gopher_quality_flags(d).select("doc_id",
+                                            "gopher_quality_keep")
+    j = q.join(g, "doc_id")
+    bucket = F.least(F.floor(F.col("quality_score") * 10)
+                     .cast("int"), F.lit(9))
+    return (j.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("gopher_quality_keep"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_gopher_keep"),
+                 F.round(F.avg(F.when(F.col("gopher_quality_keep"),
+                                      1.0).otherwise(0.0)), 4)
+                 .alias("gopher_keep_rate"),
+                 F.min("quality_score").alias("min_q"),
+                 F.max("quality_score").alias("max_q"))
+            .orderBy("bucket"))
+
+
+
 @register("gopher_dup_fractions", oracle="""
 WITH d AS (
   SELECT doc_id,
