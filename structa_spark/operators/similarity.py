@@ -485,6 +485,72 @@ def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
     return cur
 
 
+def _r6col(x: Column) -> Column:
+    """floor(x * 1e6 + 0.5) / 1e6 — the repo's binary-double half-up
+    rounding, as a column expression any SQL engine replays."""
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) \
+        / F.lit(1000000.0)
+
+
+def embedding_health(df: DataFrame, dim: int,
+                     vec_col: str = "embedding") -> DataFrame:
+    """One-pass health screen of an embedding corpus — the checks an
+    embedding-backed pipeline (retrieval, SemDeDup, clustering) runs
+    before trusting the vectors:
+
+    * ``min/max/mean_norm`` — degenerate encoders emit near-zero or
+      exploding norms; a tight band is healthy,
+    * ``frac_zero_norm`` — all-zero vectors (failed encodes) poison
+      cosine math downstream,
+    * ``mean_sq_norm`` and ``isotropy`` — the anisotropy proxy
+      ``||mean(x)||^2 / mean(||x||^2)`` in [0, 1]: ~0 for a
+      centered, spread-out cloud, ->1 as vectors collapse to a
+      common direction (the "cone effect" that breaks cosine
+      ranking).
+
+    Cross-engine determinism: per-vector norms fold in array order
+    (deterministic), round 6-dp before any aggregate; the
+    order-sensitive sums (norm mean, per-dim means, mu^2) round
+    AFTER the division/fold so summation-order ulps die below the
+    rounding resolution — the pHash discipline throughout.
+
+    Scale shape: ONE wide aggregation (dim + 6 scalar aggregates,
+    map-side partials; the profiler's wide-agg shape) over one
+    projection; the result is a single row."""
+    v = F.col(vec_col)
+    nsq_raw = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    pre = df.select(
+        _r6col(F.sqrt(nsq_raw)).alias("__nrm"),
+        _r6col(nsq_raw).alias("__nsq"),
+        v.alias("__v"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__nrm").alias("mn"), F.max("__nrm").alias("mx"),
+            F.sum("__nrm").alias("snrm"),
+            F.sum(F.when(F.col("__nrm") == 0.0, 1).otherwise(0))
+            .alias("nz"),
+            F.sum("__nsq").alias("snsq")]
+    aggs += [F.sum(F.element_at("__v", i + 1).cast("double"))
+             .alias(f"s{i}") for i in range(dim)]
+    a = pre.agg(*aggs)
+    n = F.col("n")
+    mu2 = _r6col(sum(
+        (lambda m: m * m)(_r6col(F.col(f"s{i}") / n))
+        for i in range(dim)))
+    msq = _r6col(F.col("snsq") / n)
+    return a.select(
+        n.alias("n_vectors"),
+        F.lit(dim).cast("int").alias("dim"),
+        F.col("mn").alias("min_norm"), F.col("mx").alias("max_norm"),
+        (F.floor(F.col("snrm") / n * F.lit(10000.0) + F.lit(0.5))
+         / F.lit(10000.0)).alias("mean_norm"),
+        _r6col(F.col("nz") / n).alias("frac_zero_norm"),
+        msq.alias("mean_sq_norm"),
+        F.when(msq != 0.0, _r6col(mu2 / msq))
+        .otherwise(F.lit(0.0)).alias("isotropy"))
+
+
 def semantic_dedup(df: DataFrame,
                    centroids: Sequence[Sequence[float]],
                    threshold: float = 0.95,

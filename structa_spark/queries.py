@@ -5065,6 +5065,65 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+@register("embedding_health_report", oracle="""
+WITH v AS (
+  SELECT floor(sqrt(list_sum(list_transform(
+             embedding, x -> x::DOUBLE * x::DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS nrm,
+         floor(list_sum(list_transform(
+             embedding, x -> x::DOUBLE * x::DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS nsq
+  FROM embeddings
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         min(nrm) AS mn, max(nrm) AS mx, sum(nrm) AS snrm,
+         CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nz,
+         sum(nsq) AS snsq
+  FROM v
+), ds AS (
+  SELECT p.range AS pos,
+         sum(e.embedding[p.range + 1]::DOUBLE) AS sv
+  FROM embeddings e CROSS JOIN range(0, 64) p GROUP BY 1
+), mu AS (
+  SELECT floor(sum(m * m) * 1000000 + 0.5) / 1000000 AS mu2
+  FROM (SELECT floor(sv / s.n * 1000000 + 0.5) / 1000000 AS m
+        FROM ds, s)
+)
+SELECT s.n AS n_vectors, CAST(64 AS INT) AS dim,
+       s.mn AS min_norm, s.mx AS max_norm,
+       floor(s.snrm / s.n * 10000 + 0.5) / 10000 AS mean_norm,
+       floor(CAST(s.nz AS DOUBLE) / s.n * 1000000 + 0.5) / 1000000
+           AS frac_zero_norm,
+       floor(s.snsq / s.n * 1000000 + 0.5) / 1000000
+           AS mean_sq_norm,
+       CASE WHEN floor(s.snsq / s.n * 1000000 + 0.5) / 1000000 <> 0
+            THEN floor(mu.mu2
+                       / (floor(s.snsq / s.n * 1000000 + 0.5)
+                          / 1000000)
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS isotropy
+FROM s, mu
+""")
+def embedding_health_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Embedding-corpus health screen: norm band, zero-norm (failed
+    encode) fraction, and the anisotropy proxy
+    ``||mean(x)||^2 / mean(||x||^2)`` — the pre-flight checks every
+    embedding-backed stage (retrieval, SemDeDup, IVF training) runs
+    before trusting the vectors, as ONE wide aggregation. The oracle
+    replays per-vector norms (array-order folds, 6-dp rounded before
+    aggregating), the per-dimension means, mu^2 and every rounded
+    ratio — a drift in the fold, the rounding or the isotropy
+    formula hash-mismatches.
+
+    Scale shape: one projection + one wide aggregation (dim + 6
+    aggregates with map-side partials — the profiler's shape); the
+    result is a single row."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_health(e, dim=64)
+
+
 @register("embedding_quantization", oracle="""
 WITH q AS (
   SELECT vec_id, embedding,

@@ -3214,6 +3214,29 @@ def test_host_policy_verdict_and_apply(spark):
     assert gated == {1: True, 2: False, 3: False}
 
 
+def test_embedding_health(spark):
+    # fully collapsed cloud: every vector identical -> isotropy 1
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>")
+    r = similarity.embedding_health(df, dim=2).collect()[0]
+    assert r.n_vectors == 2 and r.dim == 2
+    assert r.min_norm == 5.0 and r.max_norm == 5.0
+    assert r.mean_norm == 5.0 and r.mean_sq_norm == 25.0
+    assert r.frac_zero_norm == 0.0 and r.isotropy == 1.0
+    # centered pair + a failed (zero) encode: isotropy 0, zero-norm
+    # fraction flagged, norms span [0, 1]
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    r2 = similarity.embedding_health(df2, dim=2).collect()[0]
+    assert r2.isotropy == 0.0
+    assert r2.frac_zero_norm == 0.333333
+    assert r2.min_norm == 0.0 and r2.max_norm == 1.0
+    assert r2.mean_norm == 0.6667
+    assert r2.mean_sq_norm == 0.666667
+
+
 def test_host_policy_verdict_v2_authority_rescue(spark):
     rep = spark.createDataFrame(
         [("solid.com", 10, 0.99, 0.0),      # content passes alone

@@ -238,6 +238,7 @@ def test_driver_window_covers_every_family():
         "image_entropy_stats": "image_phash_values",
         "unigram_encode_fertility": "unigram_tokenizer_vocab",
         "quality_gopher_calibration": "gopher_quality_flags",
+        "embedding_health_report": "embedding_quantization",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
