@@ -81,6 +81,8 @@ def main():
         cms_heavy_hitters,
         longest_dup_span_report, unigram_tokenizer_vocab,
         audio_spectral_features, host_policy_v2,
+        image_entropy_stats, unigram_encode_fertility,
+        quality_gopher_calibration, embedding_health_report,
     )
     from structa_spark.sources.tables import load_table
 
@@ -198,6 +200,10 @@ def main():
             "unigram_vocab": run_df(unigram_tokenizer_vocab),
             "audio_spectral": run_df(audio_spectral_features),
             "host_policy_v2": run_df(host_policy_v2),
+            "image_entropy": run_df(image_entropy_stats),
+            "unigram_encode": run_df(unigram_encode_fertility),
+            "quality_calib": run_df(quality_gopher_calibration),
+            "embed_health": run_df(embedding_health_report),
         }
 
     suite = make_suite(SF_DIR)

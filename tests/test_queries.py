@@ -70,7 +70,8 @@ SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
               # (dup-run lengths per tier, the capped word list and
               # seed competition, the rank/keep-rate interplay)
               "longest_dup_span_report", "unigram_tokenizer_vocab",
-              "host_policy_v2"]
+              "host_policy_v2", "unigram_encode_fertility",
+              "quality_gopher_calibration"]
 
 
 @pytest.fixture(scope="module")
