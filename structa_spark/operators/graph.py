@@ -92,3 +92,76 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             r = r.localCheckpoint(eager=False)
     return r
+
+
+def hits(edges: DataFrame, iters: int = 3, src: str = "src",
+         dst: str = "dst", round_to: int = 9,
+         checkpoint_every: int = 0) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg 1999, the mutual-
+    reinforcement counterpart to :func:`pagerank`): ``iters`` fixed
+    iterations of
+
+    ``a'(v) = round(sum_{u->v} h(u) / sum_all, round_to)``
+    ``h'(v) = round(sum_{v->w} a'(w) / sum_all, round_to)``
+
+    with all-ones hub init and L1 normalization (each vector divides
+    by its own sum — the rational-friendly norm; L2 would put an
+    irrational sqrt between the engine and any SQL replay). The hub
+    update reads the CURRENT iteration's authorities, the classic
+    update order. Parallel edges collapse (DISTINCT) and self-loops
+    drop before iterating, the :func:`pagerank` convention. Returns
+    ``(v, authority, hub)`` for every node on either side of an edge.
+
+    Why beside pagerank: HITS separates "points at good content"
+    (hub) from "is pointed at" (authority) — a link-farm aggregator
+    scores as a hub but never as an authority, where pagerank folds
+    both into one number. For host curation the authority column is
+    the anti-spam signal; the hub column finds index/portal hosts
+    whose OWN pages are usually boilerplate.
+
+    Replay discipline: the one order-dependent term per update (the
+    contribution sum) is divided by the L1 total and rounded to
+    ``round_to`` decimals before the next update reads it, so
+    summation-order ulps die per half-iteration instead of
+    compounding — identical to pagerank's per-iteration round.
+
+    Scale shape: the edge relation localCheckpoints once (graph-
+    sized, not corpus-sized) and each half-iteration is one edge-
+    keyed join + one node-keyed aggregation, with the L1 total
+    folding back as a 1-row broadcast — the plan never touches the
+    driver. ``checkpoint_every`` truncates lineage every k rounds
+    for deep iteration counts.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .where(F.col(src) != F.col(dst))
+         .distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("s").alias("v"))
+             .union(e.select(F.col("t").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    h = nodes.select("v", F.lit(1.0).alias("hub"))
+    a = nodes.select("v", F.lit(0.0).alias("authority"))
+    for i in range(iters):
+        a_raw = (e.join(h, e["s"] == h["v"])
+                 .groupBy("t")
+                 .agg(F.sum("hub").alias("__a")))
+        a_sum = a_raw.agg(F.sum("__a").alias("__as"))
+        a = (nodes.join(a_raw, nodes["v"] == a_raw["t"], "left")
+             .join(F.broadcast(a_sum))
+             .select("v", F.round(
+                 F.coalesce(F.col("__a"), F.lit(0.0))
+                 / F.col("__as"), round_to).alias("authority")))
+        h_raw = (e.join(a, e["t"] == a["v"])
+                 .groupBy("s")
+                 .agg(F.sum("authority").alias("__h")))
+        h_sum = h_raw.agg(F.sum("__h").alias("__hs"))
+        h = (nodes.join(h_raw, nodes["v"] == h_raw["s"], "left")
+             .join(F.broadcast(h_sum))
+             .select("v", F.round(
+                 F.coalesce(F.col("__h"), F.lit(0.0))
+                 / F.col("__hs"), round_to).alias("hub")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=False)
+            h = h.localCheckpoint(eager=False)
+    return a.join(h, "v").select("v", "authority", "hub")

@@ -1690,6 +1690,112 @@ def audio_zero_crossings(df: DataFrame,
                          f"n_crossings long, zcr double"))
 
 
+def audio_clipping_stats(df: DataFrame,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         full_scale: float | None = None,
+                         silence_eps: float = 0.0) -> DataFrame:
+    """Clipping / silence / level screen of audio payloads through
+    the REAL WAV decoder — the recording-defect battery a speech
+    curation pipeline runs beside :func:`audio_zero_crossings`
+    before any model: a clipped microphone saturates at digital
+    full scale (distortion no downstream filter recovers from), a
+    dead channel shows as a long all-zero run, and a mis-gained
+    capture shows in the RMS level.
+
+    Per clip (mono mixdown first — exact ``sum // channels`` for
+    integer PCM, raw-float mean for IEEE-float WAVs, the
+    :func:`audio_zero_crossings` convention):
+
+    * ``peak`` — max absolute sample (exact for integer PCM; floats
+      rounded half-up to 6 dp on the binary double),
+    * ``rms`` — ``sqrt(sum(s^2) / n)`` rounded half-up to 4 dp; the
+      square sum is integer-exact for PCM and IEEE sqrt is a
+      correctly-rounded op, so the value replays bit-for-bit in any
+      SQL engine from the same samples,
+    * ``clipped_frac`` — fraction of samples with ``|s| >=
+      full_scale``, rounded half-up to 6 dp (``>=`` so the int16
+      minimum -32768 counts as clipped against full scale 32767),
+    * ``max_silence_run`` — longest run of consecutive samples with
+      ``|s| <= silence_eps`` (exact integer; the default 0 counts
+      exact zeros only, keeping the run replayable without a float
+      tolerance).
+
+    ``full_scale`` defaults by decoded dtype: 32767 for 16-bit PCM,
+    2^31 - 1 for 32-bit, 1.0 for IEEE-float. CAVEAT: the decoder
+    surfaces 8-bit PCM as int16 in [-128, 127], so 8-bit sources
+    need an explicit ``full_scale=127``.
+
+    All rounding is ``floor(x * 10^d + 0.5) / 10^d`` on the binary
+    double — the pHash discipline — so a SQL oracle replays it
+    verbatim. Undecodable payloads yield null features (rows kept).
+    Arrow-batched; payload bytes stay executor-side."""
+    import math
+    from itertools import groupby
+
+    import numpy as np
+
+    def _r(x: float, d: int) -> float:
+        return math.floor(x * 10 ** d + 0.5) / 10 ** d
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, _rate = decode_wav_samples(p)
+                    s = np.asarray(samples)
+                    if np.issubdtype(s.dtype, np.floating):
+                        fs = 1.0 if full_scale is None else full_scale
+                        s = s.astype(np.float64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) / s.shape[1]
+                    else:
+                        if full_scale is None:
+                            fs = (2147483647.0
+                                  if s.dtype.itemsize >= 4 else 32767.0)
+                        else:
+                            fs = full_scale
+                        s = s.astype(np.int64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) // s.shape[1]
+                    n = len(s)
+                    if n == 0:
+                        raise DecodeUnavailable("no samples")
+                    a = np.abs(s)
+                    peak = float(a.max())
+                    if not np.issubdtype(
+                            np.asarray(samples).dtype, np.integer):
+                        peak = _r(peak, 6)
+                    if (np.issubdtype(s.dtype, np.integer)
+                            and a.max() < 2 ** 31):
+                        # exact int64 square sum (16-bit PCM never
+                        # overflows; 32-bit falls to the float path)
+                        ss = float(int(np.dot(s, s)))
+                    else:
+                        sf64 = s.astype(np.float64)
+                        ss = float(np.dot(sf64, sf64))
+                    rms = _r(math.sqrt(ss / n), 4)
+                    clipped = int(np.count_nonzero(a >= fs))
+                    run = max((sum(1 for _ in g)
+                               for z, g in groupby(a <= silence_eps)
+                               if z), default=0)
+                    out.append((int(mid), n, peak, rms,
+                                _r(clipped / n, 6), run))
+                except DecodeUnavailable:
+                    out.append((int(mid), None, None, None,
+                                None, None))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_samples", "peak", "rms",
+                              "clipped_frac", "max_silence_run"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_samples long, "
+                         f"peak double, rms double, "
+                         f"clipped_frac double, max_silence_run long"))
+
+
 def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "media_id",
                       bins: int = 16) -> DataFrame:

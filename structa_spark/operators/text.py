@@ -1555,6 +1555,210 @@ def bpe_encode(df: DataFrame, merges,
     return df.mapInPandas(batches, schema=schema)
 
 
+WORDPIECE_CONT = "##"
+
+
+def _wp_symbols_expr(token, n):
+    """Column expression: a token's WordPiece symbol array — first
+    character plain, every continuation character prefixed ``##``
+    (the BERT convention, Wu et al. 2016)."""
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, token.substr(i, F.lit(1)))
+        .otherwise(F.concat(F.lit(WORDPIECE_CONT),
+                            token.substr(i, F.lit(1)))))
+
+
+def wordpiece_pair_scores(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-weighted WordPiece merge scores — the inner step of
+    WordPiece tokenizer training (Wu et al. 2016; Schuster &
+    Nakajima 2012): where BPE merges the most FREQUENT adjacent
+    pair, WordPiece merges the pair maximizing the likelihood gain
+    ``score(a,b) = count(ab) / (count(a) * count(b))`` — a rare but
+    strongly-glued pair ("q","##u") beats a frequent-by-accident
+    one. Returns ``(left_sym, right_sym, pair_count, score)`` over
+    character symbols in the ``##`` continuation convention; the
+    score is one exact-integer division (no rounding needed — both
+    operands are exact counts, so any engine reproduces the double
+    bit-for-bit).
+
+    Scale shape: like :func:`bpe_pair_counts`, the pair scan runs
+    over the VOCABULARY (one row per distinct token, weighted by
+    corpus count), not the corpus; the symbol-count relation is
+    alphabet-sized and broadcasts into the score join. Three
+    shuffles total (vocabulary, pair agg, symbol agg), all with
+    map-side partials."""
+    vocab = corpus_vocabulary(df, text_col)
+    t = F.col("token")
+    n = F.length(t)
+    v = vocab.select(F.col("token_count"),
+                     _wp_symbols_expr(t, n).alias("syms"))
+    sym_counts = (v.select(F.explode("syms").alias("symbol"),
+                           "token_count")
+                  .groupBy("symbol")
+                  .agg(F.sum("token_count").cast("long")
+                       .alias("sym_count")))
+    m = F.size(F.col("syms"))
+    pair_arr = F.when(m >= 2, F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("syms"), i).alias("left_sym"),
+            F.element_at(F.col("syms"), i + 1).alias("right_sym")))) \
+        .otherwise(F.array().cast(
+            "array<struct<left_sym:string,right_sym:string>>"))
+    pairs = (v.select(F.explode(pair_arr).alias("p"), "token_count")
+             .groupBy(F.col("p.left_sym").alias("left_sym"),
+                      F.col("p.right_sym").alias("right_sym"))
+             .agg(F.sum("token_count").cast("long")
+                  .alias("pair_count")))
+    lc = sym_counts.select(F.col("symbol").alias("left_sym"),
+                           F.col("sym_count").alias("__lc"))
+    rc = sym_counts.select(F.col("symbol").alias("right_sym"),
+                           F.col("sym_count").alias("__rc"))
+    return (pairs.join(F.broadcast(lc), "left_sym")
+            .join(F.broadcast(rc), "right_sym")
+            .select("left_sym", "right_sym", "pair_count",
+                    (F.col("pair_count")
+                     / (F.col("__lc") * F.col("__rc")))
+                    .alias("score")))
+
+
+def wordpiece_train(df: DataFrame, vocab_size: int = 200,
+                    text_col: str = "text", max_vocab: int = 50_000,
+                    min_frequency: int = 2):
+    """Learn a WordPiece vocabulary from the corpus (Wu et al. 2016)
+    — the third production tokenizer family beside :func:`bpe_train`
+    (frequency-argmax merges) and :func:`unigram_train`
+    (Viterbi-EM): each step merges the adjacent symbol pair with the
+    highest likelihood gain ``count(ab) / (count(a) * count(b))``,
+    ties to the lexicographically greatest pair so retraining is
+    deterministic. Returns ``(vocab, merges)`` — ``vocab`` is the
+    ordered piece list (sorted base symbols, then merged pieces in
+    creation order, the id assignment), ``merges`` the pair list.
+
+    Scale shape: the :func:`bpe_train` discipline — ONE distributed
+    job (the capped frequency-weighted vocabulary aggregation), then
+    a driver-side merge loop over at most ``max_vocab`` short words,
+    corpus-size-independent after the single scan;
+    :func:`wordpiece_pair_scores` is its distributed single-step
+    twin."""
+    from collections import Counter
+
+    rows = (corpus_vocabulary(df, text_col)
+            .orderBy(F.desc("token_count"), "token")
+            .limit(max_vocab).collect())
+    words = {}
+    for r in rows:
+        chars = tuple(r.token)
+        syms = (chars[0],) + tuple(WORDPIECE_CONT + c
+                                   for c in chars[1:])
+        words[syms] = words.get(syms, 0) + int(r.token_count)
+    base = sorted({s for syms in words for s in syms})
+    vocab = list(base)
+    seen = set(vocab)
+    merges = []
+    while len(vocab) < vocab_size:
+        pair_c = Counter()
+        sym_c = Counter()
+        for syms, c in words.items():
+            for s in syms:
+                sym_c[s] += c
+            for i in range(len(syms) - 1):
+                pair_c[(syms[i], syms[i + 1])] += c
+        if not pair_c:
+            break
+        pair, cnt = max(
+            pair_c.items(),
+            key=lambda kv: (kv[1] / (sym_c[kv[0][0]]
+                                     * sym_c[kv[0][1]]), kv[0]))
+        if pair_c[pair] < min_frequency:
+            break
+        a, b = pair
+        new_sym = a + b[len(WORDPIECE_CONT):]
+        merges.append(pair)
+        if new_sym not in seen:
+            vocab.append(new_sym)
+            seen.add(new_sym)
+        nxt = {}
+        for syms, c in words.items():
+            if a in syms:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(new_sym)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            nxt[syms] = nxt.get(syms, 0) + c
+        words = nxt
+    return vocab, merges
+
+
+def wordpiece_encode(df: DataFrame, vocab,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     out_col: str = "wp_tokens",
+                     unk: str = "[UNK]") -> DataFrame:
+    """Apply a learned WordPiece vocabulary: lowercased whitespace
+    words segment by GREEDY LONGEST-MATCH-FIRST (the BERT inference
+    rule — take the longest vocabulary prefix, continuation pieces
+    carry ``##``); a word with no full segmentation becomes the
+    single ``unk`` token (whole-word UNK, the BERT convention —
+    partial prefixes are discarded, not emitted).
+
+    Scale shape: the vocabulary set ships once per task inside the
+    serialized closure (the broadcast pattern); rows never shuffle —
+    encoding is a pure Arrow-batched map with a per-batch word cache,
+    so cost tracks DISTINCT words per batch."""
+    import pandas as pd
+
+    pieces = set(vocab)
+    max_len = max((len(p) - (len(WORDPIECE_CONT)
+                             if p.startswith(WORDPIECE_CONT) else 0)
+                   for p in pieces), default=1)
+    out_field = T.StructField(out_col, T.ArrayType(T.StringType()))
+    schema = T.StructType(
+        [f for f in df.schema.fields
+         if f.name in (id_col,)] + [out_field])
+
+    def enc_word(w):
+        out, i, n = [], 0, len(w)
+        while i < n:
+            j = min(n, i + max_len)
+            piece = None
+            while j > i:
+                cand = w[i:j] if i == 0 else WORDPIECE_CONT + w[i:j]
+                if cand in pieces:
+                    piece = cand
+                    break
+                j -= 1
+            if piece is None:
+                return [unk]
+            out.append(piece)
+            i = j
+        return out
+
+    def batches(it):
+        for pdf in it:
+            cache = {}
+            toks = []
+            for text in pdf[text_col]:
+                parts = []
+                for w in (text or "").lower().split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = enc_word(w)
+                        cache[w] = got
+                    parts.extend(got)
+                toks.append(parts)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def _r6(x: float) -> float:
     """Half-up-toward-+inf rounding to 6 dp on the BINARY double —
     ``floor(x * 1e6 + 0.5) / 1e6``, three IEEE ops any SQL engine

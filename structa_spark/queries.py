@@ -4347,6 +4347,62 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@register("wordpiece_merge_candidates", oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY 1
+), syms AS (
+  SELECT list_transform(range(1, length(token) + 1),
+                        i -> CASE WHEN i = 1
+                             THEN substr(token, 1, 1)
+                             ELSE '##' || substr(token, i, 1)
+                             END) AS sy,
+         length(token) AS len, c
+  FROM vocab
+), symc AS (
+  SELECT s AS symbol, CAST(sum(c) AS BIGINT) AS sc
+  FROM (SELECT unnest(sy) AS s, c FROM syms) GROUP BY 1
+), pr AS (
+  SELECT unnest(list_transform(range(1, len),
+                               i -> {'l': sy[i], 'r': sy[i + 1]}))
+             AS p, c
+  FROM syms WHERE len >= 2
+), pairc AS (
+  SELECT p.l AS left_sym, p.r AS right_sym,
+         CAST(sum(c) AS BIGINT) AS pair_count
+  FROM pr GROUP BY 1, 2
+)
+SELECT pc.left_sym, pc.right_sym, pc.pair_count,
+       pc.pair_count / (lc.sc * rc.sc) AS score
+FROM pairc pc
+JOIN symc lc ON lc.symbol = pc.left_sym
+JOIN symc rc ON rc.symbol = pc.right_sym
+ORDER BY score DESC, left_sym, right_sym LIMIT 20
+""")
+def wordpiece_merge_candidates(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Top-20 WordPiece merge candidates: the argmax table of one
+    WordPiece training step (Wu et al. 2016) — likelihood-gain
+    scores ``count(ab) / (count(a) * count(b))`` over character
+    symbols in the ``##`` continuation convention, computed over the
+    VOCABULARY so cost is corpus-size-independent after one counting
+    pass. Beside bpe_merge_candidates this completes the production
+    tokenizer-family triptych (BPE frequency-argmax, unigram-LM
+    Viterbi-EM, WordPiece likelihood-argmax); the score column is an
+    exact-integer division so the oracle replays it bit-for-bit with
+    no rounding step. The driver-side wordpiece_train /
+    wordpiece_encode pair (greedy longest-match inference,
+    whole-word UNK) is unit-pinned, the bpe_train precedent."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.wordpiece_pair_scores(d)
+            .orderBy(F.desc("score"), "left_sym", "right_sym")
+            .limit(20))
+
+
 # The unigram-LM trainer's full SQL replay, shared by the vocab and
 # the corpus-encode queries: capped word list -> substring seed ->
 # rounded initial log-probs -> recursive-CTE Viterbi -> smoothed
@@ -6110,6 +6166,103 @@ def audio_spectral_features(spark: SparkSession,
     return mm.audio_spectral_features(media).orderBy("media_id")
 
 
+@register("audio_clipping_stats", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 300 + 1 AS n FROM documents
+),
+s AS (
+  SELECT media_id, t.t,
+         CASE
+           WHEN t.t % 97 < media_id % 7 THEN 0
+           WHEN ((media_id * 11 + 29 * t.t) % 1001) - 500 > 450
+             THEN 32767
+           WHEN ((media_id * 11 + 29 * t.t) % 1001) - 500 < -450
+             THEN -32768
+           ELSE (((media_id * 11 + 29 * t.t) % 1001) - 500) * 60
+         END AS v
+  FROM ids CROSS JOIN generate_series(0, 299) t(t)
+  WHERE t.t < n
+),
+agg AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(v)) AS DOUBLE) AS peak,
+         floor(sqrt(sum(v * v) / count(*)) * 10000 + 0.5) / 10000
+             AS rms,
+         floor((sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END)
+                / count(*)) * 1000000 + 0.5) / 1000000
+             AS clipped_frac
+  FROM s GROUP BY 1
+),
+sil AS (
+  SELECT media_id, t,
+         t - row_number() OVER (PARTITION BY media_id ORDER BY t)
+             AS grp
+  FROM s WHERE v = 0
+),
+runs AS (
+  SELECT media_id, CAST(max(c) AS BIGINT) AS max_silence_run
+  FROM (SELECT media_id, grp, count(*) AS c
+        FROM sil GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT a.media_id, a.n_samples, a.peak, a.rms, a.clipped_frac,
+       coalesce(r.max_silence_run, 0) AS max_silence_run
+FROM agg a LEFT JOIN runs r USING (media_id)
+ORDER BY a.media_id
+""")
+def audio_clipping_stats(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Clipping / silence / RMS-level screen, values-checked END TO
+    END through the real WAV decoder — the recording-defect battery
+    beside ZCR and the spectral screen on the speech-curation
+    ladder. Clips synthesize from doc_id with all three defects
+    baked in arithmetically: samples whose raw formula value exceeds
+    ±450 saturate at full scale (32767 / -32768 — the int16 minimum
+    exercises the ``>=`` clip edge), every 97-sample block opens
+    with an id-dependent forced-silence run (plus natural zeros
+    where the formula lands on 0, which must MERGE with adjacent
+    forced runs), and the rest scale into the normal range. The
+    oracle rebuilds every sample from the formula and replays the
+    peak, the integer-exact square sum under the 4-dp half-up
+    rounding, the ``>=`` full-scale count and the gaps-and-islands
+    longest-zero-run — a drift in the RIFF walk, the mixdown, the
+    clip edge, the rounding order or the run merging all
+    hash-mismatch.
+
+    Scale shape: one Arrow-batched decode projection, no shuffle;
+    the oracle's window/islands live oracle-side only."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 300 + 1
+                vals = []
+                for t in range(n):
+                    raw = ((i * 11 + 29 * t) % 1001) - 500
+                    if t % 97 < i % 7:
+                        vals.append(0)
+                    elif raw > 450:
+                        vals.append(32767)
+                    elif raw < -450:
+                        vals.append(-32768)
+                    else:
+                        vals.append(raw * 60)
+                samp = np.array(vals, dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_clipping_stats(media).orderBy("media_id")
+
+
 @register("image_exif_metadata", oracle="""
 SELECT doc_id AS media_id,
        'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
@@ -7384,6 +7537,91 @@ def host_policy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowlist=("site5.org",), min_keep_rate=0.98,
         max_dup_rate=0.5, min_rank=0.08)
         .orderBy("host"))
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS iteration CTEs replaying graph.hits exactly:
+    all-ones hub init, authority-then-hub update order, L1
+    normalization, per-half-iteration 9-dp round."""
+    parts = ["h0 AS (SELECT v, 1.0 AS h FROM nodes)"]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        parts.append(f"""
+ar{i} AS (
+  SELECT e.t AS v, sum({p}.h) AS a
+  FROM e JOIN {p} ON e.s = {p}.v GROUP BY e.t),
+an{i} AS (SELECT sum(a) AS s FROM ar{i}),
+a{i} AS (
+  SELECT nodes.v, round(coalesce(ar{i}.a, 0.0) / an{i}.s, 9) AS a
+  FROM nodes LEFT JOIN ar{i} ON ar{i}.v = nodes.v, an{i}),
+hr{i} AS (
+  SELECT e.s AS v, sum(a{i}.a) AS h
+  FROM e JOIN a{i} ON e.t = a{i}.v GROUP BY e.s),
+hn{i} AS (SELECT sum(h) AS s FROM hr{i}),
+h{i} AS (
+  SELECT nodes.v, round(coalesce(hr{i}.h, 0.0) / hn{i}.s, 9) AS h
+  FROM nodes LEFT JOIN hr{i} ON hr{i}.v = nodes.v, hn{i})""")
+    return ",".join(parts)
+
+
+@register("host_hits_scores", oracle=f"""
+WITH raw AS (
+  SELECT {_HOST_SQL} AS s,
+         {_site_sql("(doc_id * 3 + 1) % 13")} AS t
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT {_HOST_SQL}, {_site_sql("(doc_id * 5 + 2) % 13")}
+  FROM documents WHERE doc_id % 13 <> 0
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM e
+                          UNION SELECT t FROM e)),
+{_hits_sql(3)}
+SELECT a3.v AS host, round(a3.a, 6) AS authority,
+       round(h3.h, 6) AS hub
+FROM a3 JOIN h3 ON h3.v = a3.v ORDER BY host
+""")
+def host_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the same synthetic host link
+    graph as host_pagerank (Kleinberg 1999) — the two-sided signal
+    pagerank folds into one number: an aggregator/portal host scores
+    as a HUB (points at good content, rarely linked back), a content
+    host as an AUTHORITY; a spam farm scores as neither. site0 never
+    publishes links, so its hub score is exactly 0 while its
+    authority stays positive — the separation a single pagerank
+    column cannot express. The oracle rebuilds the edge set and
+    replays all three iterations — all-ones init, authority-then-hub
+    update order, L1 normalization, per-half-iteration rounding — so
+    any drift in the mutual-reinforcement loop hash-mismatches.
+
+    Scale shape: the corpus scan only derives edges (DISTINCT
+    collapses them to the host graph, localCheckpointed once); each
+    half-iteration shuffles the graph-sized relation, never the
+    corpus, and the L1 totals fold back as 1-row broadcasts — the
+    plan never touches the driver."""
+    d = _t(spark, sf_dir, "documents")
+
+    def site(k):
+        suffix = F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"),
+                    F.lit(".co.uk"), F.lit(".net")),
+            (k % 4 + 1).cast("int"))
+        return F.concat(F.lit("site"), k.cast("string"), suffix)
+
+    linking = d.where(F.col("doc_id") % 13 != 0)
+    src = text.registered_domain(text.host_of(_synth_host_url()))
+    e1 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 3 + 1) % 13).alias("dst"))
+    e2 = linking.select(
+        src.alias("src"),
+        site((F.col("doc_id") * 5 + 2) % 13).alias("dst"))
+    scores = graph.hits(e1.union(e2), iters=3)
+    return (scores.select(F.col("v").alias("host"),
+                          F.round("authority", 6).alias("authority"),
+                          F.round("hub", 6).alias("hub"))
+            .orderBy("host"))
 
 
 # ===========================================================================

@@ -1648,6 +1648,61 @@ def test_bpe_encode_roundtrip_and_invariance(spark):
     assert chars[0][:4] == ["t", "h", "e", text.BPE_EOW]
 
 
+def test_wordpiece_train_scores_not_counts(spark):
+    # "ab" x4 and "cd" x2: BPE would merge (a,##b) first (count 4),
+    # but WordPiece's likelihood gain 2/(2*2)=0.5 for (c,##d) beats
+    # 4/(4*4)=0.25 for (a,##b) — the rarer-but-glued pair wins
+    docs = [(0, "ab ab ab cd"), (1, "ab cd e")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab, merges = text.wordpiece_train(df, vocab_size=10,
+                                         min_frequency=1)
+    assert merges[0] == ("c", "##d")
+    assert merges[1] == ("a", "##b")
+    assert len(merges) == 2           # nothing left to merge
+    # vocab: sorted base symbols, then merged pieces in order
+    assert vocab == ["##b", "##d", "a", "c", "e", "cd", "ab"]
+    # retraining is deterministic
+    assert text.wordpiece_train(df, vocab_size=10,
+                                min_frequency=1) == (vocab, merges)
+
+
+def test_wordpiece_pair_scores_hand_computed(spark):
+    docs = [(0, "ab ab ab cd"), (1, "ab cd e")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.left_sym, r.right_sym): (r.pair_count, r.score)
+           for r in text.wordpiece_pair_scores(df).collect()}
+    assert got == {("a", "##b"): (4, 4 / (4 * 4)),
+                   ("c", "##d"): (2, 2 / (2 * 2))}
+
+
+def test_wordpiece_encode_longest_match_and_unk(spark):
+    train = spark.createDataFrame(
+        [(0, "ab ab ab cd"), (1, "ab cd e")],
+        "doc_id long, text string")
+    vocab, _ = text.wordpiece_train(train, vocab_size=10,
+                                    min_frequency=1)
+    docs = [(0, "ab"), (1, "e cd"),
+            # "abcd": longest prefix "ab" matches, but "##c" is not
+            # in the vocabulary -> whole-word UNK, no partial pieces
+            (2, "abcd"),
+            (3, "zzz"), (4, ""), (5, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.wp_tokens
+           for r in text.wordpiece_encode(df, vocab).collect()}
+    assert out[0] == ["ab"]
+    assert out[1] == ["e", "cd"]
+    assert out[2] == ["[UNK]"]
+    assert out[3] == ["[UNK]"]
+    assert out[4] == [] and out[5] == []
+    # longest-match-first: with "a", "ab" both present, "ab" wins
+    assert "a" in vocab and "ab" in vocab
+    # partitioning invariance
+    again = {r.doc_id: r.wp_tokens
+             for r in text.wordpiece_encode(df.repartition(4),
+                                            vocab).collect()}
+    assert out == again
+
+
 def test_resize_images_roundtrip(spark):
     import numpy as np
     rng = np.random.RandomState(9)
@@ -3498,6 +3553,63 @@ def test_pagerank_collapses_parallel_edges_and_self_loops(spark):
     assert got == {"a": 0.5, "b": 0.5}
 
 
+def test_hits_hand_computed_triangle(spark):
+    from structa_spark.operators import graph
+
+    # a -> b, a -> c, b -> c, c -> a : one iteration traced by hand
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    rows = graph.hits(edges, iters=1).collect()
+    auth = {r.v: r.authority for r in rows}
+    hub = {r.v: r.hub for r in rows}
+    # h0 = 1 everywhere; raw auth: a<-h(c)=1, b<-h(a)=1,
+    # c<-h(a)+h(b)=2; L1 sum 4
+    assert auth == {"a": 0.25, "b": 0.25, "c": 0.5}
+    # hubs read the NEW authorities: h(a)=a(b)+a(c)=0.75,
+    # h(b)=a(c)=0.5, h(c)=a(a)=0.25; L1 sum 1.5
+    assert hub == {"a": 0.5, "b": round(0.5 / 1.5, 9),
+                   "c": round(0.25 / 1.5, 9)}
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from structa_spark.operators import graph
+
+    # portal p links to every content host; nothing links to p:
+    # p must be the top hub with authority 0, the content hosts
+    # the authorities with hub 0
+    edges = spark.createDataFrame(
+        [("p", "x"), ("p", "y"), ("p", "z")],
+        "src string, dst string")
+    rows = graph.hits(edges, iters=3).collect()
+    auth = {r.v: r.authority for r in rows}
+    hub = {r.v: r.hub for r in rows}
+    assert auth["p"] == 0.0 and hub["p"] == 1.0
+    for v in ("x", "y", "z"):
+        assert hub[v] == 0.0
+        assert auth[v] == round(1.0 / 3.0, 9)
+    # both vectors stay L1-normalized
+    assert abs(sum(auth.values()) - 1.0) < 1e-6
+    assert abs(sum(hub.values()) - 1.0) < 1e-6
+
+
+def test_hits_collapses_parallel_edges_and_self_loops(spark):
+    from structa_spark.operators import graph
+
+    noisy = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")],
+        "src string, dst string")
+    clean = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    got = {(r.v, r.authority, r.hub)
+           for r in graph.hits(noisy, iters=2).collect()}
+    want = {(r.v, r.authority, r.hub)
+            for r in graph.hits(clean, iters=2).collect()}
+    assert got == want
+    # symmetric 2-cycle: perfectly balanced at 1/2 throughout
+    assert got == {("a", 0.5, 0.5), ("b", 0.5, 0.5)}
+
+
 def test_tokenizer_fertility_counts(spark):
     df = spark.createDataFrame(
         [(1, "en", "hello world"),          # 2 words -> 2 subwords
@@ -3878,6 +3990,59 @@ def test_audio_zero_crossings(spark):
     assert got[3].zcr == 0.0 and got[3].n_samples == 1
     assert got[4].zcr is None
     assert got[5].n_crossings == 3 and got[5].zcr == 1.0
+
+
+def test_audio_clipping_stats(spark):
+    import math
+
+    import numpy as np
+
+    def wav(samples):
+        arr = np.array(samples, dtype="<i2")
+        return multimodal.wav_bytes(8000, 1, len(arr), bits=16,
+                                    samples=arr.tobytes())
+
+    def fwav(samples):
+        arr = np.array(samples, dtype="<f4")
+        return multimodal.wav_bytes(8000, 1, len(arr), bits=32,
+                                    fmt_tag=3, samples=arr.tobytes())
+
+    rows = [
+        # clipped high AND at the int16 minimum (>= edge: |-32768|
+        # counts against full scale 32767); one normal sample
+        (1, wav([32767, -32768, 1000, 32767])),
+        # two separate zero runs, the longer one of length 3
+        (2, wav([0, 0, 5, 0, 0, 0, 7])),
+        # all silence: run spans the clip, rms and peak exactly 0
+        (3, wav([0, 0])),
+        (4, b"junk"),
+        # float WAV: full scale 1.0, |s| >= 1.0 never true in [-1, 1)
+        (5, fwav([0.5, -0.25, 0.0, 0.0])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           multimodal.audio_clipping_stats(df).collect()}
+
+    r1 = got[1]
+    assert r1.peak == 32768.0
+    assert r1.clipped_frac == 0.75
+    ss = 32767 ** 2 + 32768 ** 2 + 1000 ** 2 + 32767 ** 2
+    assert r1.rms == math.floor(math.sqrt(ss / 4) * 1e4 + 0.5) / 1e4
+    assert r1.max_silence_run == 0
+
+    assert got[2].max_silence_run == 3
+    assert got[2].clipped_frac == 0.0
+
+    assert got[3].peak == 0.0 and got[3].rms == 0.0
+    assert got[3].max_silence_run == 2
+
+    assert got[4].rms is None and got[4].max_silence_run is None
+
+    r5 = got[5]
+    assert r5.peak == 0.5 and r5.clipped_frac == 0.0
+    assert r5.max_silence_run == 2
+    fss = 0.5 ** 2 + 0.25 ** 2
+    assert r5.rms == math.floor(math.sqrt(fss / 4) * 1e4 + 0.5) / 1e4
 
 
 def test_image_pixel_stats(spark):

@@ -72,6 +72,9 @@ _SCALAR_BROADCAST_OK = {
     "host_policy_v2",            # composes host_pagerank's ranks:
                                  # inherits the same two 1-row
                                  # scalar broadcasts
+    "host_hits_scores",          # broadcast(L1 norm total) — one
+                                 # 1-row scalar folded into every
+                                 # half-iteration
 }
 
 

@@ -240,6 +240,9 @@ def test_driver_window_covers_every_family():
         "unigram_encode_fertility": "unigram_tokenizer_vocab",
         "quality_gopher_calibration": "gopher_quality_flags",
         "embedding_health_report": "embedding_quantization",
+        "host_hits_scores": "host_pagerank",
+        "audio_clipping_stats": "audio_zcr_features",
+        "wordpiece_merge_candidates": "bpe_merge_candidates",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
