@@ -4808,6 +4808,89 @@ def video_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_metadata(media).orderBy("media_id")
 
 
+@register("video_frame_index", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 50 + 1 AS n,
+         (doc_id % 50 + 2) // 2 AS h
+  FROM documents
+),
+fr AS (
+  SELECT media_id, t.t AS frame_idx,
+         CASE WHEN media_id % 5 = 0 THEN 800
+              ELSE 500 + ((media_id * 13 + 7 * t.t) % 900)
+         END AS sz,
+         CASE WHEN t.t < h THEN t.t * 100
+              ELSE h * 100 + (t.t - h) * 200 END AS ticks
+  FROM ids CROSS JOIN generate_series(0, 49) t(t)
+  WHERE t.t < n
+),
+cum AS (
+  SELECT media_id, frame_idx, ticks, sz,
+         coalesce(sum(sz) OVER (
+             PARTITION BY media_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS prior
+  FROM fr
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       floor((ticks / 2400) * 1000000 + 0.5) / 1000000 AS ts_s,
+       CAST(4096 + prior AS BIGINT) AS byte_offset,
+       CAST(sz AS BIGINT) AS n_bytes
+FROM cum WHERE frame_idx % 5 = 0
+ORDER BY media_id, frame_idx
+""")
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame index + every-5th-frame sampling through the REAL
+    ISO-BMFF sample-table walk — the byte-range selection step a
+    video training pipeline runs before any codec: synthesize
+    streams whose ``moov/trak/mdia`` holds a full
+    ``stts``/``stsz``/``stsc``/``stco`` table (two-run stts — the
+    frame rate halves midway; per-sample sizes from the id formula,
+    with every 5th id exercising stsz's uniform-size field; chunks
+    of 1-3 samples from the id so the stsc/stco sample→chunk→offset
+    mapping does real work), parse everything back OUT OF THE BYTES
+    with operators.multimodal.parse_sample_table, and emit the
+    sampled frames' decode timestamps and byte ranges. The oracle
+    predicts every kept frame arithmetically — run-length
+    timestamps, the 6-dp tick division, the cumulative-size offsets
+    — so a drift anywhere in the four-box walk hash-mismatches.
+
+    Scale shape: one Arrow-batched projection, no shuffle; only the
+    kept frames' index rows (not payloads) enter the plan."""
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 50 + 1
+                h = (n + 1) // 2
+                stts = [(h, 100)]
+                if n > h:
+                    stts.append((n - h, 200))
+                kw = dict(samples_per_chunk=i % 3 + 1,
+                          base_offset=4096)
+                if i % 5 == 0:
+                    payload = mm.mp4_frame_index_bytes(
+                        320, 240, 2400, stts, uniform_size=800,
+                        n_samples=n, **kw)
+                else:
+                    sizes = [500 + ((i * 13 + 7 * t) % 900)
+                             for t in range(n)]
+                    payload = mm.mp4_frame_index_bytes(
+                        320, 240, 2400, stts, sample_sizes=sizes,
+                        **kw)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (mm.video_frame_index(media, every_k=5)
+            .orderBy("media_id", "frame_idx"))
+
+
 @register("sliding_event_stats", oracle="""
 WITH x AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts)

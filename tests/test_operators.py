@@ -1473,6 +1473,72 @@ def test_video_metadata_distributed(spark):
                    for i in range(6)}
 
 
+def test_parse_sample_table_chunked_and_uniform():
+    from structa_spark.operators import multimodal as mm
+
+    # per-sample sizes, 2 samples per chunk, contiguous layout
+    p = mm.mp4_frame_index_bytes(
+        320, 240, 1000, [(4, 50)], sample_sizes=[10, 20, 30, 40],
+        samples_per_chunk=2, base_offset=100)
+    ts, frames = mm.parse_sample_table(p)
+    assert ts == 1000
+    assert frames == [(0, 100, 10), (50, 110, 20),
+                      (100, 130, 30), (150, 160, 40)]
+
+    # uniform stsz field (no per-sample table) + two stts runs
+    p2 = mm.mp4_frame_index_bytes(
+        320, 240, 2400, [(2, 100), (1, 200)], uniform_size=800,
+        n_samples=3, samples_per_chunk=3, base_offset=4096)
+    ts2, frames2 = mm.parse_sample_table(p2)
+    assert ts2 == 2400
+    assert frames2 == [(0, 4096, 800), (100, 4896, 800),
+                       (200, 5696, 800)]
+
+    # junk / table-less payloads degrade to (None, None)
+    assert mm.parse_sample_table(b"junk") == (None, None)
+    assert mm.parse_sample_table(
+        mm.mp4_bytes(320, 240, 1000)) == (None, None)
+
+
+def test_parse_sample_table_multi_run_stsc():
+    from structa_spark.operators import multimodal as mm
+
+    # real-world stsc shape: first chunk holds 2 samples, later
+    # chunks 1 each; explicit non-contiguous chunk offsets
+    p = mm.mp4_frame_index_bytes(
+        320, 240, 1000, [(4, 50)], sample_sizes=[10, 20, 30, 40],
+        stsc_runs=[(1, 2), (2, 1)], chunk_offsets=[100, 200, 300])
+    ts, frames = mm.parse_sample_table(p)
+    assert ts == 1000
+    assert frames == [(0, 100, 10), (50, 110, 20),
+                      (100, 200, 30), (150, 300, 40)]
+
+
+def test_video_frame_index_sampling(spark):
+    import math
+
+    from structa_spark.operators import multimodal as mm
+
+    p = mm.mp4_frame_index_bytes(
+        320, 240, 2400, [(7, 100)],
+        sample_sizes=[10, 11, 12, 13, 14, 15, 16])
+    rows = [(1, p), (2, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.frame_idx): (r.ts_s, r.byte_offset,
+                                       r.n_bytes)
+           for r in mm.video_frame_index(df, every_k=3).collect()}
+    # frames 0, 3, 6 kept; offsets are cumulative sizes from 4096
+    assert got[(1, 0)] == (0.0, 4096, 10)
+    t3 = math.floor(300 / 2400 * 1e6 + 0.5) / 1e6
+    assert got[(1, 3)] == (t3, 4096 + 10 + 11 + 12, 13)
+    t6 = math.floor(600 / 2400 * 1e6 + 0.5) / 1e6
+    assert got[(1, 6)] == (t6, 4096 + sum([10, 11, 12, 13, 14, 15]),
+                           16)
+    assert len([k for k in got if k[0] == 1]) == 3
+    # undecodable: one null-frame row, cardinality stable
+    assert got[(2, None)] == (None, None, None)
+
+
 # -- LSH parameter tuning ---------------------------------------------------
 
 def test_tune_lsh_params_properties():

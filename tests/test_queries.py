@@ -243,6 +243,7 @@ def test_driver_window_covers_every_family():
         "host_hits_scores": "host_pagerank",
         "audio_clipping_stats": "audio_zcr_features",
         "wordpiece_merge_candidates": "bpe_merge_candidates",
+        "video_frame_index": "resized_media_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
