@@ -83,6 +83,8 @@ def main():
         audio_spectral_features, host_policy_v2,
         image_entropy_stats, unigram_encode_fertility,
         quality_gopher_calibration, embedding_health_report,
+        host_hits_scores, audio_clipping_stats,
+        wordpiece_merge_candidates, video_frame_index,
     )
     from structa_spark.sources.tables import load_table
 
@@ -204,6 +206,13 @@ def main():
             "unigram_encode": run_df(unigram_encode_fertility),
             "quality_calib": run_df(quality_gopher_calibration),
             "embed_health": run_df(embedding_health_report),
+            # late round-9 paths: the two-sided link signal, the
+            # recording-defect battery, the likelihood-argmax
+            # tokenizer step, the sample-table frame sampler
+            "host_hits": run_df(host_hits_scores),
+            "audio_clipping": run_df(audio_clipping_stats),
+            "wordpiece_step": run_df(wordpiece_merge_candidates),
+            "video_frames": run_df(video_frame_index),
         }
 
     suite = make_suite(SF_DIR)

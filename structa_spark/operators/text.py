@@ -464,6 +464,69 @@ def normalize_typography(df: DataFrame, text_col: str = "text",
                         F.coalesce(t != F.col(out_col), F.lit(False))))
 
 
+def _class_count(t: Column, char_class: str) -> Column:
+    """Occurrences of a single-character regex class: length minus
+    length-after-removal — identical semantics in Spark
+    (``regexp_replace`` replaces all) and DuckDB (``'g'`` flag), so
+    an oracle replays it verbatim with no dialect-specific counting
+    function."""
+    return (F.length(t)
+            - F.length(F.regexp_replace(t, char_class, "")))
+
+
+def script_mix_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health + script-mix screen — the multilingual
+    curation stage between raw ingest and language ID: a crawl
+    snapshot always carries double-encoded mojibake ("Ã©" where "é"
+    was meant), U+FFFD replacement chars from decode failures, and
+    stray control bytes; and a document whose character scripts
+    don't match its declared language is mislabeled or spam. One
+    projection per document:
+
+    * ``n_chars`` and per-script fractions (``latin_frac``,
+      ``digit_frac``, ``cyrillic_frac`` U+0400-U+04FF, ``cjk_frac``
+      U+4E00-U+9FFF) — explicit codepoint ranges, NOT ``\\p{...}``
+      classes, so Java-regex and RE2 engines count identically;
+    * ``mojibake_hits`` — occurrences of the three classic UTF-8-
+      read-as-Latin-1 markers: "Ã" (the double-encoding prefix every
+      Latin-1 accent maps into), the "â€" prefix (smart punctuation
+      mojibake), and U+FFFD;
+    * ``control_count`` — C0 control chars excluding tab/newline/CR;
+    * ``encoding_ok`` — no mojibake and no control bytes.
+
+    Counting is length-difference arithmetic (exact integers; the
+    "â€" substring via replace-length over 2), fractions round to
+    4 dp — everything replays in any SQL engine. Null text yields
+    zero counts and ``encoding_ok`` true (nothing bad seen). Pure
+    JVM expressions, no shuffle, composes into the quality batteries'
+    single scan and streams stateless."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def frac(c):
+        return F.round(F.when(n > 0, c / n)
+                       .otherwise(F.lit(0.0)), 4)
+
+    moji = (_class_count(t, "[Ã�]")
+            + (F.length(t)
+               - F.length(F.replace(t, F.lit("â€"), F.lit(""))))
+            / F.lit(2))
+    ctrl = _class_count(
+        t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        frac(_class_count(t, "[A-Za-z]")).alias("latin_frac"),
+        frac(_class_count(t, "[0-9]")).alias("digit_frac"),
+        frac(_class_count(t, "[Ѐ-ӿ]"))
+        .alias("cyrillic_frac"),
+        frac(_class_count(t, "[一-鿿]")).alias("cjk_frac"),
+        moji.cast("long").alias("mojibake_hits"),
+        ctrl.cast("long").alias("control_count"),
+        ((moji == 0) & (ctrl == 0)).alias("encoding_ok"))
+
+
 #: Gopher's required-stopword set (Rae et al. 2021, Table A1): a page
 #: must contain at least 2 distinct of these to pass the stopword rule.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",

@@ -2657,6 +2657,105 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+@register("ivf_recall_at_k", oracle="""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 4
+), assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT cid FROM cents
+          ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                      cents.cvec) DESC, cid
+          LIMIT 1) AS list_id
+  FROM embeddings e
+), qprobe AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS list_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                       c.cvec) DESC, cid) AS pr
+  FROM embeddings q, cents c WHERE q.vec_id < 3
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_inner_product(p.qv::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(p.qv::DOUBLE[],
+                                          p.qv::DOUBLE[]))
+                  * sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM qprobe p JOIN assigned a ON a.list_id = p.list_id
+                               AND a.vec_id <> p.query_id
+  WHERE p.pr <= 2
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id)
+                  AS rank
+    FROM scored) WHERE rank <= 5
+), escored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_inner_product(q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id)
+                  AS rank
+    FROM escored) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS recall_at_k
+FROM exact x LEFT JOIN ivf i
+  ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
+""")
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the IVF probe search against exact
+    brute-force cosine — the ANN-quality read-out beside lsh_recall:
+    an approximate index is only as good as its measured recall, and
+    nprobe=2 of 4 lists skips whole cells, so per-query recall is a
+    real number below 1 the pipeline must monitor when it tunes
+    nprobe/cell counts. Both rankings tiebreak identically (cosine
+    6-dp, then vec_id), so the truth and candidate sets are
+    deterministic; the oracle replays BOTH search paths end to end —
+    assignment argmax, probe ranking, both top-5 windows — plus the
+    intersection count and the recall division.
+
+    Scale shape: the IVF side probes nprobe cells (never the whole
+    corpus); the exact side is the labeled broadcast(queries) x
+    corpus scan that defines the ground truth — the evaluation cost
+    one pays ONCE per tuning run on a bounded query sample, never in
+    production search."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [r.embedding for r in e.where(F.col("vec_id") < 4)
+                                   .orderBy("vec_id").collect()]
+    q = e.where(F.col("vec_id") < 3)
+    ivf = (similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+           .select("query_id", "vec_id", F.lit(1).alias("__hit")))
+    exact = (similarity.cosine_topk(e, q, k=5)
+             .select("query_id", "vec_id"))
+    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_truth"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("n_hits"))
+            .select("query_id", "n_truth", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_truth"), 4)
+                    .alias("recall_at_k"))
+            .orderBy("query_id"))
+
+
 @register("training_manifest", oracle=f"""
 WITH f AS (
   {_quality_f_sql('lang,')}),
@@ -3107,6 +3206,75 @@ def normalized_text_stats(spark: SparkSession,
         d.select("doc_id", messy.alias("text")))
     return (out.select("doc_id", "text_norm", "norm_changed")
             .orderBy("doc_id"))
+
+
+_ENC_FRAC_SQL = ("round(CASE WHEN length(t) > 0 THEN "
+                 "(length(t) - length(regexp_replace(t, '{cls}', "
+                 "'', 'g'))) / length(t) ELSE 0.0 END, 4)")
+
+
+@register("encoding_quality_report", oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© noÃ«l â€œquotedâ€�'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN 'до свидания' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN '你好世界' ELSE '' END
+             AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(t) AS BIGINT) AS n_chars,
+  {_ENC_FRAC_SQL.format(cls='[A-Za-z]')} AS latin_frac,
+  {_ENC_FRAC_SQL.format(cls='[0-9]')} AS digit_frac,
+  {_ENC_FRAC_SQL.format(cls='[Ѐ-ӿ]')} AS cyrillic_frac,
+  {_ENC_FRAC_SQL.format(cls='[一-鿿]')} AS cjk_frac,
+  CAST((length(t) - length(regexp_replace(t, '[Ã�]', '', 'g')))
+       + (length(t) - length(replace(t, 'â€', ''))) / 2
+       AS BIGINT) AS mojibake_hits,
+  CAST(length(t) - length(regexp_replace(t,
+       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+       AS BIGINT) AS control_count,
+  ((length(t) - length(regexp_replace(t, '[Ã�]', '', 'g')))
+   + (length(t) - length(replace(t, 'â€', ''))) / 2 = 0
+   AND length(t) - length(regexp_replace(t,
+       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) = 0)
+      AS encoding_ok
+FROM aug ORDER BY doc_id
+""")
+def encoding_quality_report(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Encoding-health + script-mix screen, values-checked on
+    synthesized defects: the ASCII corpus gets deterministic per-doc
+    injections — the classic UTF-8-read-as-Latin-1 mojibake ("cafÃ©
+    noÃ«l", the "â€œ...â€" smart-quote wreckage, U+FFFD), a C0
+    control byte, Cyrillic and CJK runs — and
+    ``text.script_mix_stats`` must count every one: per-script
+    fractions over explicit codepoint ranges (engine-portable, no
+    ``\\p{{...}}`` dialect), mojibake marker hits (the "â€"
+    substring counted by replace-length over 2), control bytes, and
+    the ``encoding_ok`` verdict. The oracle rebuilds the same
+    augmented text and replays the identical length-difference
+    arithmetic, so one wrong range endpoint or marker
+    hash-mismatches. One projection, no shuffle; composes with the
+    quality batteries in the same scan and streams stateless."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" cafÃ© noÃ«l â€œquotedâ€�"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\x07"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("до свидания"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("你好世界"))
+        .otherwise(F.lit("")))
+    return (text.script_mix_stats(
+        d.select("doc_id", aug.alias("text")))
+        .orderBy("doc_id"))
 
 
 @register("benchmark_contamination_report", oracle=f"""

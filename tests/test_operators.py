@@ -3130,6 +3130,48 @@ def test_normalize_typography(spark):
     assert all(not r.norm_changed for r in again.collect())
 
 
+def test_script_mix_stats(spark):
+    from structa_spark.operators import text as T
+
+    rows = [(1, "hello 123"),                  # 5 latin, 3 digits
+            (2, "привет мир"),                 # 9 cyrillic + space
+            (3, "你好"),                        # 2 CJK
+            (4, "cafÃ© â€œq"),                 # mojibake: Ã + â€
+            (5, "bad\x07byte"),                # control char
+            (6, "repl � here"),           # replacement char
+            (7, None),                         # null text
+            (8, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.script_mix_stats(df).collect()}
+
+    r1 = got[1]
+    assert r1.n_chars == 9
+    assert r1.latin_frac == round(5 / 9, 4)
+    assert r1.digit_frac == round(3 / 9, 4)
+    assert r1.encoding_ok
+
+    r2 = got[2]
+    assert r2.cyrillic_frac == round(9 / 10, 4)
+    assert r2.latin_frac == 0.0
+
+    assert got[3].cjk_frac == 1.0
+
+    r4 = got[4]
+    # "cafÃ© â€œq": one Ã + one â€ substring = 2 hits
+    assert r4.mojibake_hits == 2
+    assert not r4.encoding_ok
+
+    assert got[5].control_count == 1 and not got[5].encoding_ok
+    assert got[6].mojibake_hits == 1 and not got[6].encoding_ok
+
+    # null and empty: zero counts, nothing bad seen
+    for i in (7, 8):
+        assert got[i].n_chars == 0
+        assert got[i].latin_frac == 0.0
+        assert got[i].mojibake_hits == 0
+        assert got[i].encoding_ok
+
+
 def test_c4_clean_lines_idempotent(spark):
     # cleaning is a FIXPOINT: every line the cleaner keeps already
     # satisfies all three keep rules, so re-cleaning the cleaned text

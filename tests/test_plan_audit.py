@@ -44,6 +44,11 @@ _QUADRATIC_OK = {
                                  # on 4x-smaller codes
     "hybrid_rrf_topk",           # fuses two of the above scans;
                                  # inherits their labeled shape
+    "ivf_recall_at_k",           # the ground-truth side IS the
+                                 # labeled exact scan (recall is
+                                 # measured against brute force, paid
+                                 # once per tuning run on a bounded
+                                 # query sample)
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a

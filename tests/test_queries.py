@@ -71,7 +71,13 @@ SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
               # seed competition, the rank/keep-rate interplay)
               "longest_dup_span_report", "unigram_tokenizer_vocab",
               "host_policy_v2", "unigram_encode_fertility",
-              "quality_gopher_calibration"]
+              "quality_gopher_calibration",
+              # late round-9 newcomers whose semantics depend on
+              # volume (L1-norm drift across a denser graph, the
+              # vocabulary-weighted pair/symbol counts, cumulative
+              # frame offsets over longer streams)
+              "host_hits_scores", "wordpiece_merge_candidates",
+              "video_frame_index"]
 
 
 @pytest.fixture(scope="module")
@@ -244,6 +250,8 @@ def test_driver_window_covers_every_family():
         "audio_clipping_stats": "audio_zcr_features",
         "wordpiece_merge_candidates": "bpe_merge_candidates",
         "video_frame_index": "resized_media_stats",
+        "ivf_recall_at_k": "ivf_topk_search",
+        "encoding_quality_report": "normalized_text_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \

@@ -1111,3 +1111,108 @@ def test_incremental_dup_span_ladder_stream_matches_batch(
     assert by_id[10][3] == 16 and by_id[10][4]    # indexed 20-run
     assert by_id[11][3] == 0                      # novel
     assert by_id[12] == (12, 0, 0, 0, False)      # empty doc kept
+
+
+def test_audio_clipping_stats_streams_stateless(spark, tmp_path):
+    # the clipping/silence screen is one stateless mapInPandas stage:
+    # it must run on a stream unchanged, append mode, equal to the
+    # batch twin — including the undecodable null row
+    import json as _json
+
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    ids = [0, 1, 2]
+    p = tmp_path / "clipids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i == 2:
+                    rows.append((i, b"junk"))
+                    continue
+                samp = np.array([32767, 0, 0, -32768, 100 * i],
+                                dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, len(samp), bits=16,
+                    samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = mm.audio_clipping_stats(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "clip_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM clip_stream").collect())
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = sorted(tuple(r) for r in mm.audio_clipping_stats(
+        bdf.mapInPandas(build, "media_id long, payload binary"))
+        .collect())
+    assert got == want and len(got) == 3
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][2] == 32768.0          # peak sees the minimum
+    # id 0 ends in a trailing 0: runs are {1,2} and {4}, max 2 — the
+    # -32768 at position 3 splits them
+    assert by_id[0][5] == 2
+    assert by_id[1][5] == 2
+    assert by_id[2][1:] == (None, None, None, None, None)
+
+
+def test_video_frame_index_streams_stateless(spark, tmp_path):
+    # frame sampling is one stateless mapInPandas stage over opaque
+    # payloads (fan-out per frame, no state): append-mode stream
+    # equals the batch twin row for row
+    import json as _json
+
+    from structa_spark.operators import multimodal as mm
+
+    ids = [0, 1]
+    p = tmp_path / "frameids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i == 1:
+                    rows.append((i, b"nope"))
+                    continue
+                rows.append((i, mm.mp4_frame_index_bytes(
+                    320, 240, 1000, [(5, 40)],
+                    sample_sizes=[10, 20, 30, 40, 50],
+                    samples_per_chunk=2)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = mm.video_frame_index(
+        sdf.mapInPandas(build, "media_id long, payload binary"),
+        every_k=2)
+    _run_stream(out, "frame_stream", "append")
+    got = sorted((tuple(r) for r in
+                  spark.sql("SELECT * FROM frame_stream").collect()),
+                 key=str)
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = sorted((tuple(r) for r in mm.video_frame_index(
+        bdf.mapInPandas(build, "media_id long, payload binary"),
+        every_k=2).collect()), key=str)
+    assert got == want
+    kept = [t for t in got if t[0] == 0]
+    assert [t[1] for t in kept] == [0, 2, 4]     # frames 0, 2, 4
+    assert kept[1][3] == 4096 + 10 + 20          # cumulative offset
+    assert [t[1:] for t in got if t[0] == 1] == [
+        (None, None, None, None)]
