@@ -1216,3 +1216,34 @@ def test_video_frame_index_streams_stateless(spark, tmp_path):
     assert kept[1][3] == 4096 + 10 + 20          # cumulative offset
     assert [t[1:] for t in got if t[0] == 1] == [
         (None, None, None, None)]
+
+
+def test_script_mix_stats_streams_stateless(spark, tmp_path):
+    # the encoding/script screen is a pure projection: append-mode
+    # stream must equal the batch twin, including mojibake and
+    # control-byte rows
+    import json as _json
+
+    from structa_spark.operators import text as T_
+
+    rows = [(0, "hello 123"), (1, "cafÃ© â€œq"),
+            (2, "bad\x07byte"), (3, None)]
+    p = tmp_path / "scriptdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i, t in rows:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(T_.script_mix_stats(sdf), "script_stream", "append")
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM script_stream").collect())
+    bdf = spark.createDataFrame(rows, schema)
+    want = sorted(tuple(r) for r in
+                  T_.script_mix_stats(bdf).collect())
+    assert got == want and len(got) == 4
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][6] == 2 and not by_id[1][8]   # mojibake hits
+    assert by_id[2][7] == 1 and not by_id[2][8]   # control byte
+    assert by_id[3][1] == 0 and by_id[3][8]       # null reads clean
