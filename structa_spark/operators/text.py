@@ -1761,6 +1761,30 @@ def wordpiece_train(df: DataFrame, vocab_size: int = 200,
     return vocab, merges
 
 
+def _wordpiece_encode_word(w, pieces, max_len, unk):
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (the BERT inference rule): take the longest vocabulary prefix at
+    each position (continuation pieces carry ``##``); any position
+    with no match makes the WHOLE word ``unk`` — partial prefixes
+    are discarded, not emitted. Pure Python — runs executor-side
+    inside Arrow batches and directly under property tests."""
+    out, i, n = [], 0, len(w)
+    while i < n:
+        j = min(n, i + max_len)
+        piece = None
+        while j > i:
+            cand = w[i:j] if i == 0 else WORDPIECE_CONT + w[i:j]
+            if cand in pieces:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        i = j
+    return out
+
+
 def wordpiece_encode(df: DataFrame, vocab,
                      text_col: str = "text", id_col: str = "doc_id",
                      out_col: str = "wp_tokens",
@@ -1787,23 +1811,6 @@ def wordpiece_encode(df: DataFrame, vocab,
         [f for f in df.schema.fields
          if f.name in (id_col,)] + [out_field])
 
-    def enc_word(w):
-        out, i, n = [], 0, len(w)
-        while i < n:
-            j = min(n, i + max_len)
-            piece = None
-            while j > i:
-                cand = w[i:j] if i == 0 else WORDPIECE_CONT + w[i:j]
-                if cand in pieces:
-                    piece = cand
-                    break
-                j -= 1
-            if piece is None:
-                return [unk]
-            out.append(piece)
-            i = j
-        return out
-
     def batches(it):
         for pdf in it:
             cache = {}
@@ -1813,7 +1820,8 @@ def wordpiece_encode(df: DataFrame, vocab,
                 for w in (text or "").lower().split():
                     got = cache.get(w)
                     if got is None:
-                        got = enc_word(w)
+                        got = _wordpiece_encode_word(
+                            w, pieces, max_len, unk)
                         cache[w] = got
                     parts.extend(got)
                 toks.append(parts)

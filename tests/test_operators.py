@@ -4238,3 +4238,17 @@ def test_flesch_reading_ease_formula(spark):
     assert r.flesch == round(want, 4)
     assert out[2].n_syllables == 1     # the floor
     assert 3 not in out
+
+
+def test_hits_checkpoint_cadence_is_value_invariant(spark):
+    from structa_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string")
+    plain = {(r.v, r.authority, r.hub)
+             for r in graph.hits(edges, iters=3).collect()}
+    ck = {(r.v, r.authority, r.hub)
+          for r in graph.hits(edges, iters=3,
+                              checkpoint_every=1).collect()}
+    assert plain == ck

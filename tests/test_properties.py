@@ -223,3 +223,38 @@ def test_wav_roundtrip_property(samples, channels):
     got, rate = decode_wav_samples(b)
     assert rate == 8000
     assert np.array_equal(got.ravel(), s)
+
+
+@given(st.text(alphabet="abcdef", min_size=1, max_size=20),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_wordpiece_encode_roundtrip_property(word, seed):
+    # with every single character in the vocabulary, greedy
+    # longest-match never UNKs and the pieces rejoin to the word
+    import random
+
+    from structa_spark.operators.text import (
+        WORDPIECE_CONT, _wordpiece_encode_word)
+
+    rng = random.Random(seed)
+    pieces = {word[0]}
+    pieces.update(WORDPIECE_CONT + c for c in set(word[1:]))
+    pieces.update(c for c in set(word))      # word-initial singles
+    # add random contiguous merges (both word-initial and ##-forms)
+    for _ in range(rng.randint(0, 8)):
+        i = rng.randrange(len(word))
+        j = rng.randint(i + 1, min(len(word), i + 6))
+        frag = word[i:j]
+        pieces.add(frag if i == 0 else WORDPIECE_CONT + frag)
+    max_len = max(len(p) - (len(WORDPIECE_CONT)
+                            if p.startswith(WORDPIECE_CONT) else 0)
+                  for p in pieces)
+    got = _wordpiece_encode_word(word, pieces, max_len, "[UNK]")
+    assert got != ["[UNK]"]
+    rebuilt = got[0] + "".join(p[len(WORDPIECE_CONT):]
+                               for p in got[1:])
+    assert rebuilt == word
+    # greedy: the first piece is the LONGEST vocab prefix
+    best = max((w for w in (word[:k] for k in range(1, len(word) + 1))
+                if w in pieces), key=len)
+    assert got[0] == best

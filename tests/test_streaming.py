@@ -1247,3 +1247,37 @@ def test_script_mix_stats_streams_stateless(spark, tmp_path):
     assert by_id[1][6] == 2 and not by_id[1][8]   # mojibake hits
     assert by_id[2][7] == 1 and not by_id[2][8]   # control byte
     assert by_id[3][1] == 0 and by_id[3][8]       # null reads clean
+
+
+def test_wordpiece_encode_streams_stateless(spark, tmp_path):
+    # encoding against a FROZEN vocabulary is a pure projection:
+    # append-mode stream equals the batch twin
+    import json as _json
+
+    from structa_spark.operators import text as T_
+
+    train = spark.createDataFrame(
+        [(0, "ab ab ab cd"), (1, "ab cd e")],
+        "doc_id long, text string")
+    vocab, _ = T_.wordpiece_train(train, vocab_size=10,
+                                  min_frequency=1)
+    rows = [(0, "ab cd"), (1, "e zz"), (2, None)]
+    p = tmp_path / "wpdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i, t in rows:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    _run_stream(T_.wordpiece_encode(sdf, vocab), "wp_stream",
+                "append")
+    got = {r.doc_id: r.wp_tokens for r in
+           spark.sql("SELECT * FROM wp_stream").collect()}
+    bdf = spark.createDataFrame(rows, schema)
+    want = {r.doc_id: r.wp_tokens
+            for r in T_.wordpiece_encode(bdf, vocab).collect()}
+    assert got == want
+    assert got[0] == ["ab", "cd"]
+    assert got[1] == ["e", "[UNK]"]
+    assert got[2] == []
