@@ -527,6 +527,51 @@ def script_mix_stats(df: DataFrame, text_col: str = "text",
         ((moji == 0) & (ctrl == 0)).alias("encoding_ok"))
 
 
+def source_vocab_overlap(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices — the
+    cross-source redundancy dashboard beside
+    :func:`token_js_divergence`'s distributional drift: two sources
+    whose token SETS are near-identical are candidates for
+    cross-source dedup (mirrors, re-crawls), where JSD only says
+    their frequencies differ. Returns one row per unordered slice
+    pair that shares at least one token: ``(source_a, source_b,
+    n_a, n_b, n_common, jaccard)`` with exact set Jaccard
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` rounded to 4 dp (exact-integer
+    operands — any engine replays the division).
+
+    Scale shape: the corpus collapses to the DISTINCT (slice, token)
+    relation first — bounded by vocabulary x slices, not corpus
+    length — so the token self-join fans out at most #slices rows
+    per token and the result is #slice-pairs rows; per-slice set
+    sizes fold in as a broadcast. No slice's raw text ever joins."""
+    st = (df.select(F.col(group_col).alias("g"),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+          .distinct())
+    counts = st.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("g").alias("source_a"), "token")
+    b = st.select(F.col("g").alias("source_b"), "token")
+    inter = (a.join(b, "token")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    ca = counts.select(F.col("g").alias("source_a"),
+                       F.col("n").alias("n_a"))
+    cb = counts.select(F.col("g").alias("source_b"),
+                       F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(ca), "source_a")
+            .join(F.broadcast(cb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 4)
+                    .alias("jaccard")))
+
+
 #: Gopher's required-stopword set (Rae et al. 2021, Table A1): a page
 #: must contain at least 2 distinct of these to pass the stopword rule.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",

@@ -3277,6 +3277,52 @@ def encoding_quality_report(spark: SparkSession,
         .orderBy("doc_id"))
 
 
+@register("source_vocab_overlap", oracle="""
+WITH st AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                 '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents)
+),
+counts AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.token = b.token
+                     AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       i.n_common,
+       round(i.n_common / (ca.n + cb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.source = i.source_a
+JOIN counts cb ON cb.source = i.source_b
+ORDER BY source_a, source_b
+""")
+def source_vocab_overlap(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-set Jaccard between sources — the
+    cross-source redundancy dashboard beside source_token_jsd's
+    frequency drift: mirror sites and re-crawls share token SETS
+    even when their token frequencies drift, so high set-Jaccard
+    slices are where cross-source dedup pays. Exact set semantics
+    over the DISTINCT (source, token) relation; the oracle replays
+    the tokenization, the set collapse, the pairwise intersection
+    and the Jaccard division (exact-integer operands).
+
+    Scale shape: the corpus collapses to vocabulary x sources
+    before any join — the self-join fans out at most #sources rows
+    per token and aggregates to #source-pairs rows; per-source set
+    sizes broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.source_vocab_overlap(d)
+            .orderBy("source_a", "source_b"))
+
+
 @register("benchmark_contamination_report", oracle=f"""
 WITH ev AS (
   SELECT DISTINCT 'bench' || CAST(doc_id % 4 AS VARCHAR)

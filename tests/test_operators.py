@@ -4252,3 +4252,21 @@ def test_hits_checkpoint_cadence_is_value_invariant(spark):
           for r in graph.hits(edges, iters=3,
                               checkpoint_every=1).collect()}
     assert plain == ck
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from structa_spark.operators import text as T_
+
+    docs = [(0, "a b c", "s1"), (1, "b c d", "s1"),
+            (2, "c d e", "s2"), (3, "x y", "s3"),
+            (4, "B  c", "s2")]        # case-fold + multi-space
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): (r.n_a, r.n_b, r.n_common,
+                                      r.jaccard)
+           for r in T_.source_vocab_overlap(df).collect()}
+    # s1={a,b,c,d}, s2={b,c,d,e}, s3={x,y}
+    assert got[("s1", "s2")] == (4, 4, 3, round(3 / 5, 4))
+    # disjoint pairs drop out (inner-join semantics)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    assert len(got) == 1
