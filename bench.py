@@ -85,6 +85,7 @@ def main():
         quality_gopher_calibration, embedding_health_report,
         host_hits_scores, audio_clipping_stats,
         wordpiece_merge_candidates, video_frame_index,
+        encoding_quality_report, source_vocab_overlap,
     )
     from structa_spark.sources.tables import load_table
 
@@ -213,6 +214,8 @@ def main():
             "audio_clipping": run_df(audio_clipping_stats),
             "wordpiece_step": run_df(wordpiece_merge_candidates),
             "video_frames": run_df(video_frame_index),
+            "encoding_screen": run_df(encoding_quality_report),
+            "vocab_overlap": run_df(source_vocab_overlap),
         }
 
     suite = make_suite(SF_DIR)

@@ -77,7 +77,7 @@ SCALE_SPOT = ["q1_pricing_summary", "dedup_exact_groups",
               # vocabulary-weighted pair/symbol counts, cumulative
               # frame offsets over longer streams)
               "host_hits_scores", "wordpiece_merge_candidates",
-              "video_frame_index"]
+              "video_frame_index", "source_vocab_overlap"]
 
 
 @pytest.fixture(scope="module")
