@@ -305,3 +305,57 @@ def test_bloom_flag_docs_differential(spark):
         assert r.n_shingles == len(sh), (i, page)
         assert r.n_hits == hits, (i, page)
         assert r.contaminated == (hits > 0), (i, page)
+
+
+def test_script_mix_stats_differential(spark):
+    # nasty mixed-script pages with mojibake fragments, control
+    # bytes, Cyrillic/CJK runs vs a plain-Python reference of the
+    # same length-difference semantics
+    import random as _random
+
+    from structa_spark.operators.text import script_mix_stats
+
+    frags = ["cafÃ©", "â€œq", "�bad", "\x07", "привет",
+             "你好", "plain", "123", "mix3d", "", " ", "ÃÃ",
+             "â€â€", "a\x1fb", "ӿѐ", "鿿一"]
+    rng = _random.Random(41)
+    rows = []
+    for i in range(120):
+        if i % 31 == 0:
+            rows.append((i, None))
+            continue
+        rows.append((i, "".join(rng.choice(frags)
+                                for _ in range(rng.randrange(0, 8)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_mix_stats(df).collect()}
+
+    def ref(t):
+        t = t or ""
+        n = len(t)
+        latin = sum("a" <= c.lower() <= "z" and c.isascii()
+                    for c in t)
+        digit = sum("0" <= c <= "9" for c in t)
+        cyr = sum("Ѐ" <= c <= "ӿ" for c in t)
+        cjk = sum("一" <= c <= "鿿" for c in t)
+        moji = (sum(c in "Ã�" for c in t)
+                + t.count("â€"))
+        ctrl = sum(c in ("\x0b\x0c"
+                         + "".join(chr(x) for x in range(9))
+                         + "".join(chr(x) for x in range(14, 32)))
+                   for c in t)
+        return n, latin, digit, cyr, cjk, moji, ctrl
+
+    for i, t in rows:
+        n, latin, digit, cyr, cjk, moji, ctrl = ref(t)
+        g = got[i]
+        assert g.n_chars == n, (i, t)
+        assert g.mojibake_hits == moji, (i, t)
+        assert g.control_count == ctrl, (i, t)
+        assert g.encoding_ok == (moji == 0 and ctrl == 0), (i, t)
+        for frac, cnt in ((g.latin_frac, latin),
+                          (g.digit_frac, digit),
+                          (g.cyrillic_frac, cyr),
+                          (g.cjk_frac, cjk)):
+            want = cnt / n if n else 0.0
+            assert abs(frac - want) <= 0.00005 + 1e-12, (i, t, frac,
+                                                         want)
