@@ -2745,7 +2745,14 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", "vec_id", F.lit(1).alias("__hit")))
     exact = (similarity.cosine_topk(e, q, k=5)
              .select("query_id", "vec_id"))
-    return (exact.join(ivf, ["query_id", "vec_id"], "left")
+    return _recall_report(exact, ivf)
+
+
+def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_truth, n_hits, recall_at_k) from an exact
+    ground-truth id set and an approximate candidate set carrying a
+    ``__hit`` marker column."""
+    return (exact.join(approx, ["query_id", "vec_id"], "left")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_truth"),
                  F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
@@ -2754,6 +2761,95 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_hits") / F.col("n_truth"), 4)
                     .alias("recall_at_k"))
             .orderBy("query_id"))
+
+
+@register("pq_recall_at_k", oracle="""
+WITH cw AS (
+  SELECT vec_id AS k, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 4
+), sub AS (
+  SELECT e2.vec_id, m.range AS m, cw.k,
+         list_slice(cw.e, m.range * 8 + 1, m.range * 8 + 8) AS cwsub,
+         list_distance(
+           list_slice(e2.embedding::DOUBLE[],
+                      m.range * 8 + 1, m.range * 8 + 8),
+           list_slice(cw.e, m.range * 8 + 1, m.range * 8 + 8)) AS d
+  FROM embeddings e2, range(0, 8) m, cw
+), best AS (
+  SELECT vec_id, m, cwsub,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d, k) AS rn
+  FROM sub
+), recon AS (
+  SELECT vec_id, flatten(list(cwsub ORDER BY m)) AS rvec
+  FROM best WHERE rn = 1 GROUP BY vec_id
+), adcscored AS (
+  SELECT q.vec_id AS query_id, r.vec_id,
+         round(list_inner_product(q.embedding::DOUBLE[], r.rvec), 6)
+             AS s
+  FROM embeddings q JOIN recon r
+    ON q.vec_id < 3 AND r.vec_id <> q.vec_id
+), adc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, vec_id) AS rank
+    FROM adcscored) WHERE rank <= 5
+), dotscored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_inner_product(q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[]), 6) AS s
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, vec_id) AS rank
+    FROM dotscored) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS recall_at_k
+FROM exact x LEFT JOIN adc a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
+""")
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of PQ asymmetric-distance search against
+    the exact DOT-PRODUCT ranking — the same metric the ADC
+    lookup-table sum approximates, so the read-out isolates pure
+    quantization loss (where ivf_recall_at_k isolates cell-skipping
+    loss). The oracle replays the whole codebook path — per-subspace
+    argmin encode, codeword reconstruction, the ADC scores — AND the
+    exact dot ranking, both top-5 windows, the intersection and the
+    recall division.
+
+    Scale shape: the ADC side scans m-byte codes with broadcast
+    LUTs; the exact side is the labeled ground-truth scan, paid once
+    per tuning run on a bounded query sample."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(
+        [r.embedding for r in e.where(F.col("vec_id") < 4)
+                               .orderBy("vec_id").collect()], m=8)
+    q = e.where(F.col("vec_id") < 3)
+    adc = (similarity.pq_adc_topk(e, q, cb, k=5)
+           .select("query_id", "vec_id", F.lit(1).alias("__hit")))
+    q2 = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("__qv"))
+    scored = (e.join(F.broadcast(q2),
+                     F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(similarity.dot(F.col("embedding"),
+                                             F.col("__qv")), 6)
+                      .alias("s")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("vec_id"))
+    exact = (scored.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 5)
+             .select("query_id", "vec_id"))
+    return _recall_report(exact, adc)
 
 
 @register("training_manifest", oracle=f"""

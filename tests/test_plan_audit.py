@@ -49,6 +49,8 @@ _QUADRATIC_OK = {
                                  # measured against brute force, paid
                                  # once per tuning run on a bounded
                                  # query sample)
+    "pq_recall_at_k",            # same shape: exact dot ground truth
+                                 # for the ADC candidate set
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a

@@ -253,6 +253,7 @@ def test_driver_window_covers_every_family():
         "ivf_recall_at_k": "ivf_topk_search",
         "encoding_quality_report": "normalized_text_stats",
         "source_vocab_overlap": "mixing_weights_by_source",
+        "pq_recall_at_k": "pq_codes",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
