@@ -258,3 +258,37 @@ def test_wordpiece_encode_roundtrip_property(word, seed):
     best = max((w for w in (word[:k] for k in range(1, len(word) + 1))
                 if w in pieces), key=len)
     assert got[0] == best
+
+
+@given(st.lists(st.tuples(st.integers(1, 5), st.integers(1, 1000)),
+                min_size=1, max_size=4),
+       st.integers(1, 4), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_sample_table_roundtrip_property(runs, spc, seed):
+    # build -> parse is the identity on timestamps, sizes and the
+    # contiguous chunk layout for any stts run list / chunking
+    import random
+
+    from structa_spark.operators.multimodal import (
+        mp4_frame_index_bytes, parse_sample_table)
+
+    n = sum(c for c, _ in runs)
+    rng = random.Random(seed)
+    sizes = [rng.randint(1, 5000) for _ in range(n)]
+    b = mp4_frame_index_bytes(64, 64, 1000, runs,
+                              sample_sizes=sizes,
+                              samples_per_chunk=spc,
+                              base_offset=4096)
+    ts, frames = parse_sample_table(b)
+    assert ts == 1000 and len(frames) == n
+    exp_ts, t = [], 0
+    for c, d in runs:
+        for _ in range(c):
+            exp_ts.append(t)
+            t += d
+    assert [f[0] for f in frames] == exp_ts
+    assert [f[2] for f in frames] == sizes
+    off = 4096
+    for f, sz in zip(frames, sizes):
+        assert f[1] == off
+        off += sz
