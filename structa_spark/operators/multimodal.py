@@ -1637,6 +1637,9 @@ def video_frame_index(df: DataFrame, payload_col: str = "payload",
     only the kept frames' index rows cross into the plan."""
     import math
 
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1: {every_k}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []

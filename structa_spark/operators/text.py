@@ -1423,6 +1423,74 @@ def zipf_fit(df: DataFrame, top_n: int = 1000,
         F.round(r2, 4).alias("r2"))
 
 
+def heaps_fit(df: DataFrame, n_buckets: int = 10,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'/Herdan's-law fit of vocabulary GROWTH — the companion
+    diagnostic to :func:`zipf_fit`'s frequency head: natural text
+    grows its vocabulary as ``V = K * T^beta`` with beta ~ 0.4-0.6
+    (Heaps 1978); template spam saturates early (beta -> 0) and
+    synthetic word soup with a closed vocabulary flattens once the
+    vocabulary is exhausted, while id-soup (every token fresh) reads
+    beta -> 1. Returns one row ``(n_points, beta, intercept, r2)``
+    from the least-squares fit of ln(V) on ln(T) over ``n_buckets``
+    corpus prefixes (equal-width id bands in document-id order — the
+    deterministic, shuffle-free stand-in for ingestion order).
+
+    Scale shape: one (bucket, token) projection feeds BOTH the
+    per-bucket occurrence totals and the per-token first-bucket agg
+    (token key carries no hot key — the doc explode is bucket-keyed
+    first); everything after is ≤ ``n_buckets`` rows — the
+    cumulative window, the five-sum regression, the output. The id
+    bounds fold in as a 1-row broadcast. Zero-variance guards follow
+    the :func:`zipf_fit` discipline (6-dp-rounded gates, NULL on
+    degenerate fits)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("d"),
+                     F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+    bounds = df.agg(F.min(id_col).cast("long").alias("__lo"),
+                    F.max(id_col).cast("long").alias("__hi"))
+    bt = (toks.join(F.broadcast(bounds))
+          .select(F.floor((F.col("d") - F.col("__lo"))
+                          * F.lit(n_buckets)
+                          / (F.col("__hi") - F.col("__lo") + 1))
+                  .cast("int").alias("b"), "token"))
+    occ = bt.groupBy("b").agg(F.count(F.lit(1)).alias("o"))
+    first = bt.groupBy("token").agg(F.min("b").alias("fb"))
+    vnew = first.groupBy("fb").agg(F.count(F.lit(1)).alias("v"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pts = (occ.join(vnew, occ["b"] == vnew["fb"], "left")
+           .select(occ["b"].alias("b"), "o",
+                   F.coalesce("v", F.lit(0)).alias("v"))
+           .select(F.log(F.sum("o").over(w).cast("double"))
+                   .alias("x"),
+                   F.log(F.sum("v").over(w).cast("double"))
+                   .alias("y")))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(F.round(varx, 6) != 0, cov / varx)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(F.round(varx * vary, 6) != 0,
+                (cov * cov) / (varx * vary))
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 4).alias("beta"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"))
+
+
 def mixing_weights(df: DataFrame, alpha: float = 0.5,
                    group_col: str = "source",
                    text_col: str = "text") -> DataFrame:

@@ -7392,6 +7392,67 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_fit(d, top_n=1000)
 
 
+@register("heaps_vocab_growth", oracle="""
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+), tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), bt AS (
+  SELECT CAST(floor((doc_id - lo) * 10 / (hi - lo + 1)) AS INT)
+             AS b, token
+  FROM tk, bounds
+), occ AS (
+  SELECT b, count(*) AS o FROM bt GROUP BY 1
+), fst AS (
+  SELECT token, min(b) AS fb FROM bt GROUP BY 1
+), vnew AS (
+  SELECT fb AS b, count(*) AS v FROM fst GROUP BY 1
+), pts0 AS (
+  SELECT occ.b, occ.o, coalesce(vnew.v, 0) AS v
+  FROM occ LEFT JOIN vnew ON vnew.b = occ.b
+), pts AS (
+  SELECT ln(CAST(sum(o) OVER (ORDER BY b) AS DOUBLE)) AS x,
+         ln(CAST(sum(v) OVER (ORDER BY b) AS DOUBLE)) AS y
+  FROM pts0
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round(CASE WHEN round(n * sxx - sx * sx, 6) <> 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END, 4) AS beta,
+       round((sy - (CASE WHEN round(n * sxx - sx * sx, 6) <> 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END) * sx)
+             / n, 4) AS intercept,
+       round(CASE WHEN round((n * sxx - sx * sx)
+                             * (n * syy - sy * sy), 6) <> 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 4) AS r2
+FROM s
+""")
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (V = K*T^beta over ten
+    corpus prefixes in id order) — the growth-side companion to
+    zipf_vocab_fit's frequency head: together they are the two
+    classic corpus-naturalness diagnostics (Heaps 1978; Herdan
+    1960). The oracle replays the id banding, both cumulative sums,
+    the log points and the closed-form regression with the
+    zipf-style zero-variance guards.
+
+    Scale shape: one (bucket, token) projection feeds both aggs;
+    everything after is <= n_buckets rows; id bounds broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return text.heaps_fit(d, n_buckets=10)
+
+
 @register("tokenizer_fertility_by_lang", oracle="""
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -4270,3 +4270,24 @@ def test_source_vocab_overlap_hand_computed(spark):
     # disjoint pairs drop out (inner-join semantics)
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
     assert len(got) == 1
+
+
+def test_heaps_fit_identity_and_closed_vocab(spark):
+    from structa_spark.operators import text as T_
+
+    # every doc brings 5 brand-new tokens: V == T at every prefix,
+    # so the log-log fit is exactly the identity line
+    fresh = [(i, " ".join(f"w{i}_{j}" for j in range(5)))
+             for i in range(10)]
+    r = T_.heaps_fit(spark.createDataFrame(
+        fresh, "doc_id long, text string")).collect()[0]
+    assert r.n_points == 10
+    assert r.beta == 1.0 and r.intercept == 0.0 and r.r2 == 1.0
+
+    # closed vocabulary: V saturates immediately -> slope exactly 0,
+    # r2 NULL under the zero-variance guard
+    closed = [(i, "a b c") for i in range(10)]
+    r2 = T_.heaps_fit(spark.createDataFrame(
+        closed, "doc_id long, text string")).collect()[0]
+    assert r2.beta == 0.0
+    assert r2.r2 is None

@@ -82,6 +82,9 @@ _SCALAR_BROADCAST_OK = {
     "host_hits_scores",          # broadcast(L1 norm total) — one
                                  # 1-row scalar folded into every
                                  # half-iteration
+    "heaps_vocab_growth",        # broadcast(min/max doc id) — one
+                                 # 1-row bounds relation folded into
+                                 # the bucket expression
 }
 
 

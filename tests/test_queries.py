@@ -254,6 +254,7 @@ def test_driver_window_covers_every_family():
         "encoding_quality_report": "normalized_text_stats",
         "source_vocab_overlap": "mixing_weights_by_source",
         "pq_recall_at_k": "pq_codes",
+        "heaps_vocab_growth": "zipf_vocab_fit",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
