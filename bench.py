@@ -86,6 +86,7 @@ def main():
         host_hits_scores, audio_clipping_stats,
         wordpiece_merge_candidates, video_frame_index,
         encoding_quality_report, source_vocab_overlap,
+        heaps_vocab_growth,
     )
     from structa_spark.sources.tables import load_table
 
@@ -216,6 +217,7 @@ def main():
             "video_frames": run_df(video_frame_index),
             "encoding_screen": run_df(encoding_quality_report),
             "vocab_overlap": run_df(source_vocab_overlap),
+            "heaps_growth": run_df(heaps_vocab_growth),
         }
 
     suite = make_suite(SF_DIR)

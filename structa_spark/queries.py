@@ -1999,6 +1999,48 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+@register("dup_cluster_histogram", oracle=f"""
+WITH RECURSIVE {_neardup_cc_sql()},
+g AS (
+  SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS group_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+  LEFT JOIN cc ON cc.id = d.doc_id
+),
+s AS (SELECT group_id, count(*) AS sz FROM g GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY sz ORDER BY cluster_size
+""")
+def dup_cluster_histogram(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the dedup-health
+    dashboard a curation run reads before choosing keep-one vs
+    keep-best vs drop-family: how much of the corpus sits in
+    singletons (unique) vs long-tail families (mirrors, template
+    floods). Rides the same verified-Jaccard edges + connected
+    components as near_dup_groups (exact edge mode so the
+    recursive-CTE oracle replays the identical graph), then two tiny
+    aggregations: per-group sizes, then groups-per-size with the doc
+    mass per bucket.
+
+    Scale shape: beyond the group computation, both aggs are
+    group-relation-sized with map-side partials; the scale path for
+    the groups themselves is the LSH candidate mode."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    groups = dedup.near_duplicate_groups(
+        d, jaccard_threshold=0.35, use_lsh=False)
+    sizes = (groups.groupBy("group_id")
+             .agg(F.count(F.lit(1)).alias("sz")))
+    return (sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    "n_clusters",
+                    (F.col("sz") * F.col("n_clusters")).cast("long")
+                    .alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
 # ===========================================================================
 # deterministic sampling / quota (operators/sampling.py)
 # ===========================================================================

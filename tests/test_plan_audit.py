@@ -30,6 +30,7 @@ _QUADRATIC_OK = {
     "split_leakage_report",      # rides the same labeled exact-Jaccard
                                  # slice; scale path is LSH candidates
     "near_dup_groups",           # exact edge mode vs recursive-CTE oracle
+    "dup_cluster_histogram",     # rides the same labeled exact slice
     "cosine_topk",               # brute-force baseline: queries x corpus
     "cosine_topk_vectorized",    # same, Arrow path
     "embedding_neardup_pairs",   # exact mode over 2k vectors

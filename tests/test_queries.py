@@ -255,6 +255,7 @@ def test_driver_window_covers_every_family():
         "source_vocab_overlap": "mixing_weights_by_source",
         "pq_recall_at_k": "pq_codes",
         "heaps_vocab_growth": "zipf_vocab_fit",
+        "dup_cluster_histogram": "span_dup_coverage",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
