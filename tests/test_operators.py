@@ -1500,6 +1500,28 @@ def test_parse_sample_table_chunked_and_uniform():
         mm.mp4_bytes(320, 240, 1000)) == (None, None)
 
 
+def test_parse_sample_table_mdhd_v1_and_co64():
+    from structa_spark.operators import multimodal as mm
+
+    # v1 mdhd: 64-bit creation/modification times push the media
+    # timescale from body+12 to body+20 — the v0-offset read lands on
+    # the modification-time high word (0) and silently drops the trak
+    p = mm.mp4_frame_index_bytes(
+        320, 240, 3000, [(2, 150)], sample_sizes=[10, 20],
+        base_offset=64, mdhd_v1=True)
+    ts, frames = mm.parse_sample_table(p)
+    assert ts == 3000
+    assert frames == [(0, 64, 10), (150, 74, 20)]
+
+    # co64 (64-bit chunk offsets, >4 GiB files) beside an absent stco
+    p2 = mm.mp4_frame_index_bytes(
+        320, 240, 1000, [(2, 100)], sample_sizes=[10, 20],
+        chunk_offsets=[2 ** 33, 2 ** 33 + 10], co64=True)
+    ts2, frames2 = mm.parse_sample_table(p2)
+    assert ts2 == 1000
+    assert frames2 == [(0, 2 ** 33, 10), (100, 2 ** 33 + 10, 20)]
+
+
 def test_parse_sample_table_multi_run_stsc():
     from structa_spark.operators import multimodal as mm
 
@@ -4151,6 +4173,27 @@ def test_audio_clipping_stats(spark):
     assert r5.max_silence_run == 2
     fss = 0.5 ** 2 + 0.25 ** 2
     assert r5.rms == math.floor(math.sqrt(fss / 4) * 1e4 + 0.5) / 1e4
+
+
+def test_audio_clipping_stats_loud_int32(spark):
+    # near-full-scale 32-bit PCM: the int64 square-sum would wrap
+    # (3 samples of 2e9 -> dot = -6.45e18) — must take the float64
+    # path, compute a correct RMS, and NOT raise from sqrt(<0)
+    import math
+
+    import numpy as np
+
+    vals = [2_000_000_000, -2_000_000_000, 2_000_000_000]
+    arr = np.array(vals, dtype="<i4")
+    p = multimodal.wav_bytes(8000, 1, len(arr), bits=32,
+                             samples=arr.tobytes())
+    df = spark.createDataFrame([(1, p)],
+                               "media_id long, payload binary")
+    r = multimodal.audio_clipping_stats(df).collect()[0]
+    assert r.peak == 2_000_000_000.0
+    ss = 3 * (2_000_000_000.0 ** 2)
+    assert r.rms == math.floor(math.sqrt(ss / 3) * 1e4 + 0.5) / 1e4
+    assert r.clipped_frac == 0.0
 
 
 def test_image_pixel_stats(spark):
