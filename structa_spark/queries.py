@@ -7673,6 +7673,54 @@ def html_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("pdf_extracted_text", oracle="""
+SELECT doc_id,
+       text || chr(10) || '(doc ' || CAST(doc_id AS VARCHAR) || ')'
+           AS pdf_text,
+       CAST(length(text) + length('(doc ' || CAST(doc_id AS VARCHAR)
+            || ')') + 1 AS BIGINT) AS n_chars,
+       1 AS n_text_streams
+FROM documents ORDER BY doc_id
+""")
+def pdf_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion, values-checked end to end: each document's text
+    (plus a parens-bearing second line, so escape handling is on the
+    hot path) is written executor-side into a structurally-valid PDF
+    by sources.pdf.pdf_bytes — rotating through Flate-compressed /
+    uncompressed streams, kerned TJ arrays, hex strings and indirect
+    /Length objects, with every 7th file's xref/trailer truncated —
+    then sources.pdf.pdf_extract_text must recover exactly the
+    original lines. The oracle is the plaintext itself, so any
+    tokenizer, escape, inflate or salvage bug hash-mismatches. This
+    is the PDF landing-zone step of a pretraining corpus pipeline;
+    all codec work stays inside Arrow batches, no shuffle."""
+    import pandas as pd
+
+    from .sources.pdf import pdf_bytes, pdf_extract_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = f"{txt or ''}\n(doc {i})"
+                kw = [dict(), dict(compress=False),
+                      dict(tj_arrays=True), dict(hex_strings=True),
+                      dict(indirect_length=True)][i % 5]
+                rows.append((i, pdf_bytes(
+                    body, truncate_tail=(i % 7 == 0), **kw)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = pdf_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       F.col("text").alias("pdf_text"),
+                       F.col("n_chars"),
+                       F.col("n_text_streams"))
+            .orderBy("doc_id"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

@@ -4334,3 +4334,73 @@ def test_heaps_fit_identity_and_closed_vocab(spark):
         closed, "doc_id long, text string")).collect()[0]
     assert r2.beta == 0.0
     assert r2.r2 is None
+
+
+# -- PDF text extraction ------------------------------------------------------
+
+def test_pdf_round_trip_pure():
+    from structa_spark.sources.pdf import extract_pdf_text, pdf_bytes
+
+    texts = [
+        "hello world\nsecond line",
+        "parens (nested (deep)) and \\ backslash",
+        "unicode: héllo ünïcode — em-dash",
+        "a\n\nb",  # empty middle line survives
+    ]
+    variants = [dict(), dict(compress=False), dict(tj_arrays=True),
+                dict(hex_strings=True), dict(indirect_length=True),
+                dict(truncate_tail=True)]
+    for t in texts:
+        for kw in variants:
+            got, ns, err = extract_pdf_text(pdf_bytes(t, **kw))
+            assert got == t, (t, kw, got, err)
+            assert ns == 1
+
+
+def test_pdf_escapes_and_degradation():
+    from structa_spark.sources.pdf import (
+        _decode_literal, extract_pdf_text, pdf_bytes,
+    )
+    # the full escape table incl. octal and line continuation
+    assert _decode_literal(rb"a\(b\)c\\d\n\t\r\b\f") \
+        == b"a(b)c\\d\n\t\r\b\f"
+    assert _decode_literal(rb"\101\60\7x") == b"A0\x07x"
+    assert _decode_literal(b"one\\\ntwo") == b"onetwo"
+    assert _decode_literal(rb"\q") == b"q"  # unknown: backslash drops
+
+    # non-PDF / empty payloads degrade with a reason, never raise
+    assert extract_pdf_text(b"not a pdf")[0] is None
+    assert extract_pdf_text(None)[0] is None
+    assert extract_pdf_text(b"%PDF-1.4\nno objects")[0] is None
+
+    # a corrupt FlateDecode stream salvages nothing but reports why
+    bad = pdf_bytes("x" * 50).replace(b"stream\n", b"stream\n\x00\x01",
+                                      1)
+    text, ns, err = extract_pdf_text(bad)
+    assert text is None and "FlateDecode" in err
+
+    # an inflate bomb hits the cap instead of exhausting memory
+    text, ns, err = extract_pdf_text(pdf_bytes("y" * 4096),
+                                     max_stream=64)
+    assert err == "stream inflate cap exceeded"
+
+
+def test_pdf_extract_text_distributed(spark, tmp_path):
+    from structa_spark.sources.pdf import (
+        pdf_bytes, pdf_extract_text, read_pdf,
+    )
+    rows = [(1, pdf_bytes("alpha\nbeta")),
+            (2, pdf_bytes("(gamma)", tj_arrays=True)),
+            (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.text, r.n_chars, r.error is not None)
+           for r in pdf_extract_text(df).collect()}
+    assert got[1] == ("alpha\nbeta", 10, False)
+    assert got[2] == ("(gamma)", 7, False)
+    assert got[3] == (None, None, True)
+    assert got[4] == (None, None, True)
+
+    # file-level reader over binaryFiles
+    (tmp_path / "a.pdf").write_bytes(pdf_bytes("file text"))
+    out = read_pdf(spark, str(tmp_path / "*.pdf")).collect()
+    assert len(out) == 1 and out[0].text == "file text"
