@@ -616,6 +616,62 @@ def hamming_near_duplicates(sig_df: DataFrame, id_col: str = "doc_id",
         .distinct())
 
 
+def framewise_hamming_pairs(sig_df: DataFrame,
+                            id_col: str = "media_id",
+                            frame_col: str = "frame_idx",
+                            sig_col: str = "dhash",
+                            max_hamming: int = 3,
+                            bits: int = 48,
+                            max_bucket: int = 10_000) -> DataFrame:
+    """Frame-ALIGNED near-dup pairs among per-frame signatures — the
+    video twin of :func:`hamming_near_duplicates`: input is one
+    ``(id, frame, signature)`` row per sampled frame, and candidates
+    only form between the SAME frame index of two different videos
+    (frame 3 of A vs frame 3 of B — alignment is what makes the
+    per-frame distances composable into a whole-video verdict).
+    Implementation is the identical full-recall pigeonhole with the
+    frame index added to the bucket key, so buckets stay small even
+    when every video shares a popular hash at some OTHER index; one
+    bucket shuffle, capped expansion, exact popcount verify. Returns
+    distinct ``(id_a, id_b, frame, hamming)`` rows with
+    ``id_a < id_b``."""
+    n_blocks = max_hamming + 1
+    block_size = -(-bits // n_blocks)  # ceil
+    s = sig_df.select(F.col(id_col), F.col(frame_col).alias("frm"),
+                      F.col(sig_col).alias("sh"))
+    mask = (1 << block_size) - 1
+    blocks = F.array(*[
+        F.struct(F.lit(j).alias("blk"),
+                 F.shiftrightunsigned(F.col("sh"), j * block_size)
+                 .bitwiseAND(F.lit(mask)).alias("blk_val"))
+        for j in range(n_blocks)])
+    bucketed = (s.select(F.col(id_col), F.col("frm"), F.col("sh"),
+                         F.explode(blocks).alias("b"))
+                .select(id_col, "frm", "sh", "b.blk", "b.blk_val"))
+    grouped = (bucketed.groupBy("frm", "blk", "blk_val")
+               .agg(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("sh"))).alias("members"))
+               .where(F.size("members").between(2, max_bucket)))
+    grouped = grouped.repartition(
+        sig_df.sparkSession.sparkContext.defaultParallelism)
+    mem = F.array_sort(F.col("members"))
+    members = grouped.select(F.col("frm"), mem.alias("mem"),
+                             F.posexplode(mem).alias("i", "a"))
+    return (members.select(
+        F.col("frm"),
+        F.col("a"),
+        F.explode(F.slice(F.col("mem"), F.col("i") + 2,
+                          F.size("mem"))).alias("b"))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("frm").alias(frame_col),
+                hamming_distance(F.col("a.sh"), F.col("b.sh"))
+                .alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct())
+
+
 def dedup_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_k: int = 3,
                  jaccard_threshold: float = 0.5,

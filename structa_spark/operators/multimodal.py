@@ -1691,6 +1691,143 @@ def video_frame_index(df: DataFrame, payload_col: str = "payload",
                          f"n_bytes long"))
 
 
+def mjpeg_bytes(frames, media_timescale: int = 1000,
+                delta: int = 40, quant: int = 1) -> bytes:
+    """A structurally-valid Motion-JPEG ISO-BMFF stream: each frame
+    (a uint8 ``(h, w)`` or ``(h, w, 3)`` array) is encoded as a
+    complete baseline JPEG by :func:`structa_spark.operators.jpeg.
+    encode_jpeg`, the JPEGs are laid contiguously in an ``mdat`` box,
+    and the ``moov`` sample table (``stts``/``stsz``/``stsc``/
+    ``stco``) points at each frame's real byte range — the MJPG-track
+    layout (QuickTime/AVI captures, many scientific cameras). With
+    ``quant=1`` and flat 8x8 blocks the JPEG round trip is exact, so
+    oracles can predict decoded frame pixels arithmetically."""
+    from .jpeg import encode_jpeg
+
+    payloads = [encode_jpeg(f, quant=quant) for f in frames]
+    sizes = [len(p) for p in payloads]
+    h, w = frames[0].shape[:2]
+    # the header length depends only on the frame COUNT (fixed-width
+    # stco/stsz entries), so build once with dummy offsets to size
+    # it, then rebuild with the real mdat-relative offsets
+    hdr = mp4_frame_index_bytes(
+        w, h, media_timescale, [(len(frames), delta)],
+        sample_sizes=sizes, chunk_offsets=[0] * len(frames))
+    base = len(hdr) + 8  # mdat box header
+    offs, pos = [], base
+    for s in sizes:
+        offs.append(pos)
+        pos += s
+    hdr = mp4_frame_index_bytes(
+        w, h, media_timescale, [(len(frames), delta)],
+        sample_sizes=sizes, chunk_offsets=offs)
+    return hdr + _bmff_box(b"mdat", b"".join(payloads))
+
+
+def video_frame_dhash(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id", every_k: int = 1,
+                      bits: int = 48) -> DataFrame:
+    """Frame-level perceptual hashing of Motion-JPEG video payloads —
+    the composition that turns the sample-table walk into video
+    dedup: :func:`parse_sample_table` locates every kept frame's
+    byte range, the range decodes as a complete baseline JPEG
+    (``operators/jpeg.py`` — MJPG tracks store exactly that), and
+    each decoded frame runs the shared dHash core (:func:`_dhash_of`,
+    the same signature family as :func:`image_dhash`, so frame
+    hashes drop straight into the pigeonhole machinery). Emits
+    ``(id, frame_idx, ts_s, dhash)`` per kept frame; payloads
+    without a walkable sample table emit one null-frame row, and an
+    undecodable individual frame keeps its row with a null hash (the
+    decode-degradation convention). Non-MJPEG codecs (H.264 …) are a
+    principled ``DecodeUnavailable`` — their frame bytes are not
+    standalone images.
+
+    Scale shape: pure per-row parse + decode inside Arrow batches,
+    no shuffle; only ``(id, idx, ts, hash)`` rows cross into the
+    plan — never pixels."""
+    import math
+
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1: {every_k}")
+    rows_n = 8
+    if bits % rows_n:
+        raise ValueError(f"bits must be a multiple of {rows_n}: {bits}")
+    if not 0 < bits <= 56:
+        raise ValueError(f"bits must be in [8, 56]: {bits}")
+    cols = bits // rows_n + 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                timescale, frames = parse_sample_table(p)
+                if not frames:
+                    out.append((int(mid), None, None, None))
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    ticks, off, nb = frames[idx]
+                    try:
+                        _kind, arr = _decode_image(p[off:off + nb])
+                        h = _dhash_of(arr, rows_n, cols)
+                    except DecodeUnavailable:
+                        h = None
+                    ts_s = math.floor(
+                        ticks / timescale * 1000000.0 + 0.5) \
+                        / 1000000.0
+                    out.append((int(mid), idx, ts_s, h))
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_idx", "ts_s", "dhash"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, frame_idx int, "
+                         f"ts_s double, dhash long"))
+
+
+def video_near_duplicates(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id", every_k: int = 1,
+                          max_hamming: int = 3, bits: int = 48,
+                          max_bucket: int = 10_000) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-aligned dHash distance:
+    hash every ``every_k``-th MJPEG frame
+    (:func:`video_frame_dhash`), find frame-level candidate pairs
+    through the frame-aware pigeonhole
+    (:func:`structa_spark.operators.dedup.framewise_hamming_pairs` —
+    full recall per frame, ONE bucket shuffle, never all-pairs), and
+    keep a video pair iff EVERY sampled frame of both sides matched
+    within ``max_hamming`` (frame counts must agree — a trailer is
+    not a near-dup of its film). Returns
+    ``(id_a, id_b, n_frames, max_frame_hamming)``.
+
+    Scale shape: the decode stays partition-parallel; the only
+    shuffles are the bucket exchange (keyed by frame + signature
+    block, so buckets stay small even when every video shares a
+    popular frame hash at SOME index) and two id-keyed aggs of
+    id/count rows. Pixels and payloads never shuffle."""
+    from .dedup import framewise_hamming_pairs
+
+    sig = (video_frame_dhash(df, payload_col, id_col,
+                             every_k=every_k, bits=bits)
+           .where(F.col("dhash").isNotNull()
+                  & F.col("frame_idx").isNotNull()))
+    n_frames = (sig.groupBy(id_col)
+                .agg(F.countDistinct("frame_idx").alias("n")))
+    pairs_f = framewise_hamming_pairs(
+        sig, id_col=id_col, frame_col="frame_idx", sig_col="dhash",
+        max_hamming=max_hamming, bits=bits, max_bucket=max_bucket)
+    agg = (pairs_f.groupBy("id_a", "id_b")
+           .agg(F.countDistinct("frame_idx").alias("n_frames"),
+                F.max("hamming").alias("max_frame_hamming")))
+    na = n_frames.select(F.col(id_col).alias("id_a"),
+                         F.col("n").alias("n_a"))
+    nb = n_frames.select(F.col(id_col).alias("id_b"),
+                         F.col("n").alias("n_b"))
+    return (agg.join(na, "id_a").join(nb, "id_b")
+            .where((F.col("n_frames") == F.col("n_a"))
+                   & (F.col("n_frames") == F.col("n_b")))
+            .select("id_a", "id_b", "n_frames", "max_frame_hamming"))
+
+
 VIDEO_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("container", T.StringType()),
@@ -1727,6 +1864,24 @@ def video_metadata(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(batches, schema=VIDEO_META_SCHEMA)
 
 
+def _dhash_of(arr, rows: int, cols: int) -> int:
+    """The dHash core shared by image and video-frame hashing:
+    integer grayscale mixdown (``sum // channels``), nearest-neighbor
+    resize to ``rows x cols``, one bit per horizontal neighbor pair
+    (``1`` iff the right pixel is brighter). Integer arithmetic end
+    to end, bit-deterministic across platforms."""
+    import numpy as np
+
+    if arr.ndim == 3:
+        arr = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    small = _resize_nearest(arr, rows, cols).astype(np.int64)
+    diff = (small[:, 1:] > small[:, :-1]).flatten()
+    h = 0
+    for b in np.nonzero(diff)[0]:
+        h |= 1 << int(b)
+    return h
+
+
 def image_dhash(df: DataFrame, payload_col: str = "payload",
                 id_col: str = "media_id", bits: int = 48) -> DataFrame:
     """Perceptual difference-hash of image payloads: decode (PNG/GIF/
@@ -1745,8 +1900,6 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     kept, join cardinality stable). Arrow-batched; payload bytes stay
     executor-side.
     """
-    import numpy as np
-
     rows = 8
     if bits % rows:
         raise ValueError(f"bits must be a multiple of {rows}: {bits}")
@@ -1765,16 +1918,7 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
                 p = bytes(payload) if payload is not None else b""
                 try:
                     _kind, arr = _decode_image(p)
-                    if arr.ndim == 3:
-                        arr = (arr.astype(np.int64).sum(axis=2)
-                               // arr.shape[2])
-                    small = _resize_nearest(arr, rows, cols) \
-                        .astype(np.int64)
-                    diff = (small[:, 1:] > small[:, :-1]).flatten()
-                    h = 0
-                    for b in np.nonzero(diff)[0]:
-                        h |= 1 << int(b)
-                    out.append((int(mid), h))
+                    out.append((int(mid), _dhash_of(arr, rows, cols)))
                 except DecodeUnavailable:
                     out.append((int(mid), None))
             yield pd.DataFrame(out, columns=[id_col, "dhash"])
@@ -2243,6 +2387,120 @@ def audio_spectral_features(df: DataFrame,
         batches, schema=(f"{id_col} long, n_samples long, "
                          f"frame_len int, centroid double, "
                          f"rolloff_bin int"))
+
+
+def audio_mfcc_features(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id", frame: int = 64,
+                        n_mels: int = 12,
+                        n_mfcc: int = 4) -> DataFrame:
+    """Mel-filterbank cepstral coefficients (MFCC) of audio payloads
+    through the REAL WAV decoder — the standard next rung above the
+    spectral centroid/rolloff screen for speech-corpus clustering and
+    dedup: mel warping matches perceptual pitch spacing, the log
+    compresses dynamics, and the DCT decorrelates neighboring bands
+    into a compact timbre signature.
+
+    Per clip, over the first ``m = min(n, frame)`` mono samples:
+
+    * DFT magnitudes for bins ``k = 1..m//2``, each rounded 4-dp on
+      the binary double (identical to :func:`audio_spectral_features`
+      — same op order ``2*pi*(k*t)/m``, so one SQL twin serves both),
+    * ``n_mels`` triangular mel filters: band edges are ``n_mels+2``
+      equally spaced points on the mel axis (``2595*log10(1+f/700)``)
+      from 0 to rate/2, mapped back to fractional DFT bins; each
+      weight is rounded 6-dp BEFORE use (log10/pow differ by ~1 ulp
+      across libms — rounding makes both engines consume identical
+      weights),
+    * filter (power) energies ``E_j = sum_k w_jk * mag_k^2`` are NOT
+      rounded: the following ``ln(E_j + 1)`` compresses the
+      summation-order ulps (relative ~1e-15) far below the 4-dp
+      rounding of the log energy, where rounding E itself at any
+      fixed decimal would sit boundary-close at this magnitude,
+    * DCT-II over the ``n_mels`` rounded log-energies gives
+      ``mfcc_i = sum_j l_j * cos(pi*i*(2j+1)/(2*n_mels))``, each
+      rounded 4-dp.
+
+    Returns ``(id, n_samples, frame_len, mfcc0..mfcc{n_mfcc-1})``;
+    clips too short for any DFT bin (m < 2) and undecodable payloads
+    yield null coefficients (rows kept). Arrow-batched; samples stay
+    executor-side."""
+    import math
+
+    import numpy as np
+
+    def _r(x: float, d: int) -> float:
+        return math.floor(x * 10 ** d + 0.5) / 10 ** d
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = decode_wav_samples(p)
+                    s = np.asarray(samples)
+                    if np.issubdtype(s.dtype, np.floating):
+                        s = s.astype(np.float64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) / s.shape[1]
+                    else:
+                        s = s.astype(np.int64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) // s.shape[1]
+                    n = len(s)
+                    if n == 0:
+                        raise DecodeUnavailable("no samples")
+                    m = min(n, frame)
+                    K = m // 2
+                    if K < 1 or not rate:
+                        out.append((int(mid), n, m)
+                                   + (None,) * n_mfcc)
+                        continue
+                    x = s[:m].astype(np.float64)
+                    kk = np.arange(1, K + 1, dtype=np.float64)
+                    t = np.arange(m, dtype=np.float64)
+                    ang = (2.0 * np.pi) \
+                        * (kk[:, None] * t[None, :]) / m
+                    re = (np.cos(ang) * x[None, :]).sum(axis=1)
+                    im = (np.sin(ang) * x[None, :]).sum(axis=1)
+                    mag = np.floor(np.sqrt(re * re + im * im)
+                                   * 10000.0 + 0.5) / 10000.0
+                    power = mag * mag
+                    # mel band edges as fractional DFT bins
+                    mel_hi = 2595.0 * math.log10(
+                        1.0 + (rate / 2.0) / 700.0)
+                    b = [700.0 * (10.0 ** ((j * mel_hi
+                                            / (n_mels + 1)) / 2595.0)
+                                  - 1.0) * m / rate
+                         for j in range(n_mels + 2)]
+                    logs = []
+                    for j in range(1, n_mels + 1):
+                        w = np.minimum(
+                            (kk - b[j - 1]) / (b[j] - b[j - 1]),
+                            (b[j + 1] - kk) / (b[j + 1] - b[j]))
+                        w = np.maximum(0.0, w)
+                        w = np.floor(w * 1000000.0 + 0.5) / 1000000.0
+                        e = float((w * power).sum())
+                        logs.append(_r(math.log(e + 1.0), 4))
+                    mf = []
+                    for i in range(n_mfcc):
+                        c = sum(logs[j] * math.cos(
+                            math.pi * i * (2 * j + 1)
+                            / (2.0 * n_mels))
+                            for j in range(n_mels))
+                        mf.append(_r(c, 4))
+                    out.append((int(mid), n, m) + tuple(mf))
+                except DecodeUnavailable:
+                    out.append((int(mid), None, None)
+                               + (None,) * n_mfcc)
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_samples", "frame_len"]
+                + [f"mfcc{i}" for i in range(n_mfcc)])
+
+    cols = ", ".join(f"mfcc{i} double" for i in range(n_mfcc))
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_samples long, "
+                         f"frame_len int, {cols}"))
 
 
 def audio_near_duplicates(df: DataFrame, payload_col: str = "payload",

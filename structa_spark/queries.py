@@ -6197,6 +6197,135 @@ def image_entropy_stats(spark: SparkSession,
     return mm.image_pixel_stats(media).orderBy("media_id")
 
 
+_VIDEO_GROUPS_CTE = """WITH RECURSIVE ids AS (
+  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m
+  FROM documents WHERE doc_id < 240
+),
+-- source frames are flat 8x8 blocks (2 block-rows x 3 block-cols =
+-- 16 x 24 px), block value (g*7 + f*31 + 13*(by*3+bx)) % 256, member
+-- m bumping frame m%3's block m%6 by +40; quant=1 makes the JPEG
+-- round trip EXACT, so the decoded pixel IS the formula. dHash
+-- resizes to 8x7: small row r reads block-row r//4, small col c
+-- reads block-col ((24*c)//7)//8
+bits AS (
+  SELECT media_id, f.f, CAST(y.y * 6 + x.x AS INT) AS b,
+    CASE WHEN
+      ((g*7 + f.f*31
+        + 13*((y.y//4)*3 + (((x.x+1)*24)//7)//8))
+       + CASE WHEN f.f = m % 3
+                   AND (y.y//4)*3 + (((x.x+1)*24)//7)//8 = m % 6
+              THEN 40 ELSE 0 END) % 256
+      >
+      ((g*7 + f.f*31
+        + 13*((y.y//4)*3 + ((x.x*24)//7)//8))
+       + CASE WHEN f.f = m % 3
+                   AND (y.y//4)*3 + ((x.x*24)//7)//8 = m % 6
+              THEN 40 ELSE 0 END) % 256
+    THEN 1 ELSE 0 END AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 2) f(f)
+  CROSS JOIN generate_series(0, 7) y(y)
+  CROSS JOIN generate_series(0, 5) x(x)
+),
+hh AS (
+  SELECT media_id, f,
+         CAST(sum(v * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS dhash
+  FROM bits GROUP BY 1, 2
+),
+-- brute force here equals the frame-aware pigeonhole's pair set
+-- (full recall per frame); a video pair survives iff EVERY frame
+-- aligns within hamming 3 (every video has exactly 3 frames here,
+-- so the 3-row group per pair covers both sides' frame counts)
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hh a JOIN hh b ON a.media_id < b.media_id AND a.f = b.f
+  GROUP BY 1, 2
+  HAVING max(bit_count(xor(a.dhash, b.dhash))) <= 3
+     AND count(*) = 3
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT sym.src, walk.label FROM sym JOIN walk ON sym.dst = walk.id
+),
+cc AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+grp AS (
+  SELECT i.media_id, COALESCE(cc.label, i.media_id) AS group_id
+  FROM ids i LEFT JOIN cc ON cc.id = i.media_id)"""
+
+
+@register("video_dup_groups", oracle=_VIDEO_GROUPS_CTE + """
+SELECT media_id, group_id FROM grp ORDER BY media_id
+""")
+def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO dedup decision, values-checked through the
+    full container x codec x graph composition: generate 4-member
+    Motion-JPEG clusters (3 flat-block frames per video sharing a
+    per-group formula; each member bumps one block of one frame by
+    +40), then the REAL pipeline — ISO-BMFF sample-table walk to
+    frame byte ranges, baseline-JPEG decode of each frame, the
+    shared dHash core, frame-ALIGNED pigeonhole hamming pairs, the
+    all-frames-within-3 whole-video verdict, pointer-doubled
+    connected components — yields (media, group). A member whose
+    bump flips more than 3 bits in its frame legitimately splits, so
+    the grouping exercises cohesion and separation. The oracle
+    rebuilds every decoded pixel from the generator formula (quant=1
+    flat blocks round-trip exactly), replays the resize index map,
+    the bit packing, the brute-force frame-aligned pair set (equal
+    to the pigeonhole candidates by the full-recall argument) and
+    the recursive-CTE components — drift anywhere in the sample
+    table, the JPEG entropy/IDCT path, the hash, the frame
+    alignment or the label walk hash-mismatches.
+
+    Scale shape: decode is partition-parallel Arrow batches; the
+    only shuffles are the (frame, block)-keyed bucket exchange and
+    two id-keyed count aggs; components iterate O(log D) rounds on
+    the id-pair edge subset; pixels and payloads never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") < 240))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, m = i // 4, i % 4
+                frames = []
+                for f in range(3):
+                    bv = np.zeros((2, 3), np.int64)
+                    for by in range(2):
+                        for bx in range(3):
+                            v = (g * 7 + f * 31
+                                 + 13 * (by * 3 + bx)) % 256
+                            if f == m % 3 and by * 3 + bx == m % 6:
+                                v = (v + 40) % 256
+                            bv[by, bx] = v
+                    frames.append(np.repeat(np.repeat(
+                        bv.astype(np.uint8), 8, 0), 8, 1))
+                rows.append((i, mm.mjpeg_bytes(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    pairs = mm.video_near_duplicates(media, max_hamming=3)
+    comp = dedup.connected_components(
+        pairs.select("id_a", "id_b"), id_col="media_id")
+    return (media.select("media_id")
+            .join(comp, F.col("media_id") == F.col("id"), "left")
+            .select(F.col("media_id"),
+                    F.coalesce("label", "media_id").alias("group_id"))
+            .orderBy("media_id"))
+
+
 _IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h
@@ -6599,6 +6728,116 @@ def audio_spectral_features(spark: SparkSession,
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return mm.audio_spectral_features(media).orderBy("media_id")
+
+
+@register("audio_mfcc_features", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 400 + 1 AS n,
+         least(doc_id % 400 + 1, 64) AS m
+  FROM documents
+),
+s AS (
+  SELECT media_id, t.t,
+         CAST(((media_id * 7 + 13 * t.t) % 401) - 200 AS DOUBLE) AS v
+  FROM ids CROSS JOIN generate_series(0, 63) t(t)
+  WHERE t.t < m
+),
+bins AS (
+  SELECT s.media_id, k.k,
+         floor(sqrt(pow(sum(s.v * cos(2 * pi() * (k.k * s.t)
+                                      / ids.m)), 2)
+                    + pow(sum(s.v * sin(2 * pi() * (k.k * s.t)
+                                        / ids.m)), 2))
+               * 10000 + 0.5) / 10000 AS mag
+  FROM s JOIN ids USING (media_id)
+  CROSS JOIN generate_series(1, 32) k(k)
+  WHERE k.k <= ids.m // 2
+  GROUP BY s.media_id, k.k, ids.m
+),
+-- mel band edges as fractional DFT bins: 14 equally spaced points
+-- on the mel axis from 0 to mel(rate/2), rate = 8000; op order
+-- matches the operator exactly (j*mel_hi / 13 / 2595, then
+-- 700*(10^x - 1) * m / rate)
+mels AS (
+  SELECT i.media_id, j.j,
+         700.0 * (pow(10.0, (j.j * (2595.0 * log10(1.0 + 4000.0
+                                                   / 700.0)) / 13.0)
+                            / 2595.0) - 1.0) * i.m / 8000.0 AS b
+  FROM ids i CROSS JOIN generate_series(0, 13) j(j)
+),
+w AS (
+  SELECT mid.media_id, mid.j, k.k,
+         floor(greatest(0.0,
+               least((k.k - lo.b) / (mid.b - lo.b),
+                     (hi.b - k.k) / (hi.b - mid.b)))
+               * 1000000 + 0.5) / 1000000 AS w
+  FROM mels mid
+  JOIN mels lo ON lo.media_id = mid.media_id AND lo.j = mid.j - 1
+  JOIN mels hi ON hi.media_id = mid.media_id AND hi.j = mid.j + 1
+  JOIN ids ON ids.media_id = mid.media_id
+  CROSS JOIN generate_series(1, 32) k(k)
+  WHERE mid.j BETWEEN 1 AND 12 AND k.k <= ids.m // 2
+),
+logs AS (
+  SELECT w.media_id, w.j,
+         floor(ln(sum(w.w * b.mag * b.mag) + 1.0) * 10000 + 0.5)
+             / 10000 AS l
+  FROM w JOIN bins b ON b.media_id = w.media_id AND b.k = w.k
+  GROUP BY 1, 2
+),
+mf AS (
+  SELECT media_id, i.i,
+         floor(sum(l * cos(pi() * i.i * (2 * (j - 1) + 1) / 24.0))
+               * 10000 + 0.5) / 10000 AS c
+  FROM logs CROSS JOIN generate_series(0, 3) i(i)
+  GROUP BY 1, 2
+)
+SELECT i.media_id, CAST(i.n AS BIGINT) AS n_samples,
+       CAST(i.m AS INT) AS frame_len,
+       max(CASE WHEN mf.i = 0 THEN c END) AS mfcc0,
+       max(CASE WHEN mf.i = 1 THEN c END) AS mfcc1,
+       max(CASE WHEN mf.i = 2 THEN c END) AS mfcc2,
+       max(CASE WHEN mf.i = 3 THEN c END) AS mfcc3
+FROM ids i LEFT JOIN mf ON mf.media_id = i.media_id
+GROUP BY i.media_id, i.n, i.m
+ORDER BY i.media_id
+""")
+def audio_mfcc_features(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """MFCCs, values-checked END TO END through the real WAV
+    decoder: the same formula-generated PCM clips as
+    audio_spectral_features, REAL-decoded, framed, DFT'd (identical
+    4-dp magnitude discipline), pushed through 12 triangular mel
+    filters (6-dp-rounded weights from the 2595*log10(1+f/700)
+    warp), ln(E+1) log energies rounded 4-dp, and a DCT-II down to
+    4 cepstral coefficients. The oracle rebuilds every sample from
+    the generator formula and replays the full chain — warp, band
+    edges, weight rounding, energy fold, log, DCT — in pure SQL, so
+    a drift in any stage hash-mismatches. Clips shorter than 2
+    samples exercise the null-coefficient branch.
+
+    Scale shape: one Arrow-batched projection, no shuffle; orderBy
+    is the only exchange."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 400 + 1
+                samp = np.array(
+                    [((i * 7 + 13 * t) % 401) - 200 for t in range(n)],
+                    dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return mm.audio_mfcc_features(media).orderBy("media_id")
 
 
 @register("audio_clipping_stats", oracle="""

@@ -4404,3 +4404,116 @@ def test_pdf_extract_text_distributed(spark, tmp_path):
     (tmp_path / "a.pdf").write_bytes(pdf_bytes("file text"))
     out = read_pdf(spark, str(tmp_path / "*.pdf")).collect()
     assert len(out) == 1 and out[0].text == "file text"
+
+
+# -- MJPEG video frame hashing / dedup ---------------------------------------
+
+def _mjpeg_frames(seed, n_frames=3, bump=None):
+    import numpy as np
+    frames = []
+    for f in range(n_frames):
+        bv = np.array([[(seed + f * 31 + 13 * (by * 3 + bx)) % 256
+                        for bx in range(3)] for by in range(2)],
+                      np.int64)
+        if bump is not None and bump[0] == f:
+            by, bx = bump[1]
+            bv[by, bx] = (bv[by, bx] + bump[2]) % 256
+        frames.append(np.repeat(np.repeat(
+            bv.astype(np.uint8), 8, 0), 8, 1))
+    return frames
+
+
+def test_video_frame_dhash(spark):
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    frames = _mjpeg_frames(5)
+    p = mm.mjpeg_bytes(frames)
+    rows = [(1, p), (2, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.frame_idx): (r.ts_s, r.dhash)
+           for r in mm.video_frame_dhash(df).collect()}
+    # hashes equal the dHash of the RAW frame pixels: quant=1 flat
+    # blocks round-trip exactly through the JPEG codec
+    for f in range(3):
+        expect = mm._dhash_of(frames[f].astype(np.int64), 8, 7)
+        assert got[(1, f)] == (round(f * 40 / 1000, 6), expect)
+    assert got[(2, None)] == (None, None)
+    # every_k sampling keeps frames 0 and 2
+    kept = {r.frame_idx for r in
+            mm.video_frame_dhash(df, every_k=2).collect()
+            if r.media_id == 1}
+    assert kept == {0, 2}
+
+
+def test_video_near_duplicates(spark):
+    from structa_spark.operators import multimodal as mm
+
+    same = mm.mjpeg_bytes(_mjpeg_frames(9))
+    # +1 on one block flips no compare in this monotone-enough
+    # pattern region? keep it simple: an exact copy, a +128 bump
+    # (flips several bits in frame 1), and a 2-frame short video
+    far = mm.mjpeg_bytes(_mjpeg_frames(9, bump=(1, (0, 1), 128)))
+    short = mm.mjpeg_bytes(_mjpeg_frames(9, n_frames=2))
+    rows = [(1, same), (2, same), (3, far), (4, short)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): (r.n_frames, r.max_frame_hamming)
+             for r in mm.video_near_duplicates(df).collect()}
+    assert pairs == {(1, 2): (3, 0)}
+
+
+def test_framewise_hamming_pairs(spark):
+    from structa_spark.operators.dedup import framewise_hamming_pairs
+
+    rows = [
+        # frame 0: a/b identical, c one bit off
+        (1, 0, 0b1010), (2, 0, 0b1010), (3, 0, 0b1011),
+        # frame 1: a/b identical; c matches NOTHING here
+        (1, 1, 0b0110), (2, 1, 0b0110), (3, 1, 0b0110 ^ 0xFF),
+        # carries frame 1's exact a/b signature but AT FRAME 0: it
+        # may pair at frame 0 on its own distance, but must never
+        # produce a frame-1 pair (alignment is the contract)
+        (4, 0, 0b0110),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, dhash long")
+    got = {(r.id_a, r.id_b, r.frame_idx): r.hamming
+           for r in framewise_hamming_pairs(df, max_hamming=3,
+                                            bits=8).collect()}
+    assert got == {(1, 2, 0): 0, (1, 3, 0): 1, (2, 3, 0): 1,
+                   (1, 2, 1): 0,
+                   (1, 4, 0): 2, (2, 4, 0): 2, (3, 4, 0): 3}
+    assert not any(a == 4 or b == 4 for a, b, f in got if f == 1)
+
+
+def test_audio_mfcc_features(spark):
+    import math
+
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    def wav(samples, rate=8000):
+        arr = np.array(samples, dtype="<i2")
+        return mm.wav_bytes(rate, 1, len(arr), bits=16,
+                            samples=arr.tobytes())
+
+    tone = [int(1000 * math.sin(2 * math.pi * 4 * t / 64))
+            for t in range(64)]
+    rows = [(1, wav(tone)),
+            (2, wav([7])),          # m = 1 -> no DFT bin -> nulls
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           mm.audio_mfcc_features(df).collect()}
+    r1 = got[1]
+    assert r1.frame_len == 64
+    # a pure tone concentrates energy in one mel band: coefficients
+    # are finite, 4-dp rounded, and not all equal
+    vals = [r1.mfcc0, r1.mfcc1, r1.mfcc2, r1.mfcc3]
+    assert all(v is not None for v in vals)
+    assert len(set(vals)) > 1
+    assert all(abs(v * 10000 - round(v * 10000)) < 1e-6 for v in vals)
+    assert got[2].n_samples == 1 and got[2].mfcc0 is None
+    assert got[3].n_samples is None and got[3].mfcc3 is None

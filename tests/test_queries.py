@@ -259,6 +259,8 @@ def test_driver_window_covers_every_family():
         "c4_line_clean": "c4_rule_flags",
         # registered in round 10, awaiting the round-11 rotation
         "pdf_extracted_text": "encoding_quality_report",
+        "video_dup_groups": "image_dup_groups",
+        "audio_mfcc_features": "audio_spectral_features",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
