@@ -87,6 +87,7 @@ def main():
         wordpiece_merge_candidates, video_frame_index,
         encoding_quality_report, source_vocab_overlap,
         heaps_vocab_growth,
+        pdf_extracted_text, video_dup_groups, audio_mfcc_features,
     )
     from structa_spark.sources.tables import load_table
 
@@ -99,35 +100,52 @@ def main():
             p = analyze(load_table(spark, sf_dir, "documents"))
             return p.row_count
 
-        def bench_minhash():
-            d = load_table(spark, sf_dir, "documents")
-            return dedup.minhash_candidates(d).count()
+        # the profile entries run a multi-job inference loop, not one
+        # DataFrame — their fingerprint is the md5 of the RENDERED
+        # profile (a result fingerprint: stable across boxes, changes
+        # when the inference pipeline changes), so every suite entry
+        # carries SOME drift-attribution handle
+        def _profile_fp(table):
+            import hashlib as _h
+            p = analyze(load_table(spark, sf_dir, table))
+            return "render:" + _h.md5(
+                p.render().encode()).hexdigest()[:16]
 
-        def bench_simhash():
-            d = load_table(spark, sf_dir, "documents")
-            return dedup.simhash_near_duplicates(d).count()
+        bench_profile._fp = lambda: _profile_fp("lineitem")
+        bench_profile_docs._fp = lambda: _profile_fp("documents")
 
-        def bench_neardup_lsh():
-            e = load_table(spark, sf_dir, "embeddings")
-            return similarity.embedding_near_duplicates(
-                e, threshold=0.9, use_lsh=True).count()
+        def df_thunk(build):
+            def thunk():
+                return build().count()
+            thunk._df = build
+            return thunk
 
-        def bench_containment():
+        bench_minhash = df_thunk(lambda: dedup.minhash_candidates(
+            load_table(spark, sf_dir, "documents")))
+        bench_simhash = df_thunk(
+            lambda: dedup.simhash_near_duplicates(
+                load_table(spark, sf_dir, "documents")))
+        bench_neardup_lsh = df_thunk(
+            lambda: similarity.embedding_near_duplicates(
+                load_table(spark, sf_dir, "embeddings"),
+                threshold=0.9, use_lsh=True))
+
+        def _containment_df():
             # the SCALE path: LSH candidates verified with
             # array_intersect over the full table — never the
             # labeled quadratic oracle slice the registry query uses
             d = load_table(spark, sf_dir, "documents")
             cands = dedup.minhash_candidates(d)
             return dedup.containment_pairs(
-                d, threshold=0.5, candidates=cands).count()
+                d, threshold=0.5, candidates=cands)
 
-        def bench_winnow():
-            # full-table winnowing overlap (the registry query pins a
-            # 150-doc oracle slice; the scale path runs the whole
-            # corpus with the stop-gram posting cap engaged)
-            d = load_table(spark, sf_dir, "documents")
-            return dedup.winnow_overlap_pairs(
-                d, min_shared=8, max_postings=100).count()
+        bench_containment = df_thunk(_containment_df)
+        # full-table winnowing overlap (the registry query pins a
+        # 150-doc oracle slice; the scale path runs the whole
+        # corpus with the stop-gram posting cap engaged)
+        bench_winnow = df_thunk(lambda: dedup.winnow_overlap_pairs(
+            load_table(spark, sf_dir, "documents"),
+            min_shared=8, max_postings=100))
 
         def run_df(fn):
             def thunk():
@@ -218,6 +236,11 @@ def main():
             "encoding_screen": run_df(encoding_quality_report),
             "vocab_overlap": run_df(source_vocab_overlap),
             "heaps_growth": run_df(heaps_vocab_growth),
+            # round-10 paths: the PDF landing zone, MJPEG frame
+            # dedup, the mel-cepstral audio rung
+            "pdf_extract": run_df(pdf_extracted_text),
+            "video_dedup": run_df(video_dup_groups),
+            "audio_mfcc": run_df(audio_mfcc_features),
         }
 
     suite = make_suite(SF_DIR)
@@ -267,10 +290,23 @@ def main():
                     df = fn._df()
                     fingerprints[name] = _plan_fingerprint(df)
                     df.count()
+                elif hasattr(fn, "_fp"):
+                    # result fingerprint (profile entries): the call
+                    # doubles as the warm-up execution
+                    fingerprints[name] = fn._fp()
                 else:
                     fn()
             except Exception:
                 pass  # the timed passes report the error properly
+        # EVERY suite entry must carry a fingerprint, so the next
+        # timing drift on "unchanged code" is instantly attributable
+        # for any query (fingerprint changed => plan/result changed;
+        # unchanged => box noise). Entries missing one are a wiring
+        # bug in the suite, not a benign gap.
+        missing_fp = sorted(set(suite) - set(fingerprints))
+        if missing_fp:
+            print(f"WARNING: no fingerprint for {missing_fp}",
+                  file=sys.stderr)
 
     # median of 3 passes per query: this box shares hardware and a
     # single noisy-neighbor spike can triple an individual query's

@@ -8445,6 +8445,13 @@ DRIVER_PRIORITY = [
     "unigram_encode_fertility",
     "video_frame_index",
     "wordpiece_merge_candidates",
+    # ---- round-10 registrations (PDF landing zone, MJPEG frame
+    # dedup, mel-cepstral audio); zipf_vocab_fit, flesch_readability
+    # and oov_rate_by_vocab_size rotate out to make room (each green
+    # in round 9, each with an in-window family sibling) ----
+    "pdf_extracted_text",
+    "video_dup_groups",
+    "audio_mfcc_features",
     # ---- family anchors (kept from the round-9 window) ----
     # profiler (the reference surface)
     "profile_type_candidates",
@@ -8462,12 +8469,11 @@ DRIVER_PRIORITY = [
     "kn_bigram_nll",
     "token_entropy_stats",
     "bpe_merge_candidates", "unigram_tokenizer_vocab",
-    "tokenizer_fertility_by_lang", "oov_rate_by_vocab_size",
+    "tokenizer_fertility_by_lang",
     "cms_heavy_hitters",
     "sequence_packing",
     "mixing_weights_by_source",
     "normalized_text_stats",
-    "zipf_vocab_fit", "flesch_readability",
     "sentence_chunk_index",
     # quality-filter battery (C4 page rules, Gopher profiles)
     "c4_rule_flags",

@@ -257,10 +257,12 @@ def test_driver_window_covers_every_family():
         "audio_zcr_features": "audio_spectral_features",
         "audio_dedup_keep": "image_dedup_keep",
         "c4_line_clean": "c4_rule_flags",
-        # registered in round 10, awaiting the round-11 rotation
-        "pdf_extracted_text": "encoding_quality_report",
-        "video_dup_groups": "image_dup_groups",
-        "audio_mfcc_features": "audio_spectral_features",
+        # rotated OUT late in round 10 (green in round 9; in-window
+        # family siblings) to put the round-10 registrations (PDF,
+        # MJPEG dedup, MFCC) into the round-10 correctness window
+        "zipf_vocab_fit": "heaps_vocab_growth",
+        "flesch_readability": "sentence_chunk_index",
+        "oov_rate_by_vocab_size": "tokenizer_fertility_by_lang",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
