@@ -6326,6 +6326,27 @@ def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+@register("video_dedup_keep", oracle=None)  # filled in below, after
+# _media_keep_best_sql is defined (module ordering); see the
+# REGISTRY patch right after that helper
+def video_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup TERMINATED in a keep/drop decision — the
+    video_dup_groups spine (sample-table walk -> per-frame JPEG
+    decode -> frame-aligned pigeonhole -> whole-video verdict ->
+    connected components) followed by the SAME survivor-selection
+    tail as image_dedup_keep / audio_dedup_keep
+    (dedup.keep_best_per_group: richest sidecar document wins, ties
+    to the lowest id). The oracle replays the full chain plus the
+    score join and per-group argmax.
+
+    Scale shape: identical to video_dup_groups plus ONE group-keyed
+    max_by agg and one group-keyed join of the #groups-row keep
+    relation."""
+    groups = video_dup_groups(spark, sf_dir) \
+        .select("media_id", "group_id")
+    return _media_dedup_keep(spark, sf_dir, groups)
+
+
 _IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
   SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
          8 + (doc_id // 4) % 5 AS w, 6 + (doc_id // 4) % 4 AS h
@@ -6410,6 +6431,12 @@ SELECT s.media_id, s.group_id, sel.keep_id,
 FROM scored s JOIN sel USING (group_id)
 ORDER BY s.media_id
 """
+
+
+# video_dedup_keep registered above _media_keep_best_sql's
+# definition: patch its oracle in now that both exist
+REGISTRY["video_dedup_keep"] = (
+    video_dedup_keep, _media_keep_best_sql(_VIDEO_GROUPS_CTE))
 
 
 @register("image_dup_groups", oracle=_IMAGE_GROUPS_CTE + """
@@ -7957,6 +7984,54 @@ def pdf_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("text").alias("pdf_text"),
                        F.col("n_chars"),
                        F.col("n_text_streams"))
+            .orderBy("doc_id"))
+
+
+@register("pdf_metadata", oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Report (' || CAST(doc_id AS VARCHAR) || ')' END
+           AS title,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'author' || CAST(doc_id % 7 AS VARCHAR) END
+           AS author,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'structa_spark' END AS producer,
+       1 AS n_pages
+FROM documents ORDER BY doc_id
+""")
+def pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF provenance extraction, values-checked — the PDF twin of
+    image_exif_metadata: each document gets a generated PDF whose
+    trailer /Info dictionary carries formula-predicted Title (with
+    parens on the escape path), Author and Producer; every 5th file
+    omits the Info object and must surface nulls with the page count
+    still read (cardinality stays stable). The oracle predicts every
+    field arithmetically, so a drift in the trailer walk, the object
+    scan, string unescaping or the page count hash-mismatches.
+
+    Scale shape: one Arrow-batched projection, no shuffle."""
+    import pandas as pd
+
+    from .sources.pdf import pdf_bytes, pdf_metadata as pdf_meta
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                info = (None if i % 5 == 4 else
+                        {"Title": f"Report ({i})",
+                         "Author": f"author{i % 7}",
+                         "Producer": "structa_spark"})
+                rows.append((i, pdf_bytes("p", info=info)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (pdf_meta(media)
+            .select(F.col("media_id").alias("doc_id"),
+                    "title", "author", "producer", "n_pages")
             .orderBy("doc_id"))
 
 

@@ -297,6 +297,84 @@ def extract_pdf_text(payload,
     return ("\n".join(lines), n_streams, err)
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_INFO_KEYS = ("Title", "Author", "Subject", "Producer",
+              "CreationDate")
+
+
+def _dict_string(body: bytes, key: str) -> Optional[str]:
+    """The literal- or hex-string value of ``/key`` in a dict body,
+    decoded like content-stream strings; None when absent."""
+    m = re.search(rb"/" + key.encode() + rb"\s*([(<])", body)
+    if m is None:
+        return None
+    i = m.end() - 1
+    if body[i] == 0x28:  # ( literal with nesting + escapes
+        depth, j = 1, i + 1
+        start = j
+        while j < len(body) and depth:
+            c = body[j]
+            if c == 0x5C:
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+            j += 1
+        return _to_text(_decode_literal(body[start:j - 1]))
+    j = body.find(b">", i + 1)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"",
+                body[i + 1:j if j >= 0 else len(body)])
+    if len(hx) % 2:
+        hx += b"0"
+    return _to_text(bytes.fromhex(hx.decode("ascii")))
+
+
+def extract_pdf_info(payload) -> Tuple[dict, Optional[str]]:
+    """Document-provenance metadata from one PDF payload — the PDF
+    twin of the image EXIF walk: the trailer's ``/Info`` dictionary
+    (Title/Author/Subject/Producer/CreationDate) plus the page count
+    (``/Type /Page`` objects). Returns ``({field: value, "n_pages":
+    int}, error)``; absent fields are None. When the trailer is
+    missing or truncated, falls back to scanning for a dictionary
+    object carrying Info-only keys (the repair-mode posture of
+    :func:`extract_pdf_text`)."""
+    if payload is None or len(payload) < 8:
+        return ({}, "empty/truncated payload")
+    p = bytes(payload)
+    if not p.startswith(b"%PDF-"):
+        return ({}, "not a PDF (missing %PDF- header)")
+    out = {k.lower(): None for k in _INFO_KEYS}
+    out["n_pages"] = len(_PAGE_RE.findall(p))
+    body = None
+    m = _INFO_REF_RE.search(p)
+    if m is not None:
+        ref = int(m.group(1))
+        om = re.search(rb"(?<![0-9])" + str(ref).encode()
+                       + rb"\s+0\s+obj\b", p)
+        if om is not None:
+            end = p.find(b"endobj", om.end())
+            body = p[om.end():end if end >= 0 else len(p)]
+    if body is None:
+        # repair mode: any dict object with an Info-ish key and no
+        # /Type entry (page/catalog dicts all carry /Type)
+        for om in _OBJ_RE.finditer(p):
+            end = p.find(b"endobj", om.end())
+            cand = p[om.end():end if end >= 0 else len(p)]
+            if (re.search(rb"/(Title|Producer|CreationDate)[\s(<]",
+                          cand)
+                    and not re.search(rb"/Type\s*/", cand)):
+                body = cand
+                break
+    if body is None:
+        return (out, "no Info dictionary")
+    for k in _INFO_KEYS:
+        out[k.lower()] = _dict_string(body, k)
+    return (out, None)
+
+
 # ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
@@ -327,6 +405,38 @@ def pdf_extract_text(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(
         batches, schema=(f"{id_col} long, text string, n_chars long, "
                          "n_text_streams int, error string"))
+
+
+def pdf_metadata(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """Distributed PDF provenance extraction over a binary payload
+    column: ``(id, title, author, subject, producer, creation_date,
+    n_pages, error)``, one row per input (the EXIF-walk convention —
+    failed parses keep their row with nulls). Arrow-batched
+    ``mapInPandas``; payload bytes never leave the executor."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                info, err = extract_pdf_info(
+                    bytes(payload) if payload is not None else None)
+                out.append((int(mid), info.get("title"),
+                            info.get("author"), info.get("subject"),
+                            info.get("producer"),
+                            info.get("creationdate"),
+                            info.get("n_pages"), err))
+            yield pd.DataFrame(
+                out, columns=[id_col, "title", "author", "subject",
+                              "producer", "creation_date", "n_pages",
+                              "error"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, title string, "
+                         "author string, subject string, "
+                         "producer string, creation_date string, "
+                         "n_pages int, error string"))
 
 
 def read_pdf(spark: SparkSession, path: str) -> DataFrame:
@@ -366,7 +476,8 @@ def _esc(line: str) -> bytes:
 def pdf_bytes(text: str, compress: bool = True,
               tj_arrays: bool = False, hex_strings: bool = False,
               indirect_length: bool = False,
-              truncate_tail: bool = False) -> bytes:
+              truncate_tail: bool = False,
+              info: Optional[dict] = None) -> bytes:
     """A minimal structurally-valid one-page PDF showing ``text``
     (one ``Td``/``T*`` text line per input line): header, catalog /
     pages / page / font objects, a content stream (Flate-compressed
@@ -413,6 +524,13 @@ def pdf_bytes(text: str, compress: bool = True,
     ]
     if indirect_length:
         objs.append(str(len(content)).encode())
+    info_ref = b""
+    if info is not None:
+        entries = b" ".join(b"/" + k.encode() + b" ("
+                            + _esc(str(v)) + b")"
+                            for k, v in info.items())
+        objs.append(b"<< " + entries + b" >>")
+        info_ref = (b" /Info " + str(len(objs)).encode() + b" 0 R")
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -424,7 +542,7 @@ def pdf_bytes(text: str, compress: bool = True,
     for off in offsets[1:]:
         out += ("%010d 00000 n \n" % off).encode()
     out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n"
+            + b" /Root 1 0 R" + info_ref + b" >>\nstartxref\n"
             + str(xref_at).encode() + b"\n%%EOF\n")
     if truncate_tail:
         return bytes(out[:xref_at - 3])

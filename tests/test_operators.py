@@ -4517,3 +4517,32 @@ def test_audio_mfcc_features(spark):
     assert all(abs(v * 10000 - round(v * 10000)) < 1e-6 for v in vals)
     assert got[2].n_samples == 1 and got[2].mfcc0 is None
     assert got[3].n_samples is None and got[3].mfcc3 is None
+
+
+def test_pdf_metadata_pure_and_distributed(spark):
+    from structa_spark.sources.pdf import (
+        extract_pdf_info, pdf_bytes, pdf_metadata,
+    )
+    # full info dict, escape-bearing title, unicode author
+    p = pdf_bytes("body", info={"Title": "My (Doc)",
+                                "Author": "A. Üser",
+                                "Producer": "engine",
+                                "CreationDate": "D:20260816"})
+    info, err = extract_pdf_info(p)
+    assert err is None and info["title"] == "My (Doc)"
+    assert info["author"] == "A. Üser" and info["n_pages"] == 1
+    # truncated trailer: repair-mode scan still finds the dict
+    pt = pdf_bytes("x", info={"Title": "T"}, truncate_tail=True)
+    assert extract_pdf_info(pt)[0]["title"] == "T"
+    # no Info object: nulls + page count + a reason
+    i3, e3 = extract_pdf_info(pdf_bytes("y"))
+    assert i3["title"] is None and i3["n_pages"] == 1
+    assert e3 == "no Info dictionary"
+
+    rows = [(1, p), (2, pdf_bytes("z")), (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.title, r.n_pages, r.error is None)
+           for r in pdf_metadata(df).collect()}
+    assert got[1] == ("My (Doc)", 1, True)
+    assert got[2] == (None, 1, False)
+    assert got[3] == (None, None, False)

@@ -263,6 +263,9 @@ def test_driver_window_covers_every_family():
         "zipf_vocab_fit": "heaps_vocab_growth",
         "flesch_readability": "sentence_chunk_index",
         "oov_rate_by_vocab_size": "tokenizer_fertility_by_lang",
+        # registered late in round 10, awaiting the round-11 rotation
+        "video_dedup_keep": "image_dedup_keep",
+        "pdf_metadata": "pdf_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
