@@ -1281,3 +1281,85 @@ def test_wordpiece_encode_streams_stateless(spark, tmp_path):
     assert got[0] == ["ab", "cd"]
     assert got[1] == ["e", "[UNK]"]
     assert got[2] == []
+
+
+def test_pdf_extract_streams_stateless(spark, tmp_path):
+    # PDF text extraction is one stateless mapInPandas stage: it must
+    # run on a stream unchanged, append mode, equal to the batch twin
+    import json as _json
+
+    from structa_spark.sources.pdf import pdf_bytes, pdf_extract_text
+
+    ids = [0, 1, 2, 3]
+    p = tmp_path / "pdfids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = [(int(i), pdf_bytes(f"stream doc {int(i)}\n(p{i})",
+                                       compress=bool(int(i) % 2)))
+                    for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = pdf_extract_text(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "pdf_stream", "append")
+    got = {r.media_id: r.text for r in
+           spark.sql("SELECT * FROM pdf_stream").collect()}
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = {r.media_id: r.text for r in pdf_extract_text(
+        bdf.mapInPandas(build, "media_id long, payload binary"))
+        .collect()}
+    assert got == want and len(got) == 4
+    assert got[2] == "stream doc 2\n(p2)"
+
+
+def test_video_frame_dhash_streams_stateless(spark, tmp_path):
+    # sample-table walk -> per-frame JPEG decode -> dHash is a single
+    # stateless mapInPandas stage; stream == batch, frame fan-out
+    # included (one input row yields one row per sampled frame)
+    import json as _json
+
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    ids = [0, 1, 2]
+    p = tmp_path / "vidids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [np.repeat(np.repeat(np.array(
+                    [[(i * 9 + f * 31 + 13 * b) % 256
+                      for b in range(3)] for _ in range(2)],
+                    np.uint8), 8, 0), 8, 1) for f in range(3)]
+                rows.append((i, mm.mjpeg_bytes(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = mm.video_frame_dhash(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "vid_stream", "append")
+    got = {(r.media_id, r.frame_idx): r.dhash for r in
+           spark.sql("SELECT * FROM vid_stream").collect()}
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = {(r.media_id, r.frame_idx): r.dhash
+            for r in mm.video_frame_dhash(
+                bdf.mapInPandas(build, "media_id long, payload binary"))
+            .collect()}
+    assert got == want and len(got) == 9
