@@ -590,3 +590,57 @@ def unimax_allocation(df: DataFrame, budget_frac: float = 0.8,
                                    alloc / F.col("n_tokens"))
                             .otherwise(F.lit(0.0)), 4)
                     .alias("epochs_used")))
+
+
+def doremi_weights(nll_df: DataFrame, group_col: str = "source",
+                   nll_col: str = "avg_nll",
+                   tokens_col: str = "n_tokens",
+                   tau: float = 1.0) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) reduced to
+    its closed-form single step: each domain's mixture weight is its
+    token share scaled by ``exp(excess / tau)``, where ``excess`` is
+    the domain's token-weighted mean NLL above the corpus-wide mean,
+    hinged at zero (the Group-DRO clip — only domains the proxy finds
+    HARD get upweighted, never the easy ones downweighted past their
+    share). The full method alternates proxy training with these
+    updates; the one-step form is the standard cheap approximation
+    when the proxy is a fixed reference LM (here: any per-document
+    ``(group, n_tokens, avg_nll)`` relation, e.g.
+    ``text.unigram_logprob`` joined with a source column).
+
+    Returns ``(group, n_tokens, mean_nll, excess_nll,
+    doremi_weight)``; weights sum to 1 at 6 decimals.
+
+    Determinism: the per-group mean rounds to 4 dp before the
+    reference fold, the reference and hinge round to 4 dp before the
+    exp, and the raw weight rounds to 6 dp before normalizing — so a
+    SQL oracle replays every stage. Scale shape: one small-key agg
+    (domains number in the tens) + global-window folds over that
+    #domains-row relation; nothing after the first agg grows with the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    per = (nll_df.groupBy(group_col)
+           .agg(F.sum(tokens_col).cast("long").alias("n_tokens"),
+                F.round(F.sum(F.col(nll_col) * F.col(tokens_col))
+                        / F.sum(tokens_col), 4).alias("mean_nll")))
+    per = (per
+           .withColumn("__tot__", F.sum("n_tokens").over(w))
+           .withColumn("__ref__", F.round(
+               F.sum(F.col("mean_nll")
+                     * F.col("n_tokens")).over(w)
+               / F.col("__tot__"), 4)))
+    per = per.withColumn(
+        "excess_nll",
+        F.round(F.greatest(F.lit(0.0),
+                           F.col("mean_nll") - F.col("__ref__")), 4))
+    per = per.withColumn(
+        "__raw__",
+        F.round((F.col("n_tokens").cast("double") / F.col("__tot__"))
+                * F.exp(F.col("excess_nll") / F.lit(float(tau))), 6))
+    return (per.withColumn(
+        "doremi_weight",
+        F.round(F.col("__raw__") / F.sum("__raw__").over(w), 6))
+        .select(group_col, "n_tokens", "mean_nll", "excess_nll",
+                "doremi_weight"))

@@ -2747,3 +2747,38 @@ def chunk_windows(df: DataFrame, size: int = 32, stride: int = 16,
                     F.col("w.n_win_tokens").cast("int")
                     .alias("n_win_tokens"),
                     F.col("w.passage").alias("passage")))
+
+
+def blocklist_screen(df: DataFrame, terms, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_hit_frac: float = 0.01) -> DataFrame:
+    """Lexicon blocklist screen — the standard safety/NSFW gate of
+    web-corpus pipelines (C4 dropped pages containing any
+    "bad-words-list" term; RefinedWeb/Dolma keep per-document hit
+    RATES so borderline pages are tunable rather than binary): count
+    lowercase whitespace tokens that appear in ``terms`` and flag
+    documents whose hit fraction exceeds ``max_hit_frac`` (any hit
+    fails when ``max_hit_frac`` is 0.0 — the strict C4 rule).
+
+    Returns ``(id, n_tokens, n_hits, hit_frac, blocklist_keep)``;
+    ``hit_frac`` rounds to 6 dp, empty documents keep (no evidence).
+
+    Scale shape: the lexicon (thousands of terms at most) ships as a
+    LITERAL array inside one codegen'd projection —
+    ``array_intersect``-free, per-token ``array_contains`` over the
+    broadcast-by-value list, no join, no shuffle; the screen is one
+    scan like the other quality batteries and composes with them in
+    the same pass."""
+    term_list = sorted({str(t).lower() for t in terms})
+    lex = F.array(*[F.lit(t) for t in term_list])
+    toks = tokens(F.lower(F.col(text_col)))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    n = F.size(toks)
+    frac = F.when(n > 0, F.round(hits.cast("double") / n, 6)) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_hits"),
+        frac.alias("hit_frac"),
+        (frac <= F.lit(float(max_hit_frac))).alias("blocklist_keep"))

@@ -2805,6 +2805,85 @@ def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
             .orderBy("query_id"))
 
 
+@register("matryoshka_recall_at_k", oracle="""
+WITH tscored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_inner_product(
+                 list_slice(q.embedding::DOUBLE[], 1, 16),
+                 list_slice(e.embedding::DOUBLE[], 1, 16))
+               / (sqrt(list_inner_product(
+                        list_slice(q.embedding::DOUBLE[], 1, 16),
+                        list_slice(q.embedding::DOUBLE[], 1, 16)))
+                  * sqrt(list_inner_product(
+                        list_slice(e.embedding::DOUBLE[], 1, 16),
+                        list_slice(e.embedding::DOUBLE[], 1, 16)))),
+               6) AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+), trunc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id)
+                  AS rank
+    FROM tscored) WHERE rank <= 5
+), escored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_inner_product(q.embedding::DOUBLE[],
+                                  e.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id)
+                  AS rank
+    FROM escored) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS recall_at_k
+FROM exact x LEFT JOIN trunc t
+  ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
+""")
+def matryoshka_recall_at_k(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of MATRYOSHKA-TRUNCATED search (first 16 of
+    64 dims, the MRL deployment pattern: store/search short prefixes,
+    rerank with full vectors) against full-dimension exact cosine —
+    the dimension-tradeoff read-out beside the IVF/PQ/LSH recall
+    rows: prefix search is only as good as its measured recall at
+    the chosen cut, and this is the number a pipeline tunes the
+    prefix length with. Both rankings tiebreak identically (cosine
+    6-dp, then vec_id); the oracle replays both searches end to end
+    via list_slice, so a drift in the truncation, either cosine, or
+    the intersection count hash-mismatches.
+
+    Scale shape: the truncated side is the PRODUCTION path (4x fewer
+    floats through the same broadcast(queries) x corpus scan or any
+    ANN index); the full-dim exact side is the ground-truth
+    evaluation cost paid once per tuning run on a bounded query
+    sample."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    tr = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    te = e.select("vec_id", tr)
+    tq = q.select("vec_id", tr)
+    approx = (similarity.cosine_topk(te, tq, k=5)
+              .select("query_id", "vec_id", F.lit(1).alias("__hit")))
+    exact = (similarity.cosine_topk(e, q, k=5)
+             .select("query_id", "vec_id"))
+    return _recall_report(exact, approx)
+
+
 @register("pq_recall_at_k", oracle="""
 WITH cw AS (
   SELECT vec_id AS k, embedding::DOUBLE[] AS e
@@ -4530,6 +4609,104 @@ def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     token) first so the token hot key never reaches a join."""
     d = _t(spark, sf_dir, "documents")
     return text.unigram_logprob(d).orderBy("doc_id")
+
+
+@register("blocklist_screen", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN token IN ('hash', 'leak', 'slow')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_hits,
+       round(n_hits / CAST(n_tokens AS DOUBLE), 6) AS hit_frac,
+       round(n_hits / CAST(n_tokens AS DOUBLE), 6) <= 0.02
+           AS blocklist_keep
+FROM agg ORDER BY doc_id
+""")
+def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/NSFW lexicon gate, values-checked: per-document hit
+    counts against a blocklist (two terms present in the synthetic
+    vocabulary, one never occurring — both branches of the verdict
+    exercised), hit rates at 6 dp and the keep decision at a 2%
+    threshold. The oracle replays tokenization, the IN-list count,
+    the rate rounding and the rounded-then-compared verdict.
+
+    Scale shape: ONE codegen'd scan — the lexicon is a literal array
+    in the projection (C4-style lists are a few thousand terms), no
+    join, no shuffle; composes with the other quality batteries in
+    the same pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.blocklist_screen(
+        d, terms=["hash", "leak", "slow"], max_hit_frac=0.02)
+        .orderBy("doc_id"))
+
+
+@register("doremi_domain_weights", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), doc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(tf * -ln(c / n)) / sum(tf), 4) AS avg_nll
+  FROM tf JOIN cnt USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+), g AS (
+  SELECT d.source, CAST(sum(doc.n_tokens) AS BIGINT) AS n_tokens,
+         round(sum(doc.avg_nll * doc.n_tokens) / sum(doc.n_tokens),
+               4) AS mean_nll
+  FROM doc JOIN documents d USING (doc_id) GROUP BY 1
+), r AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         round(sum(mean_nll * n_tokens) / sum(n_tokens), 4) AS ref
+  FROM g
+), e AS (
+  SELECT g.source, g.n_tokens, g.mean_nll,
+         round(greatest(0.0, g.mean_nll - r.ref), 4) AS excess_nll,
+         round((g.n_tokens / r.tot)
+               * exp(round(greatest(0.0, g.mean_nll - r.ref), 4)
+                     / 0.5), 6) AS raw
+  FROM g CROSS JOIN r
+)
+SELECT source, n_tokens, mean_nll, excess_nll,
+       round(raw / sum(raw) OVER (), 6) AS doremi_weight
+FROM e ORDER BY source
+""")
+def doremi_domain_weights(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """DoReMi one-step domain reweighting, values-checked end to
+    end: per-document unigram NLL under the corpus's own LM (the
+    unigram_nll machinery) folds into token-weighted per-source
+    means, the Group-DRO hinge over the corpus-wide reference, and
+    exp(excess/tau)-scaled token shares normalized to mixture
+    weights (tau = 0.5). The oracle replays the whole chain — LM,
+    per-doc NLL, both weighted means, hinge, exp, normalization —
+    so a drift anywhere from tokenization to the final rounding
+    hash-mismatches.
+
+    Scale shape: the corpus-sized work is exactly unigram_nll's (tf
+    pre-agg, broadcast total); everything after the per-source agg
+    is global-window folds over a #sources-row relation."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    nll = text.unigram_logprob(d)
+    joined = nll.join(d.select("doc_id", "source"), "doc_id")
+    return sampling.doremi_weights(joined, tau=0.5).orderBy("source")
 
 
 @register("semantic_dedup_summary", oracle=f"""

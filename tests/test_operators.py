@@ -4546,3 +4546,54 @@ def test_pdf_metadata_pure_and_distributed(spark):
     assert got[1] == ("My (Doc)", 1, True)
     assert got[2] == (None, 1, False)
     assert got[3] == (None, None, False)
+
+
+def test_doremi_weights(spark):
+    import math
+
+    from structa_spark.operators.sampling import doremi_weights
+
+    # two domains: "hard" carries higher NLL, "easy" lower; token
+    # shares 100/300. hand-compute the one-step closed form
+    rows = [(0, "hard", 60, 3.0), (1, "hard", 40, 3.5),
+            (2, "easy", 200, 1.0), (3, "easy", 100, 1.3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, avg_nll double")
+    got = {r.source: r for r in doremi_weights(df, tau=0.5).collect()}
+    hard_nll = round((60 * 3.0 + 40 * 3.5) / 100, 4)   # 3.2
+    easy_nll = round((200 * 1.0 + 100 * 1.3) / 300, 4)  # 1.1
+    ref = round((hard_nll * 100 + easy_nll * 300) / 400, 4)
+    assert got["hard"].mean_nll == hard_nll
+    assert got["easy"].excess_nll == 0.0  # the Group-DRO hinge
+    ex = round(hard_nll - ref, 4)
+    assert got["hard"].excess_nll == ex
+    raw_h = round(100 / 400 * math.exp(ex / 0.5), 6)
+    raw_e = round(300 / 400 * 1.0, 6)
+    assert got["hard"].doremi_weight == round(raw_h / (raw_h + raw_e), 6)
+    assert abs(got["hard"].doremi_weight
+               + got["easy"].doremi_weight - 1.0) < 2e-6
+    # hard domain upweighted beyond its token share, easy never
+    # below-per-hinge asymmetry
+    assert got["hard"].doremi_weight > 0.25
+    assert got["easy"].doremi_weight < 0.75
+
+
+def test_blocklist_screen(spark):
+    from structa_spark.operators.text import blocklist_screen
+
+    rows = [(0, "good words only here"),
+            (1, "one bad word here"),          # 1/4 = 0.25 -> drop
+            (2, "bad bad bad bad"),            # all hits -> drop
+            (3, ""),                           # empty: keep
+            (4, "BAD uppercase counts too")]   # case-folded hit
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_hits, r.hit_frac,
+                      r.blocklist_keep)
+           for r in blocklist_screen(
+               df, terms=["bad", "missing"],
+               max_hit_frac=0.2).collect()}
+    assert got[0] == (4, 0, 0.0, True)
+    assert got[1] == (4, 1, 0.25, False)
+    assert got[2] == (4, 4, 1.0, False)
+    assert got[3] == (0, 0, 0.0, True)
+    assert got[4] == (4, 1, 0.25, False)

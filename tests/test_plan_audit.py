@@ -52,6 +52,10 @@ _QUADRATIC_OK = {
                                  # query sample)
     "pq_recall_at_k",            # same shape: exact dot ground truth
                                  # for the ADC candidate set
+    "matryoshka_recall_at_k",    # both sides are the labeled
+                                 # broadcast(queries) x corpus exact
+                                 # scan (prefix-truncated vs full);
+                                 # the tuning-run evaluation shape
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a
@@ -86,6 +90,9 @@ _SCALAR_BROADCAST_OK = {
     "heaps_vocab_growth",        # broadcast(min/max doc id) — one
                                  # 1-row bounds relation folded into
                                  # the bucket expression
+    "doremi_domain_weights",     # composes unigram_logprob: inherits
+                                 # its broadcast(total token count)
+                                 # 1-row scalar
 }
 
 

@@ -292,3 +292,30 @@ def test_sample_table_roundtrip_property(runs, spc, seed):
     for f, sz in zip(frames, sizes):
         assert f[1] == off
         off += sz
+
+
+# -- PDF text round trip ------------------------------------------------------
+
+pdf_texts = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs",)),
+    min_size=0, max_size=200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pdf_texts, st.sampled_from(
+    ["plain", "raw", "tj", "hex", "indirect", "trunc"]))
+def test_pdf_text_roundtrip_property(text, variant):
+    # ANY unicode text (escapes, newlines, parens, controls) must
+    # survive pdf_bytes -> extract_pdf_text byte-exactly through
+    # every writer variant — the fuzz twin of the fixed-case tests
+    from structa_spark.sources.pdf import extract_pdf_text, pdf_bytes
+
+    kw = {"plain": {}, "raw": {"compress": False},
+          "tj": {"tj_arrays": True}, "hex": {"hex_strings": True},
+          "indirect": {"indirect_length": True},
+          "trunc": {"truncate_tail": True}}[variant]
+    got, ns, err = extract_pdf_text(pdf_bytes(text, **kw))
+    # the one lossy edge: a text of ONLY empty lines shows nothing
+    # visible distinguishable from the empty document
+    assert got == text or (got is None and text.strip("\n") == "")

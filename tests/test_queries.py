@@ -266,6 +266,9 @@ def test_driver_window_covers_every_family():
         # registered late in round 10, awaiting the round-11 rotation
         "video_dedup_keep": "image_dedup_keep",
         "pdf_metadata": "pdf_extracted_text",
+        "doremi_domain_weights": "mixing_weights_by_source",
+        "blocklist_screen": "c4_rule_flags",
+        "matryoshka_recall_at_k": "ivf_recall_at_k",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
