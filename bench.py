@@ -88,6 +88,9 @@ def main():
         encoding_quality_report, source_vocab_overlap,
         heaps_vocab_growth,
         pdf_extracted_text, video_dup_groups, audio_mfcc_features,
+        docx_extracted_text, markdown_extracted_text,
+        blocklist_screen, doremi_domain_weights,
+        matryoshka_recall_at_k,
     )
     from structa_spark.sources.tables import load_table
 
@@ -241,6 +244,14 @@ def main():
             "pdf_extract": run_df(pdf_extracted_text),
             "video_dedup": run_df(video_dup_groups),
             "audio_mfcc": run_df(audio_mfcc_features),
+            # late round-10 paths: office/markdown ingest, the
+            # safety lexicon scan, DoReMi reweighting, the
+            # prefix-truncation recall read-out
+            "docx_extract": run_df(docx_extracted_text),
+            "markdown_extract": run_df(markdown_extracted_text),
+            "blocklist": run_df(blocklist_screen),
+            "doremi": run_df(doremi_domain_weights),
+            "matryoshka": run_df(matryoshka_recall_at_k),
         }
 
     suite = make_suite(SF_DIR)

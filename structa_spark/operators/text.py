@@ -2782,3 +2782,36 @@ def blocklist_screen(df: DataFrame, terms, text_col: str = "text",
         hits.cast("long").alias("n_hits"),
         frac.alias("hit_frac"),
         (frac <= F.lit(float(max_hit_frac))).alias("blocklist_keep"))
+
+
+def markdown_visible_text(col: Column) -> Column:
+    """Visible text from a Markdown column — the GitHub/docs-dump
+    twin of :func:`html_visible_text`: drop fenced code blocks and
+    inline code, strip images, unwrap links to their anchor text,
+    remove heading/emphasis/blockquote/list markers and table pipes
+    and horizontal rules, collapse whitespace. Pure built-in
+    regexp/replace expressions (JVM-side, whole-stage codegen, no
+    Python in the hot path), no backreferences or lookarounds, so
+    the same chain replays on RE2-based engines (the DuckDB oracle).
+    Deliberately the crude-but-scalable extractor — rendering
+    fidelity is not the goal, token recovery for the quality/dedup
+    ladder is."""
+    # fenced code blocks first (``` ... ```), then inline code spans
+    t = F.regexp_replace(col, r"(?s)```.*?```", " ")
+    t = F.regexp_replace(t, r"`[^`]*`", " ")
+    # images entirely, links to their anchor text: two passes —
+    # capture-free deletes of the url half keep it RE2-replayable
+    t = F.regexp_replace(t, r"!\[[^\]]*\]\([^)]*\)", " ")
+    t = F.regexp_replace(t, r"\]\([^)]*\)", " ")
+    t = F.regexp_replace(t, r"\[", " ")
+    t = F.regexp_replace(t, r"\]", " ")
+    # heading / blockquote / list markers at line starts; hrules;
+    # table pipes; emphasis runs
+    t = F.regexp_replace(t, r"(?m)^[ \t]*#{1,6}[ \t]*", " ")
+    t = F.regexp_replace(t, r"(?m)^[ \t]*>[ \t]*", " ")
+    t = F.regexp_replace(t, r"(?m)^[ \t]*[-*+][ \t]+", " ")
+    t = F.regexp_replace(t, r"(?m)^[ \t]*[0-9]+\.[ \t]+", " ")
+    t = F.regexp_replace(t, r"(?m)^[ \t]*([-*_][ \t]*){3,}$", " ")
+    t = F.regexp_replace(t, r"\|", " ")
+    t = F.regexp_replace(t, r"[*_]{1,3}", "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -8116,6 +8116,39 @@ def html_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("markdown_extracted_text", oracle="""
+SELECT doc_id,
+       'Title quoted ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+           || ' see docs item second a b' AS clean_text,
+       CAST(length('Title quoted ' || trim(regexp_replace(text,
+            '\\s+', ' ', 'g')) || ' see docs item second a b')
+            AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""")
+def markdown_extracted_text(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Markdown text extraction, values-checked: each document's
+    text is wrapped in a full Markdown page (heading, fenced code
+    block that must vanish, blockquote, bold emphasis, a link that
+    must unwrap to its anchor, bullet + numbered list items, a
+    horizontal rule and a table row) with pure expressions, then
+    markdown_visible_text must recover exactly the predicted
+    whitespace-collapsed text. The whole wrap+extract chain is
+    JVM-side regexp codegen; the oracle predicts the output string
+    directly, so any marker, fence, link or collapse bug
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("# Title\n\n```\ncode gone\n```\n\n> quoted **"),
+        F.col("text"),
+        F.lit("** see [docs](http://x)\n- item\n1. second\n\n---\n"
+              "| a | b |"))
+    clean = text.markdown_visible_text(page)
+    return (d.select("doc_id", clean.alias("clean_text"),
+                     F.length(clean).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 @register("pdf_extracted_text", oracle="""
 SELECT doc_id,
        text || chr(10) || '(doc ' || CAST(doc_id AS VARCHAR) || ')'
@@ -8161,6 +8194,50 @@ def pdf_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("text").alias("pdf_text"),
                        F.col("n_chars"),
                        F.col("n_text_streams"))
+            .orderBy("doc_id"))
+
+
+@register("docx_extracted_text", oracle="""
+SELECT doc_id,
+       text || chr(10) || 'para & <' || CAST(doc_id AS VARCHAR) || '>'
+           AS docx_text,
+       2 AS n_paragraphs
+FROM documents ORDER BY doc_id
+""")
+def docx_extracted_text(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """DOCX ingestion, values-checked end to end: each document's
+    text plus an entity-bearing second paragraph (&, <, > on the
+    XML-escape hot path) is written executor-side into a
+    structurally-valid DOCX (ZIP container, [Content_Types],
+    WordprocessingML document part, every line split into two
+    <w:t> runs) by sources.office.docx_bytes — deflate and stored
+    members alternating — then sources.office.docx_extract_text
+    must recover exactly the original paragraphs. The oracle is the
+    plaintext itself, so any zip, XML, run-concatenation or
+    entity-unescape bug hash-mismatches. This is the office-document
+    landing-zone step beside the PDF one; all codec work stays
+    inside Arrow batches, no shuffle."""
+    import pandas as pd
+
+    from .sources.office import docx_bytes, docx_extract_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = f"{txt or ''}\npara & <{i}>"
+                rows.append((i, docx_bytes(body,
+                                           compress=bool(i % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = docx_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       F.col("text").alias("docx_text"),
+                       F.col("n_paragraphs"))
             .orderBy("doc_id"))
 
 

@@ -4597,3 +4597,40 @@ def test_blocklist_screen(spark):
     assert got[2] == (4, 4, 1.0, False)
     assert got[3] == (0, 0, 0.0, True)
     assert got[4] == (4, 1, 0.25, False)
+
+
+def test_markdown_visible_text(spark):
+    from structa_spark.operators.text import markdown_visible_text
+
+    md = ("# Head\n\n```\ngone entirely\n```\n\nkeep `x = 1` text\n"
+          "![alt](http://img) and [anchor](http://url) stay\n"
+          "> quoted **bold** _em_\n- bullet\n2. numbered\n\n---\n"
+          "| c1 | c2 |")
+    df = spark.createDataFrame([(0, md)], "doc_id long, text string")
+    got = df.select(markdown_visible_text(
+        df.text).alias("t")).collect()[0].t
+    assert got == ("Head keep text and anchor stay quoted bold em "
+                   "bullet numbered c1 c2")
+
+
+def test_docx_extract_text_distributed(spark):
+    from structa_spark.sources.office import (
+        docx_bytes, docx_extract_text, extract_docx_text,
+    )
+    # pure: entities, unicode, multi-paragraph, stored + deflate
+    for c in (True, False):
+        t = "a & b < c > d\nsecond ünïcode"
+        got, np_, err = extract_docx_text(docx_bytes(t, compress=c))
+        assert (got, np_, err) == (t, 2, None)
+    # inflate cap hits on the document part, not memory
+    big = docx_bytes("x" * 100000)
+    text, np_, err = extract_docx_text(big, max_xml=512)
+    assert err == "document.xml inflate cap exceeded"
+    # distributed, degradation rows kept
+    rows = [(1, docx_bytes("hello\nworld")), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.text, r.n_paragraphs, r.error is None)
+           for r in docx_extract_text(df).collect()}
+    assert got[1] == ("hello\nworld", 2, True)
+    assert got[2] == (None, 0, False)
+    assert got[3] == (None, 0, False)

@@ -269,6 +269,8 @@ def test_driver_window_covers_every_family():
         "doremi_domain_weights": "mixing_weights_by_source",
         "blocklist_screen": "c4_rule_flags",
         "matryoshka_recall_at_k": "ivf_recall_at_k",
+        "markdown_extracted_text": "encoding_quality_report",
+        "docx_extracted_text": "pdf_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
