@@ -141,6 +141,85 @@ def parse_image_header(payload):
     return (None, None, None)
 
 
+def parse_jpeg_quant(payload):
+    """Quantization-table read-out from raw JPEG bytes — the cheap
+    compression-quality screen of an image-curation pipeline (a
+    heavily-quantized thumbnail is a different training asset than a
+    camera original, and the DQT says which WITHOUT any pixel
+    decode): walk the marker segments, parse every table in every
+    DQT (8- and 16-bit precisions, multiple tables per segment), and
+    return ``(n_tables, q_min, q_max, q_sum, width, height)`` with
+    dimensions from the first SOFn. Returns all-None for non-JPEG /
+    truncated payloads. Pure byte slicing."""
+    if payload is None or len(payload) < 4 or \
+            bytes(payload[:2]) != b"\xff\xd8":
+        return (None, None, None, None, None, None)
+    p = bytes(payload)
+    vals = []
+    n_tables = 0
+    w = h = None
+    i = 2
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            i += 1
+            continue
+        marker = p[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+        body = p[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq = body[j] >> 4
+                n = 64 * (2 if pq else 1)
+                raw = body[j + 1:j + 1 + n]
+                if len(raw) < n:
+                    break  # truncated table: keep what parsed
+                if pq:
+                    vals.extend(int.from_bytes(raw[k:k + 2], "big")
+                                for k in range(0, n, 2))
+                else:
+                    vals.extend(raw)
+                n_tables += 1
+                j += 1 + n
+        elif marker in _SOF_MARKERS and len(body) >= 5 and w is None:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+        elif marker == 0xDA:
+            break  # entropy data follows; tables all precede SOS
+        i += 2 + seg_len
+    if not vals:
+        return (0, None, None, None, w, h)
+    return (n_tables, min(vals), max(vals), sum(vals), w, h)
+
+
+def jpeg_quant_stats(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """(id, n_tables, q_min, q_max, q_sum, width, height) parsed FROM
+    THE BYTES (:func:`parse_jpeg_quant`) over Arrow batches — the
+    no-decode compression-quality screen; payloads never leave the
+    executors, non-JPEG rows keep nulls."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                n, qmin, qmax, qsum, w, h = parse_jpeg_quant(payload)
+                out.append((int(mid), n, qmin, qmax, qsum, w, h))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_tables", "q_min", "q_max",
+                              "q_sum", "width", "height"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_tables int, q_min int, "
+                         "q_max int, q_sum long, width int, "
+                         "height int"))
+
+
 def png_bytes(width: int, height: int) -> bytes:
     """A minimal structurally-valid PNG prefix (signature + IHDR with
     correct CRC) — enough for any header reader; no pixel data."""

@@ -6934,6 +6934,56 @@ def audio_spectral_features(spark: SparkSession,
     return mm.audio_spectral_features(media).orderBy("media_id")
 
 
+@register("jpeg_quality_screen", oracle="""
+SELECT doc_id,
+       1 AS n_tables,
+       CAST(1 + doc_id % 4 AS INT) AS q_min,
+       CAST(1 + doc_id % 4 AS INT) AS q_max,
+       CAST(64 * (1 + doc_id % 4) AS BIGINT) AS q_sum,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+       CAST(8 AS INT) AS height
+FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id
+""")
+def jpeg_quality_screen(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """No-decode JPEG compression-quality screen, values-checked:
+    real baseline JPEGs are encoded executor-side with a uniform
+    quantization value cycling 1..4, then parse_jpeg_quant must read
+    back exactly that table (min = max = quant, sum = 64*quant, one
+    table) plus the SOF dimensions — the screen a curation pipeline
+    uses to tell heavily-quantized thumbnails from originals without
+    inflating a single pixel. The oracle predicts every field
+    arithmetically from the generator formula.
+
+    Scale shape: one Arrow-batched byte-slicing projection, no
+    decode, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from .operators import jpeg as mjpeg
+    from .operators import multimodal as mm
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 4 == 3))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx = 1 + i % 3
+                bv = ((i * 7 + 13 * np.arange(nbx)) % 256) \
+                    .astype(np.uint8)[None, :]
+                arr = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+                rows.append((i, mjpeg.encode_jpeg(
+                    arr, quant=1 + i % 4)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (mm.jpeg_quant_stats(media)
+            .select(F.col("media_id").alias("doc_id"), "n_tables",
+                    "q_min", "q_max", "q_sum", "width", "height")
+            .orderBy("doc_id"))
+
+
 @register("audio_mfcc_features", oracle="""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 400 + 1 AS n,

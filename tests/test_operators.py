@@ -4634,3 +4634,28 @@ def test_docx_extract_text_distributed(spark):
     assert got[1] == ("hello\nworld", 2, True)
     assert got[2] == (None, 0, False)
     assert got[3] == (None, 0, False)
+
+
+def test_parse_jpeg_quant():
+    import numpy as np
+
+    from structa_spark.operators import jpeg as mjpeg
+    from structa_spark.operators import multimodal as mm
+
+    arr = np.repeat(np.repeat(
+        np.array([[10, 200]], np.uint8), 8, 0), 8, 1)
+    p = mjpeg.encode_jpeg(arr, quant=3)
+    assert mm.parse_jpeg_quant(p) == (1, 3, 3, 192, 16, 8)
+    # non-JPEG / truncated / DQT-less prefix degrade, never raise
+    assert mm.parse_jpeg_quant(b"junk") == (None,) * 6
+    assert mm.parse_jpeg_quant(None) == (None,) * 6
+    assert mm.parse_jpeg_quant(mm.jpeg_bytes(32, 16)) \
+        == (0, None, None, None, 32, 16)
+    # a crafted 16-bit-precision DQT parses big-endian pairs
+    body = bytes([0x10]) + b"".join(
+        int(300 + k).to_bytes(2, "big") for k in range(64))
+    seg = (b"\xff\xd8\xff\xdb" + (len(body) + 2).to_bytes(2, "big")
+           + body + b"\xff\xd9")
+    n, qmin, qmax, qsum, w, h = mm.parse_jpeg_quant(seg)
+    assert (n, qmin, qmax) == (1, 300, 363)
+    assert qsum == sum(range(300, 364))

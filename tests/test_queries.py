@@ -271,6 +271,7 @@ def test_driver_window_covers_every_family():
         "matryoshka_recall_at_k": "ivf_recall_at_k",
         "markdown_extracted_text": "encoding_quality_report",
         "docx_extracted_text": "pdf_extracted_text",
+        "jpeg_quality_screen": "image_entropy_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
