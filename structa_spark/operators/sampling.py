@@ -644,3 +644,48 @@ def doremi_weights(nll_df: DataFrame, group_col: str = "source",
         F.round(F.col("__raw__") / F.sum("__raw__").over(w), 6))
         .select(group_col, "n_tokens", "mean_nll", "excess_nll",
                 "doremi_weight"))
+
+
+def fim_split_coords(df: DataFrame, rate: float = 0.5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     salt: str = "fim") -> DataFrame:
+    """Fill-in-the-middle split coordinates (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    decide PER DOCUMENT whether it trains as FIM (a hash draw against
+    ``rate``) and, when it does, pick the two character split points
+    that carve (prefix, middle, suffix) — the document is then
+    reassembled as prefix+suffix+middle with sentinels by the pack
+    stage. Only the COORDS are computed here (the transform is a
+    substring shuffle the packer applies); keeping them separate
+    makes the decision auditable and exactly reproducible.
+
+    Determinism: both the draw and the split points key on
+    ``md5(id || salt)`` exactly like the engine's samplers, so the
+    decision is invariant under repartitioning, reruns and engine
+    swaps — an external SQL oracle replays every row bit-for-bit.
+    Split arithmetic: on a document of length n >= 2, two raw draws
+    in [0, n) sort into lo <= hi, giving prefix [0, lo), middle
+    [lo, hi), suffix [hi, n) — any of which may be empty, as in the
+    reference implementation. Documents shorter than 2 chars never
+    flip (nothing to split).
+
+    Returns ``(id, n_chars, do_fim, prefix_len, middle_len,
+    suffix_len)``; the three lengths are null when ``do_fim`` is
+    false. One codegen'd projection, no shuffle."""
+    n = F.length(F.col(text_col))
+    draw = md5_long(F.concat(F.col(id_col).cast("string"),
+                             F.lit(":" + salt))) % 1000
+    s1 = md5_long(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + salt + ":s1"))) % n
+    s2 = md5_long(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + salt + ":s2"))) % n
+    lo, hi = F.least(s1, s2), F.greatest(s1, s2)
+    do = (n >= 2) & (draw < F.lit(int(rate * 1000)))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        do.alias("do_fim"),
+        F.when(do, lo).cast("long").alias("prefix_len"),
+        F.when(do, hi - lo).cast("long").alias("middle_len"),
+        F.when(do, n - hi).cast("long").alias("suffix_len"))

@@ -691,3 +691,62 @@ def rrf_fuse(rankings, k: int = 60, out_k: int = 5,
         F.desc("rrf_score"), F.asc(id_col))
     return (fused.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= out_k))
+
+
+def margin_knn_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix criterion): score a candidate pair not by raw
+    cosine but by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            (0.5 * (avg_k cos(x, NN_k(x in Y))
+                  + avg_k cos(y, NN_k(y in X))))
+
+    which normalizes away hubness — a y that is everyone's neighbor
+    has a high denominator and stops winning every x. Returns each
+    x's best y by margin: ``(x_id, y_id, cosine, margin)``,
+    tie-broken (margin desc, y_id asc). Cosines round to 6 dp before
+    any fold and both k-NN means and the margin round to 6 dp, so an
+    external SQL oracle replays every stage.
+
+    Scale shape: mining runs per (shard_X x shard_Y) pair — X ships
+    as a broadcast onto the Y scan (one labeled evaluation-shaped
+    pass, the cosine_topk posture), both k-NN folds are windowed
+    top-k over that one scored relation, and nothing shuffles except
+    the |X|*|Y|-row score relation keyed by x/y id. At corpus scale
+    the scored relation comes from ANN candidates instead
+    (srp/ivf), with the identical margin fold downstream."""
+    x = x_df.select(F.col(id_col).alias("x_id"),
+                    F.col(vec_col).alias("__xv__"))
+    y = ensure_parallelism(y_df).select(F.col(id_col).alias("y_id"),
+                                        F.col(vec_col).alias("__yv__"))
+    scored = (y.join(F.broadcast(x),
+                     F.col("x_id") != F.col("y_id"))
+              .select("x_id", "y_id",
+                      F.round(cosine(F.col("__yv__"),
+                                     F.col("__xv__")), 6)
+                      .alias("cosine")))
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"),
+                                            F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"),
+                                            F.asc("x_id"))
+    ranked = (scored
+              .withColumn("__rx__", F.row_number().over(wx))
+              .withColumn("__ry__", F.row_number().over(wy)))
+    ax = (ranked.where(F.col("__rx__") <= k).groupBy("x_id")
+          .agg(F.round(F.avg("cosine"), 6).alias("__ax__")))
+    ay = (ranked.where(F.col("__ry__") <= k).groupBy("y_id")
+          .agg(F.round(F.avg("cosine"), 6).alias("__ay__")))
+    m = (scored.join(ax, "x_id").join(ay, "y_id")
+         .select("x_id", "y_id", "cosine",
+                 F.round(F.col("cosine")
+                         / (0.5 * (F.col("__ax__")
+                                   + F.col("__ay__"))), 6)
+                 .alias("margin")))
+    wbest = Window.partitionBy("x_id").orderBy(F.desc("margin"),
+                                               F.asc("y_id"))
+    return (m.withColumn("__r__", F.row_number().over(wbest))
+            .where(F.col("__r__") == 1)
+            .select("x_id", "y_id", "cosine", "margin"))

@@ -2805,6 +2805,68 @@ def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
             .orderBy("query_id"))
 
 
+@register("bitext_margin_pairs", oracle="""
+WITH x AS (
+  SELECT vec_id AS x_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 12
+), y AS (
+  SELECT vec_id AS y_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+), scored AS (
+  SELECT x_id, y_id,
+         round(list_inner_product(y.v, x.v)
+               / (sqrt(list_inner_product(y.v, y.v))
+                  * sqrt(list_inner_product(x.v, x.v))), 6) AS cosine
+  FROM x JOIN y ON x_id <> y_id
+), rx AS (
+  SELECT *, row_number() OVER (PARTITION BY x_id
+                               ORDER BY cosine DESC, y_id) AS r
+  FROM scored
+), ry AS (
+  SELECT *, row_number() OVER (PARTITION BY y_id
+                               ORDER BY cosine DESC, x_id) AS r
+  FROM scored
+), ax AS (
+  SELECT x_id, round(avg(cosine), 6) AS a FROM rx WHERE r <= 4
+  GROUP BY 1
+), ay AS (
+  SELECT y_id, round(avg(cosine), 6) AS a FROM ry WHERE r <= 4
+  GROUP BY 1
+), m AS (
+  SELECT s.x_id, s.y_id, s.cosine,
+         round(s.cosine / (0.5 * (ax.a + ay.a)), 6) AS margin
+  FROM scored s JOIN ax USING (x_id) JOIN ay USING (y_id)
+)
+SELECT x_id, y_id, cosine, margin FROM (
+  SELECT *, row_number() OVER (PARTITION BY x_id
+                               ORDER BY margin DESC, y_id) AS r
+  FROM m) WHERE r = 1
+ORDER BY x_id
+""")
+def bitext_margin_pairs(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix ratio-margin
+    criterion), values-checked end to end: the even-id embeddings
+    play the source-language shard, the odd-id ones the target, and
+    each source vector's best target is selected by cosine over the
+    AVERAGE of both sides' k-NN cosines — the hubness-robust score
+    parallel-corpus mining actually ships. The oracle replays the
+    scored relation, both windowed k-NN folds, the margin division
+    and the final argmax with identical tie-breaks, so a drift in
+    the cosine, either window, the rounding or the normalization
+    hash-mismatches.
+
+    Scale shape: one labeled broadcast(X-shard) x Y scan (the
+    cosine_topk evaluation posture — production mining feeds ANN
+    candidates into the identical margin fold), two windowed top-k
+    folds over the scored relation, id-keyed joins only."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 12))
+    y = e.where(F.col("vec_id") % 2 == 1)
+    return (similarity.margin_knn_pairs(x, y, k=4)
+            .orderBy("x_id"))
+
+
 @register("matryoshka_recall_at_k", oracle="""
 WITH tscored AS (
   SELECT q.vec_id AS query_id, e.vec_id,
@@ -4646,6 +4708,38 @@ def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (text.blocklist_screen(
         d, terms=["hash", "leak", "slow"], max_hit_frac=0.02)
         .orderBy("doc_id"))
+
+
+@register("fim_split_coords", oracle=f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n,
+         {md5_long_sql("doc_id || ':fim'")} % 1000 AS draw,
+         {md5_long_sql("doc_id || ':fim:s1'")} % length(text) AS s1,
+         {md5_long_sql("doc_id || ':fim:s2'")} % length(text) AS s2
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       (n >= 2 AND draw < 500) AS do_fim,
+       CASE WHEN n >= 2 AND draw < 500
+            THEN CAST(least(s1, s2) AS BIGINT) END AS prefix_len,
+       CASE WHEN n >= 2 AND draw < 500
+            THEN CAST(greatest(s1, s2) - least(s1, s2) AS BIGINT)
+            END AS middle_len,
+       CASE WHEN n >= 2 AND draw < 500
+            THEN CAST(n - greatest(s1, s2) AS BIGINT)
+            END AS suffix_len
+FROM base ORDER BY doc_id
+""")
+def fim_split_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training-transform coordinates,
+    values-checked: the per-document FIM draw (rate 0.5) and both
+    character split points are md5-keyed, so the oracle replays
+    every decision and every length bit-for-bit — the
+    repartition-invariant determinism contract all the engine's
+    samplers share. One codegen'd projection, no shuffle."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.fim_split_coords(d, rate=0.5).orderBy("doc_id")
 
 
 @register("doremi_domain_weights", oracle="""

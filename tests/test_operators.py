@@ -4659,3 +4659,50 @@ def test_parse_jpeg_quant():
     n, qmin, qmax, qsum, w, h = mm.parse_jpeg_quant(seg)
     assert (n, qmin, qmax) == (1, 300, 363)
     assert qsum == sum(range(300, 364))
+
+
+def test_fim_split_coords(spark):
+    from structa_spark.functions.hashing import md5_long_py
+    from structa_spark.operators.sampling import fim_split_coords
+
+    rows = [(0, "abcdefghij"), (1, "x"), (2, "hello world")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           fim_split_coords(df, rate=1.0).collect()}
+    # rate 1.0: every doc with n >= 2 flips; lengths partition n
+    for i, t in [(0, "abcdefghij"), (2, "hello world")]:
+        r = got[i]
+        assert r.do_fim
+        n = len(t)
+        s1 = md5_long_py(f"{i}:fim:s1") % n
+        s2 = md5_long_py(f"{i}:fim:s2") % n
+        lo, hi = min(s1, s2), max(s1, s2)
+        assert (r.prefix_len, r.middle_len, r.suffix_len) \
+            == (lo, hi - lo, n - hi)
+        assert r.prefix_len + r.middle_len + r.suffix_len == n
+    # a 1-char doc never flips
+    assert not got[1].do_fim and got[1].prefix_len is None
+    # rate 0: nobody flips
+    assert not any(r.do_fim for r in
+                   fim_split_coords(df, rate=0.0).collect())
+
+
+def test_margin_knn_pairs(spark):
+    from structa_spark.operators.similarity import margin_knn_pairs
+
+    # y20 is a HUB: identical to x0's direction but also near y21;
+    # the margin must still pick the best-aligned target per x and
+    # normalize hub denominators symmetrically
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    y = spark.createDataFrame(
+        [(20, [1.0, 0.1]), (21, [0.9, 0.2]), (23, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.x_id: r for r in
+           margin_knn_pairs(x, y, k=2).collect()}
+    assert got[0].y_id == 20       # best-aligned with [1, 0]
+    assert got[2].y_id == 23       # best-aligned with [0, 1]
+    for r in got.values():
+        assert 0.0 < r.margin      # 6-dp rounded ratio
+        assert abs(r.margin * 1e6 - round(r.margin * 1e6)) < 1e-4

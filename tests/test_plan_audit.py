@@ -56,6 +56,11 @@ _QUADRATIC_OK = {
                                  # broadcast(queries) x corpus exact
                                  # scan (prefix-truncated vs full);
                                  # the tuning-run evaluation shape
+    "bitext_margin_pairs",       # broadcast(X-shard) x Y scan — the
+                                 # per-shard-pair mining pass; at
+                                 # corpus scale the scored relation
+                                 # comes from ANN candidates into
+                                 # the identical margin fold
 }
 
 # queries whose nested-loop join is a 1-ROW scalar broadcast (a

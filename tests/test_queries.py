@@ -272,6 +272,8 @@ def test_driver_window_covers_every_family():
         "markdown_extracted_text": "encoding_quality_report",
         "docx_extracted_text": "pdf_extracted_text",
         "jpeg_quality_screen": "image_entropy_stats",
+        "fim_split_coords": "sequence_packing",
+        "bitext_margin_pairs": "hybrid_rrf_topk",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
