@@ -90,7 +90,8 @@ def main():
         pdf_extracted_text, video_dup_groups, audio_mfcc_features,
         docx_extracted_text, markdown_extracted_text,
         blocklist_screen, doremi_domain_weights,
-        matryoshka_recall_at_k,
+        matryoshka_recall_at_k, office_extracted_text,
+        fim_split_coords, bitext_margin_pairs, jpeg_quality_screen,
     )
     from structa_spark.sources.tables import load_table
 
@@ -252,6 +253,10 @@ def main():
             "blocklist": run_df(blocklist_screen),
             "doremi": run_df(doremi_domain_weights),
             "matryoshka": run_df(matryoshka_recall_at_k),
+            "office_extract": run_df(office_extracted_text),
+            "fim_coords": run_df(fim_split_coords),
+            "bitext_margin": run_df(bitext_margin_pairs),
+            "jpeg_quality": run_df(jpeg_quality_screen),
         }
 
     suite = make_suite(SF_DIR)

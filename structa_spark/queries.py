@@ -8385,6 +8385,50 @@ def docx_extracted_text(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@register("office_extracted_text", oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS kind,
+       text || chr(10) || 'close & <' || CAST(doc_id AS VARCHAR)
+           || '>' AS office_text,
+       2 AS n_paragraphs
+FROM documents ORDER BY doc_id
+""")
+def office_extracted_text(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Mixed office-format ingestion through ONE dispatching
+    operator, values-checked: even docs arrive as DOCX, odd as ODT
+    (span-wrapped runs, entity-bearing second paragraph), and
+    sources.office.office_extract_text must sniff the container
+    kind from the ZIP contents and recover exactly the original
+    paragraphs either way. The oracle predicts kind and text
+    arithmetically — the landing-zone reality where one column
+    carries whatever the crawl found."""
+    import pandas as pd
+
+    from .sources.office import (
+        docx_bytes, odt_bytes, office_extract_text,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = f"{txt or ''}\nclose & <{i}>"
+                payload = (docx_bytes(body) if i % 2 == 0
+                           else odt_bytes(body))
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = office_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"), "kind",
+                       F.col("text").alias("office_text"),
+                       F.col("n_paragraphs"))
+            .orderBy("doc_id"))
+
+
 @register("pdf_metadata", oracle="""
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 4 THEN NULL

@@ -158,3 +158,123 @@ def docx_bytes(text: str, compress: bool = True) -> bytes:
         zf.writestr("_rels/.rels", rels)
         zf.writestr("word/document.xml", doc)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# ODT (OpenDocument text) — the same ZIP walk, content.xml part
+# ---------------------------------------------------------------------------
+
+_ODT_P = re.compile(rb"<text:p(?:\s[^>]*)?>(.*?)</text:p>", re.S)
+_ODT_BR = re.compile(rb"<text:line-break\s*/>")
+_ODT_TAB = re.compile(rb"<text:tab\s*/>")
+_ODT_TAGS = re.compile(rb"<[^>]+>")
+
+
+def extract_odt_text(payload, max_xml: int = MAX_XML_BYTES
+                     ) -> Tuple[Optional[str], int, Optional[str]]:
+    """Extract visible text from one ODT payload — the OpenDocument
+    twin of :func:`extract_docx_text`: the ZIP member is
+    ``content.xml``, paragraphs are ``<text:p>`` elements (inner
+    ``<text:span>`` markup stripped, ``<text:line-break/>`` /
+    ``<text:tab/>`` honored), entities unescape, the inflate cap is
+    enforced on the decompressed part."""
+    if payload is None or len(payload) < 4:
+        return (None, 0, "empty/truncated payload")
+    p = bytes(payload)
+    if p[:2] != b"PK":
+        return (None, 0, "not a ZIP container")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(p))
+        names = set(zf.namelist())
+    except Exception as e:
+        return (None, 0, f"corrupt zip: {e}")
+    if "content.xml" not in names:
+        return (None, 0, "no content.xml (not an ODT)")
+    try:
+        with zf.open("content.xml") as fh:
+            data = fh.read(max_xml + 1)
+    except Exception as e:
+        return (None, 0, f"corrupt content part: {e}")
+    err = None
+    if len(data) > max_xml:
+        err = "content.xml inflate cap exceeded"
+        data = data[:max_xml]
+    paras = []
+    for body in _ODT_P.findall(data):
+        body = _ODT_BR.sub(b"\n", body)
+        body = _ODT_TAB.sub(b"\t", body)
+        body = _ODT_TAGS.sub(b"", body)
+        paras.append(_unescape_xml(body).decode("utf-8", "replace"))
+    if not paras:
+        return (None, 0, err or "no text paragraphs")
+    return ("\n".join(paras), len(paras), err)
+
+
+def office_extract_text(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Distributed office-document extraction dispatching on the ZIP
+    contents: DOCX (``word/document.xml``) and ODT (``content.xml``)
+    payloads in one column, ``(id, kind, text, n_chars,
+    n_paragraphs, error)`` out, one row per input. Arrow-batched
+    ``mapInPandas``."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else None
+                kind = None
+                if p is not None and p[:2] == b"PK":
+                    try:
+                        names = set(zipfile.ZipFile(
+                            io.BytesIO(p)).namelist())
+                        if "word/document.xml" in names:
+                            kind = "docx"
+                        elif "content.xml" in names:
+                            kind = "odt"
+                    except Exception:
+                        pass
+                if kind == "docx":
+                    text, np_, err = extract_docx_text(p)
+                elif kind == "odt":
+                    text, np_, err = extract_odt_text(p)
+                else:
+                    text, np_, err = (None, 0,
+                                      "not a DOCX/ODT container")
+                out.append((int(mid), kind, text,
+                            len(text) if text is not None else None,
+                            np_, err))
+            yield pd.DataFrame(
+                out, columns=[id_col, "kind", "text", "n_chars",
+                              "n_paragraphs", "error"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, kind string, text string, "
+                         "n_chars long, n_paragraphs int, "
+                         "error string"))
+
+
+def odt_bytes(text: str, compress: bool = True) -> bytes:
+    """A minimal structurally-valid ODT showing ``text`` (one
+    ``<text:p>`` per line, half of it wrapped in a ``<text:span>`` so
+    inner-markup stripping is exercised)."""
+    paras = []
+    for ln in text.split("\n"):
+        mid = len(ln) // 2
+        paras.append(f"<text:p>{_esc_xml(ln[:mid])}"
+                     f"<text:span>{_esc_xml(ln[mid:])}</text:span>"
+                     f"</text:p>")
+    doc = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+           "<office:document-content xmlns:office=\"urn:oasis:names:"
+           "tc:opendocument:xmlns:office:1.0\" xmlns:text=\"urn:"
+           "oasis:names:tc:opendocument:xmlns:text:1.0\">"
+           "<office:body><office:text>" + "".join(paras)
+           + "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", method) as zf:
+        zf.writestr("mimetype",
+                    "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", doc)
+    return buf.getvalue()

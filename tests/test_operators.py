@@ -4706,3 +4706,24 @@ def test_margin_knn_pairs(spark):
     for r in got.values():
         assert 0.0 < r.margin      # 6-dp rounded ratio
         assert abs(r.margin * 1e6 - round(r.margin * 1e6)) < 1e-4
+
+
+def test_odt_and_office_dispatch(spark):
+    from structa_spark.sources.office import (
+        docx_bytes, extract_odt_text, odt_bytes, office_extract_text,
+    )
+    # pure ODT round trip incl. span stripping, entities, line breaks
+    t = "a & b < c\nsecond ünïcode"
+    assert extract_odt_text(odt_bytes(t)) == (t, 2, None)
+    assert extract_odt_text(odt_bytes(t, compress=False)) \
+        == (t, 2, None)
+    # dispatching operator sniffs the container kind
+    rows = [(1, docx_bytes("from docx")), (2, odt_bytes("from odt")),
+            (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.kind, r.text) for r in
+           office_extract_text(df).collect()}
+    assert got[1] == ("docx", "from docx")
+    assert got[2] == ("odt", "from odt")
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)

@@ -274,6 +274,7 @@ def test_driver_window_covers_every_family():
         "jpeg_quality_screen": "image_entropy_stats",
         "fim_split_coords": "sequence_packing",
         "bitext_margin_pairs": "hybrid_rrf_topk",
+        "office_extracted_text": "pdf_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
