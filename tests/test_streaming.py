@@ -1363,3 +1363,45 @@ def test_video_frame_dhash_streams_stateless(spark, tmp_path):
                 bdf.mapInPandas(build, "media_id long, payload binary"))
             .collect()}
     assert got == want and len(got) == 9
+
+
+def test_office_extract_streams_stateless(spark, tmp_path):
+    # the kind-sniffing office extractor is one stateless mapInPandas
+    # stage: stream == batch, mixed DOCX/ODT payloads in one column
+    import json as _json
+
+    from structa_spark.sources.office import (
+        docx_bytes, odt_bytes, office_extract_text,
+    )
+
+    ids = [0, 1, 2, 3]
+    p = tmp_path / "officeids"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for i in ids:
+            fh.write(_json.dumps({"doc_id": i}) + "\n")
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def build(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                body = f"stream office {i}\npara <{i}>"
+                rows.append((i, docx_bytes(body) if i % 2 == 0
+                             else odt_bytes(body)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = office_extract_text(
+        sdf.mapInPandas(build, "media_id long, payload binary"))
+    _run_stream(out, "office_stream", "append")
+    got = {r.media_id: (r.kind, r.text) for r in
+           spark.sql("SELECT * FROM office_stream").collect()}
+    bdf = spark.createDataFrame([(i,) for i in ids], schema)
+    want = {r.media_id: (r.kind, r.text) for r in office_extract_text(
+        bdf.mapInPandas(build, "media_id long, payload binary"))
+        .collect()}
+    assert got == want and len(got) == 4
+    assert got[0][0] == "docx" and got[1][0] == "odt"
