@@ -2815,3 +2815,52 @@ def markdown_visible_text(col: Column) -> Column:
     t = F.regexp_replace(t, r"\|", " ")
     t = F.regexp_replace(t, r"[*_]{1,3}", "")
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def compression_ratio_screen(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_ratio: float = 0.25,
+                             level: int = 6) -> DataFrame:
+    """zlib compression-ratio quality screen — the repetitiveness
+    proxy web-corpus pipelines run beside the n-gram signals (a page
+    that deflates to a tiny fraction of itself is boilerplate,
+    keyword stuffing or generator spam; natural prose compresses to
+    roughly 0.3-0.5): ``ratio = compressed_len / utf8_len`` at a
+    fixed deflate ``level``, flagged against ``min_ratio``.
+
+    Returns ``(id, n_bytes, n_compressed, ratio, compression_keep)``;
+    ``ratio`` rounds to 6 dp, empty documents keep (no evidence).
+    zlib's output is deterministic for a fixed level and library
+    version, and the unit tests pin crafted repetitive-vs-natural
+    orderings rather than exact byte counts; there is deliberately no
+    SQL oracle (DuckDB exposes no deflate), so the registry entry
+    takes the rows-only check.
+
+    Scale shape: one Arrow-batched projection (deflate is CPU-bound
+    per row, exactly the decompress_payloads posture), no shuffle."""
+    import zlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                n = len(raw)
+                if n == 0:
+                    out.append((int(i), 0, 0, 0.0, True))
+                    continue
+                c = len(zlib.compress(raw, level))
+                import math
+                ratio = math.floor(c / n * 1e6 + 0.5) / 1e6
+                out.append((int(i), n, c, ratio,
+                            ratio >= float(min_ratio)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_bytes", "n_compressed",
+                              "ratio", "compression_keep"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_bytes long, "
+                         "n_compressed long, ratio double, "
+                         "compression_keep boolean"))

@@ -4673,6 +4673,21 @@ def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(d).orderBy("doc_id")
 
 
+@register("compression_ratio_screen", oracle=None)
+def compression_ratio_screen(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality screen over the documents
+    table — the Dolma/Gopher-adjacent repetitiveness proxy. No SQL
+    oracle by design (DuckDB exposes no deflate), so the driver
+    records the rows-only check; the operator's value behavior is
+    pinned by unit tests (crafted repetitive-vs-natural orderings
+    and the exact rounded quotient of the reported byte counts).
+    One Arrow-batched projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.compression_ratio_screen(d, min_ratio=0.25)
+            .orderBy("doc_id"))
+
+
 @register("blocklist_screen", oracle="""
 WITH toks AS (
   SELECT doc_id,

@@ -4727,3 +4727,28 @@ def test_odt_and_office_dispatch(spark):
     assert got[2] == ("odt", "from odt")
     assert got[3] == (None, None)
     assert got[4] == (None, None)
+
+
+def test_compression_ratio_screen(spark):
+    from structa_spark.operators.text import compression_ratio_screen
+
+    rows = [(0, "spam " * 400),                    # hyper-repetitive
+            (1, "the quick brown fox jumps over the lazy dog and "
+                "then wanders off toward a distant river bank where "
+                "seventeen herons argue about the tide tables"),
+            (2, ""),                               # empty: keep
+            (3, None)]                             # null text: keep
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           compression_ratio_screen(df, min_ratio=0.25).collect()}
+    # repetition deflates far below natural prose
+    assert got[0].ratio < 0.1 and not got[0].compression_keep
+    assert got[1].ratio > 0.25 and got[1].compression_keep
+    assert got[0].ratio < got[1].ratio
+    assert got[2].compression_keep and got[2].ratio == 0.0
+    assert got[3].compression_keep
+    # the ratio is the exact rounded quotient of the reported counts
+    import math
+    r = got[1]
+    assert r.ratio == math.floor(
+        r.n_compressed / r.n_bytes * 1e6 + 0.5) / 1e6

@@ -275,6 +275,7 @@ def test_driver_window_covers_every_family():
         "fim_split_coords": "sequence_packing",
         "bitext_margin_pairs": "hybrid_rrf_topk",
         "office_extracted_text": "pdf_extracted_text",
+        "compression_ratio_screen": "c4_rule_flags",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
