@@ -722,8 +722,12 @@ def margin_knn_pairs(x_df: DataFrame, y_df: DataFrame, k: int = 4,
                     F.col(vec_col).alias("__xv__"))
     y = ensure_parallelism(y_df).select(F.col(id_col).alias("y_id"),
                                         F.col(vec_col).alias("__yv__"))
-    scored = (y.join(F.broadcast(x),
-                     F.col("x_id") != F.col("y_id"))
+    # No id-inequality filter: X and Y are two DIFFERENT corpora with
+    # independent id spaces, so a gold pair whose source and target
+    # happen to share an id value must still be scoreable. (The
+    # cosine_topk self-join posture, where ids coincide by
+    # construction, does not apply here.)
+    scored = (y.crossJoin(F.broadcast(x))
               .select("x_id", "y_id",
                       F.round(cosine(F.col("__yv__"),
                                      F.col("__xv__")), 6)

@@ -2763,16 +2763,20 @@ def blocklist_screen(df: DataFrame, terms, text_col: str = "text",
     Returns ``(id, n_tokens, n_hits, hit_frac, blocklist_keep)``;
     ``hit_frac`` rounds to 6 dp, empty documents keep (no evidence).
 
-    Scale shape: the lexicon (thousands of terms at most) ships as a
-    LITERAL array inside one codegen'd projection —
-    ``array_intersect``-free, per-token ``array_contains`` over the
-    broadcast-by-value list, no join, no shuffle; the screen is one
-    scan like the other quality batteries and composes with them in
-    the same pass."""
+    Scale shape: the lexicon (thousands of terms at most) ships as an
+    ``isin`` predicate that Catalyst rewrites to ``InSet`` — a
+    hash-set membership probe, O(1) per token regardless of lexicon
+    size, carried as one set reference rather than inlined
+    per-element comparisons (no codegen bloat at thousands of
+    terms); no join, no shuffle — the screen stays one scan like the
+    other quality batteries and composes with them in the same
+    pass."""
     term_list = sorted({str(t).lower() for t in terms})
-    lex = F.array(*[F.lit(t) for t in term_list])
     toks = tokens(F.lower(F.col(text_col)))
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    if term_list:
+        hits = F.size(F.filter(toks, lambda t: t.isin(*term_list)))
+    else:
+        hits = F.lit(0)
     n = F.size(toks)
     frac = F.when(n > 0, F.round(hits.cast("double") / n, 6)) \
         .otherwise(F.lit(0.0))

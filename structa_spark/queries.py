@@ -2817,7 +2817,7 @@ WITH x AS (
          round(list_inner_product(y.v, x.v)
                / (sqrt(list_inner_product(y.v, y.v))
                   * sqrt(list_inner_product(x.v, x.v))), 6) AS cosine
-  FROM x JOIN y ON x_id <> y_id
+  FROM x CROSS JOIN y
 ), rx AS (
   SELECT *, row_number() OVER (PARTITION BY x_id
                                ORDER BY cosine DESC, y_id) AS r

@@ -259,7 +259,13 @@ def extract_pdf_text(payload,
         if sm is None:
             continue
         head = obj[:sm.start()]
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        # Digit boundary (?![0-9]) before the indirect-ref lookahead:
+        # without it, "/Length 12 0 R" backtracks \d+ to "1", the
+        # lookahead sees "2 0 R" (not \s+\d+\s+R) and a 1-byte slice
+        # silently drops the stream. With it, partial-digit matches
+        # are impossible and indirect /Length correctly falls through
+        # to the endstream scan.
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", head)
         if lm:
             s_lo = sm.end()
             s_hi = min(s_lo + int(lm.group(1)), len(obj))
@@ -297,7 +303,7 @@ def extract_pdf_text(payload,
     return ("\n".join(lines), n_streams, err)
 
 
-_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 _INFO_KEYS = ("Title", "Author", "Subject", "Producer",
               "CreationDate")
@@ -349,11 +355,17 @@ def extract_pdf_info(payload) -> Tuple[dict, Optional[str]]:
     out = {k.lower(): None for k in _INFO_KEYS}
     out["n_pages"] = len(_PAGE_RE.findall(p))
     body = None
-    m = _INFO_REF_RE.search(p)
-    if m is not None:
-        ref = int(m.group(1))
+    # Incrementally-updated PDFs append a new trailer per revision;
+    # the LAST /Info reference is the authoritative one. The lookup
+    # uses the captured generation number, not a hardcoded 0, so a
+    # regenerated Info object (gen > 0) is still found.
+    refs = list(_INFO_REF_RE.finditer(p))
+    if refs:
+        m = refs[-1]
+        ref, gen = int(m.group(1)), int(m.group(2))
         om = re.search(rb"(?<![0-9])" + str(ref).encode()
-                       + rb"\s+0\s+obj\b", p)
+                       + rb"\s+" + str(gen).encode() + rb"\s+obj\b",
+                       p)
         if om is not None:
             end = p.find(b"endobj", om.end())
             body = p[om.end():end if end >= 0 else len(p)]
@@ -477,6 +489,7 @@ def pdf_bytes(text: str, compress: bool = True,
               tj_arrays: bool = False, hex_strings: bool = False,
               indirect_length: bool = False,
               truncate_tail: bool = False,
+              pad_objects: int = 0,
               info: Optional[dict] = None) -> bytes:
     """A minimal structurally-valid one-page PDF showing ``text``
     (one ``Td``/``T*`` text line per input line): header, catalog /
@@ -486,7 +499,11 @@ def pdf_bytes(text: str, compress: bool = True,
     mid-line, ``hex_strings`` as ``<...>`` hex shows,
     ``indirect_length`` writes ``/Length N 0 R`` (forcing the
     endstream-scan path), ``truncate_tail`` chops the xref/trailer
-    off (forcing the repair-mode object scan)."""
+    off (forcing the repair-mode object scan). ``pad_objects``
+    inserts that many dummy objects before the indirect length
+    object so its object number gains digits — real PDFs routinely
+    reference ``/Length 12 0 R`` and the extractor must not
+    backtrack-match a partial digit run."""
     lines = text.split("\n")
     parts = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
     for k, ln in enumerate(lines):
@@ -509,7 +526,8 @@ def pdf_bytes(text: str, compress: bool = True,
     else:
         filt = b""
     if indirect_length:
-        length_entry = b"/Length 6 0 R"
+        length_entry = (b"/Length " + str(6 + pad_objects).encode()
+                        + b" 0 R")
     else:
         length_entry = b"/Length " + str(len(content)).encode()
 
@@ -522,6 +540,8 @@ def pdf_bytes(text: str, compress: bool = True,
          + content + b"\nendstream"),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
+    objs.extend(b"<< /Pad " + str(i).encode() + b" >>"
+                for i in range(pad_objects))
     if indirect_length:
         objs.append(str(len(content)).encode())
     info_ref = b""

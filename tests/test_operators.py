@@ -4349,6 +4349,10 @@ def test_pdf_round_trip_pure():
     ]
     variants = [dict(), dict(compress=False), dict(tj_arrays=True),
                 dict(hex_strings=True), dict(indirect_length=True),
+                # 2+ digit indirect /Length object number: the regex
+                # must not backtrack "/Length 13 0 R" to a 1-byte
+                # direct length (the silent-truncation bug class)
+                dict(indirect_length=True, pad_objects=7),
                 dict(truncate_tail=True)]
     for t in texts:
         for kw in variants:
@@ -4548,6 +4552,24 @@ def test_pdf_metadata_pure_and_distributed(spark):
     assert got[3] == (None, None, False)
 
 
+def test_pdf_info_incremental_update_last_trailer_wins():
+    """Incrementally-updated PDFs append a revision with a new
+    trailer: the LAST /Info reference is authoritative, and a
+    non-zero-generation Info object must still be found (the lookup
+    uses the captured generation, not a hardcoded 0)."""
+    from structa_spark.sources.pdf import extract_pdf_info, pdf_bytes
+
+    base = pdf_bytes("body", info={"Title": "Old"})
+    update = (b"9 2 obj\n<< /Title (New) /Author (A2) >>\nendobj\n"
+              b"trailer\n<< /Size 10 /Root 1 0 R /Info 9 2 R >>\n"
+              b"startxref\n0\n%%EOF\n")
+    info, err = extract_pdf_info(base + update)
+    assert err is None
+    assert info["title"] == "New" and info["author"] == "A2"
+    # the un-updated document still resolves its original Info
+    assert extract_pdf_info(base)[0]["title"] == "Old"
+
+
 def test_doremi_weights(spark):
     import math
 
@@ -4597,6 +4619,21 @@ def test_blocklist_screen(spark):
     assert got[2] == (4, 4, 1.0, False)
     assert got[3] == (0, 0, 0.0, True)
     assert got[4] == (4, 1, 0.25, False)
+
+    # a thousands-of-terms lexicon: membership is a hash-set probe
+    # (Catalyst's InSet rewrite), not a per-term linear scan, and the
+    # generated plan carries one set reference, not 2000 comparisons
+    big = [f"term{i:04d}" for i in range(2000)] + ["bad"]
+    out = blocklist_screen(df, terms=big, max_hit_frac=0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "INSET" in plan.upper()
+    got2 = {r.doc_id: r.n_hits for r in out.collect()}
+    assert got2 == {0: 0, 1: 1, 2: 4, 3: 0, 4: 1}
+
+    # the degenerate empty lexicon keeps everything
+    got3 = {r.doc_id: (r.n_hits, r.blocklist_keep)
+            for r in blocklist_screen(df, terms=[]).collect()}
+    assert all(v == (0, True) for v in got3.values())
 
 
 def test_markdown_visible_text(spark):
@@ -4706,6 +4743,21 @@ def test_margin_knn_pairs(spark):
     for r in got.values():
         assert 0.0 < r.margin      # 6-dp rounded ratio
         assert abs(r.margin * 1e6 - round(r.margin * 1e6)) < 1e-4
+
+
+def test_margin_knn_pairs_independent_id_spaces(spark):
+    """X and Y are different corpora: a gold pair whose source and
+    target share an id VALUE (both row 0 here) must be scoreable —
+    the self-join id-inequality filter does not apply to bitext."""
+    from structa_spark.operators.similarity import margin_knn_pairs
+
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    y = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.x_id: r for r in margin_knn_pairs(x, y, k=2).collect()}
+    assert got[0].y_id == 0        # the shared-id gold pair wins
 
 
 def test_odt_and_office_dispatch(spark):
