@@ -324,13 +324,26 @@ def main():
             print(f"WARNING: no fingerprint for {missing_fp}",
                   file=sys.stderr)
 
-    # median of 3 passes per query: this box shares hardware and a
-    # single noisy-neighbor spike can triple an individual query's
-    # wall-clock (observed 0.4s -> 2.9s on an unchanged scan query);
-    # the median is the standard noise-robust point estimate. All
-    # three raw passes ship in the payload for transparency — pass 1
-    # includes each query's one-time codegen, so median-of-3 reads as
-    # the steady-state number a long-lived session sees.
+    # MIN of 3 passes per query: this box shares hardware and
+    # intermittent EXTERNAL load spikes land even when the box looks
+    # idle — round 10's committed artifact recorded fuzzy_decontam at
+    # 28.67 s in one pass (vs 1.89/2.58 in the others) and let an
+    # asof_join spike through the median as a fake 2.2x "regression".
+    # Contention only ever ADDS time, so the minimum is the
+    # noise-robust estimator for algorithmic cost (the doclen ladder
+    # below has used it since round 6, and the standalone quiet-box
+    # remeasure protocol since round 8); the per-query median still
+    # ships in the artifact (out["medians"]) for continuity with
+    # rounds <= 10, and all raw passes ship for transparency.
+    #
+    # Each pass is additionally GATED on the 1-minute loadavg: a pass
+    # does not start while external load exceeds
+    # $SPARK_GRAFT_MAX_LOADAVG (default 10 — driver reruns above that
+    # are methodology noise by the established adjudication protocol);
+    # the gate waits up to ~2 min, then proceeds and records the
+    # violation. The loadavg sampled before every query of every pass
+    # ships in the artifact so any future drift is adjudicable
+    # without a separate remeasure run.
     #
     # Pass ORDER alternates (forward / reversed / half-rotated): in a
     # single long-lived driver session, later queries inherit JVM/GC
@@ -338,11 +351,29 @@ def main():
     # round-over-round "regression" of whichever queries happened to
     # sit late in the fixed order (round 7 measured unchanged code
     # drifting 1.0-1.5x non-uniformly). Alternation spreads the
-    # position effect across passes so the per-query median compares
+    # position effect across passes so the per-query minimum compares
     # across rounds even as the suite grows.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOADAVG", "10"))
+
+    def _loadavg():
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return None
+
+    def _gate_on_load():
+        """Wait (bounded) for external load to drain before a pass."""
+        for _ in range(6):
+            load = _loadavg()
+            if load is None or load <= MAX_LOAD:
+                return load
+            time.sleep(20)
+        return _loadavg()
+
     names = list(suite)
     all_runs = []
+    all_loads = []
     errors = {}
     for r in range(N_RUNS):
         if r % 3 == 1:
@@ -352,9 +383,12 @@ def main():
             order = names[mid:] + names[:mid]
         else:
             order = names
+        _gate_on_load()
         run = {}
+        run_load = {}
         for name in order:
             fn = suite[name]
+            run_load[name] = _loadavg()
             t0 = time.time()
             try:
                 fn()
@@ -363,6 +397,7 @@ def main():
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 run[name] = None
         all_runs.append(run)
+        all_loads.append(run_load)
 
     def median(vals):
         vals = sorted(v for v in vals if v is not None)
@@ -373,8 +408,14 @@ def main():
             return vals[mid]
         return round((vals[mid - 1] + vals[mid]) / 2, 3)
 
-    times = {name: median([run[name] for run in all_runs])
+    def minimum(vals):
+        vals = [v for v in vals if v is not None]
+        return min(vals) if vals else None
+
+    times = {name: minimum([run[name] for run in all_runs])
              for name in suite}
+    medians = {name: median([run[name] for run in all_runs])
+               for name in suite}
     total = round(sum(t for t in times.values() if t is not None), 3)
     # errors only for queries with NO successful pass; a transient
     # single-pass failure is reported separately so a valid median is
@@ -390,11 +431,16 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
-        "aggregation": (f"per-query median of {N_RUNS} "
+        "aggregation": (f"per-query MIN of {N_RUNS} loadavg-gated "
                         "order-alternated passes after a discarded "
-                        "warm-up pass"),
+                        "warm-up pass (contention only adds time; "
+                        "medians shipped alongside for continuity "
+                        "with rounds <= 10)"),
+        "medians": medians,
         "plan_fingerprints": fingerprints,
         "passes": all_runs,
+        "loadavg_per_query": all_loads,
+        "max_loadavg_gate": MAX_LOAD,
         "runs": [round(sum(t for t in run.values() if t is not None), 3)
                  for run in all_runs],
         "sf": SF_DIR,
@@ -680,8 +726,11 @@ def main():
                 "metric": out["metric"],
                 "value": out["value"],
                 "unit": out["unit"],
+                "aggregation": out["aggregation"],
                 "sf": out["sf"],
                 "queries": times,
+                "medians": medians,
+                "loadavg_per_query": all_loads,
                 "exponents": out.get("ladder", {}).get("exponents"),
                 "exponents_3pt": out.get("ladder_up",
                                          {}).get("exponents_3pt"),

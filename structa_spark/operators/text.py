@@ -2835,10 +2835,11 @@ def compression_ratio_screen(df: DataFrame, text_col: str = "text",
     Returns ``(id, n_bytes, n_compressed, ratio, compression_keep)``;
     ``ratio`` rounds to 6 dp, empty documents keep (no evidence).
     zlib's output is deterministic for a fixed level and library
-    version, and the unit tests pin crafted repetitive-vs-natural
-    orderings rather than exact byte counts; there is deliberately no
-    SQL oracle (DuckDB exposes no deflate), so the registry entry
-    takes the rows-only check.
+    version; the unit tests pin crafted repetitive-vs-natural
+    orderings, and the registry entry hash-checks against a
+    fixture-time sidecar of expected byte counts (DuckDB exposes no
+    deflate, so ``scripts/gen_compression_sidecar.py`` precomputes
+    them once with this same pinned call).
 
     Scale shape: one Arrow-batched projection (deflate is CPU-bound
     per row, exactly the decompress_payloads posture), no shuffle."""

@@ -4673,15 +4673,35 @@ def unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(d).orderBy("doc_id")
 
 
-@register("compression_ratio_screen", oracle=None)
+@register("compression_ratio_screen", oracle="""
+WITH side AS (
+  SELECT * FROM read_parquet(
+    '/root/repo/fixtures/compression_expected.parquet')
+), j AS (
+  SELECT d.doc_id, s.n_bytes, s.n_compressed,
+         CASE WHEN s.n_bytes = 0 THEN 0.0
+              ELSE floor(s.n_compressed
+                         / CAST(s.n_bytes AS DOUBLE) * 1e6
+                         + 0.5) / 1e6 END AS ratio
+  FROM documents d
+  JOIN side s ON md5(coalesce(d.text, '')) = s.text_md5
+)
+SELECT doc_id, n_bytes, n_compressed, ratio,
+       (n_bytes = 0 OR ratio >= 0.25) AS compression_keep
+FROM j ORDER BY doc_id
+""")
 def compression_ratio_screen(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality screen over the documents
-    table — the Dolma/Gopher-adjacent repetitiveness proxy. No SQL
-    oracle by design (DuckDB exposes no deflate), so the driver
-    records the rows-only check; the operator's value behavior is
-    pinned by unit tests (crafted repetitive-vs-natural orderings
-    and the exact rounded quotient of the reported byte counts).
+    table — the Dolma/Gopher-adjacent repetitiveness proxy. DuckDB
+    exposes no deflate, so the oracle joins a FIXTURE-TIME sidecar of
+    expected byte counts (``fixtures/compression_expected.parquet``,
+    generated by ``scripts/gen_compression_sidecar.py`` with the same
+    pinned ``zlib.compress(level=6)``), keyed tier-independently by
+    ``md5(text)``, and recomputes the rounded ratio and keep flag
+    arithmetically — upgrading the former rows-only check to the full
+    rows+schema+hash compare. An un-sidecar'd document drops from the
+    join and reads as a row-count mismatch, so fixture drift is loud.
     One Arrow-batched projection, no shuffle."""
     d = _t(spark, sf_dir, "documents")
     return (text.compression_ratio_screen(d, min_ratio=0.25)
@@ -8954,33 +8974,33 @@ def host_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_driver_window_covers_every_family) and keep full oracle
 # coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
-    # ---- round-10 rotation: the 14 round-9 late additions that have
-    # never held a driver-green row enter first (VERDICT r9 task 2);
-    # 14 long-green entries rotate out (curriculum_shard_stats,
-    # variant_props_stats, corpus_version_diff, host_curation_report,
-    # host_policy_filter, pq_codes, embedding_quantization,
-    # audio_envelope_hashes, audio_dup_groups, image_exif_metadata,
-    # image_phash_values, audio_zcr_features, audio_dedup_keep,
-    # c4_line_clean — every one green in its last driver check and
-    # still oracle-pinned by tests/test_queries.py every run)
-    "audio_clipping_stats",
-    "dup_cluster_histogram",
+    # ---- round-11 rotation: the 12 round-10 late additions that
+    # have never held a driver-green row enter first (VERDICT r10
+    # task 1); 12 round-10-green entries rotate out
+    # (audio_clipping_stats, dup_cluster_histogram,
+    # encoding_quality_report, heaps_vocab_growth, host_hits_scores,
+    # image_entropy_stats, ivf_recall_at_k,
+    # quality_gopher_calibration, source_vocab_overlap,
+    # unigram_encode_fertility, video_frame_index,
+    # wordpiece_merge_candidates — every one green in its round-10
+    # driver check and still oracle-pinned by tests/test_queries.py
+    # every run)
+    "bitext_margin_pairs",
+    "blocklist_screen",
+    "compression_ratio_screen",
+    "docx_extracted_text",
+    "doremi_domain_weights",
+    "fim_split_coords",
+    "jpeg_quality_screen",
+    "markdown_extracted_text",
+    "matryoshka_recall_at_k",
+    "office_extracted_text",
+    "pdf_metadata",
+    "video_dedup_keep",
+    # ---- round-10 window survivors (family anchors for the media
+    # extraction / dedup / retrieval rows above) ----
     "embedding_health_report",
-    "encoding_quality_report",
-    "heaps_vocab_growth",
-    "host_hits_scores",
-    "image_entropy_stats",
-    "ivf_recall_at_k",
     "pq_recall_at_k",
-    "quality_gopher_calibration",
-    "source_vocab_overlap",
-    "unigram_encode_fertility",
-    "video_frame_index",
-    "wordpiece_merge_candidates",
-    # ---- round-10 registrations (PDF landing zone, MJPEG frame
-    # dedup, mel-cepstral audio); zipf_vocab_fit, flesch_readability
-    # and oov_rate_by_vocab_size rotate out to make room (each green
-    # in round 9, each with an in-window family sibling) ----
     "pdf_extracted_text",
     "video_dup_groups",
     "audio_mfcc_features",

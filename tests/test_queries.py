@@ -253,29 +253,31 @@ def test_driver_window_covers_every_family():
         "audio_envelope_hashes": "audio_spectral_features",
         "audio_dup_groups": "image_dup_groups",
         "image_exif_metadata": "resized_media_stats",
-        "image_phash_values": "image_entropy_stats",
+        "image_phash_values": "image_dup_groups",
         "audio_zcr_features": "audio_spectral_features",
         "audio_dedup_keep": "image_dedup_keep",
         "c4_line_clean": "c4_rule_flags",
         # rotated OUT late in round 10 (green in round 9; in-window
         # family siblings) to put the round-10 registrations (PDF,
         # MJPEG dedup, MFCC) into the round-10 correctness window
-        "zipf_vocab_fit": "heaps_vocab_growth",
+        "zipf_vocab_fit": "token_entropy_stats",
         "flesch_readability": "sentence_chunk_index",
         "oov_rate_by_vocab_size": "tokenizer_fertility_by_lang",
-        # registered late in round 10, awaiting the round-11 rotation
-        "video_dedup_keep": "image_dedup_keep",
-        "pdf_metadata": "pdf_extracted_text",
-        "doremi_domain_weights": "mixing_weights_by_source",
-        "blocklist_screen": "c4_rule_flags",
-        "matryoshka_recall_at_k": "ivf_recall_at_k",
-        "markdown_extracted_text": "encoding_quality_report",
-        "docx_extracted_text": "pdf_extracted_text",
-        "jpeg_quality_screen": "image_entropy_stats",
-        "fim_split_coords": "sequence_packing",
-        "bitext_margin_pairs": "hybrid_rrf_topk",
-        "office_extracted_text": "pdf_extracted_text",
-        "compression_ratio_screen": "c4_rule_flags",
+        # rotated OUT in round 11 (every one green in its round-10
+        # driver check) to put the 12 never-driver-checked round-10
+        # registrations into the round-11 correctness window
+        "audio_clipping_stats": "audio_spectral_features",
+        "dup_cluster_histogram": "span_dup_coverage",
+        "encoding_quality_report": "normalized_text_stats",
+        "heaps_vocab_growth": "token_entropy_stats",
+        "host_hits_scores": "host_pagerank",
+        "image_entropy_stats": "image_dup_groups",
+        "ivf_recall_at_k": "ivf_topk_search",
+        "quality_gopher_calibration": "gopher_quality_flags",
+        "source_vocab_overlap": "split_leakage_report",
+        "unigram_encode_fertility": "unigram_tokenizer_vocab",
+        "video_frame_index": "video_dup_groups",
+        "wordpiece_merge_candidates": "bpe_merge_candidates",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
