@@ -92,6 +92,8 @@ def main():
         blocklist_screen, doremi_domain_weights,
         matryoshka_recall_at_k, office_extracted_text,
         fim_split_coords, bitext_margin_pairs, jpeg_quality_screen,
+        epub_extracted_text, pptx_extracted_text,
+        xlsx_extracted_text,
     )
     from structa_spark.sources.tables import load_table
 
@@ -257,6 +259,11 @@ def main():
             "fim_coords": run_df(fim_split_coords),
             "bitext_margin": run_df(bitext_margin_pairs),
             "jpeg_quality": run_df(jpeg_quality_screen),
+            # round-11 paths: the remaining office containers and
+            # the book-corpus EPUB walk (chapters cleaned JVM-side)
+            "epub_extract": run_df(epub_extracted_text),
+            "pptx_extract": run_df(pptx_extracted_text),
+            "xlsx_extract": run_df(xlsx_extracted_text),
         }
 
     suite = make_suite(SF_DIR)

@@ -8464,6 +8464,136 @@ def office_extracted_text(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@register("epub_extracted_text", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+           || 'end & ch' || CAST(doc_id AS VARCHAR) AS epub_text,
+       2 AS n_chapters
+FROM documents ORDER BY doc_id
+""")
+def epub_extracted_text(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """EPUB ingestion — the book-corpus landing zone — values-checked
+    end to end: each document's text becomes chapter 1 of a
+    structurally-valid EPUB (mimetype, container.xml, OPF manifest
+    written in REVERSE spine order so spine resolution is on the hot
+    path, XHTML chapters each carrying a <head> and a <script> the
+    cleaner must drop) plus an entity-bearing chapter 2, written by
+    sources.office.epub_bytes with deflate/stored alternating; then
+    sources.office.epub_extract_text must walk container -> OPF ->
+    spine, and clean every chapter with the SAME JVM-side
+    html_visible_text chain the crawl path uses (applied inside an
+    array transform — no Python in the HTML hot path). The oracle
+    predicts the whitespace-collapsed chapter texts directly, so any
+    container, spine-order, tag-strip or entity bug hash-mismatches.
+    All codec work stays inside Arrow batches; no shuffle."""
+    import pandas as pd
+
+    from .sources.office import epub_bytes, epub_extract_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                chapters = [f"<p>{txt or ''}</p>",
+                            f"<p>end &amp; ch{i}</p>"]
+                rows.append((i, epub_bytes(chapters,
+                                           compress=bool(i % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = epub_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       F.col("text").alias("epub_text"),
+                       F.col("n_chapters"))
+            .orderBy("doc_id"))
+
+
+@register("pptx_extracted_text", oracle="""
+SELECT doc_id,
+       text || chr(10) || 'slide & <' || CAST(doc_id AS VARCHAR)
+           || '>' AS pptx_text,
+       2 AS n_slides
+FROM documents ORDER BY doc_id
+""")
+def pptx_extracted_text(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """PPTX ingestion, values-checked end to end: each document's
+    text plus an entity-bearing second line is written executor-side
+    into a structurally-valid two-slide deck (one line per slide,
+    every line split into two <a:t> runs, slide MEMBERS written in
+    reverse numeric order so the extractor's slide-order sort is
+    exercised) by sources.office.pptx_bytes — deflate and stored
+    alternating — then sources.office.extract_pptx_text (via the
+    kind-sniffing office dispatcher's pptx branch) must recover
+    exactly the original lines in presentation order. The oracle is
+    the plaintext itself, so any zip, slide-order, run-concatenation
+    or entity bug hash-mismatches."""
+    import pandas as pd
+
+    from .sources.office import pptx_bytes, pptx_extract_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = f"{txt or ''}\nslide & <{i}>"
+                rows.append((i, pptx_bytes(body, lines_per_slide=1,
+                                           compress=bool(i % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = pptx_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       F.col("text").alias("pptx_text"),
+                       F.col("n_slides"))
+            .orderBy("doc_id"))
+
+
+@register("xlsx_extracted_text", oracle="""
+SELECT doc_id,
+       text || chr(10) || 'cell & <' || CAST(doc_id AS VARCHAR)
+           || '>' AS xlsx_text,
+       2 AS n_strings
+FROM documents ORDER BY doc_id
+""")
+def xlsx_extracted_text(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """XLSX ingestion, values-checked end to end: each document's
+    text plus an entity-bearing second string is written into a
+    structurally-valid workbook's shared-string table (the second
+    item as a two-run rich-text <si>, split BEFORE escaping) by
+    sources.office.xlsx_bytes, then sources.office.extract_xlsx_text
+    must recover the strings in table order. The oracle is the
+    plaintext itself, so any zip, item-order, rich-text-run or
+    entity bug hash-mismatches."""
+    import pandas as pd
+
+    from .sources.office import xlsx_bytes, xlsx_extract_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                rows.append((i, xlsx_bytes(
+                    [txt or "", f"cell & <{i}>"],
+                    compress=bool(i % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = xlsx_extract_text(media)
+    return (out.select(F.col("media_id").alias("doc_id"),
+                       F.col("text").alias("xlsx_text"),
+                       F.col("n_strings"))
+            .orderBy("doc_id"))
+
+
 @register("pdf_metadata", oracle="""
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 4 THEN NULL

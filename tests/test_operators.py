@@ -4781,6 +4781,102 @@ def test_odt_and_office_dispatch(spark):
     assert got[4] == (None, None)
 
 
+def test_pptx_round_trip_and_slide_order(spark):
+    from structa_spark.sources.office import (
+        extract_pptx_text, pptx_bytes, pptx_extract_text,
+    )
+    # pure round trip: entities, unicode, multi-line; the writer
+    # emits slide members in REVERSE numeric order so the extractor's
+    # slide sort is exercised (incl. slide10 vs slide2 numeric order)
+    t = "a & b < c\nsecond ünïcode\nthird"
+    assert extract_pptx_text(pptx_bytes(t)) == (t, 1, None)
+    assert extract_pptx_text(
+        pptx_bytes(t, lines_per_slide=1)) == (t, 3, None)
+    assert extract_pptx_text(
+        pptx_bytes(t, compress=False)) == (t, 1, None)
+    eleven = "\n".join(f"line{k}" for k in range(11))
+    assert extract_pptx_text(
+        pptx_bytes(eleven, lines_per_slide=1)) == (eleven, 11, None)
+    # degradation: non-zip, no slides, empty
+    assert extract_pptx_text(b"junk")[0] is None
+    assert extract_pptx_text(None)[0] is None
+    # distributed
+    rows = [(1, pptx_bytes("deck one\ntwo", lines_per_slide=1)),
+            (2, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.text, r.n_slides) for r in
+           pptx_extract_text(df).collect()}
+    assert got[1] == ("deck one\ntwo", 2)
+    assert got[2] == (None, 0)
+
+
+def test_xlsx_round_trip(spark):
+    from structa_spark.sources.office import (
+        extract_xlsx_text, xlsx_bytes, xlsx_extract_text,
+    )
+    # pure round trip: plain + rich-text (two-run) items, entities
+    # land in the rich-text split item (index 1) on purpose
+    strings = ["plain one", "a & b < c", "third ünïcode"]
+    want = "\n".join(strings)
+    assert extract_xlsx_text(xlsx_bytes(strings)) == (want, 3, None)
+    assert extract_xlsx_text(
+        xlsx_bytes(strings, compress=False)) == (want, 3, None)
+    assert extract_xlsx_text(b"junk")[0] is None
+    # distributed
+    rows = [(1, xlsx_bytes(["x", "y"])), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.text, r.n_strings) for r in
+           xlsx_extract_text(df).collect()}
+    assert got[1] == ("x\ny", 2)
+    assert got[2] == (None, 0)
+
+
+def test_office_dispatch_pptx_xlsx(spark):
+    from structa_spark.sources.office import (
+        docx_bytes, odt_bytes, office_extract_text, pptx_bytes,
+        xlsx_bytes,
+    )
+    rows = [(1, docx_bytes("w")), (2, odt_bytes("o")),
+            (3, pptx_bytes("p")), (4, xlsx_bytes(["x"]))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.kind, r.text, r.n_paragraphs) for r in
+           office_extract_text(df).collect()}
+    assert got[1] == ("docx", "w", 1)
+    assert got[2] == ("odt", "o", 1)
+    assert got[3] == ("pptx", "p", 1)
+    assert got[4] == ("xlsx", "x", 1)
+
+
+def test_epub_extraction(spark):
+    from structa_spark.sources.office import (
+        epub_bytes, epub_extract_text, extract_epub_chapters,
+    )
+    # pure container walk: spine order wins over (reversed) manifest
+    # and member order; head/script bodies survive to the chapters
+    # (cleaning is the JVM side's job)
+    ch, hrefs, err = extract_epub_chapters(
+        epub_bytes(["<p>one</p>", "<p>two &amp; half</p>"]))
+    assert err is None and hrefs == ["ch0.xhtml", "ch1.xhtml"]
+    assert "one" in ch[0] and "two &amp; half" in ch[1]
+    assert all("<script>" in c for c in ch)  # raw, not yet cleaned
+    # degradation: non-zip, zip without container.xml
+    assert extract_epub_chapters(b"junk")[0] is None
+    from structa_spark.sources.office import docx_bytes
+    assert extract_epub_chapters(docx_bytes("x"))[0] is None
+    # distributed text extraction: html_visible_text drops the
+    # head/script wrapper, unescapes entities, collapses whitespace,
+    # joins chapters with newlines
+    rows = [(1, epub_bytes(["<p>one  two</p>", "<p>a &amp; b</p>"])),
+            (2, epub_bytes(["<p>solo</p>"], compress=False)),
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.text, r.n_chapters) for r in
+           epub_extract_text(df).collect()}
+    assert got[1] == ("one two\na & b", 2)
+    assert got[2] == ("solo", 1)
+    assert got[3] == (None, 0)
+
+
 def test_compression_ratio_screen(spark):
     from structa_spark.operators.text import compression_ratio_screen
 
