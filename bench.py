@@ -93,7 +93,7 @@ def main():
         matryoshka_recall_at_k, office_extracted_text,
         fim_split_coords, bitext_margin_pairs, jpeg_quality_screen,
         epub_extracted_text, pptx_extracted_text,
-        xlsx_extracted_text,
+        xlsx_extracted_text, quality_classifier_scores,
     )
     from structa_spark.sources.tables import load_table
 
@@ -264,6 +264,9 @@ def main():
             "epub_extract": run_df(epub_extracted_text),
             "pptx_extract": run_df(pptx_extracted_text),
             "xlsx_extract": run_df(xlsx_extracted_text),
+            # the trained logistic quality gate (12 full-batch steps
+            # + corpus-wide scoring, the DCLM-shape filter)
+            "quality_classifier": run_df(quality_classifier_scores),
         }
 
     suite = make_suite(SF_DIR)

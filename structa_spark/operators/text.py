@@ -2702,6 +2702,148 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
                       pick["sc"].alias("score"))
 
 
+def _round6(x: float) -> float:
+    """Half-away-from-zero rounding to 6 dp on the binary double —
+    the ROUND semantics of both Spark SQL and DuckDB (Python's
+    built-in ``round`` is banker's and would drift at exact
+    boundaries)."""
+    import math
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _hashed_lift_features(df: DataFrame, n_buckets: int,
+                          id_col: str, text_col: str) -> DataFrame:
+    """Hashed-token "bucket lift" features for the logistic quality
+    filter: ``x = round(n_buckets * tf_bucket / n_tokens, 6)`` —
+    the L1-normalized share scaled by the bucket count, so a
+    uniformly-spread document reads 1.0 in every active bucket.
+    The scaling matters for training dynamics: with raw L1 shares
+    the per-bucket gradient is ~1/n_buckets of the bias gradient
+    and no single learning rate serves both; lift equalizes them.
+    ``n_buckets`` must be a power of two so the scale factor is
+    exact in binary and the SQL replay (which multiplies before
+    dividing, same op order) is bit-compatible."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: "
+                         f"{n_buckets}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    bucket = (md5_long(F.col("token")) % n_buckets).cast("int")
+    counts = (toks.select(id_col, bucket.alias("bucket"))
+              .groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    total = F.sum("c").over(Window.partitionBy(id_col))
+    return counts.select(
+        id_col, "bucket",
+        F.round(F.lit(float(n_buckets)) * F.col("c") / total, 6)
+        .alias("x"))
+
+
+def logistic_quality_train(df: DataFrame, label_col: str = "label",
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = 256, iters: int = 12,
+                           lr: float = 2.0):
+    """Train the DCLM/fastText-shape discriminative quality filter —
+    a logistic scorer over hashed n-gram (here: hashed-token)
+    features, the industry-standard page-quality gate trained on
+    "good reference pages vs raw crawl" labels — by a FIXED number of
+    deterministic full-batch gradient steps. Returns ``(weights,
+    bias)``: a ``n_buckets``-long list plus a float, model-sized at
+    any corpus scale.
+
+    Determinism contract (what lets an external SQL oracle replay
+    every update, the ``pagerank``-unrolled-iterations discipline):
+    features are :func:`_hashed_lift_features` (md5 buckets, 6-dp
+    bucket-lift values); each step rounds per-term products, the
+    per-document margin, the sigmoid, the per-bucket gradient and
+    the updated weights to 6 dp, half away from zero, in the
+    identical order on both engines. Weights start at zero (the
+    first sigmoid is exactly 0.5 everywhere), so step 1 is
+    engine-independent by construction. Documents with no tokens
+    carry no feature rows and drop from training (they provide no
+    gradient signal beyond the bias, and keeping them would make N
+    depend on null-text semantics).
+
+    Scale shape: the feature relation (|docs| x <= n_buckets rows) is
+    persisted once; each step is one broadcast-literal projection +
+    doc-keyed aggregation for the margins, one co-keyed join back for
+    the residual-weighted gradient, and ONE <= n_buckets-row collect —
+    the driver only ever holds the model (the unigram-EM posture).
+    """
+    from pyspark import StorageLevel
+
+    labels = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y__"))
+    feats = (_hashed_lift_features(df, n_buckets, id_col, text_col)
+             .join(labels, id_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n = feats.select(id_col).distinct().count()
+    if n == 0:
+        feats.unpersist()
+        raise ValueError("logistic_quality_train: no labeled "
+                         "documents with tokens")
+    w = [0.0] * n_buckets
+    b = 0.0
+    for _ in range(iters):
+        warr = F.array(*[F.lit(wi) for wi in w])
+        term = F.round(F.element_at(warr, F.col("bucket") + 1)
+                       * F.col("x"), 6)
+        per_doc = (feats.groupBy(id_col, "__y__")
+                   .agg(F.round(F.sum(term), 6).alias("__m__")))
+        p = F.round(F.lit(1.0) / (F.lit(1.0)
+                                  + F.exp(-(F.col("__m__")
+                                            + F.lit(b)))), 6)
+        resid = per_doc.select(F.col(id_col),
+                               (p - F.col("__y__")).alias("__r__"))
+        g = (feats.join(resid, id_col)
+             .groupBy("bucket")
+             .agg(F.round(F.sum(F.round(F.col("__r__")
+                                        * F.col("x"), 6))
+                          / n, 6).alias("g")))
+        rows = {r["bucket"]: r["g"] for r in g.collect()}
+        bg = resid.agg(
+            F.round(F.sum("__r__") / n, 6).alias("g")).first()["g"]
+        w = [_round6(wi - lr * rows.get(bi, 0.0))
+             for bi, wi in enumerate(w)]
+        b = _round6(b - lr * bg)
+    feats.unpersist()
+    return w, b
+
+
+def logistic_quality_scores(df: DataFrame, weights, bias: float,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.5) -> DataFrame:
+    """Score every document under a :func:`logistic_quality_train`
+    model: ``(id, qc_margin, qc_score, qc_keep)`` with the same 6-dp
+    rounding ladder as training (margin -> sigmoid -> threshold).
+    The model ships as LITERALS inside one projection (broadcast by
+    value with the plan — no join for the weights); scoring is the
+    feature aggregation plus one doc-keyed left join back to the
+    corpus so token-less documents score at the bias prior instead
+    of dropping."""
+    n_buckets = len(weights)
+    feats = _hashed_lift_features(df, n_buckets, id_col, text_col)
+    warr = F.array(*[F.lit(float(wi)) for wi in weights])
+    term = F.round(F.element_at(warr, F.col("bucket") + 1)
+                   * F.col("x"), 6)
+    per_doc = (feats.groupBy(id_col)
+               .agg(F.round(F.sum(term), 6).alias("__m__")))
+    m = F.coalesce(F.col("__m__"), F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0)
+                                  + F.exp(-(m + F.lit(float(bias))))),
+                    6)
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col), m.alias("qc_margin"),
+                    score.alias("qc_score"),
+                    (score >= F.lit(float(threshold)))
+                    .alias("qc_keep")))
+
+
 def chunk_windows(df: DataFrame, size: int = 32, stride: int = 16,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

@@ -3249,6 +3249,128 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "bucket"))
 
 
+_QC_TOKS = ("unnest(list_filter(string_split_regex(trim(lower(text)),"
+            " '\\s+'), t -> t <> ''))")
+
+
+def _logistic_sql(iters: int, n_buckets: int, lr: float) -> str:
+    """The unrolled-iteration DuckDB replay of
+    ``text.logistic_quality_train`` + ``logistic_quality_scores``
+    (the ``pagerank``/``_hits_sql`` discipline): every gradient step
+    is its own CTE chain — margins from the previous weight relation,
+    6-dp sigmoid, residual-weighted per-bucket gradient, weight/bias
+    update — so ANY drift in the feature hash, a product, a fold
+    order or a rounding hash-mismatches at the exact step it
+    happens."""
+    # AS MATERIALIZED on every multiply-referenced CTE: without it
+    # DuckDB may inline each reference, and the w{k} -> w{k-1} chain
+    # then re-expands EXPONENTIALLY in the iteration count (measured
+    # 445 s for 6 steps at sf0.001; materialized: sub-second)
+    parts = [f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         {_QC_TOKS} AS token
+  FROM documents WHERE doc_id % 3 <> 0
+), counts AS MATERIALIZED (
+  SELECT doc_id, y,
+         CAST({md5_long_sql('token')} % {n_buckets} AS INTEGER)
+             AS bucket,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2, 3
+), feats AS MATERIALIZED (
+  SELECT doc_id, y, bucket,
+         round({float(n_buckets)} * CAST(c AS DOUBLE)
+               / sum(c) OVER (PARTITION BY doc_id), 6) AS x
+  FROM counts
+), nn AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM feats
+), w0 AS MATERIALIZED (
+  SELECT CAST(unnest(range({n_buckets})) AS INTEGER) AS bucket,
+         0.0 AS w
+), b0 AS MATERIALIZED (SELECT 0.0 AS b)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+m{k} AS MATERIALIZED (
+  SELECT f.doc_id, f.y, round(sum(round(w.w * f.x, 6)), 6) AS m
+  FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY 1, 2
+), r{k} AS MATERIALIZED (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(m + (SELECT b FROM b{k - 1})))), 6)
+             - y AS r
+  FROM m{k}
+), g{k} AS MATERIALIZED (
+  SELECT f.bucket,
+         round(sum(round(r.r * f.x, 6)) / (SELECT n FROM nn), 6) AS g
+  FROM feats f JOIN r{k} r USING (doc_id) GROUP BY 1
+), w{k} AS MATERIALIZED (
+  SELECT w.bucket, round(w.w - {lr} * coalesce(g.g, 0.0), 6) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g USING (bucket)
+), b{k} AS MATERIALIZED (
+  SELECT round((SELECT b FROM b{k - 1})
+               - {lr} * round(sum(r) / (SELECT n FROM nn), 6), 6) AS b
+  FROM r{k}
+)""")
+    parts.append(f""",
+score_toks AS (
+  SELECT doc_id, {_QC_TOKS} AS token FROM documents
+), score_counts AS (
+  SELECT doc_id,
+         CAST({md5_long_sql('token')} % {n_buckets} AS INTEGER)
+             AS bucket,
+         count(*) AS c
+  FROM score_toks GROUP BY 1, 2
+), sx AS (
+  SELECT doc_id, bucket,
+         round({float(n_buckets)} * CAST(c AS DOUBLE)
+               / sum(c) OVER (PARTITION BY doc_id), 6) AS x
+  FROM score_counts
+), sm AS (
+  SELECT f.doc_id, round(sum(round(w.w * f.x, 6)), 6) AS m
+  FROM sx f JOIN w{iters} w USING (bucket) GROUP BY 1
+), scored AS (
+  SELECT d.doc_id, coalesce(sm.m, 0.0) AS qc_margin,
+         round(1.0 / (1.0 + exp(-(coalesce(sm.m, 0.0)
+               + (SELECT b FROM b{iters})))), 6) AS qc_score
+  FROM documents d LEFT JOIN sm USING (doc_id)
+)
+SELECT doc_id, qc_margin, qc_score, qc_score >= 0.5 AS qc_keep
+FROM scored ORDER BY doc_id""")
+    return "".join(parts)
+
+
+@register("quality_classifier_scores",
+          oracle=_logistic_sql(12, 256, 2.0))
+def quality_classifier_scores(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The trained discriminative quality filter (DCLM/fastText
+    shape), values-checked through EVERY gradient step: a logistic
+    scorer over md5-hashed bucket-lift token features is trained on
+    two thirds of the corpus (label: lang = 'en' — a learnable page
+    property standing in for the "reference vs crawl" labels
+    production filters use) by 12 deterministic full-batch steps,
+    then scores the WHOLE corpus with the final weights as plan
+    literals. The oracle unrolls all 12 updates (the pagerank
+    discipline, AS MATERIALIZED so the weight chain evaluates once
+    per step), so a drift in the feature hash, any
+    margin/sigmoid/gradient fold, the rounding ladder or the
+    train/score split hash-mismatches. On the synthetic corpus the
+    learned model separates the classes (mean en score well above
+    mean non-en) even though the languages share one vocabulary.
+
+    Scale shape: per step, one broadcast-literal projection + one
+    doc-keyed agg + one co-keyed join; the driver holds only the
+    257-float model (the unigram-EM posture); scoring is one pass
+    with the model broadcast by value."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+        .alias("label"))
+    w, b = text.logistic_quality_train(train, iters=12,
+                                       n_buckets=256, lr=2.0)
+    return (text.logistic_quality_scores(d, w, b).orderBy("doc_id"))
+
+
 @register("contamination_check", oracle=f"""
 WITH ev AS (
   SELECT DISTINCT unnest({_shingles_sql()}) AS s

@@ -4877,6 +4877,39 @@ def test_epub_extraction(spark):
     assert got[3] == (None, 0)
 
 
+def test_logistic_quality_classifier(spark):
+    import pytest as _pytest
+
+    from structa_spark.operators.text import (
+        logistic_quality_scores, logistic_quality_train,
+    )
+    # a cleanly separable toy task: "good" docs speak gold, "bad"
+    # docs speak dross; 16 buckets, a handful of steps
+    rows = [(i, "gold shine value worth", 1) for i in range(8)] \
+        + [(i + 8, "dross sludge waste junk", 0) for i in range(8)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, label int")
+    w, b = logistic_quality_train(df, n_buckets=16, iters=8, lr=2.0)
+    assert len(w) == 16 and all(isinstance(x, float) for x in w)
+    # deterministic: retraining reproduces the identical model
+    w2, b2 = logistic_quality_train(df, n_buckets=16, iters=8,
+                                    lr=2.0)
+    assert w == w2 and b == b2
+    got = {r.doc_id: r for r in
+           logistic_quality_scores(df, w, b).collect()}
+    assert all(got[i].qc_keep for i in range(8))
+    assert not any(got[i + 8].qc_keep for i in range(8))
+    assert got[0].qc_score > 0.8 > 0.2 > got[8].qc_score
+    # a token-less document scores at the bias prior, not dropped
+    empty = spark.createDataFrame([(99, "", 0)],
+                                  "doc_id long, text string, label int")
+    s = logistic_quality_scores(empty, w, b).collect()[0]
+    assert s.qc_margin == 0.0 and s.qc_score is not None
+    # the lift scaling requires a power-of-two bucket count
+    with _pytest.raises(ValueError):
+        logistic_quality_train(df, n_buckets=48)
+
+
 def test_compression_ratio_screen(spark):
     from structa_spark.operators.text import compression_ratio_screen
 

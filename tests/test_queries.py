@@ -282,6 +282,7 @@ def test_driver_window_covers_every_family():
         "epub_extracted_text": "office_extracted_text",
         "pptx_extracted_text": "office_extracted_text",
         "xlsx_extracted_text": "office_extracted_text",
+        "quality_classifier_scores": "mixing_weights_by_source",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
