@@ -94,6 +94,7 @@ def main():
         fim_split_coords, bitext_margin_pairs, jpeg_quality_screen,
         epub_extracted_text, pptx_extracted_text,
         xlsx_extracted_text, quality_classifier_scores,
+        audio_vad_segments,
     )
     from structa_spark.sources.tables import load_table
 
@@ -267,6 +268,8 @@ def main():
             # the trained logistic quality gate (12 full-batch steps
             # + corpus-wide scoring, the DCLM-shape filter)
             "quality_classifier": run_df(quality_classifier_scores),
+            # energy-gated VAD segmentation through the WAV decoder
+            "audio_vad": run_df(audio_vad_segments),
         }
 
     suite = make_suite(SF_DIR)

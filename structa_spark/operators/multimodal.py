@@ -2304,6 +2304,102 @@ def audio_clipping_stats(df: DataFrame,
                          f"clipped_frac double, max_silence_run long"))
 
 
+def audio_vad_segments(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       frame_len: int = 200,
+                       energy_threshold: int = 1000,
+                       min_frames: int = 1) -> DataFrame:
+    """Energy-gated voice-activity segmentation through the REAL WAV
+    decoder — the pre-transcription step a speech pipeline runs after
+    the clipping/silence screen (:func:`audio_clipping_stats`): chop
+    the clip into non-overlapping ``frame_len``-sample frames
+    (trailing partial frame included), gate each frame on its mean
+    absolute amplitude, and emit the maximal runs of consecutive
+    voiced frames as segments. This is the audio twin of sentence
+    chunking: downstream ASR consumes ``(id, seg_idx, start_s,
+    end_s)`` work items, not whole recordings.
+
+    The gate is INTEGER-EXACT for PCM: frame ``f`` is voiced iff
+    ``sum(|s|) > energy_threshold * n_frame_samples`` (strictly
+    greater, so an all-zero frame never passes at any threshold) —
+    mean-energy semantics without a division, replayable verbatim by
+    a SQL oracle. IEEE-float WAVs compare on the raw float sum (the
+    :func:`audio_zero_crossings` convention). Mono mixdown first
+    (``sum // channels`` integer, mean for floats).
+
+    Output: one row per kept segment (runs shorter than
+    ``min_frames`` drop) — ``(id, seg_idx, start_frame, end_frame,
+    start_s, end_s)`` with ``seg_idx`` 0-based per clip in time
+    order, ``start_s = round(start_frame * frame_len / rate, 6)``
+    and ``end_s = round(min((end_frame + 1) * frame_len, n_samples)
+    / rate, 6)`` (the trailing partial frame ends at the clip edge,
+    not past it). Undecodable or all-silent clips emit no rows (a
+    segment table, not a per-clip report — join back to the corpus
+    for coverage accounting). Arrow-batched ``mapInPandas``; samples
+    stay executor-side, no shuffle."""
+    import math
+
+    import numpy as np
+
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1: {frame_len}")
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, rate = decode_wav_samples(p)
+                    s = np.asarray(samples)
+                    if np.issubdtype(s.dtype, np.floating):
+                        s = s.astype(np.float64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) / s.shape[1]
+                    else:
+                        s = s.astype(np.int64)
+                        if s.ndim == 2:
+                            s = s.sum(axis=1) // s.shape[1]
+                    n = len(s)
+                    if n == 0:
+                        raise DecodeUnavailable("no samples")
+                except DecodeUnavailable:
+                    continue
+                a = np.abs(s)
+                n_frames = (n + frame_len - 1) // frame_len
+                starts = np.arange(n_frames) * frame_len
+                sums = np.add.reduceat(a, starts)
+                sizes = np.minimum(starts + frame_len, n) - starts
+                voiced = sums > energy_threshold * sizes
+                seg_idx = 0
+                f = 0
+                while f < n_frames:
+                    if not voiced[f]:
+                        f += 1
+                        continue
+                    g = f
+                    while g + 1 < n_frames and voiced[g + 1]:
+                        g += 1
+                    if g - f + 1 >= min_frames:
+                        end_sample = min((g + 1) * frame_len, n)
+                        out.append((int(mid), seg_idx, f, g,
+                                    _r6(f * frame_len / rate),
+                                    _r6(end_sample / rate)))
+                        seg_idx += 1
+                    f = g + 1
+            yield pd.DataFrame(
+                out, columns=[id_col, "seg_idx", "start_frame",
+                              "end_frame", "start_s", "end_s"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, seg_idx int, "
+                         "start_frame int, end_frame int, "
+                         "start_s double, end_s double"))
+
+
 def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "media_id",
                       bins: int = 16) -> DataFrame:

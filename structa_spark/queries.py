@@ -7442,6 +7442,92 @@ def audio_clipping_stats(spark: SparkSession,
     return mm.audio_clipping_stats(media).orderBy("media_id")
 
 
+@register("audio_vad_segments", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 600 + 40 AS n FROM documents
+), s AS (
+  SELECT media_id, n, t.t, t.t // 50 AS f,
+         CASE WHEN (media_id + t.t // 50) % 3 = 0 THEN 0
+              ELSE (((media_id * 11 + 29 * t.t) % 1001) - 500) * 60
+         END AS v
+  FROM ids CROSS JOIN generate_series(0, 639) t(t)
+  WHERE t.t < n
+), fr AS (
+  SELECT media_id, any_value(n) AS n, f,
+         sum(abs(v)) AS e, count(*) AS fn
+  FROM s GROUP BY 1, 3
+), voiced AS (
+  SELECT media_id, n, f FROM fr WHERE e > 1000 * fn
+), runs AS (
+  SELECT media_id, n, f,
+         f - row_number() OVER (PARTITION BY media_id ORDER BY f)
+             AS grp
+  FROM voiced
+), segs AS (
+  SELECT media_id, any_value(n) AS n,
+         min(f) AS start_frame, max(f) AS end_frame
+  FROM runs GROUP BY media_id, grp
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id
+                               ORDER BY start_frame) - 1 AS INT)
+           AS seg_idx,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(end_frame AS INT) AS end_frame,
+       floor(CAST(start_frame * 50 AS DOUBLE) / 8000 * 1e6 + 0.5)
+           / 1e6 AS start_s,
+       floor(CAST(least((end_frame + 1) * 50, n) AS DOUBLE) / 8000
+             * 1e6 + 0.5) / 1e6 AS end_s
+FROM segs ORDER BY media_id, seg_idx
+""")
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity segmentation, values-checked END
+    TO END through the real WAV decoder — the pre-transcription step
+    after the clipping/silence screen: clips synthesize with
+    deterministic speech/silence structure (every frame whose index
+    satisfies ``(id + frame) % 3 = 0`` is forced silence, the rest
+    carry the formula signal), and the operator must emit exactly the
+    maximal voiced-frame runs with their frame and second
+    coordinates. The integer-exact gate (``sum|s| > threshold * n``)
+    means the oracle rebuilds every sample, every frame energy, the
+    gaps-and-islands run grouping and the 6-dp second conversion
+    arithmetically — a drift in the RIFF walk, the frame split, the
+    strict-inequality gate, the trailing-partial-frame edge or the
+    rounding hash-mismatches.
+
+    Scale shape: one Arrow-batched decode projection emitting
+    segment rows, no shuffle; the oracle's islands live oracle-side
+    only."""
+    import numpy as np
+    import pandas as pd
+    from .operators import multimodal as mm
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 600 + 40
+                vals = []
+                for t in range(n):
+                    if (i + t // 50) % 3 == 0:
+                        vals.append(0)
+                    else:
+                        vals.append(
+                            (((i * 11 + 29 * t) % 1001) - 500) * 60)
+                samp = np.array(vals, dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (mm.audio_vad_segments(media, frame_len=50,
+                                  energy_threshold=1000,
+                                  min_frames=1)
+            .orderBy("media_id", "seg_idx"))
+
+
 @register("image_exif_metadata", oracle="""
 SELECT doc_id AS media_id,
        'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,

@@ -4877,6 +4877,51 @@ def test_epub_extraction(spark):
     assert got[3] == (None, 0)
 
 
+def test_audio_vad_segments(spark):
+    import numpy as np
+
+    from structa_spark.operators.multimodal import (
+        audio_vad_segments, wav_bytes,
+    )
+
+    def wav(vals):
+        s = np.array(vals, dtype="<i2")
+        return wav_bytes(8000, 1, len(s), bits=16,
+                         samples=s.tobytes())
+
+    # 4-sample frames: [loud, loud, silent, loud-partial(2 samples)]
+    loud, quiet = [5000, -5000, 5000, -5000], [0, 0, 0, 0]
+    rows = [
+        (1, wav(loud + loud + quiet + [5000, -5000])),
+        (2, wav(quiet + quiet)),        # all silent: no rows
+        (3, b"junk"),                   # undecodable: no rows
+        # boundary: mean |s| == threshold exactly must NOT pass
+        # (strict >), one above must
+        (4, wav([1000, -1000, 1000, -1000]
+                + [1001, -1001, 1001, -1001])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    segs = audio_vad_segments(df, frame_len=4,
+                              energy_threshold=1000).collect()
+    got = {}
+    for r in segs:
+        got.setdefault(r.media_id, []).append(r)
+    # clip 1: voiced frames 0-1, silent 2, voiced partial 3 -> two
+    # segments; the trailing partial frame ends at the clip edge
+    a, b = sorted(got[1], key=lambda r: r.seg_idx)
+    assert (a.start_frame, a.end_frame) == (0, 1)
+    assert (b.start_frame, b.end_frame) == (3, 3)
+    assert b.end_s == round(14 / 8000, 6)
+    assert 2 not in got and 3 not in got
+    assert [(r.start_frame, r.end_frame) for r in got[4]] == [(1, 1)]
+    # min_frames drops short runs
+    long_only = audio_vad_segments(df, frame_len=4,
+                                   energy_threshold=1000,
+                                   min_frames=2).collect()
+    assert [(r.media_id, r.start_frame, r.end_frame)
+            for r in long_only] == [(1, 0, 1)]
+
+
 def test_logistic_quality_classifier(spark):
     import pytest as _pytest
 

@@ -283,6 +283,7 @@ def test_driver_window_covers_every_family():
         "pptx_extracted_text": "office_extracted_text",
         "xlsx_extracted_text": "office_extracted_text",
         "quality_classifier_scores": "mixing_weights_by_source",
+        "audio_vad_segments": "audio_mfcc_features",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
