@@ -94,7 +94,7 @@ def main():
         fim_split_coords, bitext_margin_pairs, jpeg_quality_screen,
         epub_extracted_text, pptx_extracted_text,
         xlsx_extracted_text, quality_classifier_scores,
-        audio_vad_segments,
+        audio_vad_segments, code_quality_flags, pii_card_scan,
     )
     from structa_spark.sources.tables import load_table
 
@@ -270,6 +270,10 @@ def main():
             "quality_classifier": run_df(quality_classifier_scores),
             # energy-gated VAD segmentation through the WAV decoder
             "audio_vad": run_df(audio_vad_segments),
+            # the code-corpus line-geometry screen and the
+            # Luhn-validated card scan (both single codegen scans)
+            "code_quality": run_df(code_quality_flags),
+            "pii_cards": run_df(pii_card_scan),
         }
 
     suite = make_suite(SF_DIR)

@@ -2702,6 +2702,111 @@ def nb_predict(df: DataFrame, cond: DataFrame, classes: DataFrame,
                       pick["sc"].alias("score"))
 
 
+def code_quality_flags(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_line_len: int = 1000,
+                       max_avg_line_len: int = 100,
+                       min_alnum_frac: float = 0.25) -> DataFrame:
+    """StarCoder/BigCode-style source-file quality screen — the
+    line-geometry battery a CODE-corpus pipeline runs where a prose
+    pipeline runs C4/Gopher: machine-generated and minified files
+    betray themselves by line shape (one 40 kB line, or thousands of
+    uniform 800-char lines) and by symbol soup (low alphanumeric
+    fraction), long before any learned filter.
+
+    Per document: ``n_lines`` (newline-split, empty lines count),
+    ``max_line_len``, ``avg_line_len`` (sum of line lengths over
+    line count, 4 dp — newlines excluded from both sides),
+    ``alnum_frac`` / ``alpha_frac`` (ASCII-class character fractions
+    of the whole text, 6 dp), and ``code_keep`` = within all three
+    thresholds (empty text keeps: no evidence). Pure split /
+    transform / aggregate / regexp expressions — one codegen
+    projection, no shuffle, no Python; every count is integer-exact
+    so the SQL oracle replays the fractions digit for digit."""
+    from .dedup import _bind
+
+    def build(lines):
+        lens = F.transform(lines, F.length)
+        n_lines = F.size(lines)
+        total = F.aggregate(lens, F.lit(0).cast("long"),
+                            lambda acc, x: acc + x)
+        return F.struct(
+            n_lines.cast("int").alias("n_lines"),
+            F.array_max(lens).cast("int").alias("max_line_len"),
+            F.round(total / n_lines, 4).alias("avg_line_len"),
+        )
+
+    geo = _bind(F.split(F.col(text_col), "\n"), build)
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    alnum_frac = F.when(n_chars > 0,
+                        F.round(alnum.cast("double") / n_chars, 6)) \
+        .otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_chars > 0,
+                        F.round(alpha.cast("double") / n_chars, 6)) \
+        .otherwise(F.lit(0.0))
+    keep = F.when(
+        n_chars == 0, F.lit(True)).otherwise(
+        (geo["max_line_len"] <= F.lit(max_line_len))
+        & (geo["avg_line_len"] <= F.lit(float(max_avg_line_len)))
+        & (alnum_frac >= F.lit(float(min_alnum_frac))))
+    return df.select(
+        F.col(id_col),
+        geo["n_lines"].alias("n_lines"),
+        geo["max_line_len"].alias("max_line_len"),
+        geo["avg_line_len"].alias("avg_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        alpha_frac.alias("alpha_frac"),
+        keep.alias("code_keep"))
+
+
+def luhn_card_scan(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Payment-card PII scan with Luhn validation — the high-stakes
+    scrubbing class beside :func:`pii_signals`'s email/phone/IP
+    (a 16-digit run is usually an id or a hash; only a LUHN-VALID
+    run is treated as a card): extract every 13-19 digit run, apply
+    the Luhn mod-10 checksum to each, and report
+    ``(id, n_digit_runs, n_luhn_valid, has_card)``.
+
+    The checksum is a pure higher-order-function fold (sequence +
+    aggregate over digit positions: double every second digit from
+    the right, subtract 9 above 9, sum mod 10) — integer arithmetic
+    end to end inside one codegen projection, no shuffle, no Python,
+    and the identical fold replays in the SQL oracle's list lambda.
+    Candidate runs are MAXIMAL digit runs (the text splits on
+    non-digits), so a 20-digit run contains no card — the standard
+    false-positive guard — and adjacent runs separated by one
+    delimiter are both seen."""
+    t = F.col(text_col)
+    runs = F.split(t, "[^0-9]+")
+    cands = F.filter(runs, lambda s: (F.length(s) >= 13)
+                     & (F.length(s) <= 19))
+
+    def luhn_valid(s):
+        n = F.length(s)
+
+        def contrib(i):
+            d = F.ascii(F.substr(s, i, F.lit(1))) - 48
+            doubled = d * 2
+            return F.when(((n - i) % 2) == 1,
+                          F.when(doubled > 9, doubled - 9)
+                          .otherwise(doubled)).otherwise(d)
+
+        total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0),
+                            lambda acc, i: acc + contrib(i))
+        return (total % 10) == 0
+
+    valid = F.filter(cands, luhn_valid)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("int").alias("n_digit_runs"),
+        F.size(valid).cast("int").alias("n_luhn_valid"),
+        (F.size(valid) > 0).alias("has_card"))
+
+
 def _round6(x: float) -> float:
     """Half-away-from-zero rounding to 6 dp on the binary double —
     the ROUND semantics of both Spark SQL and DuckDB (Python's

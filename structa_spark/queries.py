@@ -3338,6 +3338,114 @@ FROM scored ORDER BY doc_id""")
     return "".join(parts)
 
 
+@register("code_quality_flags", oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || repeat('x', doc_id % 150 + 10)
+              || chr(10) || ';;;;' AS page
+  FROM documents
+), g AS (
+  SELECT doc_id, page, string_split(page, chr(10)) AS lines
+  FROM pages
+), m AS (
+  SELECT doc_id, page,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(list_max(list_transform(lines, l -> length(l)))
+              AS INT) AS max_line_len,
+         round(list_aggregate(list_transform(lines, l -> length(l)),
+                              'sum') / len(lines), 4)
+             AS avg_line_len,
+         round(length(regexp_replace(page, '[^A-Za-z0-9]', '', 'g'))
+               / CAST(length(page) AS DOUBLE), 6) AS alnum_frac,
+         round(length(regexp_replace(page, '[^A-Za-z]', '', 'g'))
+               / CAST(length(page) AS DOUBLE), 6) AS alpha_frac
+  FROM g
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_len,
+       alnum_frac, alpha_frac,
+       (max_line_len <= 120 AND avg_line_len <= 80.0
+        AND alnum_frac >= 0.5) AS code_keep
+FROM m ORDER BY doc_id
+""")
+def code_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder/BigCode-style code-file quality screen,
+    values-checked: each document becomes a three-line synthetic
+    source file (its text, an id-length run of 'x' standing in for a
+    minified line, a symbol-soup line), and the line-geometry battery
+    (line count, max/avg line length, ASCII alnum/alpha fractions)
+    plus the keep decision must replay digit for digit — every count
+    is integer-exact and both engines fold the same line-length
+    list. The thresholds (120/80/0.5) are set so the corpus SPLITS:
+    long synthetic lines fail the max-line gate, long documents the
+    avg gate."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n", F.col("text"),
+        F.repeat(F.lit("x"), (F.col("doc_id") % 150 + 10).cast("int")),
+        F.lit(";;;;"))
+    return (text.code_quality_flags(
+        d.select("doc_id", page.alias("text")),
+        max_line_len=120, max_avg_line_len=80,
+        min_alnum_frac=0.5).orderBy("doc_id"))
+
+
+@register("pii_card_scan", oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         text || ' ref ' || lpad(CAST(doc_id AS VARCHAR), 15, '4')
+              || CAST(doc_id % 10 AS VARCHAR)
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' 99999999999999999999' ELSE '' END
+             AS page
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(page, '[^0-9]+'),
+                     s -> length(s) >= 13 AND length(s) <= 19)
+             AS cands
+  FROM pages
+), v AS (
+  SELECT doc_id, cands,
+         list_filter(cands, s ->
+           list_aggregate(list_transform(range(1, length(s) + 1),
+             i -> CASE WHEN (length(s) - i) % 2 = 1 THEN
+                    CASE WHEN (ascii(substr(s, CAST(i AS INT), 1))
+                               - 48) * 2 > 9
+                         THEN (ascii(substr(s, CAST(i AS INT), 1))
+                               - 48) * 2 - 9
+                         ELSE (ascii(substr(s, CAST(i AS INT), 1))
+                               - 48) * 2 END
+                  ELSE ascii(substr(s, CAST(i AS INT), 1)) - 48
+                  END), 'sum') % 10 = 0) AS valid
+  FROM c
+)
+SELECT doc_id, CAST(len(cands) AS INT) AS n_digit_runs,
+       CAST(len(valid) AS INT) AS n_luhn_valid,
+       len(valid) > 0 AS has_card
+FROM v ORDER BY doc_id
+""")
+def pii_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card scan, values-checked: each
+    document gets a synthetic 16-digit run whose check digit is
+    ``doc_id % 10`` (so roughly a tenth of the corpus carries a
+    TRUE card and the rest near-miss runs that must NOT flag), and
+    every 7th document additionally carries a 20-digit run that the
+    maximal-run length guard must ignore. Both engines fold the
+    identical mod-10 checksum over the identical digit runs, so a
+    drift in the run split, the position parity, the double-and-
+    subtract-9 step or the length guard hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"), F.lit(" ref "),
+        F.lpad(F.col("doc_id").cast("string"), 15, "4"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" 99999999999999999999")).otherwise(F.lit("")))
+    return (text.luhn_card_scan(d.select("doc_id",
+                                         page.alias("text")))
+            .orderBy("doc_id"))
+
+
 @register("quality_classifier_scores",
           oracle=_logistic_sql(12, 256, 2.0))
 def quality_classifier_scores(spark: SparkSession,

@@ -4877,6 +4877,43 @@ def test_epub_extraction(spark):
     assert got[3] == (None, 0)
 
 
+def test_code_quality_flags(spark):
+    from structa_spark.operators.text import code_quality_flags
+
+    rows = [(0, "def f():\n    return 1\n"),   # normal code: keep
+            (1, "x" * 2000),                   # minified line: drop
+            (2, ";;;; #### !!!!"),             # symbol soup: drop
+            (3, "")]                           # empty: keep
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in code_quality_flags(df).collect()}
+    assert got[0].n_lines == 3 and got[0].max_line_len == 12
+    assert got[0].avg_line_len == round((8 + 12 + 0) / 3, 4)
+    assert got[0].code_keep
+    assert got[1].max_line_len == 2000 and not got[1].code_keep
+    assert got[2].alnum_frac == 0.0 and not got[2].code_keep
+    assert got[3].code_keep and got[3].n_lines == 1
+
+
+def test_luhn_card_scan(spark):
+    from structa_spark.operators.text import luhn_card_scan
+
+    rows = [(0, "pay 4539578763621486 today"),    # valid Visa test
+            (1, "id 4539578763621487"),           # bad check digit
+            (2, "hash 12345678901234567890"),     # 20 digits: no run
+            (3, "a 4111111111111111 b 5500005555555559"),  # two valid
+            (4, "18 digits 340000000000009 amex"),  # 15-digit valid
+            (5, "no numbers at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_digit_runs, r.n_luhn_valid, r.has_card)
+           for r in luhn_card_scan(df).collect()}
+    assert got[0] == (1, 1, True)
+    assert got[1] == (1, 0, False)
+    assert got[2] == (0, 0, False)
+    assert got[3] == (2, 2, True)
+    assert got[4] == (1, 1, True)
+    assert got[5] == (0, 0, False)
+
+
 def test_audio_vad_segments(spark):
     import numpy as np
 

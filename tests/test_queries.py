@@ -284,6 +284,8 @@ def test_driver_window_covers_every_family():
         "xlsx_extracted_text": "office_extracted_text",
         "quality_classifier_scores": "mixing_weights_by_source",
         "audio_vad_segments": "audio_mfcc_features",
+        "code_quality_flags": "c4_rule_flags",
+        "pii_card_scan": "c4_rule_flags",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
