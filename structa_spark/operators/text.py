@@ -2930,10 +2930,50 @@ def logistic_quality_scores(df: DataFrame, weights, bias: float,
     value with the plan — no join for the weights); scoring is the
     feature aggregation plus one doc-keyed left join back to the
     corpus so token-less documents score at the bias prior instead
-    of dropping."""
+    of dropping.
+
+    STREAMING twin: on a streaming ``df`` the same call switches to
+    a pure-projection higher-order-function path — per document, the
+    bucket array folds to the margin with the IDENTICAL rounding
+    ladder (per-bucket lift -> per-term product -> margin, all 6 dp)
+    but zero aggregations, so it runs append-mode with no state (the
+    production "train batch, score the stream" shape). Token-less
+    documents score at the bias prior on both paths. The fold visits
+    each distinct bucket once and counts it with an array filter —
+    O(distinct_buckets x tokens) per document, the right trade for a
+    stateless stream operator."""
     n_buckets = len(weights)
-    feats = _hashed_lift_features(df, n_buckets, id_col, text_col)
     warr = F.array(*[F.lit(float(wi)) for wi in weights])
+    if df.isStreaming:
+        from .dedup import _bind
+
+        def margin_of(toks):
+            barr = F.transform(
+                toks,
+                lambda t: (md5_long(t) % n_buckets).cast("int"))
+            n = F.size(barr)
+
+            def build(b):
+                tf = F.size(F.filter(barr, lambda e: e == b))
+                x = F.round(F.lit(float(n_buckets)) * tf / n, 6)
+                return F.round(F.element_at(warr, b + 1) * x, 6)
+
+            return F.when(
+                n > 0,
+                F.round(F.aggregate(F.array_distinct(barr),
+                                    F.lit(0.0),
+                                    lambda acc, b: acc + build(b)),
+                        6)).otherwise(F.lit(0.0))
+
+        m = _bind(tokens(F.lower(F.col(text_col))), margin_of)
+        score = F.round(
+            F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-(m + F.lit(float(bias))))), 6)
+        return df.select(F.col(id_col), m.alias("qc_margin"),
+                         score.alias("qc_score"),
+                         (score >= F.lit(float(threshold)))
+                         .alias("qc_keep"))
+    feats = _hashed_lift_features(df, n_buckets, id_col, text_col)
     term = F.round(F.element_at(warr, F.col("bucket") + 1)
                    * F.col("x"), 6)
     per_doc = (feats.groupBy(id_col)

@@ -405,6 +405,50 @@ def test_nb_stream_static_scoring_matches_batch(spark, tmp_path):
                     for r in batch2.collect()}
 
 
+def test_logistic_stream_static_scoring_matches_batch(spark,
+                                                      tmp_path):
+    # the trained-quality-gate production shape: model trained BATCH
+    # (deterministic gradient steps), scoring a document STREAM with
+    # the weights as plan literals. On a stream the operator switches
+    # to its pure-projection HOF path (zero aggregations, append
+    # mode) whose rounding ladder matches the batch twin exactly.
+    import json as _json
+
+    from structa_spark.operators import text as _text
+
+    train = spark.createDataFrame(
+        [(i, "gold shine value worth", 1) for i in range(6)]
+        + [(i + 6, "dross sludge waste junk", 0) for i in range(6)],
+        "doc_id long, text string, label int")
+    w, b = _text.logistic_quality_train(train, n_buckets=16,
+                                        iters=8, lr=2.0)
+
+    docs = [(10, "gold shine gold"), (11, "sludge junk waste"),
+            (12, "")]
+    p = tmp_path / "qcdocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(p))
+    out = _text.logistic_quality_scores(sdf, w, b)
+    _run_stream(out, "qc_stream", "append")
+    got = {r.doc_id: (r.qc_margin, r.qc_score, r.qc_keep)
+           for r in spark.sql("SELECT * FROM qc_stream").collect()}
+    want = {r.doc_id: (r.qc_margin, r.qc_score, r.qc_keep)
+            for r in _text.logistic_quality_scores(
+                spark.createDataFrame(docs,
+                                      "doc_id long, text string"),
+                w, b).collect()}
+    assert got == want
+    assert got[10][2] and not got[11][2]
+    assert got[12][0] == 0.0  # token-less: bias prior, not dropped
+
+
 def test_chunk_windows_streams_stateless(spark, tmp_path):
     # chunking is a pure projection: it must run on a stream
     # unchanged, in append mode, with output equal to the batch twin
