@@ -95,6 +95,7 @@ def main():
         epub_extracted_text, pptx_extracted_text,
         xlsx_extracted_text, quality_classifier_scores,
         audio_vad_segments, code_quality_flags, pii_card_scan,
+        latex_extracted_text,
     )
     from structa_spark.sources.tables import load_table
 
@@ -274,6 +275,8 @@ def main():
             # Luhn-validated card scan (both single codegen scans)
             "code_quality": run_df(code_quality_flags),
             "pii_cards": run_df(pii_card_scan),
+            # the arXiv LaTeX landing zone (pure regexp codegen)
+            "latex_extract": run_df(latex_extracted_text),
         }
 
     suite = make_suite(SF_DIR)

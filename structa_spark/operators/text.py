@@ -3108,6 +3108,63 @@ def markdown_visible_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+#: Environments whose BODY is dropped whole by latex_visible_text
+#: (math, floats, verbatim code): rendered content is not prose.
+_LATEX_DROP_ENVS = ("equation", "align", "eqnarray", "gather",
+                    "figure", "table", "tabular", "verbatim",
+                    "lstlisting", "tikzpicture")
+
+#: Commands whose braced argument is NOT prose (labels, keys, paths,
+#: preamble) — dropped argument and all.
+_LATEX_DROP_CMDS = ("documentclass|usepackage|label|ref|eqref|"
+                    "pageref|cite[a-zA-Z]*|bibliographystyle|"
+                    "bibliography|includegraphics|input|include|"
+                    "vspace|hspace|newcommand|renewcommand|"
+                    "setlength")
+
+
+def latex_visible_text(col: Column) -> Column:
+    """Visible text from a LaTeX column — the arXiv-dump twin of
+    :func:`markdown_visible_text`, the crude-but-scalable extractor a
+    pretraining pipeline runs over paper sources: drop comments, math
+    (``$...$``, ``$$...$$``, ``\\[...\\]``, ``\\(...\\)`` and the
+    math/float/verbatim environments), drop non-prose command
+    arguments (labels, cite keys, graphics paths, preamble), unwrap
+    every other command to its braced argument (``\\section{Intro}``
+    -> ``Intro``), honor ``\\%`` / ``\\$`` / ``\\&`` / ``\\_`` /
+    ``\\#`` escapes, collapse whitespace. Escaped ``%`` and ``$``
+    detour through control-character placeholders so the comment and
+    math passes cannot eat them — no lookbehinds, no backreferences,
+    so the identical patterns replay on RE2 engines (the DuckDB
+    oracle). Pure JVM regexp chain in one codegen projection."""
+    # escaped % and $ out of the way of the comment/math passes
+    t = F.regexp_replace(col, r"\\%", "\u0001")
+    t = F.regexp_replace(t, r"\\\$", "\u0002")
+    t = F.regexp_replace(t, r"(?m)%[^\n]*", " ")
+    for env in _LATEX_DROP_ENVS:
+        t = F.regexp_replace(
+            t, rf"(?s)\\begin\{{{env}\*?\}}.*?\\end\{{{env}\*?\}}",
+            " ")
+    t = F.regexp_replace(t, r"(?s)\$\$.*?\$\$", " ")
+    t = F.regexp_replace(t, r"(?s)\\\[.*?\\\]", " ")
+    t = F.regexp_replace(t, r"\$[^$\n]*\$", " ")
+    t = F.regexp_replace(t, r"(?s)\\\(.*?\\\)", " ")
+    t = F.regexp_replace(
+        t, rf"\\({_LATEX_DROP_CMDS})(\[[^\]]*\])?\{{[^{{}}]*\}}", " ")
+    t = F.regexp_replace(t, r"\\(begin|end)\{[a-zA-Z*]+\}", " ")
+    t = F.regexp_replace(t, r"\\\\", " ")
+    t = F.regexp_replace(t, r"\\&", "&")
+    t = F.regexp_replace(t, r"\\_", "_")
+    t = F.regexp_replace(t, r"\\#", "#")
+    t = F.regexp_replace(t, r"\\[a-zA-Z]+\*?(\[[^\]]*\])?", " ")
+    t = F.regexp_replace(t, r"[{}]", "")
+    t = F.regexp_replace(t, r"~", " ")
+    t = F.regexp_replace(t, "\u0001", "%")
+    # "$" is a group reference in Java replacement strings: escape it
+    t = F.regexp_replace(t, "\u0002", "\\$")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def compression_ratio_screen(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id",
                              min_ratio: float = 0.25,

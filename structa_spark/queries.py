@@ -8644,6 +8644,41 @@ def markdown_extracted_text(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@register("latex_extracted_text", oracle="""
+SELECT doc_id,
+       'Intro ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+           || ' is 100% sure end' AS latex_text,
+       CAST(length('Intro ' || trim(regexp_replace(text, '\\s+', ' ',
+            'g')) || ' is 100% sure end') AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""")
+def latex_extracted_text(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """LaTeX text extraction — the arXiv-dump landing zone —
+    values-checked: each document's text is wrapped in a full LaTeX
+    page (preamble that must vanish, a sectioning command that must
+    unwrap to its argument, an escaped percent, a bold span, inline
+    math and an equation environment that must both drop, a cite key
+    that must not leak) with pure expressions, then
+    latex_visible_text must recover exactly the predicted
+    whitespace-collapsed prose. The whole wrap+extract chain is
+    JVM-side regexp codegen; the oracle predicts the output string
+    directly, so any command, math, environment, escape or collapse
+    bug hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("\\documentclass{article}\\begin{document}"
+              "\\section{Intro} "),
+        F.col("text"),
+        F.lit(" is 100\\% \\textbf{sure} $x^2$ "
+              "\\begin{equation}e=mc^2\\end{equation} "
+              "\\cite{k} end\\end{document}"))
+    clean = text.latex_visible_text(page)
+    return (d.select("doc_id", clean.alias("latex_text"),
+                     F.length(clean).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 @register("pdf_extracted_text", oracle="""
 SELECT doc_id,
        text || chr(10) || '(doc ' || CAST(doc_id AS VARCHAR) || ')'

@@ -4992,6 +4992,26 @@ def test_logistic_quality_classifier(spark):
         logistic_quality_train(df, n_buckets=48)
 
 
+def test_latex_visible_text(spark):
+    from structa_spark.operators.text import latex_visible_text
+
+    tex = (r"\documentclass{article}" "\n"
+           r"% a comment line" "\n"
+           r"\begin{document}\section{Intro}" "\n"
+           r"Hello \textbf{bold} world, 100\% sure \& a\_b \#1." "\n"
+           r"Math $x^2$ and \[ e=mc^2 \] and \( y \) gone." "\n"
+           r"\begin{equation*}a+b\end{equation*}" "\n"
+           r"See~\cite{knuth84} and \ref{fig:x}\\" "\n"
+           r"Cost is \$5." "\n"
+           r"\begin{verbatim}raw code\end{verbatim}End." "\n"
+           r"\end{document}")
+    df = spark.createDataFrame([(0, tex)], "doc_id long, text string")
+    got = df.select(latex_visible_text(
+        df.text).alias("t")).collect()[0].t
+    assert got == ("Intro Hello bold world, 100% sure & a_b #1. "
+                   "Math and and gone. See and Cost is $5. End.")
+
+
 def test_compression_ratio_screen(spark):
     from structa_spark.operators.text import compression_ratio_screen
 

@@ -286,6 +286,7 @@ def test_driver_window_covers_every_family():
         "audio_vad_segments": "audio_mfcc_features",
         "code_quality_flags": "c4_rule_flags",
         "pii_card_scan": "c4_rule_flags",
+        "latex_extracted_text": "markdown_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
