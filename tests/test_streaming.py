@@ -449,6 +449,63 @@ def test_logistic_stream_static_scoring_matches_batch(spark,
     assert got[12][0] == 0.0  # token-less: bias prior, not dropped
 
 
+def test_round11_screens_stream_stateless(spark, tmp_path):
+    # every round-11 screen that is a pure projection must run on a
+    # stream unchanged in append mode: the lexicon blocklist, the
+    # code line-geometry gate and the Luhn card scan (all codegen
+    # scans), and VAD segmentation (Arrow-batched mapInPandas, which
+    # Structured Streaming executes per micro-batch)
+    import json as _json
+
+    import numpy as np
+
+    from structa_spark.operators import multimodal as _mm
+    from structa_spark.operators import text as _text
+
+    docs = [(1, "good words here"), (2, "one bad 4539578763621486"),
+            (3, "x" * 300)]
+    p = tmp_path / "screendocs"
+    p.mkdir(parents=True)
+    with (p / "part-0.json").open("w") as fh:
+        for did, txt in docs:
+            fh.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for name, op in [
+        ("bl", lambda d: _text.blocklist_screen(d, terms=["bad"])),
+        ("cq", lambda d: _text.code_quality_flags(d)),
+        ("card", lambda d: _text.luhn_card_scan(d)),
+    ]:
+        sdf = spark.readStream.schema(schema).json(str(p))
+        _run_stream(op(sdf), f"scr_{name}", "append")
+        got = sorted(map(tuple, spark.sql(
+            f"SELECT * FROM scr_{name}").collect()))
+        want = sorted(map(tuple, op(batch).collect()))
+        assert got == want, name
+
+    # VAD over a binary payload stream (parquet source keeps binary)
+    s = np.array([5000, -5000] * 4 + [0] * 4, dtype="<i2")
+    wav = _mm.wav_bytes(8000, 1, len(s), bits=16,
+                        samples=s.tobytes())
+    media = spark.createDataFrame([(1, wav)],
+                                  "media_id long, payload binary")
+    mp = tmp_path / "vadmedia"
+    media.write.parquet(str(mp))
+    msdf = spark.readStream.schema(media.schema).parquet(str(mp))
+    _run_stream(_mm.audio_vad_segments(msdf, frame_len=4,
+                                       energy_threshold=1000),
+                "scr_vad", "append")
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM scr_vad").collect()))
+    want = sorted(map(tuple, _mm.audio_vad_segments(
+        media, frame_len=4, energy_threshold=1000).collect()))
+    assert got == want and len(got) == 1
+
+
 def test_chunk_windows_streams_stateless(spark, tmp_path):
     # chunking is a pure projection: it must run on a stream
     # unchanged, in append mode, with output equal to the batch twin
