@@ -55,13 +55,37 @@ def _lambda_bodies(plan: str):
         start = i + len(needle)
 
 
+import re as _re
+
+_NON_LAMBDA_COL = _re.compile(r"(?<!lambda )\b[a-zA-Z_][a-zA-Z0-9_]*#\d+")
+
+
+def _balanced_arg(s: str, at: int) -> str:
+    """The balanced ``(...)`` argument text of the call whose opening
+    paren sits at ``at``."""
+    depth = 1
+    j = at + 1
+    while j < len(s) and depth:
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+        j += 1
+    return s[at + 1:j - 1]
+
+
 def _violations(body: str):
     """Occurrences of a deriver inside a lambda body whose argument
-    is NOT a lambda variable. ``split(lambda x_1#3, ...)`` is the
-    sanctioned let-binding shape (the full-document derivation ran
-    once, in the bind value, outside the body); ``split(text#1, ...)``
-    or ``split(trim(lower(text#1)) ...`` inside a body means the
-    tokenization re-runs per element — quadratic in doc length."""
+    references a NON-lambda column. ``split(lambda x_1#3, ...)`` is
+    the sanctioned let-binding shape (the full-document derivation
+    ran once, in the bind value, outside the body), and a chain
+    rooted at a lambda variable
+    (``regexp_replace(regexp_replace(lambda x_1#3, ...), ...)`` —
+    the EPUB per-chapter HTML clean) is per-ELEMENT work, linear by
+    construction. ``split(text#1, ...)`` or
+    ``split(trim(lower(text#1)) ...`` inside a body means a
+    full-document tokenization re-runs per element — quadratic in
+    doc length."""
     bad = []
     for d in _DERIVERS:
         start = 0
@@ -69,8 +93,8 @@ def _violations(body: str):
             i = body.find(d, start)
             if i < 0:
                 break
-            arg = body[i + len(d):i + len(d) + 7]
-            if not arg.startswith("lambda "):
+            arg = _balanced_arg(body, i + len(d) - 1)
+            if _NON_LAMBDA_COL.search(arg):
                 bad.append(body[i:i + 120])
             start = i + len(d)
     return bad
