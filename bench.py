@@ -95,7 +95,8 @@ def main():
         epub_extracted_text, pptx_extracted_text,
         xlsx_extracted_text, quality_classifier_scores,
         audio_vad_segments, code_quality_flags, pii_card_scan,
-        latex_extracted_text,
+        latex_extracted_text, bm25_topk, video_scene_cuts,
+        html_link_extract,
     )
     from structa_spark.sources.tables import load_table
 
@@ -277,6 +278,12 @@ def main():
             "pii_cards": run_df(pii_card_scan),
             # the arXiv LaTeX landing zone (pure regexp codegen)
             "latex_extract": run_df(latex_extracted_text),
+            # late round-11 paths: lexical retrieval (integer-micro
+            # BM25), shot-boundary detection through the MJPEG
+            # decode, and crawl link extraction into the host graph
+            "bm25_topk": run_df(bm25_topk),
+            "video_scene_cuts": run_df(video_scene_cuts),
+            "html_links": run_df(html_link_extract),
         }
 
     suite = make_suite(SF_DIR)

@@ -1863,6 +1863,63 @@ def video_frame_dhash(df: DataFrame, payload_col: str = "payload",
                          f"ts_s double, dhash long"))
 
 
+def video_scene_cuts(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id", threshold: int = 10,
+                     bits: int = 48) -> DataFrame:
+    """Scene-cut detection over Motion-JPEG payloads: every frame
+    decodes through the sample-table walk + baseline-JPEG path and
+    hashes with the shared dHash core, and a cut is flagged wherever
+    the hamming distance between CONSECUTIVE frames exceeds
+    ``threshold`` — the shot-boundary step a video training pipeline
+    runs before per-scene sampling or captioning. Emits one row per
+    frame WITH a predecessor: ``(id, frame_idx, hamming, is_cut)``;
+    an undecodable frame breaks the chain (no row for it or its
+    successor — a defect is not a cut).
+
+    Scale shape: all frames of one video live in ONE row's payload,
+    so the consecutive-frame fold is local to the decode batch — no
+    window, no shuffle, pixels and hashes never leave the executor;
+    only the per-boundary verdict rows enter the plan. Contrast
+    :func:`video_near_duplicates`, whose CROSS-video comparison
+    genuinely needs the frame-keyed bucket exchange."""
+    rows_n = 8
+    if bits % rows_n:
+        raise ValueError(f"bits must be a multiple of {rows_n}: {bits}")
+    if not 0 < bits <= 56:
+        raise ValueError(f"bits must be in [8, 56]: {bits}")
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0: {threshold}")
+    cols = bits // rows_n + 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                _timescale, frames = parse_sample_table(p)
+                if not frames:
+                    continue
+                prev = None
+                for idx, (_ticks, off, nb) in enumerate(frames):
+                    try:
+                        _kind, arr = _decode_image(p[off:off + nb])
+                        h = _dhash_of(arr, rows_n, cols)
+                    except DecodeUnavailable:
+                        h = None
+                    if prev is not None and h is not None:
+                        ham = int(bin(prev ^ h).count("1"))
+                        out.append((int(mid), idx, ham,
+                                    ham > threshold))
+                    prev = h
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_idx", "hamming",
+                              "is_cut"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, frame_idx int, "
+                         f"hamming int, is_cut boolean"))
+
+
 def video_near_duplicates(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id", every_k: int = 1,
                           max_hamming: int = 3, bits: int = 48,

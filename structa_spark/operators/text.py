@@ -888,6 +888,87 @@ def tfidf_top_terms(df: DataFrame, k: int = 3,
             .where(F.col("rank") <= k))
 
 
+def bm25_topk(df: DataFrame, queries, k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 top-k retrieval over a document corpus for a small
+    set of keyword queries — the lexical half of a hybrid retrieval
+    stack (the dense half is :mod:`operators.similarity`; fuse with
+    ``hybrid_rrf_topk``). ``queries`` is ``[(query_id, [terms...]),
+    ...]``; returns ``(query_id, doc_id, score_micros, rank)`` with
+    ``rank <= k`` per query.
+
+    Cross-engine determinism: the per-term idf takes ``ln`` FIRST
+    and then rounds on the binary double (``floor(x*1e6+0.5)/1e6``),
+    each term's score converts to integer micro-units the same way,
+    and the per-document score is a SUM OF INT64s — addition-order
+    independent, so Spark's partial aggregation and any SQL engine
+    agree bit-for-bit (the same trick as the sketch counters).
+
+    Scale shape: term frequencies explode ONLY query-term hits (the
+    ``isin`` inside the lambda compiles to an InSet probe, constant
+    per token), so the exploded relation is bounded by postings of
+    the query terms, never the corpus token count; doc length rides
+    along from the same projection, so no join back to the corpus.
+    Corpus stats (N, avgdl) are one 1-row scalar broadcast; idf is
+    a #terms-row broadcast. The final top-k is one window keyed by
+    query id — at production query volume the per-query partitions
+    are small because postings, not documents, bound the candidates
+    (cap postings per term for stop-word-ish queries, the same knob
+    as the LSH posting cap)."""
+    spark = df.sparkSession
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qterms = spark.createDataFrame(
+        qrows, "query_id string, token string")
+    all_terms = sorted({t for _, t in qrows})
+
+    toks = tokens(F.lower(F.col(text_col)))
+    hits = df.select(
+        F.col(id_col), F.size(toks).alias("dl"),
+        F.explode(F.filter(
+            toks, lambda x: x.isin(all_terms))).alias("token"))
+    tf = (hits.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
+
+    stats = df.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"))
+    stats = stats.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .alias("avgdl"))
+
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    ratio = ((F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+             / (F.col("df_t") + F.lit(0.5)))
+    idf = (dfreq.crossJoin(F.broadcast(stats))
+           .select("token", "avgdl",
+                   (F.floor(F.log(ratio + F.lit(1.0))
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    / F.lit(1000000.0)).alias("idf6")))
+
+    norm = (F.col("tf")
+            + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                           + F.lit(b) * (F.col("dl")
+                                         / F.col("avgdl"))))
+    term_score = (F.col("idf6")
+                  * (F.col("tf") * F.lit(k1 + 1.0) / norm))
+    scored = (tf.join(F.broadcast(idf), "token")
+              .join(F.broadcast(qterms), "token")
+              .select("query_id", id_col,
+                      F.floor(term_score * F.lit(1000000.0)
+                              + F.lit(0.5)).cast("long")
+                      .alias("term_micros")))
+    totals = (scored.groupBy("query_id", id_col)
+              .agg(F.sum("term_micros").alias("score_micros")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc(id_col))
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def hashed_doc_vectors(df: DataFrame, n_buckets: int = 16,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -2351,6 +2432,32 @@ def token_js_divergence(df: DataFrame, group_col: str = "source",
         F.round(0.5 * F.col("klp")
                 + 0.5 * (F.col("klq_in") + (1 - F.col("qmass"))),
                 6).alias("jsd_bits"))
+
+
+#: One pattern, two capture groups: href then anchor text. No
+#: backrefs/lookarounds (Java- and RE2-safe); the anchor class
+#: ``[^<]*`` stops at the first nested tag, the crude-but-auditable
+#: convention of this module.
+_LINK_RX = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(col: Column) -> Column:
+    """Anchor links from an HTML column:
+    ``array<struct<href string, anchor string>>`` — the step that
+    turns a web crawl into the link graph feeding host-level
+    curation (:func:`host_of` -> ``graph.pagerank`` / HITS, the
+    RefinedWeb source-reputation stage). Two ``regexp_extract_all``
+    passes over the SAME pattern zipped positionally (the match
+    sequences are identical by construction), so the whole
+    extraction is JVM-side codegen in the scan projection: no
+    Python, no shuffle, and at 100 TB only the (src, dst) edge rows
+    the caller aggregates ever leave the scan. An ``<a>`` without an
+    ``href`` is not a link and never matches."""
+    hrefs = F.regexp_extract_all(col, F.lit(_LINK_RX), 1)
+    anchors = F.regexp_extract_all(col, F.lit(_LINK_RX), 2)
+    return F.zip_with(
+        hrefs, anchors,
+        lambda h, a: F.struct(h.alias("href"), a.alias("anchor")))
 
 
 def html_visible_text(col: Column) -> Column:

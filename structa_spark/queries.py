@@ -3220,6 +3220,91 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
 
 
+#: The BM25 evaluation query set: ids and terms literal in BOTH the
+#: Spark query and the oracle's VALUES relation.
+_BM25_QUERY_SET = [
+    ("q0", ["spark", "query"]),
+    ("q1", ["merge", "sort", "window"]),
+    ("q2", ["customer", "scan"]),
+    ("q3", ["stream", "batch"]),
+]
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERY_SET
+    for t in terms)
+
+
+@register("bm25_topk", oracle=f"""
+WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES}),
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)),
+                                               '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+ndocs AS (SELECT count(*) AS n_docs FROM documents),
+stats AS (
+  SELECT n_docs,
+         CAST((SELECT count(*) FROM toks) AS DOUBLE) / n_docs
+           AS avgdl
+  FROM ndocs
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token IN (SELECT token FROM qterms)
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT token,
+         floor(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS idf6
+  FROM (SELECT token, count(*) AS df_t FROM tf GROUP BY 1)
+  CROSS JOIN stats
+),
+terms AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(idf.idf6
+               * (tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75
+                                    + 0.75 * (dl.dl / s.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS term_micros
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN idf USING (token)
+  JOIN qterms q USING (token)
+  CROSS JOIN stats s
+),
+totals AS (
+  SELECT query_id, doc_id,
+         CAST(sum(term_micros) AS BIGINT) AS score_micros
+  FROM terms GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micros DESC, doc_id)
+           AS rank
+  FROM totals)
+SELECT query_id, doc_id, score_micros, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval for four keyword queries — the
+    lexical-search rung of the retrieval pillar (the reference has no
+    search surface at all; its closest machinery is the frequency
+    multiset at /root/reference/structa/analyzer.py). Scores are
+    integer micro-units: idf takes ln FIRST then rounds on the binary
+    double, each term converts to int64 micros, and the per-document
+    sum is exact integer addition — partial-aggregation order can
+    never flip a rank between engines. The exploded relation carries
+    ONLY query-term postings (InSet probe inside the HOF lambda), so
+    candidate volume is bounded by postings, not corpus tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return (text.bm25_topk(d, _BM25_QUERY_SET, k=5)
+            .orderBy("query_id", "rank"))
+
+
 @register("hashed_doc_vectors", oracle=f"""
 WITH toks AS (
   SELECT doc_id,
@@ -6795,33 +6880,11 @@ grp AS (
   FROM ids i LEFT JOIN cc ON cc.id = i.media_id)"""
 
 
-@register("video_dup_groups", oracle=_VIDEO_GROUPS_CTE + """
-SELECT media_id, group_id FROM grp ORDER BY media_id
-""")
-def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end VIDEO dedup decision, values-checked through the
-    full container x codec x graph composition: generate 4-member
-    Motion-JPEG clusters (3 flat-block frames per video sharing a
-    per-group formula; each member bumps one block of one frame by
-    +40), then the REAL pipeline — ISO-BMFF sample-table walk to
-    frame byte ranges, baseline-JPEG decode of each frame, the
-    shared dHash core, frame-ALIGNED pigeonhole hamming pairs, the
-    all-frames-within-3 whole-video verdict, pointer-doubled
-    connected components — yields (media, group). A member whose
-    bump flips more than 3 bits in its frame legitimately splits, so
-    the grouping exercises cohesion and separation. The oracle
-    rebuilds every decoded pixel from the generator formula (quant=1
-    flat blocks round-trip exactly), replays the resize index map,
-    the bit packing, the brute-force frame-aligned pair set (equal
-    to the pigeonhole candidates by the full-recall argument) and
-    the recursive-CTE components — drift anywhere in the sample
-    table, the JPEG entropy/IDCT path, the hash, the frame
-    alignment or the label walk hash-mismatches.
-
-    Scale shape: decode is partition-parallel Arrow batches; the
-    only shuffles are the (frame, block)-keyed bucket exchange and
-    two id-keyed count aggs; components iterate O(log D) rounds on
-    the id-pair edge subset; pixels and payloads never shuffle."""
+def _mjpeg_cluster_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 240-video Motion-JPEG fixture: 4-member clusters of
+    3-frame clips whose flat 8x8 blocks follow the formula documented
+    in ``_VIDEO_GROUPS_CTE`` (quant=1 makes the JPEG round trip
+    exact, so the oracle predicts every decoded pixel)."""
     import numpy as np
     import pandas as pd
 
@@ -6851,7 +6914,39 @@ def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((i, mm.mjpeg_bytes(frames)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return docs.mapInPandas(build, "media_id long, payload binary")
+
+
+@register("video_dup_groups", oracle=_VIDEO_GROUPS_CTE + """
+SELECT media_id, group_id FROM grp ORDER BY media_id
+""")
+def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VIDEO dedup decision, values-checked through the
+    full container x codec x graph composition: generate 4-member
+    Motion-JPEG clusters (3 flat-block frames per video sharing a
+    per-group formula; each member bumps one block of one frame by
+    +40), then the REAL pipeline — ISO-BMFF sample-table walk to
+    frame byte ranges, baseline-JPEG decode of each frame, the
+    shared dHash core, frame-ALIGNED pigeonhole hamming pairs, the
+    all-frames-within-3 whole-video verdict, pointer-doubled
+    connected components — yields (media, group). A member whose
+    bump flips more than 3 bits in its frame legitimately splits, so
+    the grouping exercises cohesion and separation. The oracle
+    rebuilds every decoded pixel from the generator formula (quant=1
+    flat blocks round-trip exactly), replays the resize index map,
+    the bit packing, the brute-force frame-aligned pair set (equal
+    to the pigeonhole candidates by the full-recall argument) and
+    the recursive-CTE components — drift anywhere in the sample
+    table, the JPEG entropy/IDCT path, the hash, the frame
+    alignment or the label walk hash-mismatches.
+
+    Scale shape: decode is partition-parallel Arrow batches; the
+    only shuffles are the (frame, block)-keyed bucket exchange and
+    two id-keyed count aggs; components iterate O(log D) rounds on
+    the id-pair edge subset; pixels and payloads never shuffle."""
+    from .operators import multimodal as mm
+
+    media = _mjpeg_cluster_media(spark, sf_dir)
     pairs = mm.video_near_duplicates(media, max_hamming=3)
     comp = dedup.connected_components(
         pairs.select("id_a", "id_b"), id_col="media_id")
@@ -6881,6 +6976,43 @@ def video_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = video_dup_groups(spark, sf_dir) \
         .select("media_id", "group_id")
     return _media_dedup_keep(spark, sf_dir, groups)
+
+
+@register("video_scene_cuts", oracle=_VIDEO_GROUPS_CTE + """,
+lagd AS (
+  SELECT media_id, f AS frame_idx,
+         bit_count(xor(dhash,
+             lag(dhash) OVER (PARTITION BY media_id ORDER BY f)))
+           AS hamming
+  FROM hh)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(hamming AS INT) AS hamming, hamming > 3 AS is_cut
+FROM lagd WHERE hamming IS NOT NULL
+ORDER BY media_id, frame_idx
+""")
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection through the REAL container x codec
+    path: the shared 240-video MJPEG fixture decodes frame by frame
+    (sample-table walk -> baseline JPEG -> shared dHash core) and a
+    cut is flagged wherever consecutive frames differ by more than 3
+    dHash bits — the segmentation step before per-scene sampling or
+    captioning. The fixture's +31-per-frame block drift wraps mod
+    256 differently per group, so boundaries land at hamming
+    0/4/8/12 and the verdict exercises both sides of the threshold.
+    The oracle rebuilds every frame hash arithmetically (the
+    video_dup_groups pixel formula) and replays the lag fold, so a
+    drift in the walk, the decoder, the hash or the boundary rule
+    hash-mismatches.
+
+    Scale shape: all frames of one video live in ONE payload row, so
+    the consecutive-frame fold is LOCAL to the Arrow decode batch —
+    no window, no shuffle; only per-boundary verdict rows enter the
+    plan (orderBy is the display exchange)."""
+    from .operators import multimodal as mm
+
+    media = _mjpeg_cluster_media(spark, sf_dir)
+    return (mm.video_scene_cuts(media, threshold=3)
+            .orderBy("media_id", "frame_idx"))
 
 
 _IMAGE_GROUPS_CTE = """WITH RECURSIVE ids AS (
@@ -8609,6 +8741,50 @@ def html_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", clean.alias("clean_text"),
                      F.length(clean).cast("long").alias("n_chars"))
             .orderBy("doc_id"))
+
+
+@register("html_link_extract", oracle="""
+SELECT doc_id, 0 AS link_idx,
+       'http://' || source || '.example.com/' || lang AS href,
+       'see ' || lang AS anchor,
+       source || '.example.com' AS dst_host
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'http://hub.example.com/', 'hub',
+       'hub.example.com'
+FROM documents
+ORDER BY doc_id, link_idx
+""")
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction, values-checked: each document's text is
+    wrapped in an HTML page carrying two anchors whose hrefs derive
+    from the document's own columns (plus an href-less ``<a name>``
+    decoy that must NOT match), then extract_links + host_of must
+    recover exactly the predicted (href, anchor, destination host)
+    rows — the crawl step that builds the edge relation behind
+    host_pagerank / host_hits_scores. The oracle predicts every
+    output string directly from the source columns, so a drift in
+    the pattern, the capture groups, the zip order or the host
+    normalization hash-mismatches. The whole wrap+extract chain is
+    JVM-side regexp codegen; posexplode emits only (id, idx, link)
+    rows — no shuffle before the display orderBy."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><body><p><a class=x href="http://'),
+        F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit('">see '), F.col("lang"), F.lit("</a> "),
+        F.col("text"),
+        F.lit(' <a href="http://hub.example.com/">hub</a>'
+              "<a name=skip>no link</a></p></body></html>"))
+    links = text.extract_links(page)
+    return (d.select("doc_id", F.posexplode(links)
+                     .alias("link_idx", "link"))
+            .select("doc_id", "link_idx",
+                    F.col("link.href").alias("href"),
+                    F.col("link.anchor").alias("anchor"),
+                    text.host_of(F.col("link.href"))
+                    .alias("dst_host"))
+            .orderBy("doc_id", "link_idx"))
 
 
 @register("markdown_extracted_text", oracle="""

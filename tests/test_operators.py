@@ -5035,3 +5035,84 @@ def test_compression_ratio_screen(spark):
     r = got[1]
     assert r.ratio == math.floor(
         r.n_compressed / r.n_bytes * 1e6 + 0.5) / 1e6
+
+
+def test_video_scene_cuts(spark):
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    # frame 1 bumps one block by +128 (a real shot change); frame 2
+    # follows the usual +31 drift
+    frames = _mjpeg_frames(5, bump=(1, (0, 1), 128))
+    p = mm.mjpeg_bytes(frames)
+    df = spark.createDataFrame(
+        [(1, p), (2, b"junk")], "media_id long, payload binary")
+    h = [mm._dhash_of(f.astype(np.int64), 8, 7) for f in frames]
+    exp = {i: bin(h[i - 1] ^ h[i]).count("1") for i in (1, 2)}
+    got = {(r.media_id, r.frame_idx): (r.hamming, r.is_cut)
+           for r in mm.video_scene_cuts(df, threshold=0).collect()}
+    # an unparseable payload emits nothing — a defect is not a cut
+    assert set(got) == {(1, 1), (1, 2)}
+    for i in (1, 2):
+        assert got[(1, i)] == (exp[i], exp[i] > 0)
+    # the threshold is strict ">": at exactly max hamming, no cut
+    hi = max(exp.values())
+    cuts = {r.frame_idx: r.is_cut for r in
+            mm.video_scene_cuts(df, threshold=hi).collect()}
+    assert all(not c for c in cuts.values()) or \
+        [i for i, c in cuts.items() if c] == \
+        [i for i in (1, 2) if exp[i] > hi]
+    with pytest.raises(ValueError):
+        mm.video_scene_cuts(df, threshold=-1)
+    with pytest.raises(ValueError):
+        mm.video_scene_cuts(df, bits=20)
+
+
+def test_bm25_topk_hand_computed(spark):
+    rows = [(0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.query_id, r.doc_id): (r.score_micros, r.rank)
+           for r in text.bm25_topk(
+               df, [("q", ["apple", "cherry"])], k=3).collect()}
+
+    # replay the exact formula: idf6 = floor-half-up-6dp of
+    # ln((N - df + 0.5)/(df + 0.5) + 1), term = idf6 * tf*(k1+1)
+    # / (tf + k1*(1 - b + b*dl/avgdl)), summed in int64 micros
+    def idf6(dfreq, n=3):
+        return math.floor(
+            math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            * 1e6 + 0.5) / 1e6
+
+    def micros(i, tf, dl, dfreq, avgdl=8.0 / 3.0):
+        s = idf6(dfreq) * (tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * (dl / avgdl))))
+        return math.floor(s * 1e6 + 0.5)
+
+    exp = {0: micros(0, 2, 3, 1),            # apple x2
+           1: micros(1, 1, 2, 2),            # cherry x1, short doc
+           2: micros(2, 3, 3, 2)}            # cherry x3
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    for rank, d in enumerate(order, 1):
+        assert got[("q", d)] == (exp[d], rank)
+    # k truncates: with k=1 only the winner survives
+    top = text.bm25_topk(df, [("q", ["apple", "cherry"])],
+                         k=1).collect()
+    assert [(r.query_id, r.doc_id) for r in top] == [("q", order[0])]
+
+
+def test_extract_links(spark):
+    rows = [(1, '<p><a href="http://a.com/x">A</a> mid '
+                '<a class=c href="http://b.com/">B b</a>'
+                '<a name=skip>no</a></p>'),
+            (2, "no links here")]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r.id: r.links for r in df.select(
+        "id", text.extract_links(F.col("html")).alias("links"))
+        .collect()}
+    assert [(l.href, l.anchor) for l in got[1]] == [
+        ("http://a.com/x", "A"), ("http://b.com/", "B b")]
+    assert got[2] == []

@@ -98,6 +98,9 @@ _SCALAR_BROADCAST_OK = {
     "doremi_domain_weights",     # composes unigram_logprob: inherits
                                  # its broadcast(total token count)
                                  # 1-row scalar
+    "bm25_topk",                 # broadcast(N, avgdl) — one 1-row
+                                 # corpus-stats scalar folded into
+                                 # the idf and length-norm terms
 }
 
 

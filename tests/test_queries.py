@@ -287,6 +287,9 @@ def test_driver_window_covers_every_family():
         "code_quality_flags": "c4_rule_flags",
         "pii_card_scan": "c4_rule_flags",
         "latex_extracted_text": "markdown_extracted_text",
+        "bm25_topk": "hybrid_rrf_topk",
+        "video_scene_cuts": "video_dup_groups",
+        "html_link_extract": "markdown_extracted_text",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
