@@ -96,7 +96,8 @@ def main():
         xlsx_extracted_text, quality_classifier_scores,
         audio_vad_segments, code_quality_flags, pii_card_scan,
         latex_extracted_text, bm25_topk, video_scene_cuts,
-        html_link_extract,
+        html_link_extract, host_boilerplate_clean,
+        robots_policy_check, hard_negative_topk,
     )
     from structa_spark.sources.tables import load_table
 
@@ -284,6 +285,12 @@ def main():
             "bm25_topk": run_df(bm25_topk),
             "video_scene_cuts": run_df(video_scene_cuts),
             "html_links": run_df(html_link_extract),
+            # host-template line removal (the RefinedWeb/CCNet
+            # boilerplate stage), the robots.txt policy fold, and
+            # contrastive hard-negative mining
+            "host_boilerplate": run_df(host_boilerplate_clean),
+            "robots_policy": run_df(robots_policy_check),
+            "hard_negatives": run_df(hard_negative_topk),
         }
 
     suite = make_suite(SF_DIR)

@@ -72,6 +72,46 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
+                         k: int = 5, ceiling: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         query_id_col: str = "query_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-k MOST similar corpus vectors that carry a
+    DIFFERENT label and sit BELOW the near-duplicate ceiling — the
+    highest-loss true negatives. The ceiling guards the classic
+    false-negative trap: a vector cosine-indistinguishable from the
+    anchor is a disguised positive (a near-dup the dedup stage
+    missed), and training against it as a negative poisons the loss.
+    Both gates apply to the 6-dp-ROUNDED cosine, so the boundary is
+    engine-exact.
+
+    Plan shape: the labeled evaluation shape —
+    broadcast(anchors) x corpus, then one rank window keyed by
+    anchor. At production volume the scored relation comes from ANN
+    candidates (IVF probe / LSH buckets) feeding the identical
+    filter + window tail, exactly like the margin-mining path."""
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qv__"),
+                       F.col(label_col).alias("__ql__"))
+    joined = ensure_parallelism(corpus).join(
+        F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col, id_col, label_col, F.col("__ql__"),
+        F.round(cosine(F.col(vec_col), F.col("__qv__")), 6)
+        .alias("cosine"))
+    cand = scored.where((F.col(label_col) != F.col("__ql__"))
+                        & (F.col("cosine") < ceiling))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, label_col, "cosine",
+                    "rank"))
+
+
 # -- SRP-LSH ---------------------------------------------------------------
 
 def _hyperplanes(dim: int, n_bits: int,

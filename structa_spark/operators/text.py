@@ -2460,6 +2460,64 @@ def extract_links(col: Column) -> Column:
         lambda h, a: F.struct(h.alias("href"), a.alias("anchor")))
 
 
+def parse_robots_rules(col: Column, agent: str = "*") -> Column:
+    """Parse a robots.txt column into the Allow/Disallow rule list
+    that applies to ``agent``:
+    ``array<struct<allow boolean, prefix string>>`` — the crawl-
+    politeness half of host curation (RFC 9309 semantics: ``#``
+    comments stripped, field names case-insensitive, consecutive
+    ``User-agent`` lines share one group, an empty rule value is a
+    no-op). The whole parse is one ``F.aggregate`` fold over the
+    split lines — a line-state machine (current-group-applies +
+    was-previous-line-a-UA-line) expressed entirely in codegen'd
+    struct updates: no Python in the hot path, no shuffle, and at
+    crawl scale the robots relation is one row per host, parsed in
+    the scan projection."""
+    lines = F.split(col, "\n")
+    empty = F.array().cast(
+        "array<struct<allow:boolean,prefix:string>>")
+    init = F.struct(F.lit(False).alias("grp"),
+                    F.lit(False).alias("ua"),
+                    empty.alias("rules"))
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*", ""))
+        key = F.lower(F.trim(F.regexp_extract(line, "^([^:]*):", 1)))
+        val = F.trim(F.regexp_extract(line, "^[^:]*:(.*)$", 1))
+        is_ua = key == "user-agent"
+        is_rule = (key == "allow") | (key == "disallow")
+        hit = val == agent
+        grp = (F.when(is_ua & acc["ua"], acc["grp"] | hit)
+               .when(is_ua, hit)
+               .otherwise(acc["grp"]))
+        rules = (F.when(
+            is_rule & grp & (val != ""),
+            F.concat(acc["rules"], F.array(F.struct(
+                (key == "allow").alias("allow"),
+                val.alias("prefix"))).cast(
+                "array<struct<allow:boolean,prefix:string>>")))
+            .otherwise(acc["rules"]))
+        return F.struct(grp.alias("grp"), is_ua.alias("ua"),
+                        rules.alias("rules"))
+
+    return F.aggregate(lines, init, step, lambda acc: acc["rules"])
+
+
+def robots_allowed(rules: Column, path: Column) -> Column:
+    """RFC 9309 rule evaluation: among the rules whose prefix matches
+    the path, the LONGEST prefix wins; an allow/disallow tie at equal
+    length resolves to allow; no matching rule means allowed. Pure
+    array expressions (filter -> keyed max), so the verdict for a
+    frontier of candidate URLs is a codegen'd projection against the
+    per-host rule arrays — no join, no Python."""
+    m = F.filter(rules, lambda r: F.startswith(path, r["prefix"]))
+    keyed = F.transform(m, lambda r: F.struct(
+        F.length(r["prefix"]).alias("l"),
+        r["allow"].cast("int").alias("a")))
+    return (F.when(F.size(m) == 0, F.lit(True))
+            .otherwise(F.array_max(keyed)["a"] == 1))
+
+
 def html_visible_text(col: Column) -> Column:
     """Visible text from an HTML column: drop the head and
     script/style blocks and comments, strip tags, unescape the common entities, collapse
@@ -2552,6 +2610,71 @@ def registered_domain(host: Column) -> Column:
     apex = F.regexp_extract(host, _APEX_RX, 1)
     return F.when(sld != "", sld) \
         .when(apex != "", apex).otherwise(host)
+
+
+def host_boilerplate_removal(df: DataFrame, host_col: str = "host",
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_frac: float = 0.6,
+                             min_pages: int = 3) -> DataFrame:
+    """Host-level template-chrome removal (the RefinedWeb/CCNet line
+    dedup stage): a line occurring on at least ``min_frac`` of a
+    host's pages — nav menus, cookie banners, copyright footers — is
+    site template, not content; drop it from EVERY page of that host
+    and reassemble the rest in original order. Hosts with fewer than
+    ``min_pages`` pages are left untouched (no statistical basis).
+    Returns ``(id, clean_text, n_lines, n_removed)``; a page whose
+    every line is template comes back as the empty string, not a
+    dropped row (removal is surgery, not a filter).
+
+    Scale shape: lines explode once; the page-per-host count is a
+    #hosts-row agg, the line-frequency agg keys on (host, line) —
+    the host in the key keeps global template lines ("Home") from
+    becoming one hot key — and the boilerplate relation back-joins
+    the line relation on the same (host, line) key as a LEFT ANTI
+    (no row widening). Reassembly is one id-keyed agg whose
+    collect_list is bounded by lines-per-page, the same bound as
+    c4_clean_lines. Nothing quadratic; the corpus text shuffles
+    once, as (host, line) rows."""
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1]: {min_frac}")
+    lines = df.select(
+        F.col(host_col), F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("line_no", "line"))
+    pages = df.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_pages"))
+    freq = (lines.select(host_col, id_col, "line").distinct()
+            .groupBy(host_col, "line")
+            .agg(F.count(F.lit(1)).alias("n_docs_with")))
+    boiler = (freq.join(pages, host_col)
+              .where((F.col("n_pages") >= min_pages)
+                     & (F.col("n_docs_with")
+                        >= F.col("n_pages") * F.lit(min_frac)))
+              .select(host_col, "line"))
+    kept = lines.join(boiler, [host_col, "line"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.max("n_lines").alias("n_lines"),
+                    F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("line_no", "line"))),
+                            lambda s: s["line"]))
+                    .alias("clean_text")))
+    return (df.select(id_col,
+                      F.size(F.split(F.col(text_col), "\n"))
+                      .alias("n_lines_all"))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text"),
+                    F.col("n_lines_all").alias("n_lines"),
+                    (F.col("n_lines_all")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("int").alias("n_removed")))
 
 
 def host_reputation(df: DataFrame, host_col: str = "host",

@@ -1628,6 +1628,35 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+@register("hard_negative_topk", oracle=f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id, a.label,
+         round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id < 8 AND a.vec_id <> b.vec_id
+       AND a.label <> b.label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM (SELECT * FROM scored WHERE cosine < 0.95))
+SELECT query_id, vec_id, label, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""")
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for 8 anchors: the top-5 most similar
+    OTHER-label vectors below the 0.95 near-dup ceiling — the
+    contrastive-training data op (a cosine-indistinguishable vector
+    is a disguised positive, not a negative). Both gates apply to
+    the 6-dp-rounded cosine, so the boundary is engine-exact; ranks
+    tie-break on the id. The labeled broadcast(anchors) x corpus
+    evaluation shape; production feeds ANN candidates into the
+    identical filter + window tail."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return (similarity.hard_negative_mining(e, q, k=5, ceiling=0.95)
+            .orderBy("query_id", "rank"))
+
+
 @register("embedding_neardup_pairs", oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_DOT_SQL} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
@@ -8787,6 +8816,60 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "link_idx"))
 
 
+@register("robots_policy_check", oracle="""
+SELECT doc_id, '/private/' || lang || '/page' AS path,
+       TRUE AS allowed
+FROM documents
+UNION ALL
+SELECT doc_id, '/private/xx/page', lang = 'xx' FROM documents
+UNION ALL
+SELECT doc_id, '/tmp/x', FALSE FROM documents
+UNION ALL
+SELECT doc_id, '/home', TRUE FROM documents
+ORDER BY doc_id, path
+""")
+def robots_policy_check(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """robots.txt crawl-policy evaluation, values-checked: each
+    document synthesizes a host's robots.txt (a comment line, a
+    fully-disallowed badbot group that must NOT leak into ``*``, a
+    grouped ``goodbot``+``*`` user-agent pair exercising the
+    consecutive-UA rule, a language-scoped Allow overriding a
+    broader Disallow, and an ignored Crawl-delay), then a 4-path
+    frontier is judged by longest-prefix-wins / tie-to-allow
+    (RFC 9309). The oracle predicts every verdict from the lang
+    column alone, so a drift in group attribution, comment
+    stripping, prefix matching, tie-breaking or the empty-value
+    no-op hash-mismatches. Parse + verdict are one codegen
+    projection (F.aggregate fold + array filter/max): no shuffle
+    before the display orderBy."""
+    d = _t(spark, sf_dir, "documents")
+    robots = F.concat(
+        F.lit("# robots for "), F.col("source"), F.lit("\n"
+              "User-agent: badbot\n"
+              "Disallow: /\n"
+              "\n"
+              "User-agent: goodbot\n"
+              "User-agent: *\n"
+              "Disallow: /private\n"
+              "Allow: /private/"), F.col("lang"),
+        F.lit("\nDisallow: /tmp/\n"
+              "Crawl-delay: 5\n"
+              "Disallow:\n"))
+    paths = F.array(
+        F.concat(F.lit("/private/"), F.col("lang"),
+                 F.lit("/page")),
+        F.lit("/private/xx/page"), F.lit("/tmp/x"), F.lit("/home"))
+    rules = text.parse_robots_rules(robots)
+    return (d.select("doc_id", rules.alias("rules"),
+                     F.explode(paths).alias("path"))
+            .select("doc_id", "path",
+                    text.robots_allowed(F.col("rules"),
+                                        F.col("path"))
+                    .alias("allowed"))
+            .orderBy("doc_id", "path"))
+
+
 @register("markdown_extracted_text", oracle="""
 SELECT doc_id,
        'Title quoted ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
@@ -9264,6 +9347,35 @@ verdict AS (
           OR (host <> 'site3.net' AND keep_rate >= 0.98
               AND dup_rate <= 0.5)) AS host_keep
   FROM rep)"""
+
+
+@register("host_boilerplate_clean", oracle="""
+SELECT doc_id, text AS clean_text, 3 AS n_lines, 2 AS n_removed
+FROM documents ORDER BY doc_id
+""")
+def host_boilerplate_clean(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Host-level template-chrome removal, values-checked on the
+    rebuilt strings: every document becomes a 3-line page whose nav
+    header and copyright footer derive from its host (= source), so
+    both template lines occur on 100% of the host's pages while the
+    body line is unique — host_boilerplate_removal must strip
+    exactly the chrome and hand back exactly the original text. The
+    oracle IS the plaintext (plus the constant line accounting), so
+    a drift in the line split, the per-host frequency, the
+    threshold comparison, the anti-join or the order-preserving
+    reassembly hash-mismatches on the strings themselves."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("NAV "), F.col("source"),
+        F.lit(" home about contact\n"),
+        F.col("text"),
+        F.lit("\n(c) 2026 "), F.col("source"),
+        F.lit(" all rights reserved"))
+    paged = d.select("doc_id", F.col("source").alias("host"),
+                     page.alias("text"))
+    return (text.host_boilerplate_removal(paged)
+            .orderBy("doc_id"))
 
 
 @register("host_curation_report", oracle=f"""

@@ -5116,3 +5116,91 @@ def test_extract_links(spark):
     assert [(l.href, l.anchor) for l in got[1]] == [
         ("http://a.com/x", "A"), ("http://b.com/", "B b")]
     assert got[2] == []
+
+
+def test_host_boilerplate_removal(spark):
+    rows = [
+        # host a: 3 pages sharing nav+footer chrome
+        ("a", 0, "NAV\nalpha body\nFOOT"),
+        ("a", 1, "NAV\nbeta body\nFOOT"),
+        ("a", 2, "NAV\nFOOT"),                 # all-template page
+        # host b: below min_pages — untouched even though shared
+        ("b", 3, "NAV\ngamma body"),
+        ("b", 4, "NAV\ndelta body"),
+        # host c: a line repeated twice WITHIN one page counts once
+        ("c", 5, "dup\ndup\nunique five"),
+        ("c", 6, "other one"),
+        ("c", 7, "other two"),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text.host_boilerplate_removal(
+               df, min_frac=0.6, min_pages=3).collect()}
+    assert got[0].clean_text == "alpha body"
+    assert (got[0].n_lines, got[0].n_removed) == (3, 2)
+    assert got[1].clean_text == "beta body"
+    # a page that is ALL template comes back empty, not dropped
+    assert got[2].clean_text == "" and got[2].n_removed == 2
+    # host below min_pages is untouched
+    assert got[3].clean_text == "NAV\ngamma body"
+    assert got[3].n_removed == 0
+    # within-page repetition is one page, 1/3 < 0.6 -> kept
+    assert got[5].clean_text == "dup\ndup\nunique five"
+    with pytest.raises(ValueError):
+        text.host_boilerplate_removal(df, min_frac=0.0)
+
+
+def test_parse_robots_rules_and_allowed(spark):
+    robots = ("# policy\n"
+              "User-agent: badbot\n"
+              "Disallow: /\n"
+              "\n"
+              "USER-AGENT: goodbot\n"
+              "User-agent: *\n"
+              "DisAllow: /private   # inline comment\n"
+              "Allow: /private/ok\n"
+              "Disallow:\n"
+              "Crawl-delay: 5\n")
+    df = spark.createDataFrame([(robots,)], "txt string")
+    rules = df.select(
+        text.parse_robots_rules(F.col("txt")).alias("r")) \
+        .collect()[0].r
+    # badbot's catch-all must not leak; empty Disallow is a no-op;
+    # keys are case-insensitive; inline comments strip
+    assert [(x.allow, x.prefix) for x in rules] == [
+        (False, "/private"), (True, "/private/ok")]
+    checks = [("/private/ok/page", True),    # longest match: allow
+              ("/private/other", False),
+              ("/public", True),             # no rule -> allowed
+              ("/", True)]                   # badbot group excluded
+    out = df.select(*[
+        text.robots_allowed(
+            text.parse_robots_rules(F.col("txt")), F.lit(p))
+        .alias(f"c{i}") for i, (p, _) in enumerate(checks)]) \
+        .collect()[0]
+    for i, (p, want) in enumerate(checks):
+        assert out[f"c{i}"] == want, p
+    # allow/disallow tie at equal prefix length resolves to allow
+    tie = ("User-agent: *\nDisallow: /x\nAllow: /x\n",)
+    t = spark.createDataFrame([tie], "txt string").select(
+        text.robots_allowed(
+            text.parse_robots_rules(F.col("txt")),
+            F.lit("/x/page")).alias("v")).collect()[0].v
+    assert t is True
+
+
+def test_hard_negative_mining(spark):
+    rows = [(0, [1.0, 0.0], "a"),        # anchor
+            (1, [1.0, 0.0], "b"),        # disguised positive: >= ceiling
+            (2, [0.9, 0.44], "b"),       # the hard negative
+            (3, [0.9, 0.44], "a"),       # same label: excluded
+            (4, [0.0, 1.0], "b")]        # easy negative, ranked last
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    q = df.where(F.col("vec_id") == 0)
+    got = [(r.vec_id, r.rank) for r in
+           similarity.hard_negative_mining(
+               df, q, k=5, ceiling=0.95)
+           .orderBy("rank").collect()]
+    assert got == [(2, 1), (4, 2)]

@@ -33,6 +33,9 @@ _QUADRATIC_OK = {
     "dup_cluster_histogram",     # rides the same labeled exact slice
     "cosine_topk",               # brute-force baseline: queries x corpus
     "cosine_topk_vectorized",    # same, Arrow path
+    "hard_negative_topk",        # labeled broadcast(anchors) x corpus;
+                                 # scale path is ANN candidates into
+                                 # the same filter + window tail
     "embedding_neardup_pairs",   # exact mode over 2k vectors
     "range_join_purchase_views",  # inequality residual on equality key
     "asof_purchase_click",       # union-merge window

@@ -290,6 +290,9 @@ def test_driver_window_covers_every_family():
         "bm25_topk": "hybrid_rrf_topk",
         "video_scene_cuts": "video_dup_groups",
         "html_link_extract": "markdown_extracted_text",
+        "host_boilerplate_clean": "host_policy_v2",
+        "robots_policy_check": "c4_rule_flags",
+        "hard_negative_topk": "hybrid_rrf_topk",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
