@@ -97,7 +97,7 @@ def main():
         audio_vad_segments, code_quality_flags, pii_card_scan,
         latex_extracted_text, bm25_topk, video_scene_cuts,
         html_link_extract, host_boilerplate_clean,
-        robots_policy_check, hard_negative_topk,
+        robots_policy_check, hard_negative_topk, mojibake_repair,
     )
     from structa_spark.sources.tables import load_table
 
@@ -291,6 +291,7 @@ def main():
             "host_boilerplate": run_df(host_boilerplate_clean),
             "robots_policy": run_df(robots_policy_check),
             "hard_negatives": run_df(hard_negative_topk),
+            "mojibake_repair": run_df(mojibake_repair),
         }
 
     suite = make_suite(SF_DIR)

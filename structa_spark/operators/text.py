@@ -2460,6 +2460,52 @@ def extract_links(col: Column) -> Column:
         lambda h, a: F.struct(h.alias("href"), a.alias("anchor")))
 
 
+#: One full UTF-8 byte-sequence, written as the Latin-1 characters
+#: those bytes decode to — including the RFC 3629 exclusions
+#: (overlongs, surrogates, > U+10FFFF), so a match set that passes
+#: this grammar is GUARANTEED to re-decode: the repair can never
+#: throw. Continuation chars (U+0080-BF) are disjoint from every
+#: lead class, so the parse is unambiguous left-to-right.
+_UTF8_AS_LATIN1 = (
+    "(?:[\u00C2-\u00DF][\u0080-\u00BF]"
+    "|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]"
+    "|[\u00E1-\u00EC][\u0080-\u00BF]{2}"
+    "|\u00ED[\u0080-\u009F][\u0080-\u00BF]"
+    "|[\u00EE-\u00EF][\u0080-\u00BF]{2}"
+    "|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}"
+    "|[\u00F1-\u00F3][\u0080-\u00BF]{3}"
+    "|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})")
+
+
+def is_mojibake(col: Column) -> Column:
+    """True when the text is the classic double-encoding defect —
+    UTF-8 bytes mistakenly decoded as Latin-1 ('café' shipped as
+    'cafÃ©') — and provably repairable: it contains at least one
+    valid UTF-8-as-Latin-1 cluster AND nothing non-ASCII outside
+    such clusters, so ``encode(latin-1) -> decode(utf-8)`` is total.
+    The strictness is the point: a stray 'Ã' before a space is NOT
+    flagged (it would make the re-decode throw), and genuinely
+    French/German Latin-1 prose almost never forms valid lead +
+    continuation runs."""
+    residue = F.regexp_replace(col, _UTF8_AS_LATIN1, "")
+    return (col.rlike(_UTF8_AS_LATIN1)
+            & ~residue.rlike("[^\u0000-\u007F]"))
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair double-encoded text (the ftfy staple): where
+    :func:`is_mojibake` holds, re-encode as Latin-1 and re-decode as
+    UTF-8 — recovering the original 'café — naïve' from
+    'cafÃ© â naÃ¯ve'; everything else passes through
+    byte-identical. The gate guarantees the decode cannot throw
+    (ANSI mode errors on malformed UTF-8 by design), and the CASE
+    branch keeps the charset round-trip off the common path. Pure
+    codegen expressions: an encoding-repair pass over a 100 TB
+    crawl is one scan projection, no Python, no shuffle."""
+    repaired = F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
+    return F.when(is_mojibake(col), repaired).otherwise(col)
+
+
 def parse_robots_rules(col: Column, agent: str = "*") -> Column:
     """Parse a robots.txt column into the Allow/Disallow rule list
     that applies to ``agent``:

@@ -8816,6 +8816,41 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "link_idx"))
 
 
+#: ' — naïve café' as its own UTF-8 bytes misread as Latin-1 — the
+#: classic double-encoding defect fix_mojibake must undo.
+_MOJI_TAIL = " — naïve café".encode("utf-8").decode("latin-1")
+
+
+@register("mojibake_repair", oracle="""
+SELECT doc_id,
+       text || CASE WHEN doc_id % 3 = 0 THEN ' — naïve café'
+                    ELSE ' plain tail' END AS clean_text,
+       doc_id % 3 = 0 AS was_fixed
+FROM documents ORDER BY doc_id
+""")
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoding repair (the ftfy staple), values-checked on
+    the recovered strings: every third document gets a tail of
+    UTF-8-bytes-misread-as-Latin-1 ('cafÃ©'-style, mixing 2- and
+    3-byte clusters) which fix_mojibake must restore to the true
+    ' — naïve café'; the others get a plain tail that must pass
+    through byte-identical (is_mojibake stays False — the strict
+    cluster grammar is the gate that also makes the ANSI decode
+    total). The oracle predicts both output strings directly, so a
+    drift in the cluster grammar, the residue gate or the charset
+    round-trip hash-mismatches. One codegen scan projection; no
+    shuffle before the display orderBy."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJI_TAIL))
+        .otherwise(F.lit(" plain tail")))
+    return (d.select("doc_id",
+                     text.fix_mojibake(page).alias("clean_text"),
+                     text.is_mojibake(page).alias("was_fixed"))
+            .orderBy("doc_id"))
+
+
 @register("robots_policy_check", oracle="""
 SELECT doc_id, '/private/' || lang || '/page' AS path,
        TRUE AS allowed

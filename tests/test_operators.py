@@ -5204,3 +5204,29 @@ def test_hard_negative_mining(spark):
                df, q, k=5, ceiling=0.95)
            .orderBy("rank").collect()]
     assert got == [(2, 1), (4, 2)]
+
+
+def test_fix_mojibake(spark):
+    def moji(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    rows = [(0, moji("café — naïve résumé")),       # 2+3-byte fix
+            (1, "plain ascii"),                      # untouched
+            (2, "café already correct"),             # real latin-1
+            (3, "bad Ã stray"),                      # invalid: keep
+            (4, moji("中文 text 混合")),              # 3-byte fix
+            (5, moji("emoji 🎉 four-byte")),         # 4-byte fix
+            (6, moji("x") + "í ")]                   # lone lead: keep
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: (r.m, r.r) for r in df.select(
+        "id", text.is_mojibake(F.col("t")).alias("m"),
+        text.fix_mojibake(F.col("t")).alias("r")).collect()}
+    assert got[0] == (True, "café — naïve résumé")
+    assert got[1] == (False, "plain ascii")
+    # genuinely-accented Latin-1 prose must NOT be "repaired"
+    assert got[2] == (False, "café already correct")
+    assert got[3] == (False, "bad Ã stray")
+    assert got[4] == (True, "中文 text 混合")
+    assert got[5] == (True, "emoji 🎉 four-byte")
+    # a valid cluster plus a lone lead byte: the residue gate wins
+    assert got[6][0] is False

@@ -293,6 +293,7 @@ def test_driver_window_covers_every_family():
         "host_boilerplate_clean": "host_policy_v2",
         "robots_policy_check": "c4_rule_flags",
         "hard_negative_topk": "hybrid_rrf_topk",
+        "mojibake_repair": "normalized_text_stats",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \

@@ -1506,3 +1506,41 @@ def test_office_extract_streams_stateless(spark, tmp_path):
         .collect()}
     assert got == want and len(got) == 4
     assert got[0][0] == "docx" and got[1][0] == "odt"
+
+
+def test_mojibake_repair_streams_stateless(spark, tmp_path):
+    """fix_mojibake is a pure projection (regex gate + charset
+    round-trip in a CASE branch), so it is append-mode-safe with no
+    watermark and per-microbatch output equals the batch twin —
+    including that the ANSI decode never evaluates on rows the gate
+    rejects (a malformed row in the stream must not kill the
+    query)."""
+    from structa_spark.operators import text as T
+
+    def moji(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    rows = [(0, moji("café — naïve")), (1, "plain"),
+            (2, "bad Ã stray"), (3, moji("中文 mixed")),
+            (4, "café real latin-1")]
+    src = str(tmp_path / "moji_src")
+    batch_df = spark.createDataFrame(rows, "doc_id long, t string")
+    batch_df.write.parquet(src)
+
+    def screen(df):
+        from pyspark.sql import functions as F
+        return df.select(
+            "doc_id", T.fix_mojibake(F.col("t")).alias("clean"),
+            T.is_mojibake(F.col("t")).alias("was_fixed"))
+
+    want = {tuple(r) for r in screen(batch_df).collect()}
+    sdf = (spark.readStream.schema("doc_id long, t string")
+           .parquet(src))
+    q = (screen(sdf).writeStream.format("memory")
+         .queryName("moji_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM moji_stream").collect()}
+    assert got == want and len(got) == 5
