@@ -98,6 +98,7 @@ def main():
         latex_extracted_text, bm25_topk, video_scene_cuts,
         html_link_extract, host_boilerplate_clean,
         robots_policy_check, hard_negative_topk, mojibake_repair,
+        alpha_lang_weights, audio_resample,
     )
     from structa_spark.sources.tables import load_table
 
@@ -292,6 +293,10 @@ def main():
             "robots_policy": run_df(robots_policy_check),
             "hard_negatives": run_df(hard_negative_topk),
             "mojibake_repair": run_df(mojibake_repair),
+            # temperature sampling beside UniMax, and sample-rate
+            # conversion through the real WAV decode
+            "alpha_weights": run_df(alpha_lang_weights),
+            "audio_resample": run_df(audio_resample),
         }
 
     suite = make_suite(SF_DIR)

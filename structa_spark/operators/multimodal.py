@@ -981,6 +981,66 @@ def decode_wav_samples(payload):
     return arr[:n_frames * channels].reshape(n_frames, channels), rate
 
 
+def audio_resample_index(df: DataFrame, target_rate: int,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         every_k: int = 1) -> DataFrame:
+    """Sample-rate conversion through the REAL WAV decode — the
+    normalization step an audio training pipeline runs before
+    feature extraction (every corpus clip to one model rate, e.g.
+    16 kHz): linear interpolation of the first channel onto the
+    target-rate grid, emitting every ``every_k``-th resampled value
+    as ``(id, n_in, n_out, out_idx, value)``. The source position of
+    output sample j is ``(j * src_rate) / target_rate`` — ONE double
+    division of exact integers, so the interpolation weights are
+    bit-reproducible in any engine; values round 6-dp half-up on the
+    binary double. ``n_out = (n_in-1)*target // src + 1`` keeps every
+    position inside the source (no extrapolation). An undecodable
+    payload emits one null row (the decode-degradation convention).
+
+    Scale shape: pure per-row decode + interpolate inside Arrow
+    batches, no shuffle; only the sampled index rows cross into the
+    plan — never the waveform."""
+    import math
+
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1: {every_k}")
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1: {target_rate}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr, rate = decode_wav_samples(payload)
+                except DecodeUnavailable:
+                    out.append((int(mid), None, None, None, None))
+                    continue
+                s = arr[:, 0]
+                n_in = len(s)
+                if n_in == 0 or not rate:
+                    out.append((int(mid), None, None, None, None))
+                    continue
+                n_out = (n_in - 1) * target_rate // rate + 1
+                for j in range(0, n_out, every_k):
+                    p = (j * rate) / target_rate
+                    i0 = math.floor(p)
+                    frac = p - i0
+                    s0 = float(s[i0])
+                    s1 = float(s[min(i0 + 1, n_in - 1)])
+                    v = s0 + (s1 - s0) * frac
+                    out.append((int(mid), n_in, n_out, j,
+                                math.floor(v * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_in", "n_out", "out_idx",
+                              "value"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, n_in int, n_out int, "
+                         f"out_idx int, value double"))
+
+
 def _fake_decode_feature(payload: bytes, dim: int) -> list:
     """Deterministic stand-in for decode+embed: a dim-length feature
     derived from payload bytes (stable across runs/engines). Marks the

@@ -521,6 +521,50 @@ def shuffle_order(df: DataFrame, n_shards: int = 64,
             .drop("__h__"))
 
 
+def alpha_sampling_weights(df: DataFrame, alpha: float = 0.3,
+                           group_col: str = "lang",
+                           text_col: str = "text") -> DataFrame:
+    """Temperature ("alpha") sampling weights — the multilingual
+    mixing rule of mBERT/XLM-R/mT5 (Xue et al. 2021, arXiv:
+    2010.11934): sample group g with probability proportional to
+    ``n_tokens(g) ** alpha``, flattening the head so tail languages
+    are seen at all (alpha=1 is proportional, alpha=0 uniform; 0.3
+    is the mT5 setting). The historical baseline UniMax replaced —
+    ship both and let the manifest choose (:func:`unimax_allocation`
+    documents why temperature over-epochs the tail).
+
+    Determinism: the power is 6-dp micro-quantized on the binary
+    double (``floor(pow(n,alpha)*1e6+0.5)`` as int64 — the one libm
+    call per group dies in the rounding), the normalizer is an EXACT
+    integer sum of those micros, and the final weight is one
+    int-derived double division rounded 6-dp — so weights are
+    engine-identical and sum-stable under any aggregation order.
+
+    Scale shape: one #groups-row aggregation off the corpus scan
+    (checkpointed — it feeds both the total and the output), the
+    total folded back as a 1-row broadcast."""
+    from .text import token_count
+
+    per = (df.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(token_count(F.col(text_col))).cast("long")
+                .alias("n_tokens"))
+           .select("grp", "n_docs", "n_tokens",
+                   F.floor(F.pow(F.col("n_tokens").cast("double"),
+                                 F.lit(float(alpha)))
+                           * F.lit(1000000.0) + F.lit(0.5))
+                   .cast("long").alias("pow_micros"))
+           .localCheckpoint(eager=False))
+    tot = per.agg(F.sum("pow_micros").cast("long").alias("__tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    "n_tokens",
+                    (F.floor(F.col("pow_micros").cast("double")
+                             / F.col("__tot")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     / F.lit(1000000.0)).alias("weight")))
+
+
 def unimax_allocation(df: DataFrame, budget_frac: float = 0.8,
                       max_epochs: float = 1.0,
                       group_col: str = "lang",

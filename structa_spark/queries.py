@@ -7614,6 +7614,86 @@ def audio_mfcc_features(spark: SparkSession,
     return mm.audio_mfcc_features(media).orderBy("media_id")
 
 
+@register("audio_resample", oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id, 20 + doc_id % 40 AS n,
+         2 + doc_id % 3 AS a
+  FROM documents WHERE doc_id % 2 = 0
+),
+idx AS (
+  SELECT media_id, n, a, ((n - 1) * 6000) // 8000 + 1 AS n_out
+  FROM ids WHERE media_id % 50 <> 0
+),
+js AS (
+  SELECT media_id, n, a, n_out, j.j AS out_idx,
+         CAST(j.j * 8000 AS DOUBLE) / 6000 AS p
+  FROM idx CROSS JOIN generate_series(0, 199) j(j)
+  WHERE j.j < n_out AND j.j % 7 = 0
+),
+vals AS (
+  SELECT media_id, n, n_out, out_idx,
+         CAST(a * CAST(floor(p) AS BIGINT) - 100 AS DOUBLE) AS s0,
+         CAST(a * least(CAST(floor(p) AS BIGINT) + 1, n - 1) - 100
+              AS DOUBLE) AS s1,
+         p - floor(p) AS frac
+  FROM js
+)
+SELECT media_id, CAST(n AS INT) AS n_in,
+       CAST(n_out AS INT) AS n_out, CAST(out_idx AS INT) AS out_idx,
+       floor((s0 + (s1 - s0) * frac) * 1000000.0 + 0.5) / 1000000.0
+         AS value
+FROM vals
+UNION ALL
+SELECT media_id, NULL, NULL, NULL, NULL
+FROM ids WHERE media_id % 50 = 0
+ORDER BY media_id, out_idx
+""")
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion (8 kHz -> 6 kHz, the corpus-to-model
+    normalization step), values-checked END TO END through the real
+    WAV decoder: linear-ramp PCM clips (sample t = a*t - 100, slope
+    and length from the id) REAL-decode and linearly interpolate
+    onto the 6 kHz grid; every 7th resampled value ships. The 4/3
+    rate ratio cycles the interpolation fraction through 0, 1/3 and
+    2/3, so a swapped weight, an off-by-one source index or a
+    dropped clamp all change values the oracle predicts exactly
+    (the source position is ONE division of exact integers; the
+    ramp makes every interpolated value an int-derived double).
+    Every 50th clip is junk bytes and must emit the null
+    decode-degradation row.
+
+    Scale shape: Arrow-batched decode + interpolate, no shuffle;
+    only sampled index rows enter the plan — never the waveform."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 2 == 0))
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 50 == 0:
+                    rows.append((i, b"junk"))
+                    continue
+                n = 20 + i % 40
+                a = 2 + i % 3
+                samp = np.array([a * t - 100 for t in range(n)],
+                                dtype="<i2")
+                rows.append((i, mm.wav_bytes(
+                    8000, 1, n, bits=16, samples=samp.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (mm.audio_resample_index(media, target_rate=6000,
+                                    every_k=7)
+            .orderBy("media_id", "out_idx"))
+
+
 @register("audio_clipping_stats", oracle="""
 WITH ids AS (
   SELECT doc_id AS media_id, doc_id % 300 + 1 AS n FROM documents
@@ -8391,6 +8471,39 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cms_estimate") - F.col("c")).cast("long")
                     .alias("overshoot"))
             .orderBy(F.desc("exact_count"), F.asc("token")))
+
+
+@register("alpha_lang_weights", oracle="""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), pm AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3)
+                    * 1000000.0 + 0.5) AS BIGINT) AS pow_micros
+  FROM per
+), tot AS (
+  SELECT CAST(sum(pow_micros) AS BIGINT) AS t FROM pm)
+SELECT lang, n_docs, n_tokens,
+       floor(CAST(pow_micros AS DOUBLE) / t * 1000000.0 + 0.5)
+         / 1000000.0 AS weight
+FROM pm CROSS JOIN tot ORDER BY lang
+""")
+def alpha_lang_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.3) sampling weights per language — the
+    mT5 multilingual mixing rule, beside UniMax so a manifest can
+    choose either. The per-group power is 6-dp micro-quantized
+    (one libm pow per group dies in the rounding), the normalizer
+    is an exact int64 sum, and the weight is one int-derived double
+    division rounded 6-dp — engine-identical end to end."""
+    from .operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.alpha_sampling_weights(d, alpha=0.3)
+            .orderBy("lang"))
 
 
 @register("unimax_lang_allocation", oracle="""

@@ -5230,3 +5230,57 @@ def test_fix_mojibake(spark):
     assert got[5] == (True, "emoji 🎉 four-byte")
     # a valid cluster plus a lone lead byte: the residue gate wins
     assert got[6][0] is False
+
+
+def test_alpha_sampling_weights(spark):
+    from structa_spark.operators import sampling
+
+    rows = [(0, "a", "w x y z w x y z"),       # 8 tokens
+            (1, "b", "solo")]                   # 1 token
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in
+           sampling.alpha_sampling_weights(df, alpha=0.3).collect()}
+    pm = {l: math.floor(math.pow(n, 0.3) * 1e6 + 0.5)
+          for l, n in (("a", 8), ("b", 1))}
+    tot = sum(pm.values())
+    for lang, n in (("a", 8), ("b", 1)):
+        want = math.floor(pm[lang] / tot * 1e6 + 0.5) / 1e6
+        assert got[lang].n_tokens == n
+        assert got[lang].weight == want
+    # alpha flattens: the 8x bigger corpus gets far less than 8x
+    assert got["a"].weight / got["b"].weight < 3
+    # alpha=1 recovers proportional sampling
+    prop = {r.lang: r.weight for r in
+            sampling.alpha_sampling_weights(df, alpha=1.0).collect()}
+    assert abs(prop["a"] / prop["b"] - 8.0) < 1e-3
+
+
+def test_audio_resample_index(spark):
+    import numpy as np
+
+    from structa_spark.operators import multimodal as mm
+
+    n, a = 9, 3
+    samp = np.array([a * t for t in range(n)], dtype="<i2")
+    wav = mm.wav_bytes(8000, 1, n, bits=16, samples=samp.tobytes())
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"junk")], "media_id long, payload binary")
+    rows = {(r.media_id, r.out_idx): r for r in
+            mm.audio_resample_index(df, target_rate=6000).collect()}
+    n_out = (n - 1) * 6000 // 8000 + 1
+    assert rows[(1, 0)].n_out == n_out
+    for j in range(n_out):
+        p = (j * 8000) / 6000
+        i0 = math.floor(p)
+        s0, s1 = a * i0, a * min(i0 + 1, n - 1)
+        want = math.floor((s0 + (s1 - s0) * (p - i0)) * 1e6
+                          + 0.5) / 1e6
+        assert rows[(1, j)].value == want, j
+    # a linear ramp resamples to the exact analytic positions too
+    assert rows[(1, 3)].value == a * ((3 * 8000) / 6000)
+    # junk payload -> one null degradation row
+    assert rows[(2, None)].n_in is None
+    with pytest.raises(ValueError):
+        mm.audio_resample_index(df, target_rate=0)
+    with pytest.raises(ValueError):
+        mm.audio_resample_index(df, target_rate=6000, every_k=0)

@@ -104,6 +104,9 @@ _SCALAR_BROADCAST_OK = {
     "bm25_topk",                 # broadcast(N, avgdl) — one 1-row
                                  # corpus-stats scalar folded into
                                  # the idf and length-norm terms
+    "alpha_lang_weights",        # broadcast(power-sum total) — one
+                                 # 1-row normalizer folded onto the
+                                 # #langs-row relation
 }
 
 

@@ -294,6 +294,8 @@ def test_driver_window_covers_every_family():
         "robots_policy_check": "c4_rule_flags",
         "hard_negative_topk": "hybrid_rrf_topk",
         "mojibake_repair": "normalized_text_stats",
+        "alpha_lang_weights": "unimax_lang_allocation",
+        "audio_resample": "audio_mfcc_features",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
