@@ -98,7 +98,7 @@ def main():
         latex_extracted_text, bm25_topk, video_scene_cuts,
         html_link_extract, host_boilerplate_clean,
         robots_policy_check, hard_negative_topk, mojibake_repair,
-        alpha_lang_weights, audio_resample,
+        alpha_lang_weights, audio_resample, sentence_align_beads,
     )
     from structa_spark.sources.tables import load_table
 
@@ -297,6 +297,9 @@ def main():
             # conversion through the real WAV decode
             "alpha_weights": run_df(alpha_lang_weights),
             "audio_resample": run_df(audio_resample),
+            # Gale-Church bitext beads (per-pair integer DP in the
+            # Arrow batch)
+            "sentence_align": run_df(sentence_align_beads),
         }
 
     suite = make_suite(SF_DIR)

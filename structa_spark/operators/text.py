@@ -2460,6 +2460,91 @@ def extract_links(col: Column) -> Column:
         lambda h, a: F.struct(h.alias("href"), a.alias("anchor")))
 
 
+#: Bead penalties for :func:`align_sentences` — the Gale-Church
+#: prior flattened to small integers so the DP is exact integer
+#: arithmetic (deterministic in any engine, no erf/log).
+_BEAD_PENALTY = {"1:1": 0, "2:1": 2, "1:2": 2, "1:0": 4, "0:1": 4}
+
+
+def align_sentences(df: DataFrame, src_col: str = "src_sents",
+                    tgt_col: str = "tgt_sents",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Length-based bitext sentence alignment (the Gale-Church 1993
+    algorithm with its Gaussian prior flattened to integer bead
+    penalties): dynamic programming over sentence pairs with 1:1,
+    2:1, 1:2 beads and 1:0 / 0:1 deletions, bead cost =
+    ``|src_tokens - tgt_tokens| + penalty``. The producer of
+    training bitext from document-aligned corpora — margin mining
+    (:mod:`operators.similarity`) finds the parallel DOCUMENTS,
+    this extracts the parallel SENTENCES. Integer costs make the
+    optimum engine-exact; cost ties resolve in the fixed bead order
+    1:1, 2:1, 1:2, 1:0, 0:1 (backtrack preference), so the
+    alignment is unique and reproducible. Emits one row per bead:
+    ``(id, bead_no, bead, src_text, tgt_text, cost)`` with the
+    bead's sentences space-joined (deletion sides empty).
+
+    Scale shape: both sentence lists of a document pair live in ONE
+    row, so the DP is local to the Arrow batch — no shuffle, O(n*m)
+    per pair with n, m in the tens; only bead rows enter the plan."""
+    import pandas as pd
+
+    BEADS = [("1:1", 1, 1), ("2:1", 2, 1), ("1:2", 1, 2),
+             ("1:0", 1, 0), ("0:1", 0, 1)]
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for mid, src, tgt in zip(pdf[id_col], pdf[src_col],
+                                     pdf[tgt_col]):
+                s = [str(x) for x in (src if src is not None else [])]
+                t = [str(x) for x in (tgt if tgt is not None else [])]
+                sl = [len(x.split()) for x in s]
+                tl = [len(x.split()) for x in t]
+                n, m = len(s), len(t)
+                INF = 1 << 60
+                d = [[INF] * (m + 1) for _ in range(n + 1)]
+                back = [[None] * (m + 1) for _ in range(n + 1)]
+                d[0][0] = 0
+                for i in range(n + 1):
+                    for j in range(m + 1):
+                        if i == 0 and j == 0:
+                            continue
+                        best, arg = INF, None
+                        for bead, di, dj in BEADS:
+                            if i < di or j < dj:
+                                continue
+                            prev = d[i - di][j - dj]
+                            if prev >= INF:
+                                continue
+                            c = (abs(sum(sl[i - di:i])
+                                     - sum(tl[j - dj:j]))
+                                 + _BEAD_PENALTY[bead])
+                            # strict < keeps the FIRST bead in the
+                            # preference order on ties
+                            if prev + c < best:
+                                best, arg = prev + c, (bead, di, dj, c)
+                        d[i][j], back[i][j] = best, arg
+                beads = []
+                i, j = n, m
+                while (i, j) != (0, 0) and back[i][j] is not None:
+                    bead, di, dj, c = back[i][j]
+                    beads.append((bead,
+                                  " ".join(s[i - di:i]),
+                                  " ".join(t[j - dj:j]), c))
+                    i, j = i - di, j - dj
+                beads.reverse()
+                for k, (bead, st, tt, c) in enumerate(beads):
+                    out.append((int(mid), k, bead, st, tt, c))
+            yield pd.DataFrame(
+                out, columns=[id_col, "bead_no", "bead", "src_text",
+                              "tgt_text", "cost"])
+
+    return df.mapInPandas(
+        batches, schema=(f"{id_col} long, bead_no int, bead string, "
+                         f"src_text string, tgt_text string, "
+                         f"cost int"))
+
+
 #: One full UTF-8 byte-sequence, written as the Latin-1 characters
 #: those bytes decode to — including the RFC 3629 exclusions
 #: (overlongs, surrogates, > U+10FFFF), so a match set that passes

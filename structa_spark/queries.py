@@ -8934,6 +8934,60 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOJI_TAIL = " — naïve café".encode("utf-8").decode("latin-1")
 
 
+@register("sentence_align_beads", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS wt
+  FROM documents
+)
+SELECT doc_id, 0 AS bead_no, '1:1' AS bead,
+       array_to_string(list_slice(wt, 1, 3), ' ') AS src_text,
+       array_to_string(list_slice(wt, 1, 3), ' ') AS tgt_text,
+       0 AS cost
+FROM d
+UNION ALL
+SELECT doc_id, 1, '2:1',
+       array_to_string(list_slice(wt, 4, 6), ' '),
+       array_to_string(list_slice(wt, 4, 6), ' '), 2
+FROM d
+UNION ALL
+SELECT doc_id, 2, '1:1',
+       array_to_string(list_slice(wt, 7, 9), ' '),
+       array_to_string(list_slice(wt, 7, 9), ' '), 0
+FROM d
+ORDER BY doc_id, bead_no
+""")
+def sentence_align_beads(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment, values-checked on the bead
+    strings: each document's first 9 tokens become a source side of
+    sentence lengths [3,1,2,3] and a target side of [3,3,3] — the
+    unique integer-cost optimum is [1:1, 2:1, 1:1] with costs
+    [0,2,0] (merging the 1- and 2-token source sentences; every
+    competing bead path costs >= 3), so the DP, the bead penalties,
+    the backtrack order and the space-joining all pin to strings
+    the oracle rebuilds from token slices. The margin-mining
+    companion: that finds parallel documents, this extracts the
+    parallel sentences.
+
+    Scale shape: both sentence lists live in one row — the DP is
+    local to the Arrow batch, no shuffle; only bead rows enter the
+    plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.trim(F.col("text")))
+
+    def sent(a, ln):
+        return F.concat_ws(" ", F.slice(toks, a, ln))
+
+    src = F.array(sent(1, 3), sent(4, 1), sent(5, 2), sent(7, 3))
+    tgt = F.array(sent(1, 3), sent(4, 3), sent(7, 3))
+    pairs = d.select("doc_id", src.alias("src_sents"),
+                     tgt.alias("tgt_sents"))
+    return (text.align_sentences(pairs)
+            .orderBy("doc_id", "bead_no"))
+
+
 @register("mojibake_repair", oracle="""
 SELECT doc_id,
        text || CASE WHEN doc_id % 3 = 0 THEN ' — naïve café'

@@ -5284,3 +5284,38 @@ def test_audio_resample_index(spark):
         mm.audio_resample_index(df, target_rate=0)
     with pytest.raises(ValueError):
         mm.audio_resample_index(df, target_rate=6000, every_k=0)
+
+
+def test_align_sentences(spark):
+    rows = [
+        # forced [1:1, 2:1, 1:1]: merging the 1- and 2-token source
+        # sentences beats every competing path
+        (0, ["a b c", "d", "e f", "g h i"],
+            ["a b c", "d e f", "g h i"]),
+        # pure 1:1 diagonal
+        (1, ["one two", "three four"], ["uno dos", "tres cuatro"]),
+        # a surplus source sentence merges (2:1 costs its length + 2;
+        # the 1:0 path costs its length + 4 — merging always wins
+        # when a neighbor exists, mirroring Gale-Church's priors)
+        (2, ["a b c", "x y z"], ["a b c"]),
+        (3, [], []),                       # nothing to align
+        # deletion beads only surface with no counterpart at all
+        (4, ["a b"], []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src_sents array<string>, "
+              "tgt_sents array<string>")
+    got = {}
+    for r in text.align_sentences(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.bead_no, r.bead, r.src_text, r.tgt_text, r.cost))
+    for k in got:
+        got[k].sort()
+    assert got[0] == [(0, "1:1", "a b c", "a b c", 0),
+                      (1, "2:1", "d e f", "d e f", 2),
+                      (2, "1:1", "g h i", "g h i", 0)]
+    assert got[1] == [(0, "1:1", "one two", "uno dos", 0),
+                      (1, "1:1", "three four", "tres cuatro", 0)]
+    assert got[2] == [(0, "2:1", "a b c x y z", "a b c", 5)]
+    assert 3 not in got
+    assert got[4] == [(0, "1:0", "a b", "", 6)]

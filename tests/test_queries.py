@@ -296,6 +296,7 @@ def test_driver_window_covers_every_family():
         "mojibake_repair": "normalized_text_stats",
         "alpha_lang_weights": "unimax_lang_allocation",
         "audio_resample": "audio_mfcc_features",
+        "sentence_align_beads": "sentence_chunk_index",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
