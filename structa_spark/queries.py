@@ -3256,6 +3256,10 @@ _BM25_QUERY_SET = [
     ("q1", ["merge", "sort", "window"]),
     ("q2", ["customer", "scan"]),
     ("q3", ["stream", "batch"]),
+    # the 5th query pushes the term lexicon past Spark's
+    # inSetConversionThreshold (10), so the HOF membership probe
+    # compiles to an InSet hash set, the large-lexicon shape
+    ("q4", ["hash", "vector", "filter"]),
 ]
 
 _BM25_VALUES = ", ".join(
