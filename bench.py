@@ -99,6 +99,7 @@ def main():
         html_link_extract, host_boilerplate_clean,
         robots_policy_check, hard_negative_topk, mojibake_repair,
         alpha_lang_weights, audio_resample, sentence_align_beads,
+        pii_iban_scan, anchor_text_profile,
     )
     from structa_spark.sources.tables import load_table
 
@@ -300,6 +301,9 @@ def main():
             # Gale-Church bitext beads (per-pair integer DP in the
             # Arrow batch)
             "sentence_align": run_df(sentence_align_beads),
+            # the mod-97 HOF fold and the inbound anchor-text signal
+            "iban_scan": run_df(pii_iban_scan),
+            "anchor_text": run_df(anchor_text_profile),
         }
 
     suite = make_suite(SF_DIR)

@@ -3168,6 +3168,59 @@ def luhn_card_scan(df: DataFrame, text_col: str = "text",
         (F.size(valid) > 0).alias("has_card"))
 
 
+def iban_scan(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """IBAN PII scan with the ISO 13616 mod-97 checksum — the
+    bank-account class beside :func:`luhn_card_scan`'s payment
+    cards (an IBAN-shaped token is usually a reference id; only a
+    checksum-valid one is an account): extract every
+    country-code + check-digit + BBAN candidate, rearrange (first 4
+    chars to the end), expand letters to two-digit values (A=10 ..
+    Z=35), and fold ``acc = (acc*10 + digit) % 97`` over the digit
+    stream — valid iff the residue is 1. Reports
+    ``(id, n_candidates, n_valid, has_iban)``.
+
+    The whole validation is higher-order-function integer
+    arithmetic (transform + aggregate over the candidate's chars)
+    inside one codegen projection — no shuffle, no Python, and the
+    identical fold replays in a SQL list_reduce. Candidates are
+    MAXIMAL [A-Z0-9] runs of plausible IBAN length (15-34) starting
+    with two letters + two digits, so substrings of longer
+    alphanumeric ids never half-match."""
+    t = F.col(text_col)
+    runs = F.split(t, "[^A-Z0-9]+")
+    cands = F.filter(
+        runs, lambda s: (F.length(s) >= 15) & (F.length(s) <= 34)
+        & s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$"))
+
+    def mod97_valid(s):
+        rearranged = F.concat(F.substr(s, F.lit(5)),
+                              F.substr(s, F.lit(1), F.lit(4)))
+
+        def step(acc, i):
+            a = F.ascii(F.substr(rearranged, i, F.lit(1)))
+            v = a - 55
+            # digit: one fold step; letter: its two digits (v in
+            # 10..35, no overflow before the single mod — acc stays
+            # < 97, so the pre-mod maximum is 9 639)
+            return (F.when(a <= 57, (acc * 10 + (a - 48)) % 97)
+                    .otherwise(((acc * 10
+                                 + F.floor(v / 10).cast("int")) * 10
+                                + v % 10) % 97))
+
+        total = F.aggregate(
+            F.sequence(F.lit(1), F.length(rearranged)), F.lit(0),
+            step)
+        return total == 1
+
+    valid = F.filter(cands, mod97_valid)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("int").alias("n_candidates"),
+        F.size(valid).cast("int").alias("n_valid"),
+        (F.size(valid) > 0).alias("has_iban"))
+
+
 def _round6(x: float) -> float:
     """Half-away-from-zero rounding to 6 dp on the binary double —
     the ROUND semantics of both Spark SQL and DuckDB (Python's

@@ -8992,6 +8992,94 @@ def sentence_align_beads(spark: SparkSession,
             .orderBy("doc_id", "bead_no"))
 
 
+@register("pii_iban_scan", oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS n_candidates,
+       CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS n_valid,
+       doc_id % 4 IN (0, 2) AS has_iban
+FROM documents ORDER BY doc_id
+""")
+def pii_iban_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN PII scan, values-checked: documents get a suffix cycling
+    through a checksum-VALID German IBAN, the same IBAN with wrong
+    check digits, a valid French IBAN (letters inside the BBAN — the
+    two-digit letter expansion must fire mid-fold), and no IBAN at
+    all; iban_scan must report exactly the predicted candidate and
+    mod-97-valid counts. The corpus words are lowercase, so the
+    [A-Z0-9] run extraction sees only the planted tokens. The whole
+    scan is one HOF integer-fold codegen projection — the PII class
+    beside the Luhn card scan."""
+    d = _t(spark, sf_dir, "documents")
+    suffix = (F.when(F.col("doc_id") % 4 == 0,
+                     F.lit(" pay DE89370400440532013000"))
+              .when(F.col("doc_id") % 4 == 1,
+                    F.lit(" ref DE21370400440532013000"))
+              .when(F.col("doc_id") % 4 == 2,
+                    F.lit(" acct FR1420041010050500013M02606"))
+              .otherwise(F.lit(" nothing here")))
+    paged = d.select("doc_id",
+                     F.concat(F.col("text"), suffix).alias("text"))
+    return text.iban_scan(paged).orderBy("doc_id")
+
+
+@register("anchor_text_profile", oracle="""
+WITH per AS (
+  SELECT source || '.example.com' AS dst_host, lang AS token,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+  UNION ALL
+  SELECT source || '.example.com', 'see', count(*)
+  FROM documents GROUP BY source || '.example.com'
+  UNION ALL
+  SELECT 'hub.example.com', 'hub', count(*) FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dst_host
+                               ORDER BY n DESC, token) AS rank
+  FROM per)
+SELECT dst_host, token, CAST(n AS BIGINT) AS n, rank
+FROM ranked WHERE rank <= 2 ORDER BY dst_host, rank
+""")
+def anchor_text_profile(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Anchor-text host profile — what the WEB says a host is about,
+    the inbound-link relevance signal search-era curation ranks
+    hosts by (the complement of host_pagerank's authority): extract
+    every link from the wrapped pages (the html_link_extract
+    fixture), tokenize the anchor text, and keep each destination
+    host's top-2 anchor terms. The oracle replays the aggregation
+    from the source columns — per-(host, term) counts, the rank
+    window, the (count desc, token) tie-break — so a drift in link
+    extraction, host normalization, tokenization or ranking
+    hash-mismatches.
+
+    Scale shape: links explode in the scan projection; ONE
+    (host, term)-keyed agg (host in the key kills global-term skew)
+    and one #hosts-partitioned rank window over the bounded
+    term-profile relation."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<p><a href="http://'), F.col("source"),
+        F.lit(".example.com/"), F.col("lang"),
+        F.lit('">see '), F.col("lang"), F.lit("</a> "),
+        F.col("text"),
+        F.lit(' <a href="http://hub.example.com/">hub</a></p>'))
+    links = (d.select(F.explode(text.extract_links(page))
+                      .alias("link"))
+             .select(text.host_of(F.col("link.href"))
+                     .alias("dst_host"),
+                     F.explode(text.tokens(F.col("link.anchor")))
+                     .alias("token")))
+    per = links.groupBy("dst_host", "token").agg(
+        F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.asc("token"))
+    return (per.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2)
+            .orderBy("dst_host", "rank"))
+
+
 @register("mojibake_repair", oracle="""
 SELECT doc_id,
        text || CASE WHEN doc_id % 3 = 0 THEN ' — naïve café'

@@ -5319,3 +5319,32 @@ def test_align_sentences(spark):
     assert got[2] == [(0, "2:1", "a b c x y z", "a b c", 5)]
     assert 3 not in got
     assert got[4] == [(0, "1:0", "a b", "", 6)]
+
+
+def test_iban_scan(spark):
+    rows = [
+        (0, "pay to DE89370400440532013000 today"),   # valid
+        (1, "ref GB82WEST12345698765432 ok"),          # valid, letters
+        (2, "bad DE21370400440532013000 here"),        # wrong check
+        (3, "id REFX12345678901234567890 no"),         # shape mismatch
+        (4, "no candidates at all"),
+        (5, "two DE89370400440532013000 and "
+            "FR1420041010050500013M02606"),            # both valid
+        (6, "lower de89370400440532013000 skipped"),   # case-sensitive
+        (7, "short DE8912345678901 is 15 long"),       # length ok, bad sum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_candidates, r.n_valid, r.has_iban)
+           for r in text.iban_scan(df).collect()}
+    assert got[0] == (1, 1, True)
+    assert got[1] == (1, 1, True)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (0, 0, False)
+    assert got[4] == (0, 0, False)
+    assert got[5] == (2, 2, True)
+    assert got[6] == (0, 0, False)
+    assert got[7][1] == 0
+    # single-digit mutation anywhere breaks the checksum
+    mut = spark.createDataFrame(
+        [(0, "DE89370400440532013001")], "doc_id long, text string")
+    assert text.iban_scan(mut).collect()[0].n_valid == 0

@@ -297,6 +297,8 @@ def test_driver_window_covers_every_family():
         "alpha_lang_weights": "unimax_lang_allocation",
         "audio_resample": "audio_mfcc_features",
         "sentence_align_beads": "sentence_chunk_index",
+        "pii_iban_scan": "c4_rule_flags",
+        "anchor_text_profile": "host_policy_v2",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
