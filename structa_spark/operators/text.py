@@ -2591,6 +2591,34 @@ def fix_mojibake(col: Column) -> Column:
     return F.when(is_mojibake(col), repaired).otherwise(col)
 
 
+#: 1:1 compatibility mappings (F.translate): the 94 fullwidth ASCII
+#: forms U+FF01-FF5E, ideographic space, NBSP, curly single/double
+#: quotes, en/em dashes, minus sign. Multi-char expansions
+#: (ellipsis, fi/fl ligatures) go through regexp_replace instead.
+_COMPAT_SRC = ("".join(chr(0xFF01 + i) for i in range(94))
+               + "　 ‘’“”"
+               + "–—−")
+_COMPAT_DST = ("".join(chr(0x21 + i) for i in range(94))
+               + "  ''\"\"---")
+
+
+def compat_normalize(col: Column) -> Column:
+    """Unicode compatibility normalization (the NFKC subset that
+    matters for corpus text, without an ICU dependency): fullwidth
+    ASCII forms fold to ASCII, ideographic/no-break spaces to plain
+    space, curly quotes to straight, en/em dashes and the minus sign
+    to hyphen, the ellipsis to three dots, fi/fl ligatures expand —
+    the normalization pass that runs BEFORE tokenization and hashing
+    so 'ＧＰＵ' and 'GPU' dedup together. One ``translate`` (1:1,
+    single pass over the string) plus two anchored
+    ``regexp_replace`` for the expanding forms: pure codegen, one
+    scan projection at 100 TB, no Python."""
+    out = F.translate(col, _COMPAT_SRC, _COMPAT_DST)
+    out = F.regexp_replace(out, "…", "...")
+    return F.regexp_replace(
+        F.regexp_replace(out, "ﬁ", "fi"), "ﬂ", "fl")
+
+
 def parse_robots_rules(col: Column, agent: str = "*") -> Column:
     """Parse a robots.txt column into the Allow/Disallow rule list
     that applies to ``agent``:

@@ -9080,6 +9080,81 @@ def anchor_text_profile(spark: SparkSession,
             .orderBy("dst_host", "rank"))
 
 
+#: The planted compatibility-form tail: fullwidth GPU/1, ideographic
+#: + no-break spaces, curly quotes, em dash, ellipsis, fi ligature,
+#: minus sign. Its predicted normalization is the oracle's literal
+#: 'GPU size "big"-\'fast\'...file-1'.
+_COMPAT_TAIL = ("\uFF27\uFF30\uFF35\u3000size\u00A0\u201Cbig\u201D"
+                "\u2014\u2018fast\u2019\u2026\uFB01le\u2212\uFF11")
+
+
+@register("compat_normalized_text", oracle="""
+SELECT doc_id,
+       text || ' ' || 'GPU size "big"-''fast''...file-1'
+         AS clean_text
+FROM documents ORDER BY doc_id
+""")
+def compat_normalized_text(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Unicode compatibility normalization, values-checked on the
+    rebuilt strings: every document gets a tail of fullwidth ASCII,
+    ideographic/no-break spaces, curly quotes, em dash, ellipsis, an
+    fi ligature, the minus sign and a fullwidth digit;
+    compat_normalize must fold it to the exact ASCII form the oracle
+    concatenates literally — the pre-tokenization pass that makes
+    'ＧＰＵ' and 'GPU' dedup together. One translate + two
+    regexp_replace in a single codegen scan projection."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(F.col("text"), F.lit(" "), F.lit(_COMPAT_TAIL))
+    return (d.select("doc_id",
+                     text.compat_normalize(page).alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+@register("adaptive_length_gate", oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(lower(text)),
+                                            '\\s+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents
+),
+q AS (
+  SELECT lang, round(quantile_cont(n_tok, 0.05), 4) AS p05,
+         round(quantile_cont(n_tok, 0.95), 4) AS p95
+  FROM d GROUP BY lang
+)
+SELECT doc_id, d.lang, CAST(n_tok AS INT) AS n_tok, p05, p95,
+       n_tok >= p05 AND n_tok <= p95 AS length_keep
+FROM d JOIN q USING (lang) ORDER BY doc_id
+""")
+def adaptive_length_gate(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Per-language ADAPTIVE length filtering — the data-driven
+    variant of Gopher's fixed word-count bounds (a 50-token Chinese
+    page and a 50-token English page are not the same length
+    relative to their distributions): each language's exact p05/p95
+    token-count quantiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, rounded 4-dp before the comparison in both
+    engines) gate its own documents. One #langs-row quantile agg
+    broadcast back onto the scan; integer token counts against
+    4-dp-rounded cut points keep the boundary engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.lower(F.col("text")))
+    base = d.select("doc_id", "lang",
+                    F.size(toks).alias("n_tok"))
+    pct = F.expr("percentile(n_tok, array(0.05, 0.95))")
+    q = (base.groupBy("lang")
+         .agg(F.round(F.element_at(pct, 1), 4).alias("p05"),
+              F.round(F.element_at(pct, 2), 4).alias("p95")))
+    return (base.join(F.broadcast(q), "lang")
+            .select("doc_id", "lang", "n_tok", "p05", "p95",
+                    ((F.col("n_tok") >= F.col("p05"))
+                     & (F.col("n_tok") <= F.col("p95")))
+                    .alias("length_keep"))
+            .orderBy("doc_id"))
+
+
 @register("mojibake_repair", oracle="""
 SELECT doc_id,
        text || CASE WHEN doc_id % 3 = 0 THEN ' — naïve café'

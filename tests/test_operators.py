@@ -5348,3 +5348,30 @@ def test_iban_scan(spark):
     mut = spark.createDataFrame(
         [(0, "DE89370400440532013001")], "doc_id long, text string")
     assert text.iban_scan(mut).collect()[0].n_valid == 0
+
+
+def test_compat_normalize(spark):
+    rows = [
+        (0, "ＧＰＵ is GPU"),           # fullwidth folds
+        (1, "a　b c"),                      # exotic spaces
+        (2, "“q” ‘s’"),          # curly quotes
+        (3, "x—y–z−w"),               # dashes + minus
+        (4, "wait… ﬁn ﬂy"),           # ellipsis, ligatures
+        (5, "plain ascii stays identical."),
+        (6, "１２３=ａｂ"),      # digits/letters/eq
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.c for r in df.select(
+        "id", text.compat_normalize(F.col("t")).alias("c")).collect()}
+    assert got[0] == "GPU is GPU"
+    assert got[1] == "a b c"
+    assert got[2] == "\"q\" 's'"
+    assert got[3] == "x-y-z-w"
+    assert got[4] == "wait... fin fly"
+    assert got[5] == "plain ascii stays identical."
+    assert got[6] == "123=ab"
+    # idempotent: a second pass changes nothing
+    twice = df.select(text.compat_normalize(
+        text.compat_normalize(F.col("t"))).alias("c"),
+        F.col("id")).collect()
+    assert {r.id: r.c for r in twice} == got

@@ -299,6 +299,8 @@ def test_driver_window_covers_every_family():
         "sentence_align_beads": "sentence_chunk_index",
         "pii_iban_scan": "c4_rule_flags",
         "anchor_text_profile": "host_policy_v2",
+        "compat_normalized_text": "normalized_text_stats",
+        "adaptive_length_gate": "gopher_quality_flags",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
