@@ -1544,3 +1544,51 @@ def test_mojibake_repair_streams_stateless(spark, tmp_path):
     got = {tuple(r) for r in
            spark.sql("SELECT * FROM moji_stream").collect()}
     assert got == want and len(got) == 5
+
+
+def test_crawl_screens_stream_stateless(spark, tmp_path):
+    """The crawl-side screens are pure projections (regex + HOF
+    folds), so they are append-mode-safe with no watermark and
+    per-microbatch output equals the batch twin: link extraction
+    (structs out of a zip_with) + robots.txt policy (the
+    F.aggregate line-state machine) in one projection, and the
+    IBAN mod-97 fold in another."""
+    from pyspark.sql import functions as F
+    from structa_spark.operators import text as T
+
+    rows = [
+        (0, '<a href="http://a.com/">A</a>',
+         "User-agent: *\nDisallow: /x\n",
+         "pay DE89370400440532013000"),
+        (1, "no links", "User-agent: bad\nDisallow: /\n",
+         "ref DE21370400440532013000"),
+        (2, '<a href="http://b.com/p">B</a><a name=skip>n</a>',
+         "# empty\n", "nothing"),
+    ]
+    src = str(tmp_path / "crawl_src")
+    schema = "doc_id long, html string, robots string, body string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+
+    def links_robots(df):
+        rules = T.parse_robots_rules(F.col("robots"))
+        return df.select(
+            "doc_id",
+            F.to_json(T.extract_links(F.col("html"))).alias("links"),
+            T.robots_allowed(rules, F.lit("/x/page")).alias("x_ok"))
+
+    def iban(df):
+        return T.iban_scan(df, text_col="body")
+
+    for qname, screen in (("crawl_lr_stream", links_robots),
+                          ("crawl_iban_stream", iban)):
+        want = {tuple(r) for r in screen(batch_df).collect()}
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (screen(sdf).writeStream.format("memory")
+             .queryName(qname).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {qname}").collect()}
+        assert got == want and len(got) == 3, qname
