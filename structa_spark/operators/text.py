@@ -1497,11 +1497,15 @@ def zipf_fit(df: DataFrame, top_n: int = 1000,
     # r2 = corr^2 of (x, y) = cov^2 / (var(x) * var(y))
     r2 = F.when(F.round(varx * vary, 6) != 0,
                 (cov * cov) / (varx * vary))
+    # + 0.0 normalizes IEEE negative zero: an analytically-zero
+    # slope rounds to -0.0 or +0.0 depending on the engine's (and
+    # run's) summation-residue sign, and a hash compare distinguishes
+    # them; NULL + 0.0 stays NULL
     return agg.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(-slope, 4).alias("alpha"),
-        F.round(intercept, 4).alias("intercept"),
-        F.round(r2, 4).alias("r2"))
+        (F.round(-slope, 4) + 0.0).alias("alpha"),
+        (F.round(intercept, 4) + 0.0).alias("intercept"),
+        (F.round(r2, 4) + 0.0).alias("r2"))
 
 
 def heaps_fit(df: DataFrame, n_buckets: int = 10,
@@ -1565,11 +1569,12 @@ def heaps_fit(df: DataFrame, n_buckets: int = 10,
     intercept = (sy - slope * sx) / n
     r2 = F.when(F.round(varx * vary, 6) != 0,
                 (cov * cov) / (varx * vary))
+    # + 0.0: negative-zero normalization, see zipf_fit
     return agg.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(slope, 4).alias("beta"),
-        F.round(intercept, 4).alias("intercept"),
-        F.round(r2, 4).alias("r2"))
+        (F.round(slope, 4) + 0.0).alias("beta"),
+        (F.round(intercept, 4) + 0.0).alias("intercept"),
+        (F.round(r2, 4) + 0.0).alias("r2"))
 
 
 def mixing_weights(df: DataFrame, alpha: float = 0.5,

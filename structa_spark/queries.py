@@ -8625,16 +8625,16 @@ WITH toks AS (
 SELECT CAST(n AS BIGINT) AS n_points,
        round(-(CASE WHEN round(n * sxx - sx * sx, 6) <> 0
                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-               END), 4) AS alpha,
+               END), 4) + 0.0 AS alpha,
        round((sy - (CASE WHEN round(n * sxx - sx * sx, 6) <> 0
                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
                     END) * sx)
-             / n, 4) AS intercept,
+             / n, 4) + 0.0 AS intercept,
        round(CASE WHEN round((n * sxx - sx * sx)
                              * (n * syy - sy * sy), 6) <> 0
              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                   / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-             END, 4) AS r2
+             END, 4) + 0.0 AS r2
 FROM s
 """)
 def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8684,16 +8684,16 @@ WITH bounds AS (
 SELECT CAST(n AS BIGINT) AS n_points,
        round(CASE WHEN round(n * sxx - sx * sx, 6) <> 0
              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-             END, 4) AS beta,
+             END, 4) + 0.0 AS beta,
        round((sy - (CASE WHEN round(n * sxx - sx * sx, 6) <> 0
                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
                     END) * sx)
-             / n, 4) AS intercept,
+             / n, 4) + 0.0 AS intercept,
        round(CASE WHEN round((n * sxx - sx * sx)
                              * (n * syy - sy * sy), 6) <> 0
              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                   / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-             END, 4) AS r2
+             END, 4) + 0.0 AS r2
 FROM s
 """)
 def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,9 @@ def _canon(df: pd.DataFrame) -> str:
     for c in df.columns:
         col = df[c]
         if pd.api.types.is_float_dtype(col):
-            df[c] = col.round(9)
+            # + 0.0 folds IEEE -0.0 (a summation-residue sign, not a
+            # value difference) into +0.0 before stringifying
+            df[c] = col.round(9) + 0.0
         elif pd.api.types.is_datetime64_any_dtype(col):
             df[c] = col.astype("datetime64[us]").astype(str)
     rows = sorted(
