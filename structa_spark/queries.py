@@ -1767,6 +1767,65 @@ def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "event_type"))
 
 
+@register("zorder_layout_keys", oracle="""
+WITH b AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS tlo,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS thi
+  FROM events
+),
+q AS (
+  SELECT event_id,
+         CASE WHEN uhi > ulo THEN CAST(
+             ((user_id - ulo) * 65535
+              - ((user_id - ulo) * 65535) % (uhi - ulo))
+             / (uhi - ulo) AS BIGINT) ELSE 0 END AS qx,
+         CASE WHEN thi > tlo THEN CAST(
+             ((CAST(floor(epoch(ts)) AS BIGINT) - tlo) * 65535
+              - ((CAST(floor(epoch(ts)) AS BIGINT) - tlo) * 65535)
+                % (thi - tlo))
+             / (thi - tlo) AS BIGINT) ELSE 0 END AS qy
+  FROM events, b
+)
+SELECT event_id, qx, qy,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+           (((qx >> i) & 1) << (2 * i))
+           + (((qy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+FROM q ORDER BY event_id
+""")
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout keys over (user_id, event time) — the
+    write-time clustering step behind multi-dimensional partition
+    pruning at 100 TB (Delta/Iceberg OPTIMIZE ZORDER): sort by this
+    key before writing and min/max row-group stats prune BOTH
+    ``user BETWEEN`` and ``ts BETWEEN`` predicates, where a plain
+    sort prunes only its leading column. Min/max bounds fold in as
+    one 1-row scalar broadcast; quantization is exact integer
+    arithmetic (remainder-subtracted division — no near-integer
+    floor hazard) and the 16-bit interleave is a plan-literal
+    shift/or chain, so the oracle replays every bit. The production
+    tail is ``repartitionByRange(zkey).sortWithinPartitions(zkey)``
+    into the writer — the one shuffle a layout job needs."""
+    from .functions.layout import quantize_minmax, zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min(F.col("ts").cast("long")).alias("tlo"),
+        F.max(F.col("ts").cast("long")).alias("thi"))
+    q = (e.crossJoin(F.broadcast(bounds))
+         .select("event_id",
+                 quantize_minmax(F.col("user_id"), F.col("ulo"),
+                                 F.col("uhi")).alias("qx"),
+                 quantize_minmax(F.col("ts").cast("long"),
+                                 F.col("tlo"), F.col("thi"))
+                 .alias("qy")))
+    return (q.select("event_id", "qx", "qy",
+                     zorder_key([F.col("qx"), F.col("qy")])
+                     .alias("zkey"))
+            .orderBy("event_id"))
+
+
 @register("sessionize_events", oracle="""
 WITH flagged AS (
   SELECT user_id, ts, value,

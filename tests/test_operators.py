@@ -5375,3 +5375,29 @@ def test_compat_normalize(spark):
         text.compat_normalize(F.col("t"))).alias("c"),
         F.col("id")).collect()
     assert {r.id: r.c for r in twice} == got
+
+
+def test_zorder_key_and_quantize(spark):
+    from structa_spark.functions.layout import (
+        quantize_minmax, zorder_key)
+
+    # 3-bit interleave of x=0b101, y=0b011: bit b of dim i lands at
+    # 2b+i -> positions {0,4} from x, {1,3} from y -> 0b011011 = 27
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    k = df.select(zorder_key([F.col("x"), F.col("y")], bits=3)
+                  .alias("k")).collect()[0].k
+    assert k == 27
+    # quantization hits both ends exactly; midpoint floors
+    q = spark.createDataFrame([(0,), (50,), (100,)], "v long") \
+        .select(quantize_minmax(F.col("v"), F.lit(0), F.lit(100),
+                                bits=4).alias("q")).collect()
+    assert [r.q for r in q] == [0, 7, 15]
+    # a degenerate dimension quantizes to 0, not a divide-by-zero
+    d = spark.createDataFrame([(7,)], "v long").select(
+        quantize_minmax(F.col("v"), F.lit(7), F.lit(7))
+        .alias("q")).collect()[0].q
+    assert d == 0
+    with pytest.raises(ValueError):
+        zorder_key([])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")] * 4, bits=16)   # 64 bits > BIGINT

@@ -107,6 +107,9 @@ _SCALAR_BROADCAST_OK = {
     "alpha_lang_weights",        # broadcast(power-sum total) — one
                                  # 1-row normalizer folded onto the
                                  # #langs-row relation
+    "zorder_layout_keys",        # broadcast(min/max bounds) — one
+                                 # 1-row quantization-bounds scalar
+                                 # folded into the key projection
 }
 
 

@@ -303,6 +303,7 @@ def test_driver_window_covers_every_family():
         "anchor_text_profile": "host_policy_v2",
         "compat_normalized_text": "normalized_text_stats",
         "adaptive_length_gate": "gopher_quality_flags",
+        "zorder_layout_keys": "daily_event_drift",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
