@@ -118,192 +118,197 @@ def test_driver_window_covers_every_family():
     assert all(n in o for n in DRIVER_PRIORITY), \
         "every driver-window query must be hash-checkable"
     # one representative per family the judge checks explicitly
-    for must in ("pq_recall_at_k", "ivf_topk_search",
-                 "embedding_health_report",
-                 "hybrid_rrf_topk", "semantic_dedup_summary",
-                 "benchmark_contamination_report", "sequence_packing",
-                 "asof_next_purchase_gap", "cube_status_priority",
-                 "pivot_lang_source_counts", "unimax_lang_allocation",
-                 "bpe_merge_candidates", "daily_event_drift",
-                 "resized_media_stats", "mixing_weights_by_source"):
+    for must in ("profile_type_candidates",
+                 "asof_next_purchase_gap",
+                 "cube_status_priority",
+                 "pivot_lang_source_counts",
+                 "daily_event_drift",
+                 "span_dup_coverage",
+                 "benchmark_contamination_report",
+                 "bpe_merge_candidates",
+                 "sequence_packing",
+                 "gopher_quality_flags",
+                 "host_policy_v2",
+                 "unimax_lang_allocation",
+                 "mixing_weights_by_source",
+                 "hybrid_rrf_topk",
+                 "resized_media_stats",):
         assert must in DRIVER_PRIORITY, must
     # everything outside the window keeps an in-window family sibling
     siblings = {
-        # outside since round 1, witnessed via their anchor
-        "profile_stats_strings": "profile_type_candidates",
-        "profile_quartiles_strings": "profile_type_candidates",
-        "dedup_exact_props": "span_dup_coverage",
-        "minhash_signatures": "span_dup_coverage",
+        # Round-11 full rotation: the window holds every query that
+        # had never been driver-checked (35) plus 15 family anchors;
+        # every rotated-out query below was driver-green in its last
+        # window (CORRECTNESS_r1-r10) and stays hash-pinned against
+        # its DuckDB oracle by test_query_matches_oracle every run.
+        # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
-        "rollup_nation_year": "cube_status_priority",
-        "cosine_topk_vectorized": "hybrid_rrf_topk",
-        "sample_docs_deterministic": "unimax_lang_allocation",
-        "stratified_sample_by_lang": "unimax_lang_allocation",
-        "cap_docs_per_lang": "unimax_lang_allocation",
-        "token_length_histogram": "kn_bigram_nll",
-        "label_centroids": "semantic_dedup_summary",
-        "filter_training_corpus": "corpus_filter_report",
-        "skewed_event_agg": "daily_event_drift",
-        "ivf_assignment_counts": "ivf_topk_search",
-        "repetition_signals": "corpus_filter_report",
-        "passage_dedup_summary": "span_dup_coverage",
-        "vocab_top20": "kn_bigram_nll",
-        # rotated OUT in round 5 (driver-green in rounds 1-4)
+        "customers_without_bigorder": "asof_next_purchase_gap",
+        "q1_pricing_summary": "asof_next_purchase_gap",
+        "q3_top_orders": "asof_next_purchase_gap",
         "q5_nation_revenue": "asof_next_purchase_gap",
+        "range_join_purchase_views": "asof_next_purchase_gap",
         "top_orders_per_customer": "asof_next_purchase_gap",
-        "datetime_parse_formats": "profile_type_candidates",
-        "profile_freq_topk": "profile_type_candidates",
+        # witnessed via audio_vad_segments
+        "audio_clipping_stats": "audio_vad_segments",
+        "audio_envelope_hashes": "audio_vad_segments",
+        "audio_mfcc_features": "audio_vad_segments",
+        "audio_spectral_features": "audio_vad_segments",
+        "audio_zcr_features": "audio_vad_segments",
+        # witnessed via benchmark_contamination_report
+        "bloom_contamination_flags": "benchmark_contamination_report",
+        "contamination_check": "benchmark_contamination_report",
+        "corpus_version_diff": "benchmark_contamination_report",
+        "fuzzy_contamination_pairs": "benchmark_contamination_report",
+        "scrub_eval_spans": "benchmark_contamination_report",
+        "source_vocab_overlap": "benchmark_contamination_report",
+        "split_leakage_report": "benchmark_contamination_report",
+        # witnessed via bpe_merge_candidates
+        "oov_rate_by_vocab_size": "bpe_merge_candidates",
+        "tokenizer_fertility_by_lang": "bpe_merge_candidates",
+        "unigram_encode_fertility": "bpe_merge_candidates",
+        "unigram_tokenizer_vocab": "bpe_merge_candidates",
+        "wordpiece_merge_candidates": "bpe_merge_candidates",
+        # witnessed via compat_normalized_text
+        "domain_stats": "compat_normalized_text",
+        "encoding_quality_report": "compat_normalized_text",
+        "lang_id_confusion": "compat_normalized_text",
+        "nb_lang_confusion": "compat_normalized_text",
+        "normalized_text_stats": "compat_normalized_text",
+        "text_quality_features": "compat_normalized_text",
+        # witnessed via compression_ratio_screen
+        "heaps_vocab_growth": "compression_ratio_screen",
+        "token_entropy_stats": "compression_ratio_screen",
+        "zipf_vocab_fit": "compression_ratio_screen",
+        # witnessed via cube_status_priority
+        "rollup_nation_year": "cube_status_priority",
+        # witnessed via daily_event_drift
+        "sessionize_events": "daily_event_drift",
+        "skewed_event_agg": "daily_event_drift",
+        "sliding_event_stats": "daily_event_drift",
+        "source_token_jsd": "daily_event_drift",
+        "trailing_window_avg": "daily_event_drift",
+        "user_event_gaps": "daily_event_drift",
+        "value_outliers_by_type": "daily_event_drift",
         "windowed_event_stats": "daily_event_drift",
-        "ngram_jaccard_pairs": "span_dup_coverage",
-        "near_dup_groups": "span_dup_coverage",
-        "dedup_corpus_keep": "span_dup_coverage",
-        "token_stats_by_lang": "kn_bigram_nll",
-        "text_quality_features": "normalized_text_stats",
-        "rare_token_stats": "kn_bigram_nll",
-        "doc_fingerprints": "kn_bigram_nll",
-        "mixed_resample_counts": "mixing_weights_by_source",
-        "pq_adc_topk": "pq_recall_at_k",
-        "int8_topk_search": "embedding_health_report",
+        # witnessed via gopher_quality_flags
+        "c4_line_clean": "gopher_quality_flags",
+        "c4_rule_flags": "gopher_quality_flags",
+        "corpus_filter_report": "gopher_quality_flags",
+        "filter_training_corpus": "gopher_quality_flags",
+        "gopher_dup_fractions": "gopher_quality_flags",
+        "html_extracted_text": "gopher_quality_flags",
+        "pii_scan": "gopher_quality_flags",
+        "quality_gopher_calibration": "gopher_quality_flags",
+        "repetition_ngram_profile": "gopher_quality_flags",
+        "repetition_signals": "gopher_quality_flags",
+        "source_curation_report": "gopher_quality_flags",
+        "source_curation_report_v2": "gopher_quality_flags",
+        "training_manifest": "gopher_quality_flags",
+        "variant_props_stats": "gopher_quality_flags",
+        # witnessed via host_policy_v2
+        "host_curation_report": "host_policy_v2",
+        "host_hits_scores": "host_policy_v2",
+        "host_pagerank": "host_policy_v2",
+        "host_policy_filter": "host_policy_v2",
+        # witnessed via hybrid_rrf_topk
+        "cosine_topk": "hybrid_rrf_topk",
+        "cosine_topk_vectorized": "hybrid_rrf_topk",
         "embedding_neardup_pairs": "hybrid_rrf_topk",
+        "ivf_assignment_counts": "hybrid_rrf_topk",
+        "ivf_recall_at_k": "hybrid_rrf_topk",
+        "ivf_topk_search": "hybrid_rrf_topk",
+        "label_centroids": "hybrid_rrf_topk",
+        "semantic_dedup_summary": "hybrid_rrf_topk",
+        # witnessed via jpeg_quality_screen
+        "audio_dup_groups": "jpeg_quality_screen",
+        "image_dhash_values": "jpeg_quality_screen",
+        "image_dup_groups": "jpeg_quality_screen",
+        "image_entropy_stats": "jpeg_quality_screen",
+        "image_phash_values": "jpeg_quality_screen",
+        # witnessed via matryoshka_recall_at_k
+        "embedding_health_report": "matryoshka_recall_at_k",
+        "embedding_quantization": "matryoshka_recall_at_k",
+        "int8_topk_search": "matryoshka_recall_at_k",
+        "pq_adc_topk": "matryoshka_recall_at_k",
+        "pq_codes": "matryoshka_recall_at_k",
+        "pq_recall_at_k": "matryoshka_recall_at_k",
+        # witnessed via mixing_weights_by_source
+        "cms_heavy_hitters": "mixing_weights_by_source",
+        "mixed_resample_counts": "mixing_weights_by_source",
+        # witnessed via pdf_metadata
+        "pdf_extracted_text": "pdf_metadata",
+        # witnessed via profile_type_candidates
+        "datetime_parse_formats": "profile_type_candidates",
+        "group_quantiles_exact": "profile_type_candidates",
+        "json_props_stats": "profile_type_candidates",
+        "profile_char_classes": "profile_type_candidates",
+        "profile_freq_topk": "profile_type_candidates",
+        "profile_quartiles": "profile_type_candidates",
+        "profile_quartiles_strings": "profile_type_candidates",
+        "profile_stats_numeric": "profile_type_candidates",
+        "profile_stats_strings": "profile_type_candidates",
+        # witnessed via quality_classifier_scores
+        "bigram_nll": "quality_classifier_scores",
+        "ccnet_perplexity_buckets": "quality_classifier_scores",
+        "doc_fingerprints": "quality_classifier_scores",
+        "hashed_doc_vectors": "quality_classifier_scores",
+        "kn_bigram_nll": "quality_classifier_scores",
+        "rare_token_stats": "quality_classifier_scores",
+        "reflm_nll": "quality_classifier_scores",
+        "tfidf_top_terms": "quality_classifier_scores",
+        "token_length_histogram": "quality_classifier_scores",
+        "token_stats_by_lang": "quality_classifier_scores",
+        "unigram_nll": "quality_classifier_scores",
+        "vocab_top20": "quality_classifier_scores",
+        # witnessed via resized_media_stats
+        "audio_header_metadata": "resized_media_stats",
+        "decoded_media_stats": "resized_media_stats",
+        "decompressed_text_stats": "resized_media_stats",
+        "image_exif_metadata": "resized_media_stats",
         "image_header_metadata": "resized_media_stats",
         "multimodal_doc_features": "resized_media_stats",
-        "decoded_media_stats": "resized_media_stats",
-        "json_props_stats": "profile_type_candidates",
-        "split_counts_by_lang": "unimax_lang_allocation",
-        # rotated OUT in round 6 (driver-green in rounds 1-5) to make
-        # room for the 13 round-5 newcomers
-        "customers_without_bigorder": "asof_next_purchase_gap",
-        "user_event_gaps": "daily_event_drift",
-        "profile_char_classes": "profile_type_candidates",
-        "group_quantiles_exact": "profile_type_candidates",
-        "range_join_purchase_views": "asof_next_purchase_gap",
-        "trailing_window_avg": "daily_event_drift",
-        "value_outliers_by_type": "daily_event_drift",
-        "simhash_values": "span_dup_coverage",
-        "url_dedup_stats": "span_dup_coverage",
-        "domain_stats": "normalized_text_stats",
-        "hashed_doc_vectors": "kn_bigram_nll",
-        "unigram_nll": "kn_bigram_nll",
-        "pii_scan": "c4_rule_flags",
-        # rotated OUT in round 7 (driver-green in rounds 1-6) to make
-        # room for the 8 round-6 newcomers + the round-7 C4/Gopher
-        # line-rule pair
-        "sessionize_events": "daily_event_drift",
-        "lsh_recall": "span_dup_coverage",
-        "incremental_dedup_verdicts": "span_dup_coverage",
-        "span_dedup_texts": "span_dup_coverage",
-        "incremental_span_hits": "span_dup_coverage",
-        "dedup_keep_best": "span_dup_coverage",
-        "nb_lang_confusion": "normalized_text_stats",
-        "reflm_nll": "kn_bigram_nll",
-        "dsir_resample_topk": "unimax_lang_allocation",
         "video_header_metadata": "resized_media_stats",
+        # witnessed via sentence_align_beads
+        "flesch_readability": "sentence_align_beads",
+        "sentence_chunk_index": "sentence_align_beads",
+        # witnessed via sequence_packing
         "window_chunks": "sequence_packing",
-        "source_token_jsd": "daily_event_drift",
-        "shuffle_order_coords": "unimax_lang_allocation",
-        # rotated OUT in round 8 (driver-green in rounds 1-7) to make
-        # room for the 7 round-7 newcomers
-        "q1_pricing_summary": "asof_next_purchase_gap",
-        "winnow_overlap_pairs": "span_dup_coverage",
-        "scrub_eval_spans": "benchmark_contamination_report",
-        "fuzzy_contamination_pairs": "benchmark_contamination_report",
-        "source_curation_report": "corpus_filter_report",
-        "source_curation_report_v2": "corpus_filter_report",
-        "diverse_sample_by_cluster": "unimax_lang_allocation",
-        "gopher_dup_fractions": "gopher_quality_flags",
-        "repetition_ngram_profile": "gopher_quality_flags",
-        "ccnet_perplexity_buckets": "kn_bigram_nll",
-        "image_dhash_values": "image_dup_groups",
-        # rotated OUT late in round 8 (driver-green in rounds 1-7) to
-        # put the round-8 newcomers (bloom gate, token entropy, host
-        # pagerank, tokenizer fertility, OOV curve, UniMax, CMS,
-        # split leakage) into the round-8 correctness window
-        "profile_stats_numeric": "profile_type_candidates",
-        "minhash_band_buckets": "span_dup_coverage",
-        "bigram_nll": "kn_bigram_nll",
-        "cosine_topk": "hybrid_rrf_topk",
-        "audio_header_metadata": "resized_media_stats",
-        "decompressed_text_stats": "resized_media_stats",
-        "html_extracted_text": "c4_rule_flags",
-        "contamination_check": "benchmark_contamination_report",
-        # rotated OUT in round 9 (driver-green in rounds 1-8) to make
-        # room for the 5 late round-8 newcomers (pHash, ZCR, sentence
-        # chunking, zipf fit, Flesch)
-        "profile_quartiles": "profile_type_candidates",
-        "dedup_exact_groups": "span_dup_coverage",
-        "lang_id_confusion": "normalized_text_stats",
-        "tfidf_top_terms": "kn_bigram_nll",
-        "sliding_event_stats": "daily_event_drift",
-        # rotated OUT late in round 9 (driver-green in rounds 1-8) to
-        # put the round-9 newcomers (unigram tokenizer, longest-dup
-        # span ladder, audio spectral screen, host_policy_v2) into
-        # the round-9 correctness window
-        "q3_top_orders": "asof_next_purchase_gap",
+        # witnessed via span_dup_coverage
         "containment_pairs": "span_dup_coverage",
-        "training_manifest": "corpus_filter_report",
-        "dsir_logweights": "unimax_lang_allocation",
-        # rotated OUT in round 10 (every one green in its last
-        # driver check) to put the 14 never-driver-checked round-9
-        # registrations into the round-10 correctness window
-        "curriculum_shard_stats": "unimax_lang_allocation",
-        "variant_props_stats": "corpus_filter_report",
-        "corpus_version_diff": "split_leakage_report",
-        "host_curation_report": "host_policy_v2",
-        "host_policy_filter": "host_policy_v2",
-        "pq_codes": "pq_recall_at_k",
-        "embedding_quantization": "embedding_health_report",
-        "audio_envelope_hashes": "audio_spectral_features",
-        "audio_dup_groups": "image_dup_groups",
-        "image_exif_metadata": "resized_media_stats",
-        "image_phash_values": "image_dup_groups",
-        "audio_zcr_features": "audio_spectral_features",
-        "audio_dedup_keep": "image_dedup_keep",
-        "c4_line_clean": "c4_rule_flags",
-        # rotated OUT late in round 10 (green in round 9; in-window
-        # family siblings) to put the round-10 registrations (PDF,
-        # MJPEG dedup, MFCC) into the round-10 correctness window
-        "zipf_vocab_fit": "token_entropy_stats",
-        "flesch_readability": "sentence_chunk_index",
-        "oov_rate_by_vocab_size": "tokenizer_fertility_by_lang",
-        # rotated OUT in round 11 (every one green in its round-10
-        # driver check) to put the 12 never-driver-checked round-10
-        # registrations into the round-11 correctness window
-        "audio_clipping_stats": "audio_spectral_features",
+        "dedup_corpus_keep": "span_dup_coverage",
+        "dedup_exact_groups": "span_dup_coverage",
+        "dedup_exact_props": "span_dup_coverage",
+        "dedup_keep_best": "span_dup_coverage",
         "dup_cluster_histogram": "span_dup_coverage",
-        "encoding_quality_report": "normalized_text_stats",
-        "heaps_vocab_growth": "token_entropy_stats",
-        "host_hits_scores": "host_pagerank",
-        "image_entropy_stats": "image_dup_groups",
-        "ivf_recall_at_k": "ivf_topk_search",
-        "quality_gopher_calibration": "gopher_quality_flags",
-        "source_vocab_overlap": "split_leakage_report",
-        "unigram_encode_fertility": "unigram_tokenizer_vocab",
-        "video_frame_index": "video_dup_groups",
-        "wordpiece_merge_candidates": "bpe_merge_candidates",
-        # registered in round 11, awaiting the round-12 rotation
-        "epub_extracted_text": "office_extracted_text",
-        "pptx_extracted_text": "office_extracted_text",
-        "xlsx_extracted_text": "office_extracted_text",
-        "quality_classifier_scores": "mixing_weights_by_source",
-        "audio_vad_segments": "audio_mfcc_features",
-        "code_quality_flags": "c4_rule_flags",
-        "pii_card_scan": "c4_rule_flags",
-        "latex_extracted_text": "markdown_extracted_text",
-        "bm25_topk": "hybrid_rrf_topk",
-        "video_scene_cuts": "video_dup_groups",
-        "html_link_extract": "markdown_extracted_text",
-        "host_boilerplate_clean": "host_policy_v2",
-        "robots_policy_check": "c4_rule_flags",
-        "hard_negative_topk": "hybrid_rrf_topk",
-        "mojibake_repair": "normalized_text_stats",
-        "alpha_lang_weights": "unimax_lang_allocation",
-        "audio_resample": "audio_mfcc_features",
-        "sentence_align_beads": "sentence_chunk_index",
-        "pii_iban_scan": "c4_rule_flags",
-        "anchor_text_profile": "host_policy_v2",
-        "compat_normalized_text": "normalized_text_stats",
-        "adaptive_length_gate": "gopher_quality_flags",
-        "zorder_layout_keys": "daily_event_drift",
+        "incremental_dedup_verdicts": "span_dup_coverage",
+        "incremental_span_hits": "span_dup_coverage",
+        "longest_dup_span_report": "span_dup_coverage",
+        "lsh_recall": "span_dup_coverage",
+        "minhash_band_buckets": "span_dup_coverage",
+        "minhash_signatures": "span_dup_coverage",
+        "near_dup_groups": "span_dup_coverage",
+        "ngram_jaccard_pairs": "span_dup_coverage",
+        "passage_dedup_summary": "span_dup_coverage",
+        "simhash_values": "span_dup_coverage",
+        "span_dedup_texts": "span_dup_coverage",
+        "url_dedup_stats": "span_dup_coverage",
+        "winnow_overlap_pairs": "span_dup_coverage",
+        # witnessed via unimax_lang_allocation
+        "cap_docs_per_lang": "unimax_lang_allocation",
+        "curriculum_shard_stats": "unimax_lang_allocation",
+        "diverse_sample_by_cluster": "unimax_lang_allocation",
+        "dsir_logweights": "unimax_lang_allocation",
+        "dsir_resample_topk": "unimax_lang_allocation",
+        "sample_docs_deterministic": "unimax_lang_allocation",
+        "shuffle_order_coords": "unimax_lang_allocation",
+        "split_counts_by_lang": "unimax_lang_allocation",
+        "stratified_sample_by_lang": "unimax_lang_allocation",
+        # witnessed via video_dedup_keep
+        "audio_dedup_keep": "video_dedup_keep",
+        "image_dedup_keep": "video_dedup_keep",
+        "video_dup_groups": "video_dedup_keep",
+        "video_frame_index": "video_dedup_keep",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
