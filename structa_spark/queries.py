@@ -9680,6 +9680,41 @@ def pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register("ipynb_extracted_cells", oracle="""
+SELECT doc_id, 0 AS cell_idx, 'markdown' AS cell_type,
+       'python' AS kernel_lang,
+       '# Title' || chr(10) || text AS cell_text
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'code', 'python', 'print(''ok'')'
+FROM documents
+ORDER BY doc_id, cell_idx
+""")
+def ipynb_extracted_cells(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Jupyter-notebook ingestion, values-checked end to end: each
+    document's text becomes the markdown cell of a structurally
+    valid nbformat-4 notebook built by ONE ``to_json`` expression
+    (engine-side JSON escaping — quotes, backslashes and newlines
+    in the payload all round-trip), then
+    sources.notebook.notebook_cells must explode it back into typed
+    cells recovering the exact source text, cell order, cell types
+    and kernel language. The whole wrap+parse+explode chain is
+    JVM-side (from_json + posexplode, no Python, outputs pruned
+    inside the JSON parser), so a corpus of notebooks flattens into
+    a cell relation at scan speed; the oracle predicts both rows per
+    document directly, so any escaping, coalescing-variant or
+    cell-ordering bug hash-mismatches."""
+    from .sources.notebook import notebook_cells, notebook_json
+    d = _t(spark, sf_dir, "documents")
+    nb = d.select("doc_id",
+                  notebook_json(F.col("text")).alias("payload_json"))
+    cells = notebook_cells(nb, "payload_json")
+    return (cells.select("doc_id", "cell_idx", "cell_type",
+                         "kernel_lang", "cell_text")
+            .orderBy("doc_id", "cell_idx"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

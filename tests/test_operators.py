@@ -5401,3 +5401,55 @@ def test_zorder_key_and_quantize(spark):
         zorder_key([])
     with pytest.raises(ValueError):
         zorder_key([F.col("x")] * 4, bits=16)   # 64 bits > BIGINT
+
+
+def test_notebook_cells_variants(spark):
+    from structa_spark.sources.notebook import notebook_cells
+    rows = [
+        # nbformat-4, list source (the canonical shape)
+        (0, '{"nbformat":4,"metadata":{"kernelspec":{"language":'
+            '"python"}},"cells":[{"cell_type":"markdown","source":'
+            '["# t\\n","body"]},{"cell_type":"code","source":'
+            '["print(1)\\n","print(2)"]}]}'),
+        # plain-string source (some exporters)
+        (1, '{"nbformat":4,"cells":[{"cell_type":"code","source":'
+            '"x=1\\ny=2"}]}'),
+        # nbformat-3: code cells use "input", language at
+        # metadata.language
+        (2, '{"nbformat":3,"metadata":{"language":"julia"},"cells":'
+            '[{"cell_type":"code","input":["a=3"]}]}'),
+        # mixed variants inside one notebook
+        (3, '{"cells":[{"cell_type":"markdown","source":["lst"]},'
+            '{"cell_type":"code","source":"plain"}]}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload_json string")
+    out = notebook_cells(df, "payload_json")
+    got = {(r.doc_id, r.cell_idx): r for r in out.collect()}
+    assert got[(0, 0)].cell_text == "# t\nbody"
+    assert got[(0, 0)].cell_type == "markdown"
+    assert got[(0, 0)].kernel_lang == "python"
+    assert got[(0, 1)].cell_text == "print(1)\nprint(2)"
+    assert got[(1, 0)].cell_text == "x=1\ny=2"
+    assert got[(2, 0)].cell_text == "a=3"
+    assert got[(2, 0)].kernel_lang == "julia"
+    assert got[(2, 0)].nbformat == 3
+    assert got[(3, 0)].cell_text == "lst"
+    assert got[(3, 1)].cell_text == "plain"
+
+
+def test_notebook_roundtrip_hostile_payload(spark):
+    from structa_spark.sources.notebook import (
+        notebook_cells, notebook_json)
+    hostile = 'quotes " back\\slash\nnewline\ttab é中'
+    df = spark.createDataFrame([(0, hostile)], "doc_id long, t string")
+    nb = df.select("doc_id",
+                   notebook_json(F.col("t")).alias("payload_json"))
+    out = notebook_cells(nb, "payload_json").orderBy("cell_idx")
+    rows = out.collect()
+    assert rows[0].cell_text == "# Title\n" + hostile
+    assert rows[1].cell_text == "print('ok')"
+    # malformed JSON -> one null-cell row, never an error
+    bad = spark.createDataFrame([(1, "{not json")],
+                                "doc_id long, payload_json string")
+    brows = notebook_cells(bad, "payload_json").collect()
+    assert len(brows) == 1 and brows[0].cell_text is None

@@ -141,6 +141,9 @@ def test_driver_window_covers_every_family():
         # every rotated-out query below was driver-green in its last
         # window (CORRECTNESS_r1-r10) and stays hash-pinned against
         # its DuckDB oracle by test_query_matches_oracle every run.
+        # registered after the round-11 rotation froze, awaiting the
+        # round-12 window
+        "ipynb_extracted_cells": "markdown_extracted_text",
         # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
         "customers_without_bigorder": "asof_next_purchase_gap",
