@@ -3660,3 +3660,63 @@ def compression_ratio_screen(df: DataFrame, text_col: str = "text",
         batches, schema=(f"{id_col} long, n_bytes long, "
                          "n_compressed long, ratio double, "
                          "compression_keep boolean"))
+
+
+# ---------------------------------------------------------------------------
+# subtitle (SRT / WebVTT) cue parsing — the video/speech landing zone
+# ---------------------------------------------------------------------------
+
+_SUBTITLE_ARROW = r"-->"
+# optional hours (WebVTT allows MM:SS.mmm), comma or dot millis
+_SUBTITLE_TIME = (r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[.,](\d{3})"
+                  r"\s*-->\s*"
+                  r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[.,](\d{3})")
+
+
+def _subtitle_ms(hh: Column, mm: Column, ss: Column,
+                 mmm: Column) -> Column:
+    """Clock fields -> milliseconds; absent hours (the short WebVTT
+    form) count as zero. regexp_extract yields '' for an unmatched
+    optional group, so try_cast + coalesce, never cast."""
+    h = F.coalesce(hh.try_cast("long"), F.lit(0))
+    return ((h * 3600 + mm.try_cast("long") * 60
+             + ss.try_cast("long")) * 1000
+            + mmm.try_cast("long"))
+
+
+def subtitle_cues(df: DataFrame, col: str = "text",
+                  keep_cols=("doc_id",)) -> DataFrame:
+    """Parse SRT / WebVTT subtitle documents into timed cues — the
+    ingest step a video-speech pipeline runs before aligning
+    transcripts with audio segments (:func:`~.multimodal
+    .audio_vad_segments` is the signal-side twin).
+
+    One row per cue: ``keep_cols`` passthrough, ``cue_idx``
+    (0-based, file order), ``start_ms``/``end_ms``, ``cue_text``
+    (multi-line payload, newlines preserved). Handled per spec:
+    the ``WEBVTT`` header and ``NOTE`` comment blocks (no ``-->``,
+    filtered before numbering), SRT's numeric counter line and
+    WebVTT's optional cue-id line (both stripped by the
+    up-to-timing-line cut), comma (SRT) or dot (VTT) millisecond
+    separators, and hour-less WebVTT timestamps.
+
+    Scale shape: split -> array ``filter`` -> ``posexplode`` ->
+    regexp projections, all JVM codegen — a shard of subtitle files
+    flattens to a cue relation with zero shuffles and no Python.
+    """
+    blocks = F.split(F.col(col), r"\r?\n[ \t]*\r?\n")
+    cues = F.filter(blocks,
+                    lambda b: b.rlike(_SUBTITLE_ARROW))
+    base = df.select(*keep_cols,
+                     F.posexplode(cues).alias("cue_idx", "__b"))
+    b = F.col("__b")
+    # cut everything through the end of the timing line (non-greedy:
+    # stops at the FIRST -->), leaving the payload lines
+    payload = F.regexp_replace(b, r"(?s)^.*?-->[^\n]*\n?", "")
+    g = [F.regexp_extract(b, _SUBTITLE_TIME, i) for i in range(9)]
+    return base.select(
+        *keep_cols, "cue_idx",
+        _subtitle_ms(g[1], g[2], g[3], g[4]).alias("start_ms"),
+        _subtitle_ms(g[5], g[6], g[7], g[8]).alias("end_ms"),
+        payload.alias("cue_text"),
+    )

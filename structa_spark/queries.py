@@ -9715,6 +9715,48 @@ def ipynb_extracted_cells(spark: SparkSession,
             .orderBy("doc_id", "cell_idx"))
 
 
+@register("subtitle_extracted_cues", oracle="""
+SELECT doc_id, 0 AS cue_idx,
+       CAST((doc_id % 10) * 1000 AS BIGINT)          AS start_ms,
+       CAST((10 + doc_id % 10) * 1000 + 500 AS BIGINT) AS end_ms,
+       text AS cue_text
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 62250, 63750,
+       'second cue line1' || chr(10) || 'line2'
+FROM documents
+ORDER BY doc_id, cue_idx
+""")
+def subtitle_extracted_cues(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Subtitle (SRT/WebVTT) ingestion, values-checked end to end:
+    each document's text becomes the first cue of a mixed-dialect
+    subtitle file built with pure expressions — a WEBVTT header that
+    must be skipped, an SRT-style comma-millisecond cue whose
+    timestamps derive from doc_id, a NOTE comment block that must be
+    filtered, and a dot-millisecond multi-line second cue — then
+    text.subtitle_cues must recover exactly the predicted cue
+    indices, millisecond spans and payloads. The whole wrap+parse
+    chain is JVM-side (split, array filter, posexplode, regexp
+    folds; no shuffle, no Python); the oracle predicts every field
+    arithmetically, so a header/NOTE filtering, counter-line strip,
+    timestamp-arithmetic or dialect bug hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    sec = F.col("doc_id") % 10
+    srt = F.concat(
+        F.lit("WEBVTT\n\n1\n00:00:0"), sec,
+        F.lit(",000 --> 00:00:1"), sec, F.lit(",500\n"),
+        F.col("text"),
+        F.lit("\n\nNOTE ignore\nme too\n\n"
+              "2\n00:01:02.250 --> 00:01:03.750\n"
+              "second cue line1\nline2"))
+    cues = text.subtitle_cues(
+        d.select("doc_id", srt.alias("subs")), col="subs")
+    return (cues.select("doc_id", "cue_idx", "start_ms", "end_ms",
+                        "cue_text")
+            .orderBy("doc_id", "cue_idx"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

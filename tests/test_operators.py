@@ -5453,3 +5453,24 @@ def test_notebook_roundtrip_hostile_payload(spark):
                                 "doc_id long, payload_json string")
     brows = notebook_cells(bad, "payload_json").collect()
     assert len(brows) == 1 and brows[0].cell_text is None
+
+
+def test_subtitle_cues_dialects(spark):
+    srt = ("WEBVTT\n\n"
+           "1\n00:00:01,000 --> 00:00:02,500\nhello\nworld\n\n"
+           "NOTE comment\nmore comment\n\n"
+           "cue-id\n01:02.250 --> 01:03.750\nshort form\n\n"
+           "2\n01:00:00.000 --> 01:00:01.000\nlast")
+    df = spark.createDataFrame([(0, srt)], "doc_id long, text string")
+    rows = text.subtitle_cues(df).orderBy("cue_idx").collect()
+    assert [(r.cue_idx, r.start_ms, r.end_ms, r.cue_text)
+            for r in rows] == [
+        (0, 1000, 2500, "hello\nworld"),
+        (1, 62250, 63750, "short form"),     # hour-less WebVTT form
+        (2, 3600000, 3601000, "last"),
+    ]
+    # a document with no cues contributes no rows (posexplode over
+    # an empty filtered array), not nulls
+    empty = spark.createDataFrame([(1, "WEBVTT\n\nNOTE only")],
+                                  "doc_id long, text string")
+    assert text.subtitle_cues(empty).count() == 0
