@@ -3720,3 +3720,61 @@ def subtitle_cues(df: DataFrame, col: str = "text",
         _subtitle_ms(g[5], g[6], g[7], g[8]).alias("end_ms"),
         payload.alias("cue_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# code-corpus license screen (SPDX tag + header-phrase fallback)
+# ---------------------------------------------------------------------------
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def license_screen(df: DataFrame, col: str = "text",
+                   keep_cols=("doc_id",),
+                   head_chars: int = 2000) -> DataFrame:
+    """The-Stack-style license gate for code corpora: read the SPDX
+    tag when present, else classify the header comment by license
+    phrase, and keep only permissively-licensed files.
+
+    Output per file: ``keep_cols``, ``spdx_id`` (null when untagged),
+    ``license_family`` in {permissive, weak_copyleft, copyleft,
+    proprietary, unknown} and ``license_ok`` (the permissive-only
+    allowlist verdict the Stack/StarCoder pipelines apply).
+
+    Only the first ``head_chars`` characters are scanned for the
+    phrase fallback — license headers live at the top of the file,
+    and bounding the scan keeps the screen linear in files, not
+    bytes. Single-scan codegen projection: no join, no shuffle, no
+    Python; at 100 TB this is a mapper fused into the ingest scan.
+    """
+    spdx = F.nullif(F.regexp_extract(F.col(col), _SPDX_RE, 1),
+                    F.lit(""))
+    head = F.lower(F.substring(F.col(col), 1, head_chars))
+    fam = (
+        F.when(spdx.rlike(r"(?i)^(MIT|ISC|0BSD|Zlib|Unlicense"
+                          r"|BSD-[23]-Clause|Apache-2\.0)"),
+               F.lit("permissive"))
+        .when(spdx.rlike(r"(?i)^(LGPL|MPL|EPL)"),
+              F.lit("weak_copyleft"))
+        .when(spdx.rlike(r"(?i)^(GPL|AGPL|SSPL|CC-BY-SA)"),
+              F.lit("copyleft"))
+        .when(spdx.isNotNull(), F.lit("unknown"))
+        .when(head.contains("apache license")
+              | head.contains("mit license")
+              | head.contains("bsd license"),
+              F.lit("permissive"))
+        .when(head.contains("gnu lesser general public license")
+              | head.contains("mozilla public license"),
+              F.lit("weak_copyleft"))
+        .when(head.contains("gnu general public license")
+              | head.contains("gnu affero"),
+              F.lit("copyleft"))
+        .when(head.contains("all rights reserved"),
+              F.lit("proprietary"))
+        .otherwise(F.lit("unknown")))
+    return df.select(
+        *keep_cols,
+        spdx.alias("spdx_id"),
+        fam.alias("license_family"),
+        (fam == "permissive").alias("license_ok"),
+    )

@@ -9757,6 +9757,52 @@ def subtitle_extracted_cues(spark: SparkSession,
             .orderBy("doc_id", "cue_idx"))
 
 
+@register("code_license_screen", oracle="""
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'MIT'
+            WHEN 1 THEN 'GPL-3.0-only'
+            WHEN 2 THEN 'LGPL-2.1-or-later' END AS spdx_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'permissive'
+            WHEN 1 THEN 'copyleft'
+            WHEN 2 THEN 'weak_copyleft'
+            WHEN 3 THEN 'permissive'
+            WHEN 4 THEN 'proprietary' END AS license_family,
+       doc_id % 5 IN (0, 3) AS license_ok
+FROM documents ORDER BY doc_id
+""")
+def code_license_screen(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """License gate for code corpora, values-checked: each document
+    gets a header chosen by doc_id%5 — an SPDX MIT tag, an SPDX
+    GPL-3.0-only tag, an SPDX LGPL tag, an untagged Apache phrase
+    header (the fallback path), and an all-rights-reserved notice —
+    and text.license_screen must produce exactly the predicted SPDX
+    id, family bucket and permissive-allowlist verdict for every
+    row. Single-scan codegen projection (no join/shuffle/Python);
+    the oracle predicts all three columns arithmetically, so a tag
+    regex, family-mapping or phrase-fallback bug hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit("# SPDX-License-Identifier: GPL-3.0-only\n"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("/* SPDX-License-Identifier: "
+                    "LGPL-2.1-or-later */\n"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("/* Licensed under the Apache License, "
+                    "Version 2.0 */\n"))
+        .otherwise(
+            F.lit("// Copyright 2026. All Rights Reserved.\n")))
+    src = d.select("doc_id",
+                   F.concat(header, F.col("text")).alias("code"))
+    return (text.license_screen(src, col="code")
+            .orderBy("doc_id"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

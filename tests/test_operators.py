@@ -5474,3 +5474,37 @@ def test_subtitle_cues_dialects(spark):
     empty = spark.createDataFrame([(1, "WEBVTT\n\nNOTE only")],
                                   "doc_id long, text string")
     assert text.subtitle_cues(empty).count() == 0
+
+
+def test_license_screen_classification(spark):
+    rows = [
+        (0, "// SPDX-License-Identifier: Apache-2.0\ncode"),
+        (1, "# SPDX-License-Identifier: AGPL-3.0-only\ncode"),
+        (2, "/* SPDX-License-Identifier: MPL-2.0 */"),
+        (3, "// SPDX-License-Identifier: WTFPL\ncode"),
+        (4, "/* This file is covered by the MIT License. */"),
+        (5, "Distributed under the GNU General Public License v2."),
+        (6, "Copyright (c) 2026 Corp. All rights reserved."),
+        (7, "def f():\n    return 1\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.license_screen(df).collect()}
+    assert (got[0].spdx_id, got[0].license_family,
+            got[0].license_ok) == ("Apache-2.0", "permissive", True)
+    assert got[1].license_family == "copyleft"
+    assert got[2].license_family == "weak_copyleft"
+    # unknown SPDX id stays 'unknown' even if phrases appear later
+    assert (got[3].spdx_id, got[3].license_family) == (
+        "WTFPL", "unknown")
+    assert got[4].spdx_id is None
+    assert got[4].license_family == "permissive"
+    assert got[5].license_family == "copyleft"
+    assert got[6].license_family == "proprietary"
+    assert (got[7].license_family, got[7].license_ok) == (
+        "unknown", False)
+    # the phrase scan is bounded: a license phrase past head_chars
+    # does not classify
+    far = spark.createDataFrame(
+        [(8, "x" * 3000 + " mit license")], "doc_id long, text string")
+    assert text.license_screen(far).collect()[0] \
+        .license_family == "unknown"
