@@ -733,3 +733,61 @@ def fim_split_coords(df: DataFrame, rate: float = 0.5,
         F.when(do, lo).cast("long").alias("prefix_len"),
         F.when(do, hi - lo).cast("long").alias("middle_len"),
         F.when(do, n - hi).cast("long").alias("suffix_len"))
+
+
+def preference_pairs(scored: DataFrame, score_col: str,
+                     group_col: str = "source",
+                     id_col: str = "doc_id",
+                     min_margin: float = 0.0,
+                     round_to: int = 4) -> DataFrame:
+    """Build chosen/rejected preference pairs for DPO-style training
+    from a scored corpus: within each group, rank documents by score
+    and pair the i-th best with the i-th worst (best-vs-worst
+    matching maximizes the score margin per pair, the signal a
+    preference optimizer trains on).
+
+    Scores are rounded to ``round_to`` decimals BEFORE ranking and
+    ties break on ``id_col``, so the ranking — and therefore every
+    emitted pair — is deterministic across engines, partitionings
+    and float summation orders. Pairs with margin below
+    ``min_margin`` are dropped (near-ties teach nothing). Odd
+    groups leave their median document unpaired.
+
+    Output: ``group_col``, ``pair_idx`` (1-based), ``chosen_<id>``,
+    ``rejected_<id>``, ``margin``.
+
+    Scale shape: two window passes over the scored relation and ONE
+    join keyed (group, rank) — pairs never exceed half the corpus,
+    and the corpus text itself is not carried, only ids and scores.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.round(F.col(score_col), round_to)
+    w = Window.partitionBy(group_col).orderBy(
+        q.desc(), F.col(id_col))
+    ranked = scored.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"), q.alias("__q"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(group_col)).alias("__n"))
+    chosen = (ranked.where(F.col("__r") <= F.col("__n") / 2)
+              .select(F.col("__g"), F.col("__r").alias("pair_idx"),
+                      F.col("__id").alias(f"chosen_{id_col}"),
+                      F.col("__q").alias("__cq"),
+                      (F.col("__n") + 1 - F.col("__r"))
+                      .alias("__partner")))
+    rejected = ranked.select(
+        F.col("__g").alias("__g2"), F.col("__r").alias("__r2"),
+        F.col("__id").alias(f"rejected_{id_col}"),
+        F.col("__q").alias("__rq"))
+    pairs = chosen.join(
+        rejected,
+        (F.col("__g") == F.col("__g2"))
+        & (F.col("__partner") == F.col("__r2")))
+    margin = F.round(F.col("__cq") - F.col("__rq"), round_to)
+    return (pairs
+            .where(margin >= F.lit(min_margin))
+            .select(F.col("__g").alias(group_col), "pair_idx",
+                    f"chosen_{id_col}", f"rejected_{id_col}",
+                    margin.alias("margin")))

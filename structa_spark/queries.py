@@ -9803,6 +9803,45 @@ def code_license_screen(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@register("preference_pairs", oracle=f"""
+WITH f AS (
+  {_quality_f_sql('source,')}),
+scored AS (
+  SELECT doc_id, source, round({_QUALITY_Q_SQL}, 4) AS q FROM f),
+ranked AS (
+  SELECT source, doc_id, q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT c.source AS source, c.r AS pair_idx,
+       c.doc_id AS chosen_doc_id,
+       j.doc_id AS rejected_doc_id,
+       round(c.q - j.q, 4) AS margin
+FROM ranked c JOIN ranked j
+  ON c.source = j.source AND j.r = c.n + 1 - c.r
+WHERE c.r <= c.n / 2.0 AND round(c.q - j.q, 4) >= 0.05
+ORDER BY c.source, pair_idx
+""")
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction, values-checked: score every
+    document with the composite quality formula, then within each
+    source pair the i-th best with the i-th worst (max-margin
+    matching), dropping pairs whose margin is under 0.05 — the
+    chosen/rejected table a preference-optimization run trains on.
+    Scores round to 4 decimals BEFORE ranking with doc_id
+    tie-breaks, so the ranking replays exactly in the oracle's
+    window; the join is keyed (source, rank) and carries only ids
+    and scores, never text."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(d)
+    return (sampling.preference_pairs(
+        scored, "quality_score", group_col="source",
+        id_col="doc_id", min_margin=0.05)
+        .orderBy("source", "pair_idx"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

@@ -5508,3 +5508,22 @@ def test_license_screen_classification(spark):
         [(8, "x" * 3000 + " mit license")], "doc_id long, text string")
     assert text.license_screen(far).collect()[0] \
         .license_family == "unknown"
+
+
+def test_preference_pairs_matching(spark):
+    from structa_spark.operators import sampling
+    rows = [("a", i, q) for i, q in
+            enumerate([0.9, 0.1, 0.5, 0.8, 0.2])] + \
+           [("b", 10, 0.7), ("b", 11, 0.69)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, q double")
+    out = sampling.preference_pairs(df, "q", min_margin=0.0)
+    got = sorted((r.source, r.pair_idx, r.chosen_doc_id,
+                  r.rejected_doc_id, r.margin) for r in out.collect())
+    # group a (5 docs): ranks 0.9,0.8,0.5,0.2,0.1 -> pairs
+    # (best,worst)=(0,1) margin .8 and (3,4) margin .6; median 0.5
+    # unpaired. group b: single pair margin .01
+    assert got == [("a", 1, 0, 1, 0.8), ("a", 2, 3, 4, 0.6),
+                   ("b", 1, 10, 11, 0.01)]
+    # min_margin prunes the near-tie pair
+    pruned = sampling.preference_pairs(df, "q", min_margin=0.05)
+    assert pruned.where(F.col("source") == "b").count() == 0

@@ -146,6 +146,7 @@ def test_driver_window_covers_every_family():
         "ipynb_extracted_cells": "markdown_extracted_text",
         "subtitle_extracted_cues": "markdown_extracted_text",
         "code_license_screen": "code_quality_flags",
+        "preference_pairs": "quality_classifier_scores",
         # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
         "customers_without_bigorder": "asof_next_purchase_gap",
