@@ -3778,3 +3778,65 @@ def license_screen(df: DataFrame, col: str = "text",
         fam.alias("license_family"),
         (fam == "permissive").alias("license_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT conversation shaping (chat-template render + structure checks)
+# ---------------------------------------------------------------------------
+
+def render_chat(turns: Column, start_tok: str = "<|im_start|>",
+                end_tok: str = "<|im_end|>",
+                add_generation_prompt: bool = False) -> Column:
+    """Render an ``array<struct<role,content>>`` conversation into
+    the flat training string (ChatML-shaped by default): each turn
+    becomes ``start_tok + role + '\\n' + content + end_tok + '\\n'``,
+    concatenated in turn order; ``add_generation_prompt`` appends
+    the opening of an assistant turn (the inference-time form).
+    One ``transform`` + ``concat_ws`` — JVM codegen, no Python, no
+    shuffle: template rendering fuses into the ingest scan."""
+    body = F.concat_ws("", F.transform(
+        turns, lambda t: F.concat(
+            F.lit(start_tok), t["role"], F.lit("\n"),
+            t["content"], F.lit(end_tok), F.lit("\n"))))
+    if add_generation_prompt:
+        body = F.concat(body, F.lit(start_tok + "assistant\n"))
+    return body
+
+
+def chat_stats(df: DataFrame, turns_col: str = "turns",
+               keep_cols=("doc_id",)) -> DataFrame:
+    """Structural screen for SFT conversations: ``n_turns``, total
+    content characters, and the well-formedness checks an SFT
+    pipeline gates on — ``roles_ok`` (every role in
+    system/user/assistant, system only first), ``alternation_ok``
+    (no two consecutive turns share a role) and ``ends_assistant``
+    (the loss-bearing last turn). All array HOFs over the turn
+    structs; single-scan projection."""
+    t = F.col(turns_col)
+    roles = F.transform(t, lambda x: x["role"])
+    n = F.size(t)
+    # sequence(1, 0) would DESCEND in Spark, so every pairwise scan
+    # is guarded on n > 1 instead of relying on an empty range
+    consec = F.exists(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.try_element_at(roles, i + 1)
+        == F.try_element_at(roles, i))
+    known = F.forall(
+        roles, lambda r: r.isin("system", "user", "assistant"))
+    sys_mid = F.exists(
+        F.sequence(F.lit(2), n),
+        lambda i: F.try_element_at(roles, i) == F.lit("system"))
+    return df.select(
+        *keep_cols,
+        n.alias("n_turns"),
+        F.aggregate(t, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x["content"]))
+        .alias("content_chars"),
+        (known & ~F.when(n > 1, sys_mid).otherwise(F.lit(False)))
+        .alias("roles_ok"),
+        F.when(n > 1, ~consec).otherwise(F.lit(True))
+        .alias("alternation_ok"),
+        F.coalesce(F.try_element_at(roles, F.lit(-1))
+                   == F.lit("assistant"), F.lit(False))
+        .alias("ends_assistant"),
+    )

@@ -9842,6 +9842,57 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source", "pair_idx"))
 
 
+@register("chat_template_render", oracle="""
+SELECT doc_id,
+       '<|im_start|>system' || chr(10) ||
+       'You are helpful.<|im_end|>' || chr(10) ||
+       '<|im_start|>user' || chr(10) || text || '<|im_end|>'
+       || chr(10) ||
+       '<|im_start|>assistant' || chr(10) || 'Answer: '
+       || substr(text, 1, 40) || '<|im_end|>' || chr(10)
+           AS rendered,
+       3 AS n_turns,
+       CAST(16 + length(text) + 8 + length(substr(text, 1, 40))
+            AS BIGINT) AS content_chars,
+       TRUE AS roles_ok, TRUE AS alternation_ok,
+       TRUE AS ends_assistant
+FROM documents ORDER BY doc_id
+""")
+def chat_template_render(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """SFT conversation shaping, values-checked: each document
+    becomes a three-turn system/user/assistant conversation built
+    with pure expressions, then text.render_chat must produce
+    exactly the predicted ChatML string and text.chat_stats the
+    predicted structure verdicts (turn count, content chars, role
+    and alternation checks, loss-bearing last turn). The whole
+    build+render+screen chain is JVM array-HOF codegen — template
+    rendering fuses into the scan, nothing shuffles; the oracle
+    predicts the rendered transcript character-for-character."""
+    d = _t(spark, sf_dir, "documents")
+    turn = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role"), content.alias("content"))
+    convo = d.select(
+        "doc_id",
+        F.array(
+            turn("system", F.lit("You are helpful.")),
+            turn("user", F.col("text")),
+            turn("assistant",
+                 F.concat(F.lit("Answer: "),
+                          F.substring("text", 1, 40))),
+        ).alias("turns"))
+    with_render = convo.select(
+        "doc_id",
+        text.render_chat(F.col("turns")).alias("rendered"),
+        "turns")
+    return (text.chat_stats(with_render,
+                            keep_cols=("doc_id", "rendered"))
+            .select("doc_id", "rendered", "n_turns",
+                    "content_chars", "roles_ok", "alternation_ok",
+                    "ends_assistant")
+            .orderBy("doc_id"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,

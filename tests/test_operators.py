@@ -5527,3 +5527,34 @@ def test_preference_pairs_matching(spark):
     # min_margin prunes the near-tie pair
     pruned = sampling.preference_pairs(df, "q", min_margin=0.05)
     assert pruned.where(F.col("source") == "b").count() == 0
+
+
+def test_chat_stats_structure_checks(spark):
+    def convo(*pairs):
+        return [{"role": r, "content": c} for r, c in pairs]
+    rows = [
+        (0, convo(("system", "s"), ("user", "hi"),
+                  ("assistant", "yo"))),
+        (1, convo(("user", "a"), ("user", "b"),
+                  ("assistant", "c"))),          # broken alternation
+        (2, convo(("user", "a"), ("system", "late"))),  # system mid
+        (3, convo(("tool", "x"),)),              # unknown role
+        (4, convo(("user", "q"),)),              # no assistant end
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, turns array<struct<role:string,"
+              "content:string>>")
+    got = {r.doc_id: r for r in text.chat_stats(df).collect()}
+    assert (got[0].n_turns, got[0].content_chars, got[0].roles_ok,
+            got[0].alternation_ok, got[0].ends_assistant) == (
+        3, 5, True, True, True)
+    assert got[1].alternation_ok is False
+    assert got[2].roles_ok is False
+    assert got[3].roles_ok is False
+    assert got[4].ends_assistant is False
+    # render: exact ChatML framing + generation prompt
+    r = df.where(F.col("doc_id") == 4).select(
+        text.render_chat(F.col("turns"),
+                         add_generation_prompt=True).alias("s")
+    ).collect()[0].s
+    assert r == "<|im_start|>user\nq<|im_end|>\n<|im_start|>assistant\n"
