@@ -9893,6 +9893,104 @@ def chat_template_render(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = KMEANS_ITERS,
+                       dim: int = 64) -> str:
+    """Unrolled Lloyd's-iteration oracle (the pagerank discipline:
+    one CTE block per iteration, the order-dependent mean rounded
+    half-up to 6 decimals exactly like kmeans_refine does), ending
+    with the final assignment under the last centroids."""
+    parts = [f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", s{i} AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.v, c.cvec) DESC, c.cid)
+             AS rn
+  FROM e CROSS JOIN c{i - 1} c
+), a{i} AS (
+  SELECT vec_id, cid FROM s{i} WHERE rn = 1
+), d{i} AS (
+  SELECT a.cid, p.range AS pos,
+         floor(avg(e.v[p.range + 1]) * 1000000 + 0.5) / 1000000
+             AS m
+  FROM e JOIN a{i} a USING (vec_id) CROSS JOIN range(0, {dim}) p
+  GROUP BY 1, 2
+), m{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM d{i} GROUP BY cid
+), c{i} AS (
+  SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec
+  FROM c{i - 1} c LEFT JOIN m{i} m USING (cid)
+)""")
+    parts.append(f""", sF AS (
+  SELECT e.vec_id, e.v, c.cid, c.cvec,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.v, c.cvec) DESC, c.cid)
+             AS rn
+  FROM e CROSS JOIN c{iters} c
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       any_value(cvec[1])  AS c0,
+       any_value(cvec[22]) AS c21,
+       any_value(cvec[43]) AS c42,
+       any_value(cvec[64]) AS c63,
+       round(avg(list_inner_product(v, cvec)), 4) AS avg_dot
+FROM sF WHERE rn = 1
+GROUP BY cid ORDER BY cluster_id""")
+    return "".join(parts)
+
+
+@register("kmeans_cluster_profile", oracle=_kmeans_oracle_sql())
+def kmeans_cluster_profile(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Offline k-means training, values-checked through THREE full
+    Lloyd's iterations: seed with the first-4-vectors convention,
+    refine with similarity.kmeans_refine (assign by max dot with
+    lowest-cid ties, re-average with half-up 6-decimal rounding —
+    the per-step rounding that makes each iteration's centroids
+    bit-replayable by the unrolled CTE oracle), then profile the
+    final assignment: cluster sizes, spot-check centroid
+    coordinates and the mean member-centroid dot (cohesion). This
+    is the trainer behind the ivf_* stand-in seeds; per iteration
+    the corpus sees ONE shuffle-free assignment projection plus one
+    64-scalar-partial-sum aggregation, and only k centroid rows
+    ever reach the driver."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = [r.embedding for r in
+             e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    cents = similarity.kmeans_refine(e, seeds, dim=64,
+                                     iters=KMEANS_ITERS)
+    assigned = similarity.ivf_assign(e, cents, out_col="cluster_id")
+    cdf = spark.createDataFrame(
+        [(i, c[0], c[21], c[42], c[63]) for i, c in enumerate(cents)],
+        "cluster_id int, c0 double, c21 double, c42 double, "
+        "c63 double")
+    # member-centroid dot: unrolled per-centroid expression chosen by
+    # the assignment id (k is small), then one aggregation
+    dot_expr = F.lit(None).cast("double")
+    for i, c in enumerate(cents):
+        dot_expr = F.when(
+            F.col("cluster_id") == i,
+            similarity.dot(F.col("embedding"),
+                           F.array(*[F.lit(float(x)) for x in c]))
+        ).otherwise(dot_expr)
+    agg = (assigned.withColumn("__dot", dot_expr)
+           .groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.round(F.avg("__dot"), 4).alias("avg_dot")))
+    return (agg.join(F.broadcast(cdf), "cluster_id")
+            .select(F.col("cluster_id").cast("long"),
+                    "n_vecs", "c0", "c21", "c42", "c63", "avg_dot")
+            .orderBy("cluster_id"))
+
+
 @register("url_dedup_stats", oracle="""
 WITH canon AS (
   SELECT doc_id,
