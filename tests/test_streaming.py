@@ -1592,3 +1592,67 @@ def test_crawl_screens_stream_stateless(spark, tmp_path):
         got = {tuple(r) for r in
                spark.sql(f"SELECT * FROM {qname}").collect()}
         assert got == want and len(got) == 3, qname
+
+
+def test_sft_ingest_screens_stream_stateless(spark, tmp_path):
+    """The round-11 ingest/shaping additions are pure projections
+    (from_json + posexplode, split/filter/regexp folds, array-HOF
+    renders, a head-bounded classify chain), so each must run on a
+    stream with no watermark and match its batch twin exactly:
+    notebook cell explode, subtitle cue parse, the license screen
+    and the ChatML render+structure screen."""
+    from pyspark.sql import functions as F
+    from structa_spark.operators import text as T
+    from structa_spark.sources.notebook import (
+        notebook_cells, notebook_json)
+
+    rows = [
+        (0, "alpha beta", "// SPDX-License-Identifier: MIT\nx=1",
+         "1\n00:00:01,000 --> 00:00:02,000\nhi\n\n"),
+        (1, "gamma", "print('no header')",
+         "WEBVTT\n\nc\n00:10.500 --> 00:11.000\nshort\n\n"),
+        (2, "d\"elta\\q", "# SPDX-License-Identifier: GPL-3.0-only",
+         "NOTE only\n\nno cues here"),
+    ]
+    src = str(tmp_path / "sft_src")
+    schema = "doc_id long, text string, code string, subs string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+
+    def nb(df):
+        wrapped = df.select(
+            "doc_id", notebook_json(F.col("text")).alias("pj"))
+        return notebook_cells(wrapped, "pj")
+
+    def subs(df):
+        return T.subtitle_cues(df, col="subs")
+
+    def lic(df):
+        return T.license_screen(df, col="code")
+
+    def chat(df):
+        convo = df.select("doc_id", F.array(
+            F.struct(F.lit("user").alias("role"),
+                     F.col("text").alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.lit("ok").alias("content"))).alias("turns"))
+        rendered = convo.select(
+            "doc_id", T.render_chat(F.col("turns")).alias("r"),
+            "turns")
+        return T.chat_stats(rendered, keep_cols=("doc_id", "r"))
+
+    for qname, screen in (("sft_nb_stream", nb),
+                          ("sft_subs_stream", subs),
+                          ("sft_lic_stream", lic),
+                          ("sft_chat_stream", chat)):
+        want = {tuple(r) for r in screen(batch_df).collect()}
+        assert want, qname
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (screen(sdf).writeStream.format("memory")
+             .queryName(qname).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {qname}").collect()}
+        assert got == want, qname
