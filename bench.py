@@ -100,6 +100,9 @@ def main():
         robots_policy_check, hard_negative_topk, mojibake_repair,
         alpha_lang_weights, audio_resample, sentence_align_beads,
         pii_iban_scan, anchor_text_profile,
+        ipynb_extracted_cells, subtitle_extracted_cues,
+        code_license_screen, preference_pairs,
+        chat_template_render, kmeans_cluster_profile,
     )
     from structa_spark.sources.tables import load_table
 
@@ -304,6 +307,17 @@ def main():
             # the mod-97 HOF fold and the inbound anchor-text signal
             "iban_scan": run_df(pii_iban_scan),
             "anchor_text": run_df(anchor_text_profile),
+            # round-11 SFT/ingest additions: notebook cell explode
+            # (from_json, outputs pruned in the parser), subtitle
+            # cue parse, the SPDX license gate, max-margin DPO
+            # pairs, ChatML render+structure, and the 3-iteration
+            # Lloyd's k-means trainer behind the IVF seeds
+            "ipynb_cells": run_df(ipynb_extracted_cells),
+            "subtitle_cues": run_df(subtitle_extracted_cues),
+            "license_screen": run_df(code_license_screen),
+            "preference_pairs": run_df(preference_pairs),
+            "chat_render": run_df(chat_template_render),
+            "kmeans_profile": run_df(kmeans_cluster_profile),
         }
 
     suite = make_suite(SF_DIR)
