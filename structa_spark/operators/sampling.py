@@ -791,3 +791,52 @@ def preference_pairs(scored: DataFrame, score_col: str,
             .select(F.col("__g").alias(group_col), "pair_idx",
                     f"chosen_{id_col}", f"rejected_{id_col}",
                     margin.alias("margin")))
+
+
+def weighted_sample_wor(df: DataFrame, k: int, weight_col: str,
+                        key_col: str = "doc_id",
+                        group_col: Optional[str] = None,
+                        salt: str = "wsample",
+                        round_to: int = 9) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): every row draws
+    ``u = (hash(key||salt) + 1) / (SAMPLE_MOD + 1)`` and scores
+    ``ln(u) / w`` — taking the ``k`` LARGEST scores samples exactly
+    with probability proportional to weight, without replacement
+    (the classic exponential-race argument; ``u^(1/w)`` in log
+    space). Rows with non-positive weight never qualify.
+
+    The hash-keyed draw makes the sample a pure function of the row
+    key: stable across runs, engines and partitionings — df.sample
+    with weights is none of those. The score is rounded to
+    ``round_to`` decimals with a ``key_col`` tie-break, so the libm
+    ``ln`` ulp cannot reorder the boundary between two engines.
+
+    Output: the sampled keys with ``weight``, ``sample_score`` and
+    ``sample_rank`` (1..k per group; one global group when
+    ``group_col`` is None).
+
+    Scale shape: one projection + one top-k window (rank partitions
+    = groups). For a global sample at corpus scale, the window's
+    single partition is the bottleneck — pre-filter with a loose
+    score threshold first (the same trick TakeOrdered uses) or pass
+    a group column and re-rank the tiny union.
+    """
+    from pyspark.sql.window import Window
+
+    u = ((sample_key(F.col(key_col), salt) + 1).cast("double")
+         / F.lit(float(SAMPLE_MOD + 1)))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, round_to)
+    part = [group_col] if group_col else []
+    win = Window.partitionBy(*part).orderBy(
+        F.col("__score").desc(), F.col(key_col))
+    scored = (df.where(w > 0)
+              .select(*part, F.col(key_col),
+                      w.alias("weight"), score.alias("__score")))
+    return (scored
+            .withColumn("sample_rank", F.row_number().over(win))
+            .where(F.col("sample_rank") <= k)
+            .select(*part, key_col, "weight",
+                    F.col("__score").alias("sample_score"),
+                    "sample_rank"))

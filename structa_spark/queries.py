@@ -2137,6 +2137,42 @@ _DRAW_SQL = (md5_long_sql("CAST(doc_id AS VARCHAR)")
              + " % 1000000")
 
 
+@register("weighted_sample_by_source", oracle=f"""
+WITH s AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln((({md5_long_sql(
+             "CAST(doc_id AS VARCHAR) || 'wsample'")})
+                   % 1000000 + 1)::DOUBLE / 1000001.0)
+               / CAST(n_chars AS DOUBLE), 9) AS sample_score
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY sample_score DESC, doc_id) AS sample_rank
+  FROM s)
+SELECT source, doc_id, weight, sample_score,
+       CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= 3
+ORDER BY source, sample_rank
+""")
+def weighted_sample_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, values-checked:
+    Efraimidis-Spirakis A-ES over the documents table with
+    character count as the weight, top-3 per source — the
+    probability-proportional-to-size selection a mixture builder
+    uses to pick representative documents per bucket without ever
+    materializing a random state. The md5-keyed draw and the
+    9-decimal-rounded log-race score make the sample a pure
+    function of (doc_id, salt) that the oracle replays exactly;
+    one projection + one per-source top-k window."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.weighted_sample_wor(
+        d, k=3, weight_col="n_chars", key_col="doc_id",
+        group_col="source")
+        .orderBy("source", "sample_rank"))
+
+
 @register("sample_docs_deterministic", oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DRAW_SQL} < 100000

@@ -5558,3 +5558,36 @@ def test_chat_stats_structure_checks(spark):
                          add_generation_prompt=True).alias("s")
     ).collect()[0].s
     assert r == "<|im_start|>user\nq<|im_end|>\n<|im_start|>assistant\n"
+
+
+def test_weighted_sample_wor_replay_and_invariance(spark):
+    import math
+
+    from structa_spark.functions.hashing import md5_long_py
+    from structa_spark.operators import sampling
+
+    rows = [(i, "g" if i % 2 else "h", (i % 7) * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = sampling.weighted_sample_wor(
+        df, k=3, weight_col="w", key_col="doc_id", group_col="grp")
+    got = sorted((r.grp, r.sample_rank, r.doc_id)
+                 for r in out.collect())
+    # pure-Python replay of the A-ES formula
+    def score(i, w):
+        u = (md5_long_py(f"{i}wsample") % 1_000_000 + 1) / 1_000_001
+        return round(math.log(u) / w, 9)
+    best = {}
+    for i, g, w in rows:
+        if w <= 0:
+            continue          # zero-weight rows never qualify
+        best.setdefault(g, []).append((-score(i, w), i))
+    want = sorted((g, rank + 1, i)
+                  for g, lst in best.items()
+                  for rank, (_, i) in enumerate(sorted(lst)[:3]))
+    assert got == want
+    # partitioning-invariant: same sample after a repartition
+    got2 = sorted((r.grp, r.sample_rank, r.doc_id)
+                  for r in sampling.weighted_sample_wor(
+                      df.repartition(7), k=3, weight_col="w",
+                      key_col="doc_id", group_col="grp").collect())
+    assert got2 == got
