@@ -840,3 +840,52 @@ def weighted_sample_wor(df: DataFrame, k: int, weight_col: str,
             .select(*part, key_col, "weight",
                     F.col("__score").alias("sample_score"),
                     "sample_rank"))
+
+
+def length_bucket_batches(df: DataFrame, length_col: str,
+                          batch_budget: int,
+                          key_col: str = "doc_id",
+                          min_bucket: int = 64,
+                          salt: str = "batchorder") -> DataFrame:
+    """Dynamic-batching coordinates: bucket every row to the
+    power-of-two padded length >= its true length (floor
+    ``min_bucket``), shuffle deterministically within the bucket
+    (md5-keyed order — the same sequence on every run and engine),
+    and pack ``floor(batch_budget / bucket_len)`` rows per batch.
+    This is the padded-batch shape sequence trainers and servers
+    use: every batch holds same-bucket rows, so padding waste is
+    bounded by 2x and batch token count never exceeds the budget.
+
+    Output: ``key_col``, true length, ``bucket_len``, ``batch_idx``
+    (0-based within bucket) and ``pos_in_batch``.
+
+    Scale shape: one projection + one window partitioned by bucket
+    (~log2(max_len) partitions). At extreme scale a single bucket's
+    window is one task — salt the partition key with a coarse hash
+    prefix and renumber batches per shard if that ever binds.
+    """
+    from pyspark.sql.window import Window
+
+    n = F.col(length_col).cast("long")
+    eff = F.greatest(n, F.lit(min_bucket))
+    # 2^k is exact in double far past any real length, so pow-based
+    # bucket sizing is bit-stable (shiftleft needs a literal count)
+    bucket = F.pow(F.lit(2.0),
+                   F.ceil(F.log2(eff)).cast("int")).cast("long")
+    # a row longer than the whole budget forms its own batch
+    cap = F.greatest(
+        F.floor(F.lit(batch_budget) / F.col("bucket_len"))
+        .cast("long"), F.lit(1).cast("long"))
+    order_key = md5_long(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    win = Window.partitionBy("bucket_len").orderBy(
+        F.col("__ord"), F.col(key_col))
+    rn = F.row_number().over(win) - 1
+    return (df.where(n > 0)
+            .select(F.col(key_col), n.alias("length"),
+                    bucket.alias("bucket_len"),
+                    order_key.alias("__ord"))
+            .withColumn("__rn", rn)
+            .select(key_col, "length", "bucket_len",
+                    F.floor(F.col("__rn") / cap).alias("batch_idx"),
+                    (F.col("__rn") % cap).alias("pos_in_batch")))

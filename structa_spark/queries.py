@@ -2173,6 +2173,45 @@ def weighted_sample_by_source(spark: SparkSession,
         .orderBy("source", "sample_rank"))
 
 
+@register("length_bucket_batches", oracle=f"""
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+         CAST(1 << CAST(ceil(log2(greatest(n_chars, 64)))
+                        AS INTEGER) AS BIGINT) AS bucket_len,
+         ({md5_long_sql(
+             "CAST(doc_id AS VARCHAR) || 'batchorder'")}) AS ord
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, length, bucket_len,
+         row_number() OVER (PARTITION BY bucket_len
+                            ORDER BY ord, doc_id) - 1 AS rn,
+         greatest(CAST(floor(4096.0 / bucket_len) AS BIGINT), 1)
+             AS cap
+  FROM b)
+SELECT doc_id, length, bucket_len,
+       CAST(floor(rn / cap) AS BIGINT) AS batch_idx,
+       rn % cap AS pos_in_batch
+FROM r ORDER BY doc_id
+""")
+def length_bucket_batches(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Dynamic-batching coordinates, values-checked: bucket every
+    document to its power-of-two padded length (floor 64), shuffle
+    deterministically inside the bucket with the md5-keyed order,
+    and pack batches to a 4096-character budget — the padded-batch
+    layout a trainer or server materializes before step time.
+    Every coordinate is a pure function of (doc_id, n_chars), so
+    the oracle replays the bucketing, the shuffle order and the
+    capacity division exactly; one projection + one per-bucket
+    window, ~log2(max_len) partitions."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.length_bucket_batches(
+        d, length_col="n_chars", batch_budget=4096,
+        key_col="doc_id")
+        .orderBy("doc_id"))
+
+
 @register("sample_docs_deterministic", oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DRAW_SQL} < 100000

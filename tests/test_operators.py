@@ -5591,3 +5591,31 @@ def test_weighted_sample_wor_replay_and_invariance(spark):
                       df.repartition(7), k=3, weight_col="w",
                       key_col="doc_id", group_col="grp").collect())
     assert got2 == got
+
+
+def test_length_bucket_batches_budget_and_order(spark):
+    from structa_spark.operators import sampling
+    rows = [(i, l) for i, l in enumerate(
+        [10, 64, 65, 100, 128, 500, 5000, 0])]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sampling.length_bucket_batches(
+        df, length_col="n", batch_budget=256, key_col="doc_id")
+    got = {r.doc_id: r for r in out.collect()}
+    assert 7 not in got                      # zero-length dropped
+    assert got[0].bucket_len == 64           # min_bucket floor
+    assert got[1].bucket_len == 64           # exact power stays
+    assert got[2].bucket_len == 128          # 65 rounds up
+    assert got[5].bucket_len == 512          # 500 -> 512
+    # a row longer than the whole budget still gets its own batch
+    assert got[6].bucket_len == 8192
+    assert (got[6].batch_idx, got[6].pos_in_batch) == (0, 0)
+    # capacity: budget 256 / bucket 64 = 4 rows per batch; both
+    # 64-bucket rows land in batch 0 at distinct positions
+    assert {got[0].batch_idx, got[1].batch_idx} == {0}
+    assert got[0].pos_in_batch != got[1].pos_in_batch
+    # per-batch padded total never exceeds the budget
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for r in got.values():
+        fill[(r.bucket_len, r.batch_idx)] += r.bucket_len
+    assert all(v <= 256 or k[0] > 256 for k, v in fill.items())

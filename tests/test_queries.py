@@ -150,6 +150,7 @@ def test_driver_window_covers_every_family():
         "chat_template_render": "sentence_align_beads",
         "kmeans_cluster_profile": "matryoshka_recall_at_k",
         "weighted_sample_by_source": "alpha_lang_weights",
+        "length_bucket_batches": "sequence_packing",
         # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
         "customers_without_bigorder": "asof_next_purchase_gap",
