@@ -3840,3 +3840,48 @@ def chat_stats(df: DataFrame, turns_col: str = "turns",
                    == F.lit("assistant"), F.lit(False))
         .alias("ends_assistant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode-confusable (homoglyph) spoofing screen
+# ---------------------------------------------------------------------------
+
+#: most-abused Cyrillic/Greek homoglyphs -> their Latin skeletons
+#: (a deliberately small, auditable table — the Unicode confusables
+#: list is thousands of rows; these are the ones spam actually uses)
+CONFUSABLE_FROM = "аеорсхуіѕјοαν"
+CONFUSABLE_TO = "aeopcxyisjoav"
+
+
+def confusable_skeleton(col: Column) -> Column:
+    """Fold the common Cyrillic/Greek homoglyphs onto their Latin
+    skeleton — the canonical form used to catch visually-identical
+    spoofed tokens ('pаypаl' with Cyrillic а) before dedup,
+    blocklists or URL screens, which all operate on exact bytes.
+    One ``translate`` call: JVM codegen, position-independent."""
+    return F.translate(col, CONFUSABLE_FROM, CONFUSABLE_TO)
+
+
+def confusable_screen(df: DataFrame, text_col: str = "text",
+                      keep_cols=("doc_id",)) -> DataFrame:
+    """Homoglyph-spoofing screen: per document, the Latin-skeleton
+    text, the count of confusable characters, and the count of
+    SPOOFED words — words mixing Latin letters with confusables,
+    the signature of intentional obfuscation (a fully-Cyrillic word
+    is just Russian; 'bаnk' with one Cyrillic а is not). Single
+    codegen scan: translate + regexp counts + one array filter over
+    the whitespace words; no shuffle, no Python."""
+    t = F.col(text_col)
+    cls = f"[{CONFUSABLE_FROM}]"
+    n_conf = (F.length(t)
+              - F.length(F.regexp_replace(t, cls, ""))).cast("long")
+    words = F.split(t, r"\s+")
+    spoofed = F.size(F.filter(
+        words, lambda w: w.rlike("[a-zA-Z]") & w.rlike(cls))) \
+        .cast("long")
+    return df.select(
+        *keep_cols,
+        confusable_skeleton(t).alias("skeleton"),
+        n_conf.alias("n_confusable"),
+        spoofed.alias("n_spoofed_words"),
+    )

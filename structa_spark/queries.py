@@ -2212,6 +2212,45 @@ def length_bucket_batches(spark: SparkSession,
         .orderBy("doc_id"))
 
 
+@register("confusable_spoof_screen", oracle="""
+WITH s AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4 WHEN 0 THEN ' pаypаl' WHEN 1 THEN ' bаnk' WHEN 2 THEN ' tοp' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t, 'а', 'a'), 'е', 'e'), 'о', 'o'), 'р', 'p'), 'с', 'c'), 'х', 'x'), 'у', 'y'), 'і', 'i'), 'ѕ', 's'), 'ј', 'j'), 'ο', 'o'), 'α', 'a'), 'ν', 'v') AS skeleton,
+       CAST(length(t) - length(regexp_replace(t, '[аеорсхуіѕјοαν]', '',
+                                              'g')) AS BIGINT)
+           AS n_confusable,
+       CAST(len(list_filter(regexp_split_to_array(t, '\\s+'),
+                w -> regexp_matches(w, '[a-zA-Z]')
+                     AND regexp_matches(w, '[аеорсхуіѕјοαν]')))
+            AS BIGINT) AS n_spoofed_words
+FROM s ORDER BY doc_id
+""")
+def confusable_spoof_screen(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Homoglyph-spoofing screen, values-checked by FULL replay (no
+    ASCII assumption on the corpus): each document gets a spoofed
+    token appended by doc_id formula ('pаypаl' with two Cyrillic а,
+    'bаnk', Greek-omicron 'tοp', or nothing), then
+    text.confusable_screen must produce the exact Latin-skeleton
+    string, confusable-character count and mixed-script spoofed-word
+    count that the oracle recomputes with its own replace chain and
+    word filter. One codegen scan; the screen feeds the URL/
+    blocklist/dedup rungs, which all match on exact bytes."""
+    d = _t(spark, sf_dir, "documents")
+    spoof = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" pаypаl"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" bаnk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" tοp"))
+        .otherwise(F.lit("")))
+    src = d.select("doc_id",
+                   F.concat(F.col("text"), spoof).alias("t"))
+    return (text.confusable_screen(src, text_col="t")
+            .orderBy("doc_id"))
+
+
 @register("sample_docs_deterministic", oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DRAW_SQL} < 100000

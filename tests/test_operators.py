@@ -5619,3 +5619,22 @@ def test_length_bucket_batches_budget_and_order(spark):
     for r in got.values():
         fill[(r.bucket_len, r.batch_idx)] += r.bucket_len
     assert all(v <= 256 or k[0] > 256 for k, v in fill.items())
+
+
+def test_confusable_screen_spoof_detection(spark):
+    rows = [
+        (0, "pay with pаypаl now"),      # 2 Cyrillic а, one word
+        (1, "привет мир"),               # fully Cyrillic: not spoofed
+        (2, "plain ascii text"),
+        (3, "tοp bаnk"),                 # Greek ο + Cyrillic а
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.confusable_screen(df).collect()}
+    assert got[0].skeleton == "pay with paypal now"
+    assert (got[0].n_confusable, got[0].n_spoofed_words) == (2, 1)
+    # Cyrillic prose maps through the table but spoof count stays 0:
+    # no word mixes Latin with confusables
+    assert got[1].n_spoofed_words == 0
+    assert (got[2].n_confusable, got[2].n_spoofed_words) == (0, 0)
+    assert (got[3].n_confusable, got[3].n_spoofed_words) == (2, 2)
+    assert got[3].skeleton == "top bank"
