@@ -3885,3 +3885,57 @@ def confusable_screen(df: DataFrame, text_col: str = "text",
         n_conf.alias("n_confusable"),
         spoofed.alias("n_spoofed_words"),
     )
+
+
+def html_tables(df: DataFrame, html_col: str = "html",
+                keep_cols=("doc_id",)) -> DataFrame:
+    """Explode HTML <table> markup into a typed cell relation —
+    the table-corpus ingest step beside :func:`html_visible_text`
+    (which flattens tables into prose): one row per cell with
+    ``table_idx`` / ``row_idx`` / ``col_idx`` document-order
+    coordinates, an ``is_header`` flag (<th> vs <td>) and the
+    cleaned cell text (tags stripped, common entities unescaped,
+    whitespace collapsed — the html_visible_text treatment scoped
+    to the cell).
+
+    Three nested regexp_extract_all + posexplode stages, all JVM
+    codegen with no backreferences (RE2-replayable); the tag name
+    rides alongside the body via a zipped second extract of the
+    same pattern, so header detection never re-parses. No shuffle,
+    no Python: a crawl shard flattens to a cell relation at scan
+    speed.
+    """
+    tbl_re = r"(?is)<table[^>]*>(.*?)</table>"
+    row_re = r"(?is)<tr[^>]*>(.*?)</tr>"
+    cell_re = r"(?is)<(t[dh])[^>]*>(.*?)</t[dh]>"
+    tables = df.select(
+        *keep_cols,
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(tbl_re),
+                                 F.lit(1)))
+        .alias("table_idx", "__t"))
+    rows = tables.select(
+        *keep_cols, "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("__t"), F.lit(row_re),
+                                 F.lit(1)))
+        .alias("row_idx", "__r"))
+    cells = rows.select(
+        *keep_cols, "table_idx", "row_idx",
+        F.posexplode(F.arrays_zip(
+            F.regexp_extract_all(F.col("__r"), F.lit(cell_re),
+                                 F.lit(1)).alias("tag"),
+            F.regexp_extract_all(F.col("__r"), F.lit(cell_re),
+                                 F.lit(2)).alias("body")))
+        .alias("col_idx", "__c"))
+    body = F.col("__c")["body"]
+    clean = F.regexp_replace(body, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        clean = F.replace(clean, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return cells.select(
+        *keep_cols, "table_idx", "row_idx", "col_idx",
+        (F.lower(F.col("__c")["tag"]) == "th").alias("is_header"),
+        clean.alias("cell_text"),
+    )

@@ -2251,6 +2251,42 @@ def confusable_spoof_screen(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@register("html_table_extract", oracle="""
+SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+       TRUE AS is_header, 'Head A' AS cell_text
+FROM documents
+UNION ALL SELECT doc_id, 0, 0, 1, TRUE, 'B &' FROM documents
+UNION ALL SELECT doc_id, 0, 1, 0, FALSE,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) FROM documents
+UNION ALL SELECT doc_id, 0, 1, 1, FALSE,
+       CAST(doc_id AS VARCHAR) FROM documents
+ORDER BY doc_id, table_idx, row_idx, col_idx
+""")
+def html_table_extract(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """HTML table ingestion, values-checked: each document's text
+    becomes a <td> cell of a built 2x2 table (a <th> header row
+    with an entity that must unescape, a bolded cell wrapper that
+    must strip, mixed-case tags) and text.html_tables must recover
+    exactly the predicted (table, row, col) coordinates, header
+    flags and cleaned cell text. Three nested
+    regexp_extract_all+posexplode stages, all JVM codegen,
+    RE2-replayable; the oracle predicts every cell directly, so a
+    nesting, ordering, tag-case, entity or header-detection bug
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>pre</p><TABLE><tr><th>Head A</th>"
+              "<th>B &amp;</th></tr><tr><td><b>"),
+        F.col("text"),
+        F.lit("</b></td><td> "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </td></tr></TABLE>"))
+    src = d.select("doc_id", html.alias("page"))
+    return (text.html_tables(src, html_col="page")
+            .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+
 @register("sample_docs_deterministic", oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DRAW_SQL} < 100000

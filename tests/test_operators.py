@@ -5638,3 +5638,23 @@ def test_confusable_screen_spoof_detection(spark):
     assert (got[2].n_confusable, got[2].n_spoofed_words) == (0, 0)
     assert (got[3].n_confusable, got[3].n_spoofed_words) == (2, 2)
     assert got[3].skeleton == "top bank"
+
+
+def test_html_tables_nesting_and_cleanup(spark):
+    html = ('<p>x</p><table><tr><th>Name</th><th>Qty &amp; unit</th>'
+            '</tr><tr><td><b>apple</b></td><td> 5 </td></tr></table>'
+            '<table class="z"><TR><TD>only</TD></TR></table>')
+    df = spark.createDataFrame([(0, html), (1, "no tables here")],
+                               "doc_id long, html string")
+    got = [(r.doc_id, r.table_idx, r.row_idx, r.col_idx,
+            r.is_header, r.cell_text)
+           for r in text.html_tables(df)
+           .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+           .collect()]
+    assert got == [
+        (0, 0, 0, 0, True, "Name"),
+        (0, 0, 0, 1, True, "Qty & unit"),
+        (0, 0, 1, 0, False, "apple"),
+        (0, 0, 1, 1, False, "5"),
+        (0, 1, 0, 0, False, "only"),
+    ]

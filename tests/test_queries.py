@@ -152,6 +152,7 @@ def test_driver_window_covers_every_family():
         "weighted_sample_by_source": "alpha_lang_weights",
         "length_bucket_batches": "sequence_packing",
         "confusable_spoof_screen": "compat_normalized_text",
+        "html_table_extract": "markdown_extracted_text",
         # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
         "customers_without_bigorder": "asof_next_purchase_gap",
