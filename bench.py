@@ -103,6 +103,8 @@ def main():
         ipynb_extracted_cells, subtitle_extracted_cues,
         code_license_screen, preference_pairs,
         chat_template_render, kmeans_cluster_profile,
+        weighted_sample_by_source, length_bucket_batches,
+        confusable_spoof_screen, html_table_extract,
     )
     from structa_spark.sources.tables import load_table
 
@@ -318,6 +320,12 @@ def main():
             "preference_pairs": run_df(preference_pairs),
             "chat_render": run_df(chat_template_render),
             "kmeans_profile": run_df(kmeans_cluster_profile),
+            # A-ES weighted sampling, padded-batch coordinates, the
+            # homoglyph skeleton screen, and HTML table explode
+            "weighted_sample": run_df(weighted_sample_by_source),
+            "length_buckets": run_df(length_bucket_batches),
+            "confusable": run_df(confusable_spoof_screen),
+            "html_tables": run_df(html_table_extract),
         }
 
     suite = make_suite(SF_DIR)

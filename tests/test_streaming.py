@@ -1656,3 +1656,39 @@ def test_sft_ingest_screens_stream_stateless(spark, tmp_path):
         got = {tuple(r) for r in
                spark.sql(f"SELECT * FROM {qname}").collect()}
         assert got == want, qname
+
+
+def test_confusable_and_table_screens_stream_stateless(spark,
+                                                       tmp_path):
+    """The homoglyph skeleton screen and the HTML table explode are
+    pure projections/generators — append-safe on a stream with no
+    watermark, per-microbatch output equal to the batch twin."""
+    from pyspark.sql import functions as F
+    from structa_spark.operators import text as T
+
+    rows = [
+        (0, "pay pаypаl", "<table><tr><td>a</td></tr></table>"),
+        (1, "clean", "<p>none</p>"),
+        (2, "tοp", "<table><tr><th>h</th><th>i</th></tr></table>"),
+    ]
+    src = str(tmp_path / "conf_src")
+    schema = "doc_id long, text string, html string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+
+    screens = {
+        "conf_stream": lambda df: T.confusable_screen(df),
+        "tbl_stream": lambda df: T.html_tables(df),
+    }
+    for qname, screen in screens.items():
+        want = {tuple(r) for r in screen(batch_df).collect()}
+        assert want, qname
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (screen(sdf).writeStream.format("memory")
+             .queryName(qname).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {qname}").collect()}
+        assert got == want, qname
