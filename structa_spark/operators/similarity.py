@@ -606,25 +606,54 @@ def semantic_dedup(df: DataFrame,
     Scale shape: the point of clustering first is that the quadratic
     candidate comparison runs only WITHIN a cluster — with
     k ≈ n/1000 clusters the per-cluster pair expansion is bounded,
-    and the self-join's equi-key (the cluster id) is one shuffle of
+    and the verdict's only shuffle is the cluster-keyed exchange of
     the assigned vectors. Assignment itself is a shuffle-free
-    unrolled-argmax projection (:func:`ivf_assign`).
-    """
+    unrolled-argmax projection (:func:`ivf_assign`). The pairwise
+    comparison runs as ONE numpy matmul per cluster inside an Arrow
+    batch (optimization guide §4.2) — the prior self-join evaluated
+    the cosine as an interpreted per-pair HOF fold inside the join
+    condition, which measured 10+ minutes single-task at sf0.1
+    where the matmul takes well under a second; the 6-dp
+    round-before-compare keeps the verdict engine-replayable
+    exactly as before."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     assigned = ivf_assign(df, centroids, vec_col, out_col="cluster")
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .where(F.round(cosine(F.col(f"a.{vec_col}"),
-                                   F.col(f"b.{vec_col}")), 6)
-                    >= threshold)
-             .select(F.col(f"b.{id_col}").alias(id_col))
-             .distinct()
-             .withColumn("__drop__", F.lit(True)))
-    return (assigned.join(pairs, id_col, "left")
-            .select(id_col, "cluster",
-                    F.coalesce(F.col("__drop__"), F.lit(False))
-                    .alias("dropped")))
+    out_schema = T.StructType([
+        assigned.schema[id_col],
+        assigned.schema["cluster"],
+        T.StructField("dropped", T.BooleanType(), False),
+    ])
+
+    def verdict(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort",
+                              ignore_index=True)
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        if n > 1:
+            v = np.array([np.asarray(e, dtype=np.float64)
+                          for e in pdf[vec_col]])
+            if v.ndim == 2 and v.shape[1] > 0:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nrm = np.sqrt((v * v).sum(axis=1))
+                    c = (v @ v.T) / np.outer(nrm, nrm)
+                # half-away-from-zero 6-dp round, the _round6 /
+                # Spark ROUND semantics; NaN (zero-norm vectors)
+                # compares False, matching the SQL predicate
+                c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                hit = c6 >= threshold
+                # rows are sorted by id: pair (i < j) drops j
+                dropped = np.triu(hit, k=1).any(axis=0)
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cluster": pdf["cluster"],
+            "dropped": dropped,
+        })
+
+    return (assigned.select(id_col, "cluster", vec_col)
+            .groupBy("cluster").applyInPandas(verdict, out_schema))
 
 
 def quantize_embeddings(df: DataFrame, scale: float,
