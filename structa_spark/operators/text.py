@@ -3319,11 +3319,21 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
     gradient signal beyond the bias, and keeping them would make N
     depend on null-text semantics).
 
-    Scale shape: the feature relation (|docs| x <= n_buckets rows) is
-    persisted once; each step is one broadcast-literal projection +
-    doc-keyed aggregation for the margins, one co-keyed join back for
-    the residual-weighted gradient, and ONE <= n_buckets-row collect —
-    the driver only ever holds the model (the unigram-EM posture).
+    Scale shape (reworked in optimization round 11): the feature
+    relation folds to ONE cached row per document — ``(id, y,
+    features: array<struct<bucket,x>>)``, bucket-sorted, bounded by
+    ``n_buckets`` elements — so each step is a single pass over the
+    doc-row cache: the margin is a per-row fold over the feature
+    array (no doc-keyed aggregation, no join), the per-bucket
+    gradient is one explode into a map-side partial aggregation
+    whose exchange carries <= partitions x n_buckets rows, the bias
+    gradient is a scan-level sum, and the step's ONE action collects
+    <= n_buckets + 1 rows — the driver only ever holds the model
+    (the unigram-EM posture). The prior shape (per-step doc-keyed
+    agg + co-keyed join over (doc, bucket) feature rows; two collect
+    actions per step) paid ~6 stages and two full feature shuffles
+    per step because AQE hides cached partitioning from downstream
+    exchanges-reuse.
     """
     from pyspark import StorageLevel
 
@@ -3331,9 +3341,13 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
         F.col(id_col),
         F.col(label_col).cast("double").alias("__y__"))
     feats = (_hashed_lift_features(df, n_buckets, id_col, text_col)
+             .groupBy(id_col)
+             .agg(F.sort_array(F.collect_list(
+                 F.struct(F.col("bucket"), F.col("x"))))
+                 .alias("__fx__"))
              .join(labels, id_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
-    n = feats.select(id_col).distinct().count()
+    n = feats.count()
     if n == 0:
         feats.unpersist()
         raise ValueError("logistic_quality_train: no labeled "
@@ -3341,24 +3355,42 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(iters):
-        warr = F.array(*[F.lit(wi) for wi in w])
-        term = F.round(F.element_at(warr, F.col("bucket") + 1)
-                       * F.col("x"), 6)
-        per_doc = (feats.groupBy(id_col, "__y__")
-                   .agg(F.round(F.sum(term), 6).alias("__m__")))
+        # ONE array Literal, not CreateArray of 256 Literal nodes:
+        # the per-step driver cost was dominated by Catalyst
+        # re-analyzing a ~1000-node literal tree duplicated across
+        # the gradient and bias branches (~0.5-2 s per step measured
+        # against 0.18 s of actual execution)
+        warr = F.lit([float(wi) for wi in w])
+        # per-element term expression identical to the row form:
+        # round(w[bucket+1] * x, 6); the fold visits buckets in
+        # sorted order (the 6-dp-rounded terms make the sum
+        # association-safe across engines, the standing oracle
+        # argument)
+        m = F.round(F.aggregate(
+            F.col("__fx__"), F.lit(0.0),
+            lambda acc, s: acc + F.round(
+                F.element_at(warr, s["bucket"] + 1) * s["x"], 6)), 6)
         p = F.round(F.lit(1.0) / (F.lit(1.0)
-                                  + F.exp(-(F.col("__m__")
-                                            + F.lit(b)))), 6)
-        resid = per_doc.select(F.col(id_col),
-                               (p - F.col("__y__")).alias("__r__"))
-        g = (feats.join(resid, id_col)
-             .groupBy("bucket")
+                                  + F.exp(-(m + F.lit(b)))), 6)
+        resid = feats.select(F.col("__fx__"),
+                             (p - F.col("__y__")).alias("__r__"))
+        ex = resid.select(
+            "__r__", F.explode("__fx__").alias("__s__"))
+        g = (ex.groupBy(F.col("__s__.bucket").alias("bucket"))
              .agg(F.round(F.sum(F.round(F.col("__r__")
-                                        * F.col("x"), 6))
+                                        * F.col("__s__.x"), 6))
                           / n, 6).alias("g")))
-        rows = {r["bucket"]: r["g"] for r in g.collect()}
-        bg = resid.agg(
-            F.round(F.sum("__r__") / n, 6).alias("g")).first()["g"]
+        # ONE action per step: the bias gradient (its expression
+        # unchanged — raw residual sum, no per-term rounding) rides
+        # along as pseudo-bucket -1 via a 1-row union instead of a
+        # second collect; the <= n_buckets + 1-row collect stays the
+        # only driver transfer
+        bias_g = resid.groupBy().agg(
+            F.round(F.sum("__r__") / n, 6).alias("g")).select(
+            F.lit(-1).alias("bucket"), "g")
+        rows = {r["bucket"]: r["g"]
+                for r in g.unionByName(bias_g).collect()}
+        bg = rows.pop(-1, 0.0)
         w = [_round6(wi - lr * rows.get(bi, 0.0))
              for bi, wi in enumerate(w)]
         b = _round6(b - lr * bg)
@@ -3390,7 +3422,7 @@ def logistic_quality_scores(df: DataFrame, weights, bias: float,
     O(distinct_buckets x tokens) per document, the right trade for a
     stateless stream operator."""
     n_buckets = len(weights)
-    warr = F.array(*[F.lit(float(wi)) for wi in weights])
+    warr = F.lit([float(wi) for wi in weights])
     if df.isStreaming:
         from .dedup import _bind
 
