@@ -44,6 +44,21 @@ def norm(a: Column) -> Column:
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def seq_dot_rows(x: "object", c: Sequence[float]) -> "object":
+    """Vectorized-across-rows dot product with the EXACT sequential
+    per-element accumulation order of :func:`dot`'s fold: for a row
+    matrix ``x`` (n x d, float64) and coefficient vector ``c``,
+    ``acc_i := fl(acc_i + fl(x_id * c_d))`` left to right — each
+    numpy elementwise op rounds exactly like the scalar IEEE op the
+    interpreted fold performs, so the result is bit-identical per
+    row while running at numpy speed across rows."""
+    import numpy as np
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for t in range(x.shape[1]):
+        acc = acc + x[:, t] * c[t]
+    return acc
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -230,14 +245,52 @@ def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
     (sqrt(n) typical), so the argmin is an unrolled expression —
     shuffle-free; repartitioning by ``list_id`` afterwards co-locates
     each inverted list for probing."""
-    best_id = F.lit(0)
-    best_score = F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        score = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        better = score > best_score
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_score = F.when(better, score).otherwise(best_score)
-    return df.withColumn(out_col, best_id)
+    # Arrow-vectorized assignment (optimization guide §4.2): the
+    # prior when-chain argmax nested each step's best-so-far twice,
+    # so the k-th centroid's CodegenFallback dot fold re-evaluated
+    # interpreted up to 2^(k-1) times per row (13 s single-task at
+    # sf0.1 through ivf_topk); and a codegen unroll would inline the
+    # centroid doubles into fresh generated source on every
+    # kmeans_refine iteration, re-paying Janino each step. Here each
+    # batch computes all dots with the fold's EXACT sequential
+    # accumulation order (seq_dot_rows — bit-identical scores) and
+    # the argmax keeps the fold's semantics: first index of the max
+    # (lowest-centroid ties, NaN wins as in Spark's ordering), a
+    # length-mismatched or NULL vector never wins and falls to
+    # centroid 0 when nothing scores — exactly the old NULL-fold
+    # behavior.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.IntegerType(), False)])
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            best = np.zeros(n, dtype=np.int32)
+            if n and cents:
+                embs = pdf[vec_col]
+                arrs = [None if e is None else
+                        np.asarray(e, dtype=np.float64)
+                        for e in embs]
+                scores = np.full((n, len(cents)), -np.inf)
+                for j, c in enumerate(cents):
+                    d = len(c)
+                    idx = [i for i, a in enumerate(arrs)
+                           if a is not None and a.shape[0] == d]
+                    if idx:
+                        x = np.stack([arrs[i] for i in idx])
+                        scores[idx, j] = seq_dot_rows(x, c)
+                best = np.argmax(scores, axis=1).astype(np.int32)
+            out = pdf.copy()
+            out[out_col] = best
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
@@ -256,7 +309,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         probes.append(F.struct(
             F.lit(i).alias("list_id"),
             dot(F.col("__qv__"),
-                F.array(*[F.lit(float(x)) for x in c])).alias("score")))
+                F.lit([float(x) for x in c])).alias("score")))
     q_lists = (q.withColumn("__p__", F.explode(F.array(*probes)))
                .select(query_id_col, "__qv__", "__p__.list_id",
                        "__p__.score"))
@@ -310,21 +363,25 @@ def pq_encode(df: DataFrame, codebooks: List[List[List[float]]],
 
     def sq_l2(a: Column, lits: Sequence[float]) -> Column:
         diff = F.zip_with(
-            a, F.array(*[F.lit(x) for x in lits]),
+            a, F.lit([float(x) for x in lits]),
             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
         return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
 
+    # distance ARRAY + first-position-of-min per subspace, not a
+    # when-chain argmin: the chain nested best-so-far twice per
+    # codeword so earlier codewords' CodegenFallback distance folds
+    # re-evaluated interpreted up to 2^(k-1) times; here each
+    # distance evaluates once, and array_position's first-index
+    # semantics reproduce the strict-< lowest-index tie-break
+    # (NULL distances never win, and the all-NULL edge keeps
+    # codeword 0, both as before).
     codes = []
     for mi, cbook in enumerate(codebooks):
         subv = F.slice(F.col(vec_col), mi * sub + 1, sub)
-        best_k = F.lit(0)
-        best_d = F.lit(float("inf"))
-        for ki, cw in enumerate(cbook):
-            d = sq_l2(subv, cw)
-            better = d < best_d
-            best_k = F.when(better, F.lit(ki)).otherwise(best_k)
-            best_d = F.when(better, d).otherwise(best_d)
-        codes.append(best_k)
+        darr = F.array(*[sq_l2(subv, cw) for cw in cbook])
+        codes.append(F.coalesce(
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int"), F.lit(0)))
     return df.withColumn(out_col, F.array(*codes))
 
 

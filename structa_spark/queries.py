@@ -10129,7 +10129,7 @@ def kmeans_cluster_profile(spark: SparkSession,
         dot_expr = F.when(
             F.col("cluster_id") == i,
             similarity.dot(F.col("embedding"),
-                           F.array(*[F.lit(float(x)) for x in c]))
+                           F.lit([float(x) for x in c]))
         ).otherwise(dot_expr)
     agg = (assigned.withColumn("__dot", dot_expr)
            .groupBy("cluster_id")
