@@ -493,27 +493,81 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding",
                               dim: int = 64,
                               use_lsh: bool = True) -> DataFrame:
-    """All pairs with cosine >= threshold. LSH-bucketed self-join by
-    default (near-dups almost always share the SRP bucket at high
-    thresholds); exact quadratic join when ``use_lsh=False``."""
-    if use_lsh:
-        s = (srp_signatures_pandas(
-                ensure_parallelism(df), vec_col, dim, n_bits=8)
-             .withColumn("__sig__", F.element_at("__sigs__", 1))
-             .drop("__sigs__"))
-        a, b = s.alias("a"), s.alias("b")
-        cond = ((F.col("a.__sig__") == F.col("b.__sig__"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    else:
+    """All pairs with cosine >= threshold. LSH-bucketed by default
+    (near-dups almost always share the SRP bucket at high
+    thresholds); exact quadratic join when ``use_lsh=False``.
+
+    The LSH path computes each bucket's pairwise cosines as ONE
+    numpy matmul inside an Arrow batch (optimization guide §4.2):
+    the prior formulation self-joined the signature relation, which
+    re-ran the signature MapInPandas on BOTH sides (two full corpus
+    scans) and evaluated the 6-dp cosine as an interpreted
+    CodegenFallback fold per candidate pair inside the join. One
+    signature pass + one bucket-keyed shuffle replaces both; pair
+    semantics are unchanged (id_a < id_b within a bucket,
+    length-mismatched or NULL vectors never pair — the old
+    ``zip_with`` NULL-fold behavior — and the half-away-from-zero
+    6-dp round precedes the threshold compare)."""
+    if not use_lsh:
         a, b = df.alias("a"), df.alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    return (a.join(b, cond)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.round(cosine(F.col(f"a.{vec_col}"),
-                                   F.col(f"b.{vec_col}")), 6)
-                    .alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+        return (a.join(b, cond)
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        F.round(cosine(F.col(f"a.{vec_col}"),
+                                       F.col(f"b.{vec_col}")), 6)
+                        .alias("cosine"))
+                .where(F.col("cosine") >= threshold))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    s = (srp_signatures_pandas(
+            ensure_parallelism(df), vec_col, dim, n_bits=8)
+         .withColumn("__sig__", F.element_at("__sigs__", 1))
+         .select(F.col(id_col), F.col(vec_col), "__sig__")
+         .where(F.col("__sig__").isNotNull()
+                & F.col(id_col).isNotNull()))
+    id_type = s.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def verdict(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort",
+                              ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        arrs = [None if e is None else np.asarray(e, dtype=np.float64)
+                for e in pdf[vec_col]]
+        by_len = {}
+        for i, a in enumerate(arrs):
+            if a is not None and a.shape[0] > 0:
+                by_len.setdefault(a.shape[0], []).append(i)
+        for idx in by_len.values():
+            if len(idx) < 2:
+                continue
+            v = np.stack([arrs[i] for i in idx])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nrm = np.sqrt((v * v).sum(axis=1))
+                c = (v @ v.T) / np.outer(nrm, nrm)
+            # half-away-from-zero 6-dp round (Spark ROUND); NaN
+            # (zero-norm vectors) compares False as in SQL
+            c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(np.triu(c6 >= thr, k=1))
+            for x, y in zip(ii, jj):
+                out_a.append(ids[idx[x]])
+                out_b.append(ids[idx[y]])
+                out_c.append(c6[x, y])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cosine": out_c}).astype(
+            {"id_a": ids.dtype, "id_b": ids.dtype, "cosine": "float64"})
+
+    return s.groupBy("__sig__").applyInPandas(verdict, out_schema)
 
 
 def group_centroids(df: DataFrame, dim: int,

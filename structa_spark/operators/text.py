@@ -924,14 +924,23 @@ def bm25_topk(df: DataFrame, queries, k: int = 5,
     all_terms = sorted({t for _, t in qrows})
 
     toks = tokens(F.lower(F.col(text_col)))
-    hits = df.select(
+    # ONE tokenize pass: uncached, the three consumers below (term
+    # frequencies, document frequencies via tf, corpus stats) each
+    # re-ran the full lower+regexp-split scan of the corpus — three
+    # tokenizations per execution. The per-doc projection is
+    # byte-small (an int plus the query-term hit array, bounded by
+    # postings), so it one-deep caches like the LM tf relations.
+    proj = df.select(
         F.col(id_col), F.size(toks).alias("dl"),
-        F.explode(F.filter(
-            toks, lambda x: x.isin(all_terms))).alias("token"))
+        F.filter(toks, lambda x: x.isin(all_terms)).alias("__hits__"))
+    proj = _evict_then_cache(_BM25_DOCS_CACHE, proj)
+    hits = proj.select(
+        F.col(id_col), F.col("dl"),
+        F.explode("__hits__").alias("token"))
     tf = (hits.groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
 
-    stats = df.select(F.size(toks).alias("dl")).agg(
+    stats = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"))
     stats = stats.select(
@@ -2213,6 +2222,7 @@ from ._cache import register_cell as _register_cell
 
 _BIGRAM_TF_CACHE = _register_cell("text.bigram_tf")
 _JSD_GT_CACHE = _register_cell("text.jsd_gt")
+_BM25_DOCS_CACHE = _register_cell("text.bm25_docs")
 
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
