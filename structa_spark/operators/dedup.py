@@ -438,11 +438,16 @@ def connected_components(edges: DataFrame, id_col: str = "doc_id",
                         F.col("id_b").alias("dst"))
            .union(edges.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst"))))
+    # checkpoint the edge relation FIRST and derive the seed labels
+    # from the checkpointed copy: checkpointing labels before sym
+    # evaluated the full upstream edge DAG twice (each eager
+    # localCheckpoint runs its own job), which doubled every decode/
+    # tokenize pipeline feeding the component step
+    sym = sym.localCheckpoint()
     labels = (sym.select("src").distinct()
               .select(F.col("src").alias("id"),
                       F.col("src").alias("label"))
               .localCheckpoint())
-    sym = sym.localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym.dst == labels.id)
                         .groupBy("src")

@@ -2005,7 +2005,13 @@ def video_near_duplicates(df: DataFrame, payload_col: str = "payload",
     sig = (video_frame_dhash(df, payload_col, id_col,
                              every_k=every_k, bits=bits)
            .where(F.col("dhash").isNotNull()
-                  & F.col("frame_idx").isNotNull()))
+                  & F.col("frame_idx").isNotNull())
+           # the per-frame hash relation feeds BOTH the frame-count
+           # agg and the pigeonhole pairs; uncached, each consumer
+           # re-ran the whole sample-table walk + per-frame JPEG
+           # decode — checkpoint the byte-small (id, frame, ts,
+           # hash) rows so the decode runs once
+           .localCheckpoint(eager=False))
     n_frames = (sig.groupBy(id_col)
                 .agg(F.countDistinct("frame_idx").alias("n")))
     pairs_f = framewise_hamming_pairs(

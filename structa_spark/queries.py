@@ -7192,7 +7192,13 @@ def video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = mm.video_near_duplicates(media, max_hamming=3)
     comp = dedup.connected_components(
         pairs.select("id_a", "id_b"), id_col="media_id")
-    return (media.select("media_id")
+    # join the labels back to the ID SOURCE, not media: the payload
+    # generator is opaque to column pruning, so media.select would
+    # re-encode every clip just to list ids
+    ids = (_t(spark, sf_dir, "documents")
+           .select(F.col("doc_id").alias("media_id"))
+           .where(F.col("media_id") < 240))
+    return (ids
             .join(comp, F.col("media_id") == F.col("id"), "left")
             .select(F.col("media_id"),
                     F.coalesce("label", "media_id").alias("group_id"))
@@ -7408,7 +7414,10 @@ def _image_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = mm.image_near_duplicates(media, max_hamming=3)
     comp = dedup.connected_components(
         pairs.select("id_a", "id_b"), id_col="media_id")
-    return (media.select("media_id")
+    # labels join back to the ID SOURCE (docs), not media: the PNG
+    # generator is opaque to column pruning, so media.select would
+    # re-encode every image just to list ids
+    return (docs.select(F.col("doc_id").alias("media_id"))
             .join(comp, F.col("media_id") == F.col("id"), "left")
             .select(F.col("media_id"),
                     F.coalesce("label", "media_id").alias("group_id")))
@@ -8244,7 +8253,10 @@ def _audio_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = mm.audio_near_duplicates(media, max_hamming=3)
     comp = dedup.connected_components(
         pairs.select("id_a", "id_b"), id_col="media_id")
-    return (media.select("media_id")
+    # labels join back to the ID SOURCE (docs), not media: the WAV
+    # generator is opaque to column pruning, so media.select would
+    # re-encode every clip just to list ids
+    return (docs.select(F.col("doc_id").alias("media_id"))
             .join(comp, F.col("media_id") == F.col("id"), "left")
             .select(F.col("media_id"),
                     F.coalesce("label", "media_id").alias("group_id")))
@@ -9055,8 +9067,16 @@ def decompressed_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, txt in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 raw = (txt or "").encode("utf-8")
-                payload = [gzip.compress, zlib.compress, bz2.compress,
-                           lzma.compress][i % 4](raw)
+                # fastest preset per codec: the query's outputs
+                # depend only on the round-tripped TEXT (the sniff
+                # keys on magic bytes, not ratios), and xz/bz2 at
+                # default effort dominated the whole query's runtime
+                payload = [
+                    lambda b: gzip.compress(b, compresslevel=1),
+                    lambda b: zlib.compress(b, 1),
+                    lambda b: bz2.compress(b, compresslevel=1),
+                    lambda b: lzma.compress(b, preset=0),
+                ][i % 4](raw)
                 rows.append((i, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
