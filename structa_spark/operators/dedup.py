@@ -268,17 +268,23 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # stage by bytes and would run the whole expansion in one task —
     # a round-robin respread keeps it parallel (each bucket row is
     # self-contained, so no key is needed)
-    grouped = grouped.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
+    # sort each bucket BEFORE the respread exchange: past it, the
+    # generator and the slice both reference the shuffled column, so
+    # the sort runs once per bucket — inlined after the exchange it
+    # would re-evaluate on every posexplode output row (O(B^2 log B)
+    # comparisons per bucket)
+    grouped = (grouped
+               .select(F.array_sort("ids").alias("ids"))
+               .repartition(
+                   df.sparkSession.sparkContext.defaultParallelism))
     # two-step expansion: posexplode to one row per member, then each
     # row pairs only with its LATER bucket-mates (slice past its own
     # 1-based position). Peak memory per row is O(bucket), never the
     # O(bucket^2) a nested-transform pair array would materialize —
     # at max_bucket=10k that is the difference between ~10^4 and
     # ~10^8 structs in one row buffer.
-    ids = F.array_sort(F.col("ids"))
-    members = grouped.select(ids.alias("ids"),
-                             F.posexplode(ids).alias("i", "id_a"))
+    members = grouped.select("ids",
+                             F.posexplode("ids").alias("i", "id_a"))
     return (members.select(
         "id_a",
         F.explode(F.slice(F.col("ids"), F.col("i") + 2,
@@ -410,11 +416,13 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
 def hamming_distance(a: Column, b: Column,
                      bits: int = SIMHASH_BITS) -> Column:
-    """Popcount of XOR via the binary string repr — one JVM-side
-    expression (shiftright's bit count must be a literal in Spark, so
-    a per-bit fold is not expressible; this is)."""
+    """Popcount of XOR via the native ``bit_count`` expression — a
+    single codegen'd Long.bitCount per pair (two's-complement over
+    the full long, identical counts to the binary-string-repr
+    popcount it replaces, at none of the string-materialize +
+    regexp cost)."""
     x = a.bitwiseXOR(b)
-    return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
+    return F.bit_count(x).cast("int")
 
 
 def connected_components(edges: DataFrame, id_col: str = "doc_id",
@@ -603,12 +611,16 @@ def hamming_near_duplicates(sig_df: DataFrame, id_col: str = "doc_id",
     # respread the byte-small bucket rows so the CPU-quadratic
     # per-bucket expansion is not coalesced into one task by AQE,
     # then expand via posexplode + slice-past-self so peak memory
-    # per row is O(bucket), not O(bucket^2) (see minhash_candidates)
-    grouped = grouped.repartition(
-        sig_df.sparkSession.sparkContext.defaultParallelism)
-    mem = F.array_sort(F.col("members"))     # orders by id first
-    members = grouped.select(mem.alias("mem"),
-                             F.posexplode(mem).alias("i", "a"))
+    # per row is O(bucket), not O(bucket^2) (see minhash_candidates).
+    # array_sort runs BEFORE the exchange so it evaluates once per
+    # bucket, not once per exploded member row.
+    grouped = (grouped
+               .select(F.array_sort("members").alias("mem"))
+               .repartition(
+                   sig_df.sparkSession.sparkContext
+                   .defaultParallelism))
+    members = grouped.select("mem",
+                             F.posexplode("mem").alias("i", "a"))
     return (members.select(
         F.col("a"),
         F.explode(F.slice(F.col("mem"), F.col("i") + 2,
@@ -658,11 +670,14 @@ def framewise_hamming_pairs(sig_df: DataFrame,
                    F.struct(F.col(id_col).alias("id"),
                             F.col("sh"))).alias("members"))
                .where(F.size("members").between(2, max_bucket)))
-    grouped = grouped.repartition(
-        sig_df.sparkSession.sparkContext.defaultParallelism)
-    mem = F.array_sort(F.col("members"))
-    members = grouped.select(F.col("frm"), mem.alias("mem"),
-                             F.posexplode(mem).alias("i", "a"))
+    grouped = (grouped
+               .select(F.col("frm"),
+                       F.array_sort("members").alias("mem"))
+               .repartition(
+                   sig_df.sparkSession.sparkContext
+                   .defaultParallelism))
+    members = grouped.select(F.col("frm"), F.col("mem"),
+                             F.posexplode("mem").alias("i", "a"))
     return (members.select(
         F.col("frm"),
         F.col("a"),
@@ -1400,11 +1415,12 @@ def winnow_overlap_pairs(df: DataFrame, k: int = 8, w: int = 4,
     posts = (fp.groupBy("fp")
              .agg(F.collect_set(id_col).alias("ids"))
              .where(F.size("ids").between(2, max_postings)))
-    posts = posts.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
-    ids = F.array_sort(F.col("ids"))
-    members = posts.select(ids.alias("ids"),
-                           F.posexplode(ids).alias("i", "doc_a"))
+    posts = (posts
+             .select(F.array_sort("ids").alias("ids"))
+             .repartition(
+                 df.sparkSession.sparkContext.defaultParallelism))
+    members = posts.select("ids",
+                           F.posexplode("ids").alias("i", "doc_a"))
     pairs = members.select(
         "doc_a",
         F.explode(F.slice(F.col("ids"), F.col("i") + 2,
