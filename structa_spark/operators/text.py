@@ -2221,6 +2221,7 @@ from ._cache import evict_then_cache as _evict_then_cache
 from ._cache import register_cell as _register_cell
 
 _BIGRAM_TF_CACHE = _register_cell("text.bigram_tf")
+_BIGRAM_SCORED_TF_CACHE = _register_cell("text.bigram_scored_tf")
 _JSD_GT_CACHE = _register_cell("text.jsd_gt")
 _BM25_DOCS_CACHE = _register_cell("text.bm25_docs")
 
@@ -2276,19 +2277,31 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     # recomputes. `persist=False` opts back into the stateless
     # recompute-per-branch plan.
     tf = (bg.groupBy(id_col, "bg")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .withColumn("w1", F.split("bg", " ").getItem(0)))
+          .agg(F.count(F.lit(1)).alias("tf")))
 
+    # Model statistics join at the bigram-TYPE level (optimization
+    # round 11): cb and cl attach to the DISTINCT scored bigrams
+    # first, and that (bg, cb, cl) table is the only thing the big
+    # (doc, bigram) relation ever joins — one model join by `bg`
+    # instead of one by `bg` plus one by `w1`. Under auto-broadcast
+    # the old shape also re-scanned the cached tf inside each build
+    # side; past the broadcast threshold it re-shuffled the full
+    # doc-bigram relation per join.
     if train_df is None:
-        # self mode: tf feeds cb, cl AND the scoring join
+        # self mode: tf feeds the type table AND the scoring join
         if persist:
             tf = _evict_then_cache(_BIGRAM_TF_CACHE, tf)
-        cb = tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
-        cl = tf.groupBy("w1").agg(F.sum("tf").alias("cl"))
+        ptab = (tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
+                .withColumn("w1", F.split("bg", " ").getItem(0)))
+        cl = ptab.groupBy("w1").agg(F.sum("cb").alias("cl"))
+        ptab = ptab.join(cl, "w1").select("bg", "cb", "cl")
         model_src = df
-        join_how = "inner"      # every scored bigram exists in cb/cl
     else:
-        # cross mode: the model's bigram-count table feeds cb and cl
+        # cross mode: the model's bigram-count table feeds cb and
+        # cl; the scored corpus's distinct bigram types LEFT join
+        # them so unseen bigram/context falls back to the smoothing
+        # mass. tf gains a second consumer (the type table), so it
+        # persists through its own one-deep cell.
         t_arr = tokens(F.lower(F.col(text_col)))
         tb = (train_df.select(
             F.explode(word_ngrams(t_arr, 2)).alias("bg"))
@@ -2296,10 +2309,14 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .withColumn("w1", F.split("bg", " ").getItem(0)))
         if persist:
             tb = _evict_then_cache(_BIGRAM_TF_CACHE, tb)
-        cb = tb.select("bg", "cb")
+            tf = _evict_then_cache(_BIGRAM_SCORED_TF_CACHE, tf)
         cl = tb.groupBy("w1").agg(F.sum("cb").alias("cl"))
+        stypes = (tf.groupBy("bg").agg(F.count(F.lit(1)))
+                  .withColumn("w1", F.split("bg", " ").getItem(0)))
+        ptab = (stypes.join(tb.select("bg", "cb"), "bg", "left")
+                .join(cl, "w1", "left")
+                .select("bg", "cb", "cl"))
         model_src = train_df
-        join_how = "left"       # unseen bigram/context -> smoothing
     v = (model_src.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
         .where(F.col("t") != "")
@@ -2309,7 +2326,7 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     clv = F.coalesce(F.col("cl"), F.lit(0))
     p = (cbv + a) / (clv + a * F.col("__v__"))
     nll = F.col("tf") * -F.log(p)
-    return (tf.join(cb, "bg", join_how).join(cl, "w1", join_how)
+    return (tf.join(ptab, "bg")
             .join(F.broadcast(v))
             .groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
@@ -2338,12 +2355,19 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     fewer than two tokens are absent, like bigram_logprob.
 
     Scale shape: the (doc, bigram) tf relation aggregates FIRST and
-    persists (one-deep module cache) because FIVE consumers read it
-    — the bigram counts, the (context total, continuation-type)
-    aggregate (ONE agg computes both), the predecessor-type
-    aggregate, and the scoring join; B folds in as a 1-row
-    broadcast. No token hot-key anywhere: every aggregation is keyed
-    by bigram, w1 or w2 AFTER the (doc, bigram) compression.
+    persists (one-deep module cache); the model side collapses to
+    ONE bigram-TYPE table ``(bg, cb, cl, n1p_fw, n1p_bw)`` — bgc is
+    aggregated once and the context/predecessor statistics join it
+    at the TYPE level, so the big (doc, bigram) relation is touched
+    by exactly one model join (by ``bg``) plus the doc-keyed finale
+    instead of three model joins; B folds in as a 1-row broadcast.
+    (The prior shape joined tf by bg, then w1, then w2: under
+    auto-broadcast each build side re-scanned the cached tf and
+    re-derived bgc, and past the broadcast threshold it re-shuffled
+    the full doc-bigram relation twice more.) No token hot-key
+    anywhere: every aggregation is keyed by bigram, w1 or w2 AFTER
+    the (doc, bigram) compression, and P(w2|w1) is evaluated once
+    per bigram TYPE, not once per (doc, bigram) row.
     """
     if not 0.0 < d < 1.0:
         raise ValueError(f"discount d must be in (0, 1): {d}")
@@ -2351,13 +2375,13 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     bg = df.select(F.col(id_col),
                    F.explode(word_ngrams(arr, 2)).alias("bg"))
     tf = (bg.groupBy(id_col, "bg")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .withColumn("w1", F.split("bg", " ").getItem(0))
-          .withColumn("w2", F.split("bg", " ").getItem(1)))
+          .agg(F.count(F.lit(1)).alias("tf")))
     if persist:
         tf = _evict_then_cache(_KN_TF_CACHE, tf)
-    bgc = (tf.groupBy("bg", "w1", "w2")
-           .agg(F.sum("tf").alias("cb")))
+    bgc = (tf.groupBy("bg")
+           .agg(F.sum("tf").alias("cb"))
+           .withColumn("w1", F.split("bg", " ").getItem(0))
+           .withColumn("w2", F.split("bg", " ").getItem(1)))
     ctx = (bgc.groupBy("w1")
            .agg(F.sum("cb").alias("cl"),
                 F.count(F.lit(1)).alias("n1p_fw")))
@@ -2368,10 +2392,11 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     p = (F.greatest(F.col("cb") - dd, F.lit(0.0)) / F.col("cl")
          + (dd * F.col("n1p_fw") / F.col("cl"))
          * (F.col("n1p_bw") / F.col("__b__")))
-    nll = F.col("tf") * -F.log(p)
-    return (tf.join(bgc.select("bg", "cb"), "bg")
-            .join(ctx, "w1").join(pred, "w2")
+    ptab = (bgc.join(ctx, "w1").join(pred, "w2")
             .join(F.broadcast(btot))
+            .select("bg", (-F.log(p)).alias("__nll1__")))
+    nll = F.col("tf") * F.col("__nll1__")
+    return (tf.join(ptab, "bg")
             .groupBy(id_col)
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                  F.round(F.sum(nll) / F.sum("tf"), 4)
@@ -3288,18 +3313,27 @@ def _hashed_lift_features(df: DataFrame, n_buckets: int,
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two: "
                          f"{n_buckets}")
-    toks = df.select(
+    # the per-document normalizer is simply the token count, known
+    # BEFORE the explode from the array size — riding it through the
+    # (id, bucket) aggregation as a grouping-constant saves the
+    # window pass (a second exchange + sort by id) the prior shape
+    # paid to re-derive it as sum(c) over partitionBy(id)
+    base = df.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        tokens(F.lower(F.col(text_col))).alias("__toks__"))
+    toks = base.select(
+        F.col(id_col),
+        F.size("__toks__").alias("__n__"),
+        F.explode("__toks__").alias("token"))
     bucket = (md5_long(F.col("token")) % n_buckets).cast("int")
-    counts = (toks.select(id_col, bucket.alias("bucket"))
+    counts = (toks.select(id_col, "__n__", bucket.alias("bucket"))
               .groupBy(id_col, "bucket")
-              .agg(F.count(F.lit(1)).alias("c")))
-    from pyspark.sql.window import Window
-    total = F.sum("c").over(Window.partitionBy(id_col))
+              .agg(F.count(F.lit(1)).alias("c"),
+                   F.max("__n__").alias("__n__")))
     return counts.select(
         id_col, "bucket",
-        F.round(F.lit(float(n_buckets)) * F.col("c") / total, 6)
+        F.round(F.lit(float(n_buckets)) * F.col("c")
+                / F.col("__n__"), 6)
         .alias("x"))
 
 
