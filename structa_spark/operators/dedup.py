@@ -457,31 +457,42 @@ def connected_components(edges: DataFrame, id_col: str = "doc_id",
                       F.col("src").alias("label"))
               .localCheckpoint())
     for _ in range(max_iter):
-        neighbor_min = (sym.join(labels, sym.dst == labels.id)
-                        .groupBy("src")
-                        .agg(F.min("label").alias("nbr_label")))
-        stepped = (labels.join(neighbor_min,
-                               labels.id == neighbor_min.src, "left")
-                   .select(F.col("id"),
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("nbr_label"),
-                                              F.col("label")))
-                           .alias("label")))
+        # ONE join + agg computes the neighbor-min step: self-loop
+        # edges (v, v) ride along with the graph edges, so
+        # min(label) over the group is min(own label, neighbor
+        # labels) directly — the prior shape aggregated neighbors
+        # alone and needed a second id-keyed join to fold the node's
+        # own label back in. The self-loop row doubles as the
+        # carrier of the PRE-round label (__old__), making the
+        # fixpoint check a shuffle-free filter-count over the
+        # checkpointed round output instead of an old-vs-new join.
+        withself = sym.union(labels.select(
+            F.col("id").alias("src"), F.col("id").alias("dst")))
+        stepped = (withself.join(labels, withself.dst == labels.id)
+                   .groupBy("src")
+                   .agg(F.min("label").alias("label"),
+                        F.min(F.when(F.col("dst") == F.col("src"),
+                                     F.col("label"))).alias("__old__"))
+                   .select(F.col("src").alias("id"), "label",
+                           "__old__"))
         # pointer doubling: label <- min(label, label(label))
         lbl2 = stepped.select(F.col("id").alias("lid"),
                               F.col("label").alias("llabel"))
+        # LAZY checkpoint: the fixpoint count below scans every
+        # partition, so it both materializes the checkpoint and
+        # computes `changed` in a single job (an eager checkpoint
+        # would run its own materialization job first)
         jumped = (stepped.join(lbl2, stepped.label == lbl2.lid, "left")
-                  .select(F.col("id"),
+                  .select(F.col("id"), F.col("__old__"),
                           F.least(F.col("label"),
                                   F.coalesce(F.col("llabel"),
                                              F.col("label")))
                           .alias("label"))
-                  .localCheckpoint())
-        changed = (jumped.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label"))
+                  .localCheckpoint(eager=False))
+        changed = (jumped
+                   .where(F.col("label") != F.col("__old__"))
                    .count())
-        labels = jumped
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     else:
