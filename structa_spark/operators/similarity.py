@@ -239,7 +239,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
                vec_col: str = "embedding",
-               out_col: str = "list_id") -> DataFrame:
+               out_col: str = "list_id",
+               score_col: str = None) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product —
     use normalized centroids for cosine). Centroid count is small
     (sqrt(n) typical), so the argmin is an unrolled expression —
@@ -264,20 +265,27 @@ def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
     from pyspark.sql import types as T
 
     cents = [[float(x) for x in c] for c in centroids]
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField(out_col, T.IntegerType(), False)])
+    fields = (list(df.schema.fields)
+              + [T.StructField(out_col, T.IntegerType(), False)])
+    if score_col is not None:
+        # the winning dot product falls out of the same score matrix
+        # (bit-identical to the dot() fold via seq_dot_rows), so
+        # callers that need member-centroid similarity skip a second
+        # interpreted per-row fold over the assignment
+        fields.append(T.StructField(score_col, T.DoubleType(), True))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         for pdf in batches:
             n = len(pdf)
             best = np.zeros(n, dtype=np.int32)
+            scores = np.full((n, len(cents) or 1), -np.inf)
+            scored = np.zeros((n, len(cents) or 1), dtype=bool)
             if n and cents:
                 embs = pdf[vec_col]
                 arrs = [None if e is None else
                         np.asarray(e, dtype=np.float64)
                         for e in embs]
-                scores = np.full((n, len(cents)), -np.inf)
                 for j, c in enumerate(cents):
                     d = len(c)
                     idx = [i for i, a in enumerate(arrs)
@@ -285,9 +293,23 @@ def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
                     if idx:
                         x = np.stack([arrs[i] for i in idx])
                         scores[idx, j] = seq_dot_rows(x, c)
+                        scored[idx, j] = True
                 best = np.argmax(scores, axis=1).astype(np.int32)
             out = pdf.copy()
             out[out_col] = best
+            if score_col is not None:
+                rows = np.arange(n)
+                won = scores[rows, best] if n else \
+                    np.zeros(0, dtype=np.float64)
+                ok = scored[rows, best] if n else \
+                    np.zeros(0, dtype=bool)
+                # a NULL/length-mismatched vector never scored: its
+                # similarity is NULL (what the expression fold
+                # returned), never the -inf sentinel; NaN/inf from
+                # pathological but PRESENT vectors pass through
+                out[score_col] = pd.array(
+                    [float(s) if k else None
+                     for s, k in zip(won, ok)], dtype="Float64")
             yield out
 
     return df.mapInPandas(assign, out_schema)

@@ -3384,56 +3384,93 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
     labels = df.select(
         F.col(id_col),
         F.col(label_col).cast("double").alias("__y__"))
+    sfx = F.sort_array(F.collect_list(
+        F.struct(F.col("bucket"), F.col("x"))))
+    # the cache holds the bucket ids and lift values as PRIMITIVE
+    # arrays (bucket-sorted, parallel) so each step's Arrow pass
+    # reads two contiguous buffers instead of a list-of-structs
     feats = (_hashed_lift_features(df, n_buckets, id_col, text_col)
              .groupBy(id_col)
-             .agg(F.sort_array(F.collect_list(
-                 F.struct(F.col("bucket"), F.col("x"))))
-                 .alias("__fx__"))
+             .agg(sfx.alias("__s__"))
+             .select(
+                 F.col(id_col),
+                 F.transform("__s__", lambda s: s["bucket"])
+                 .alias("__fb__"),
+                 F.transform("__s__", lambda s: s["x"])
+                 .alias("__fxv__"))
              .join(labels, id_col)
+             .select("__fb__", "__fxv__", "__y__")
              .persist(StorageLevel.MEMORY_AND_DISK))
     n = feats.count()
     if n == 0:
         feats.unpersist()
         raise ValueError("logistic_quality_train: no labeled "
                          "documents with tokens")
+
+    import numpy as np
+    import pandas as pd
+
+    def _r6v(v):
+        # vectorized half-away-from-zero 6-dp round — the same three
+        # IEEE ops as _round6 / Spark ROUND, elementwise
+        return np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
+
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(iters):
-        # ONE array Literal, not CreateArray of 256 Literal nodes:
-        # the per-step driver cost was dominated by Catalyst
-        # re-analyzing a ~1000-node literal tree duplicated across
-        # the gradient and bias branches (~0.5-2 s per step measured
-        # against 0.18 s of actual execution)
-        warr = F.lit([float(wi) for wi in w])
-        # per-element term expression identical to the row form:
-        # round(w[bucket+1] * x, 6); the fold visits buckets in
-        # sorted order (the 6-dp-rounded terms make the sum
-        # association-safe across engines, the standing oracle
-        # argument)
-        m = F.round(F.aggregate(
-            F.col("__fx__"), F.lit(0.0),
-            lambda acc, s: acc + F.round(
-                F.element_at(warr, s["bucket"] + 1) * s["x"], 6)), 6)
-        p = F.round(F.lit(1.0) / (F.lit(1.0)
-                                  + F.exp(-(m + F.lit(b)))), 6)
-        resid = feats.select(F.col("__fx__"),
-                             (p - F.col("__y__")).alias("__r__"))
-        ex = resid.select(
-            "__r__", F.explode("__fx__").alias("__s__"))
-        g = (ex.groupBy(F.col("__s__.bucket").alias("bucket"))
-             .agg(F.round(F.sum(F.round(F.col("__r__")
-                                        * F.col("__s__.x"), 6))
-                          / n, 6).alias("g")))
-        # ONE action per step: the bias gradient (its expression
-        # unchanged — raw residual sum, no per-term rounding) rides
-        # along as pseudo-bucket -1 via a 1-row union instead of a
-        # second collect; the <= n_buckets + 1-row collect stays the
-        # only driver transfer
-        bias_g = resid.groupBy().agg(
-            F.round(F.sum("__r__") / n, 6).alias("g")).select(
-            F.lit(-1).alias("bucket"), "g")
-        rows = {r["bucket"]: r["g"]
-                for r in g.unionByName(bias_g).collect()}
+        # ONE Arrow pass per step (optimization guide §4.2): margin,
+        # sigmoid, residual and the per-bucket gradient PARTIALS all
+        # evaluate vectorized per batch; only (n_buckets + 1) partial
+        # rows per batch reach the final bucket-keyed aggregation,
+        # and the step's single action collects <= n_buckets + 1
+        # rows. Every rounded quantity replays the identical ladder
+        # (per-term round -> margin round -> sigmoid round); the
+        # sums are sums of 6-dp-grid terms, which round identically
+        # under ANY association order — the property the DuckDB
+        # oracle (which aggregates in its own order) already relies
+        # on. The prior shape paid an interpreted CodegenFallback
+        # fold per document for the margin plus a full explode of
+        # the feature rows per step.
+        wv = np.array(w, dtype=np.float64)
+        bias = float(b)
+
+        def partials(batches, wv=wv, bias=bias):
+            for pdf in batches:
+                nb = len(pdf)
+                if not nb:
+                    continue
+                bl = pdf["__fb__"]
+                xl = pdf["__fxv__"]
+                y = pdf["__y__"].to_numpy(dtype=np.float64)
+                lens = np.fromiter((len(a) for a in bl), dtype=np.int64,
+                                   count=nb)
+                flatb = (np.concatenate(list(bl)) if lens.sum()
+                         else np.zeros(0, dtype=np.int64)).astype(np.int64)
+                flatx = (np.concatenate(list(xl)) if lens.sum()
+                         else np.zeros(0, dtype=np.float64)).astype(np.float64)
+                terms = _r6v(wv[flatb] * flatx)
+                offs = np.zeros(nb, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                msum = np.add.reduceat(terms, offs) if len(terms) \
+                    else np.zeros(nb)
+                msum = np.where(lens > 0, msum, 0.0)
+                m = _r6v(msum)
+                p = _r6v(1.0 / (1.0 + np.exp(-(m + bias))))
+                r = p - y
+                rterms = _r6v(np.repeat(r, lens) * flatx)
+                g = np.bincount(flatb, weights=rterms,
+                                minlength=n_buckets)
+                yield pd.DataFrame({
+                    "bucket": np.concatenate(
+                        [np.arange(n_buckets, dtype=np.int64),
+                         np.array([-1], dtype=np.int64)]),
+                    "gs": np.concatenate([g, [float(r.sum())]]),
+                })
+
+        g = (feats.mapInPandas(partials, "bucket long, gs double")
+             .groupBy("bucket")
+             .agg(F.round(F.sum("gs") / n, 6).alias("g")))
+        rows = {r["bucket"]: r["g"] for r in g.collect()}
         bg = rows.pop(-1, 0.0)
         w = [_round6(wi - lr * rows.get(bi, 0.0))
              for bi, wi in enumerate(w)]

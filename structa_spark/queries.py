@@ -10137,21 +10137,16 @@ def kmeans_cluster_profile(spark: SparkSession,
              e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
     cents = similarity.kmeans_refine(e, seeds, dim=64,
                                      iters=KMEANS_ITERS)
-    assigned = similarity.ivf_assign(e, cents, out_col="cluster_id")
+    # member-centroid dot: the winning score falls out of the SAME
+    # Arrow assignment pass (bit-identical to the dot() fold), so no
+    # second per-row dot evaluation over the corpus
+    assigned = similarity.ivf_assign(e, cents, out_col="cluster_id",
+                                     score_col="__dot")
     cdf = spark.createDataFrame(
         [(i, c[0], c[21], c[42], c[63]) for i, c in enumerate(cents)],
         "cluster_id int, c0 double, c21 double, c42 double, "
         "c63 double")
-    # member-centroid dot: unrolled per-centroid expression chosen by
-    # the assignment id (k is small), then one aggregation
-    dot_expr = F.lit(None).cast("double")
-    for i, c in enumerate(cents):
-        dot_expr = F.when(
-            F.col("cluster_id") == i,
-            similarity.dot(F.col("embedding"),
-                           F.lit([float(x) for x in c]))
-        ).otherwise(dot_expr)
-    agg = (assigned.withColumn("__dot", dot_expr)
+    agg = (assigned
            .groupBy("cluster_id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
                 F.round(F.avg("__dot"), 4).alias("avg_dot")))
