@@ -11,6 +11,7 @@ is unaffected.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,88 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Scale-adaptive read parallelism.
+#
+# A parquet file is only as parallel as its ROW GROUPS: Spark splits a
+# file into byte ranges, but every row group is read whole by the one
+# split holding its midpoint, so a single-row-group file scans as ONE
+# task no matter how many cores the session has. The testdata tables
+# are exactly that shape (one row group each), which serializes every
+# query's scan -> project -> partial-aggregate / mapInPandas segment
+# on one core while the other N-1 idle.
+#
+# The remedy is the standard one for unsplittable inputs (optimization
+# guide §2.5 "input skew": "one huge unsplittable file ... repartition
+# immediately after the read"): one cheap id-keyed exchange of the
+# base rows right after the scan, AND ONLY when the footer proves the
+# scan cannot reach the session's parallelism by itself. The gate is
+# derived from the file's own metadata (row-group count vs
+# defaultParallelism, row count vs a rows-per-task floor), never from
+# a constant tuned to this box: a production dataset made of many
+# files / row groups fails the `n_row_groups < defaultParallelism`
+# test and is returned untouched, so nothing is ever re-shuffled at
+# 100 TB, while a toy single-row-group file is spread across however
+# many cores the current session actually has. Filters and column
+# pruning push through Repartition (PushPredicateThroughNonJoin /
+# ColumnPruning both handle RepartitionOperation), so pushdown
+# semantics at the scan are unchanged — verified by the plan audit.
+#
+# WHICH tables may spread is a floating-point determinism question,
+# not a performance one. Every oracle-gated aggregate over the
+# corpus/embedding pipelines rounds its terms onto a 6-dp grid BEFORE
+# summing (the repo-wide replay discipline), so their sums agree with
+# the DuckDB oracle under ANY partitioning / partial-merge order. The
+# relational fact tables (lineitem / orders / events / ...) are
+# different: queries like q1 or daily_event_drift sum RAW doubles and
+# round once at the end, and those sums were only ever bit-identical
+# to the oracle because a single-task scan added values in file order
+# on both engines. Splitting them would make the final merge order
+# nondeterministic and let `round()` flip on decimal midpoints
+# (observed: daily_event_drift's round(avg(value), 4) at sf0.001).
+# So only the grid-disciplined tables spread, and they spread BY ID:
+# hash partitioning keeps every per-document / per-vector group in
+# one map partition, so per-id aggregations still produce exactly one
+# deterministic partial each.
+_SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+_SPREAD_MIN_ROWS = 256  # below this a single scan task is trivially cheap
+
+_FOOTER_CACHE: dict = {}
+
+
+def _parquet_footer(path: str):
+    """(num_rows, num_row_groups) from the local parquet footer,
+    cached per path; (None, None) when unreadable (directory
+    datasets, object stores) — the spread gate then stays off."""
+    if path not in _FOOTER_CACHE:
+        stats = (None, None)
+        try:
+            if os.path.isfile(path):
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(path).metadata
+                stats = (md.num_rows, md.num_row_groups)
+        except Exception:
+            pass
+        _FOOTER_CACHE[path] = stats
+    return _FOOTER_CACHE[path]
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str,
+            name: str) -> DataFrame:
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return df
+    rows, rgs = _parquet_footer(path)
+    if rows is None or rows < _SPREAD_MIN_ROWS:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if rgs >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name in _NANOS_TS:
@@ -70,8 +153,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # lands a microsecond off DuckDB's truncation
                 df = df.withColumn(
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        return _normalize_ts(df)
-    return _normalize_ts(spark.read.parquet(path))
+        return _spread(spark, _normalize_ts(df), path, name)
+    return _spread(spark, _normalize_ts(spark.read.parquet(path)),
+                   path, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:
