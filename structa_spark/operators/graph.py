@@ -47,10 +47,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     each iteration is one src-keyed join (contributions), one
     dst-keyed aggregation, and one left join back onto the node set:
     shuffles bounded by the node/edge relation, never the corpus
-    that derived it. For many iterations on a big graph, pass
-    ``checkpoint_every`` to truncate lineage with localCheckpoint
-    every k rounds (the :func:`~.dedup.connected_components`
-    discipline); the default keeps the plan fully lazy.
+    that derived it. The rank vector localCheckpoints (lazily) every
+    round — each iteration reads it twice, so an unpinned plan
+    doubles per iteration; ``checkpoint_every`` remains for callers
+    that want an EAGER cut every k rounds on very deep iteration
+    counts (the :func:`~.dedup.connected_components` discipline).
     """
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col(src) != F.col(dst))
@@ -88,7 +89,17 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                  + F.lit(damping)
                  * (F.coalesce(F.col("__c"), F.lit(0.0))
                     + F.col("__dm") / F.col("__n")),
-                 round_to).alias("rank")))
+                 round_to).alias("rank"))
+             # each iteration reads the previous rank vector TWICE
+             # (dangling mass + contributions); without a barrier the
+             # logical plan doubles per iteration — 2^iters copies of
+             # iteration 1 that the analyzer re-optimizes and the
+             # executor re-runs wherever pruning can't collapse them.
+             # The lazy checkpoint pins the node-sized vector once per
+             # round, keeping plan size and executed work linear in
+             # `iters` (optimization guide §3.3: materialise
+             # intermediates to truncate very large plans).
+             .localCheckpoint(eager=False))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             r = r.localCheckpoint(eager=False)
     return r
@@ -151,7 +162,15 @@ def hits(edges: DataFrame, iters: int = 3, src: str = "src",
              .join(F.broadcast(a_sum))
              .select("v", F.round(
                  F.coalesce(F.col("__a"), F.lit(0.0))
-                 / F.col("__as"), round_to).alias("authority")))
+                 / F.col("__as"), round_to).alias("authority"))
+             # every half-iteration reads its input vector twice (the
+             # contribution join + the L1 total), so the unchecked
+             # plan QUADRUPLES per iteration — 4^iters copies of the
+             # first contribution join to analyze and, where pruning
+             # can't collapse them, to execute. Pinning each node-
+             # sized vector with a lazy checkpoint keeps plan size
+             # and executed work linear in `iters` (guide §3.3).
+             .localCheckpoint(eager=False))
         h_raw = (e.join(a, e["t"] == a["v"])
                  .groupBy("s")
                  .agg(F.sum("authority").alias("__h")))
@@ -160,7 +179,8 @@ def hits(edges: DataFrame, iters: int = 3, src: str = "src",
              .join(F.broadcast(h_sum))
              .select("v", F.round(
                  F.coalesce(F.col("__h"), F.lit(0.0))
-                 / F.col("__hs"), round_to).alias("hub")))
+                 / F.col("__hs"), round_to).alias("hub"))
+             .localCheckpoint(eager=False))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             a = a.localCheckpoint(eager=False)
             h = h.localCheckpoint(eager=False)

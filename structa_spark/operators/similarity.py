@@ -27,7 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._cache import evict_then_cache, register_cell
 from .dedup import ensure_parallelism
+
+# one-deep cell for the k-means working set: every Lloyd's iteration
+# re-reads the same vector projection (assignment pass + centroid
+# averages), and without a persist each of the 2*iters+1 jobs re-runs
+# the scan + id-keyed spread that produced it (the tf-cache pattern
+# from operators/text.py)
+_KMEANS_INPUT_CACHE = register_cell("kmeans_input")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -42,6 +50,29 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(
         a, F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _score_matrix(arrs, cents):
+    """Per-row dot-product scores against every centroid, with the
+    expression fold's exact semantics: a NULL or length-mismatched
+    vector never scores against that centroid (-inf sentinel, scored
+    mask False), present vectors accumulate in the fold's sequential
+    per-element order (:func:`seq_dot_rows` — bit-identical). Shared
+    by :func:`ivf_assign` and the fused k-means iteration pass."""
+    import numpy as np
+
+    n = len(arrs)
+    scores = np.full((n, len(cents) or 1), -np.inf)
+    scored = np.zeros((n, len(cents) or 1), dtype=bool)
+    for j, c in enumerate(cents):
+        d = len(c)
+        idx = [i for i, a in enumerate(arrs)
+               if a is not None and a.shape[0] == d]
+        if idx:
+            x = np.stack([arrs[i] for i in idx])
+            scores[idx, j] = seq_dot_rows(x, c)
+            scored[idx, j] = True
+    return scores, scored
 
 
 def seq_dot_rows(x: "object", c: Sequence[float]) -> "object":
@@ -282,18 +313,10 @@ def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]],
             scores = np.full((n, len(cents) or 1), -np.inf)
             scored = np.zeros((n, len(cents) or 1), dtype=bool)
             if n and cents:
-                embs = pdf[vec_col]
                 arrs = [None if e is None else
                         np.asarray(e, dtype=np.float64)
-                        for e in embs]
-                for j, c in enumerate(cents):
-                    d = len(c)
-                    idx = [i for i, a in enumerate(arrs)
-                           if a is not None and a.shape[0] == d]
-                    if idx:
-                        x = np.stack([arrs[i] for i in idx])
-                        scores[idx, j] = seq_dot_rows(x, c)
-                        scored[idx, j] = True
+                        for e in pdf[vec_col]]
+                scores, scored = _score_matrix(arrs, cents)
                 best = np.argmax(scores, axis=1).astype(np.int32)
             out = pdf.copy()
             out[out_col] = best
@@ -646,14 +669,95 @@ def kmeans_refine(df: DataFrame, centroids: Sequence[Sequence[float]],
         return math.floor(x * s + 0.5) / s
 
     cur = [[float(x) for x in c] for c in centroids]
+    # every iteration reads the SAME vector projection twice (assign
+    # + per-cluster averages); persist it once through the shared
+    # one-deep cell so the 2*iters jobs read the in-memory columnar
+    # relation instead of re-running the scan + spread each time.
+    # Projecting to just the vector column first shrinks what is
+    # cached and read (guide §2.3: project before heavy reuse). The
+    # iteration source then folds to a rows-per-task floor: each
+    # round's per-vector work is one short dot-product row, so tiny
+    # cached partitions pay more in task launches than in math —
+    # coalesce cannot RAISE a partition count, so at real scale
+    # (many full partitions) this is a no-op. Averages round to
+    # `round_to` decimals after the division, which is what already
+    # makes them stable across summation orders (docstring above).
+    src = evict_then_cache(_KMEANS_INPUT_CACHE, df.select(vec_col))
+    n_rows = src.count()
+    src = src.coalesce(max(1, min(src.rdd.getNumPartitions(),
+                                  (n_rows + 2047) // 2048)))
+
+    # Each iteration is ONE fused Arrow pass (guide §4.2): assignment
+    # (the exact _score_matrix/argmax semantics of ivf_assign) and
+    # the per-cluster per-dimension partial sums/counts compute in
+    # the same batch, and only k x dim partial rows per batch reach a
+    # constant-size (4-column) aggregation. The prior shape ran
+    # ivf_assign THEN a dim-wide avg aggregation whose 64
+    # try_element_at averages cost ~0.5 s of Catalyst analysis per
+    # iteration — more than the data work. Semantics preserved from
+    # group_centroids: a vector contributes to the dimensions it has
+    # (per-dimension counts), clusters with no members emit no rows
+    # and keep their previous centroid, and the mean rounds half-up
+    # AFTER the division — the property that already makes it stable
+    # across summation orders.
+    import numpy as np
+    import pandas as pd
+
+    k = len(cur)
+
+    def _iter_partials(cents):
+        def f(batches):
+            for pdf in batches:
+                arrs = [None if e is None else
+                        np.asarray(e, dtype=np.float64)
+                        for e in pdf[vec_col]]
+                if not arrs or not cents:
+                    continue
+                scores, _ = _score_matrix(arrs, cents)
+                best = np.argmax(scores, axis=1)
+                sums = np.zeros((k, dim))
+                cnts = np.zeros((k, dim), dtype=np.int64)
+                seen = np.zeros(k, dtype=bool)
+                for i, a in enumerate(arrs):
+                    j = int(best[i])
+                    seen[j] = True
+                    if a is None:
+                        continue
+                    d = min(a.shape[0], dim)
+                    if d:
+                        sums[j, :d] += a[:d]
+                        cnts[j, :d] += 1
+                ks = np.repeat(np.arange(k), dim)[np.repeat(seen, dim)]
+                ps = np.tile(np.arange(dim), k)[np.repeat(seen, dim)]
+                yield pd.DataFrame({
+                    "__k__": ks.astype(np.int32),
+                    "__p__": ps.astype(np.int32),
+                    "__s__": sums[seen].ravel(),
+                    "__c__": cnts[seen].ravel(),
+                })
+        return f
+
     for _ in range(iters):
-        assigned = ivf_assign(df, cur, vec_col, out_col="__k__")
-        rows = group_centroids(assigned, dim, "__k__", vec_col) \
-            .collect()
-        nxt = [list(c) for c in cur]
+        part = src.mapInPandas(
+            _iter_partials([list(c) for c in cur]),
+            "__k__ int, __p__ int, __s__ double, __c__ long")
+        rows = (part.groupBy("__k__", "__p__")
+                .agg(F.sum("__s__").alias("s"),
+                     F.sum("__c__").alias("c"))
+                .collect())
+        by_k: dict = {}
         for r in rows:
-            nxt[r["__k__"]] = [_round_half_up(float(x), round_to)
-                               for x in r["centroid"]]
+            by_k.setdefault(r["__k__"], {})[r["__p__"]] = \
+                (r["s"], r["c"])
+        nxt = [list(c) for c in cur]
+        for kid, dims in by_k.items():
+            nxt[kid] = [
+                _round_half_up(float(dims[t][0] / dims[t][1]),
+                               round_to)
+                if dims.get(t, (0.0, 0))[1]
+                else float(None)        # NULL dimension: same
+                                        # TypeError the avg path threw
+                for t in range(dim)]
         cur = nxt
     return cur
 

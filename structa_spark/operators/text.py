@@ -3406,6 +3406,19 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
         feats.unpersist()
         raise ValueError("logistic_quality_train: no labeled "
                          "documents with tokens")
+    # The training loop launches one scan of this cache per gradient
+    # step; a step's per-document work is a few hundred float ops, so
+    # on a small corpus the cache's inherited partition count (the
+    # session's parallelism) leaves every step paying ~partitions
+    # task launches for microseconds of math each. Fold the cached
+    # rows to a rows-per-task floor — a no-op whenever the cache is
+    # already at or below that many partitions (any real scale, where
+    # coalesce cannot raise the count and per-partition work is
+    # real). Partial-merge order changes are immaterial here: every
+    # summed term is on the 6-dp grid (the oracle-replay property the
+    # step already relies on).
+    step_src = feats.coalesce(max(1, min(
+        feats.rdd.getNumPartitions(), (n + 2047) // 2048)))
 
     import numpy as np
     import pandas as pd
@@ -3467,7 +3480,7 @@ def logistic_quality_train(df: DataFrame, label_col: str = "label",
                     "gs": np.concatenate([g, [float(r.sum())]]),
                 })
 
-        g = (feats.mapInPandas(partials, "bucket long, gs double")
+        g = (step_src.mapInPandas(partials, "bucket long, gs double")
              .groupBy("bucket")
              .agg(F.round(F.sum("gs") / n, 6).alias("g")))
         rows = {r["bucket"]: r["g"] for r in g.collect()}

@@ -10139,8 +10139,12 @@ def kmeans_cluster_profile(spark: SparkSession,
                                      iters=KMEANS_ITERS)
     # member-centroid dot: the winning score falls out of the SAME
     # Arrow assignment pass (bit-identical to the dot() fold), so no
-    # second per-row dot evaluation over the corpus
-    assigned = similarity.ivf_assign(e, cents, out_col="cluster_id",
+    # second per-row dot evaluation over the corpus. The input is the
+    # identical vector projection kmeans_refine just persisted
+    # (operators/similarity.py one-deep cell), so this final pass
+    # reads the in-memory relation instead of a fourth scan + spread.
+    assigned = similarity.ivf_assign(e.select("embedding"), cents,
+                                     out_col="cluster_id",
                                      score_col="__dot")
     cdf = spark.createDataFrame(
         [(i, c[0], c[21], c[42], c[63]) for i, c in enumerate(cents)],
