@@ -44,12 +44,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
 
     Scale shape: the plan never touches the driver — N and the
     dangling mass are 1-row broadcast relations, not collects — and
-    each iteration is one src-keyed join (contributions), one
-    dst-keyed aggregation, and one left join back onto the node set:
-    shuffles bounded by the node/edge relation, never the corpus
-    that derived it. The rank vector localCheckpoints (lazily) every
-    round — each iteration reads it twice, so an unpinned plan
-    doubles per iteration; ``checkpoint_every`` remains for callers
+    each iteration is ONE join + ONE aggregation over a static
+    augmented edge relation (contribution rows carrying the
+    out-degree, zero-weight self rows standing in for the node set,
+    dangling sentinel rows feeding the redistribution term): shuffles
+    bounded by the node/edge relation, never the corpus that derived
+    it. The round's aggregated output (its only twice-read relation)
+    localCheckpoints lazily, keeping plan size and executed work
+    linear in ``iters``; ``checkpoint_every`` remains for callers
     that want an EAGER cut every k rounds on very deep iteration
     counts (the :func:`~.dedup.connected_components` discipline).
     """
@@ -70,36 +72,57 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
 
+    # One static augmented edge relation makes each iteration a
+    # SINGLE join + aggregation (the connected_components round
+    # discipline): contribution rows carry the out-degree so the
+    # per-edge term is rank/d exactly as before; zero-weight SELF
+    # rows guarantee every node owns a group (so the join back onto
+    # the node set is gone — their 0.0 terms are IEEE-exact no-ops
+    # inside the positive contribution sums); DANGLING sentinel rows
+    # (null group) route the dangling nodes' ranks into the same
+    # aggregation, so the dangling mass is a 1-row filter of its
+    # output instead of a second anti-join pass over the rank vector.
+    node_t = dict(e.dtypes)["t"]
+    aug = (e.join(deg, "s")
+           .select(F.col("s").alias("j"), F.col("t").alias("g"),
+                   F.col("d").cast("double").alias("d"))
+           .unionByName(nodes.select(
+               F.col("v").alias("j"), F.col("v").alias("g"),
+               F.lit(None).cast("double").alias("d")))
+           .unionByName(nodes.join(deg, nodes["v"] == deg["s"],
+                                   "left_anti")
+                        .select(F.col("v").alias("j"),
+                                F.lit(None).cast(node_t).alias("g"),
+                                F.lit(0.0).alias("d")))
+           .localCheckpoint(eager=False))
+    term = (F.when(F.col("d").isNull(), F.lit(0.0))          # self
+            .when(F.col("d") == 0.0, F.col("rank"))          # dangling
+            .otherwise(F.col("rank") / F.col("d")))          # contrib
+
     r = (nodes.join(F.broadcast(n_rel))
          .select("v", (F.lit(1.0) / F.col("__n")).alias("rank")))
     for i in range(iters):
-        dang = (r.join(deg, r["v"] == deg["s"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+        # the previous rank vector is read ONCE per iteration (this
+        # join); the aggregated round output is what two consumers
+        # read (dangling row + new ranks), so IT carries the lazy
+        # per-round pin that keeps plan size and executed work linear
+        # in `iters` (optimization guide §3.3: materialise
+        # intermediates to truncate very large plans).
+        agg = (aug.join(r, aug["j"] == r["v"])
+               .groupBy("g")
+               .agg(F.sum(term).alias("__c"))
+               .localCheckpoint(eager=False))
+        dang = (agg.where(F.col("g").isNull())
+                .agg(F.coalesce(F.sum("__c"), F.lit(0.0))
                      .alias("__dm")))
-        contrib = (e.join(r, e["s"] == r["v"])
-                   .join(deg, "s")
-                   .groupBy("t")
-                   .agg(F.sum(F.col("rank") / F.col("d"))
-                        .alias("__c")))
-        r = (nodes.join(contrib, nodes["v"] == contrib["t"], "left")
+        r = (agg.where(F.col("g").isNotNull())
              .join(F.broadcast(n_rel))
              .join(F.broadcast(dang))
-             .select("v", F.round(
+             .select(F.col("g").alias("v"), F.round(
                  F.lit(1.0 - damping) / F.col("__n")
                  + F.lit(damping)
-                 * (F.coalesce(F.col("__c"), F.lit(0.0))
-                    + F.col("__dm") / F.col("__n")),
-                 round_to).alias("rank"))
-             # each iteration reads the previous rank vector TWICE
-             # (dangling mass + contributions); without a barrier the
-             # logical plan doubles per iteration — 2^iters copies of
-             # iteration 1 that the analyzer re-optimizes and the
-             # executor re-runs wherever pruning can't collapse them.
-             # The lazy checkpoint pins the node-sized vector once per
-             # round, keeping plan size and executed work linear in
-             # `iters` (optimization guide §3.3: materialise
-             # intermediates to truncate very large plans).
-             .localCheckpoint(eager=False))
+                 * (F.col("__c") + F.col("__dm") / F.col("__n")),
+                 round_to).alias("rank")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             r = r.localCheckpoint(eager=False)
     return r
@@ -137,11 +160,14 @@ def hits(edges: DataFrame, iters: int = 3, src: str = "src",
     compounding — identical to pagerank's per-iteration round.
 
     Scale shape: the edge relation localCheckpoints once (graph-
-    sized, not corpus-sized) and each half-iteration is one edge-
-    keyed join + one node-keyed aggregation, with the L1 total
-    folding back as a 1-row broadcast — the plan never touches the
-    driver. ``checkpoint_every`` truncates lineage every k rounds
-    for deep iteration counts.
+    sized, not corpus-sized) and each half-iteration is ONE join +
+    ONE aggregation over a static augmented edge relation (weight-1
+    contribution rows, weight-0 self rows standing in for the node
+    set), with the L1 total folding back as a 1-row broadcast — the
+    plan never touches the driver. The half-iteration's aggregated
+    output (its only twice-read relation) localCheckpoints lazily;
+    ``checkpoint_every`` truncates lineage every k rounds for deep
+    iteration counts.
     """
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
          .where(F.col(src) != F.col(dst))
@@ -151,36 +177,53 @@ def hits(edges: DataFrame, iters: int = 3, src: str = "src",
              .union(e.select(F.col("t").alias("v")))
              .distinct()
              .localCheckpoint(eager=False))
+
+    # Two static augmented edge relations (one per update direction)
+    # make each half-iteration a SINGLE join + aggregation, the
+    # :func:`pagerank` / connected_components round discipline:
+    # weight-1 contribution rows reproduce sum(hub) / sum(authority)
+    # term-for-term (x * 1.0 is IEEE-exact), and weight-0 SELF rows
+    # guarantee every node owns a group — their 0.0 terms are exact
+    # no-ops inside the sums, and the join back onto the node set
+    # (which previously re-executed the un-pinned contribution
+    # aggregation a second time for the L1 total) is gone.
+    self_rows = nodes.select(F.col("v").alias("j"),
+                             F.col("v").alias("g"),
+                             F.lit(0.0).alias("w"))
+    aug_a = (e.select(F.col("s").alias("j"), F.col("t").alias("g"),
+                      F.lit(1.0).alias("w"))
+             .unionByName(self_rows)
+             .localCheckpoint(eager=False))
+    aug_h = (e.select(F.col("t").alias("j"), F.col("s").alias("g"),
+                      F.lit(1.0).alias("w"))
+             .unionByName(self_rows)
+             .localCheckpoint(eager=False))
+
     h = nodes.select("v", F.lit(1.0).alias("hub"))
     a = nodes.select("v", F.lit(0.0).alias("authority"))
     for i in range(iters):
-        a_raw = (e.join(h, e["s"] == h["v"])
-                 .groupBy("t")
-                 .agg(F.sum("hub").alias("__a")))
-        a_sum = a_raw.agg(F.sum("__a").alias("__as"))
-        a = (nodes.join(a_raw, nodes["v"] == a_raw["t"], "left")
-             .join(F.broadcast(a_sum))
-             .select("v", F.round(
-                 F.coalesce(F.col("__a"), F.lit(0.0))
-                 / F.col("__as"), round_to).alias("authority"))
-             # every half-iteration reads its input vector twice (the
-             # contribution join + the L1 total), so the unchecked
-             # plan QUADRUPLES per iteration — 4^iters copies of the
-             # first contribution join to analyze and, where pruning
-             # can't collapse them, to execute. Pinning each node-
-             # sized vector with a lazy checkpoint keeps plan size
-             # and executed work linear in `iters` (guide §3.3).
-             .localCheckpoint(eager=False))
-        h_raw = (e.join(a, e["t"] == a["v"])
-                 .groupBy("s")
-                 .agg(F.sum("authority").alias("__h")))
-        h_sum = h_raw.agg(F.sum("__h").alias("__hs"))
-        h = (nodes.join(h_raw, nodes["v"] == h_raw["s"], "left")
-             .join(F.broadcast(h_sum))
-             .select("v", F.round(
-                 F.coalesce(F.col("__h"), F.lit(0.0))
-                 / F.col("__hs"), round_to).alias("hub"))
-             .localCheckpoint(eager=False))
+        # each half-iteration's aggregated output is read twice (L1
+        # total + normalized vector), so IT carries the lazy pin that
+        # keeps plan size and executed work linear in `iters`
+        # (guide §3.3); the input vector itself is read ONCE.
+        a_agg = (aug_a.join(h, aug_a["j"] == h["v"])
+                 .groupBy("g")
+                 .agg(F.sum(F.col("hub") * F.col("w")).alias("__a"))
+                 .localCheckpoint(eager=False))
+        a_sum = a_agg.agg(F.sum("__a").alias("__as"))
+        a = (a_agg.join(F.broadcast(a_sum))
+             .select(F.col("g").alias("v"), F.round(
+                 F.col("__a") / F.col("__as"),
+                 round_to).alias("authority")))
+        h_agg = (aug_h.join(a, aug_h["j"] == a["v"])
+                 .groupBy("g")
+                 .agg(F.sum(F.col("authority") * F.col("w"))
+                      .alias("__h"))
+                 .localCheckpoint(eager=False))
+        h_sum = h_agg.agg(F.sum("__h").alias("__hs"))
+        h = (h_agg.join(F.broadcast(h_sum))
+             .select(F.col("g").alias("v"), F.round(
+                 F.col("__h") / F.col("__hs"), round_to).alias("hub")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             a = a.localCheckpoint(eager=False)
             h = h.localCheckpoint(eager=False)

@@ -127,6 +127,10 @@ def _parquet_footer(path: str):
 
 def _spread(spark: SparkSession, df: DataFrame, path: str,
             name: str) -> DataFrame:
+    # kill switch for A/B measurement and for deployments whose
+    # input layout makes the footer gate moot either way
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
     key = _SPREAD_KEYS.get(name)
     if key is None:
         return df
