@@ -65,8 +65,9 @@ def oracle_sql() -> Dict[str, str]:
             if REGISTRY[name][1] is not None}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 # ===========================================================================
@@ -8383,7 +8384,7 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning that the resample is reproducible across engines, which
     is the property that makes a DSIR-selected corpus rebuildable."""
     from .operators import sampling
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     tgt = d.where(F.col("source") == "src1")
     return (sampling.dsir_resample(d, tgt, k=25, tau=2.0,
                                    n_buckets=1024)
@@ -9489,7 +9490,7 @@ def markdown_extracted_text(spark: SparkSession,
     JVM-side regexp codegen; the oracle predicts the output string
     directly, so any marker, fence, link or collapse bug
     hash-mismatches."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     page = F.concat(
         F.lit("# Title\n\n```\ncode gone\n```\n\n> quoted **"),
         F.col("text"),
@@ -9522,7 +9523,7 @@ def latex_extracted_text(spark: SparkSession,
     JVM-side regexp codegen; the oracle predicts the output string
     directly, so any command, math, environment, escape or collapse
     bug hash-mismatches."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     page = F.concat(
         F.lit("\\documentclass{article}\\begin{document}"
               "\\section{Intro} "),
@@ -9560,7 +9561,7 @@ def pdf_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .sources.pdf import pdf_bytes, pdf_extract_text
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9608,7 +9609,7 @@ def docx_extracted_text(spark: SparkSession,
     import pandas as pd
 
     from .sources.office import docx_bytes, docx_extract_text
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9651,7 +9652,7 @@ def office_extracted_text(spark: SparkSession,
     from .sources.office import (
         docx_bytes, odt_bytes, office_extract_text,
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9698,7 +9699,7 @@ def epub_extracted_text(spark: SparkSession,
     import pandas as pd
 
     from .sources.office import epub_bytes, epub_extract_text
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9742,7 +9743,7 @@ def pptx_extracted_text(spark: SparkSession,
     import pandas as pd
 
     from .sources.office import pptx_bytes, pptx_extract_text
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9782,7 +9783,7 @@ def xlsx_extracted_text(spark: SparkSession,
     import pandas as pd
 
     from .sources.office import xlsx_bytes, xlsx_extract_text
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def build(it):
         for pdf in it:
@@ -9829,7 +9830,7 @@ def pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .sources.pdf import pdf_bytes, pdf_metadata as pdf_meta
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def build(it):
         for pdf in it:

@@ -126,10 +126,19 @@ def _parquet_footer(path: str):
 
 
 def _spread(spark: SparkSession, df: DataFrame, path: str,
-            name: str) -> DataFrame:
-    # kill switch for A/B measurement and for deployments whose
-    # input layout makes the footer gate moot either way
-    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+            name: str, spread: bool) -> DataFrame:
+    # CONSUMER opt-in (measured in optimization round 11): the
+    # exchange pays off only when the downstream per-row work is
+    # heavy (codec inflate/parse, many-hash shingling) — for cheap
+    # scans, and especially for driver-loop shapes that re-execute
+    # the base relation per round, the extra exchange + 32-task
+    # stages COST more than the parallelism buys (same-session A/B:
+    # unigram vocab trainer 2.4x slower spread, epub codec 2x faster
+    # spread). The per-row cost varies ~1000x across consumers, so no
+    # table-level rows-per-task floor can decide this; the call site
+    # that knows the work opts in. The env var remains a global kill
+    # switch for deployments whose layout makes the gate moot.
+    if not spread or os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
         return df
     key = _SPREAD_KEYS.get(name)
     if key is None:
@@ -143,7 +152,8 @@ def _spread(spark: SparkSession, df: DataFrame, path: str,
     return df.repartition(par, F.col(key))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name in _NANOS_TS:
         with _nanos_as_long(spark):
@@ -157,9 +167,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # lands a microsecond off DuckDB's truncation
                 df = df.withColumn(
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        return _spread(spark, _normalize_ts(df), path, name)
+        return _spread(spark, _normalize_ts(df), path, name, spread)
     return _spread(spark, _normalize_ts(spark.read.parquet(path)),
-                   path, name)
+                   path, name, spread)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:
