@@ -1007,7 +1007,22 @@ def _prepare_input(df: DataFrame, cfg: AnalyzerConfig):
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        # hash-repartition on a deterministic all-column key instead
+        # of round-robin: a keyless repartition(n) first LOCALLY
+        # SORTS its input so retried tasks reproduce the same row
+        # placement (spark.sql.execution.sortBeforeRepartition,
+        # optimization guide §2.5) — on the one scan task holding a
+        # single-row-group file that is a full sort of every row
+        # before the exchange (~1s of the profile at sf0.1). Hash
+        # placement is deterministic per ROW VALUE, so it needs no
+        # such sort, and the rendered profile is partition-order
+        # independent (verified identical at sf0.01/0.1 over
+        # lineitem/documents/events).
+        try:
+            df = df.repartition(
+                par, F.xxhash64(*[F.col(c) for c in df.columns]))
+        except Exception:  # un-hashable column type: keep round-robin
+            df = df.repartition(par)
     df = df.persist()
     # materialize eagerly: the phase-A jobs launch concurrently, and
     # several jobs racing an unmaterialized cache each recompute the
