@@ -842,46 +842,64 @@ def _chunked(seq: List, n: int):
         yield seq[i:i + n]
 
 
-def _phase_a_jobs(leaves: List[_Leaf], length_leaves: List[_Leaf],
-                  cfg: AnalyzerConfig) -> List[List[Column]]:
-    """Phase A as a list of bounded-width agg jobs: whole-stage-
+def _phase_a_job_builders(leaves: List[_Leaf],
+                          length_leaves: List[_Leaf],
+                          cfg: AnalyzerConfig):
+    """Phase A as a list of DEFERRED agg-job builders: whole-stage-
     codegen jobs (counts/min/max/lengths) and ObjectHashAggregate
     jobs (HLL distincts, GK quartiles) are kept separate so one
     ImperativeAggregate never forces the scalar aggregates out of
     codegen; each job covers <= _CHUNK_LEAVES leaves so no generated
-    class is ever huge. The caller decides scheduling (sequential or
-    a bounded worker pool)."""
-    jobs: List[List[Column]] = []
-    first = [F.count(F.lit(1)).alias("__rows__")]
+    class is ever huge.
+
+    Each entry is a zero-arg callable returning the job's Column
+    list. Building a Column tree is driver-side py4j chatter (one
+    JVM round trip per functions call — ~0.6 s serialized for a
+    16-column profile, measured in round 11), so the EXPENSIVE part
+    is deferred: the concurrent caller runs each builder inside its
+    pool task, overlapping expression construction across workers
+    and with already-running jobs instead of paying it up front on
+    the submitting thread (guide §7.3: driver planning time is real
+    time). The chunk layout itself is pure Python and stays eager so
+    callers know the job count without building anything."""
+    specs = []
     for chunk in _chunked(leaves, _CHUNK_LEAVES):
-        exprs: List[Column] = []
-        for leaf in chunk:
-            exprs.extend(_agg_exprs(leaf, cfg))
-        jobs.append(exprs)
+        specs.append((_agg_exprs, chunk))
     for chunk in _chunked(length_leaves, _CHUNK_LEAVES):
-        exprs = []
-        for leaf in chunk:
-            exprs.extend(_length_agg_exprs(leaf, cfg))
-        jobs.append(exprs)
+        specs.append((_length_agg_exprs, chunk))
     str_leaves = [lf for lf in leaves
                   if isinstance(lf.dtype, T.StringType)]
     for chunk in _chunked(str_leaves, _CHUNK_LEAVES):
-        exprs = []
-        for leaf in chunk:
-            exprs.extend(_string_minmax_exprs(leaf, cfg))
-        if exprs:
-            jobs.append(exprs)
+        specs.append((_string_minmax_exprs, chunk))
     for chunk in _chunked(leaves, _CHUNK_LEAVES):
-        exprs = []
-        for leaf in chunk:
-            exprs.extend(_sketch_agg_exprs(leaf, cfg))
-        if exprs:
-            jobs.append(exprs)
-    if jobs:
-        jobs[0] = first + jobs[0]
-    else:
-        jobs = [first]
-    return jobs
+        # every leaf yields at least one sketch expr (the distinct
+        # count), one string min/max per string leaf, etc. — chunks
+        # are built over exactly the leaves that produce exprs, so
+        # no builder ever returns an empty job
+        specs.append((_sketch_agg_exprs, chunk))
+
+    def _make(fn, chunk, with_rows):
+        def build() -> List[Column]:
+            exprs: List[Column] = (
+                [F.count(F.lit(1)).alias("__rows__")]
+                if with_rows else [])
+            for leaf in chunk:
+                exprs.extend(fn(leaf, cfg))
+            return exprs
+        return build
+
+    if not specs:
+        return [_make(lambda leaf, cfg: [], [], True)]
+    return [_make(fn, chunk, i == 0)
+            for i, (fn, chunk) in enumerate(specs)]
+
+
+def _phase_a_jobs(leaves: List[_Leaf], length_leaves: List[_Leaf],
+                  cfg: AnalyzerConfig) -> List[List[Column]]:
+    """Eager form of :func:`_phase_a_job_builders` for the
+    sequential single-context paths."""
+    return [build() for build in
+            _phase_a_job_builders(leaves, length_leaves, cfg)]
 
 
 def _phase_a_row(df: DataFrame, leaves: List[_Leaf],
@@ -1090,18 +1108,23 @@ def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
                   for c in contexts), default=0)
     n_workers = 2 if (widest > 128 or len(contexts) > 64) else 4
 
-    def _agg_job(d: DataFrame, exprs: List[Column]) -> Dict:
-        return d.agg(*exprs).collect()[0].asDict()
+    def _agg_job(d: DataFrame, build) -> Dict:
+        # the builder runs HERE, inside the pool task: Column
+        # construction is py4j round trips, so deferring it off the
+        # submitting thread overlaps it across workers and with jobs
+        # already executing
+        return d.agg(*build()).collect()[0].asDict()
 
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         a_futs = {}
         remaining: Dict[int, int] = {}
         for ctx in contexts:
-            groups = _phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+            groups = _phase_a_job_builders(
+                ctx.leaves, ctx.length_leaves, cfg)
             remaining[ctx.id] = len(groups)
             rows[ctx.id] = {"__rows__": None}
-            for exprs in groups:
-                a_futs[pool.submit(_agg_job, ctx.df, exprs)] = ctx.id
+            for build in groups:
+                a_futs[pool.submit(_agg_job, ctx.df, build)] = ctx.id
         dep_futs = []
         pending = set(a_futs)
         while pending:
