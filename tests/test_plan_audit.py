@@ -176,6 +176,36 @@ def test_profile_jobs_stay_whole_stage_codegen(spark):
     assert "*(" in plan, "no WholeStageCodegen span:\n" + plan[:1500]
 
 
+def test_phase_a_builders_match_eager_jobs(spark):
+    # round 11 defers the phase-A Column construction into the pool
+    # workers (py4j chatter off the submitting thread); the deferred
+    # builders must reproduce the eager job list EXACTLY — same job
+    # count, same expression strings job-for-job, __rows__ exactly
+    # once and in job 0 — and must build identically from a worker
+    # thread, since that is where they now run
+    from concurrent.futures import ThreadPoolExecutor
+
+    import structa_spark.analyzer as A
+    df = load_table(spark, SF, "lineitem")
+    cfg = A.AnalyzerConfig()
+    contexts, _arrs, _tabs = A._plan(df, cfg)
+    ctx = contexts[0]
+    eager = A._phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+    builders = A._phase_a_job_builders(
+        ctx.leaves, ctx.length_leaves, cfg)
+    assert len(builders) == len(eager)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        built = [f.result()
+                 for f in [pool.submit(b) for b in builders]]
+    eager_strs = [[str(c) for c in job] for job in eager]
+    built_strs = [[str(c) for c in job] for job in built]
+    assert built_strs == eager_strs
+    flat = [s for job in built_strs for s in job]
+    rows_aliases = [s for s in flat if "__rows__" in s]
+    assert len(rows_aliases) == 1
+    assert any("__rows__" in s for s in built_strs[0])
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # write both sides bucketed by the join key: the sort-merge join
     # must read co-located buckets — no Exchange for either side (the
