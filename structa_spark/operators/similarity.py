@@ -94,6 +94,55 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Per-group pairwise-matmul memory bound (optimization guide §5,
+# §2.2): the bucket/cluster verdicts below compute an all-pairs
+# cosine matrix per Arrow group, which is O(B^2) doubles in ONE task
+# for a B-row group — fine for healthy buckets, an executor OOM for
+# a degenerate one (a hot signature or giant cluster at 100 TB).
+# Groups up to _PAIR_SINGLE_BLOCK rows keep today's single full
+# matmul (bit-identical arithmetic, the oracle-verified path); larger
+# groups stream the SAME comparisons in row blocks sized so one
+# block's score matrix never exceeds ~_PAIR_BLOCK_ELEMS doubles
+# (256 MB) — peak memory O(block x B) instead of O(B^2), identical
+# pair semantics.
+_PAIR_SINGLE_BLOCK = 4096
+_PAIR_BLOCK_ELEMS = 1 << 25
+
+
+def _pair_block_rows(n: int) -> int:
+    """Row-block size for a chunked n x n pairwise matmul: the whole
+    matrix while n <= _PAIR_SINGLE_BLOCK (today's exact code path),
+    else blocks bounded to _PAIR_BLOCK_ELEMS score cells."""
+    if n <= _PAIR_SINGLE_BLOCK:
+        return n
+    return max(256, _PAIR_BLOCK_ELEMS // n)
+
+
+def _pairwise_hits(v, nrm, thr):
+    """Row-blocked all-pairs cosine threshold: yields, per block,
+    (ii, jj, c6) — the GLOBAL row indices ``i < j`` whose
+    half-away-from-zero 6-dp-rounded cosine meets ``thr``, plus those
+    rounded values. For n <= _PAIR_SINGLE_BLOCK this is exactly one
+    full ``v @ v.T`` (the oracle-verified arithmetic); larger groups
+    stream the same comparisons in bounded row blocks so one task's
+    score matrix peaks at O(block x n) doubles, never O(n^2). NaN
+    cosines (zero-norm vectors) compare False, matching SQL."""
+    import numpy as np
+
+    n = v.shape[0]
+    cols = np.arange(n)
+    step = _pair_block_rows(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for r0 in range(0, n, step):
+            r1 = min(r0 + step, n)
+            c = (v[r0:r1] @ v.T) / np.outer(nrm[r0:r1], nrm)
+            c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+            hit = ((c6 >= thr)
+                   & (cols[None, :] > np.arange(r0, r1)[:, None]))
+            ii, jj = np.nonzero(hit)
+            yield r0 + ii, jj, c6[ii, jj]
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -599,15 +648,16 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
             v = np.stack([arrs[i] for i in idx])
             with np.errstate(divide="ignore", invalid="ignore"):
                 nrm = np.sqrt((v * v).sum(axis=1))
-                c = (v @ v.T) / np.outer(nrm, nrm)
-            # half-away-from-zero 6-dp round (Spark ROUND); NaN
-            # (zero-norm vectors) compares False as in SQL
-            c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
-            ii, jj = np.nonzero(np.triu(c6 >= thr, k=1))
-            for x, y in zip(ii, jj):
-                out_a.append(ids[idx[x]])
-                out_b.append(ids[idx[y]])
-                out_c.append(c6[x, y])
+            # row-blocked pairwise matmul (_pairwise_hits): one full
+            # matrix for healthy buckets — today's exact arithmetic —
+            # bounded blocks for a degenerate one so peak task memory
+            # is O(block x B), never O(B^2); pair rule unchanged
+            # (i < j within the bucket, 6-dp round before compare)
+            for ii, jj, c6 in _pairwise_hits(v, nrm, thr):
+                for x, y, cv in zip(ii, jj, c6):
+                    out_a.append(ids[idx[x]])
+                    out_b.append(ids[idx[y]])
+                    out_c.append(cv)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b,
                              "cosine": out_c}).astype(
             {"id_a": ids.dtype, "id_b": ids.dtype, "cosine": "float64"})
@@ -875,14 +925,14 @@ def semantic_dedup(df: DataFrame,
             if v.ndim == 2 and v.shape[1] > 0:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     nrm = np.sqrt((v * v).sum(axis=1))
-                    c = (v @ v.T) / np.outer(nrm, nrm)
-                # half-away-from-zero 6-dp round, the _round6 /
-                # Spark ROUND semantics; NaN (zero-norm vectors)
-                # compares False, matching the SQL predicate
-                c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
-                hit = c6 >= threshold
-                # rows are sorted by id: pair (i < j) drops j
-                dropped = np.triu(hit, k=1).any(axis=0)
+                # row-blocked pairwise matmul (_pairwise_hits): one
+                # full matrix for healthy clusters — today's exact
+                # arithmetic, 6-dp half-away-from-zero round before
+                # the compare — bounded blocks for a degenerate giant
+                # cluster so peak task memory is O(block x n), not
+                # O(n^2). Rows are sorted by id: pair (i < j) drops j.
+                for _, jj, _c in _pairwise_hits(v, nrm, threshold):
+                    dropped[jj] = True
         return pd.DataFrame({
             id_col: pdf[id_col],
             "cluster": pdf["cluster"],

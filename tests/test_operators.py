@@ -144,6 +144,61 @@ def test_embedding_near_duplicates(vectors):
     assert {(r["id_a"], r["id_b"]) for r in lsh_pairs} == {(0, 80)}
 
 
+def test_pairwise_hits_blocked_matches_full_matrix():
+    """A pathological group LARGER than _PAIR_SINGLE_BLOCK must run
+    the row-blocked matmul (bounded O(block x n) task memory) and
+    emit exactly the pairs of the full n x n reference. Integer
+    coordinates keep every dot product exact in float64, so blocked
+    and full arithmetic cannot differ by even an ulp."""
+    import numpy as np
+
+    n = similarity._PAIR_SINGLE_BLOCK + 2000     # forces >1 block
+    # deterministic small-integer vectors; a planted scaled copy of
+    # each base direction guarantees some exact-cosine-1.0 pairs
+    v = np.stack([
+        np.array([(i * 7 + 1) % 5 + 1.0, (i * 3) % 4 + 1.0])
+        * (1.0 + (i % 3))
+        for i in range(n)])
+    nrm = np.sqrt((v * v).sum(axis=1))
+    # blocked path under test (assert it actually chunks)
+    assert similarity._pair_block_rows(n) < n
+    got = set()
+    for ii, jj, c6 in similarity._pairwise_hits(v, nrm, 0.9999):
+        got.update(zip(ii.tolist(), jj.tolist()))
+        assert (ii < jj).all()
+    # independent full-matrix reference
+    c = (v @ v.T) / np.outer(nrm, nrm)
+    c6 = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+    ri, rj = np.nonzero(np.triu(c6 >= 0.9999, k=1))
+    assert got == set(zip(ri.tolist(), rj.tolist()))
+    assert got    # the planted duplicates really produced pairs
+
+
+def test_semantic_dedup_giant_cluster_blocked(spark):
+    """End-to-end pathological cluster: every vector lands in ONE
+    cluster bigger than _PAIR_SINGLE_BLOCK, so the verdict runs the
+    blocked matmul inside applyInPandas; keep-first semantics must
+    be identical to the reference rule (drop j iff a lower-id i in
+    the cluster meets the threshold)."""
+    import numpy as np
+
+    n = similarity._PAIR_SINGLE_BLOCK + 2000
+    assert similarity._pair_block_rows(n) < n   # really multi-block
+    rows = [(i, [float((i % 7) + 1), float((i % 7) + 1)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    # one centroid -> one cluster; every vector is a positive scalar
+    # multiple of (1, 1), so ALL cosines are exactly 1.0: keep-first
+    # drops everything except vec_id 0
+    got = similarity.semantic_dedup(
+        df, centroids=[[1.0, 1.0]], threshold=0.99)
+    kept = sorted(r["vec_id"] for r in
+                  got.where(~F.col("dropped")).collect())
+    assert kept == [0]
+    assert got.count() == n
+
+
 # -- text ------------------------------------------------------------------
 
 def test_token_count(spark):
