@@ -2222,6 +2222,12 @@ from ._cache import register_cell as _register_cell
 
 _BIGRAM_TF_CACHE = _register_cell("text.bigram_tf")
 _BIGRAM_SCORED_TF_CACHE = _register_cell("text.bigram_scored_tf")
+# cross-mode train-slice token arrays: one tokenize pass feeds both
+# the bigram-count table and the vocabulary count (round-12 ccnet fix)
+_TRAIN_TOKENS_CACHE = _register_cell("text.train_tokens")
+# self-mode bigram-TYPE table (bg, cb, w1): two consumers, persisted
+# so neither re-aggregates the full tf relation (round 12)
+_BIGRAM_PTAB_CACHE = _register_cell("text.bigram_ptab")
 _JSD_GT_CACHE = _register_cell("text.jsd_gt")
 _BM25_DOCS_CACHE = _register_cell("text.bm25_docs")
 
@@ -2293,18 +2299,38 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             tf = _evict_then_cache(_BIGRAM_TF_CACHE, tf)
         ptab = (tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
                 .withColumn("w1", F.split("bg", " ").getItem(0)))
+        if persist:
+            # the (bg, cb, w1) type table has TWO consumers (the cl
+            # aggregation and the scoring join): column pruning
+            # specializes each consumer's bg-aggregate, which defeats
+            # exchange reuse, so without a persist each consumer
+            # re-aggregates the full cached tf — one extra tf-sized
+            # shuffle here, N extra at 100 TB. The type table is
+            # vocabulary-sized; persist it once (guide §2.4).
+            ptab = _evict_then_cache(_BIGRAM_PTAB_CACHE, ptab)
         cl = ptab.groupBy("w1").agg(F.sum("cb").alias("cl"))
         ptab = ptab.join(cl, "w1").select("bg", "cb", "cl")
-        model_src = df
+        v_src = df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
     else:
         # cross mode: the model's bigram-count table feeds cb and
         # cl; the scored corpus's distinct bigram types LEFT join
         # them so unseen bigram/context falls back to the smoothing
         # mass. tf gains a second consumer (the type table), so it
-        # persists through its own one-deep cell.
+        # persists through its own one-deep cell. The train slice is
+        # tokenized ONCE: its token arrays persist through their own
+        # one-deep cell and feed BOTH consumers — the bigram-count
+        # table (tb) and the vocabulary count (v) — instead of each
+        # re-running the tokenize scan of the train slice
+        # (optimization guide §2.4: remove whole passes). The bigram
+        # and token values are the same expressions over the same
+        # arrays, so scores are unchanged.
         t_arr = tokens(F.lower(F.col(text_col)))
-        tb = (train_df.select(
-            F.explode(word_ngrams(t_arr, 2)).alias("bg"))
+        ttoks = train_df.select(t_arr.alias("__toks__"))
+        if persist:
+            ttoks = _evict_then_cache(_TRAIN_TOKENS_CACHE, ttoks)
+        tb = (ttoks.select(
+            F.explode(word_ngrams(F.col("__toks__"), 2)).alias("bg"))
             .groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
             .withColumn("w1", F.split("bg", " ").getItem(0)))
         if persist:
@@ -2316,11 +2342,10 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
         ptab = (stypes.join(tb.select("bg", "cb"), "bg", "left")
                 .join(cl, "w1", "left")
                 .select("bg", "cb", "cl"))
-        model_src = train_df
-    v = (model_src.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
-        .where(F.col("t") != "")
-        .agg(F.count_distinct("t").cast("double").alias("__v__")))
+        v_src = ttoks.select(F.explode("__toks__").alias("t"))
+    v = (v_src
+         .where(F.col("t") != "")
+         .agg(F.count_distinct("t").cast("double").alias("__v__")))
     a = F.lit(float(alpha))
     cbv = F.coalesce(F.col("cb"), F.lit(0))
     clv = F.coalesce(F.col("cl"), F.lit(0))
@@ -2382,6 +2407,15 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
            .agg(F.sum("tf").alias("cb"))
            .withColumn("w1", F.split("bg", " ").getItem(0))
            .withColumn("w2", F.split("bg", " ").getItem(1)))
+    if persist:
+        # bgc has FOUR consumers (ctx, pred, btot, the ptab join);
+        # column pruning specializes each one's bg-aggregate, which
+        # defeats exchange reuse, so without a persist every consumer
+        # re-aggregates the full cached tf — the round-11 plan showed
+        # 5 InMemoryTableScans of tf. The type table is
+        # vocabulary-sized; persist it once and the big relation is
+        # aggregated exactly once (guide §2.4).
+        bgc = _evict_then_cache(_KN_BGC_CACHE, bgc)
     ctx = (bgc.groupBy("w1")
            .agg(F.sum("cb").alias("cl"),
                 F.count(F.lit(1)).alias("n1p_fw")))
@@ -2403,8 +2437,10 @@ def kn_bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_nll")))
 
 
-# one-deep cache for kn_bigram_logprob's tf (see operators/_cache)
+# one-deep caches for kn_bigram_logprob's tf and its bigram-TYPE
+# relation (see operators/_cache)
 _KN_TF_CACHE = _register_cell("text.kn_tf")
+_KN_BGC_CACHE = _register_cell("text.kn_bgc")
 
 
 def token_js_divergence(df: DataFrame, group_col: str = "source",
