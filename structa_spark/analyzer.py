@@ -845,53 +845,72 @@ def _chunked(seq: List, n: int):
 def _phase_a_job_builders(leaves: List[_Leaf],
                           length_leaves: List[_Leaf],
                           cfg: AnalyzerConfig):
-    """Phase A as a list of DEFERRED agg-job builders: whole-stage-
-    codegen jobs (counts/min/max/lengths) and ObjectHashAggregate
-    jobs (HLL distincts, GK quartiles) are kept separate so one
-    ImperativeAggregate never forces the scalar aggregates out of
-    codegen; each job covers <= _CHUNK_LEAVES leaves so no generated
-    class is ever huge.
+    """Phase A as a list of DEFERRED agg-job builders, TWO job
+    families (round 12 halved the old four):
 
-    Each entry is a zero-arg callable returning the job's Column
-    list. Building a Column tree is driver-side py4j chatter (one
-    JVM round trip per functions call — ~0.6 s serialized for a
+    * one whole-stage-codegen family — the scalar aggregates
+      (counts/min/max) AND the container-length aggregates chunk
+      together, since both carry mutable fixed-width buffers;
+    * one ObjectHashAggregate family — the HLL/KLL sketches AND the
+      string min/max aggregates. A UTF8String min/max buffer would
+      demote the CODEGEN job to SortAggregate, which is why it never
+      rides there; the sketch job is already imperative
+      (ObjectHashAggregate), so the string min/max rides it for free
+      and the old separate SortAggregate job family is gone.
+
+    Each job covers <= _CHUNK_LEAVES leaves so no generated class is
+    ever huge. Each entry is a zero-arg callable returning the job's
+    Column list. Building a Column tree is driver-side py4j chatter
+    (one JVM round trip per functions call — ~0.6 s serialized for a
     16-column profile, measured in round 11), so the EXPENSIVE part
     is deferred: the concurrent caller runs each builder inside its
     pool task, overlapping expression construction across workers
     and with already-running jobs instead of paying it up front on
     the submitting thread (guide §7.3: driver planning time is real
     time). The chunk layout itself is pure Python and stays eager so
-    callers know the job count without building anything."""
-    specs = []
-    for chunk in _chunked(leaves, _CHUNK_LEAVES):
-        specs.append((_agg_exprs, chunk))
-    for chunk in _chunked(length_leaves, _CHUNK_LEAVES):
-        specs.append((_length_agg_exprs, chunk))
-    str_leaves = [lf for lf in leaves
-                  if isinstance(lf.dtype, T.StringType)]
-    for chunk in _chunked(str_leaves, _CHUNK_LEAVES):
-        specs.append((_string_minmax_exprs, chunk))
-    for chunk in _chunked(leaves, _CHUNK_LEAVES):
-        # every leaf yields at least one sketch expr (the distinct
-        # count), one string min/max per string leaf, etc. — chunks
-        # are built over exactly the leaves that produce exprs, so
-        # no builder ever returns an empty job
-        specs.append((_sketch_agg_exprs, chunk))
+    callers know the job count without building anything.
 
-    def _make(fn, chunk, with_rows):
+    The per-leaf expr strings are SNAPSHOT here (leaf copies): the
+    builders run later on worker threads, so a mutation of the
+    planner's _Leaf objects between layout and build (today only
+    strip_whitespace, which runs before this) can never silently
+    change the constructed aggregates."""
+    leaves = [replace(lf) for lf in leaves]
+    length_leaves = [replace(lf) for lf in length_leaves]
+    specs: List[List] = []
+    codegen_items = ([(_agg_exprs, lf) for lf in leaves]
+                     + [(_length_agg_exprs, lf)
+                        for lf in length_leaves])
+    for chunk in _chunked(codegen_items, _CHUNK_LEAVES):
+        specs.append(chunk)
+    for chunk in _chunked(leaves, _CHUNK_LEAVES):
+        items = []
+        for lf in chunk:
+            items.append((_sketch_agg_exprs, lf))
+            if isinstance(lf.dtype, T.StringType):
+                items.append((_string_minmax_exprs, lf))
+        specs.append(items)
+
+    def _make(items, with_rows):
         def build() -> List[Column]:
             exprs: List[Column] = (
                 [F.count(F.lit(1)).alias("__rows__")]
                 if with_rows else [])
-            for leaf in chunk:
+            for fn, leaf in items:
                 exprs.extend(fn(leaf, cfg))
+            # d.agg() with zero expressions raises inside a pool
+            # worker with a useless stack; fail at build time with a
+            # clear message instead if a future cfg/expr change ever
+            # yields an empty job
+            assert exprs, (
+                "phase-A builder produced an empty agg job "
+                f"({[lf.key for _, lf in items]})")
             return exprs
         return build
 
     if not specs:
-        return [_make(lambda leaf, cfg: [], [], True)]
-    return [_make(fn, chunk, i == 0)
-            for i, (fn, chunk) in enumerate(specs)]
+        return [_make([], True)]
+    return [_make(items, i == 0) for i, items in enumerate(specs)]
 
 
 def _phase_a_jobs(leaves: List[_Leaf], length_leaves: List[_Leaf],
@@ -1042,11 +1061,13 @@ def _prepare_input(df: DataFrame, cfg: AnalyzerConfig):
         except Exception:  # un-hashable column type: keep round-robin
             df = df.repartition(par)
     df = df.persist()
-    # materialize eagerly: the phase-A jobs launch concurrently, and
-    # several jobs racing an unmaterialized cache each recompute the
-    # missing partitions — one blocking count pays the scan exactly
-    # once and every subsequent job reads memory
-    df.count()
+    # NOT materialized here: the old dedicated count() paid a full
+    # scan+persist pass before any analysis job ran. _analyze now
+    # runs the FIRST phase-A agg job as a synchronous barrier when
+    # the input was cached — that job's scan materializes the cache
+    # as a side effect (one pass instead of two), and only then does
+    # the concurrent wave launch, so jobs never race an
+    # unmaterialized cache into recomputing partitions.
     return df, True
 
 
@@ -1060,13 +1081,14 @@ def analyze(df: DataFrame, config: Optional[AnalyzerConfig] = None,
     cfg = config or AnalyzerConfig(**kwargs)
     prep, cached = _prepare_input(df, cfg)
     try:
-        return _analyze(prep, cfg)
+        return _analyze(prep, cfg, materialize_first=cached)
     finally:
         if cached:
             prep.unpersist()
 
 
-def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
+def _analyze(df: DataFrame, cfg: AnalyzerConfig,
+             materialize_first: bool = False) -> Profile:
     contexts, array_srcs, table_structs = _plan(df, cfg)
 
     # whitespace stripping (reference analyzer.py:633-638) applies to
@@ -1118,11 +1140,27 @@ def _analyze(df: DataFrame, cfg: AnalyzerConfig) -> Profile:
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         a_futs = {}
         remaining: Dict[int, int] = {}
+        ctx_groups = []
         for ctx in contexts:
             groups = _phase_a_job_builders(
                 ctx.leaves, ctx.length_leaves, cfg)
             remaining[ctx.id] = len(groups)
             rows[ctx.id] = {"__rows__": None}
+            ctx_groups.append((ctx, groups))
+        if materialize_first and ctx_groups:
+            # the input was freshly persisted but NOT materialized
+            # (_prepare_input): run the root context's first phase-A
+            # job as a barrier — its scan materializes the cache as
+            # a side effect, folding the old dedicated count() pass
+            # into real analysis work; everything after it reads the
+            # in-memory columnar relation, never racing the cache
+            # into recomputing partitions
+            ctx0, groups0 = ctx_groups[0]
+            fut0 = pool.submit(_agg_job, ctx0.df, groups0[0])
+            a_futs[fut0] = ctx0.id
+            fut0.result()
+            ctx_groups[0] = (ctx0, groups0[1:])
+        for ctx, groups in ctx_groups:
             for build in groups:
                 a_futs[pool.submit(_agg_job, ctx.df, build)] = ctx.id
         dep_futs = []

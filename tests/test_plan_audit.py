@@ -178,32 +178,74 @@ def test_profile_jobs_stay_whole_stage_codegen(spark):
 
 def test_phase_a_builders_match_eager_jobs(spark):
     # round 11 defers the phase-A Column construction into the pool
-    # workers (py4j chatter off the submitting thread); the deferred
-    # builders must reproduce the eager job list EXACTLY — same job
-    # count, same expression strings job-for-job, __rows__ exactly
-    # once and in job 0 — and must build identically from a worker
-    # thread, since that is where they now run
+    # workers; round 12 pins the expectations INDEPENDENTLY of the
+    # refactored code (ADVICE r11): the job count comes from the
+    # chunk math, the expression strings from a per-leaf
+    # reconstruction of the two job families — never from a function
+    # that delegates to the same builders. Builders must also build
+    # identically from a worker thread (where they actually run) and
+    # be insensitive to leaf mutation after layout.
+    import math
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
 
     import structa_spark.analyzer as A
     df = load_table(spark, SF, "lineitem")
     cfg = A.AnalyzerConfig()
     contexts, _arrs, _tabs = A._plan(df, cfg)
     ctx = contexts[0]
-    eager = A._phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+    n_leaves = len(ctx.leaves)
+    assert n_leaves >= 8           # lineitem: one leaf per column
+    n_codegen_items = n_leaves + len(ctx.length_leaves)
+    expected_count = (math.ceil(n_codegen_items / A._CHUNK_LEAVES)
+                      + math.ceil(n_leaves / A._CHUNK_LEAVES))
     builders = A._phase_a_job_builders(
         ctx.leaves, ctx.length_leaves, cfg)
-    assert len(builders) == len(eager)
+    assert len(builders) == expected_count
     with ThreadPoolExecutor(max_workers=2) as pool:
         built = [f.result()
                  for f in [pool.submit(b) for b in builders]]
-    eager_strs = [[str(c) for c in job] for job in eager]
     built_strs = [[str(c) for c in job] for job in built]
-    assert built_strs == eager_strs
+    # independent reconstruction: the codegen family (scalar +
+    # length aggregates chunked together), then the sketch family
+    # with the string min/max riding each string leaf's sketch job
+    items = ([(A._agg_exprs, lf) for lf in ctx.leaves]
+             + [(A._length_agg_exprs, lf)
+                for lf in ctx.length_leaves])
+    expected = []
+    for i in range(0, len(items), A._CHUNK_LEAVES):
+        job = []
+        for fn, lf in items[i:i + A._CHUNK_LEAVES]:
+            job.extend(fn(lf, cfg))
+        expected.append([str(c) for c in job])
+    for i in range(0, n_leaves, A._CHUNK_LEAVES):
+        job = []
+        for lf in ctx.leaves[i:i + A._CHUNK_LEAVES]:
+            job.extend(A._sketch_agg_exprs(lf, cfg))
+            if isinstance(lf.dtype, _T.StringType):
+                job.extend(A._string_minmax_exprs(lf, cfg))
+        expected.append([str(c) for c in job])
+    expected[0] = ([str(_F.count(_F.lit(1)).alias("__rows__"))]
+                   + expected[0])
+    assert built_strs == expected
     flat = [s for job in built_strs for s in job]
-    rows_aliases = [s for s in flat if "__rows__" in s]
-    assert len(rows_aliases) == 1
+    assert len([s for s in flat if "__rows__" in s]) == 1
     assert any("__rows__" in s for s in built_strs[0])
+    # eager form stays a faithful wrapper (aux single-context paths)
+    eager = A._phase_a_jobs(ctx.leaves, ctx.length_leaves, cfg)
+    assert [[str(c) for c in job] for job in eager] == expected
+    # leaf snapshot: mutating a planner leaf AFTER layout must not
+    # change what a deferred builder constructs (ADVICE r11)
+    builders2 = A._phase_a_job_builders(
+        ctx.leaves, ctx.length_leaves, cfg)
+    old_expr = ctx.leaves[0].expr
+    try:
+        ctx.leaves[0].expr = f"upper({old_expr})"
+        assert [str(c) for c in builders2[0]()] == built_strs[0]
+    finally:
+        ctx.leaves[0].expr = old_expr
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
