@@ -366,10 +366,44 @@ def main():
         s = _re.sub(r"@[0-9a-f]+", "@", s)    # object addresses
         return hashlib.md5(s.encode()).hexdigest()[:16]
 
+    # Per-query parallelism signal (round 12, VERDICT r11 item 2):
+    # at sf0.1 nearly every query sits on the session floor, so the
+    # driver's 32-vs-8-core wall-clock ratios cannot distinguish
+    # "parallelises at scale" from "floor-bound at this SF". The
+    # EXECUTED task counts can: after each warm-up execution the max
+    # tasks-in-one-stage among the stages that query just ran is read
+    # from the app status store (a stage-id watermark scopes the
+    # read to this query's jobs regardless of which driver thread
+    # submitted them). Measured OUTSIDE every timed region — warm-up
+    # only — and shipped as the additive `max_tasks_per_stage` key.
+    def _max_stage_id():
+        try:
+            sl = (spark.sparkContext._jsc.sc()
+                  .statusStore().stageList(None))
+            return max((sl.apply(i).stageId()
+                        for i in range(sl.size())), default=-1)
+        except Exception:
+            return None
+
+    def _max_tasks_since(watermark):
+        if watermark is None:
+            return None
+        try:
+            sl = (spark.sparkContext._jsc.sc()
+                  .statusStore().stageList(None))
+            return max((sl.apply(i).numTasks()
+                        for i in range(sl.size())
+                        if sl.apply(i).stageId() > watermark),
+                       default=None)
+        except Exception:
+            return None
+
     fingerprints = {}
+    task_counts = {}
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         for name in suite:
             fn = suite[name]
+            wm = _max_stage_id()
             try:
                 if hasattr(fn, "_df"):
                     df = fn._df()
@@ -383,6 +417,9 @@ def main():
                     fn()
             except Exception:
                 pass  # the timed passes report the error properly
+            mt = _max_tasks_since(wm)
+            if mt is not None:
+                task_counts[name] = mt
         # EVERY suite entry must carry a fingerprint, so the next
         # timing drift on "unchanged code" is instantly attributable
         # for any query (fingerprint changed => plan/result changed;
@@ -465,6 +502,13 @@ def main():
     all_loads = []
     all_spins = []
     errors = {}
+    # rows returned by each query's timed action (the .count() value
+    # / profile row count) — additive artifact key (round 12): for
+    # pair-emitting queries (simhash_pairs, minhash_candidates, ...)
+    # this is the emitted-pair count, so a cross-tier time-per-pair
+    # fit can separate workload-quadratic output growth from a
+    # super-linear plan (VERDICT r11 item 6)
+    emitted = {}
     for r in range(N_RUNS):
         if r % 3 == 1:
             order = list(reversed(names))
@@ -483,8 +527,10 @@ def main():
             run_spin[name] = _spin_ms()
             t0 = time.time()
             try:
-                fn()
+                res = fn()
                 run[name] = round(time.time() - t0, 3)
+                if name not in emitted and isinstance(res, int):
+                    emitted[name] = res
             except Exception as exc:  # one bad query must not zero it
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 run[name] = None
@@ -534,6 +580,8 @@ def main():
         "passes": all_runs,
         "loadavg_per_query": all_loads,
         "spin_ms_per_query": all_spins,
+        "rows_emitted": emitted,
+        "max_tasks_per_stage": task_counts,
         "max_loadavg_gate": MAX_LOAD,
         "runs": [round(sum(t for t in run.values() if t is not None), 3)
                  for run in all_runs],
@@ -569,11 +617,14 @@ def main():
             and sf_main and sf_small and sf_main > sf_small):
         small_suite = make_suite(ladder_dir)
         small = {}
+        small_emitted = {}
         for name, fn in small_suite.items():
             t0 = time.time()
             try:
-                fn()
+                res = fn()
                 small[name] = round(time.time() - t0, 3)
+                if isinstance(res, int):
+                    small_emitted[name] = res
             except Exception:
                 small[name] = None
         ratio = sf_main / sf_small
@@ -586,6 +637,7 @@ def main():
             "sf_dir": ladder_dir,
             "scale_ratio": ratio,
             "queries": small,
+            "rows_emitted": small_emitted,
             "exponents": exponents,
         }
 
@@ -605,6 +657,7 @@ def main():
             and sf_main and sf_up and sf_up > sf_main):
         up_suite = make_suite(up_dir)
         up = {}
+        up_emitted = {}
         # wall-clock budget for the whole tier (measured ~200s for
         # the full suite at sf1): once exceeded, the remaining
         # queries record as skipped rather than risking the driver's
@@ -620,8 +673,10 @@ def main():
                 continue
             t0 = time.time()
             try:
-                fn()
+                res = fn()
                 up[name] = round(time.time() - t0, 3)
+                if isinstance(res, int):
+                    up_emitted[name] = res
             except Exception:
                 up[name] = None
         # per-query least-squares slope of log(t) on log(sf) over
@@ -648,6 +703,7 @@ def main():
             "sf_dir": up_dir,
             "sf": sf_up,
             "queries": up,
+            "rows_emitted": up_emitted,
             "exponents_3pt": exps3,
         }
         if skipped:
@@ -826,6 +882,8 @@ def main():
                 "medians": medians,
                 "loadavg_per_query": all_loads,
                 "spin_ms_per_query": all_spins,
+                "rows_emitted": emitted,
+                "max_tasks_per_stage": task_counts,
                 "exponents": out.get("ladder", {}).get("exponents"),
                 "exponents_3pt": out.get("ladder_up",
                                          {}).get("exponents_3pt"),

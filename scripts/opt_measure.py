@@ -58,8 +58,9 @@ def main():
     import importlib
     suite = _make_suite(spark)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}
