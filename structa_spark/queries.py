@@ -10652,52 +10652,54 @@ def host_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_driver_window_covers_every_family) and keep full oracle
 # coverage in tests/test_queries.py.
 DRIVER_PRIORITY = [
-    # ---- round-11 FULL rotation: every query that has never held
-    # a driver-green row enters the window — the 12 round-10 late
-    # additions (VERDICT r10 task 1) plus the 23 round-11
-    # registrations (extraction formats, quality classifier, VAD,
-    # BM25/hard-negatives, scene cuts, link/anchor/robots/host
-    # boilerplate, mojibake, alpha sampling, resample, Gale-Church,
-    # IBAN/Luhn, compat normalization, adaptive gate, Z-order).
-    # 23 round-10-green entries rotate out; every one keeps an
-    # in-window family sibling (test_driver_window_covers_every_family)
-    # and its full hash oracle in tests/test_queries.py.
-    "bitext_margin_pairs",
-    "blocklist_screen",
-    "compression_ratio_screen",
-    "docx_extracted_text",
-    "doremi_domain_weights",
-    "fim_split_coords",
-    "jpeg_quality_screen",
-    "markdown_extracted_text",
-    "matryoshka_recall_at_k",
-    "office_extracted_text",
-    "pdf_metadata",
-    "video_dedup_keep",
-    "epub_extracted_text",
-    "pptx_extracted_text",
-    "xlsx_extracted_text",
-    "latex_extracted_text",
-    "quality_classifier_scores",
-    "audio_vad_segments",
-    "code_quality_flags",
-    "pii_card_scan",
-    "pii_iban_scan",
-    "bm25_topk",
-    "hard_negative_topk",
-    "video_scene_cuts",
-    "html_link_extract",
-    "anchor_text_profile",
-    "host_boilerplate_clean",
-    "robots_policy_check",
-    "mojibake_repair",
-    "alpha_lang_weights",
-    "audio_resample",
-    "sentence_align_beads",
-    "compat_normalized_text",
-    "adaptive_length_gate",
-    "zorder_layout_keys",
-    # ---- family anchors (all driver-green in round 10 or earlier;
+    # ---- round-12 rotation (optimization round): the window holds
+    # (a) the 10 round-11 late registrations that have never had a
+    # driver-green row, (b) the paths the round-11/12 optimization
+    # work touched, so the driver re-verifies them end to end post-
+    # change — the vectorized similarity verdicts (semantic dedup,
+    # embedding near-dups, IVF/PQ), the fused graph iterations
+    # (pagerank/HITS), the LM model-join family (bigram/KN/ccnet/
+    # reflm) whose type tables now persist, and the profiler family
+    # whose phase-A jobs fused — and (c) the stalest round-3-green
+    # queries. Every rotated-out query keeps an in-window family
+    # sibling (test_driver_window_covers_every_family) and its full
+    # hash oracle in tests/test_queries.py.
+    "ipynb_extracted_cells",
+    "subtitle_extracted_cues",
+    "code_license_screen",
+    "preference_pairs",
+    "chat_template_render",
+    "kmeans_cluster_profile",
+    "weighted_sample_by_source",
+    "length_bucket_batches",
+    "confusable_spoof_screen",
+    "html_table_extract",
+    "semantic_dedup_summary",
+    "kn_bigram_nll",
+    "host_pagerank",
+    "host_hits_scores",
+    "image_dedup_keep",
+    "ivf_topk_search",
+    "pq_recall_at_k",
+    "bigram_nll",
+    "reflm_nll",
+    "ccnet_perplexity_buckets",
+    "embedding_neardup_pairs",
+    "profile_stats_strings",
+    "profile_quartiles_strings",
+    "profile_freq_topk",
+    "profile_char_classes",
+    "dedup_exact_props",
+    "minhash_signatures",
+    "cosine_topk_vectorized",
+    "ivf_assignment_counts",
+    "label_centroids",
+    "sample_docs_deterministic",
+    "audio_mfcc_features",
+    "token_entropy_stats",
+    "image_dup_groups",
+    "pdf_extracted_text",
+    # ---- family anchors (all driver-green in round 11 or earlier;
     # one representative per operator family the judge checks) ----
     "profile_type_candidates",
     "asof_next_purchase_gap",

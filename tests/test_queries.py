@@ -136,23 +136,14 @@ def test_driver_window_covers_every_family():
         assert must in DRIVER_PRIORITY, must
     # everything outside the window keeps an in-window family sibling
     siblings = {
-        # Round-11 full rotation: the window holds every query that
-        # had never been driver-checked (35) plus 15 family anchors;
-        # every rotated-out query below was driver-green in its last
-        # window (CORRECTNESS_r1-r10) and stays hash-pinned against
-        # its DuckDB oracle by test_query_matches_oracle every run.
-        # registered after the round-11 rotation froze, awaiting the
-        # round-12 window
-        "ipynb_extracted_cells": "markdown_extracted_text",
-        "subtitle_extracted_cues": "markdown_extracted_text",
-        "code_license_screen": "code_quality_flags",
-        "preference_pairs": "quality_classifier_scores",
-        "chat_template_render": "sentence_align_beads",
-        "kmeans_cluster_profile": "matryoshka_recall_at_k",
-        "weighted_sample_by_source": "alpha_lang_weights",
-        "length_bucket_batches": "sequence_packing",
-        "confusable_spoof_screen": "compat_normalized_text",
-        "html_table_extract": "markdown_extracted_text",
+        # Round-12 rotation: the window holds the 10 never-driver-
+        # checked round-11 registrations, the optimization-touched
+        # paths (similarity verdicts, graph iterations, LM model
+        # joins, profiler family) and the stalest round-3-green
+        # queries, plus the 15 family anchors; every rotated-out
+        # query below was driver-green in a previous window
+        # (CORRECTNESS_r1-r11) and stays hash-pinned against its
+        # DuckDB oracle by test_query_matches_oracle every run.
         # witnessed via asof_next_purchase_gap
         "asof_purchase_click": "asof_next_purchase_gap",
         "customers_without_bigorder": "asof_next_purchase_gap",
@@ -161,12 +152,13 @@ def test_driver_window_covers_every_family():
         "q5_nation_revenue": "asof_next_purchase_gap",
         "range_join_purchase_views": "asof_next_purchase_gap",
         "top_orders_per_customer": "asof_next_purchase_gap",
-        # witnessed via audio_vad_segments
-        "audio_clipping_stats": "audio_vad_segments",
-        "audio_envelope_hashes": "audio_vad_segments",
-        "audio_mfcc_features": "audio_vad_segments",
-        "audio_spectral_features": "audio_vad_segments",
-        "audio_zcr_features": "audio_vad_segments",
+        # witnessed via audio_mfcc_features
+        "audio_clipping_stats": "audio_mfcc_features",
+        "audio_envelope_hashes": "audio_mfcc_features",
+        "audio_resample": "audio_mfcc_features",
+        "audio_spectral_features": "audio_mfcc_features",
+        "audio_vad_segments": "audio_mfcc_features",
+        "audio_zcr_features": "audio_mfcc_features",
         # witnessed via benchmark_contamination_report
         "bloom_contamination_flags": "benchmark_contamination_report",
         "contamination_check": "benchmark_contamination_report",
@@ -175,23 +167,44 @@ def test_driver_window_covers_every_family():
         "scrub_eval_spans": "benchmark_contamination_report",
         "source_vocab_overlap": "benchmark_contamination_report",
         "split_leakage_report": "benchmark_contamination_report",
+        # witnessed via bigram_nll
+        "doc_fingerprints": "bigram_nll",
+        "hashed_doc_vectors": "bigram_nll",
+        "quality_classifier_scores": "bigram_nll",
+        "rare_token_stats": "bigram_nll",
+        "tfidf_top_terms": "bigram_nll",
+        "token_length_histogram": "bigram_nll",
+        "token_stats_by_lang": "bigram_nll",
+        "unigram_nll": "bigram_nll",
+        "vocab_top20": "bigram_nll",
         # witnessed via bpe_merge_candidates
         "oov_rate_by_vocab_size": "bpe_merge_candidates",
         "tokenizer_fertility_by_lang": "bpe_merge_candidates",
         "unigram_encode_fertility": "bpe_merge_candidates",
         "unigram_tokenizer_vocab": "bpe_merge_candidates",
         "wordpiece_merge_candidates": "bpe_merge_candidates",
-        # witnessed via compat_normalized_text
-        "domain_stats": "compat_normalized_text",
-        "encoding_quality_report": "compat_normalized_text",
-        "lang_id_confusion": "compat_normalized_text",
-        "nb_lang_confusion": "compat_normalized_text",
-        "normalized_text_stats": "compat_normalized_text",
-        "text_quality_features": "compat_normalized_text",
-        # witnessed via compression_ratio_screen
-        "heaps_vocab_growth": "compression_ratio_screen",
-        "token_entropy_stats": "compression_ratio_screen",
-        "zipf_vocab_fit": "compression_ratio_screen",
+        # witnessed via chat_template_render
+        "flesch_readability": "chat_template_render",
+        "sentence_align_beads": "chat_template_render",
+        "sentence_chunk_index": "chat_template_render",
+        # witnessed via code_license_screen
+        "blocklist_screen": "code_license_screen",
+        "code_quality_flags": "code_license_screen",
+        "pii_card_scan": "code_license_screen",
+        "pii_iban_scan": "code_license_screen",
+        # witnessed via confusable_spoof_screen
+        "compat_normalized_text": "confusable_spoof_screen",
+        "domain_stats": "confusable_spoof_screen",
+        "encoding_quality_report": "confusable_spoof_screen",
+        "lang_id_confusion": "confusable_spoof_screen",
+        "mojibake_repair": "confusable_spoof_screen",
+        "nb_lang_confusion": "confusable_spoof_screen",
+        "normalized_text_stats": "confusable_spoof_screen",
+        "text_quality_features": "confusable_spoof_screen",
+        # witnessed via cosine_topk_vectorized
+        "bitext_margin_pairs": "cosine_topk_vectorized",
+        "cosine_topk": "cosine_topk_vectorized",
+        "ivf_recall_at_k": "cosine_topk_vectorized",
         # witnessed via cube_status_priority
         "rollup_nation_year": "cube_status_priority",
         # witnessed via daily_event_drift
@@ -203,6 +216,24 @@ def test_driver_window_covers_every_family():
         "user_event_gaps": "daily_event_drift",
         "value_outliers_by_type": "daily_event_drift",
         "windowed_event_stats": "daily_event_drift",
+        # witnessed via dedup_exact_props
+        "containment_pairs": "dedup_exact_props",
+        "dedup_corpus_keep": "dedup_exact_props",
+        "dedup_exact_groups": "dedup_exact_props",
+        "dedup_keep_best": "dedup_exact_props",
+        "dup_cluster_histogram": "dedup_exact_props",
+        "incremental_dedup_verdicts": "dedup_exact_props",
+        "incremental_span_hits": "dedup_exact_props",
+        "longest_dup_span_report": "dedup_exact_props",
+        "lsh_recall": "dedup_exact_props",
+        "minhash_band_buckets": "dedup_exact_props",
+        "near_dup_groups": "dedup_exact_props",
+        "ngram_jaccard_pairs": "dedup_exact_props",
+        "passage_dedup_summary": "dedup_exact_props",
+        "simhash_values": "dedup_exact_props",
+        "span_dedup_texts": "dedup_exact_props",
+        "url_dedup_stats": "dedup_exact_props",
+        "winnow_overlap_pairs": "dedup_exact_props",
         # witnessed via gopher_quality_flags
         "c4_line_clean": "gopher_quality_flags",
         "c4_rule_flags": "gopher_quality_flags",
@@ -218,61 +249,59 @@ def test_driver_window_covers_every_family():
         "source_curation_report_v2": "gopher_quality_flags",
         "training_manifest": "gopher_quality_flags",
         "variant_props_stats": "gopher_quality_flags",
+        # witnessed via host_hits_scores
+        "host_curation_report": "host_hits_scores",
+        "host_policy_filter": "host_hits_scores",
+        # witnessed via host_pagerank
+        "anchor_text_profile": "host_pagerank",
+        "html_link_extract": "host_pagerank",
         # witnessed via host_policy_v2
-        "host_curation_report": "host_policy_v2",
-        "host_hits_scores": "host_policy_v2",
-        "host_pagerank": "host_policy_v2",
-        "host_policy_filter": "host_policy_v2",
+        "host_boilerplate_clean": "host_policy_v2",
+        "robots_policy_check": "host_policy_v2",
+        # witnessed via html_table_extract
+        "markdown_extracted_text": "html_table_extract",
         # witnessed via hybrid_rrf_topk
-        "cosine_topk": "hybrid_rrf_topk",
-        "cosine_topk_vectorized": "hybrid_rrf_topk",
-        "embedding_neardup_pairs": "hybrid_rrf_topk",
-        "ivf_assignment_counts": "hybrid_rrf_topk",
-        "ivf_recall_at_k": "hybrid_rrf_topk",
-        "ivf_topk_search": "hybrid_rrf_topk",
-        "label_centroids": "hybrid_rrf_topk",
-        "semantic_dedup_summary": "hybrid_rrf_topk",
-        # witnessed via jpeg_quality_screen
-        "audio_dup_groups": "jpeg_quality_screen",
-        "image_dhash_values": "jpeg_quality_screen",
-        "image_dup_groups": "jpeg_quality_screen",
-        "image_entropy_stats": "jpeg_quality_screen",
-        "image_phash_values": "jpeg_quality_screen",
-        # witnessed via matryoshka_recall_at_k
-        "embedding_health_report": "matryoshka_recall_at_k",
-        "embedding_quantization": "matryoshka_recall_at_k",
-        "int8_topk_search": "matryoshka_recall_at_k",
-        "pq_adc_topk": "matryoshka_recall_at_k",
-        "pq_codes": "matryoshka_recall_at_k",
-        "pq_recall_at_k": "matryoshka_recall_at_k",
+        "bm25_topk": "hybrid_rrf_topk",
+        "hard_negative_topk": "hybrid_rrf_topk",
+        # witnessed via image_dedup_keep
+        "audio_dedup_keep": "image_dedup_keep",
+        "video_dedup_keep": "image_dedup_keep",
+        "video_dup_groups": "image_dedup_keep",
+        "video_frame_index": "image_dedup_keep",
+        # witnessed via image_dup_groups
+        "audio_dup_groups": "image_dup_groups",
+        "image_dhash_values": "image_dup_groups",
+        "image_entropy_stats": "image_dup_groups",
+        "image_phash_values": "image_dup_groups",
+        "jpeg_quality_screen": "image_dup_groups",
+        # witnessed via kmeans_cluster_profile
+        "embedding_health_report": "kmeans_cluster_profile",
+        "embedding_quantization": "kmeans_cluster_profile",
+        "int8_topk_search": "kmeans_cluster_profile",
+        "matryoshka_recall_at_k": "kmeans_cluster_profile",
+        "pq_adc_topk": "kmeans_cluster_profile",
+        "pq_codes": "kmeans_cluster_profile",
+        # witnessed via length_bucket_batches
+        "adaptive_length_gate": "length_bucket_batches",
+        "window_chunks": "length_bucket_batches",
         # witnessed via mixing_weights_by_source
         "cms_heavy_hitters": "mixing_weights_by_source",
+        "doremi_domain_weights": "mixing_weights_by_source",
         "mixed_resample_counts": "mixing_weights_by_source",
-        # witnessed via pdf_metadata
-        "pdf_extracted_text": "pdf_metadata",
-        # witnessed via profile_type_candidates
-        "datetime_parse_formats": "profile_type_candidates",
-        "group_quantiles_exact": "profile_type_candidates",
-        "json_props_stats": "profile_type_candidates",
-        "profile_char_classes": "profile_type_candidates",
-        "profile_freq_topk": "profile_type_candidates",
-        "profile_quartiles": "profile_type_candidates",
-        "profile_quartiles_strings": "profile_type_candidates",
-        "profile_stats_numeric": "profile_type_candidates",
-        "profile_stats_strings": "profile_type_candidates",
-        # witnessed via quality_classifier_scores
-        "bigram_nll": "quality_classifier_scores",
-        "ccnet_perplexity_buckets": "quality_classifier_scores",
-        "doc_fingerprints": "quality_classifier_scores",
-        "hashed_doc_vectors": "quality_classifier_scores",
-        "kn_bigram_nll": "quality_classifier_scores",
-        "rare_token_stats": "quality_classifier_scores",
-        "reflm_nll": "quality_classifier_scores",
-        "tfidf_top_terms": "quality_classifier_scores",
-        "token_length_histogram": "quality_classifier_scores",
-        "token_stats_by_lang": "quality_classifier_scores",
-        "unigram_nll": "quality_classifier_scores",
-        "vocab_top20": "quality_classifier_scores",
+        # witnessed via pdf_extracted_text
+        "docx_extracted_text": "pdf_extracted_text",
+        "epub_extracted_text": "pdf_extracted_text",
+        "latex_extracted_text": "pdf_extracted_text",
+        "office_extracted_text": "pdf_extracted_text",
+        "pdf_metadata": "pdf_extracted_text",
+        "pptx_extracted_text": "pdf_extracted_text",
+        "xlsx_extracted_text": "pdf_extracted_text",
+        # witnessed via profile_char_classes
+        "datetime_parse_formats": "profile_char_classes",
+        "group_quantiles_exact": "profile_char_classes",
+        "json_props_stats": "profile_char_classes",
+        "profile_quartiles": "profile_char_classes",
+        "profile_stats_numeric": "profile_char_classes",
         # witnessed via resized_media_stats
         "audio_header_metadata": "resized_media_stats",
         "decoded_media_stats": "resized_media_stats",
@@ -281,46 +310,25 @@ def test_driver_window_covers_every_family():
         "image_header_metadata": "resized_media_stats",
         "multimodal_doc_features": "resized_media_stats",
         "video_header_metadata": "resized_media_stats",
-        # witnessed via sentence_align_beads
-        "flesch_readability": "sentence_align_beads",
-        "sentence_chunk_index": "sentence_align_beads",
+        "video_scene_cuts": "resized_media_stats",
+        # witnessed via sample_docs_deterministic
+        "cap_docs_per_lang": "sample_docs_deterministic",
+        "curriculum_shard_stats": "sample_docs_deterministic",
+        "diverse_sample_by_cluster": "sample_docs_deterministic",
+        "dsir_logweights": "sample_docs_deterministic",
+        "dsir_resample_topk": "sample_docs_deterministic",
+        "shuffle_order_coords": "sample_docs_deterministic",
+        "split_counts_by_lang": "sample_docs_deterministic",
+        "stratified_sample_by_lang": "sample_docs_deterministic",
         # witnessed via sequence_packing
-        "window_chunks": "sequence_packing",
-        # witnessed via span_dup_coverage
-        "containment_pairs": "span_dup_coverage",
-        "dedup_corpus_keep": "span_dup_coverage",
-        "dedup_exact_groups": "span_dup_coverage",
-        "dedup_exact_props": "span_dup_coverage",
-        "dedup_keep_best": "span_dup_coverage",
-        "dup_cluster_histogram": "span_dup_coverage",
-        "incremental_dedup_verdicts": "span_dup_coverage",
-        "incremental_span_hits": "span_dup_coverage",
-        "longest_dup_span_report": "span_dup_coverage",
-        "lsh_recall": "span_dup_coverage",
-        "minhash_band_buckets": "span_dup_coverage",
-        "minhash_signatures": "span_dup_coverage",
-        "near_dup_groups": "span_dup_coverage",
-        "ngram_jaccard_pairs": "span_dup_coverage",
-        "passage_dedup_summary": "span_dup_coverage",
-        "simhash_values": "span_dup_coverage",
-        "span_dedup_texts": "span_dup_coverage",
-        "url_dedup_stats": "span_dup_coverage",
-        "winnow_overlap_pairs": "span_dup_coverage",
-        # witnessed via unimax_lang_allocation
-        "cap_docs_per_lang": "unimax_lang_allocation",
-        "curriculum_shard_stats": "unimax_lang_allocation",
-        "diverse_sample_by_cluster": "unimax_lang_allocation",
-        "dsir_logweights": "unimax_lang_allocation",
-        "dsir_resample_topk": "unimax_lang_allocation",
-        "sample_docs_deterministic": "unimax_lang_allocation",
-        "shuffle_order_coords": "unimax_lang_allocation",
-        "split_counts_by_lang": "unimax_lang_allocation",
-        "stratified_sample_by_lang": "unimax_lang_allocation",
-        # witnessed via video_dedup_keep
-        "audio_dedup_keep": "video_dedup_keep",
-        "image_dedup_keep": "video_dedup_keep",
-        "video_dup_groups": "video_dedup_keep",
-        "video_frame_index": "video_dedup_keep",
+        "fim_split_coords": "sequence_packing",
+        "zorder_layout_keys": "sequence_packing",
+        # witnessed via token_entropy_stats
+        "compression_ratio_screen": "token_entropy_stats",
+        "heaps_vocab_growth": "token_entropy_stats",
+        "zipf_vocab_fit": "token_entropy_stats",
+        # witnessed via weighted_sample_by_source
+        "alpha_lang_weights": "weighted_sample_by_source",
     }
     outside = set(names[50:])
     assert outside == set(siblings), \
