@@ -376,10 +376,18 @@ def main():
     # read to this query's jobs regardless of which driver thread
     # submitted them). Measured OUTSIDE every timed region — warm-up
     # only — and shipped as the additive `max_tasks_per_stage` key.
+    def _stage_list():
+        # AppStatusStore.stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus): empty statuses = all stages
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        return (spark.sparkContext._jsc.sc().statusStore().stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList()))
+
     def _max_stage_id():
         try:
-            sl = (spark.sparkContext._jsc.sc()
-                  .statusStore().stageList(None))
+            sl = _stage_list()
             return max((sl.apply(i).stageId()
                         for i in range(sl.size())), default=-1)
         except Exception:
@@ -389,8 +397,7 @@ def main():
         if watermark is None:
             return None
         try:
-            sl = (spark.sparkContext._jsc.sc()
-                  .statusStore().stageList(None))
+            sl = _stage_list()
             return max((sl.apply(i).numTasks()
                         for i in range(sl.size())
                         if sl.apply(i).stageId() > watermark),
