@@ -220,6 +220,14 @@ def curriculum_shards(df: DataFrame, n_shards: int = 4,
 from ._cache import register_cell as _register_cell
 
 _DSIR_FC_CACHE = _register_cell("sampling.dsir_fc")
+# the raw-model bucket histogram (B rows) and the target-model
+# counts (<= B rows) each have two consumers (their total + the
+# model join); column pruning specializes each consumer's aggregate,
+# which defeats exchange reuse, so without these persists each
+# consumer re-aggregates the cached feature relation / re-scans the
+# target corpus (round 12, the LM type-table discipline)
+_DSIR_CR_CACHE = _register_cell("sampling.dsir_cr")
+_DSIR_CT_CACHE = _register_cell("sampling.dsir_ct")
 
 
 def _hashed_ngram_buckets(df: DataFrame, n_buckets: int,
@@ -309,6 +317,13 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
     cr = fc.groupBy("bucket").agg(F.sum("c").alias("cr"))
     ct = _hashed_ngram_counts(target_df, n_buckets, None, text_col) \
         .withColumnRenamed("c", "ct")
+    if persist:
+        # both model relations are <= B rows with TWO consumers each
+        # (their scalar total + the model join): persisting them
+        # aggregates the cached feature relation exactly once and
+        # tokenizes the target corpus exactly once
+        cr = _evict_then_cache(_DSIR_CR_CACHE, cr)
+        ct = _evict_then_cache(_DSIR_CT_CACHE, ct)
     tr = cr.agg(F.sum("cr").cast("double").alias("__tr__"))
     tt = ct.agg(F.sum("ct").cast("double").alias("__tt__"))
     a = float(alpha)

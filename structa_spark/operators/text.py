@@ -2229,6 +2229,7 @@ _TRAIN_TOKENS_CACHE = _register_cell("text.train_tokens")
 # so neither re-aggregates the full tf relation (round 12)
 _BIGRAM_PTAB_CACHE = _register_cell("text.bigram_ptab")
 _JSD_GT_CACHE = _register_cell("text.jsd_gt")
+_JSD_NG_CACHE = _register_cell("text.jsd_ng")
 _BM25_DOCS_CACHE = _register_cell("text.bm25_docs")
 
 
@@ -2491,6 +2492,12 @@ def token_js_divergence(df: DataFrame, group_col: str = "source",
         gt = _evict_then_cache(_JSD_GT_CACHE, gt)
     ct = gt.groupBy("token").agg(F.sum("c").alias("ctot"))
     ng = gt.groupBy("grp").agg(F.sum("c").alias("ngrp"))
+    if persist:
+        # ng (one row per group) has TWO consumers — the corpus
+        # total and the scoring join; persisting it aggregates the
+        # cached (group, token) relation once, not twice (round 12,
+        # the LM type-table discipline)
+        ng = _evict_then_cache(_JSD_NG_CACHE, ng)
     tot = ng.agg(F.sum("ngrp").cast("double").alias("__n__"))
     p = F.col("c") / F.col("ngrp")
     q = F.col("ctot") / F.col("__n__")
